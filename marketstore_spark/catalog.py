@@ -1,0 +1,165 @@
+"""Catalog: TimeBucketKey-style addressing over Parquet roots.
+
+Reference: marketstore's catalog is a directory tree
+``symbol/timeframe/attrgroup`` of year files (catalog/catalog.go), with
+DDL in frontend/write.go (Create:70, Destroy:182, GetInfo:152) and
+ListSymbols in frontend/query.go:264.
+
+Here a *bucket* is a Parquet dataset under ``root/<symbol>/<timeframe>/
+<attrgroup>``; the test datasets are flat per-table parquet files, so the
+catalog also exposes ``load_tables`` for those.  At 100 TB the bucket
+layout maps to partitioned Parquet (partition cols: symbol, date) and
+list/info operations read only metadata/footers, never data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _normalize_ns_timestamps(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Spark 4 rejects Parquet TIMESTAMP(NANOS) columns; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they read as long ns.
+    Convert those back to (microsecond) timestamps via integer division
+    — metadata-only footer read, no data scan."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path) if os.path.isfile(path) else None
+    except Exception:
+        schema = None
+    if schema is None:
+        return df
+    from pyspark.sql.types import LongType
+
+    for field in schema:
+        if (
+            pa.types.is_timestamp(field.type)
+            and field.type.unit == "ns"
+            and field.name in df.columns
+            and isinstance(df.schema[field.name].dataType, LongType)
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _normalize_ns_timestamps(spark, spark.read.parquet(path), path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the sf_dir tables as temp views for the SQL surface
+    (reference: sqlparser/ — SELECT over \\`TBK\\` paths)."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+class TimeBucketKey:
+    """``Symbol/Timeframe/AttributeGroup`` key (utils/io in reference)."""
+
+    def __init__(self, key: str):
+        parts = key.split("/")
+        if len(parts) != 3:
+            raise ValueError(f"TimeBucketKey needs Symbol/Timeframe/AttributeGroup: {key!r}")
+        self.symbol, self.timeframe, self.attribute_group = parts
+
+    def __str__(self) -> str:
+        return f"{self.symbol}/{self.timeframe}/{self.attribute_group}"
+
+    def path(self, root: str) -> str:
+        return os.path.join(root, self.symbol, self.timeframe, self.attribute_group)
+
+
+class Catalog:
+    """Bucket DDL + metadata over a Parquet root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- ListSymbols (frontend/query.go:264) ------------------------------
+    def list_symbols(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def list_buckets(self) -> list[str]:
+        out = []
+        for sym in self.list_symbols():
+            sdir = os.path.join(self.root, sym)
+            for tf in sorted(os.listdir(sdir)):
+                tdir = os.path.join(sdir, tf)
+                if not os.path.isdir(tdir):
+                    continue
+                for ag in sorted(os.listdir(tdir)):
+                    if os.path.isdir(os.path.join(tdir, ag)):
+                        out.append(f"{sym}/{tf}/{ag}")
+        return out
+
+    # -- Create / Destroy (frontend/write.go:70,182) ----------------------
+    def create(self, key: str, df_schema_sample: DataFrame) -> None:
+        """Create an empty bucket with the sample's schema."""
+        path = TimeBucketKey(key).path(self.root)
+        df_schema_sample.limit(0).write.mode("errorifexists").parquet(path)
+
+    def destroy(self, key: str) -> None:
+        path = TimeBucketKey(key).path(self.root)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    # -- Write / append (frontend/write.go:36; executor/writer.go) --------
+    def write(self, key: str, df: DataFrame, mode: str = "append") -> None:
+        """Append rows to a bucket.  Parquet append is the scale path:
+        each write is a new file; no WAL needed because Parquet commits
+        are atomic at the file level (the reference needs a WAL only
+        because it mutates files in place: executor/wal.go)."""
+        df.write.mode(mode).parquet(TimeBucketKey(key).path(self.root))
+
+    def read(self, key: str) -> DataFrame:
+        return self.spark.read.parquet(TimeBucketKey(key).path(self.root))
+
+    # -- GetInfo (frontend/write.go:152) ----------------------------------
+    def get_info(self, key: str, ts_col: str = "ts") -> dict:
+        df = self.read(key)
+        row = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        ).first()
+        return {
+            "key": key,
+            "rows": row["rows"],
+            "min_ts": row["min_ts"],
+            "max_ts": row["max_ts"],
+            "schema": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        }

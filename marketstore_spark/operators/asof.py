@@ -1,0 +1,68 @@
+"""As-of (previous-tick) join.
+
+Reference: marketstore's Epoch index serves "value as of time T" reads
+(executor/scanner.go backward scans; LimitRecordCount from end with an
+end predicate is exactly a point-in-time lookup).  Generalized here to a
+relational as-of join: for each left row, the latest right row with
+right.ts <= left.ts for the same key.
+
+Spark design: union-and-window, not a range join.  Tag both sides, sort
+within key by (ts, side), carry the last right value forward with
+last(..., ignorenulls) — one shuffle on the key, O(n) per partition,
+no O(n×m) cross/range join and no per-row subquery.  This is the plan
+that survives 100 TB; a broadcast-range join would not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row: latest right values with right_ts <= left_ts
+    (or < when ``strict``), matched on ``on`` keys.  Output = all left
+    columns + ``value_cols`` (null when no prior right row).
+    """
+    keys = list(on)
+    lcols = [c for c in left.columns]
+    vals = list(value_cols)
+
+    lhs = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in vals],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[F.col(c) for c in vals],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+    )
+    u = lhs.unionByName(rhs)
+
+    # At equal ts: right rows (side 0) sort before left rows (side 1) so
+    # a right row at exactly t is visible to a left row at t; flip the
+    # order for strict (<) semantics.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in vals:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(*lcols, *vals)

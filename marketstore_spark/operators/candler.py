@@ -1,0 +1,135 @@
+"""Candlers: aggregate raw series into OHLC candles per time bucket.
+
+Reference:
+- contrib/candler/tickcandler/tickcandler.go — ticks -> candles
+  (Open=first, High=max, Low=min, Close=last of the price in bucket,
+  plus Sum::/Avg:: tagged extra columns).
+- contrib/candler/candlecandler/candlecandler.go — fine OHLCV -> coarser
+  candles (Open=first Open, High=max High, Low=min Low, Close=last
+  Close, Sum::/Avg:: for volume-like columns).
+- Timeframes: utils/timeframe — 1Min/5Min/15Min/1H/1D etc.
+
+Spark design: one `groupBy(keys, window(ts, tf))` aggregation; first/
+last are `min_by`/`max_by` on a (ts, tiebreak) struct so results are
+deterministic under parallel execution.  This is a single shuffle on
+(key, bucket) with map-side partial aggregation — the same plan shape
+Catalyst picks for any hash aggregate, so it scales linearly and AQE
+coalesces small buckets.  No windows-over-sort, no per-key collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marketstore-style timeframe -> Spark window duration
+_TIMEFRAME = {
+    "1Sec": "1 second",
+    "10Sec": "10 seconds",
+    "30Sec": "30 seconds",
+    "1Min": "1 minute",
+    "5Min": "5 minutes",
+    "12Min": "12 minutes",
+    "15Min": "15 minutes",
+    "30Min": "30 minutes",
+    "1H": "1 hour",
+    "4H": "4 hours",
+    "1D": "1 day",
+    "1W": "7 days",
+}
+
+
+def timeframe_to_duration(tf: str) -> str:
+    if tf in _TIMEFRAME:
+        return _TIMEFRAME[tf]
+    # Accept raw Spark durations too ("7 minutes").
+    if " " in tf:
+        return tf
+    raise ValueError(f"unknown timeframe {tf!r}; known: {sorted(_TIMEFRAME)}")
+
+
+def _bucket(ts_col: str, tf: str) -> Column:
+    return F.window(F.col(ts_col), timeframe_to_duration(tf))
+
+
+def _ordkey(ts_col: str, tiebreak: Sequence[str]) -> Column:
+    return F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+
+
+def tick_candles(
+    df: DataFrame,
+    timeframe: str,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    price_col: str = "value",
+    sum_cols: Sequence[str] = (),
+    avg_cols: Sequence[str] = (),
+    tiebreak: Sequence[str] = ("event_id",),
+    include_count: bool = False,
+) -> DataFrame:
+    """tickcandler('5Min', Price, Sum::Volume, Avg::Volume) equivalent.
+
+    Returns: key_cols, epoch (bucket start), open/high/low/close,
+    <c>_sum / <c>_avg extras, and ``n`` (tick count) when requested.
+    """
+    ok = _ordkey(ts_col, tiebreak)
+    aggs = [
+        F.min_by(price_col, ok).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ok).alias("close"),
+    ]
+    aggs += [F.sum(c).alias(f"{c}_sum") for c in sum_cols]
+    aggs += [F.avg(c).alias(f"{c}_avg") for c in avg_cols]
+    if include_count:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    out = (
+        df.groupBy(*key_cols, _bucket(ts_col, timeframe).alias("__w"))
+        .agg(*aggs)
+        .withColumn("epoch", F.col("__w.start"))
+        .drop("__w")
+    )
+    cols = list(key_cols) + ["epoch", "open", "high", "low", "close"]
+    cols += [f"{c}_sum" for c in sum_cols] + [f"{c}_avg" for c in avg_cols]
+    if include_count:
+        cols.append("n")
+    return out.select(*cols)
+
+
+def candle_candles(
+    df: DataFrame,
+    timeframe: str,
+    key_cols: Sequence[str] = ("symbol",),
+    ts_col: str = "epoch",
+    ohlc: tuple[str, str, str, str] = ("open", "high", "low", "close"),
+    sum_cols: Sequence[str] = (),
+    avg_cols: Sequence[str] = (),
+) -> DataFrame:
+    """candlecandler('12Min', Open, High, Low, Close, Sum::Volume, ...):
+    roll fine candles up to a coarser timeframe.
+
+    The fine series has one row per (key, fine-bucket), so ``ts_col``
+    itself is a unique order key within the coarse bucket — no tiebreak
+    column needed.
+    """
+    o, h, l, c = ohlc
+    ok = F.col(ts_col)
+    aggs = [
+        F.min_by(o, ok).alias("open"),
+        F.max(h).alias("high"),
+        F.min(l).alias("low"),
+        F.max_by(c, ok).alias("close"),
+    ]
+    aggs += [F.sum(x).alias(f"{x}_sum") for x in sum_cols]
+    aggs += [F.avg(x).alias(f"{x}_avg") for x in avg_cols]
+    out = (
+        df.groupBy(*key_cols, _bucket(ts_col, timeframe).alias("__w"))
+        .agg(*aggs)
+        .withColumn("epoch", F.col("__w.start"))
+        .drop("__w")
+    )
+    cols = list(key_cols) + ["epoch", "open", "high", "low", "close"]
+    cols += [f"{x}_sum" for x in sum_cols] + [f"{x}_avg" for x in avg_cols]
+    return out.select(*cols)

@@ -1,0 +1,125 @@
+"""QueryRequest → DataFrame planner.
+
+Reference: frontend/query.go QueryRequest — destination key(s), epoch
+start/end (+nanos), limit_record_count + limit_from_start, columns, and
+an experimental ``Functions`` chain resolved through the UDA registry
+(sqlparser/registry.go NewDefaultAggRunner, Run).
+
+Spark design: the request compiles to one declarative DataFrame plan —
+Catalyst then pushes the time predicates and the projection into the
+Parquet scan.  The function chain is a fold over registered
+DataFrame→DataFrame operators, mirroring AggRunner.Run's
+chain-the-output-into-the-next-input loop (registry.go:52-64).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstore_spark.operators import candler, slice as slice_ops, uda
+
+
+@dataclass
+class QueryParams:
+    """Mirror of frontend/query.go QueryRequest (msgpack fields)."""
+
+    symbols: Sequence[str] | None = None  # Destination symbols (None = all)
+    epoch_start: object | None = None
+    epoch_end: object | None = None
+    limit_record_count: int | None = None
+    limit_from_start: bool = False
+    columns: Sequence[str] | None = None
+    functions: Sequence[str] = field(default_factory=list)
+
+    symbol_col: str = "user_id"
+    ts_col: str = "ts"
+    value_col: str = "value"
+    tiebreak: Sequence[str] = ("event_id",)
+
+
+Operator = Callable[[DataFrame, QueryParams, list[str]], DataFrame]
+
+
+def _scalar(agg: str) -> Operator:
+    def op(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+        col = args[0] if args else p.value_col
+        return uda.scalar_agg(df, agg, col, key_cols=[p.symbol_col])
+
+    return op
+
+
+def _gap(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    if args:
+        return uda.gap_threshold(
+            df, float(args[0]), key_cols=[p.symbol_col], ts_col=p.ts_col,
+            order_tiebreak=p.tiebreak,
+        )
+    return uda.gap_zscore(
+        df, key_cols=[p.symbol_col], ts_col=p.ts_col, order_tiebreak=p.tiebreak
+    )
+
+
+def _tickcandler(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    tf = args[0] if args else "5Min"
+    sums = [a.split("::", 1)[1] for a in args[1:] if a.lower().startswith("sum::")]
+    avgs = [a.split("::", 1)[1] for a in args[1:] if a.lower().startswith("avg::")]
+    return candler.tick_candles(
+        df, tf, key_cols=[p.symbol_col], ts_col=p.ts_col, price_col=p.value_col,
+        sum_cols=sums, avg_cols=avgs, tiebreak=p.tiebreak,
+    )
+
+
+def _candlecandler(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    tf = args[0] if args else "5Min"
+    sums = [a.split("::", 1)[1] for a in args[1:] if a.lower().startswith("sum::")]
+    avgs = [a.split("::", 1)[1] for a in args[1:] if a.lower().startswith("avg::")]
+    return candler.candle_candles(
+        df, tf, key_cols=[p.symbol_col], ts_col="epoch", sum_cols=sums, avg_cols=avgs
+    )
+
+
+REGISTRY: dict[str, Operator] = {
+    "min": _scalar("min"),
+    "max": _scalar("max"),
+    "avg": _scalar("avg"),
+    "count": _scalar("count"),
+    "gap": _gap,
+    "tickcandler": _tickcandler,
+    "candlecandler": _candlecandler,
+}
+
+
+def parse_function_call(call: str) -> tuple[str, list[str]]:
+    """Parse ``name(arg1,'lit',Sum::Col)`` → (name, [args...]).
+    Reference: sqlparser/registry.go ParseFunctionCall."""
+    call = call.strip()
+    lp, rp = call.index("("), call.rindex(")")
+    name = call[:lp].strip().lower()
+    args = [a.strip().strip("'") for a in call[lp + 1 : rp].split(",") if a.strip()]
+    return name, args
+
+
+def run_query(df: DataFrame, params: QueryParams) -> DataFrame:
+    """Compile a QueryRequest to a single DataFrame plan."""
+    if params.symbols:
+        df = df.filter(F.col(params.symbol_col).isin(list(params.symbols)))
+    df = slice_ops.time_range(df, params.ts_col, params.epoch_start, params.epoch_end)
+    if params.limit_record_count is not None:
+        df = slice_ops.limit_records(
+            df,
+            params.limit_record_count,
+            key_cols=[params.symbol_col],
+            order_cols=[params.ts_col, *params.tiebreak],
+            from_start=params.limit_from_start,
+        )
+    df = slice_ops.project_columns(df, params.columns)
+    for call in params.functions:
+        name, args = parse_function_call(call)
+        if name not in REGISTRY:
+            raise KeyError(f"no function in the UDA registry named {name!r}")
+        df = REGISTRY[name](df, params, args)
+    return df

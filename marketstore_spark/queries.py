@@ -1,0 +1,525 @@
+"""The engine's query inventory (SURVEY.md §2) as (Spark plan, DuckDB
+oracle SQL) pairs.
+
+Every Spark implementation is a declarative DataFrame plan built from
+the operator library; every oracle is independent ANSI SQL over the same
+parquet tables.  Numeric policy: money-like 2-dp columns are aggregated
+as DECIMAL(18,2)/(18,4) (exact, order-independent) and cast to double at
+the end, so both engines produce bit-identical doubles; averages are
+computed as exact-sum / count; min/max/count/first/last are exact picks.
+
+``events`` plays the tick stream (user_id ≈ Symbol, ts ≈ Epoch,
+value ≈ price; event_id is the deterministic tie-break).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import load_table, register_views
+from marketstore_spark.functions.finance import simple_returns
+from marketstore_spark.operators import uda
+from marketstore_spark.operators.adjust import adjust
+from marketstore_spark.operators.asof import asof_join
+from marketstore_spark.operators.candler import candle_candles, tick_candles
+from marketstore_spark.operators.gapfill import gapfill_ffill
+from marketstore_spark.plans.query import QueryParams, run_query
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _dec(c: str, scale: int = 2) -> Column:
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# =====================================================================
+# Flagship: TPC-H Q1 pricing summary (general DataFrame-service SQL
+# surface; SURVEY §2 #27)
+# =====================================================================
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+       * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# Core query API (frontend/query.go; SURVEY §2 #1-7)
+# =====================================================================
+
+_RANGE_START = "2024-01-05 00:00:00"
+_RANGE_END = "2024-01-15 00:00:00"
+
+
+@_register(
+    "query_range",
+    f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '{_RANGE_START}' AND ts <= TIMESTAMP '{_RANGE_END}'
+""",
+)
+def query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = QueryParams(
+        epoch_start=_RANGE_START,
+        epoch_end=_RANGE_END,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return run_query(ev, p)
+
+
+@_register(
+    "query_limit_tail",
+    """
+SELECT event_id, ts, user_id, value FROM (
+  SELECT event_id, ts, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def query_limit_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = QueryParams(limit_record_count=3, limit_from_start=False,
+                    columns=["event_id", "ts", "user_id", "value"])
+    return run_query(ev, p)
+
+
+@_register(
+    "query_limit_head",
+    """
+SELECT event_id, ts, user_id, value FROM (
+  SELECT event_id, ts, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def query_limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = QueryParams(limit_record_count=3, limit_from_start=True,
+                    columns=["event_id", "ts", "user_id", "value"])
+    return run_query(ev, p)
+
+
+@_register("list_symbols", "SELECT DISTINCT user_id AS symbol FROM events")
+def list_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.col("user_id").alias("symbol")).distinct()
+
+
+@_register(
+    "get_info",
+    """
+SELECT user_id, COUNT(*) AS rows_count, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM events GROUP BY user_id
+""",
+)
+def get_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("rows_count"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@_register(
+    "multi_query",
+    f"""
+SELECT event_id, ts, user_id, value FROM events
+WHERE user_id IN (1, 2, 3)
+  AND ts >= TIMESTAMP '{_RANGE_START}' AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+UNION ALL
+SELECT event_id, ts, user_id, value FROM events
+WHERE user_id IN (5, 7)
+  AND ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiQueryRequest: independent requests, one result set
+    (frontend/query.go:52)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "value"]
+    r1 = run_query(ev, QueryParams(symbols=[1, 2, 3], epoch_start=_RANGE_START,
+                                   epoch_end="2024-01-10 00:00:00", columns=cols))
+    r2 = run_query(ev, QueryParams(symbols=[5, 7], epoch_start="2024-01-15 00:00:00",
+                                   epoch_end="2024-01-20 00:00:00", columns=cols))
+    return r1.unionByName(r2)
+
+
+_SQL_SELECT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("sql_select", _SQL_SELECT)
+def sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (sqlparser/): the same statement runs verbatim on
+    Spark SQL and on the DuckDB oracle."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SQL_SELECT)
+
+
+# =====================================================================
+# UDAs (uda/*; SURVEY §2 #11-17)
+# =====================================================================
+
+
+@_register("uda_min", "SELECT user_id, MIN(value) AS min_value FROM events GROUP BY user_id")
+def uda_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uda.scalar_agg(load_table(spark, sf_dir, "events"), "min", "value")
+
+
+@_register("uda_max", "SELECT user_id, MAX(value) AS max_value FROM events GROUP BY user_id")
+def uda_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uda.scalar_agg(load_table(spark, sf_dir, "events"), "max", "value")
+
+
+@_register(
+    "uda_avg",
+    """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events GROUP BY user_id
+""",
+)
+def uda_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (F.sum(_dec("value")).cast("double") / F.count("value")).alias("avg_value")
+    )
+
+
+@_register(
+    "uda_count",
+    "SELECT user_id, COUNT(value) AS count_value FROM events GROUP BY user_id",
+)
+def uda_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uda.scalar_agg(load_table(spark, sf_dir, "events"), "count", "value")
+
+
+_GAP_THRESHOLD_S = 86400
+
+
+@_register(
+    "uda_gap",
+    f"""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, prev_ts, ts AS next_ts,
+       (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS gap_seconds
+FROM g
+WHERE prev_ts IS NOT NULL
+  AND (epoch_us(ts) - epoch_us(prev_ts)) > {_GAP_THRESHOLD_S * 1_000_000}
+""",
+)
+def uda_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return uda.gap_threshold(ev, _GAP_THRESHOLD_S)
+
+
+@_register(
+    "uda_gap_zscore",
+    """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), d AS (
+  SELECT user_id, prev_ts, ts,
+         CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) AS gap_us
+  FROM g WHERE prev_ts IS NOT NULL
+), s AS (
+  SELECT user_id, prev_ts, ts, gap_us,
+         avg(gap_us) OVER (PARTITION BY user_id) AS m,
+         CASE WHEN COALESCE(stddev_samp(gap_us) OVER (PARTITION BY user_id), 0) = 0
+              THEN 1.0 ELSE stddev_samp(gap_us) OVER (PARTITION BY user_id) END AS s
+  FROM d
+)
+SELECT user_id, prev_ts, ts AS next_ts, gap_us / 1000000.0 AS gap_seconds,
+       ROUND(abs((gap_us - m) / s), 6) AS zscore
+FROM s WHERE abs((gap_us - m) / s) > 3.0
+""",
+)
+def uda_gap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = uda.gap_zscore(ev, 3.0)
+    return out.withColumn("zscore", F.round("zscore", 6))
+
+
+# =====================================================================
+# Candlers & rollups (contrib/candler, contrib/ondiskagg; #18-20)
+# =====================================================================
+
+
+def _tick_candle_sql(interval: str) -> str:
+    return f"""
+SELECT user_id, time_bucket(INTERVAL '{interval}', ts) AS epoch,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value_avg,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id, time_bucket(INTERVAL '{interval}', ts)
+"""
+
+
+def _tick_candles_stable(spark: SparkSession, sf_dir: str, tf: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("pv", _dec("value"))
+    c = tick_candles(ev, tf, sum_cols=["pv"], include_count=True)
+    return c.select(
+        "user_id",
+        "epoch",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("pv_sum").cast("double").alias("value_sum"),
+        (F.col("pv_sum").cast("double") / F.col("n")).alias("value_avg"),
+        "n",
+    )
+
+
+@_register("tickcandler", _tick_candle_sql("5 minutes"))
+def tickcandler_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tick_candles_stable(spark, sf_dir, "5Min")
+
+
+@_register("rollup_1h", _tick_candle_sql("1 hour"))
+def rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ondiskagg destination '1H' (contrib/ondiskagg/aggtrigger), batch
+    path — the streaming path reuses the same candle plan."""
+    return _tick_candles_stable(spark, sf_dir, "1H")
+
+
+@_register("rollup_1d", _tick_candle_sql("1 day"))
+def rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tick_candles_stable(spark, sf_dir, "1D")
+
+
+@_register(
+    "candlecandler",
+    """
+WITH c1 AS (
+  SELECT user_id, time_bucket(INTERVAL '1 minute', ts) AS m_epoch,
+         first(value ORDER BY ts, event_id) AS open,
+         MAX(value) AS high, MIN(value) AS low,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events
+  GROUP BY user_id, time_bucket(INTERVAL '1 minute', ts)
+)
+SELECT user_id, time_bucket(INTERVAL '15 minutes', m_epoch) AS epoch,
+       first(open ORDER BY m_epoch) AS open,
+       MAX(high) AS high, MIN(low) AS low,
+       last(close ORDER BY m_epoch) AS close
+FROM c1
+GROUP BY user_id, time_bucket(INTERVAL '15 minutes', m_epoch)
+""",
+)
+def candlecandler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """candlecandler('15Min', Open, High, Low, Close): fine candles
+    rolled to a coarser timeframe (contrib/candler/candlecandler)."""
+    ev = load_table(spark, sf_dir, "events")
+    c1 = tick_candles(ev, "1Min")
+    return candle_candles(c1, "15Min", key_cols=["user_id"], ts_col="epoch")
+
+
+# =====================================================================
+# Time-series idioms (SURVEY §2 #23-26)
+# =====================================================================
+
+
+@_register(
+    "vwap",
+    """
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS epoch,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+         / NULLIF(SUM(CAST(props->>'$.k' AS BIGINT)), 0) AS vwap,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS volume
+FROM events
+GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+""",
+)
+def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP per symbol per hour; volume comes from the variable-length
+    attribute payload (props JSON), mirroring marketstore's
+    variable-record attribute columns (executor/readvariable.go)."""
+    ev = load_table(spark, sf_dir, "events")
+    vol = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    pv = _dec("value") * vol
+    sum_vol = F.sum(vol)
+    return ev.groupBy(
+        "user_id", F.window("ts", "1 hour").alias("__w")
+    ).agg(
+        (F.sum(pv).cast("double")
+         / F.when(sum_vol == 0, F.lit(None)).otherwise(sum_vol)).alias("vwap"),
+        sum_vol.alias("volume"),
+    ).select("user_id", F.col("__w.start").alias("epoch"), "vwap", "volume")
+
+
+@_register(
+    "uda_adjust",
+    """
+WITH ca AS (
+  SELECT user_id, ts, 0.5 AS ratio FROM events
+  WHERE event_type = 'purchase' AND event_id % 97 = 0
+), u AS (
+  SELECT user_id, ts, value, 1.0 AS ratio, 0 AS is_ca FROM events
+  UNION ALL
+  SELECT user_id, ts, NULL AS value, ratio, 1 AS is_ca FROM ca
+), f AS (
+  SELECT user_id, ts, value, is_ca,
+         exp(sum(ln(ratio)) OVER (
+           PARTITION BY user_id ORDER BY ts DESC, is_ca ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS factor
+  FROM u
+)
+SELECT user_id, ts, value, ROUND(value * factor, 4) AS adjusted
+FROM f WHERE is_ca = 0
+""",
+)
+def uda_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corporate-action adjustment (uda/adjust): deterministic synthetic
+    CA table = 'purchase' events with event_id % 97 == 0, split ratio
+    0.5; prices strictly before each CA get multiplied by the product of
+    later ratios, rounded to 4 decimals (adjust.go roundToDecimals)."""
+    ev = load_table(spark, sf_dir, "events")
+    ca = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 97 == 0))
+        .select("user_id", "ts", F.lit(0.5).alias("ratio"))
+    )
+    return adjust(ev.select("user_id", "ts", "value"), ca)
+
+
+@_register(
+    "asof_join",
+    """
+SELECT l.event_id, l.ts, l.user_id, l.value, r.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+)
+def asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the user's latest purchase value at
+    or before the click (previous-tick lookup; SURVEY §2 #24)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+@_register(
+    "returns",
+    """
+SELECT user_id, ts, event_id, value,
+       value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS ret
+FROM events
+""",
+)
+def returns_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return simple_returns(ev)
+
+
+@_register(
+    "gapfill",
+    """
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS epoch, MAX(value) AS value
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, MIN(epoch) AS lo, MAX(epoch) AS hi FROM b GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS epoch FROM s
+), j AS (
+  SELECT g.user_id, g.epoch, b.value
+  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.epoch = b.epoch
+)
+SELECT user_id, epoch,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY epoch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CASE WHEN value IS NULL THEN 1 ELSE 0 END AS filled
+FROM j
+""",
+)
+def gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_ffill(ev, "15Min", agg="max")

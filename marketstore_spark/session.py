@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults are tuned for correctness tests on local[N] but chosen so the
+same settings are sane on a large cluster: AQE handles runtime
+re-planning (skew joins, partition coalescing), Arrow is on for any
+Pandas-UDF path, and shuffle partitions are configurable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "marketstore_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no master is configured; on a real cluster the submitter sets
+    the master and this factory only applies SQL-level conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet pushdown/pruning are on by default; pin them explicitly
+        # since the engine's query planner depends on them (SURVEY §6).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
