@@ -1,0 +1,362 @@
+"""Deduplication operators (SURVEY §2 #30-34): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine.
+
+Determinism policy: every hash is md5-derived (identical across
+engines and runs); MinHash values are the lexicographic minimum of md5
+hex strings (no numeric conversion needed); SimHash is a 60-bit
+'0'/'1' string built from the top 15 hex chars of each token's md5.
+
+Scale policy: candidate generation is always *bucketed* — shared
+shingle (with a document-frequency cap against hot shingles), LSH band
+buckets, or simhash bands — so the pairwise stage never does an
+O(n²) crossJoin on the corpus; the exact verify only touches candidate
+pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+# ---------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram set per document: (doc_id, shingle).
+
+    Built with JVM-side higher-order functions: split → transform over a
+    sliding index range → explode → distinct.  One narrow projection +
+    one distinct (shuffle on (doc_id, shingle)).
+    """
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(1), k)  # slice() is 1-indexed
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(k >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    canonical (minimum) doc id and the duplicate count."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(t).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word n-gram sets.
+
+    Candidates come from a self-join on shared shingles; shingles seen
+    in more than ``max_doc_freq`` documents are dropped from candidate
+    generation (standard hot-shingle cap — at 100 TB a stopword-like
+    shingle would otherwise generate quadratic candidates).  The cap
+    only prunes candidates; Jaccard is computed on capped sets for both
+    sides identically, keeping results deterministic.
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+            .select("doc_id", "shingle")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+
+def _minhash_cols(num_hashes: int) -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: mh_i = min over shingles of
+    md5(i + '|' + shingle) (hex-string minimum — engine-portable)."""
+    sh = word_shingles(df, n, text_col, id_col)
+    return sh.groupBy("doc_id").agg(*_minhash_cols(num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash→LSH banding→bucket join→exact Jaccard verify.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; a pair is a candidate
+    iff some band's concatenated signature matches.  Candidates are then
+    verified with exact Jaccard over the shingle sets, so the output is
+    exactly {pairs sharing a band} ∩ {jaccard ≥ threshold} —
+    deterministic across engines.  The band join shuffles on
+    (band_idx, band_key): collision buckets, never the cross product.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows + r}") for r in range(rows)])).alias(
+                "band_key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    pa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars → fits signed 64-bit in any engine
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document as a '0'/'1' string.
+
+    Each distinct token hashes to 60 bits (binary expansion of the top
+    15 hex chars of its md5); bit j of the signature is 1 iff more
+    tokens have bit j set than unset.  Computed with one explode over
+    (token × bit-position) and two hash aggregations — linear, no
+    pairwise work.
+    """
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    toks = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
+        .distinct()
+    )
+    bits = F.lpad(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 2), SIMHASH_BITS, "0"
+    )
+    pos = F.posexplode(F.split(bits, ""))
+    tok_bits = toks.select("doc_id", pos.alias("pos", "bit")).filter(F.col("bit") != "")
+    votes = tok_bits.groupBy("doc_id", "pos").agg(
+        F.sum(F.when(F.col("bit") == "1", 1).otherwise(-1)).alias("vote")
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
+                        )
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+        ).alias("simhash")
+    )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of
+    ``bands`` contiguous signature bands; verified by Hamming distance
+    ≤ ``max_hamming`` over the full signature."""
+    width = SIMHASH_BITS // bands
+    sigs = simhash(df, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.substring("simhash", bi * width + 1, width).alias("band_key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    # Hamming distance via per-position compare of the two bit strings
+    # (JVM-side zip_with over the split arrays).
+    ham = F.aggregate(
+        F.zip_with(
+            F.slice(F.split(F.col("sig_a"), ""), 1, SIMHASH_BITS),
+            F.slice(F.split(F.col("sig_b"), ""), 1, SIMHASH_BITS),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold.
+
+    When ``block_col`` is given (e.g. an LSH bucket or cluster label),
+    the pairwise join runs within blocks only — the 100 TB path.  With
+    no block column this is the exact O(n²) verifier for small n.
+    """
+    from marketstore_spark.functions.vector import cosine_sim
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        vec_d.alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    pairs = a.join(b, cond)
+    cos = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

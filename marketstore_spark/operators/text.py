@@ -1,0 +1,104 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY §2
+#37-40): language ID, quality scoring, token counting, fingerprinting.
+
+All expressions are JVM-side built-ins (regexp_count / split / md5) —
+no Python UDFs — so they run inside whole-stage codegen and scale
+linearly with a plain projection (no shuffle at all except where a
+groupBy is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language stopword markers for the n-gram/stopword langid
+# heuristic.  Counting is on word boundaries, case-insensitive.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "and", "is", "of", "to", "in"],
+    "es": ["el", "la", "los", "que", "es", "de"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+    "zh": ["的", "是", "了", "在", "和", "我"],
+}
+
+_WS = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, single digits, or single
+# non-alphanumeric marks (GPT-2-style coarse approximation).
+_BPE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def _nonempty(text: Column) -> Column:
+    return F.trim(text) != ""
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    t = F.col(text_col)
+    ws_tokens = F.when(_nonempty(t), F.size(F.split(F.trim(t), _WS))).otherwise(F.lit(0))
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(_BPE), 0))
+    return df.select(
+        "doc_id",
+        ws_tokens.alias("n_tokens_ws"),
+        bpe_tokens.alias("n_tokens_bpe"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / digit ratios — the standard
+    cheap quality filters for pretraining corpora."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.when(_nonempty(t), F.size(F.split(F.trim(t), _WS))).otherwise(F.lit(0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    stop_alt = "|".join(LANG_MARKERS["en"])
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(rf"\b(?:{stop_alt})\b"), 0))
+    nz = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars.cast("double"))
+    nzw = F.when(n_words == 0, F.lit(None)).otherwise(n_words.cast("double"))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / nzw).alias("avg_word_len"),
+        (n_punct.cast("double") / nz).alias("punct_ratio"),
+        (n_digit.cast("double") / nz).alias("digit_ratio"),
+        (n_stop.cast("double") / nzw).alias("stopword_ratio"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: count per-language marker words,
+    predict the argmax (ties broken by language code order).
+
+    Returns doc_id, predicted_lang, best_score.
+    """
+    t = F.lower(F.col(text_col))
+    # argmax with deterministic tie-break (score desc, lang asc): negate
+    # the score and sort the struct array ascending.
+    neg = [
+        F.struct(
+            (-F.size(F.regexp_extract_all(t, F.lit(rf"\b(?:{'|'.join(LANG_MARKERS[lang])})\b"), 0))).alias(
+                "neg_score"
+            ),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.sort_array(F.array(*neg), asc=True)[0]
+    return df.select(
+        "doc_id",
+        best["lang"].alias("predicted_lang"),
+        (-best["neg_score"]).alias("best_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (exact-dup key) + doc length — the cheap first pass before MinHash."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.length(norm).alias("fp_len"),
+    )

@@ -498,6 +498,358 @@ def returns_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simple_returns(ev)
 
 
+# =====================================================================
+# LLM-data-pipeline: text analysis (SURVEY §2 #37-40)
+# =====================================================================
+
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+@_register(
+    "text_tokens",
+    f"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens_bpe
+FROM documents
+""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.text import token_counts
+
+    out = token_counts(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+    )
+
+
+@_register(
+    "text_quality",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+       length(text) * 1.0 / NULLIF(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS avg_word_len,
+       len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / NULLIF(length(text), 0) AS punct_ratio,
+       len(regexp_extract_all(text, '[0-9]')) * 1.0 / NULLIF(length(text), 0) AS digit_ratio,
+       len(regexp_extract_all(lower(text), '\\b(?:the|and|is|of|to|in)\\b')) * 1.0
+         / NULLIF(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END, 0) AS stopword_ratio
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.text import quality_features
+
+    out = quality_features(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+    )
+
+
+def _langid_sql() -> str:
+    from marketstore_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '\\b(?:{'|'.join(LANG_MARKERS[lg])})\\b')) AS {lg}"
+        for lg in langs
+    )
+    # argmax with alphabetical tie-break: first lang in order that is >=
+    # all later ones wins.
+    case_lines = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lg} >= {other}" for other in langs[i + 1 :])
+        case_lines.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = "\n           ".join(case_lines)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE {case_sql}
+            ELSE '{langs[-1]}' END AS predicted_lang,
+       CAST(greatest({', '.join(langs)}) AS BIGINT) AS best_score
+FROM c
+"""
+
+
+@_register("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.text import langid
+
+    out = langid(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "predicted_lang", F.col("best_score").cast("long").alias("best_score")
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+       CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS BIGINT) AS fp_len
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.text import fingerprint
+
+    out = fingerprint(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fp_md5", F.col("fp_len").cast("long").alias("fp_len"))
+
+
+# =====================================================================
+# LLM-data-pipeline: dedup (SURVEY §2 #30-34)
+# =====================================================================
+
+_SHINGLE_CTE = """
+d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+raw AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM d WHERE len(w) >= 3)
+),
+ds AS (SELECT DISTINCT doc_id, sh FROM raw)
+"""
+
+
+@_register(
+    "dedup_exact",
+    """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLE_CTE},
+capped AS (
+  SELECT doc_id, sh FROM ds
+  WHERE sh IN (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= 1000)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id AS doc_a, b_id AS doc_b,
+       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8, max_doc_freq=1000
+    )
+
+
+_MH_K = 32
+_MH_BANDS = 8
+
+
+def _minhash_sql() -> str:
+    rows = _MH_K // _MH_BANDS
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(_MH_K)
+    )
+    comma = " || ',' || "
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band_idx, md5({expr}) AS band_key FROM mh".format(
+            bi=bi, expr=comma.join(f"mh{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(_MH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM ds GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       i.inter * 1.0 / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sz sa ON i.doc_a = sa.doc_id
+JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.7
+"""
+
+
+@_register("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=0.7,
+    )
+
+
+@_register(
+    "dedup_simhash",
+    """
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents WHERE trim(text) <> ''),
+toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok FROM d),
+bits AS (
+  SELECT doc_id, tok,
+         lpad(bin(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)), 60, '0') AS bs
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, i AS pos, substr(bs, CAST(i + 1 AS INT), 1) AS bit
+  FROM bits, range(60) t(i)
+),
+votes AS (
+  SELECT doc_id, pos, SUM(CASE WHEN bit = '1' THEN 1 ELSE -1 END) AS vote
+  FROM pos GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_embedding",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# =====================================================================
+# LLM-data-pipeline: similarity search (SURVEY §2 #35-36)
+# =====================================================================
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM q, e c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.simsearch import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register("ann_lsh")  # approximate: rows-only check; recall vs brute in pytest
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.simsearch import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# =====================================================================
+# LLM-data-pipeline: multimodal (SURVEY §2 #41)
+# =====================================================================
+
+
+@_register(
+    "multimodal_meta",
+    """
+SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY 1
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over the media table: at scale this must not
+    touch payload bytes (column pruning keeps the binary column out of
+    the read)."""
+    from marketstore_spark.operators.multimodal import media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
 @_register(
     "gapfill",
     """
