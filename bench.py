@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect).  A warmup run of the flagship amortizes JVM/codegen
+startup so numbers reflect steady-state plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from marketstore_spark import get_session
+from marketstore_spark.queries import SPARK_QUERIES
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "query_range",
+    "query_limit_tail",
+    "tickcandler",
+    "candlecandler",
+    "rollup_1d",
+    "vwap",
+    "uda_adjust",
+    "asof_join",
+    "gapfill",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    "multimodal_meta",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session("marketstore-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (JVM, codegen, parquet footer caches)
+    _force(SPARK_QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(SPARK_QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

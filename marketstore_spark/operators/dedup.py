@@ -39,6 +39,11 @@ def word_shingles(
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(1), k)  # slice() is 1-indexed
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    # Spread the heavy explode/hash projection across the cluster: the
+    # corpus may arrive in few (or one) input splits, and everything up
+    # to the first shuffle would otherwise run in those few tasks.  One
+    # cheap row-shuffle here parallelizes all downstream shingle work.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     return (
         df.filter(F.trim(F.col(text_col)) != "")
         .filter(k >= 1)
@@ -89,7 +94,9 @@ def ngram_jaccard_pairs(
     only prunes candidates; Jaccard is computed on capped sets for both
     sides identically, keeping results deterministic.
     """
-    sh = word_shingles(df, n, text_col, id_col)
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -163,7 +170,15 @@ def minhash_lsh_pairs(
     (band_idx, band_key): collision buckets, never the cross product.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    # The shingle set feeds the signature build, the band self-join and
+    # the 3-way verify join — without materialization Spark would
+    # recompute the explode+distinct subtree up to 5×.  Persist once
+    # (memory-and-disk: shingle sets are the big intermediate at scale;
+    # a production pipeline would checkpoint them to parquet).
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sh.groupBy("doc_id").agg(*_minhash_cols(num_hashes))
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -173,9 +188,15 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    banded = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -189,7 +210,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     pa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     pb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -231,6 +251,9 @@ def simhash(
     pairwise work.
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
+    # Parallelize the token×bit fan-out regardless of input split count
+    # (see word_shingles note).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     toks = (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))

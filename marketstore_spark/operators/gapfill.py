@@ -46,6 +46,11 @@ def gapfill_ffill(
     span = bucketed.groupBy(*keys).agg(
         F.min("epoch").alias("__lo"), F.max("epoch").alias("__hi")
     )
+    # The span table is tiny (one row per key) and AQE coalesces it to
+    # very few partitions — but the explode fans each row out to
+    # span/step rows.  Repartition by key first so grid generation and
+    # the downstream join parallelize.
+    span = span.repartition(span.sparkSession.sparkContext.defaultParallelism, *keys)
     grid = span.select(
         *keys, F.explode(F.sequence("__lo", "__hi", step)).alias("epoch")
     )
