@@ -93,7 +93,6 @@ def fake_decode(payload: bytes, fmt: str) -> bytes:
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], bytes] = _real_decode,
-    batch_hook: Callable[[int], None] | None = None,
 ) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
@@ -105,8 +104,6 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if batch_hook is not None:
-                batch_hook(len(pdf))
             feats = []
             for mid, kind, fmt, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["format"], pdf["payload"]

@@ -109,21 +109,44 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only candidates in the query's LSH
-    bucket.  Recall improves with fewer planes (bigger buckets); the
-    pytest suite measures recall against brute force."""
-    csig = hyperplane_signature(corpus, num_planes, id_col, vec_col)
-    qsig = hyperplane_signature(queries, num_planes, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("bucket"),
-    )
-    cand = csig.join(F.broadcast(qsig), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
+    """Approximate top-k with OR-amplification: ``num_tables``
+    independent hash tables of ``num_planes`` hyperplanes each; a corpus
+    vector is a candidate if it shares a bucket with the query in ANY
+    table.  Recall rises with more tables / fewer planes at the cost of
+    candidate volume — the standard LSH tuning surface.  The pytest
+    suite measures recall against brute force."""
+    csigs = []
+    qsigs = []
+    for t in range(num_tables):
+        seed = f"lsh{t}"
+        csigs.append(
+            hyperplane_signature(corpus, num_planes, id_col, vec_col, seed=seed)
+            .select("vec_id", vec_col, F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"))
+        )
+        qsigs.append(
+            hyperplane_signature(queries, num_planes, id_col, vec_col, seed=seed)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"),
+            )
+        )
+    csig = csigs[0]
+    for extra in csigs[1:]:
+        csig = csig.unionByName(extra)
+    qsig = qsigs[0]
+    for extra in qsigs[1:]:
+        qsig = qsig.unionByName(extra)
+    cand = (
+        csig.join(F.broadcast(qsig), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", vec_col)
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
         "query_id",

@@ -499,6 +499,149 @@ def returns_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# General SQL surface: TPC-H-style joins (SURVEY §2 #28-29)
+# =====================================================================
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg; the customer dim is broadcast (at 100 TB the
+    orders⋈lineitem join co-partitions on orderkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30 00:00:00").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "q5_local_supplier",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join with broadcast dims (supplier/nation/region tiny →
+    broadcast; fact joins shuffle on their keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "top_symbols",
+    """
+SELECT user_id, total_value, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         row_number() OVER (
+           ORDER BY CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) DESC, user_id
+         ) AS rn
+  FROM events GROUP BY user_id
+) WHERE rn <= 5
+""",
+)
+def top_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N symbols by turnover — partial-agg then a tiny global rank
+    (the post-agg table is one row per symbol, so the single-partition
+    window is trivially small)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(_dec("value")).cast("double").alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# =====================================================================
 # LLM-data-pipeline: text analysis (SURVEY §2 #37-40)
 # =====================================================================
 

@@ -1,0 +1,76 @@
+"""Streaming multi-timeframe rollups — the ondiskagg trigger
+(contrib/ondiskagg/aggtrigger) as Structured Streaming.
+
+The reference updates downsampled buckets (5Min/15Min/1H/1D) on every
+write to the base timeframe.  Here the same candle aggregation plan as
+the batch candler runs over a stream with a watermark: late ticks
+within the watermark update their bucket (the reference's re-write of a
+bucket on out-of-order writes), later ones are dropped with a metric
+instead of corrupting closed buckets.
+
+Scale: state is one OHLCV row per (key, open window) — bounded by
+watermark horizon × key cardinality; the sink receives only changed
+buckets (update/append mode), which is exactly the reference's
+incremental materialized-view behavior.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstore_spark.operators.candler import timeframe_to_duration
+
+
+def stream_candles(
+    stream: DataFrame,
+    timeframe: str,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    price_col: str = "value",
+    watermark: str = "10 minutes",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Streaming OHLCV candles per key per bucket.
+
+    Same aggregate shape as operators.candler.tick_candles (min_by/
+    max_by on a (ts, tiebreak) struct, exact min/max/count/sum) so batch
+    backfill and streaming maintenance produce identical rows.
+    """
+    dur = timeframe_to_duration(timeframe)
+    ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(F.col(ts_col), dur).alias("__w"))
+        .agg(
+            F.min_by(price_col, ok).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, ok).alias("close"),
+            F.sum(price_col).alias("value_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return agg.select(
+        *key_cols,
+        F.col("__w.start").alias("epoch"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "value_sum",
+        "n",
+    )
+
+
+def multi_timeframe_rollup(
+    stream: DataFrame,
+    destinations: Sequence[str] = ("5Min", "15Min", "1H", "1D"),
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """The ondiskagg `destinations:` config: one rollup stream per
+    target timeframe, all fed by the same source (Spark shares the
+    scan; each agg keeps its own bounded state)."""
+    return {tf: stream_candles(stream, tf, **kwargs) for tf in destinations}

@@ -1,0 +1,153 @@
+"""Operator semantics tests — hand-built micro-inputs with known
+answers, mirroring the reference's unit-test strategy
+(contrib/candler/*/all_test.go, uda/*_test.go, executor/sort_test.go).
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.operators.adjust import adjust
+from marketstore_spark.operators.asof import asof_join
+from marketstore_spark.operators.candler import tick_candles, timeframe_to_duration
+from marketstore_spark.operators.slice import limit_records, time_range
+
+
+def _ts(*args):
+    return datetime(*args)
+
+
+@pytest.fixture()
+def ticks(spark):
+    rows = [
+        # symbol, ts, tick id, price
+        (1, _ts(2024, 1, 1, 9, 30, 0), 1, 100.0),
+        (1, _ts(2024, 1, 1, 9, 30, 30), 2, 105.0),
+        (1, _ts(2024, 1, 1, 9, 34, 59), 3, 95.0),   # same 5-min bucket
+        (1, _ts(2024, 1, 1, 9, 35, 0), 4, 101.0),   # boundary → next bucket
+        (2, _ts(2024, 1, 1, 9, 30, 0), 5, 50.0),
+        (2, _ts(2024, 1, 1, 9, 30, 0), 6, 51.0),    # same ts → tie-break by id
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+
+
+def test_tick_candles_bucket_edges_and_ties(ticks):
+    out = tick_candles(ticks, "5Min").orderBy("user_id", "epoch").collect()
+    assert len(out) == 3
+    b1 = out[0]  # sym1 09:30
+    assert b1["epoch"] == _ts(2024, 1, 1, 9, 30)
+    assert (b1["open"], b1["high"], b1["low"], b1["close"]) == (100.0, 105.0, 95.0, 95.0)
+    b2 = out[1]  # sym1 09:35 — boundary tick starts the next bucket
+    assert b2["epoch"] == _ts(2024, 1, 1, 9, 35)
+    assert b2["open"] == b2["close"] == 101.0
+    b3 = out[2]  # sym2: equal timestamps → open/close by event_id order
+    assert (b3["open"], b3["close"]) == (50.0, 51.0)
+
+
+def test_timeframe_rejects_unknown():
+    with pytest.raises(ValueError):
+        timeframe_to_duration("3Fortnights")
+    assert timeframe_to_duration("7 minutes") == "7 minutes"
+
+
+def test_time_range_inclusive(ticks):
+    out = time_range(ticks, "ts", _ts(2024, 1, 1, 9, 30, 30), _ts(2024, 1, 1, 9, 35, 0))
+    got = {r["event_id"] for r in out.collect()}
+    assert got == {2, 3, 4}  # both endpoints inclusive (reference semantics)
+
+
+def test_limit_records_direction_and_ties(ticks):
+    tail = limit_records(ticks, 1, from_start=False)
+    got = {(r["user_id"], r["event_id"]) for r in tail.collect()}
+    assert got == {(1, 4), (2, 6)}  # last by (ts, event_id)
+    head = limit_records(ticks, 1, from_start=True)
+    got = {(r["user_id"], r["event_id"]) for r in head.collect()}
+    assert got == {(1, 1), (2, 5)}
+
+
+def test_asof_join_nonstrict_and_strict(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1, 10, 0), 100), (1, _ts(2024, 1, 1, 12, 0), 101)],
+        ["user_id", "ts", "order_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(2024, 1, 1, 9, 0), 10.0),
+            (1, _ts(2024, 1, 1, 10, 0), 20.0),   # exactly at left ts
+            (1, _ts(2024, 1, 1, 11, 0), 30.0),
+        ],
+        ["user_id", "ts", "px"],
+    )
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    value_cols=["px"]).orderBy("order_id").collect()
+    assert [r["px"] for r in out] == [20.0, 30.0]  # ts<=: same-instant visible
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    value_cols=["px"], strict=True).orderBy("order_id").collect()
+    assert [r["px"] for r in out] == [10.0, 30.0]  # strict <: same-instant hidden
+
+
+def test_asof_join_no_prior_row_is_null(spark):
+    left = spark.createDataFrame([(1, _ts(2024, 1, 1, 8, 0), 1)], ["user_id", "ts", "order_id"])
+    right = spark.createDataFrame([(1, _ts(2024, 1, 1, 9, 0), 10.0)], ["user_id", "ts", "px"])
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    value_cols=["px"]).collect()
+    assert out[0]["px"] is None
+
+
+def test_adjust_backward_ratio(spark):
+    """A 2:1 split (ratio .5) at t2 halves prices strictly before t2;
+    uda/adjust/adjust.go semantics incl. 4-decimal rounding."""
+    prices = spark.createDataFrame(
+        [
+            (1, _ts(2024, 1, 1), 100.0),
+            (1, _ts(2024, 1, 2), 110.0),
+            (1, _ts(2024, 1, 3), 56.0),   # post-split price level
+        ],
+        ["user_id", "ts", "value"],
+    )
+    actions = spark.createDataFrame(
+        [(1, _ts(2024, 1, 3), 0.5)], ["user_id", "ts", "ratio"]
+    )
+    out = {r["ts"]: r["adjusted"] for r in adjust(prices, actions).collect()}
+    assert out[_ts(2024, 1, 1)] == pytest.approx(50.0, abs=1e-4)
+    assert out[_ts(2024, 1, 2)] == pytest.approx(55.0, abs=1e-4)
+    assert out[_ts(2024, 1, 3)] == pytest.approx(56.0, abs=1e-4)  # at CA ts: unadjusted
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """ann_lsh must achieve non-trivial recall of the true top-5 on the
+    test embeddings (approximate ≠ arbitrary)."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, q, k=5, num_planes=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"LSH recall too low: {recall:.2f}"
+
+
+def test_models_bars_roundtrip(spark, sf_dir):
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.models import bars_from_trades, trades_from_events
+
+    ev = load_table(spark, sf_dir, "events")
+    trades = trades_from_events(ev)
+    assert set(trades.columns) == {"symbol", "epoch", "price", "size", "exchange", "cond"}
+    bars = bars_from_trades(trades, "1H")
+    assert set(bars.columns) == {"symbol", "epoch", "open", "high", "low", "close", "volume"}
+    assert bars.count() > 0
+    # high >= open/close >= low invariant
+    bad = bars.filter(
+        (F.col("high") < F.col("open")) | (F.col("high") < F.col("close"))
+        | (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
+    ).count()
+    assert bad == 0

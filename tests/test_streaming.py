@@ -1,0 +1,113 @@
+"""Streaming coverage (SURVEY §2 #20-22): ondiskagg rollup, ingest
+writer, pub/sub routing.  Mirrors the reference's trigger tests
+(contrib/ondiskagg/aggtrigger) by checking the streaming rollup equals
+the batch candler over the same data.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog, load_table
+from marketstore_spark.operators.candler import tick_candles
+from marketstore_spark.streaming.ondiskagg import stream_candles
+from marketstore_spark.streaming.pubsub import StreamHub
+from marketstore_spark.streaming.writer import append_sink, read_stream
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="msprk_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_source(spark, sf_dir, tmpdir):
+    """Stage the events table as a streaming file source."""
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(tmpdir, "incoming")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return ev, read_stream(spark, src, schema)
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming 5Min candles == batch tick_candles on the same input."""
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    candles = stream_candles(stream, "5Min", watermark="365 days")
+    q = (
+        candles.writeStream.format("memory")
+        .queryName("rollup_5min_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from rollup_5min_test").toPandas()
+    want = tick_candles(ev, "5Min", sum_cols=["value"], include_count=True).toPandas()
+    got = got.sort_values(["user_id", "epoch"]).reset_index(drop=True)
+    want = want.rename(columns={"value_sum": "value_sum"}).sort_values(
+        ["user_id", "epoch"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ["open", "high", "low", "close", "n"]:
+        assert (got[col].values == want[col].values).all(), col
+
+
+def test_append_writer_roundtrip(spark, sf_dir, tmpdir):
+    """Write API: stream → parquet bucket → Catalog.read sees all rows
+    exactly once (WAL-equivalent exactly-once commit)."""
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    root = os.path.join(tmpdir, "buckets")
+    dest = os.path.join(root, "SYM", "1Min", "TICK")
+    q = append_sink(stream, dest, checkpoint_dir=os.path.join(tmpdir, "ckpt"))
+    q.awaitTermination(120)
+
+    cat = Catalog(spark, root)
+    assert cat.list_symbols() == ["SYM"]
+    got = cat.read("SYM/1Min/TICK")
+    assert got.count() == ev.count()
+    info = cat.get_info("SYM/1Min/TICK")
+    assert info["rows"] == ev.count()
+    # re-running with the same checkpoint must not duplicate (idempotent)
+    schema = spark.read.parquet(os.path.join(tmpdir, "incoming")).schema
+    stream2 = read_stream(spark, os.path.join(tmpdir, "incoming"), schema)
+    q2 = append_sink(stream2, dest, checkpoint_dir=os.path.join(tmpdir, "ckpt"))
+    q2.awaitTermination(120)
+    assert cat.read("SYM/1Min/TICK").count() == ev.count()
+
+
+def test_pubsub_glob_routing(spark, sf_dir, tmpdir):
+    """Stream plugin: subscribers receive only TBK-glob-matching keys."""
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    keyed = stream.withColumn(
+        "tbk", F.concat(F.lit("SYM"), F.col("user_id"), F.lit("/1Min/TICK"))
+    )
+    hub = StreamHub(key_col="tbk")
+    all_sub = hub.subscribe("all", "*/1Min/TICK")
+    one_sub = hub.subscribe("one", "SYM1/1Min/*")
+    none_sub = hub.subscribe("none", "*/1D/OHLCV")
+    q = hub.attach(keyed)
+    q.awaitTermination(120)
+
+    total = ev.count()
+    n_sym1 = ev.filter(F.col("user_id") == 1).count()
+    assert len(all_sub.received) == total
+    assert len(one_sub.received) == n_sym1
+    assert len(none_sub.received) == 0
+
+
+def test_catalog_ddl_roundtrip(spark, sf_dir, tmpdir):
+    """Create/Write/GetInfo/Destroy (frontend/write.go DDL surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    cat = Catalog(spark, os.path.join(tmpdir, "root"))
+    cat.create("AAPL/1Min/OHLCV", ev)
+    assert cat.list_buckets() == ["AAPL/1Min/OHLCV"]
+    cat.write("AAPL/1Min/OHLCV", ev.limit(10))
+    assert cat.read("AAPL/1Min/OHLCV").count() == 10
+    cat.destroy("AAPL/1Min/OHLCV")
+    assert cat.list_buckets() == []
