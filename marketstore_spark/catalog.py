@@ -148,6 +148,27 @@ class Catalog:
     def read(self, key: str) -> DataFrame:
         return self.spark.read.parquet(TimeBucketKey(key).path(self.root))
 
+    # -- Delete (executor/delete.go) --------------------------------------
+    def delete_range(self, key: str, start, end, ts_col: str = "ts") -> int:
+        """Delete rows in [start, end] from a bucket; returns rows
+        removed.  Local implementation rewrites the bucket; at scale
+        (date-partitioned layout, sources/parquet.py) the same filter
+        plus dynamic-partition-overwrite rewrites only the touched date
+        directories — the analogue of the reference's per-year file
+        rewrite."""
+        path = TimeBucketKey(key).path(self.root)
+        df = self.read(key)
+        keep = df.filter(
+            ~((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) <= F.lit(end)))
+        )
+        before = df.count()
+        tmp = path + "__rewrite"
+        keep.write.mode("overwrite").parquet(tmp)  # distributed rewrite
+        after = self.spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)  # swap, like the reference's file rewrite
+        return before - after
+
     # -- GetInfo (frontend/write.go:152) ----------------------------------
     def get_info(self, key: str, ts_col: str = "ts") -> dict:
         df = self.read(key)

@@ -1,0 +1,52 @@
+"""Partitioned-parquet bucket storage — the scale layout.
+
+Reference: marketstore shards each TimeBucketKey into per-year files
+(catalog/catalog.go, executor/instance.go) so time-range queries open
+only the touched years.  The Spark-native equivalent is Hive-style
+partitioning by (symbol, date): Catalyst prunes partitions from the
+range predicate and pushes the residual ts filter into the row-group
+scan — the same two-level pruning, but handled by the optimizer.
+
+write_bucket_store / read_bucket_store are the 100 TB layout;
+the flat per-table files under /root/testdata are the test fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucket_store(
+    df: DataFrame,
+    root: str,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Lay out a tick table as symbol/date-partitioned parquet.
+
+    Partition columns are derived, not duplicated: `symbol` and `date`
+    become directory keys; row data keeps the original columns.
+    """
+    (
+        df.withColumn("symbol", F.col(symbol_col))
+        .withColumn("date", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("symbol", "date")
+        .parquet(root)
+    )
+
+
+def read_bucket_store(spark: SparkSession, root: str) -> DataFrame:
+    """Read the partitioned store; `symbol`/`date` come back as
+    partition columns, so filters on them prune directories before any
+    file is opened."""
+    return spark.read.parquet(root)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture .explain() output as a string (for plan assertions)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )

@@ -1,0 +1,115 @@
+"""Plan-quality assertions (SURVEY §6): the optimizations the 100 TB
+design depends on must be visible in .explain() — pushed filters,
+pruned columns, broadcast joins, partition pruning.  A correct result
+from a bad plan is a failure at scale.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import load_table
+from marketstore_spark.queries import SPARK_QUERIES
+from marketstore_spark.sources.parquet import (
+    explain_str,
+    read_bucket_store,
+    write_bucket_store,
+)
+
+
+def test_range_filter_pushed_to_scan(spark, sf_dir):
+    """query_range's ts predicate must reach the parquet scan."""
+    plan = explain_str(SPARK_QUERIES["query_range"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must not read all columns."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    plan = explain_str(ev)
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    assert "props" not in m[0] and "event_type" not in m[0]
+
+
+def test_multimodal_meta_prunes_payload(spark, sf_dir):
+    """Metadata aggregation must not scan the text/payload bytes
+    column... it is derived from text here, so the scan reads text but
+    the point stands for the binary column in a real store: only
+    referenced columns appear in ReadSchema."""
+    plan = explain_str(SPARK_QUERIES["multimodal_meta"](spark, sf_dir))
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "lang" not in m[0] and "source" not in m[0]
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = explain_str(SPARK_QUERIES["q5_local_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # fact-side join should not broadcast the lineitem table
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 4
+
+
+def test_candler_single_shuffle(spark, sf_dir):
+    """The candle aggregation must be one shuffle (partial → final),
+    not a window-sort pipeline."""
+    import re
+
+    plan = explain_str(SPARK_QUERIES["tickcandler"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan
+    # min_by/max_by on a struct order key is not hash-aggregable, so
+    # Spark picks SortAggregate: still one shuffle, with the sort local
+    # to each partition (fine at scale; the shuffle is the cost driver).
+    assert "Aggregate" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """After AQE finalizes, the hot path must sit inside
+    WholeStageCodegen spans with no Python eval nodes."""
+    df = SPARK_QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # '*(N) ' prefixes mark operators fused into WholeStageCodegen spans
+    assert "*(" in executed
+    assert "BatchEvalPython" not in executed
+
+
+def test_no_python_udfs_in_inventory_plans(spark, sf_dir):
+    """Every oracle-backed query must stay JVM-side (Pandas UDFs are
+    allowed only in multimodal decode, which is not oracle-backed)."""
+    for name, fn in SPARK_QUERIES.items():
+        plan = explain_str(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_partition_pruning_in_bucket_store(spark, sf_dir, tmp_path):
+    """symbol/date-partitioned layout: a symbol+date filter must prune
+    to a fraction of the partitions before reading."""
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(str(tmp_path), "store")
+    write_bucket_store(ev, root)
+    store = read_bucket_store(spark, root)
+
+    pruned = store.filter((F.col("symbol") == 1) & (F.col("date") == "2024-01-05"))
+    plan = explain_str(pruned)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m, plan
+    assert "symbol" in m[0] and "date" in m[0]
+
+    # behavioral check: scanned file count shrinks
+    total_parts = store.select("symbol", "date").distinct().count()
+    touched = pruned.select("symbol", "date").distinct().count()
+    assert touched <= 1 < total_parts
+
+
+def test_bucket_store_roundtrip_values(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(str(tmp_path), "store")
+    write_bucket_store(ev, root)
+    store = read_bucket_store(spark, root)
+    assert store.count() == ev.count()
+    a = ev.agg(F.sum("event_id")).first()[0]
+    b = store.agg(F.sum("event_id")).first()[0]
+    assert a == b

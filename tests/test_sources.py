@@ -1,0 +1,58 @@
+"""Sources & DDL coverage: CSV import, range delete, SQL INSERT INTO
+(sqlparser/insertintostatement.go surface)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog, load_table
+from marketstore_spark.sources.csv import import_csv_to_bucket
+
+
+def test_csv_import_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    csv_dir = os.path.join(str(tmp_path), "in_csv")
+    ev.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).write.option(
+        "header", "true"
+    ).csv(csv_dir)
+
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    n = import_csv_to_bucket(
+        spark, csv_dir, cat, "CSV/1Min/TICK",
+        schema="event_id long, ts string, user_id long, event_type string, value double, props string",
+        ts_format="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    assert n == 200
+    got = cat.read("CSV/1Min/TICK")
+    assert got.count() == 200
+    assert dict(got.dtypes)["ts"] == "timestamp"
+
+
+def test_delete_range(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    cat.write("DEL/1Min/TICK", ev)
+    lo, hi = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    in_range = ev.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    removed = cat.delete_range("DEL/1Min/TICK", lo, hi)
+    assert removed == in_range
+    left = cat.read("DEL/1Min/TICK")
+    assert left.count() == ev.count() - in_range
+    assert left.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count() == 0
+
+
+def test_sql_insert_into(spark, sf_dir, tmp_path):
+    """INSERT INTO via Spark SQL on a parquet-backed table."""
+    ev = load_table(spark, sf_dir, "events")
+    loc = os.path.join(str(tmp_path), "tbl")
+    ev.limit(0).write.parquet(loc)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW ins_src AS SELECT * FROM parquet.`{loc}`")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS ins_events USING parquet LOCATION '{loc}'"
+    )
+    ev.limit(50).createOrReplaceTempView("ins_batch")
+    spark.sql("INSERT INTO ins_events SELECT * FROM ins_batch")
+    assert spark.sql("SELECT COUNT(*) c FROM ins_events").first()["c"] == 50
+    spark.sql("INSERT INTO ins_events SELECT * FROM ins_batch")
+    assert spark.sql("SELECT COUNT(*) c FROM ins_events").first()["c"] == 100
+    spark.sql("DROP TABLE ins_events")
