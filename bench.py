@@ -58,6 +58,10 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(SPARK_QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        # Queries are independent requests: release any intermediate a
+        # query persisted (dedup shingle tables etc.) so one query's
+        # working set doesn't squeeze the next one's executor memory.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -27,13 +27,19 @@ _WS = r"\s+"
 
 
 def word_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram set per document: (doc_id, shingle).
+    """Word n-gram set per document: (doc_id, shingle).
 
     Built with JVM-side higher-order functions: split → transform over a
     sliding index range → explode → distinct.  One narrow projection +
-    one distinct (shuffle on (doc_id, shingle)).
+    one distinct (shuffle on (doc_id, shingle)).  Pass
+    ``distinct=False`` when the caller's next step dedups anyway
+    (e.g. ``collect_set`` / min-agg), saving the shuffle.
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
     k = F.size(words) - (n - 1)
@@ -44,12 +50,12 @@ def word_shingles(
     # to the first shuffle would otherwise run in those few tasks.  One
     # cheap row-shuffle here parallelizes all downstream shingle work.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    return (
+    out = (
         df.filter(F.trim(F.col(text_col)) != "")
         .filter(k >= 1)
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------
@@ -87,28 +93,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram sets.
 
-    Candidates come from a self-join on shared shingles; shingles seen
-    in more than ``max_doc_freq`` documents are dropped from candidate
-    generation (standard hot-shingle cap — at 100 TB a stopword-like
-    shingle would otherwise generate quadratic candidates).  The cap
-    only prunes candidates; Jaccard is computed on capped sets for both
-    sides identically, keeping results deterministic.
+    Candidate pairs come from co-occurrence in a shingle's posting
+    list: one ``groupBy(shingle)`` builds the (sorted, deduped) list of
+    documents containing it, and the pairs explode directly from that
+    list — no self-join, so the shingle table shuffles ONCE instead of
+    twice and the doc-frequency cap is a plain ``size()`` filter
+    instead of a count+join round trip.  Shingles seen in more than
+    ``max_doc_freq`` documents are dropped (standard hot-shingle cap —
+    at 100 TB a stopword-like shingle would otherwise generate
+    quadratic candidates; the cap also bounds each posting list, so no
+    single groupBy key can OOM an executor).  The cap only prunes
+    candidates; Jaccard is computed on capped sets for both sides
+    identically, keeping results deterministic.
     """
     from pyspark import StorageLevel
 
-    sh = word_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = word_shingles(df, n, text_col, id_col, distinct=False)
+    grouped = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    )
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = (
-            sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
-            .select("doc_id", "shingle")
-        )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        grouped = grouped.filter(F.size("docs") <= max_doc_freq)
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.filter(F.size("docs") >= 2)
+        .select(F.posexplode("docs").alias("__i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))

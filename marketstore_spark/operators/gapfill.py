@@ -5,11 +5,15 @@ a query over a range returns one row per interval that has data — the
 client-visible contract for charting is a continuous series, with holes
 filled from the previous bar.  (See also uda/gap which *detects* holes.)
 
-Spark design: generate the dense per-key time grid with
-``sequence()``+``explode`` (JVM-side, no driver loop), left-join the
-bucketed aggregates, and forward-fill with last(..., ignorenulls) over
-the key window.  Grid generation is O(span/step) rows per key produced
-in parallel; the fill is one window pass per key.
+Spark design: bucket the ticks, then per key compute ``lead(epoch)``
+and explode ``sequence(epoch, next_epoch - step, step)`` — each bucket
+row directly emits itself plus the gap rows it forward-fills.  One
+shuffle for the bucket agg, one window pass over the *bucketed* rows
+(not the dense grid), no grid/left-join stage at all.  At 100 TB this
+matters: the dense grid can be orders of magnitude larger than the
+data (sparse series), and this plan never shuffles or sorts it — the
+grid rows are generated JVM-side after the window, inside the same
+stage that writes the result.
 """
 
 from __future__ import annotations
@@ -43,26 +47,30 @@ def gapfill_ffill(
         .agg(getattr(F, agg)(value_col).alias("value"))
         .select(*keys, F.col("__w.start").alias("epoch"), "value")
     )
-    span = bucketed.groupBy(*keys).agg(
-        F.min("epoch").alias("__lo"), F.max("epoch").alias("__hi")
-    )
-    # The span table is tiny (one row per key) and AQE coalesces it to
-    # very few partitions — but the explode fans each row out to
-    # span/step rows.  Repartition by key first so grid generation and
-    # the downstream join parallelize.
-    span = span.repartition(span.sparkSession.sparkContext.defaultParallelism, *keys)
-    grid = span.select(
-        *keys, F.explode(F.sequence("__lo", "__hi", step)).alias("epoch")
-    )
-    joined = grid.join(bucketed, on=keys + ["epoch"], how="left")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("epoch")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    w = Window.partitionBy(*keys).orderBy("epoch")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fanned = bucketed.select(
         *keys,
         "epoch",
-        F.last("value", ignorenulls=True).over(w).alias("value"),
-        F.when(F.col("value").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+        "value",
+        F.lead("epoch").over(w).alias("__next"),
+        # carry-forward value as of this bucket (a present bucket whose
+        # agg is NULL inherits the previous non-null value, matching the
+        # grid+ffill formulation)
+        F.last("value", ignorenulls=True).over(wcum).alias("__fv"),
+    )
+    stop = F.coalesce(F.col("__next") - step, F.col("epoch"))
+    exploded = fanned.select(
+        *keys,
+        "value",
+        "__fv",
+        F.posexplode(F.sequence(F.col("epoch"), stop, step)).alias("__pos", "epoch"),
+    )
+    return exploded.select(
+        *keys,
+        "epoch",
+        F.col("__fv").alias("value"),
+        F.when(
+            (F.col("__pos") > 0) | F.col("value").isNull(), F.lit(1)
+        ).otherwise(F.lit(0)).alias("filled"),
     )

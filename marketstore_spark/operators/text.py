@@ -36,7 +36,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts per document."""
     t = F.col(text_col)
     ws_tokens = F.when(_nonempty(t), F.size(F.split(F.trim(t), _WS))).otherwise(F.lit(0))
-    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(_BPE), 0))
+    bpe_tokens = F.regexp_count(t, F.lit(_BPE))
     return df.select(
         "doc_id",
         ws_tokens.alias("n_tokens_ws"),
@@ -50,10 +50,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_words = F.when(_nonempty(t), F.size(F.split(F.trim(t), _WS))).otherwise(F.lit(0))
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
-    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
     stop_alt = "|".join(LANG_MARKERS["en"])
-    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(rf"\b(?:{stop_alt})\b"), 0))
+    n_stop = F.regexp_count(F.lower(t), F.lit(rf"\b(?:{stop_alt})\b"))
     nz = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars.cast("double"))
     nzw = F.when(n_words == 0, F.lit(None)).otherwise(n_words.cast("double"))
     return df.select(
@@ -78,7 +78,7 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     # the score and sort the struct array ascending.
     neg = [
         F.struct(
-            (-F.size(F.regexp_extract_all(t, F.lit(rf"\b(?:{'|'.join(LANG_MARKERS[lang])})\b"), 0))).alias(
+            (-F.regexp_count(t, F.lit(rf"\b(?:{'|'.join(LANG_MARKERS[lang])})\b"))).alias(
                 "neg_score"
             ),
             F.lit(lang).alias("lang"),
