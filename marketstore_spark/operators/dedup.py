@@ -187,17 +187,27 @@ def minhash_lsh_pairs(
     exactly {pairs sharing a band} ∩ {jaccard ≥ threshold} —
     deterministic across engines.  The band join shuffles on
     (band_idx, band_key): collision buckets, never the cross product.
+
+    Plan shape: ONE groupBy(doc_id) builds both the shingle set and
+    the full signature (min-agg doesn't need pre-deduped input), so the
+    exploded shingle table is shuffled exactly once.  Verification
+    joins the two per-doc shingle *arrays* onto each candidate pair and
+    intersects them JVM-side (``array_intersect``) — no re-explode, no
+    per-(pair,shingle) shuffle, no separate size join.  At 100 TB the
+    per-doc state stays bounded (a document's shingle set), candidates
+    stay bucket-limited, and the verify is two hash joins keyed on doc
+    id.
     """
     rows = num_hashes // bands
-    # The shingle set feeds the signature build, the band self-join and
-    # the 3-way verify join — without materialization Spark would
-    # recompute the explode+distinct subtree up to 5×.  Persist once
-    # (memory-and-disk: shingle sets are the big intermediate at scale;
-    # a production pipeline would checkpoint them to parquet).
     from pyspark import StorageLevel
 
-    sh = word_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sh.groupBy("doc_id").agg(*_minhash_cols(num_hashes))
+    sh = word_shingles(df, n, text_col, id_col, distinct=False)
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shset"), *_minhash_cols(num_hashes))
+        .withColumn("set_size", F.size("shset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -207,14 +217,10 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_key").alias("band_key"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    banded = per_doc.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -229,18 +235,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    pa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    pb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(pa, "doc_a")
-        .join(pb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sets_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("__sa"), F.col("set_size").alias("size_a")
+    )
+    sets_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("__sb"), F.col("set_size").alias("size_b")
     )
     jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
