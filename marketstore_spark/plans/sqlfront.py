@@ -1,0 +1,126 @@
+"""marketstore-flavored SQL front-end.
+
+Reference: sqlparser/ — the reference parses a Presto-style grammar
+restricted to SELECT over backtick-quoted TimeBucketKey table names
+(``SELECT * FROM `TSLA/1Min/OHLCV` WHERE Epoch BETWEEN ... LIMIT n``),
+INSERT INTO a bucket from a SELECT
+(sqlparser/insertintostatement.go), and UDA calls in the select list
+resolved through the registry (sqlparser/registry.go: tickcandler,
+candlecandler, count/min/max/avg, gap, adjust; all_test.go:66,351 show
+the accepted statement shapes).
+
+Spark design: this is a thin *rewriter*, not a parser — Spark SQL
+already speaks a superset of the grammar, so the only marketstore-isms
+to translate are (a) backtick TBK table names, which become temp views
+registered from the catalog, and (b) the candler UDAs, which Spark
+lacks as SQL functions and we route to the candler operators
+(single-shuffle groupBy plans, operators/candler.py).  Scalar UDAs
+(min/max/avg/count) are native SQL aggregates and pass through to
+Catalyst untouched — no reason to reimplement what the optimizer
+already vectorizes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from marketstore_spark.catalog import Catalog, TimeBucketKey
+from marketstore_spark.operators.candler import candle_candles, tick_candles
+
+_TBK_RE = re.compile(r"`([^`]+/[^`]+/[^`]+)`")
+_INSERT_RE = re.compile(r"^\s*insert\s+into\s+`([^`]+)`\s+(.*)$", re.I | re.S)
+_CANDLER_RE = re.compile(
+    r"^\s*select\s+(tickcandler|candlecandler)\s*\((.*?)\)\s+from\s+(\S+)"
+    r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
+    re.I | re.S,
+)
+
+
+def _pick_ts_col(df: DataFrame) -> str:
+    for c in ("ts", "Epoch", "epoch"):
+        if c in df.columns:
+            return c
+    raise ValueError(f"no timestamp column among {df.columns}")
+
+
+class MarketSQL:
+    """Execute marketstore-style SQL against a bucket catalog."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.spark = catalog.spark
+
+    # -- public -----------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        stmt = statement.strip().rstrip(";").strip()
+        m = _INSERT_RE.match(stmt)
+        if m:
+            key, select = m.group(1), m.group(2)
+            out = self.sql(select)
+            self.catalog.write(key, out)
+            return out
+        return self._select(stmt)
+
+    # -- internals --------------------------------------------------------
+    def _register_tbks(self, stmt: str) -> str:
+        """Swap backtick TBK names for temp views fed by the catalog."""
+
+        def repl(m: re.Match) -> str:
+            key = m.group(1)
+            view = "tbk_" + re.sub(r"[^A-Za-z0-9_]", "_", key)
+            self.catalog.read(key).createOrReplaceTempView(view)
+            return view
+
+        return _TBK_RE.sub(repl, stmt)
+
+    def _select(self, stmt: str) -> DataFrame:
+        stmt = self._register_tbks(stmt)
+        m = _CANDLER_RE.match(stmt)
+        if m is None:
+            return self.spark.sql(stmt)
+
+        fname, rawargs, view, where, limit = m.groups()
+        args = [a.strip() for a in rawargs.split(",") if a.strip()]
+        timeframe = args[0].strip("'\"")
+        cols = args[1:]
+        plain = [c for c in cols if "::" not in c]
+        sums = [c.split("::", 1)[1] for c in cols if c.lower().startswith("sum::")]
+        avgs = [c.split("::", 1)[1] for c in cols if c.lower().startswith("avg::")]
+
+        base = self.spark.table(view)
+        if where:
+            base = base.filter(where)
+        ts_col = _pick_ts_col(base)
+
+        if fname.lower() == "tickcandler":
+            # tickcandler('5Min', Price, Sum::Volume) — one price column
+            # (tickcandler.go:Init), extras tagged Sum::/Avg::.
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            out = tick_candles(
+                base,
+                timeframe,
+                key_cols=(),
+                ts_col=ts_col,
+                price_col=plain[0],
+                sum_cols=sums,
+                avg_cols=avgs,
+                tiebreak=tiebreak,
+            )
+        else:
+            # candlecandler('12Min', Open, High, Low, Close, Sum::Volume)
+            if len(plain) != 4:
+                raise ValueError("candlecandler needs Open, High, Low, Close columns")
+            out = candle_candles(
+                base,
+                timeframe,
+                key_cols=(),
+                ts_col=ts_col,
+                ohlc=tuple(plain),
+                sum_cols=sums,
+                avg_cols=avgs,
+            )
+        if limit:
+            out = out.orderBy("epoch").limit(int(limit))
+        return out

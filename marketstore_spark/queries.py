@@ -354,6 +354,13 @@ def tickcandler_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tick_candles_stable(spark, sf_dir, "5Min")
 
 
+@_register("rollup_5min", _tick_candle_sql("5 minutes"))
+def rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ondiskagg destination '5Min' (contrib/ondiskagg/aggtrigger:70
+    timeframe fan-out), batch path."""
+    return _tick_candles_stable(spark, sf_dir, "5Min")
+
+
 @_register("rollup_1h", _tick_candle_sql("1 hour"))
 def rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ondiskagg destination '1H' (contrib/ondiskagg/aggtrigger), batch

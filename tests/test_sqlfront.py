@@ -1,0 +1,84 @@
+"""marketstore-flavored SQL front-end (sqlparser/ surface):
+backtick-TBK tables, WHERE/LIMIT, candler UDAs in the select list,
+INSERT INTO a bucket, native scalar aggs passing through to Catalyst.
+Statement shapes mirror sqlparser/all_test.go:66,351."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog, load_table
+from marketstore_spark.operators.candler import candle_candles, tick_candles
+from marketstore_spark.plans.sqlfront import MarketSQL
+
+
+@pytest.fixture(scope="module")
+def msql(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sqlroot"))
+    cat = Catalog(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    cat.write("EV1/1Min/TICK", ev.filter(F.col("user_id") == 1))
+    return MarketSQL(cat)
+
+
+def test_select_range_and_limit(msql):
+    out = msql.sql(
+        "SELECT event_id, ts, value FROM `EV1/1Min/TICK` "
+        "WHERE ts BETWEEN '2024-01-05' AND '2024-01-10' ORDER BY ts LIMIT 7;"
+    )
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all("2024-01-05" <= str(r["ts"]) <= "2024-01-10" for r in rows)
+
+
+def test_native_agg_passthrough(msql):
+    row = msql.sql(
+        "SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM `EV1/1Min/TICK`"
+    ).first()
+    base = msql.catalog.read("EV1/1Min/TICK")
+    exp = base.agg(F.min("value"), F.max("value"), F.count(F.lit(1))).first()
+    assert (row["lo"], row["hi"], row["n"]) == tuple(exp)
+
+
+def test_tickcandler_matches_operator(msql):
+    out = msql.sql("SELECT tickcandler('5Min', value) FROM `EV1/1Min/TICK`")
+    exp = tick_candles(
+        msql.catalog.read("EV1/1Min/TICK"), "5Min", key_cols=(), price_col="value"
+    )
+    assert out.exceptAll(exp).count() == 0 and exp.exceptAll(out).count() == 0
+
+
+def test_tickcandler_where_and_sum_tag(msql):
+    out = msql.sql(
+        "SELECT tickcandler('15Min', value, Sum::value) FROM `EV1/1Min/TICK` "
+        "WHERE ts < '2024-01-03'"
+    )
+    assert "value_sum" in out.columns
+    exp_rows = (
+        msql.catalog.read("EV1/1Min/TICK").filter("ts < '2024-01-03'")
+        .select(F.window("ts", "15 minutes")).distinct().count()
+    )
+    assert out.count() == exp_rows
+
+
+def test_candlecandler_rollup(msql, spark):
+    fine = tick_candles(
+        msql.catalog.read("EV1/1Min/TICK"), "1Min", key_cols=(), price_col="value"
+    )
+    msql.catalog.write("EV1/1MinBars/OHLC", fine, mode="overwrite")
+    out = msql.sql(
+        "SELECT candlecandler('1H', open, high, low, close) FROM `EV1/1MinBars/OHLC`"
+    )
+    exp = candle_candles(fine, "1H", key_cols=())
+    assert out.exceptAll(exp).count() == 0 and exp.exceptAll(out).count() == 0
+
+
+def test_insert_into_bucket(msql):
+    n_before = set(msql.catalog.list_buckets())
+    out = msql.sql(
+        "INSERT INTO `EV1/5Min/OHLC` SELECT tickcandler('5Min', value) FROM `EV1/1Min/TICK`;"
+    )
+    assert "EV1/5Min/OHLC" in msql.catalog.list_buckets()
+    stored = msql.catalog.read("EV1/5Min/OHLC")
+    assert stored.count() == out.count() > 0
