@@ -1,0 +1,85 @@
+"""Property tests (hypothesis) for bucket-boundary semantics.
+
+Reference test strategy: contrib/candler/*/all_test.go exercises candle
+bucket edges and tie handling; executor/all_test.go exercises boundary
+epochs.  Here hypothesis generates arbitrary small tick sets and the
+Spark results are checked against a direct Python model of the same
+semantics — open/high/low/close per bucket with deterministic
+tie-breaks, and gapfill's dense-contiguous-grid + forward-fill
+contract.
+"""
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from marketstore_spark.operators.candler import tick_candles
+from marketstore_spark.operators.gapfill import gapfill_ffill
+
+EPOCH0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+BUCKET_S = 300  # 5Min
+
+tick = st.tuples(
+    st.integers(min_value=0, max_value=3600),  # offset seconds within an hour
+    st.integers(min_value=-50, max_value=50),  # value
+)
+tickset = st.lists(tick, min_size=1, max_size=40)
+
+
+def _mk_df(spark, ticks):
+    rows = [
+        (i, EPOCH0 + dt.timedelta(seconds=off), 1, float(v))
+        for i, (off, v) in enumerate(ticks)
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def _python_candles(ticks):
+    """Direct model: bucket by floor(offset/300); open/close by
+    (offset, event_id) order; high/low by value."""
+    buckets = defaultdict(list)
+    for i, (off, v) in enumerate(ticks):
+        buckets[off // BUCKET_S].append((off, i, float(v)))
+    out = {}
+    for b, rows in buckets.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        vals = [r[2] for r in rows]
+        out[b] = (rows[0][2], max(vals), min(vals), rows[-1][2])
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ticks=tickset)
+def test_tick_candles_match_python_model(spark, ticks):
+    got = {
+        int((r["epoch"] - EPOCH0).total_seconds()) // BUCKET_S: (
+            r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in tick_candles(_mk_df(spark, ticks), "5Min").collect()
+    }
+    assert got == _python_candles(ticks)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ticks=tickset)
+def test_gapfill_contiguous_and_ffilled(spark, ticks):
+    out = gapfill_ffill(_mk_df(spark, ticks), "5Min", agg="max").collect()
+    rows = sorted((r["epoch"], r["value"], r["filled"]) for r in out)
+    epochs = [e for e, _, _ in rows]
+    # dense contiguous grid from first to last bucket
+    assert all(
+        (b - a).total_seconds() == BUCKET_S for a, b in zip(epochs, epochs[1:])
+    )
+    model = _python_candles(ticks)  # high == max per bucket
+    lo = min(model)
+    prev = None
+    for e, v, filled in rows:
+        b = int((e - EPOCH0).total_seconds()) // BUCKET_S
+        if b in model:
+            assert filled == 0 and v == model[b][1]
+        else:
+            assert filled == 1 and v == prev
+        prev = v
