@@ -169,6 +169,42 @@ class Catalog:
         os.rename(tmp, path)  # swap, like the reference's file rewrite
         return before - after
 
+    # -- Compaction --------------------------------------------------------
+    def compact(self, key: str, target_file_mb: int = 128) -> dict:
+        """Rewrite a bucket's accumulated append files into
+        ~``target_file_mb`` files.
+
+        The append write path (``write``) emits one file per commit —
+        exactly how the reference accretes ticks into year files — so a
+        hot bucket grows thousands of small files whose open/footer
+        cost dominates scans.  Compaction is a distributed
+        read→coalesce→rewrite with an atomic directory swap; on the
+        partitioned layout (sources/parquet.py) the same rewrite runs
+        per date-partition so only fragmented partitions pay.
+        Returns {files_before, files_after, rows}.
+        """
+        path = TimeBucketKey(key).path(self.root)
+        files_before = sum(
+            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        df = self.read(key)
+        size_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        nfiles = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
+        tmp = path + "__compact"
+        df.repartition(nfiles).write.mode("overwrite").parquet(tmp)
+        rows = self.spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        files_after = sum(
+            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
     # -- GetInfo (frontend/write.go:152) ----------------------------------
     def get_info(self, key: str, ts_col: str = "ts") -> dict:
         df = self.read(key)

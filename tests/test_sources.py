@@ -56,3 +56,34 @@ def test_sql_insert_into(spark, sf_dir, tmp_path):
     spark.sql("INSERT INTO ins_events SELECT * FROM ins_batch")
     assert spark.sql("SELECT COUNT(*) c FROM ins_events").first()["c"] == 100
     spark.sql("DROP TABLE ins_events")
+
+
+def test_compact_bucket(spark, sf_dir, tmp_path):
+    """Append-heavy bucket: many small files → one compaction pass."""
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    for i in range(5):  # five append commits → ≥5 files
+        cat.write("CMP/1Min/TICK", ev.limit(400))
+    stats = cat.compact("CMP/1Min/TICK")
+    assert stats["files_before"] >= 5
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == cat.read("CMP/1Min/TICK").count() == 2000
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F2
+    from marketstore_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    got = salted_agg(
+        ev, ["user_id"],
+        {"s": F2.sum("value"), "n": F2.count(F2.lit(1)), "mx": F2.max("value")},
+        {"avg_value": F2.round(F2.sum("s") / F2.sum("n"), 9),
+         "n_rows": F2.sum("n"), "max_value": F2.max("mx")},
+    )
+    exp = ev.groupBy("user_id").agg(
+        F2.round(F2.avg("value"), 9).alias("avg_value"),
+        F2.count(F2.lit(1)).alias("n_rows"),
+        F2.max("value").alias("max_value"),
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
