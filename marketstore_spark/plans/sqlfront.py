@@ -55,6 +55,14 @@ class MarketSQL:
     # -- public -----------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
         stmt = statement.strip().rstrip(";").strip()
+        if re.match(r"^explain\s", stmt, re.I):
+            # sqlparser/explainstatement.go: EXPLAIN <statement> returns
+            # the parse tree; here, the Catalyst physical plan.
+            df = self.sql(stmt.split(None, 1)[1])
+            from marketstore_spark.sources.parquet import explain_str
+
+            lines = explain_str(df).splitlines()
+            return self.spark.createDataFrame([(l,) for l in lines], "plan: string")
         m = _INSERT_RE.match(stmt)
         if m:
             key, select = m.group(1), m.group(2)

@@ -82,3 +82,9 @@ def test_insert_into_bucket(msql):
     assert "EV1/5Min/OHLC" in msql.catalog.list_buckets()
     stored = msql.catalog.read("EV1/5Min/OHLC")
     assert stored.count() == out.count() > 0
+
+
+def test_explain_statement(msql):
+    out = msql.sql("EXPLAIN SELECT min(value) AS lo FROM `EV1/1Min/TICK`;")
+    text = "\n".join(r["plan"] for r in out.collect())
+    assert "Scan parquet" in text and "Aggregate" in text

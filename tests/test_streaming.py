@@ -111,3 +111,36 @@ def test_catalog_ddl_roundtrip(spark, sf_dir, tmpdir):
     assert cat.read("AAPL/1Min/OHLCV").count() == 10
     cat.destroy("AAPL/1Min/OHLCV")
     assert cat.list_buckets() == []
+
+
+def test_stateful_gap_detector_matches_batch(spark, sf_dir, tmpdir):
+    """applyInPandasWithState gap watcher == batch uda/gap threshold
+    mode when the feed arrives time-ordered (single source file)."""
+    from marketstore_spark.operators.uda import gap_threshold
+    from marketstore_spark.streaming.gapwatch import stream_gap_detector
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    src = os.path.join(tmpdir, "ordered")
+    ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema)
+
+    gaps = stream_gap_detector(stream, threshold_seconds=1800.0)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("gapwatch_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "select user_id, prev_ts, next_ts, round(gap_seconds, 6) g from gapwatch_test"
+    ).toPandas().sort_values(["user_id", "prev_ts"]).reset_index(drop=True)
+    want = gap_threshold(ev, 1800.0).select(
+        "user_id", "prev_ts", "next_ts", F.round("gap_seconds", 6).alias("g")
+    ).toPandas().sort_values(["user_id", "prev_ts"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["g"].values == want["g"].values).all()
+    assert (got["user_id"].values == want["user_id"].values).all()
