@@ -1,0 +1,144 @@
+"""pymarketstore-compatible client facade.
+
+Reference: the marketstore client library (pymarketstore) exposes
+``Params('TSLA', '1Min', 'OHLCV', start, end, limit)`` →
+``Client.query(...)`` → ``QueryReply.first().df()``; plus
+``write``/``list_symbols``/``create``/``destroy`` and raw ``sql``
+(frontend/query.go DataService.Query; frontend/write.go).  A user of
+the reference drives everything through this surface, so the same
+surface is provided over the Spark engine: the wire format becomes
+Arrow (``toPandas``) instead of the NumpyMultiDataset msgpack frames
+(utils/io), and queries compile to Catalyst plans instead of scanner
+calls.
+
+Scale: one query = one declarative plan per requested key — time
+predicates and projections push into the Parquet scan; directional
+limits on a single bucket compile to TakeOrderedAndProject (top-K, no
+global sort).  ``.df()`` is the only collect point, sized by the
+user's own limit/range.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog
+from marketstore_spark.operators import slice as slice_ops
+from marketstore_spark.plans.query import parse_function_call, QueryParams, REGISTRY
+from marketstore_spark.plans.sqlfront import MarketSQL
+
+
+@dataclass
+class Params:
+    """Mirror of pymarketstore.Params."""
+
+    symbols: str | list[str]
+    timeframe: str
+    attrgroup: str
+    start: object | None = None
+    end: object | None = None
+    limit: int | None = None
+    limit_from_start: bool = False
+    columns: list[str] | None = None
+    functions: list[str] = field(default_factory=list)
+
+    @property
+    def symbol_list(self) -> list[str]:
+        return [self.symbols] if isinstance(self.symbols, str) else list(self.symbols)
+
+    def keys(self) -> list[str]:
+        return [f"{s}/{self.timeframe}/{self.attrgroup}" for s in self.symbol_list]
+
+
+class DataSet:
+    """One key's result (pymarketstore DataSet): lazy DataFrame in,
+    pandas out."""
+
+    def __init__(self, key: str, df: DataFrame):
+        self.key = key
+        self.symbol = key.split("/")[0]
+        self._df = df
+
+    def df(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    def dataframe(self) -> DataFrame:
+        """Spark-native escape hatch (no collect)."""
+        return self._df
+
+
+class QueryReply:
+    """pymarketstore QueryReply: first()/all()/keys()."""
+
+    def __init__(self, datasets: list[DataSet]):
+        self._datasets = datasets
+
+    def first(self) -> DataSet:
+        return self._datasets[0]
+
+    def all(self) -> dict[str, DataSet]:
+        return {d.key: d for d in self._datasets}
+
+    def keys(self) -> list[str]:
+        return [d.key for d in self._datasets]
+
+
+class Client:
+    """Drop-in shaped replacement for pymarketstore.Client over a
+    bucket catalog (no server hop — the 'connection' is a
+    SparkSession)."""
+
+    def __init__(self, catalog: Catalog, ts_col: str = "ts"):
+        self.catalog = catalog
+        self.ts_col = ts_col
+        self._msql = MarketSQL(catalog)
+
+    # -- query (frontend/query.go:143) ------------------------------------
+    def query(self, params: Params) -> QueryReply:
+        out = []
+        for key in params.keys():
+            df = self.catalog.read(key)
+            df = slice_ops.time_range(df, self.ts_col, params.start, params.end)
+            if params.limit is not None:
+                # Single bucket == single key: a directional head/tail
+                # compiles to TakeOrderedAndProject (bounded top-K per
+                # partition, merged on the driver), not a full sort.
+                order = [F.col(self.ts_col)]
+                if params.limit_from_start:
+                    df = df.orderBy(*[c.asc() for c in order]).limit(params.limit)
+                else:
+                    df = (
+                        df.orderBy(*[c.desc() for c in order])
+                        .limit(params.limit)
+                        .orderBy(*[c.asc() for c in order])
+                    )
+            df = slice_ops.project_columns(df, params.columns)
+            qp = QueryParams(ts_col=self.ts_col, symbol_col="__symbol")
+            for call in params.functions:
+                name, args = parse_function_call(call)
+                df = REGISTRY[name](df.withColumn("__symbol", F.lit(key.split("/")[0])), qp, args)
+            out.append(DataSet(key, df))
+        return QueryReply(out)
+
+    # -- write path (frontend/write.go) -----------------------------------
+    def write(self, data, tbk: str, mode: str = "append") -> None:
+        if isinstance(data, pd.DataFrame):
+            data = self.catalog.spark.createDataFrame(data)
+        self.catalog.write(tbk, data, mode=mode)
+
+    def list_symbols(self) -> list[str]:
+        return self.catalog.list_symbols()
+
+    def create(self, tbk: str, schema_sample: DataFrame) -> None:
+        self.catalog.create(tbk, schema_sample)
+
+    def destroy(self, tbk: str) -> None:
+        self.catalog.destroy(tbk)
+
+    def sql(self, statement: str) -> DataFrame:
+        return self._msql.sql(statement)

@@ -1,0 +1,71 @@
+"""pymarketstore-shaped client facade: Params/Client/QueryReply
+(reference client surface over frontend/query.go + write.go)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog, load_table
+from marketstore_spark.client import Client, Params
+
+
+@pytest.fixture(scope="module")
+def cli(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cliroot"))
+    cat = Catalog(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    for sym in (1, 2):
+        cat.write(f"SYM{sym}/1Min/TICK", ev.filter(F.col("user_id") == sym))
+    return Client(cat)
+
+
+def test_query_range_limit_tail(cli):
+    p = Params("SYM1", "1Min", "TICK", start="2024-01-05", end="2024-01-20", limit=9)
+    ds = cli.query(p).first()
+    pdf = ds.df()
+    assert len(pdf) == 9
+    # tail semantics: the 9 LAST rows of the range, ascending
+    full = cli.catalog.read("SYM1/1Min/TICK").filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") <= "2024-01-20")
+    )
+    last9 = [r["event_id"] for r in full.orderBy(F.col("ts").desc()).limit(9).collect()]
+    assert sorted(pdf["event_id"]) == sorted(last9)
+    assert pdf["ts"].is_monotonic_increasing
+
+
+def test_query_head_and_columns(cli):
+    p = Params(
+        "SYM1", "1Min", "TICK", limit=5, limit_from_start=True,
+        columns=["ts", "value"],
+    )
+    pdf = cli.query(p).first().df()
+    assert list(pdf.columns) == ["ts", "value"] and len(pdf) == 5
+
+
+def test_multi_symbol_reply(cli):
+    p = Params(["SYM1", "SYM2"], "1Min", "TICK", limit=3)
+    reply = cli.query(p)
+    assert reply.keys() == ["SYM1/1Min/TICK", "SYM2/1Min/TICK"]
+    assert all(len(d.df()) == 3 for d in reply.all().values())
+
+
+def test_function_chain_tickcandler(cli):
+    p = Params("SYM1", "1Min", "TICK", functions=["tickcandler('1H',value)"])
+    pdf = cli.query(p).first().df()
+    assert {"open", "high", "low", "close", "epoch"} <= set(pdf.columns)
+    assert len(pdf) > 0
+
+
+def test_write_and_list_and_destroy(cli, spark):
+    src = cli.query(Params("SYM1", "1Min", "TICK", limit=20)).first().df()
+    cli.write(src, "NEW/1Min/TICK")
+    assert "NEW" in cli.list_symbols()
+    assert len(cli.query(Params("NEW", "1Min", "TICK")).first().df()) == 20
+    cli.destroy("NEW/1Min/TICK")
+    assert "NEW/1Min/TICK" not in cli.catalog.list_buckets()
+
+
+def test_sql_via_client(cli):
+    pdf = cli.sql("SELECT count(*) AS n FROM `SYM1/1Min/TICK`").toPandas()
+    assert pdf["n"][0] == cli.catalog.read("SYM1/1Min/TICK").count()
