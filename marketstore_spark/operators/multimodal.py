@@ -120,6 +120,43 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str, int, int], bytes] = None,
+) -> DataFrame:
+    """Resize plan for image media via Arrow-batched mapInPandas.
+
+    Without a real codec the default resizer is a deterministic fake
+    (content-hash-seeded bytes of width*height length, so output size
+    is verifiable); the Spark-side contract — schema, batch shape,
+    payload round-trip, metadata update — is real.  Batches stream
+    through Arrow; payload bytes never land on the driver.
+    """
+    if resizer is None:
+        def resizer(payload: bytes, fmt: str, w: int, h: int) -> bytes:
+            h0 = hashlib.sha256(payload or b"").digest()
+            reps = (w * h) // len(h0) + 1
+            return (h0 * reps)[: w * h]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                resizer(bytes(p), f, width, height)
+                for p, f in zip(pdf["payload"], pdf["format"])
+            ]
+            out["width"] = width
+            out["height"] = height
+            out["n_bytes"] = [len(p) for p in out["payload"]]
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video media: emits (media_id, frame_idx)
     rows for every ``every_n``-th frame of a fake fixed frame count

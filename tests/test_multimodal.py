@@ -70,3 +70,18 @@ def test_frame_sample_plan(media):
     assert (pdf["mx"] % 10 == 0).all()
     only_video = media.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == only_video
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from marketstore_spark.operators.multimodal import media_from_documents, resize_images
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = resize_images(media, 32, 16)
+    rows = out.limit(20).collect()
+    assert len(rows) > 0
+    assert all(r["kind"] == "image" for r in rows)
+    assert all(r["width"] == 32 and r["height"] == 16 for r in rows)
+    assert all(len(r["payload"]) == 32 * 16 == r["n_bytes"] for r in rows)
+    # deterministic: same input -> same payload
+    again = {r["media_id"]: r["payload"] for r in out.limit(20).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in rows)

@@ -87,3 +87,23 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         F2.max("value").alias("max_value"),
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_json_import_roundtrip(spark, sf_dir, tmp_path):
+    from marketstore_spark.sources.json import import_json_to_bucket
+
+    ev = load_table(spark, sf_dir, "events").limit(150)
+    jdir = os.path.join(str(tmp_path), "in_json")
+    ev.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).write.json(jdir)
+
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    n = import_json_to_bucket(
+        spark, jdir, cat, "JSN/1Min/TICK",
+        schema="event_id long, ts string, user_id long, event_type string, value double, props string",
+        ts_format="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    assert n == 150
+    got = cat.read("JSN/1Min/TICK")
+    assert got.count() == 150
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert got.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
