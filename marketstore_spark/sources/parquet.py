@@ -13,6 +13,8 @@ the flat per-table files under /root/testdata are the test fixture.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +45,28 @@ def read_bucket_store(spark: SparkSession, root: str) -> DataFrame:
     partition columns, so filters on them prune directories before any
     file is opened."""
     return spark.read.parquet(root)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str] = ("user_id",),
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist a fact table bucketed (and optionally sorted) on its
+    join/aggregation key.
+
+    Two facts bucketed the same way join with ZERO Exchange — the
+    shuffle happened once at write time and is amortized over every
+    subsequent join/groupBy on the key.  This is the 100 TB co-located
+    join strategy for recurring joins (ticks↔quotes, events↔orders);
+    `n_buckets` should divide evenly into cluster parallelism.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:

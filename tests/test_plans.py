@@ -113,3 +113,31 @@ def test_bucket_store_roundtrip_values(spark, sf_dir, tmp_path):
     a = ev.agg(F.sum("event_id")).first()[0]
     b = store.agg(F.sum("event_id")).first()[0]
     assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two facts bucketed on the join key must join with zero shuffle
+    (the write-time bucketing IS the exchange, amortized)."""
+    from marketstore_spark.sources.parquet import write_bucketed_table
+
+    ev = load_table(spark, sf_dir, "events")
+    write_bucketed_table(ev.select("event_id", "user_id", "ts", "value"),
+                         "b_events", n_buckets=8, sort_cols=("user_id",))
+    write_bucketed_table(
+        ev.groupBy("user_id").agg(F.avg("value").alias("avg_v")),
+        "b_stats", n_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the co-located merge join is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_events").join(spark.table("b_stats"), "user_id")
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # same key groupBy also rides the bucketing: no exchange
+        g = spark.table("b_events").groupBy("user_id").agg(F.sum("value"))
+        assert "Exchange" not in explain_str(g)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
