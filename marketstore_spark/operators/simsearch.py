@@ -15,6 +15,9 @@ Vector math is JVM-side (zip_with/aggregate) — see functions/vector.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,38 +65,40 @@ def brute_force_topk(
     )
 
 
+def _plane_component(seed: str, p: int, i: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1):
+    (md5-derived 60-bit int / 2^59) - 1.  Pure Python md5 — identical
+    value on any engine, computed ONCE per (seed, plane, dim) on the
+    driver, never per row."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[:15]
+    return int(h, 16) / float(2**59) - 1.0
+
+
 def hyperplane_signature(
     df: DataFrame,
     num_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "lsh",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH signature as a bit string.
 
-    Plane p's component for dimension i is a deterministic pseudo-random
-    value in [-1, 1): (md5-derived 60-bit int / 2^59) - 1.  Sign of the
-    dot product gives bit p.  All JVM-side expressions.
+    The plane matrix depends only on (seed, plane, dim-index), so it is
+    materialized driver-side as array literals; each row pays only the
+    dot products (zip_with multiply + aggregate sum, JVM-side).  Sign
+    of the dot product gives bit p.
     """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
     v = _as_double(vec_col)
     bits = []
     for p in range(num_planes):
-        # component_i = hash(seed,p,i) mapped to [-1,1)
-        comp = lambda i, p=p: (
-            F.conv(
-                F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.lit(p), i.cast("string"))), 1, 15),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**59))
-            - F.lit(1.0)
-        )
+        plane = F.array(*[F.lit(_plane_component(seed, p, i)) for i in range(dim)])
         dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, i: x * comp(i),
-            ),
+            F.zip_with(v, plane, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -120,28 +125,52 @@ def lsh_topk(
     table.  Recall rises with more tables / fewer planes at the cost of
     candidate volume — the standard LSH tuning surface.  The pytest
     suite measures recall against brute force."""
-    csigs = []
-    qsigs = []
-    for t in range(num_tables):
-        seed = f"lsh{t}"
-        csigs.append(
-            hyperplane_signature(corpus, num_planes, id_col, vec_col, seed=seed)
-            .select("vec_id", vec_col, F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"))
-        )
-        qsigs.append(
-            hyperplane_signature(queries, num_planes, id_col, vec_col, seed=seed)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col(vec_col).alias("qvec"),
-                F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"),
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+
+    # Plane matrix (dim × tables·planes) built once on the driver from
+    # the same md5 derivation; the per-row work is one numpy matmul in
+    # an Arrow-batched pandas UDF.  This is the sanctioned Pandas-UDF
+    # case (SURVEY §6): Spark's higher-order functions evaluate the
+    # lambda per element interpreted, which loses to BLAS by ~100× on
+    # wide embeddings; results are identical except sign flips on
+    # exactly-zero dots (measure-zero; ann_lsh is recall-checked, not
+    # oracle-hashed).
+    planes = np.array(
+        [
+            [_plane_component(f"lsh{t}", p, i) for t in range(num_tables) for p in range(num_planes)]
+            for i in range(dim)
+        ]
+    )
+
+    @F.pandas_udf("array<string>")
+    def buckets_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        signs = (mat @ planes) >= 0
+        out = []
+        for row in signs:
+            bits = "".join("1" if b else "0" for b in row)
+            out.append(
+                [
+                    f"{t}:" + bits[t * num_planes : (t + 1) * num_planes]
+                    for t in range(num_tables)
+                ]
             )
+        return pd.Series(out)
+
+    def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        """One scan computes every table's signature and explodes to
+        (row, bucket) pairs.  The input is repartitioned first: the
+        signature math must not inherit the input's (possibly single)
+        split count."""
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(buckets_udf(_as_double(vec_col))).alias("bucket"),
         )
-    csig = csigs[0]
-    for extra in csigs[1:]:
-        csig = csig.unionByName(extra)
-    qsig = qsigs[0]
-    for extra in qsigs[1:]:
-        qsig = qsig.unionByName(extra)
+
+    csig = with_buckets(corpus, "vec_id", vec_col)
+    qsig = with_buckets(queries, "query_id", "qvec")
     cand = (
         csig.join(F.broadcast(qsig), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
