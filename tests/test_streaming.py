@@ -144,3 +144,29 @@ def test_stateful_gap_detector_matches_batch(spark, sf_dir, tmpdir):
     assert len(got) == len(want) > 0
     assert (got["g"].values == want["g"].values).all()
     assert (got["user_id"].values == want["user_id"].values).all()
+
+
+def test_replication_catchup_and_idempotent(spark, sf_dir, tmpdir):
+    """replication/: master bucket mirrors to a replica catalog;
+    re-sync moves only new appends and never duplicates."""
+    from marketstore_spark.streaming.replication import replicate_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    master = Catalog(spark, os.path.join(tmpdir, "master"))
+    replica = Catalog(spark, os.path.join(tmpdir, "replica"))
+    master.write("R/1Min/TICK", ev.limit(500))
+
+    q = replicate_bucket(master, replica, "R/1Min/TICK")
+    q.awaitTermination(120)
+    assert replica.read("R/1Min/TICK").count() == 500
+
+    # new append on master → only the delta flows on next sync
+    master.write("R/1Min/TICK", ev.limit(200))
+    q2 = replicate_bucket(master, replica, "R/1Min/TICK")
+    q2.awaitTermination(120)
+    assert replica.read("R/1Min/TICK").count() == 700
+
+    # idempotent re-run: no new files, no duplicates
+    q3 = replicate_bucket(master, replica, "R/1Min/TICK")
+    q3.awaitTermination(120)
+    assert replica.read("R/1Min/TICK").count() == 700
