@@ -50,8 +50,21 @@ def timeframe_to_duration(tf: str) -> str:
     raise ValueError(f"unknown timeframe {tf!r}; known: {sorted(_TIMEFRAME)}")
 
 
-def _bucket(ts_col: str, tf: str) -> Column:
-    return F.window(F.col(ts_col), timeframe_to_duration(tf))
+def _bucket(ts_col: str, tf: str, tz: str | None = None) -> Column:
+    """Time bucket; with ``tz`` the bucket boundaries align to that
+    timezone's midnight (utils/timeframe + contrib/calendar: the
+    reference anchors 1D bars to the market's day, not UTC's)."""
+    if tz is None:
+        return F.window(F.col(ts_col), timeframe_to_duration(tf))
+    return F.window(
+        F.from_utc_timestamp(F.col(ts_col), tz), timeframe_to_duration(tf)
+    )
+
+
+def bucket_epoch(w: Column, tz: str | None = None) -> Column:
+    """Bucket start converted back to the storage timeline (UTC)."""
+    start = w["start"]
+    return F.to_utc_timestamp(start, tz) if tz else start
 
 
 def _ordkey(ts_col: str, tiebreak: Sequence[str]) -> Column:
@@ -68,11 +81,14 @@ def tick_candles(
     avg_cols: Sequence[str] = (),
     tiebreak: Sequence[str] = ("event_id",),
     include_count: bool = False,
+    tz: str | None = None,
 ) -> DataFrame:
     """tickcandler('5Min', Price, Sum::Volume, Avg::Volume) equivalent.
 
     Returns: key_cols, epoch (bucket start), open/high/low/close,
     <c>_sum / <c>_avg extras, and ``n`` (tick count) when requested.
+    ``tz`` anchors bucket boundaries to a market timezone (daily bars
+    start at that market's midnight); epoch stays on the UTC timeline.
     """
     ok = _ordkey(ts_col, tiebreak)
     aggs = [
@@ -86,9 +102,9 @@ def tick_candles(
     if include_count:
         aggs.append(F.count(F.lit(1)).alias("n"))
     out = (
-        df.groupBy(*key_cols, _bucket(ts_col, timeframe).alias("__w"))
+        df.groupBy(*key_cols, _bucket(ts_col, timeframe, tz).alias("__w"))
         .agg(*aggs)
-        .withColumn("epoch", F.col("__w.start"))
+        .withColumn("epoch", bucket_epoch(F.col("__w"), tz))
         .drop("__w")
     )
     cols = list(key_cols) + ["epoch", "open", "high", "low", "close"]

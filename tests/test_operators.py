@@ -151,3 +151,27 @@ def test_models_bars_roundtrip(spark, sf_dir):
         | (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
     ).count()
     assert bad == 0
+
+
+def test_tz_anchored_daily_bars(spark):
+    """1D buckets anchor to the market timezone's midnight
+    (utils/timeframe + contrib/calendar): a tick at 01:00 UTC belongs
+    to the PREVIOUS New York trading day."""
+    import datetime as dt
+    from marketstore_spark.operators.candler import tick_candles
+
+    rows = [
+        # 2024-06-10 01:00 UTC == 2024-06-09 21:00 America/New_York
+        (1, dt.datetime(2024, 6, 10, 1, 0), 1, 10.0),
+        # 2024-06-10 12:00 UTC == 2024-06-10 08:00 America/New_York
+        (2, dt.datetime(2024, 6, 10, 12, 0), 1, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    utc = tick_candles(df, "1D").collect()
+    ny = tick_candles(df, "1D", tz="America/New_York").collect()
+    assert len(utc) == 1  # same UTC day
+    assert len(ny) == 2   # different NY days
+    # NY daily epochs are NY midnights expressed in UTC (UTC-4 in June)
+    assert sorted(r["epoch"].hour for r in ny) == [4, 4]
