@@ -93,6 +93,44 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Every per-document text signal in ONE projection — quality
+    ratios, language ID, fingerprint.  A corpus-cleaning pipeline
+    should compute all its features in a single scan, not join the
+    per-operator outputs (three shuffles of the same doc_id key); the
+    individual operators above stay for à-la-carte use."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.when(_nonempty(t), F.size(F.split(F.trim(t), _WS))).otherwise(F.lit(0))
+    nz = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars.cast("double"))
+    nzw = F.when(n_words == 0, F.lit(None)).otherwise(n_words.cast("double"))
+    low = F.lower(t)
+    stop_alt = "|".join(LANG_MARKERS["en"])
+    neg = [
+        F.struct(
+            (-F.regexp_count(low, F.lit(rf"\b(?:{'|'.join(LANG_MARKERS[lang])})\b"))).alias(
+                "neg_score"
+            ),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.sort_array(F.array(*neg), asc=True)[0]
+    norm = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / nz).alias("punct_ratio"),
+        (F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / nz).alias("digit_ratio"),
+        (F.regexp_count(low, F.lit(rf"\b(?:{stop_alt})\b")).cast("double") / nzw).alias(
+            "stopword_ratio"
+        ),
+        best["lang"].alias("predicted_lang"),
+        F.md5(norm).alias("fp_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text
     (exact-dup key) + doc length — the cheap first pass before MinHash."""

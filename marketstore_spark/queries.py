@@ -763,6 +763,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fp_md5", F.col("fp_len").cast("long").alias("fp_len"))
 
 
+def _pipeline_sql() -> str:
+    from marketstore_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '\\b(?:{'|'.join(LANG_MARKERS[lg])})\\b')) AS {lg}"
+        for lg in langs
+    )
+    case_lines = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lg} >= {other}" for other in langs[i + 1 :])
+        case_lines.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = "\n           ".join(case_lines)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+           / NULLIF(length(text), 0) AS punct_ratio,
+         {counts}
+  FROM documents
+), lab AS (
+  SELECT *, CASE {case_sql} ELSE '{langs[-1]}' END AS predicted_lang,
+         MIN(doc_id) OVER (PARTITION BY fp_md5) AS keep_id
+  FROM f
+)
+SELECT doc_id, predicted_lang, CAST(n_words AS BIGINT) AS n_words
+FROM lab
+WHERE doc_id = keep_id AND n_words >= 5 AND punct_ratio < 0.2
+"""
+
+
+@_register("corpus_filter_pipeline", _pipeline_sql())
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: exact-dedup (keep the
+    lowest doc_id per content fingerprint) + quality gate (≥5 words,
+    punctuation ratio < 0.2) + language label — the standard first
+    pass of a pretraining data pipeline.  One scan computes every
+    feature (operators/text.py document_features); the only shuffle is
+    the fingerprint window for the dedup keep-list."""
+    from pyspark.sql import Window
+
+    from marketstore_spark.operators.text import document_features
+
+    feats = document_features(load_table(spark, sf_dir, "documents"))
+    keep = F.min("doc_id").over(Window.partitionBy("fp_md5"))
+    return (
+        feats.withColumn("__keep", keep)
+        .filter(
+            (F.col("doc_id") == F.col("__keep"))
+            & (F.col("n_words") >= 5)
+            & (F.col("punct_ratio") < 0.2)
+        )
+        .select("doc_id", "predicted_lang", F.col("n_words").cast("long").alias("n_words"))
+    )
+
+
 # =====================================================================
 # LLM-data-pipeline: dedup (SURVEY §2 #30-34)
 # =====================================================================
