@@ -1,0 +1,57 @@
+"""Empty-input behavior (reference: executor/all_test.go and
+frontend/query_test.go exercise empty ranges / missing keys — the
+engine must return empty results with the right schema, never throw)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import load_table
+from marketstore_spark.operators.candler import tick_candles
+from marketstore_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+from marketstore_spark.operators.gapfill import gapfill_ffill
+from marketstore_spark.operators.slice import limit_records, time_range
+from marketstore_spark.operators.uda import gap_threshold, scalar_agg
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_empty_range_returns_zero_rows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = time_range(ev, start="2030-01-01", end="2030-12-31")
+    assert out.count() == 0
+    assert out.schema == ev.schema
+
+
+def test_candler_empty_input(empty_events):
+    out = tick_candles(empty_events, "5Min")
+    assert out.count() == 0
+    assert {"open", "high", "low", "close", "epoch"} <= set(out.columns)
+
+
+def test_limit_and_aggs_empty_input(empty_events):
+    assert limit_records(empty_events, 5).count() == 0
+    assert scalar_agg(empty_events, "min").count() == 0
+    assert gap_threshold(empty_events, 60).count() == 0
+
+
+def test_gapfill_empty_input(empty_events):
+    assert gapfill_ffill(empty_events, "15Min").count() == 0
+
+
+def test_dedup_empty_and_whitespace_docs(spark, empty_docs):
+    assert exact_dedup_groups(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    ws = spark.createDataFrame([(1, "   "), (2, "a b")], "doc_id long, text string")
+    # whitespace-only docs are excluded from shingling, short docs from
+    # 3-gram shingles: no pairs, no crash
+    assert minhash_lsh_pairs(ws).count() == 0
