@@ -370,6 +370,50 @@ def simhash_pairs(
 # ---------------------------------------------------------------------
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 4,
+    num_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, hyperplane-LSH blocked —
+    the 100 TB path for ``embedding_dup_pairs``.
+
+    Candidates must share a bucket in at least one of ``num_tables``
+    hyperplane tables (operators/simsearch._bucket_assigner); each
+    candidate is verified with the exact cosine, so precision is 1.0
+    against the exact operator and recall is the LSH knob (more
+    tables / fewer planes → higher recall, more candidates) — the
+    recall test in pytest pins the tradeoff.  The pairwise stage only
+    ever joins within buckets: no O(n²) crossJoin on the corpus.
+    """
+    from marketstore_spark.functions.vector import cosine_sim
+    from marketstore_spark.operators.simsearch import _bucket_assigner
+
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    with_buckets = _bucket_assigner(num_planes, num_tables, dim, id_col, vec_col)
+    sig = with_buckets(df, "id", "v")
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vd = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    return (
+        cands.withColumn("cosine", cosine_sim(vd("__va"), vd("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,

@@ -110,31 +110,18 @@ def hyperplane_signature(
     )
 
 
-def lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    num_planes: int = 8,
-    num_tables: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k with OR-amplification: ``num_tables``
-    independent hash tables of ``num_planes`` hyperplanes each; a corpus
-    vector is a candidate if it shares a bucket with the query in ANY
-    table.  Recall rises with more tables / fewer planes at the cost of
-    candidate volume — the standard LSH tuning surface.  The pytest
-    suite measures recall against brute force."""
-    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+def _bucket_assigner(num_planes: int, num_tables: int, dim: int, id_col: str, vec_col: str):
+    """Returns with_buckets(df, out_id, out_vec) → (id, vec, bucket)
+    rows, one per hash table.
 
-    # Plane matrix (dim × tables·planes) built once on the driver from
-    # the same md5 derivation; the per-row work is one numpy matmul in
-    # an Arrow-batched pandas UDF.  This is the sanctioned Pandas-UDF
-    # case (SURVEY §6): Spark's higher-order functions evaluate the
-    # lambda per element interpreted, which loses to BLAS by ~100× on
-    # wide embeddings; results are identical except sign flips on
-    # exactly-zero dots (measure-zero; ann_lsh is recall-checked, not
-    # oracle-hashed).
+    Plane matrix (dim × tables·planes) built once on the driver from
+    the md5 derivation; the per-row work is one numpy matmul in an
+    Arrow-batched pandas UDF.  This is the sanctioned Pandas-UDF case
+    (SURVEY §6): Spark's higher-order functions evaluate the lambda
+    per element interpreted, which loses to BLAS by ~100× on wide
+    embeddings; results are identical except sign flips on
+    exactly-zero dots (measure-zero; LSH outputs are recall-checked,
+    not oracle-hashed)."""
     planes = np.array(
         [
             [_plane_component(f"lsh{t}", p, i) for t in range(num_tables) for p in range(num_planes)]
@@ -158,10 +145,8 @@ def lsh_topk(
         return pd.Series(out)
 
     def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        """One scan computes every table's signature and explodes to
-        (row, bucket) pairs.  The input is repartitioned first: the
-        signature math must not inherit the input's (possibly single)
-        split count."""
+        # Repartition first: the signature math must not inherit the
+        # input's (possibly single) split count.
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         return df.select(
             F.col(id_col).alias(out_id),
@@ -169,6 +154,26 @@ def lsh_topk(
             F.explode(buckets_udf(_as_double(vec_col))).alias("bucket"),
         )
 
+    return with_buckets
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with OR-amplification: ``num_tables``
+    independent hash tables of ``num_planes`` hyperplanes each; a corpus
+    vector is a candidate if it shares a bucket with the query in ANY
+    table.  Recall rises with more tables / fewer planes at the cost of
+    candidate volume — the standard LSH tuning surface.  The pytest
+    suite measures recall against brute force."""
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    with_buckets = _bucket_assigner(num_planes, num_tables, dim, id_col, vec_col)
     csig = with_buckets(corpus, "vec_id", vec_col)
     qsig = with_buckets(queries, "query_id", "qvec")
     cand = (

@@ -991,6 +991,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@_register("dedup_embedding_lsh")  # approximate (blocked): rows-only check;
+# precision==1.0 + recall floor pinned in pytest vs the exact operator
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dup: hyperplane-LSH blocked
+    candidates + exact cosine verify (no O(n²) crossJoin)."""
+    from marketstore_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 # =====================================================================
 # LLM-data-pipeline: similarity search (SURVEY §2 #35-36)
 # =====================================================================

@@ -175,3 +175,26 @@ def test_tz_anchored_daily_bars(spark):
     assert len(ny) == 2   # different NY days
     # NY daily epochs are NY midnights expressed in UTC (UTC-4 in June)
     assert sorted(r["epoch"].hour for r in ny) == [4, 4]
+
+
+def test_embedding_lsh_dedup_precision_and_recall(spark, sf_dir):
+    """Blocked embedding dedup: every found pair must be a true pair
+    (exact verify => precision 1.0) with non-trivial recall."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(emb, threshold=0.35).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(emb, threshold=0.35).collect()
+    }
+    assert exact, "exact pair set must be non-empty at this threshold"
+    assert got <= exact              # precision == 1.0
+    assert len(got) / len(exact) >= 0.2  # recall floor for 4 planes × 6 tables
