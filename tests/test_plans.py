@@ -141,3 +141,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """SURVEY §6: a hot key must not serialize a join — AQE's skew-join
+    split has to kick in (thresholds lowered so the test-size hot
+    partition qualifies)."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # 90% of 2M rows land on key 0 → one fat shuffle partition
+        # (synthetic so the hot partition clears the lowered byte
+        # threshold even after shuffle compression)
+        big = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("tag")
+        )
+        j = big.join(dim, "k")
+        j.collect()  # finalize THIS dataframe's adaptive plan
+        executed = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in executed, executed[:2000]
+        assert "skewed" in executed  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -170,3 +170,60 @@ def test_replication_catchup_and_idempotent(spark, sf_dir, tmpdir):
     q3 = replicate_bucket(master, replica, "R/1Min/TICK")
     q3.awaitTermination(120)
     assert replica.read("R/1Min/TICK").count() == 700
+
+
+def test_watermark_drops_late_data(spark, tmpdir):
+    """ondiskagg late-write policy: ticks older than the watermark must
+    NOT reopen closed buckets (the reference rewrites buckets on ANY
+    out-of-order write; the streaming path bounds that with the
+    watermark and this test pins the drop behavior)."""
+    import datetime as dt
+
+    from marketstore_spark.streaming.ondiskagg import stream_candles
+
+    src = os.path.join(tmpdir, "wm_src")
+    ckpt = os.path.join(tmpdir, "wm_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once(sink):
+        stream = read_stream(spark, src, spark.read.parquet(src).schema)
+        candles = stream_candles(
+            stream, "5Min", watermark="30 minutes", tiebreak=("event_id",)
+        )
+
+        def collect_batch(bdf, _bid):
+            sink.extend(bdf.collect())
+
+        q = (
+            candles.writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = dt.datetime(2024, 6, 1)
+    # batch 1: ticks at 10:00 and 12:00 → watermark becomes 11:30
+    write_batch(
+        [(1, t.replace(hour=10), 1, 5.0), (2, t.replace(hour=12), 1, 6.0)], "a"
+    )
+    sink1 = []
+    run_once(sink1)
+    assert len(sink1) == 2
+
+    # batch 2: 10:05 is behind the watermark (dropped); 12:05 is live
+    write_batch(
+        [(3, t.replace(hour=10, minute=5), 1, 7.0),
+         (4, t.replace(hour=12, minute=5), 1, 8.0)], "b"
+    )
+    sink2 = []
+    run_once(sink2)
+    epochs = {r["epoch"].strftime("%H:%M") for r in sink2}
+    assert "12:05" in epochs          # live tick lands in its bucket
+    assert "10:05" not in epochs      # late tick was dropped
