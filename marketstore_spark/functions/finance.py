@@ -29,10 +29,13 @@ def simple_returns(
     price_col: str = "value",
     tiebreak: Sequence[str] = ("event_id",),
 ) -> DataFrame:
-    """p_t / p_{t-1} - 1 per key in time order."""
+    """p_t / p_{t-1} - 1 per key in time order; NULL when there is no
+    previous price or it is zero (a zero price has no defined return —
+    and ANSI mode would otherwise fail the whole job on one bad tick)."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
     prev = F.lag(price_col).over(w)
-    return df.withColumn("ret", F.col(price_col) / prev - 1)
+    safe_prev = F.when(prev == 0, F.lit(None)).otherwise(prev)
+    return df.withColumn("ret", F.col(price_col) / safe_prev - 1)
 
 
 def log_returns(

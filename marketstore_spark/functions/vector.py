@@ -27,4 +27,7 @@ def l2_norm(a: str | Column) -> Column:
 
 
 def cosine_sim(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL for a zero-norm vector (undefined — and
+    ANSI mode would otherwise abort the job on one degenerate row)."""
+    den = l2_norm(a) * l2_norm(b)
+    return dot(a, b) / F.when(den == 0, F.lit(None)).otherwise(den)

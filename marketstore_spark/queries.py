@@ -496,7 +496,7 @@ def asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returns",
     """
 SELECT user_id, ts, event_id, value,
-       value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS ret
+       value / NULLIF(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS ret
 FROM events
 """,
 )
