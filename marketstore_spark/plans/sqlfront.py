@@ -31,6 +31,9 @@ from marketstore_spark.operators.candler import candle_candles, tick_candles
 
 _TBK_RE = re.compile(r"`([^`]+/[^`]+/[^`]+)`")
 _INSERT_RE = re.compile(r"^\s*insert\s+into\s+`([^`]+)`\s+(.*)$", re.I | re.S)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*create\s+view\s+(\w+)\s+as\s+(.*)$", re.I | re.S
+)
 _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler)\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
@@ -68,6 +71,13 @@ class MarketSQL:
             key, select = m.group(1), m.group(2)
             out = self.sql(select)
             self.catalog.write(key, out)
+            return out
+        m = _CREATE_VIEW_RE.match(stmt)
+        if m:
+            # sqlparser/all_test.go:71: CREATE VIEW name AS SELECT ...
+            name, select = m.group(1), m.group(2)
+            out = self.sql(select)
+            out.createOrReplaceTempView(name)
             return out
         return self._select(stmt)
 

@@ -88,3 +88,11 @@ def test_explain_statement(msql):
     out = msql.sql("EXPLAIN SELECT min(value) AS lo FROM `EV1/1Min/TICK`;")
     text = "\n".join(r["plan"] for r in out.collect())
     assert "Scan parquet" in text and "Aggregate" in text
+
+
+def test_create_view_statement(msql, spark):
+    out = msql.sql(
+        "CREATE VIEW candle5Min AS SELECT tickcandler('5Min', value) FROM `EV1/1Min/TICK`;"
+    )
+    got = spark.sql("SELECT count(*) AS n FROM candle5Min").first()["n"]
+    assert got == out.count() > 0
