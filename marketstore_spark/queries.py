@@ -619,6 +619,82 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+    nation broadcasts; customer⋈orders and orders⋈lineitem shuffle on
+    their keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@_register(
+    "q18_large_volume_customer",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING subquery → semi join).  The `big` keylist is an
+    aggregate of the fact on its own join key, so it reuses the
+    lineitem shuffle partitioning; the IN becomes a broadcast-able
+    semi join on the (small) filtered key set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
+              F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@_register(
     "top_symbols",
     """
 SELECT user_id, total_value, CAST(rn AS BIGINT) AS rank FROM (
