@@ -505,6 +505,36 @@ def returns_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simple_returns(ev)
 
 
+@_register(
+    "sma",
+    """
+SELECT user_id, ts, event_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS sma20
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-tick simple moving average per symbol — the charting overlay
+    idiom.  Decimal window sum / count keeps the double bit-identical
+    across engines (incremental float window aggs are not
+    order-stable).  One shuffle on symbol; frame state is 20 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return ev.withColumn(
+        "sma20",
+        F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w),
+    )
+
+
 # =====================================================================
 # General SQL surface: TPC-H-style joins (SURVEY §2 #28-29)
 # =====================================================================
