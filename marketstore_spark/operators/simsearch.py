@@ -157,6 +157,130 @@ def _bucket_assigner(num_planes: int, num_tables: int, dim: int, id_col: str, ve
     return with_buckets
 
 
+def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample.
+
+    Rows are L2-normalized; init takes ``nlist`` evenly-spaced rows of the
+    (id-ordered) sample — no RNG, so the index is reproducible across
+    runs and engines.  Lloyd iterations assign by dot product and
+    re-normalize the mean; an emptied list keeps its previous centroid.
+    The sample is small (≤ a few thousand rows), so this is O(ms) on the
+    driver — the cluster never sees the training loop.
+    """
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    n = x.shape[0]
+    if n <= nlist:
+        return x
+    cent = x[np.linspace(0, n - 1, nlist).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Coarse-quantizer training for IVF: a deterministic sample (first
+    ``sample_cap`` rows by id — per-partition top-N + driver merge, no
+    global sort) feeds driver-side spherical k-means.  At 100 TB the
+    sample is the standard IVF recipe: centroid quality needs O(nlist·
+    ~100) training points, not the corpus."""
+    rows = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .sort(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    return _spherical_kmeans(np.array([r["v"] for r in rows], dtype=np.float64), nlist)
+
+
+def _ivf_prober(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched assignment against the broadcast centroid matrix:
+    one numpy matmul per batch, ``nprobe`` nearest lists per row
+    (sanctioned Pandas-UDF case — BLAS beats per-element higher-order
+    functions on wide embeddings, and list ids are recall-checked, not
+    oracle-hashed)."""
+
+    @F.pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centroids.T
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe_udf
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the second ANN scale path next to
+    :func:`lsh_topk` (SURVEY §2 #36).
+
+    Index: every corpus vector lands in exactly ONE inverted list (its
+    nearest centroid).  Search: each query probes its ``nprobe`` nearest
+    lists; candidates are re-ranked by exact cosine.  Scale shape:
+    centroids broadcast (nlist × dim floats), assignment is map-side,
+    and the only shuffle is the list-id join — candidate volume is
+    ~nprobe/nlist of the corpus per query instead of O(n).  At 100 TB
+    the corpus side would be written bucketed by list id so repeated
+    queries skip the assignment scan entirely.  Recall/latency knobs:
+    raise ``nprobe`` (linear candidate growth) or ``nlist`` (finer
+    lists, cheaper probes).  Recall vs brute force is pinned in pytest.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
+    assign1 = _ivf_prober(centroids, 1)
+    assignp = _ivf_prober(centroids, nprobe)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.repartition(par)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+        )
+        .withColumn("list_id", F.element_at(assign1(F.col("cv")), 1))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("list_id", F.explode(assignp(F.col("qv"))))
+    cand = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

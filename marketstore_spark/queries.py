@@ -1146,6 +1146,17 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register("ann_ivf")  # approximate: rows-only check; recall vs brute in pytest
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed ANN — the coarse-quantizer scale path (one inverted
+    list per corpus vector, nprobe lists per query)."""
+    from marketstore_spark.operators.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # =====================================================================
 # LLM-data-pipeline: multimodal (SURVEY §2 #41)
 # =====================================================================

@@ -135,6 +135,46 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """ann_ivf: probing 4 of 16 inverted lists must recover a solid
+    share of the true top-5, and with nprobe == nlist (probe everything)
+    the result must be EXACTLY brute force — the IVF invariant."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert full == truth, "nprobe=nlist must equal brute force"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    """Same corpus → bit-identical centroids (no RNG anywhere)."""
+    import numpy as np
+
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = train_ivf_centroids(emb, nlist=8)
+    c2 = train_ivf_centroids(emb.repartition(7), nlist=8)
+    assert np.array_equal(c1, c2)
+
+
 def test_models_bars_roundtrip(spark, sf_dir):
     from marketstore_spark.catalog import load_table
     from marketstore_spark.models import bars_from_trades, trades_from_events
