@@ -190,15 +190,23 @@ def minhash_lsh_pairs(
 
     Plan shape: ONE groupBy(doc_id) builds both the shingle set and
     the full signature (min-agg doesn't need pre-deduped input), so the
-    exploded shingle table is shuffled exactly once.  Verification
-    joins the two per-doc shingle *arrays* onto each candidate pair and
-    intersects them JVM-side (``array_intersect``) — no re-explode, no
+    exploded shingle table is shuffled exactly once.  Candidate pairs
+    come from each bucket's posting list (groupBy band → sorted doc
+    list → pair explode), NOT a self-join — the banded table shuffles
+    once instead of twice, and ``max_bucket`` bounds any one bucket's
+    quadratic blow-up (a degenerate near-constant corpus would
+    otherwise put every doc in one bucket; capped buckets are dropped,
+    which only loses candidates that — being that common — almost
+    surely share some other band).  Verification joins the two per-doc
+    shingle *arrays* onto each candidate pair and intersects them
+    JVM-side (``array_intersect``) — no re-explode, no
     per-(pair,shingle) shuffle, no separate size join.  At 100 TB the
     per-doc state stays bounded (a document's shingle set), candidates
     stay bucket-limited, and the verify is two hash joins keyed on doc
     id.
     """
     rows = num_hashes // bands
+    max_bucket = 10_000
     from pyspark import StorageLevel
 
     sh = word_shingles(df, n, text_col, id_col, distinct=False)
@@ -223,15 +231,15 @@ def minhash_lsh_pairs(
         F.col("b.band_key").alias("band_key"),
     )
 
-    a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .select(F.posexplode("docs").alias("__i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
