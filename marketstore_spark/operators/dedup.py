@@ -252,6 +252,14 @@ def minhash_lsh_pairs(
     jac = (
         cands.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
+        # Size-ratio prune BEFORE the O(|set|) intersect: jaccard ≤
+        # min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes differ more
+        # than the threshold allows can never pass — drop it while the
+        # row still costs only two ints.  Exact, not approximate.
+        .filter(
+            F.least("size_a", "size_b").cast("double")
+            >= threshold * F.greatest("size_a", "size_b")
+        )
         .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
         .withColumn(
             "jaccard",
