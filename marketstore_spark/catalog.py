@@ -104,6 +104,9 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # plugins/trigger: write-path hooks, fired post-commit (set via
+        # marketstore_spark.triggers.TriggerRegistry)
+        self.triggers = None
 
     # -- ListSymbols (frontend/query.go:264) ------------------------------
     def list_symbols(self) -> list[str]:
@@ -142,8 +145,13 @@ class Catalog:
         """Append rows to a bucket.  Parquet append is the scale path:
         each write is a new file; no WAL needed because Parquet commits
         are atomic at the file level (the reference needs a WAL only
-        because it mutates files in place: executor/wal.go)."""
+        because it mutates files in place: executor/wal.go).
+
+        Registered triggers fire AFTER the parquet commit — same
+        guarantee as plugins/trigger (content durable before Fire)."""
         df.write.mode(mode).parquet(TimeBucketKey(key).path(self.root))
+        if self.triggers is not None:
+            self.triggers.fire(key, df)
 
     def read(self, key: str) -> DataFrame:
         return self.spark.read.parquet(TimeBucketKey(key).path(self.root))
@@ -204,6 +212,45 @@ class Catalog:
             1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
         )
         return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+    # -- Integrity check (cmd/tool/integrity) ------------------------------
+    def integrity_check(self, pattern: str = "*/*/*", ts_col: str = "ts") -> list[dict]:
+        """Per-bucket content checksum report.
+
+        The reference's ``marketstore tool integrity`` SHA-256s file
+        chunks to compare replicas.  File-level hashes are the wrong
+        invariant for a distributed store (file count/layout legally
+        differs after compaction or replication), so we checksum
+        CONTENT: an order-insensitive sum of per-row xxhash64 over all
+        columns, plus row count and epoch bounds.  One distributed scan
+        per bucket, constant driver memory; two buckets with equal
+        checksum+count hold the same rows regardless of layout.
+        """
+        import fnmatch
+
+        out = []
+        for key in self.list_buckets():
+            if not fnmatch.fnmatch(key, pattern):
+                continue
+            df = self.read(key)
+            row = df.select(
+                F.count(F.lit(1)).alias("rows"),
+                # decimal sum: long sum of 64-bit hashes would overflow
+                # (an ANSI-mode error in Spark 4)
+                F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("checksum"),
+                F.min(ts_col).alias("min_ts") if ts_col in df.columns else F.lit(None).alias("min_ts"),
+                F.max(ts_col).alias("max_ts") if ts_col in df.columns else F.lit(None).alias("max_ts"),
+            ).first()
+            out.append(
+                {
+                    "key": key,
+                    "rows": row["rows"],
+                    "checksum": row["checksum"],
+                    "min_ts": row["min_ts"],
+                    "max_ts": row["max_ts"],
+                }
+            )
+        return out
 
     # -- GetInfo (frontend/write.go:152) ----------------------------------
     def get_info(self, key: str, ts_col: str = "ts") -> dict:
