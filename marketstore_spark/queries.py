@@ -738,20 +738,20 @@ SELECT user_id, total_value, CAST(rn AS BIGINT) AS rank FROM (
 """,
 )
 def top_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N symbols by turnover — partial-agg then a tiny global rank
-    (the post-agg table is one row per symbol, so the single-partition
-    window is trivially small)."""
+    """Top-N symbols by turnover.  The prune comes FIRST:
+    ``orderBy().limit(5)`` compiles to TakeOrderedAndProject
+    (per-partition top-5, driver merge — no single-partition shuffle of
+    the full symbol table), and only the surviving 5 rows pay the
+    unpartitioned rank window."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
         F.sum(_dec("value")).cast("double").alias("total_value")
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    order = [F.col("total_value").desc(), F.col("user_id").asc()]
+    top = agg.orderBy(*order).limit(5)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("long"))
 
 
 # =====================================================================
