@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "ann_ivf",
     "text_quality",
     "multimodal_meta",
 ]

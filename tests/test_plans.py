@@ -84,6 +84,18 @@ def test_no_python_udfs_in_inventory_plans(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
 
 
+def test_ivf_plan_broadcasts_probes_no_cartesian(spark, sf_dir):
+    """ann_ivf: the probe side must broadcast (queries are small) and
+    the candidate join must be keyed on list_id — never a cartesian."""
+    from marketstore_spark.catalog import load_table as _lt
+    from marketstore_spark.operators.simsearch import ivf_topk
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    plan = explain_str(ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_partition_pruning_in_bucket_store(spark, sf_dir, tmp_path):
     """symbol/date-partitioned layout: a symbol+date filter must prune
     to a fraction of the partitions before reading."""
