@@ -535,6 +535,157 @@ def sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bollinger",
+    """
+SELECT user_id, ts, event_id,
+       CAST(s1 AS DOUBLE) / n AS mid,
+       CAST(s1 AS DOUBLE) / n
+         + 2.0 * sqrt(greatest(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS upper,
+       CAST(s1 AS DOUBLE) / n
+         - 2.0 * sqrt(greatest(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS lower
+FROM (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS s2,
+         COUNT(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+""",
+)
+def bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-tick, ±2σ).  Window sums are exact decimal
+    (sum, sum-of-squares); the variance leaves decimal only at the
+    final double expression, mirrored token-for-token in the oracle so
+    the IEEE754 results are bit-identical.  Population σ via
+    E[x²]−E[x]², clamped at 0 against rounding."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    v = _dec("value")
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mid = s1 / n
+    std = F.sqrt(F.greatest(s2 / n - mid * mid, F.lit(0.0)))
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        mid.alias("mid"),
+        (mid + 2.0 * std).alias("upper"),
+        (mid - 2.0 * std).alias("lower"),
+    )
+
+
+@_register(
+    "rsi",
+    """
+SELECT user_id, ts, event_id,
+       CASE WHEN cnt < 14 THEN NULL
+            WHEN ls = 0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + CAST(gs AS DOUBLE) / CAST(ls AS DOUBLE))
+       END AS rsi14
+FROM (
+  SELECT user_id, ts, event_id,
+         SUM(CASE WHEN d > 0 THEN d ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS gs,
+         SUM(CASE WHEN d < 0 THEN -d ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS ls,
+         COUNT(d) OVER w AS cnt
+  FROM (
+    SELECT user_id, ts, event_id,
+           CAST(value AS DECIMAL(18,2))
+             - lag(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS d
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+""",
+)
+def rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-tick RSI (simple-average flavor; Wilder's recursive smoothing
+    is not order-free, see the streaming gap watcher for stateful
+    recursions).  Tick-to-tick deltas and the gain/loss window sums are
+    exact decimal; the gain/loss ratio goes double only at the end.
+    ls = 0 (no losses in window) maps to RSI 100 — never a division by
+    zero (ANSI-safe); rows with fewer than 14 deltas emit NULL."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(-13, Window.currentRow)
+    v = _dec("value")
+    d = (v - F.lag(v).over(wo)).alias("d")
+    base = ev.select("user_id", "ts", "event_id", d)
+    # CASE, not greatest(): DuckDB's greatest() promotes decimals to
+    # double, which would make the window sum order-dependent
+    zero = F.lit(0).cast("decimal(18,2)")
+    gs = F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(zero)).over(w)
+    ls = F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(zero)).over(w)
+    cnt = F.count("d").over(w)
+    return base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(cnt < 14, F.lit(None).cast("double"))
+        .when(ls == 0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + gs.cast("double") / ls.cast("double"))
+        )
+        .alias("rsi14"),
+    )
+
+
+@_register(
+    "drawdown",
+    """
+SELECT user_id, ts, event_id,
+       CAST(runmax AS DOUBLE) AS peak,
+       CAST(CAST(value AS DECIMAL(18,2)) - runmax AS DOUBLE)
+         / CAST(runmax AS DOUBLE) AS drawdown
+FROM (
+  SELECT user_id, ts, event_id, value,
+         MAX(CAST(value AS DECIMAL(18,2))) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM events
+)
+""",
+)
+def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-max drawdown per symbol — the backtesting risk idiom.
+    Running peak is an exact decimal max; the relative drop divides in
+    double once.  Prices are > 0 in this corpus, so peak > 0; the
+    decimal max keeps peak comparison exact across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = _dec("value")
+    runmax = F.max(v).over(w)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        runmax.cast("double").alias("peak"),
+        ((v - runmax).cast("double") / runmax.cast("double")).alias("drawdown"),
+    )
+
+
 # =====================================================================
 # General SQL surface: TPC-H-style joins (SURVEY §2 #28-29)
 # =====================================================================
@@ -721,6 +872,144 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("o_orderkey") == F.col("__bk"), "left_semi")
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@_register(
+    "q4_late_orders",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → semi join): orders with at least one
+    line shipped ≥90 days after order date, counted per priority.
+    (Adapted predicate: this dataset has no l_commitdate/l_receiptdate,
+    so "late" is shipdate vs orderdate.)  The EXISTS is a left-semi
+    join on the order key — one shuffle each side, no dedup needed, and
+    the correlated date predicate rides the join condition."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q12_priority_lines",
+    """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts after a fact-fact join.
+    (Adapted: grouped by l_linestatus since this dataset has no
+    l_shipmode.)  The shipdate range filter is pushed to the lineitem
+    scan; the CASE sums fold into one aggregate pass."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one month.  part is a
+    dim → broadcast; the month filter prunes lineitem at the scan, so
+    the join input is ~1/84 of the fact.  Both sums are exact decimal,
+    divided once at the end in double (identical expression order in
+    the oracle)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (
+            (F.lit(100.00) * F.sum(promo)).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+@_register(
+    "q19_discounted_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates over
+    a part⋈lineitem join.  (Adapted: no p_container/l_shipmode in this
+    dataset.)  Catalyst extracts the common part-side conjuncts
+    (brand ∈ {...}, size ≥ 1) below the broadcast join, so the OR does
+    not force a full-dim probe."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        j.filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
 
 
