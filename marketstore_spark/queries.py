@@ -686,6 +686,17 @@ def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ema")  # recursive per-symbol state: not SQL-expressible; rows-only
+# check here, value check vs pandas reference in pytest
+def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-tick EMA per symbol via applyInPandas (linear recurrence — no
+    window frame expresses it)."""
+    from marketstore_spark.operators.ewm import ema
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ema(ev, span=20)
+
+
 # =====================================================================
 # General SQL surface: TPC-H-style joins (SURVEY §2 #28-29)
 # =====================================================================

@@ -175,6 +175,22 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     assert np.array_equal(c1, c2)
 
 
+def test_ema_matches_pandas_reference(spark, sf_dir):
+    """Distributed EMA must equal a single-process pandas ewm over each
+    symbol's ordered history (bitwise — same kernel, same order)."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.ewm import ema
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    got = ema(ev, span=20).toPandas().sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    ref = ev.toPandas().sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    alpha = 2.0 / 21.0
+    ref["ema"] = ref.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+    )
+    assert (got["ema"] == ref["ema"]).all()
+
+
 def test_models_bars_roundtrip(spark, sf_dir):
     from marketstore_spark.catalog import load_table
     from marketstore_spark.models import bars_from_trades, trades_from_events
