@@ -651,8 +651,10 @@ def rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT user_id, ts, event_id,
        CAST(runmax AS DOUBLE) AS peak,
-       CAST(CAST(value AS DECIMAL(18,2)) - runmax AS DOUBLE)
-         / CAST(runmax AS DOUBLE) AS drawdown
+       CASE WHEN runmax > 0 THEN
+         CAST(CAST(value AS DECIMAL(18,2)) - runmax AS DOUBLE)
+           / CAST(runmax AS DOUBLE)
+       END AS drawdown
 FROM (
   SELECT user_id, ts, event_id, value,
          MAX(CAST(value AS DECIMAL(18,2))) OVER
@@ -665,8 +667,9 @@ FROM (
 def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-max drawdown per symbol — the backtesting risk idiom.
     Running peak is an exact decimal max; the relative drop divides in
-    double once.  Prices are > 0 in this corpus, so peak > 0; the
-    decimal max keeps peak comparison exact across engines."""
+    double once.  Drawdown is only defined off a positive peak — a
+    non-positive running max yields NULL instead of an ANSI
+    divide-by-zero abort (peak == 0) or a sign flip (peak < 0)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -682,7 +685,9 @@ def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         runmax.cast("double").alias("peak"),
-        ((v - runmax).cast("double") / runmax.cast("double")).alias("drawdown"),
+        F.when(
+            runmax > 0, (v - runmax).cast("double") / runmax.cast("double")
+        ).alias("drawdown"),
     )
 
 

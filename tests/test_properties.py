@@ -83,3 +83,34 @@ def test_gapfill_contiguous_and_ffilled(spark, ticks):
         else:
             assert filled == 1 and v == prev
         prev = v
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ticks=tickset)
+def test_finance_idiom_invariants(spark, ticks):
+    """Indicator invariants on arbitrary tick sets: drawdown ≤ 0 with
+    peak = running max, bollinger lower ≤ mid ≤ upper with mid inside
+    the window's [min, max], RSI in [0, 100] (100 iff no losses)."""
+    from marketstore_spark.queries import SPARK_QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        _mk_df(spark, ticks).withColumn(
+            "event_type", F.lit("t")
+        ).withColumn("props", F.lit("{}")).write.parquet(os.path.join(d, "events.parquet"))
+
+        dd = SPARK_QUERIES["drawdown"](spark, d).collect()
+        for r in dd:
+            if r["peak"] > 0:
+                assert r["drawdown"] <= 0
+            else:  # non-positive peak: undefined, never an ANSI abort
+                assert r["drawdown"] is None
+
+        bb = SPARK_QUERIES["bollinger"](spark, d).collect()
+        for r in bb:
+            assert r["lower"] <= r["mid"] + 1e-9 and r["mid"] <= r["upper"] + 1e-9
+
+        rs = SPARK_QUERIES["rsi"](spark, d).collect()
+        for r in rs:
+            if r["rsi14"] is not None:
+                assert -1e-9 <= r["rsi14"] <= 100 + 1e-9
