@@ -44,6 +44,39 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def term_stats(
+    df: DataFrame, top_k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k terms with corpus document frequency — the
+    TF-IDF building block, kept integer-exact (tf, df, n_docs) so the
+    oracle hash-matches; the caller applies its own idf smoothing
+    (log choice is engine-specific, so it stays OUT of the contract).
+
+    Plan: one explode→groupBy(doc, term) for tf; doc frequency comes
+    from the same grouped table (count distinct docs per term — no
+    second scan of the corpus); ranking is an integer window per doc
+    with a term tie-break.  At 100 TB the term table shuffles on term
+    once (df) and on doc once (rank) — both combiner-friendly; the
+    n_docs scalar broadcasts."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    toks = df.filter(_nonempty(t)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.filter(_nonempty(t)).select("doc_id").distinct().count()
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(dft, "term")
+        .select("doc_id", "term", "tf", "df", F.lit(n_docs).alias("n_docs"), "rank")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / digit ratios — the standard
     cheap quality filters for pretraining corpora."""

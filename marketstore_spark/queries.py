@@ -691,6 +691,67 @@ def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sessionize",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user: one row per session with count
+    and bounds.  Integer-microsecond gap math — engine-exact."""
+    from marketstore_spark.operators.sessionize import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@_register(
+    "text_termfreq",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT t.doc_id, t.term, t.tf, d.df, nd.n_docs, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+  FROM tf
+) t JOIN dft d ON t.term = d.term CROSS JOIN nd
+WHERE rn <= 3
+""",
+)
+def text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document with corpus document frequency — the
+    integer-exact TF-IDF building block (idf smoothing is left to the
+    caller; log flavors differ by engine)."""
+    from marketstore_spark.operators.text import term_stats
+
+    out = term_stats(load_table(spark, sf_dir, "documents"), top_k=3)
+    return out.withColumn("rank", F.col("rank").cast("long")).withColumn(
+        "n_docs", F.col("n_docs").cast("long")
+    )
+
+
 @_register("ema")  # recursive per-symbol state: not SQL-expressible; rows-only
 # check here, value check vs pandas reference in pytest
 def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,3 +227,29 @@ def test_watermark_drops_late_data(spark, tmpdir):
     epochs = {r["epoch"].strftime("%H:%M") for r in sink2}
     assert "12:05" in epochs          # live tick lands in its bucket
     assert "10:05" not in epochs      # late tick was dropped
+
+
+def test_stream_dedup_drops_redelivery(spark, sf_dir, tmpdir):
+    """A doubled source (feeder reconnect replay) must come out exactly
+    once per event_id via dropDuplicatesWithinWatermark."""
+    from marketstore_spark.streaming.dedup import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    src = os.path.join(tmpdir, "dup_incoming")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # the re-delivery
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema)
+
+    q = (
+        dedup_stream(stream, key_cols=("event_id",), horizon="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_stream_test").toPandas()
+    assert len(got) == 300
+    assert got["event_id"].is_unique
