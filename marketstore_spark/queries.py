@@ -752,6 +752,48 @@ def text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "range_join",
+    """
+WITH iv AS (
+  SELECT o_orderkey, o_orderdate AS start_ts,
+         o_orderdate + INTERVAL 3 DAY AS end_ts
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT iv.o_orderkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY iv.o_orderkey
+""",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): events falling inside 3-day
+    windows anchored at a deterministic subset of orders.  The
+    time-bucket blocking turns what Catalyst would plan as a nested
+    loop into an equi-join on the bucket id (operators/rangejoin.py);
+    the oracle is the naive BETWEEN join."""
+    from marketstore_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).cast("timestamp").alias("end_ts"),
+        )
+    )
+    return (
+        interval_join(ev, iv, ts_col="ts", start_col="start_ts", end_col="end_ts")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
 @_register("ema")  # recursive per-symbol state: not SQL-expressible; rows-only
 # check here, value check vs pandas reference in pytest
 def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:

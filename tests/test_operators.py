@@ -191,6 +191,43 @@ def test_ema_matches_pandas_reference(spark, sf_dir):
     assert (got["ema"] == ref["ema"]).all()
 
 
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark, sf_dir):
+    """Bucket-blocked range join == naive theta join, including
+    intervals shorter/longer than the bucket and boundary timestamps;
+    the physical plan must be an equi (hash) join, not a nested loop."""
+    import datetime as dt
+
+    from marketstore_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2024, 5, 1)
+    pts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i * 7)) for i in range(60)], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=9)),     # < bucket
+            (2, t0 + dt.timedelta(days=2), t0 + dt.timedelta(days=5)),       # > bucket
+            (3, t0, t0 + dt.timedelta(days=1)),                              # aligned
+            (4, t0 + dt.timedelta(days=10), t0 + dt.timedelta(days=10)),     # empty
+        ],
+        "iid long, start timestamp, end timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, bucket_seconds=86400).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = interval_join(pts, iv, bucket_seconds=86400)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_models_bars_roundtrip(spark, sf_dir):
     from marketstore_spark.catalog import load_table
     from marketstore_spark.models import bars_from_trades, trades_from_events
