@@ -84,6 +84,19 @@ def test_no_python_udfs_in_inventory_plans(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
 
 
+def test_sessionize_reuses_window_shuffle(spark, sf_dir):
+    """sessionize: hash-partitioning on user_id from the window must
+    satisfy the (user_id, session_id) groupBy — exactly ONE exchange in
+    the whole plan."""
+    plan = (
+        SPARK_QUERIES["sessionize"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_ivf_plan_broadcasts_probes_no_cartesian(spark, sf_dir):
     """ann_ivf: the probe side must broadcast (queries are small) and
     the candidate join must be keyed on list_id — never a cartesian."""
