@@ -794,6 +794,41 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "percentiles",
+    """
+SELECT user_id, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95, quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY user_id
+""",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-symbol value percentiles (linear interpolation — both
+    engines use (1−g)·a + g·b on the sorted run, so doubles match
+    bitwise).  Exact percentile materializes each group: fine per
+    symbol-day, see `percentiles_approx` for the corpus-scale path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@_register("percentiles_approx")  # sketch-based: rows-only; error bound in pytest
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable percentile sketch
+    (``approx_percentile``, Greenwald-Khanna) — the 100 TB path: no
+    per-group sort/materialization, partial sketches merge map-side,
+    accuracy set by the last argument (relative rank error 1/10000)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+    )
+
+
 @_register("ema")  # recursive per-symbol state: not SQL-expressible; rows-only
 # check here, value check vs pandas reference in pytest
 def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -228,6 +228,31 @@ def test_interval_join_matches_naive_and_avoids_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """The sketch path must stay within a tight rank-error band of the
+    exact percentiles (it is the documented 100 TB substitute)."""
+    from marketstore_spark.queries import SPARK_QUERIES
+
+    import numpy as np
+
+    from marketstore_spark.catalog import load_table
+
+    approx = (
+        SPARK_QUERIES["percentiles_approx"](spark, sf_dir).toPandas().set_index("user_id")
+    )
+    vals = load_table(spark, sf_dir, "events").select("user_id", "value").toPandas()
+    # GK's guarantee is on RANK, not value (tail value gaps can be
+    # wide): the returned element's rank must sit within ~n/accuracy
+    # (+1 for boundary rounding) of the target rank
+    for uid, g in vals.groupby("user_id"):
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        for c, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            got = approx.loc[uid, c]
+            rank = np.searchsorted(v, got, side="left")
+            assert abs(rank - q * n) <= n / 10000 + 1.0, (uid, c, rank, q * n)
+
+
 def test_models_bars_roundtrip(spark, sf_dir):
     from marketstore_spark.catalog import load_table
     from marketstore_spark.models import bars_from_trades, trades_from_events
