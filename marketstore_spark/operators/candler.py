@@ -40,6 +40,11 @@ _TIMEFRAME = {
     "1W": "7 days",
 }
 
+# Calendar-variable timeframes (utils/timeframe.go CandleDuration
+# Truncate: "M" → first of month; years likewise).  These can't be a
+# fixed F.window duration — bucket via date_trunc.
+_CALENDAR = {"1Mo": "month", "1Y": "year"}
+
 
 def timeframe_to_duration(tf: str) -> str:
     if tf in _TIMEFRAME:
@@ -47,18 +52,27 @@ def timeframe_to_duration(tf: str) -> str:
     # Accept raw Spark durations too ("7 minutes").
     if " " in tf:
         return tf
-    raise ValueError(f"unknown timeframe {tf!r}; known: {sorted(_TIMEFRAME)}")
+    raise ValueError(
+        f"unknown timeframe {tf!r}; known: {sorted(_TIMEFRAME) + sorted(_CALENDAR)}"
+    )
 
 
 def _bucket(ts_col: str, tf: str, tz: str | None = None) -> Column:
     """Time bucket; with ``tz`` the bucket boundaries align to that
     timezone's midnight (utils/timeframe + contrib/calendar: the
-    reference anchors 1D bars to the market's day, not UTC's)."""
-    if tz is None:
-        return F.window(F.col(ts_col), timeframe_to_duration(tf))
-    return F.window(
-        F.from_utc_timestamp(F.col(ts_col), tz), timeframe_to_duration(tf)
-    )
+    reference anchors 1D bars to the market's day, not UTC's).
+
+    Weekly buckets are Monday-aligned like the reference (Go's
+    ``time.Truncate`` counts from the zero time, a Monday; Spark's
+    window origin 1970-01-01 is a Thursday, hence the 4-day
+    ``startTime`` shift).  ``1Mo``/``1Y`` truncate on the calendar."""
+    base = F.col(ts_col) if tz is None else F.from_utc_timestamp(F.col(ts_col), tz)
+    if tf in _CALENDAR:
+        return F.struct(F.date_trunc(_CALENDAR[tf], base).alias("start"))
+    dur = timeframe_to_duration(tf)
+    if dur == "7 days":
+        return F.window(base, dur, startTime="4 days")
+    return F.window(base, dur)
 
 
 def bucket_epoch(w: Column, tz: str | None = None) -> Column:

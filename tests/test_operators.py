@@ -316,3 +316,34 @@ def test_embedding_lsh_dedup_precision_and_recall(spark, sf_dir):
     assert exact, "exact pair set must be non-empty at this threshold"
     assert got <= exact              # precision == 1.0
     assert len(got) / len(exact) >= 0.2  # recall floor for 4 planes × 6 tables
+
+
+def test_calendar_timeframes_month_and_week_alignment(spark):
+    """utils/timeframe.go semantics: 1Mo buckets truncate to the first
+    of the month; 1W buckets start on Monday (Go's zero time), not on
+    Spark's Thursday epoch origin."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 31, 23, 59), 1, 10.0),  # last tick of Jan
+        (2, dt.datetime(2024, 2, 1, 0, 0), 1, 20.0),     # first tick of Feb
+        (3, dt.datetime(2024, 2, 29, 12, 0), 1, 30.0),   # leap-day tick
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    from marketstore_spark.operators.candler import tick_candles
+
+    mo = {r["epoch"]: (r["open"], r["close"]) for r in tick_candles(df, "1Mo").collect()}
+    assert mo == {
+        dt.datetime(2024, 1, 1): (10.0, 10.0),
+        dt.datetime(2024, 2, 1): (20.0, 30.0),
+    }
+
+    # 2024-05-01 is a Wednesday; its week bucket must start Mon Apr 29
+    wk = tick_candles(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 5, 1, 12, 0), 1, 5.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        ),
+        "1W",
+    ).collect()
+    assert wk[0]["epoch"] == dt.datetime(2024, 4, 29)
