@@ -374,6 +374,19 @@ def rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rollup_1mo",
+    _tick_candle_sql("1 day").replace(
+        "time_bucket(INTERVAL '1 day', ts)", "date_trunc('month', ts)"
+    ),
+)
+def rollup_1mo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month candles (utils/timeframe.go Truncate 'M': bucket
+    = first of month — variable length, so date_trunc, not a fixed
+    window)."""
+    return _tick_candles_stable(spark, sf_dir, "1Mo")
+
+
+@_register(
     "candlecandler",
     """
 WITH c1 AS (
