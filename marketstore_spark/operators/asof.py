@@ -29,10 +29,15 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     strict: bool = False,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row: latest right values with right_ts <= left_ts
     (or < when ``strict``), matched on ``on`` keys.  Output = all left
     columns + ``value_cols`` (null when no prior right row).
+    ``tolerance_seconds`` additionally nulls matches older than the
+    tolerance (pandas ``merge_asof(tolerance=...)`` semantics) — the
+    match's own timestamp rides the same window, so the bound costs no
+    extra shuffle.
     """
     keys = list(on)
     lcols = [c for c in left.columns]
@@ -62,7 +67,17 @@ def asof_join(
         .orderBy(F.col("__t").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
+    filled = u.withColumn(
+        "__rt", F.when(F.col("__side") == 0, F.col("__t"))
+    ).withColumn("__rt", F.last(F.col("__rt"), ignorenulls=True).over(w))
     for c in vals:
         filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return filled.filter(F.col("__side") == 1).select(*lcols, *vals)
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rt"))
+            > tolerance_seconds * 1_000_000
+        )
+        for c in vals:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out.select(*lcols, *vals)

@@ -44,6 +44,12 @@ def get_session(
         # since the engine's query planner depends on them (SURVEY §6).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Spill control: split size per task — lower it when executor
+        # memory per core is tight at large SF (SURVEY §6)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

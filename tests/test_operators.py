@@ -347,3 +347,21 @@ def test_calendar_timeframes_month_and_week_alignment(spark):
         "1W",
     ).collect()
     assert wk[0]["epoch"] == dt.datetime(2024, 4, 29)
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: matches older than the bound null
+    out; in-bound matches are unchanged."""
+    left = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1, 10, 0), 100), (1, _ts(2024, 1, 1, 12, 0), 101)],
+        ["user_id", "ts", "order_id"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1, 9, 59), 10.0)], ["user_id", "ts", "px"]
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["px"], tolerance_seconds=300,
+    ).orderBy("order_id").collect()
+    assert out[0]["px"] == 10.0      # 1 min old: within 5-min tolerance
+    assert out[1]["px"] is None      # 2h old: stale
