@@ -96,3 +96,16 @@ def test_create_view_statement(msql, spark):
     )
     got = spark.sql("SELECT count(*) AS n FROM candle5Min").first()["n"]
     assert got == out.count() > 0
+
+
+def test_show_and_describe_passthrough(msql, spark):
+    """sqlparser grammar parses SHOW TABLES / DESCRIBE (statement types
+    16-22); Spark SQL speaks them natively, so MarketSQL passes them
+    through — DESCRIBE resolves a backtick TBK into its temp view."""
+    desc = msql.sql("DESCRIBE SELECT * FROM `EV1/1Min/TICK`;").collect()
+    cols = {r["col_name"] for r in desc}
+    assert {"ts", "value", "user_id"} <= cols
+
+    msql.sql("CREATE VIEW showme AS SELECT 1 AS one;")
+    shown = {r["tableName"] for r in msql.sql("SHOW TABLES;").collect()}
+    assert "showme" in shown

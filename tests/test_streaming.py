@@ -253,3 +253,31 @@ def test_stream_dedup_drops_redelivery(spark, sf_dir, tmpdir):
     got = spark.sql("select event_id from dedup_stream_test").toPandas()
     assert len(got) == 300
     assert got["event_id"].is_unique
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
+    """Live tick stream enriched with a static symbol-metadata dim — a
+    stream-static broadcast join, the standard serving-path enrichment
+    (no state store, no watermark needed)."""
+    from pyspark.sql import functions as SF
+
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    dim = spark.createDataFrame(
+        [(i, f"SYM{i}", "XNYS") for i in range(64)],
+        "user_id long, symbol string, exchange string",
+    )
+    enriched = stream.join(SF.broadcast(dim), "user_id").select(
+        "event_id", "symbol", "exchange", "value"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enrich_test").toPandas()
+    assert len(got) == ev.count()
+    assert (got["exchange"] == "XNYS").all()
+    assert got["symbol"].str.startswith("SYM").all()
