@@ -333,10 +333,20 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of
-    ``bands`` contiguous signature bands; verified by Hamming distance
-    ≤ ``max_hamming`` over the full signature."""
+    ``bands`` contiguous signature bands (pigeonhole: any pair within
+    Hamming ``max_hamming`` < ``bands`` must agree on some band);
+    verified by Hamming distance ≤ ``max_hamming`` over the full
+    signature.
+
+    Candidates come from each band bucket's posting list (one shuffle
+    of the banded table, capped buckets — same shape as
+    minhash_lsh_pairs); signatures re-attach via two hash joins keyed
+    on doc id."""
+    from pyspark import StorageLevel
+
     width = SIMHASH_BITS // bands
-    sigs = simhash(df, text_col, id_col)
+    max_bucket = 10_000
+    sigs = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -344,24 +354,29 @@ def simhash_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sigs.select(
-        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    banded = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    pair_ids = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .select(F.posexplode("docs").alias("__i", "doc_a"), "docs")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            "doc_a",
+            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("doc_b"),
         )
         .distinct()
+    )
+    cands = (
+        pair_ids.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")),
+            "doc_b",
+        )
     )
     # Hamming distance via per-position compare of the two bit strings
     # (JVM-side zip_with over the split arrays).

@@ -1538,6 +1538,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_simhash_pairs",
+    """
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents WHERE trim(text) <> ''),
+toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok FROM d),
+bits AS (
+  SELECT doc_id, tok,
+         lpad(bin(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)), 60, '0') AS bs
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, i AS p, substr(bs, CAST(i + 1 AS INT), 1) AS bit
+  FROM bits, range(60) t(i)
+),
+votes AS (
+  SELECT doc_id, p, SUM(CASE WHEN bit = '1' THEN 1 ELSE -1 END) AS vote
+  FROM pos GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, bi AS band_idx,
+         substr(simhash, CAST(bi * 15 + 1 AS INT), 15) AS band_key
+  FROM sig, range(4) t(bi)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         SUM(CASE WHEN substr(sa, CAST(i + 1 AS INT), 1)
+                  <> substr(sb, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END) AS hamming
+  FROM cands, range(60) t(i) GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: band-bucket candidates (4×15-bit bands →
+    any Hamming-≤3 pair shares a band by pigeonhole) verified by exact
+    Hamming distance — candidates never leave their buckets, so no
+    O(n²) signature compare."""
+    from marketstore_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(load_table(spark, sf_dir, "documents"), bands=4, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@_register(
     "dedup_embedding",
     """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
