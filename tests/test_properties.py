@@ -114,3 +114,44 @@ def test_finance_idiom_invariants(spark, ticks):
         for r in rs:
             if r["rsi14"] is not None:
                 assert -1e-9 <= r["rsi14"] <= 100 + 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=3600), min_size=1, max_size=20),
+    rights=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3600), st.integers(-50, 50)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_asof_join_matches_bisect_model(spark, lefts, rights):
+    """asof_join == per-row bisect over the sorted right side (the
+    textbook definition), including duplicate timestamps (latest right
+    at equal ts wins) and no-prior-row nulls."""
+    import bisect
+
+    from marketstore_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, EPOCH0 + dt.timedelta(seconds=off), i) for i, off in enumerate(lefts)],
+        "user_id long, ts timestamp, order_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, EPOCH0 + dt.timedelta(seconds=off), float(v), i) for i, (off, v) in enumerate(rights)],
+        "user_id long, ts timestamp, px double, rid long",
+    )
+    got = {
+        r["order_id"]: r["px"]
+        for r in asof_join(
+            ldf, rdf, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["px"]
+        ).collect()
+    }
+    # model: latest right with ts <= left ts; ties among equal right ts
+    # resolve to the one latest in (ts, rid) window order
+    rs = sorted((off, i, float(v)) for i, (off, v) in enumerate(rights))
+    rts = [r[0] for r in rs]
+    for i, off in enumerate(lefts):
+        j = bisect.bisect_right(rts, off)
+        want = rs[j - 1][2] if j else None
+        assert got[i] == want, (i, off, got[i], want)
