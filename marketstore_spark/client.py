@@ -67,6 +67,16 @@ class DataSet:
     def df(self) -> pd.DataFrame:
         return self._df.toPandas()
 
+    def arrays(self) -> dict[str, "np.ndarray"]:
+        """Column-major numpy arrays — the reference's npy wire format
+        (frontend/query_test.go TestQueryNpyMulti; utils/io
+        ColumnSeries is exactly a name→array map).  Arrow-backed
+        conversion, one array per column."""
+        import numpy as np  # noqa: F401  (return type)
+
+        pdf = self._df.toPandas()
+        return {c: pdf[c].to_numpy() for c in pdf.columns}
+
     def dataframe(self) -> DataFrame:
         """Spark-native escape hatch (no collect)."""
         return self._df

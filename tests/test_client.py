@@ -69,3 +69,17 @@ def test_write_and_list_and_destroy(cli, spark):
 def test_sql_via_client(cli):
     pdf = cli.sql("SELECT count(*) AS n FROM `SYM1/1Min/TICK`").toPandas()
     assert pdf["n"][0] == cli.catalog.read("SYM1/1Min/TICK").count()
+
+
+def test_numpy_arrays_output(cli):
+    """The reference's npy response format: name→ndarray per column
+    with value fidelity vs the pandas path."""
+    import numpy as np
+
+    ds = cli.query(Params("SYM1", "1Min", "TICK", limit=25)).first()
+    arrs = ds.arrays()
+    pdf = ds.df()
+    assert set(arrs) == set(pdf.columns)
+    for c, a in arrs.items():
+        assert isinstance(a, np.ndarray) and len(a) == len(pdf)
+    assert np.array_equal(arrs["value"], pdf["value"].to_numpy())
