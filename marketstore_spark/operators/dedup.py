@@ -271,6 +271,78 @@ def minhash_lsh_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def keep_list(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Greedy near-dup keep rule: drop every doc that duplicates a
+    smaller-id doc (appears as ``doc_b`` in a pair, pairs being
+    emitted with doc_a < doc_b).  One distinct + one broadcast-able
+    anti join — the standard LSH-dedup reducer when full transitive
+    clustering isn't required (see :func:`connected_components`)."""
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.select(id_col).distinct().join(dropped, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive dup clusters from a pair list: (doc_id, component)
+    with component = min doc id reachable through pairs.
+
+    Iterative min-label propagation — the canonical Spark pattern for
+    small-diameter graphs (near-dup clusters are shallow: diameter is
+    rarely > a few hops).  Each round: every node adopts the minimum
+    label in its neighborhood (join on edges + groupBy min); stop when
+    a round changes nothing.  Rounds are O(diameter); each round is
+    two shuffles (edge join, label agg) on the node id.  Labels are
+    persisted per round and the previous round unpersisted, so lineage
+    and memory stay bounded at any scale."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

@@ -1537,6 +1537,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _minhash_keep_sql() -> str:
+    return f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM ({_minhash_sql()}))
+"""
+
+
+@_register("dedup_minhash_keep", _minhash_keep_sql())
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy dedup keep-list: survivors after dropping every doc that
+    near-duplicates (minhash pairs) a smaller-id doc."""
+    from marketstore_spark.operators.dedup import keep_list, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=_MH_K, bands=_MH_BANDS, threshold=0.7)
+    return keep_list(docs, pairs)
+
+
+@_register("dedup_clusters")  # iterative (label propagation): rows-only;
+# exact union-find cross-check in pytest
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the minhash pair graph —
+    iterative min-label propagation (not SQL-expressible)."""
+    from marketstore_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=_MH_K, bands=_MH_BANDS, threshold=0.7)
+    return connected_components(pairs)
+
+
 @_register(
     "dedup_simhash_pairs",
     """

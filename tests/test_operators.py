@@ -365,3 +365,33 @@ def test_asof_join_tolerance(spark):
     ).orderBy("order_id").collect()
     assert out[0]["px"] == 10.0      # 1 min old: within 5-min tolerance
     assert out[1]["px"] is None      # 2h old: stale
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Label propagation must produce exactly the union-find components
+    (component id = min doc id in the set) on the real pair graph."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges, "fixture corpus should contain near-dups"
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == want
