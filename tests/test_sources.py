@@ -107,3 +107,24 @@ def test_json_import_roundtrip(spark, sf_dir, tmp_path):
     assert got.count() == 150
     assert dict(got.dtypes)["ts"] == "timestamp"
     assert got.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+
+def test_corpus_store_partition_pruning(spark, sf_dir, tmp_path):
+    """(lang, tier)-partitioned corpus: a language filter must prune to
+    that language's directories before any file opens, and the rows
+    must round-trip."""
+    from marketstore_spark.sources.corpus import read_corpus_store, write_corpus_store
+    from marketstore_spark.sources.parquet import explain_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(str(tmp_path), "corpus")
+    write_corpus_store(docs, root)
+
+    store = read_corpus_store(spark, root)
+    assert store.count() == docs.count()
+
+    en = store.filter(F.col("lang") == "en")
+    plan = explain_str(en)
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    langs = {r["lang"] for r in en.select("lang").distinct().collect()}
+    assert langs <= {"en"}
