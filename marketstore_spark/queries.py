@@ -373,6 +373,14 @@ def rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tick_candles_stable(spark, sf_dir, "1D")
 
 
+@_register("rollup_1w", _tick_candle_sql("7 days"))
+def rollup_1w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly candles, Monday-aligned on both engines: Spark windows
+    shift 4 days off the Thursday epoch origin; DuckDB's time_bucket
+    interval origin is 2000-01-03, a Monday."""
+    return _tick_candles_stable(spark, sf_dir, "1W")
+
+
 @_register(
     "rollup_1mo",
     _tick_candle_sql("1 day").replace(
