@@ -74,3 +74,31 @@ def multi_timeframe_rollup(
     target timeframe, all fed by the same source (Spark shares the
     scan; each agg keeps its own bounded state)."""
     return {tf: stream_candles(stream, tf, **kwargs) for tf in destinations}
+
+
+def stream_vwap(
+    stream: DataFrame,
+    timeframe: str,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    price_col: str = "value",
+    volume_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-bucket VWAP (functions/finance.py vwap, live).
+
+    Without a volume column it degrades to TWAP over ticks (each tick
+    weight 1) — marketstore's tick stream has no volume either.  Same
+    windowed-agg state shape as stream_candles: O(keys × open windows),
+    watermark-expired."""
+    dur = timeframe_to_duration(timeframe)
+    w = F.lit(1.0) if volume_col is None else F.col(volume_col)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(F.col(ts_col), dur).alias("__w"))
+        .agg(
+            (F.sum(F.col(price_col) * w) / F.sum(w)).alias("vwap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return agg.select(*key_cols, F.col("__w.start").alias("epoch"), "vwap", "n")

@@ -281,3 +281,30 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
     assert len(got) == ev.count()
     assert (got["exchange"] == "XNYS").all()
     assert got["symbol"].str.startswith("SYM").all()
+
+
+def test_stream_vwap_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming per-bucket VWAP == the same aggregate computed batch."""
+    from marketstore_spark.streaming.ondiskagg import stream_vwap
+
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    q = (
+        stream_vwap(stream, "1H", watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("vwap_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from vwap_stream_test").toPandas()
+    want = (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("__w"))
+        .agg((F.sum(F.col("value") * F.lit(1.0)) / F.sum(F.lit(1.0))).alias("vwap"))
+        .select("user_id", F.col("__w.start").alias("epoch"), "vwap")
+        .toPandas()
+    )
+    got = got.sort_values(["user_id", "epoch"], ignore_index=True)
+    want = want.sort_values(["user_id", "epoch"], ignore_index=True)
+    assert len(got) == len(want)
+    assert (got["vwap"].to_numpy() == want["vwap"].to_numpy()).all()
