@@ -118,7 +118,14 @@ class Client:
                 # Single bucket == single key: a directional head/tail
                 # compiles to TakeOrderedAndProject (bounded top-K per
                 # partition, merged on the driver), not a full sort.
-                order = [F.col(self.ts_col)]
+                # Ties on ts break deterministically on the remaining
+                # columns, mirroring slice.limit_records.
+                tiebreak = (
+                    ["event_id"]
+                    if "event_id" in df.columns
+                    else [c for c in df.columns if c != self.ts_col]
+                )
+                order = [F.col(self.ts_col)] + [F.col(c) for c in tiebreak]
                 if params.limit_from_start:
                     df = df.orderBy(*[c.asc() for c in order]).limit(params.limit)
                 else:

@@ -523,14 +523,29 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_quadratic: bool = False,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold.
 
     When ``block_col`` is given (e.g. an LSH bucket or cluster label),
     the pairwise join runs within blocks only — the 100 TB path.  With
-    no block column this is the exact O(n²) verifier for small n.
+    no block column this is the exact O(n²) verifier for small n, and
+    it REFUSES to run above ``max_exact_rows`` unless
+    ``allow_quadratic=True``: an unblocked self-join plans as
+    BroadcastNestedLoop and silently melts at corpus scale — fail
+    loudly instead and point at :func:`embedding_dup_pairs_lsh`.
     """
     from marketstore_spark.functions.vector import cosine_sim
+
+    if block_col is None and not allow_quadratic:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"embedding_dup_pairs without block_col is O(n²) and the input "
+                f"has {n} rows (> {max_exact_rows}); use embedding_dup_pairs_lsh, "
+                f"pass block_col, or opt in with allow_quadratic=True"
+            )
 
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(

@@ -777,37 +777,41 @@ def text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join",
     """
 WITH iv AS (
-  SELECT o_orderkey, o_orderdate AS start_ts,
-         o_orderdate + INTERVAL 3 DAY AS end_ts
-  FROM orders WHERE o_orderkey % 97 = 0
+  SELECT event_id AS interval_id, ts AS start_ts,
+         ts + INTERVAL 6 HOUR AS end_ts
+  FROM events WHERE event_id % 997 = 0
 )
-SELECT iv.o_orderkey, COUNT(*) AS n_events,
+SELECT iv.interval_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
-GROUP BY iv.o_orderkey
+GROUP BY iv.interval_id
 """,
 )
 def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure range join (no equi key): events falling inside 3-day
-    windows anchored at a deterministic subset of orders.  The
-    time-bucket blocking turns what Catalyst would plan as a nested
-    loop into an equi-join on the bucket id (operators/rangejoin.py);
-    the oracle is the naive BETWEEN join."""
+    """Pure range join (no equi key): all events falling inside 6-hour
+    windows anchored at a deterministic subset of events (so intervals
+    live on the same timeline as the points and the join is non-empty
+    at every sf).  The time-bucket blocking turns what Catalyst would
+    plan as a nested loop into an equi-join on the bucket id
+    (operators/rangejoin.py); the oracle is the naive BETWEEN join."""
     from marketstore_spark.operators.rangejoin import interval_join
 
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
     iv = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 97 == 0)
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 997 == 0)
         .select(
-            "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").alias("start_ts"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).cast("timestamp").alias("end_ts"),
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("end_ts"),
         )
     )
     return (
-        interval_join(ev, iv, ts_col="ts", start_col="start_ts", end_col="end_ts")
-        .groupBy("o_orderkey")
+        interval_join(
+            ev, iv, ts_col="ts", start_col="start_ts", end_col="end_ts",
+            bucket_seconds=21600,
+        )
+        .groupBy("interval_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(_dec("value")).cast("double").alias("total_value"),
@@ -1028,9 +1032,12 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a
     threshold (HAVING subquery → semi join).  The `big` keylist is an
-    aggregate of the fact on its own join key, so it reuses the
-    lineitem shuffle partitioning; the IN becomes a broadcast-able
-    semi join on the (small) filtered key set."""
+    aggregate of the fact on its own join key, so the semi join
+    co-partitions with the existing l_orderkey shuffle — no static
+    broadcast hint: the keylist GROWS with the fact (2.9k keys at
+    sf0.1, ~3M at sf100), so forcing a broadcast is an OOM at scale;
+    AQE may still choose one at runtime when the filtered set is
+    actually small."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1038,13 +1045,12 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .select(F.col("l_orderkey").alias("__bk"))
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
-              F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .join(big, F.col("o_orderkey") == F.col("__bk"), "left_semi")
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
     )

@@ -395,3 +395,56 @@ def test_connected_components_match_union_find(spark, sf_dir):
 
     got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_embedding_exact_dedup_guard_trips(spark):
+    """The unblocked O(n²) embedding self-join must refuse to run above
+    the row threshold unless explicitly opted in."""
+    import pytest
+
+    from marketstore_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\)|allow_quadratic"):
+        embedding_dup_pairs(df, threshold=0.9, max_exact_rows=10)
+    # opt-in and block_col paths still run
+    assert embedding_dup_pairs(
+        df, threshold=0.99, max_exact_rows=10, allow_quadratic=True
+    ).count() >= 0
+    blocked = df.withColumn("blk", F.col("vec_id") % 2)
+    assert embedding_dup_pairs(
+        blocked, threshold=0.99, max_exact_rows=10, block_col="blk"
+    ).count() >= 0
+
+
+def test_lsh_band_buckets_below_cap(spark, sf_dir):
+    """minhash_lsh_pairs/simhash_pairs silently drop band buckets above
+    max_bucket (10k) — the DuckDB oracles don't.  Parity is only sound
+    while no bucket approaches the cap at test scale; pin that."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.dedup import _minhash_cols, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3, "text", "doc_id", distinct=False)
+    per_doc = sh.groupBy("doc_id").agg(*_minhash_cols(32))
+    rows = 32 // 8
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{bi * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for bi in range(8)
+    ]
+    banded = per_doc.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+    biggest = (
+        banded.groupBy("b.band_idx", "b.band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert biggest < 10_000, f"band bucket of {biggest} docs hits the cap — oracle diverges"

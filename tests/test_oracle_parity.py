@@ -62,10 +62,12 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None
 def test_parity(name, spark, sf_dir):
     sdf = SPARK_QUERIES[name](spark, sf_dir)
     spark_pdf = sdf.toPandas()
-    assert len(spark_pdf) >= 0  # plan executes
+    # Vacuous-green guard: a 0-row result matching a 0-row oracle
+    # proves nothing (VERDICT r01 on range_join) — every registered
+    # query must produce rows at every test sf.
+    assert len(spark_pdf) > 0, f"{name}: empty result — parity would be vacuous"
 
     if name not in ORACLE_SQL:
-        assert len(spark_pdf) > 0, f"{name}: rows-only check needs >0 rows"
         return
 
     con = _duck(sf_dir)
