@@ -87,7 +87,7 @@ def test_pubsub_glob_routing(spark, sf_dir, tmpdir):
     keyed = stream.withColumn(
         "tbk", F.concat(F.lit("SYM"), F.col("user_id"), F.lit("/1Min/TICK"))
     )
-    hub = StreamHub(key_col="tbk")
+    hub = StreamHub(key_col="tbk", delivery_root=os.path.join(tmpdir, "deliveries"))
     all_sub = hub.subscribe("all", "*/1Min/TICK")
     one_sub = hub.subscribe("one", "SYM1/1Min/*")
     none_sub = hub.subscribe("none", "*/1D/OHLCV")
@@ -99,6 +99,12 @@ def test_pubsub_glob_routing(spark, sf_dir, tmpdir):
     assert len(all_sub.received) == total
     assert len(one_sub.received) == n_sym1
     assert len(none_sub.received) == 0
+    # delivery is an executor-side partitioned write, not a driver
+    # collect: per-subscriber partition dirs exist only for matches
+    subdirs = {d for d in os.listdir(hub.delivery_root) if d.startswith("__sub=")}
+    assert subdirs == {"__sub=all", "__sub=one"}
+    # matched rows carry their origin keys
+    assert all(r["tbk"].startswith("SYM1/") for r in one_sub.received)
 
 
 def test_catalog_ddl_roundtrip(spark, sf_dir, tmpdir):
