@@ -57,7 +57,7 @@ def timeframe_to_duration(tf: str) -> str:
     )
 
 
-def _bucket(ts_col: str, tf: str, tz: str | None = None) -> Column:
+def _bucket(ts_col: str | Column, tf: str, tz: str | None = None) -> Column:
     """Time bucket; with ``tz`` the bucket boundaries align to that
     timezone's midnight (utils/timeframe + contrib/calendar: the
     reference anchors 1D bars to the market's day, not UTC's).
@@ -66,7 +66,8 @@ def _bucket(ts_col: str, tf: str, tz: str | None = None) -> Column:
     ``time.Truncate`` counts from the zero time, a Monday; Spark's
     window origin 1970-01-01 is a Thursday, hence the 4-day
     ``startTime`` shift).  ``1Mo``/``1Y`` truncate on the calendar."""
-    base = F.col(ts_col) if tz is None else F.from_utc_timestamp(F.col(ts_col), tz)
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    base = ts if tz is None else F.from_utc_timestamp(ts, tz)
     if tf in _CALENDAR:
         return F.struct(F.date_trunc(_CALENDAR[tf], base).alias("start"))
     dur = timeframe_to_duration(tf)

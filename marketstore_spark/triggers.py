@@ -26,11 +26,7 @@ from typing import Protocol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from marketstore_spark.operators.candler import (
-    candle_candles,
-    tick_candles,
-    timeframe_to_duration,
-)
+from marketstore_spark.operators.candler import candle_candles, tick_candles
 
 
 class Trigger(Protocol):
@@ -64,6 +60,35 @@ class TriggerRegistry:
                 m.trigger.fire(key, written)
 
 
+def _touched_window(spark, bounds, dest_tf: str):
+    """[bucket_start(lo), bucket_end(hi)) in the DESTINATION timeframe,
+    derived from the same bucketing the candler aggregates with — so a
+    1W destination is Monday-aligned (4-day startTime shift) and
+    calendar timeframes (1Mo/1Y) truncate on the calendar instead of
+    raising.  Using plain F.window here (the round-1 bug) produced
+    Thursday-aligned deletes that straddled real weekly buckets."""
+    from marketstore_spark.operators.candler import _CALENDAR, _bucket
+
+    one = spark.range(1)
+    # two selects: Spark allows only one window() per projection
+    lo_b = one.select(_bucket(F.lit(bounds["lo"]), dest_tf).alias("w")).first()["w"]
+    hi_b = one.select(_bucket(F.lit(bounds["hi"]), dest_tf).alias("w")).first()["w"]
+    lo_v = lo_b["start"]
+    if dest_tf in _CALENDAR:
+        s = hi_b["start"]
+        if _CALENDAR[dest_tf] == "month":
+            hi_v = (
+                s.replace(year=s.year + 1, month=1)
+                if s.month == 12
+                else s.replace(month=s.month + 1)
+            )
+        else:
+            hi_v = s.replace(year=s.year + 1)
+    else:
+        hi_v = hi_b["end"]
+    return lo_v, hi_v
+
+
 class OnDiskAggTrigger:
     """contrib/ondiskagg/aggtrigger re-expressed: on write to a fine
     bucket, re-aggregate the affected epoch window into each
@@ -95,11 +120,7 @@ class OnDiskAggTrigger:
         if bounds["lo"] is None:
             return
         for dest_tf in self.destinations:
-            dur = timeframe_to_duration(dest_tf)
-            one = written.sparkSession.range(1)
-            # two selects: Spark allows only one window() per projection
-            lo_v = one.select(F.window(F.lit(bounds["lo"]), dur).start).first()[0]
-            hi_v = one.select(F.window(F.lit(bounds["hi"]), dur).end).first()[0]
+            lo_v, hi_v = _touched_window(written.sparkSession, bounds, dest_tf)
 
             src = self.catalog.read(key).filter(
                 (F.col(self.ts_col) >= F.lit(lo_v)) & (F.col(self.ts_col) < F.lit(hi_v))

@@ -72,3 +72,39 @@ def test_integrity_check_layout_invariant(spark, sf_dir, tmp_path):
     assert a["rows"] == b["rows"] == 500
     assert a["checksum"] == b["checksum"]
     assert (c["rows"], c["checksum"]) != (a["rows"], a["checksum"])
+
+
+def test_ondiskagg_weekly_and_monthly_alignment(spark, sf_dir, tmp_path):
+    """1W destinations must produce Monday-aligned buckets identical to
+    the batch candler, and calendar destinations (1Mo) must work — the
+    round-1 bug derived the touched window with plain F.window, whose
+    Thursday-aligned weeks straddled real bucket boundaries (stale or
+    partial weekly candles) and whose duration lookup rejected 1Mo."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    reg = TriggerRegistry()
+    reg.register("*/1Min/TICK", OnDiskAggTrigger(cat, destinations=["1W", "1Mo"]))
+    cat.triggers = reg
+
+    first = ev.filter(F.col("ts") < "2024-01-10")
+    rest = ev.filter(F.col("ts") >= "2024-01-08")  # overlaps mid-week
+    cat.write("SYM1/1Min/TICK", first)
+    cat.write("SYM1/1Min/TICK", rest)
+
+    for tf in ("1W", "1Mo"):
+        got = {
+            r["epoch"]: (r["open"], r["high"], r["low"], r["close"])
+            for r in cat.read(f"SYM1/{tf}/TICK").collect()
+        }
+        expect = {
+            r["epoch"]: (r["open"], r["high"], r["low"], r["close"])
+            for r in tick_candles(
+                cat.read("SYM1/1Min/TICK"), tf, key_cols=(), ts_col="ts"
+            ).collect()
+        }
+        assert got == expect, tf
+    # weekly epochs are Mondays
+    import datetime
+
+    for epoch in {r["epoch"] for r in cat.read("SYM1/1W/TICK").collect()}:
+        assert epoch.weekday() == 0, epoch
