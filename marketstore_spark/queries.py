@@ -1785,6 +1785,69 @@ def gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Corporate actions as a first-class table (uda/adjust/caloader.go +
+# contrib/ice; SURVEY §2 #17b)
+# =====================================================================
+
+_CA_CTE = """
+  SELECT CAST(user_id AS VARCHAR) AS symbol, ts AS ex_ts,
+         CAST(0.5 AS DOUBLE) AS ratio, 'split' AS type
+  FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0
+  UNION ALL
+  SELECT CAST(user_id AS VARCHAR) AS symbol, ts AS ex_ts,
+         CAST(0.98 AS DOUBLE) AS ratio, 'dividend' AS type
+  FROM events WHERE event_type = 'purchase' AND event_id % 89 = 0
+"""
+
+
+@_register("corporate_actions", f"SELECT symbol, ex_ts, ratio, type FROM ({_CA_CTE})")
+def corporate_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CA table itself (symbol, ex_ts, ratio, type) — what
+    caloader.go reads from the per-symbol CA buckets; derived
+    deterministically from the tick stream because the fixed testdata
+    ships no announcement files (ingest of real announcement files is
+    operators/ca.parse_announcements, pytest-covered)."""
+    from marketstore_spark.operators.ca import synthetic_corporate_actions
+
+    return synthetic_corporate_actions(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "uda_adjust_ca",
+    f"""
+WITH ca AS (
+  SELECT CAST(symbol AS BIGINT) AS user_id, ex_ts AS ts, ratio
+  FROM ({_CA_CTE})
+), u AS (
+  SELECT user_id, ts, value, 1.0 AS ratio, 0 AS is_ca FROM events
+  UNION ALL
+  SELECT user_id, ts, NULL AS value, ratio, 1 AS is_ca FROM ca
+), f AS (
+  SELECT user_id, ts, value, is_ca,
+         exp(sum(ln(ratio)) OVER (
+           PARTITION BY user_id ORDER BY ts DESC, is_ca ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS factor
+  FROM u
+)
+SELECT user_id, ts, value, ROUND(value * factor, 4) AS adjusted
+FROM f WHERE is_ca = 0
+""",
+)
+def uda_adjust_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjustment against the first-class CA table (splits AND
+    dividends), i.e. uda/adjust consuming caloader's RateChangeEvents
+    rather than a synthetic inline ratio stream."""
+    from marketstore_spark.operators.ca import (
+        adjust_with_actions,
+        synthetic_corporate_actions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ca = synthetic_corporate_actions(ev)
+    return adjust_with_actions(ev.select("user_id", "ts", "value"), ca)
+
+
+# =====================================================================
 # Registration order
 # =====================================================================
 # The external correctness driver walks ``queries()`` in registration

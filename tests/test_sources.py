@@ -128,3 +128,58 @@ def test_corpus_store_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
     langs = {r["lang"] for r in en.select("lang").distinct().collect()}
     assert langs <= {"en"}
+
+
+def test_ca_announcement_ingest_and_adjust(spark, tmp_path):
+    """Announcement-file ingest (contrib/ice analogue): parse, land in
+    a CA bucket, and drive the adjuster off the loaded table."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.catalog import Catalog
+    from marketstore_spark.operators.ca import (
+        adjust_with_actions,
+        ingest_announcements,
+        parse_announcements,
+        rate_changes,
+    )
+
+    f = tmp_path / "reorg.20240110"
+    f.write_text(
+        "H0|processdate|2024-01-10\n"
+        "# comment line\n"
+        "SPLIT|AAPL|2024-01-10|0.5\n"
+        "DIVIDEND|AAPL|2024-01-20|0.98\n"
+        "REVERSE_SPLIT|MSFT|2024-01-15|2.0\n"
+        "BOGUS|ZZZ|2024-01-15|1.0\n"
+        "\n"
+    )
+    ca = parse_announcements(spark, str(f))
+    rows = {(r["type"], r["symbol"]) for r in ca.collect()}
+    assert rows == {("split", "AAPL"), ("dividend", "AAPL"), ("reverse_split", "MSFT")}
+
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    assert ingest_announcements(cat, str(f)) == 3
+    loaded = cat.read("CA/EVENT/ACTIONS")
+    assert loaded.count() == 3
+    assert rate_changes(loaded, include_dividends=False).count() == 2
+
+    prices = spark.createDataFrame(
+        [
+            ("AAPL", dt.datetime(2024, 1, 5), 100.0),   # before both AAPL CAs
+            ("AAPL", dt.datetime(2024, 1, 15), 100.0),  # between split and dividend
+            ("AAPL", dt.datetime(2024, 1, 25), 100.0),  # after both
+            ("MSFT", dt.datetime(2024, 1, 10), 50.0),   # before reverse split
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    adj = {
+        (r["user_id"], r["ts"].day): r["adjusted"]
+        for r in adjust_with_actions(prices, loaded).collect()
+    }
+    assert adj[("AAPL", 5)] == round(100.0 * 0.5 * 0.98, 4)
+    assert adj[("AAPL", 15)] == round(100.0 * 0.98, 4)
+    assert adj[("AAPL", 25)] == 100.0
+    assert adj[("MSFT", 10)] == 100.0  # 50 × 2.0 reverse split
