@@ -82,19 +82,43 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         df.createOrReplaceTempView(n)
 
 
-class TimeBucketKey:
-    """``Symbol/Timeframe/AttributeGroup`` key (utils/io in reference)."""
+#: Category order of a bucket key (frontend/query.go KeyCategory —
+#: "not usually set, defaults to Symbol/Timeframe/AttributeGroup").
+DEFAULT_KEY_CATEGORY = "Symbol/Timeframe/AttributeGroup"
 
-    def __init__(self, key: str):
+
+class TimeBucketKey:
+    """``Symbol/Timeframe/AttributeGroup`` key (utils/io in reference).
+
+    The Symbol slot may hold a comma-separated multi-item list the way
+    query destinations do ("TSLA,AAPL,CG/1Min/OHLCV",
+    frontend/query.go:148); ``symbols`` exposes the expansion and
+    ``path``/``str`` require a single symbol.  A non-default
+    ``key_category`` reorders how the slash-separated items are read.
+    """
+
+    def __init__(self, key: str, key_category: str = DEFAULT_KEY_CATEGORY):
         parts = key.split("/")
-        if len(parts) != 3:
-            raise ValueError(f"TimeBucketKey needs Symbol/Timeframe/AttributeGroup: {key!r}")
-        self.symbol, self.timeframe, self.attribute_group = parts
+        cats = key_category.split("/")
+        if len(parts) != 3 or len(cats) != 3:
+            raise ValueError(
+                f"TimeBucketKey needs {key_category}: {key!r}"
+            )
+        items = dict(zip(cats, parts))
+        self.symbol = items["Symbol"]
+        self.timeframe = items["Timeframe"]
+        self.attribute_group = items["AttributeGroup"]
+
+    @property
+    def symbols(self) -> list[str]:
+        return self.symbol.split(",")
 
     def __str__(self) -> str:
         return f"{self.symbol}/{self.timeframe}/{self.attribute_group}"
 
     def path(self, root: str) -> str:
+        if "," in self.symbol:
+            raise ValueError(f"multi-symbol key has no single path: {self}")
         return os.path.join(root, self.symbol, self.timeframe, self.attribute_group)
 
 
@@ -108,25 +132,64 @@ class Catalog:
         # marketstore_spark.triggers.TriggerRegistry)
         self.triggers = None
 
-    # -- ListSymbols (frontend/query.go:264) ------------------------------
-    def list_symbols(self) -> list[str]:
-        if not os.path.isdir(self.root):
+    # -- ListSymbols (frontend/query.go:259-275) --------------------------
+    def _hadoop_fs(self):
+        """Hadoop FileSystem for the catalog root — works on any URI
+        Spark can read (local, HDFS, s3a://, gs://...), unlike
+        os.listdir which only sees the driver's local disk."""
+        jvm = self.spark._jvm  # noqa: SLF001
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        return fs, jvm
+
+    def _subdirs(self, rel: str = "") -> list[str]:
+        fs, jvm = self._hadoop_fs()
+        target = self.root.rstrip("/") + (f"/{rel}" if rel else "")
+        p = jvm.org.apache.hadoop.fs.Path(target)
+        if not fs.exists(p):
             return []
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+            s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
         )
 
+    def list_symbols(self, format: str = "symbol") -> list[str]:
+        """``format='symbol'`` → plain symbols; ``format='tbk'`` → full
+        ``Symbol/Timeframe/AttributeGroup`` names (ListSymbolsRequest.
+        Format, frontend/query.go:259)."""
+        if format == "tbk":
+            return self.list_buckets()
+        if format != "symbol":
+            raise ValueError(f"unknown ListSymbols format {format!r}")
+        return self._subdirs()
+
     def list_buckets(self) -> list[str]:
+        """All bucket keys, via ONE recursive glob against the
+        FileSystem (catalog.ListTimeBucketKeyNames) — no per-directory
+        round trips, which matters on object stores where each listing
+        is an API call."""
+        fs, jvm = self._hadoop_fs()
+        root = self.root.rstrip("/")
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(root)):
+            return []
+        statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(root + "/*/*/*"))
         out = []
-        for sym in self.list_symbols():
-            sdir = os.path.join(self.root, sym)
-            for tf in sorted(os.listdir(sdir)):
-                tdir = os.path.join(sdir, tf)
-                if not os.path.isdir(tdir):
-                    continue
-                for ag in sorted(os.listdir(tdir)):
-                    if os.path.isdir(os.path.join(tdir, ag)):
-                        out.append(f"{sym}/{tf}/{ag}")
+        for s in statuses or []:
+            if not s.isDirectory():
+                continue
+            p = s.getPath()
+            ag, tf, sym = p.getName(), p.getParent().getName(), p.getParent().getParent().getName()
+            out.append(f"{sym}/{tf}/{ag}")
+        return sorted(out)
+
+    def gather_categories_and_items(self) -> dict[str, set[str]]:
+        """catalog.Directory.GatherCategoriesAndItems: the distinct
+        items per key category across the whole catalog."""
+        out: dict[str, set[str]] = {c: set() for c in DEFAULT_KEY_CATEGORY.split("/")}
+        for key in self.list_buckets():
+            tbk = TimeBucketKey(key)
+            out["Symbol"].add(tbk.symbol)
+            out["Timeframe"].add(tbk.timeframe)
+            out["AttributeGroup"].add(tbk.attribute_group)
         return out
 
     # -- Create / Destroy (frontend/write.go:70,182) ----------------------

@@ -148,8 +148,9 @@ class Client:
             data = self.catalog.spark.createDataFrame(data)
         self.catalog.write(tbk, data, mode=mode)
 
-    def list_symbols(self) -> list[str]:
-        return self.catalog.list_symbols()
+    def list_symbols(self, format: str = "symbol") -> list[str]:
+        """format='symbol' | 'tbk' (ListSymbolsRequest.Format)."""
+        return self.catalog.list_symbols(format=format)
 
     def create(self, tbk: str, schema_sample: DataFrame) -> None:
         self.catalog.create(tbk, schema_sample)

@@ -166,6 +166,22 @@ def list_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "list_symbols_tbk",
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) || '/1Min/TICK' AS tbk FROM events",
+)
+def list_symbols_tbk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListSymbols with Format='tbk' (frontend/query.go:259-267):
+    full Symbol/Timeframe/AttributeGroup names.  The flat test tables
+    stand in for a store whose canonical tick bucket is
+    ``<symbol>/1Min/TICK`` (Catalog.list_symbols(format='tbk') walks a
+    real bucket root via the Hadoop FS — pytest-covered)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.col("user_id").cast("string"), F.lit("/1Min/TICK")).alias("tbk")
+    ).distinct()
+
+
+@_register(
     "get_info",
     """
 SELECT user_id, COUNT(*) AS rows_count, MIN(ts) AS min_ts, MAX(ts) AS max_ts
@@ -439,10 +455,13 @@ GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
 )
 def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VWAP per symbol per hour; volume comes from the variable-length
-    attribute payload (props JSON), mirroring marketstore's
-    variable-record attribute columns (executor/readvariable.go)."""
-    ev = load_table(spark, sf_dir, "events")
-    vol = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    attribute payload, parsed ONCE into a typed struct
+    (models.typed_attrs — executor/readvariable.go's typed read path)
+    rather than per-expression get_json_object re-parses."""
+    from marketstore_spark.models import typed_attrs
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events"))
+    vol = F.col("attrs.k")
     pv = _dec("value") * vol
     sum_vol = F.sum(vol)
     return ev.groupBy(

@@ -83,3 +83,45 @@ def test_numpy_arrays_output(cli):
     for c, a in arrs.items():
         assert isinstance(a, np.ndarray) and len(a) == len(pdf)
     assert np.array_equal(arrs["value"], pdf["value"].to_numpy())
+
+
+def test_list_symbols_formats_and_hadoop_fs_listing(spark, sf_dir, tmp_path):
+    """ListSymbols format=symbol|tbk over a real bucket root, listed
+    via the Hadoop FS API (object-store-safe), plus category gathering
+    and multi-symbol TimeBucketKey expansion."""
+    import os
+
+    from marketstore_spark.catalog import Catalog, TimeBucketKey, load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    cat.write("TSLA/1Min/TICK", ev)
+    cat.write("TSLA/1H/OHLCV", ev)
+    cat.write("AAPL/1Min/TICK", ev)
+
+    assert cat.list_symbols() == ["AAPL", "TSLA"]
+    assert cat.list_symbols(format="tbk") == [
+        "AAPL/1Min/TICK",
+        "TSLA/1H/OHLCV",
+        "TSLA/1Min/TICK",
+    ]
+    with pytest.raises(ValueError):
+        cat.list_symbols(format="nope")
+
+    cats = cat.gather_categories_and_items()
+    assert cats["Symbol"] == {"AAPL", "TSLA"}
+    assert cats["Timeframe"] == {"1Min", "1H"}
+    assert cats["AttributeGroup"] == {"TICK", "OHLCV"}
+
+    # client pass-through
+    client = Client(cat)
+    assert client.list_symbols(format="tbk") == cat.list_buckets()
+
+    # multi-symbol destination (frontend/query.go:148)
+    tbk = TimeBucketKey("TSLA,AAPL/1Min/TICK")
+    assert tbk.symbols == ["TSLA", "AAPL"]
+    with pytest.raises(ValueError):
+        tbk.path(str(tmp_path))
+    # custom key category reorders the slots
+    k2 = TimeBucketKey("1Min/TSLA/TICK", key_category="Timeframe/Symbol/AttributeGroup")
+    assert (k2.symbol, k2.timeframe, k2.attribute_group) == ("TSLA", "1Min", "TICK")
