@@ -60,13 +60,34 @@ QUOTE_SCHEMA = StructType(
 )
 
 
+# Variable-length attribute payload of the events table — the analogue
+# of the reference's variable-record attribute columns
+# (executor/readvariable.go): typed fields ride along with each fixed
+# record.
+PROPS_SCHEMA = "k BIGINT"
+
+
+def typed_attrs(
+    events: DataFrame,
+    schema: str = PROPS_SCHEMA,
+    json_col: str = "props",
+    out_col: str = "attrs",
+) -> DataFrame:
+    """Parse the variable-length attribute JSON ONCE into a typed
+    struct column (executor/readvariable.go's typed read path).  Every
+    downstream expression then reads struct fields — no re-parse per
+    referencing expression, which is what per-column
+    ``get_json_object`` calls would cost."""
+    return events.withColumn(out_col, F.from_json(F.col(json_col), schema))
+
+
 def trades_from_events(events: DataFrame) -> DataFrame:
     """Map the generic events tick table onto the Trade model."""
-    return events.select(
+    return typed_attrs(events).select(
         F.concat(F.lit("SYM"), F.col("user_id")).alias("symbol"),
         F.col("ts").alias("epoch"),
         F.col("value").alias("price"),
-        F.get_json_object("props", "$.k").cast("long").alias("size"),
+        F.col("attrs.k").alias("size"),
         F.col("event_type").alias("exchange"),
         (F.col("event_id") % 4).cast("int").alias("cond"),
     )
