@@ -314,3 +314,56 @@ def test_stream_vwap_matches_batch(spark, sf_dir, tmpdir):
     want = want.sort_values(["user_id", "epoch"], ignore_index=True)
     assert len(got) == len(want)
     assert (got["vwap"].to_numpy() == want["vwap"].to_numpy()).all()
+
+
+def test_market_calendar_gated_feeder(spark):
+    """contrib/calendar + feeder gating: polls run only in market
+    hours (fake clock), and the Column predicate agrees with the
+    driver-side predicate row for row."""
+    import datetime as dt
+
+    from marketstore_spark.functions.calendar import (
+        MarketCalendar,
+        NASDAQ_LIKE,
+        ScheduledFeeder,
+    )
+
+    cal = MarketCalendar.from_config(NASDAQ_LIKE)
+    ET = dt.timezone(dt.timedelta(hours=-5))  # January => EST
+    assert cal.is_market_open(dt.datetime(2024, 1, 3, 10, 0, tzinfo=ET))
+    assert not cal.is_market_open(dt.datetime(2024, 1, 3, 9, 29, tzinfo=ET))
+    assert not cal.is_market_open(dt.datetime(2024, 1, 6, 10, 0, tzinfo=ET))   # Saturday
+    assert not cal.is_market_open(dt.datetime(2024, 1, 15, 10, 0, tzinfo=ET))  # MLK day
+    EST_ = dt.timezone(dt.timedelta(hours=-5))
+    assert not cal.is_market_open(dt.datetime(2024, 12, 24, 14, 0, tzinfo=ET))  # early close
+    assert cal.is_market_open(dt.datetime(2024, 12, 24, 12, 0, tzinfo=ET))
+
+    # feeder polls only while open
+    times = iter(
+        [
+            dt.datetime(2024, 1, 3, 10, 0, tzinfo=ET),   # open -> poll
+            dt.datetime(2024, 1, 3, 20, 0, tzinfo=ET),   # after close -> skip
+            dt.datetime(2024, 1, 6, 10, 0, tzinfo=ET),   # Saturday -> skip
+            dt.datetime(2024, 1, 4, 15, 59, tzinfo=ET),  # open -> poll
+        ]
+    )
+    fetched = []
+    feeder = ScheduledFeeder(cal, poll=lambda: fetched.append(1), clock=lambda: next(times))
+    ran = [feeder.tick() for _ in range(4)]
+    assert ran == [True, False, False, True]
+    assert feeder.polls == 2 and feeder.skips == 2
+
+    # Column predicate matches the driver predicate on a UTC sweep
+    sweep = [
+        dt.datetime(2024, 1, d, h, 0)  # naive UTC
+        for d in (3, 6, 15, 16)
+        for h in range(0, 24, 3)
+    ]
+    df = spark.createDataFrame([(t,) for t in sweep], "ts timestamp")
+    got = {
+        r["ts"]: r["open"]
+        for r in df.withColumn("open", cal.is_open_col("ts")).collect()
+    }
+    for t in sweep:
+        want = cal.is_market_open(t.replace(tzinfo=dt.timezone.utc))
+        assert got[t] == want, t
