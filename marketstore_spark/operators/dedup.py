@@ -300,18 +300,32 @@ def connected_components(
     and memory stay bounded at any scale."""
     from pyspark import StorageLevel
 
+    # Materialize the pair list ONCE: both union branches reference it,
+    # and without a persist each branch re-executes the (expensive)
+    # upstream candidate pipeline.  Respect a caller-managed persist
+    # (e.g. a shared pair index) — don't steal its cache lifetime.
+    caller_persisted = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    if not caller_persisted:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    edges.count()  # force, then release the upstream pipeline
+    if not caller_persisted:
+        pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Convergence check: labels only ever DECREASE under min-label
+    # propagation, so the label sum strictly decreases until the fixed
+    # point — one cheap aggregate per round instead of a self-join diff.
+    prev_sum = labels.agg(F.sum("component").cast("decimal(38,0)")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -328,17 +342,12 @@ def connected_components(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component").cast("decimal(38,0)")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "component")
 
