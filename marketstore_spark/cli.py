@@ -1,0 +1,134 @@
+"""Command-line tooling over a bucket catalog.
+
+Reference: ``cmd/`` — ``connect`` (interactive client: queries and SQL
+against a store), ``create``, ``estimate`` (storage sizing from
+symbols × timeframe × years), and ``tool integrity``; plus trim-style
+maintenance.  ``cmd/start`` (the RPC server) has no analogue — the
+"server" is a SparkSession — and ``tool wal`` is obsolete by design
+(Parquet commits are atomic; there is no WAL to inspect).
+
+Usage: ``python -m marketstore_spark.cli --root /buckets <command>``.
+Each command is a thin shell over Catalog/Client, so everything a
+terminal user does hits exactly the code a program would.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+_BYTES_PER_ROW = 48  # ~6 float64-ish columns, parquet-encoded
+
+_INTERVALS_PER_DAY = {
+    "1D": 1,
+    "1H": 24,
+    "5Min": 24 * 12,
+    "1Min": 24 * 60,
+    "1Sec": 24 * 60 * 60,
+}
+
+
+def estimate_bytes(symbols: int, timeframe: str, years: float) -> int:
+    """cmd/estimate: rough storage need for a tick store.  Parquet has
+    no fixed per-bucket header; the estimate is rows × encoded width
+    (column encodings typically beat this — it's an upper bound)."""
+    if timeframe not in _INTERVALS_PER_DAY:
+        raise ValueError(
+            f"unknown timeframe {timeframe!r}; known: {sorted(_INTERVALS_PER_DAY)}"
+        )
+    rows = symbols * _INTERVALS_PER_DAY[timeframe] * 252 * years  # trading days
+    return int(rows * _BYTES_PER_ROW)
+
+
+def _get_session():
+    from marketstore_spark import get_session
+
+    return get_session("marketstore-spark-cli")
+
+
+def main(argv: list[str] | None = None, spark=None, out=None) -> int:
+    out = out or sys.stdout
+    p = argparse.ArgumentParser(prog="marketstore-spark")
+    p.add_argument("--root", help="bucket catalog root (any Spark-readable URI)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("list", help="list symbols or buckets (ListSymbols)")
+    s.add_argument("--format", default="symbol", choices=["symbol", "tbk"])
+
+    s = sub.add_parser("info", help="bucket metadata (GetInfo)")
+    s.add_argument("key")
+
+    s = sub.add_parser("create", help="create an empty bucket cloning a schema")
+    s.add_argument("key")
+    s.add_argument("--like", required=True, help="existing bucket to copy the schema of")
+
+    s = sub.add_parser("destroy", help="drop a bucket")
+    s.add_argument("key")
+
+    s = sub.add_parser("trim", help="delete rows in [start, end] (tool trim)")
+    s.add_argument("key")
+    s.add_argument("--start", required=True)
+    s.add_argument("--end", required=True)
+    s.add_argument("--ts-col", default="ts")
+
+    s = sub.add_parser("compact", help="rewrite a fragmented bucket")
+    s.add_argument("key")
+    s.add_argument("--target-mb", type=int, default=128)
+
+    s = sub.add_parser("integrity", help="content checksums per bucket (tool integrity)")
+    s.add_argument("--pattern", default="*/*/*")
+
+    s = sub.add_parser("estimate", help="storage estimate (cmd/estimate)")
+    s.add_argument("--symbols", type=int, required=True)
+    s.add_argument("--timeframe", default="1Min")
+    s.add_argument("--years", type=float, required=True)
+
+    s = sub.add_parser("sql", help="run a MarketSQL/SQL statement (connect)")
+    s.add_argument("statement")
+    s.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "estimate":  # needs no catalog/session
+        b = estimate_bytes(args.symbols, args.timeframe, args.years)
+        print(json.dumps({"bytes": b, "gb": round(b / 1e9, 2)}), file=out)
+        return 0
+
+    from marketstore_spark.catalog import Catalog
+
+    if not args.root:
+        p.error(f"--root is required for {args.cmd}")
+    cat = Catalog(spark or _get_session(), args.root)
+
+    if args.cmd == "list":
+        for name in cat.list_symbols(format=args.format):
+            print(name, file=out)
+    elif args.cmd == "info":
+        info = cat.get_info(args.key)
+        print(json.dumps({k: str(v) for k, v in info.items()}), file=out)
+    elif args.cmd == "create":
+        cat.create(args.key, cat.read(args.like))
+        print(f"created {args.key}", file=out)
+    elif args.cmd == "destroy":
+        cat.destroy(args.key)
+        print(f"destroyed {args.key}", file=out)
+    elif args.cmd == "trim":
+        n = cat.delete_range(args.key, args.start, args.end, ts_col=args.ts_col)
+        print(json.dumps({"deleted": n}), file=out)
+    elif args.cmd == "compact":
+        print(json.dumps(cat.compact(args.key, target_file_mb=args.target_mb)), file=out)
+    elif args.cmd == "integrity":
+        for row in cat.integrity_check(args.pattern):
+            print(json.dumps({k: str(v) for k, v in row.items()}), file=out)
+    elif args.cmd == "sql":
+        from marketstore_spark.plans.sqlfront import MarketSQL
+
+        df = MarketSQL(cat).sql(args.statement)
+        for line in df.limit(args.limit).toJSON().collect():
+            print(line, file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""CLI tooling (reference cmd/connect, cmd/estimate, cmd/tool)."""
+
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog, load_table
+from marketstore_spark.cli import estimate_bytes, main
+
+
+@pytest.fixture()
+def store(spark, sf_dir, tmp_path):
+    root = os.path.join(str(tmp_path), "root")
+    cat = Catalog(spark, root)
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    cat.write("TSLA/1Min/TICK", ev)
+    cat.write("AAPL/1Min/TICK", ev.limit(100))
+    return root, cat
+
+
+def _run(spark, argv):
+    buf = io.StringIO()
+    rc = main(argv, spark=spark, out=buf)
+    assert rc == 0
+    return buf.getvalue().strip().splitlines()
+
+
+def test_cli_list_info_integrity(spark, store):
+    root, cat = store
+    assert _run(spark, ["--root", root, "list"]) == ["AAPL", "TSLA"]
+    assert _run(spark, ["--root", root, "list", "--format", "tbk"]) == [
+        "AAPL/1Min/TICK",
+        "TSLA/1Min/TICK",
+    ]
+    info = json.loads(_run(spark, ["--root", root, "info", "TSLA/1Min/TICK"])[0])
+    assert info["rows"] == "300"
+    rep = [json.loads(l) for l in _run(spark, ["--root", root, "integrity"])]
+    assert {r["key"] for r in rep} == {"AAPL/1Min/TICK", "TSLA/1Min/TICK"}
+
+
+def test_cli_trim_compact_ddl(spark, store):
+    root, cat = store
+    lo = cat.read("TSLA/1Min/TICK").agg(F.min("ts")).first()[0]
+    out = json.loads(
+        _run(spark, ["--root", root, "trim", "TSLA/1Min/TICK",
+                     "--start", str(lo), "--end", str(lo)])[0]
+    )
+    assert out["deleted"] >= 1
+    comp = json.loads(_run(spark, ["--root", root, "compact", "AAPL/1Min/TICK"])[0])
+    assert comp["files_after"] <= comp["files_before"]
+    _run(spark, ["--root", root, "create", "MSFT/1Min/TICK", "--like", "AAPL/1Min/TICK"])
+    assert "MSFT/1Min/TICK" in cat.list_buckets()
+    _run(spark, ["--root", root, "destroy", "MSFT/1Min/TICK"])
+    assert "MSFT/1Min/TICK" not in cat.list_buckets()
+
+
+def test_cli_sql_and_estimate(spark, store):
+    root, _ = store
+    rows = _run(spark, ["--root", root, "sql",
+                        "SELECT * FROM `TSLA/1Min/TICK` LIMIT 3", "--limit", "5"])
+    assert len(rows) == 3 and all(json.loads(r) for r in rows)
+    est = json.loads(_run(spark, ["estimate", "--symbols", "5000",
+                                  "--timeframe", "1Min", "--years", "5"])[0])
+    assert est["bytes"] == 5000 * 1440 * 252 * 5 * 48
+    with pytest.raises(ValueError):
+        estimate_bytes(1, "9Q", 1)
