@@ -1895,9 +1895,11 @@ def uda_adjust_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONT = [
     # round-1 driver-untested block, oracle-backed keys first
-    # (VERDICT r01: registered but no driver row)
-    "gapfill",
+    # (VERDICT r01: registered but no driver row).  dedup_exact leads:
+    # the first key executed absorbs session warmup (JVM, parquet
+    # footers, first codegen), so it should be a cheap plan.
     "dedup_exact",
+    "gapfill",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
