@@ -473,24 +473,47 @@ def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("__w.start").alias("epoch"), "vwap", "volume")
 
 
+# Bit-reproducible adjustment oracles: both engines read the SAME
+# power-table literals (operators/adjust.ratio_power_table) and compute
+# integer CA counts — no exp/ln/pow, whose libm rounding differs across
+# engines by an ulp and flips 4-decimal rounding at boundaries (seen at
+# sf0.1).  repr() emits shortest-roundtrip doubles; the DECIMAL→DOUBLE
+# cast in DuckDB restores the identical bits.  The final ROUND is also
+# emulated: Spark rounds the double's shortest decimal repr
+# (BigDecimal.valueOf) while DuckDB scales the binary double by 10^n
+# first, which can round the other way at boundaries — so the oracle
+# goes double→VARCHAR(shortest repr)→DECIMAL→ROUND, bit-matching
+# Spark's F.round on positive values.
+
+
+def _sql_pow_table(ratio: float) -> str:
+    from marketstore_spark.operators.adjust import ratio_power_table
+
+    vals = ", ".join(repr(v) for v in ratio_power_table(ratio))
+    return f"CAST(list_value({vals}) AS DOUBLE[])"
+
+
 @_register(
     "uda_adjust",
-    """
+    f"""
 WITH ca AS (
-  SELECT user_id, ts, 0.5 AS ratio FROM events
+  SELECT user_id, ts FROM events
   WHERE event_type = 'purchase' AND event_id % 97 = 0
 ), u AS (
-  SELECT user_id, ts, value, 1.0 AS ratio, 0 AS is_ca FROM events
+  SELECT user_id, ts, value, 0 AS is_ca FROM events
   UNION ALL
-  SELECT user_id, ts, NULL AS value, ratio, 1 AS is_ca FROM ca
+  SELECT user_id, ts, NULL AS value, 1 AS is_ca FROM ca
 ), f AS (
   SELECT user_id, ts, value, is_ca,
-         exp(sum(ln(ratio)) OVER (
+         SUM(is_ca) OVER (
            PARTITION BY user_id ORDER BY ts DESC, is_ca ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS factor
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n05
   FROM u
 )
-SELECT user_id, ts, value, ROUND(value * factor, 4) AS adjusted
+SELECT user_id, ts, value,
+       CAST(ROUND(CAST(CAST(
+         value * ({_sql_pow_table(0.5)})[CAST(n05 + 1 AS INT)]
+       AS VARCHAR) AS DECIMAL(35,16)), 4) AS DOUBLE) AS adjusted
 FROM f WHERE is_ca = 0
 """,
 )
@@ -529,6 +552,35 @@ def asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
         value_cols=["last_purchase_value"],
+    )
+
+
+@_register(
+    "asof_join_tolerance",
+    """
+SELECT l.event_id, l.ts, l.user_id, l.value,
+       CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 1 HOUR
+            THEN r.value END AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof tolerance
+    semantics): a prior purchase older than 1h is no match.  Same
+    union+window plan as asof_join — the bound rides the window, no
+    extra shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_purchase_value"], tolerance_seconds=3600,
     )
 
 
@@ -1392,6 +1444,26 @@ WHERE doc_id = keep_id AND n_words >= 5 AND punct_ratio < 0.2
 """
 
 
+@_register(
+    "corpus_stats",
+    """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+         AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM documents GROUP BY lang, source
+""",
+)
+def corpus_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus summary: the single-scan rollup a
+    pipeline consults before sampling/training."""
+    from marketstore_spark.operators.text import corpus_stats
+
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
 @_register("corpus_filter_pipeline", _pipeline_sql())
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: exact-dedup (keep the
@@ -1728,6 +1800,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "ann_filtered",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+c AS (SELECT * FROM e WHERE label = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM q, c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: top-k among corpus vectors matching a
+    predicate (here label = 0) — the filter prunes BEFORE candidate
+    scoring, so a selective predicate shrinks the search, it never
+    post-filters a fixed top-k (which under-fills k)."""
+    from marketstore_spark.operators.simsearch import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.filter(F.col("label") == 0), emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register("ann_lsh")  # approximate: rows-only check; recall vs brute in pytest
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstore_spark.operators.simsearch import lsh_topk
@@ -1855,17 +1959,24 @@ WITH ca AS (
   SELECT CAST(symbol AS BIGINT) AS user_id, ex_ts AS ts, ratio
   FROM ({_CA_CTE})
 ), u AS (
-  SELECT user_id, ts, value, 1.0 AS ratio, 0 AS is_ca FROM events
+  SELECT user_id, ts, value, CAST(NULL AS DOUBLE) AS ratio, 0 AS is_ca FROM events
   UNION ALL
   SELECT user_id, ts, NULL AS value, ratio, 1 AS is_ca FROM ca
 ), f AS (
   SELECT user_id, ts, value, is_ca,
-         exp(sum(ln(ratio)) OVER (
-           PARTITION BY user_id ORDER BY ts DESC, is_ca ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS factor
+         SUM(CASE WHEN is_ca = 1 AND ratio = CAST(0.5 AS DOUBLE)
+                  THEN 1 ELSE 0 END) OVER w AS n05,
+         SUM(CASE WHEN is_ca = 1 AND ratio = CAST(0.98 AS DOUBLE)
+                  THEN 1 ELSE 0 END) OVER w AS n98
   FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, is_ca ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT user_id, ts, value, ROUND(value * factor, 4) AS adjusted
+SELECT user_id, ts, value,
+       CAST(ROUND(CAST(CAST(
+         value * (({_sql_pow_table(0.5)})[CAST(n05 + 1 AS INT)]
+                  * ({_sql_pow_table(0.98)})[CAST(n98 + 1 AS INT)])
+       AS VARCHAR) AS DECIMAL(35,16)), 4) AS DOUBLE) AS adjusted
 FROM f WHERE is_ca = 0
 """,
 )
@@ -1914,6 +2025,9 @@ _FRONT = [
     "uda_adjust_ca",
     "list_symbols_tbk",
     "vwap",
+    "ann_filtered",
+    "corpus_stats",
+    "asof_join_tolerance",
     # round-1 driver-untested, rows-only by design (approximate /
     # iterative operators; value checks live in pytest)
     "dedup_clusters",
