@@ -4,17 +4,25 @@ Media is carried as an opaque ``binary`` payload column plus a typed
 metadata struct — the layout a 100 TB multimodal corpus uses (payload
 bytes in parquet, metadata queryable without touching bytes).  The
 Spark-side plumbing (schemas, Arrow-batched mapInPandas, partition
-behavior) is real and tested; the actual image/audio codecs are NOT
-available in this environment, so decode is stubbed: by default it
-raises NotImplementedError, and tests use the deterministic fake
-decoder to exercise the pipeline end to end.
+behavior) is real and tested.
+
+Codecs: UNCOMPRESSED formats decode for real with stdlib + numpy —
+24-bit BMP (struct-parsed header + pixel array) and PCM WAV (stdlib
+``wave``), including a real nearest-neighbor BMP resize.  Compressed
+codecs (png/jpeg/mp4 — libs not in this environment) raise
+NotImplementedError; the deterministic fake decoder remains injectable
+for pipeline tests over arbitrary payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -76,11 +84,101 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Real uncompressed codecs (stdlib + numpy only)
+# ---------------------------------------------------------------------
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """H×W×3 uint8 (RGB) → 24-bit uncompressed BMP bytes."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
+        # BMP stores BGR
+        body += pixels[y, :, ::-1].tobytes() + b"\x00" * pad
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """24-bit uncompressed BMP bytes → H×W×3 uint8 (RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    rows = [
+        np.frombuffer(payload, np.uint8, count=row, offset=offset + y * stride)
+        for y in range(abs(h))
+    ]
+    arr = np.stack(rows).reshape(abs(h), w, 3)
+    if h > 0:
+        arr = arr[::-1]  # bottom-up → top-down
+    return arr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """PCM WAV bytes → (sample_rate, int16 samples of first channel)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV")
+        rate = wf.getframerate()
+        frames = np.frombuffer(wf.readframes(wf.getnframes()), "<i2")
+        return rate, frames[:: wf.getnchannels()].copy()
+
+
 def _real_decode(payload: bytes, fmt: str) -> bytes:
+    """Decode a payload into a deterministic fixed-layout feature block.
+
+    bmp → (w, h, per-channel mean and std ×1000) as little-endian u32;
+    wav → (rate, n_samples, rms ×1000, zero-crossings).  Compressed
+    codec formats raise — their libs (PIL/ffmpeg) aren't in this
+    environment — and the caller records decoded_ok=0.
+    """
+    if fmt == "bmp":
+        px = decode_bmp(payload).astype(np.float64)
+        stats = [int(px[..., c].mean() * 1000) for c in range(3)]
+        stats += [int(px[..., c].std() * 1000) for c in range(3)]
+        return struct.pack("<8I", px.shape[1], px.shape[0], *stats)
+    if fmt == "wav":
+        rate, s = decode_wav(payload)
+        x = s.astype(np.float64)
+        rms = int(np.sqrt((x**2).mean()) * 1000) if len(x) else 0
+        zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
+        return struct.pack("<4I", rate, len(s), rms, zc)
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/librosa) are not available in this "
-        "environment; pass decoder=fake_decode to exercise the pipeline"
+        f"codec for {fmt!r} (PIL/ffmpeg/librosa) is not available in this "
+        "environment; uncompressed bmp/wav decode natively, or pass "
+        "decoder=fake_decode to exercise the pipeline"
     )
+
+
+def resize_nearest(pixels: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Nearest-neighbor resample of an H×W×3 array (pure numpy)."""
+    src_h, src_w, _ = pixels.shape
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return pixels[ys][:, xs]
 
 
 def fake_decode(payload: bytes, fmt: str) -> bytes:
@@ -111,7 +209,9 @@ def extract_features(
                 try:
                     block = decoder(bytes(payload), fmt)
                     feats.append((mid, kind, len(block), block.hex()[:16], 1))
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — missing codec OR corrupt
+                    # payload: at corpus scale both are data, not bugs;
+                    # flag the row instead of failing the job
                     feats.append((mid, kind, 0, "", 0))
             yield pd.DataFrame(
                 feats, columns=["media_id", "kind", "feat_dim", "feat_norm", "decoded_ok"]
@@ -128,14 +228,18 @@ def resize_images(
 ) -> DataFrame:
     """Resize plan for image media via Arrow-batched mapInPandas.
 
-    Without a real codec the default resizer is a deterministic fake
-    (content-hash-seeded bytes of width*height length, so output size
-    is verifiable); the Spark-side contract — schema, batch shape,
-    payload round-trip, metadata update — is real.  Batches stream
-    through Arrow; payload bytes never land on the driver.
+    BMP payloads resize for REAL (numpy nearest-neighbor, re-encoded as
+    BMP); formats whose codecs aren't in this environment fall back to
+    a deterministic fake (content-hash-seeded bytes of width*height
+    length, so output size is verifiable).  The Spark-side contract —
+    schema, batch shape, payload round-trip, metadata update — is the
+    same either way.  Batches stream through Arrow; payload bytes never
+    land on the driver.
     """
     if resizer is None:
         def resizer(payload: bytes, fmt: str, w: int, h: int) -> bytes:
+            if fmt == "bmp":
+                return encode_bmp(resize_nearest(decode_bmp(payload), w, h))
             h0 = hashlib.sha256(payload or b"").digest()
             reps = (w * h) // len(h0) + 1
             return (h0 * reps)[: w * h]
