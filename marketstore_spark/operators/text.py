@@ -44,6 +44,21 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus rollup — the summary a pipeline reads
+    before deciding what to train on: document count, characters,
+    whitespace tokens, and the smallest doc id as a stable exemplar.
+    Single scan, one combiner-friendly hash aggregate."""
+    t = F.col(text_col)
+    ws_tokens = F.when(_nonempty(t), F.size(F.split(F.trim(t), _WS))).otherwise(F.lit(0))
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(ws_tokens).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def term_stats(
     df: DataFrame, top_k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
