@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from marketstore_spark.catalog import Catalog
+from marketstore_spark.operators.ca import CA_BUCKET
 from marketstore_spark.operators import slice as slice_ops
 from marketstore_spark.plans.query import parse_function_call, QueryParams, REGISTRY
 from marketstore_spark.plans.sqlfront import MarketSQL
@@ -136,6 +137,10 @@ class Client:
                     )
             df = slice_ops.project_columns(df, params.columns)
             qp = QueryParams(ts_col=self.ts_col, symbol_col="__symbol")
+            if any(c.lstrip().lower().startswith("adjust") for c in params.functions):
+                # the adjust UDA reads the store's CA bucket, exactly
+                # like the reference's caloader pulls from the catalog
+                qp.ca_df = self.catalog.read(CA_BUCKET)
             for call in params.functions:
                 name, args = parse_function_call(call)
                 df = REGISTRY[name](df.withColumn("__symbol", F.lit(key.split("/")[0])), qp, args)

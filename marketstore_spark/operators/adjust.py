@@ -44,6 +44,7 @@ def adjust(
     ratio_col: str = "ratio",
     round_to: int = 4,
     exact_ratio_limit: int = 8,
+    ratios: Sequence[float] | None = None,
 ) -> DataFrame:
     """Return ``prices`` with ``adjusted`` = price × ∏(ratio of CAs with
     ca_ts strictly > row ts), per key.  Matches uda/adjust semantics
@@ -58,7 +59,8 @@ def adjust(
     ulp and flip 4-decimal rounding at boundaries — anywhere on the
     path.  Falls back to the running exp(sum(ln)) product for
     pathological ratio sets; the distinct-ratio probe is a collect on
-    the CA table, which is dims-scale by construction.
+    the CA table, which is dims-scale by construction — pass ``ratios``
+    when the caller already knows the set to skip the probe job.
     """
     keys = list(key_cols)
     p = prices.select(
@@ -84,11 +86,13 @@ def adjust(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    ratios = sorted(
-        r[0]
-        for r in actions.select(ratio_col).distinct().collect()
-        if r[0] is not None
-    )
+    if ratios is None:
+        ratios = [
+            r[0]
+            for r in actions.select(ratio_col).distinct().collect()
+            if r[0] is not None
+        ]
+    ratios = sorted(ratios)
     if 0 < len(ratios) <= exact_ratio_limit and all(r > 0 for r in ratios):
         # exact path: factor = ∏ ratio^count(later CAs with that ratio)
         factor = F.lit(1.0)

@@ -30,6 +30,10 @@ CA_TYPES = ("split", "reverse_split", "dividend")
 
 CA_SCHEMA = "symbol string, ex_ts timestamp, ratio double, type string"
 
+#: Canonical catalog bucket for corporate actions (the reference keeps
+#: CA data in its own per-symbol buckets; one combined bucket here).
+CA_BUCKET = "CA/EVENT/ACTIONS"
+
 
 def synthetic_corporate_actions(events: DataFrame) -> DataFrame:
     """Deterministic CA table derived from the test tick stream (the
@@ -81,7 +85,7 @@ def parse_announcements(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def ingest_announcements(catalog, path: str, key: str = "CA/EVENT/ACTIONS") -> int:
+def ingest_announcements(catalog, path: str, key: str = CA_BUCKET) -> int:
     """Append parsed announcements to the catalog's CA bucket (the
     analogue of contrib/ice's reorg import writing per-symbol CA
     buckets; one combined bucket here — symbol is a column, and the
@@ -114,6 +118,7 @@ def adjust_with_actions(
     price_col: str = "value",
     include_splits: bool = True,
     include_dividends: bool = True,
+    ratios: list[float] | None = None,
 ) -> DataFrame:
     """Backward-adjust ``prices`` against a first-class CA table
     (uda/adjust applied to caloader's rate changes)."""
@@ -127,5 +132,6 @@ def adjust_with_actions(
         "ratio",
     )
     return adjust(
-        prices, rc, key_cols=(symbol_col,), ts_col=ts_col, price_col=price_col
+        prices, rc, key_cols=(symbol_col,), ts_col=ts_col, price_col=price_col,
+        ratios=ratios,
     )

@@ -39,6 +39,10 @@ class QueryParams:
     ts_col: str = "ts"
     value_col: str = "value"
     tiebreak: Sequence[str] = ("event_id",)
+    # corporate-actions table for the adjust() UDA — the reference's
+    # adjust loads this from the catalog's CA bucket (uda/adjust/
+    # caloader.go); Client.query wires it in when the bucket exists
+    ca_df: DataFrame | None = None
 
 
 Operator = Callable[[DataFrame, QueryParams, list[str]], DataFrame]
@@ -60,6 +64,32 @@ def _gap(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
         )
     return uda.gap_zscore(
         df, key_cols=[p.symbol_col], ts_col=p.ts_col, order_tiebreak=p.tiebreak
+    )
+
+
+def _adjust(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    """adjust('split,dividend'): backward price adjustment against the
+    catalog's CA table (uda/adjust; GetRateChanges' includeSplits /
+    includeDividends map to the kind list)."""
+    if p.ca_df is None:
+        raise ValueError(
+            "adjust() needs a corporate-actions table: populate the "
+            "CA/EVENT/ACTIONS bucket (operators/ca.ingest_announcements) "
+            "or set QueryParams.ca_df"
+        )
+    from marketstore_spark.operators.ca import adjust_with_actions
+
+    # the arg parser splits on commas, so accept both adjust('split') /
+    # adjust('split,dividend') spellings
+    kinds = [k for a in args for k in a.split(",")] or ["split", "dividend"]
+    return adjust_with_actions(
+        df,
+        p.ca_df,
+        symbol_col=p.symbol_col,
+        ts_col=p.ts_col,
+        price_col=p.value_col,
+        include_splits="split" in kinds,
+        include_dividends="dividend" in kinds,
     )
 
 
@@ -88,6 +118,7 @@ REGISTRY: dict[str, Operator] = {
     "avg": _scalar("avg"),
     "count": _scalar("count"),
     "gap": _gap,
+    "adjust": _adjust,
     "tickcandler": _tickcandler,
     "candlecandler": _candlecandler,
 }

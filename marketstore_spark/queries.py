@@ -527,7 +527,7 @@ def uda_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 97 == 0))
         .select("user_id", "ts", F.lit(0.5).alias("ratio"))
     )
-    return adjust(ev.select("user_id", "ts", "value"), ca)
+    return adjust(ev.select("user_id", "ts", "value"), ca, ratios=[0.5])
 
 
 @_register(
@@ -1991,7 +1991,9 @@ def uda_adjust_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ca = synthetic_corporate_actions(ev)
-    return adjust_with_actions(ev.select("user_id", "ts", "value"), ca)
+    return adjust_with_actions(
+        ev.select("user_id", "ts", "value"), ca, ratios=[0.5, 0.98]
+    )
 
 
 # =====================================================================

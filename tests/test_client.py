@@ -125,3 +125,39 @@ def test_list_symbols_formats_and_hadoop_fs_listing(spark, sf_dir, tmp_path):
     # custom key category reorders the slots
     k2 = TimeBucketKey("1Min/TSLA/TICK", key_category="Timeframe/Symbol/AttributeGroup")
     assert (k2.symbol, k2.timeframe, k2.attribute_group) == ("TSLA", "1Min", "TICK")
+
+
+def test_client_adjust_uda_reads_ca_bucket(spark, tmp_path):
+    """The adjust() UDA in a client function chain pulls rate changes
+    from the store's CA bucket (caloader analogue)."""
+    import datetime as dt
+    import os
+
+    from marketstore_spark.catalog import Catalog
+    from marketstore_spark.operators.ca import ingest_announcements
+
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    prices = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), "AAPL", 100.0),
+            (2, dt.datetime(2024, 1, 15), "AAPL", 100.0),
+        ],
+        "event_id long, ts timestamp, symbol string, value double",
+    )
+    cat.write("AAPL/1Min/TICK", prices)
+    f = tmp_path / "reorg"
+    f.write_text("SPLIT|AAPL|2024-01-10|0.5\nDIVIDEND|AAPL|2024-01-20|0.9\n")
+    ingest_announcements(cat, str(f))
+
+    client = Client(cat)
+    reply = client.query(
+        Params("AAPL", "1Min", "TICK", functions=["adjust('split,dividend')"])
+    )
+    got = {r["ts"].day: r["adjusted"] for r in reply.first().dataframe().collect()}
+    assert got[5] == round(100.0 * 0.5 * 0.9, 4)
+    assert got[15] == round(100.0 * 0.9, 4)
+
+    # split-only selection
+    reply2 = client.query(Params("AAPL", "1Min", "TICK", functions=["adjust('split')"]))
+    got2 = {r["ts"].day: r["adjusted"] for r in reply2.first().dataframe().collect()}
+    assert got2[5] == 50.0 and got2[15] == 100.0
