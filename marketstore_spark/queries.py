@@ -891,6 +891,47 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "skew_salted_agg",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-phase salt (functions/skew):
+    event_type has a handful of values, so a plain groupBy funnels each
+    into one task; the salted plan spreads phase 1 over (key, salt) and
+    merges tiny partials in phase 2.  Results are decimal-exact and
+    identical to the plain GROUP BY oracle — salting is pure plan
+    shape."""
+    from marketstore_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "s": F.sum(_dec("value")),
+            "mn": F.min("value"),
+            "mx": F.max("value"),
+        },
+        {
+            "n_events": F.sum("n"),
+            "total_value": F.sum("s").cast("double"),
+            "min_value": F.min("mn"),
+            "max_value": F.max("mx"),
+            "avg_value": (F.sum("s").cast("double") / F.sum("n")),
+        },
+    )
+
+
+@_register(
     "percentiles",
     """
 SELECT user_id, quantile_cont(value, 0.5) AS p50,
@@ -2030,6 +2071,7 @@ _FRONT = [
     "ann_filtered",
     "corpus_stats",
     "asof_join_tolerance",
+    "skew_salted_agg",
     # round-1 driver-untested, rows-only by design (approximate /
     # iterative operators; value checks live in pytest)
     "dedup_clusters",

@@ -63,6 +63,41 @@ def test_q18_no_static_broadcast_of_keylist(spark, sf_dir):
     assert "LeftSemi" in optimized
 
 
+def test_ann_filtered_predicate_reaches_scan(spark, sf_dir):
+    """ann_filtered: the corpus metadata predicate must prune at the
+    parquet scan, BEFORE any scoring work."""
+    plan = explain_str(SPARK_QUERIES["ann_filtered"](spark, sf_dir))
+    assert "PushedFilters" in plan and "label" in plan
+
+
+def test_corpus_stats_single_shuffle(spark, sf_dir):
+    """corpus_stats is one hash aggregate: partial map-side, one
+    exchange on (lang, source), final merge."""
+    import re
+
+    plan = explain_str(SPARK_QUERIES["corpus_stats"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_skew_salted_agg_two_phase(spark, sf_dir):
+    """The salted aggregation must shuffle twice — (key, salt) then
+    key — with partial aggregation before each; and match the plain
+    groupBy result exactly."""
+    import re
+
+    df = SPARK_QUERIES["skew_salted_agg"](spark, sf_dir)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["event_type"]: r["n_events"] for r in df.collect()}
+    assert got == plain
+
+
 def test_candler_single_shuffle(spark, sf_dir):
     """The candle aggregation must be one shuffle (partial → final),
     not a window-sort pipeline."""
