@@ -241,8 +241,10 @@ def ivf_topk(
     centroids broadcast (nlist × dim floats), assignment is map-side,
     and the only shuffle is the list-id join — candidate volume is
     ~nprobe/nlist of the corpus per query instead of O(n).  At 100 TB
-    the corpus side would be written bucketed by list id so repeated
-    queries skip the assignment scan entirely.  Recall/latency knobs:
+    build the persisted layout instead (:func:`build_ivf_index` /
+    :func:`ivf_topk_indexed`): the corpus lands partitioned by list id
+    and repeated queries skip the assignment scan entirely via
+    partition pruning.  Recall/latency knobs:
     raise ``nprobe`` (linear candidate growth) or ``nlist`` (finer
     lists, cheaper probes).  Recall vs brute force is pinned in pytest.
     """
@@ -264,6 +266,106 @@ def ivf_topk(
     ).withColumn("list_id", F.explode(assignp(F.col("qv"))))
     cand = (
         c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+IVF_INDEX_BUCKET = "ANN/IVF/INDEX"
+IVF_CENTROID_BUCKET = "ANN/IVF/CENTROIDS"
+
+
+def build_ivf_index(
+    catalog,
+    corpus: DataFrame,
+    index_key: str = IVF_INDEX_BUCKET,
+    centroid_key: str = IVF_CENTROID_BUCKET,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index INTO the bucket store: the corpus is
+    written partitioned by inverted-list id, and the centroids land in
+    a sidecar bucket.  This is the 100 TB steady state the ivf_topk
+    docstring promises — assignment runs once at build time, and every
+    later query turns its probe set into PARTITION PRUNING on the
+    scan: only nprobe/nlist of the corpus files are ever opened.
+    Returns the centroid matrix."""
+    from marketstore_spark.catalog import TimeBucketKey
+
+    centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
+    assign1 = _ivf_prober(centroids, 1)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(assign1(_as_double(vec_col)), 1).alias("list_id"),
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        TimeBucketKey(index_key).path(catalog.root)
+    )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "list_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        TimeBucketKey(centroid_key).path(catalog.root)
+    )
+    return centroids
+
+
+def load_ivf_centroids(catalog, centroid_key: str = IVF_CENTROID_BUCKET) -> np.ndarray:
+    rows = catalog.read(centroid_key).orderBy("list_id").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk_indexed(
+    catalog,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    index_key: str = IVF_INDEX_BUCKET,
+    centroid_key: str = IVF_CENTROID_BUCKET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the persisted IVF index.  The query batch is small by
+    definition, so its probed list ids collect to a LITERAL in-filter —
+    static partition pruning the scan provably honors (PartitionFilters
+    in explain; the plan test pins it) — then candidates re-rank by
+    exact cosine exactly as the ad-hoc path does."""
+    centroids = load_ivf_centroids(catalog, centroid_key)
+    assignp = _ivf_prober(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("list_id", F.explode(assignp(F.col("qv"))))
+    probe_rows = q.select("query_id", "qv", "list_id").collect()
+    probed_lists = sorted({r["list_id"] for r in probe_rows})
+
+    corpus = catalog.read(index_key).filter(F.col("list_id").isin(probed_lists))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        F.col("list_id"),
+    )
+    spark = queries.sparkSession
+    qdf = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["list_id"]) for r in probe_rows],
+        "query_id long, qv array<double>, list_id int",
+    )
+    cand = (
+        c.join(F.broadcast(qdf), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -250,3 +250,30 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_index_store_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probing must turn into partition pruning on
+    the list_id-partitioned corpus (PartitionFilters in the scan), and
+    results must equal the ad-hoc ivf_topk with the same centroids."""
+    from marketstore_spark.catalog import Catalog
+    from marketstore_spark.operators.simsearch import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    centroids = build_ivf_index(cat, emb, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    got = ivf_topk_indexed(cat, queries, k=5, nprobe=2)
+    plan = explain_str(got)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "list_id" in m[0], plan[:3000]
+
+    want = ivf_topk(emb, queries, k=5, nprobe=2, nlist=8, centroids=centroids)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert a == b and len(a) == 25
