@@ -155,3 +155,48 @@ def test_asof_join_matches_bisect_model(spark, lefts, rights):
         j = bisect.bisect_right(rts, off)
         want = rs[j - 1][2] if j else None
         assert got[i] == want, (i, off, got[i], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(st.integers(-5_000_000, 5_000_000), min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(-5_000_000, 5_000_000), st.integers(0, 500_000)),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket=st.sampled_from([3600, 86400, 100_000]),
+)
+def test_interval_join_matches_naive_incl_pre_epoch(spark, points, ivs, bucket):
+    """Bucket-blocked interval join == the naive O(n·m) definition on
+    BOTH sides of the 1970 epoch (truncation-vs-floor bucketing would
+    drop matches for negative epoch seconds)."""
+    from marketstore_spark.operators.rangejoin import interval_join
+
+    # anchored at 1970 so offsets straddle epoch 0 (negative unix micros)
+    base = dt.datetime(1970, 1, 1)
+    pdf = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=off)) for i, off in enumerate(points)],
+        "pid long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+            for j, (s, d) in enumerate(ivs)
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, idf, ts_col="ts", start_col="start_ts", end_col="end_ts",
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, off in enumerate(points)
+        for j, (s, d) in enumerate(ivs)
+        if s <= off < s + d
+    }
+    assert got == want
