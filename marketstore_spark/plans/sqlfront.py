@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from marketstore_spark.catalog import Catalog, TimeBucketKey
 from marketstore_spark.operators.candler import candle_candles, tick_candles
@@ -35,7 +36,7 @@ _CREATE_VIEW_RE = re.compile(
     r"^\s*create\s+view\s+(\w+)\s+as\s+(.*)$", re.I | re.S
 )
 _CANDLER_RE = re.compile(
-    r"^\s*select\s+(tickcandler|candlecandler)\s*\((.*?)\)\s+from\s+(\S+)"
+    r"^\s*select\s+(tickcandler|candlecandler|gap|adjust)\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
 )
@@ -54,6 +55,7 @@ class MarketSQL:
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
         self.spark = catalog.spark
+        self._view_keys: dict[str, str] = {}  # temp view -> TBK it serves
 
     # -- public -----------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
@@ -89,6 +91,7 @@ class MarketSQL:
             key = m.group(1)
             view = "tbk_" + re.sub(r"[^A-Za-z0-9_]", "_", key)
             self.catalog.read(key).createOrReplaceTempView(view)
+            self._view_keys[view] = key
             return view
 
         return _TBK_RE.sub(repl, stmt)
@@ -112,6 +115,51 @@ class MarketSQL:
             base = base.filter(where)
         ts_col = _pick_ts_col(base)
 
+        if fname.lower() == "gap":
+            # SELECT gap(1800) — threshold mode; gap() — z-score mode
+            # (uda/gap/gap.go's two modes through the SQL registry)
+            from marketstore_spark.operators import uda
+
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            out = (
+                uda.gap_threshold(
+                    base, float(args[0].strip("'\"")), key_cols=(), ts_col=ts_col,
+                    order_tiebreak=tiebreak,
+                )
+                if args
+                else uda.gap_zscore(
+                    base, key_cols=(), ts_col=ts_col, order_tiebreak=tiebreak
+                )
+            )
+            if limit:
+                out = out.orderBy("prev_ts").limit(int(limit))
+            return out
+        if fname.lower() == "adjust":
+            # SELECT adjust('split,dividend', Price) — symbol comes from
+            # the statement's TBK, rate changes from the CA bucket
+            # (uda/adjust through the SQL registry + caloader)
+            from marketstore_spark.operators.ca import CA_BUCKET, adjust_with_actions
+
+            # re-split rawargs: quoted strings are kind lists (the
+            # naive comma split above severs them), bare words columns
+            parts = re.findall(r"'([^']*)'|\"([^\"]*)\"|([A-Za-z_]\w*)", rawargs)
+            kinds = [
+                k for a, b, _ in parts if (a or b) for k in (a or b).split(",") if k
+            ] or ["split", "dividend"]
+            price_cols = [c for _, _, c in parts if c]
+            symbol = self._view_keys.get(view, "/").split("/")[0]
+            out = adjust_with_actions(
+                base.withColumn("__symbol", F.lit(symbol)),
+                self.catalog.read(CA_BUCKET),
+                symbol_col="__symbol",
+                ts_col=ts_col,
+                price_col=price_cols[0] if price_cols else "value",
+                include_splits="split" in kinds or "reverse_split" in kinds,
+                include_dividends="dividend" in kinds,
+            ).drop("__symbol")
+            if limit:
+                out = out.orderBy(ts_col).limit(int(limit))
+            return out
         if fname.lower() == "tickcandler":
             # tickcandler('5Min', Price, Sum::Volume) — one price column
             # (tickcandler.go:Init), extras tagged Sum::/Avg::.

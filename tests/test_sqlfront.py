@@ -109,3 +109,45 @@ def test_show_and_describe_passthrough(msql, spark):
     msql.sql("CREATE VIEW showme AS SELECT 1 AS one;")
     shown = {r["tableName"] for r in msql.sql("SHOW TABLES;").collect()}
     assert "showme" in shown
+
+
+def test_sql_gap_and_adjust_udas(spark, sf_dir, tmp_path):
+    """The SQL registry's gap and adjust UDAs (sqlparser/registry.go
+    NewDefaultAggRunner) work through MarketSQL: gap(threshold) over a
+    bucket; adjust() pulling rate changes from the CA bucket."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.catalog import Catalog
+    from marketstore_spark.operators.ca import ingest_announcements
+    from marketstore_spark.operators.uda import gap_threshold
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.plans.sqlfront import MarketSQL
+
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    cat.write("SYM1/1Min/TICK", ev)
+    msql = MarketSQL(cat)
+
+    got = msql.sql("SELECT gap(1800) FROM `SYM1/1Min/TICK`")
+    want = gap_threshold(ev, 1800.0, key_cols=(), order_tiebreak=["event_id"])
+    assert got.count() == want.count() > 0
+
+    prices = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), 100.0),
+            (2, dt.datetime(2024, 1, 15), 100.0),
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    cat.write("AAPL/1D/TICK", prices)
+    f = tmp_path / "reorg"
+    f.write_text("SPLIT|AAPL|2024-01-10|0.5\n")
+    ingest_announcements(cat, str(f))
+    adj = {
+        r["ts"].day: r["adjusted"]
+        for r in msql.sql("SELECT adjust('split,dividend', value) FROM `AAPL/1D/TICK`").collect()
+    }
+    assert adj == {5: 50.0, 15: 100.0}
