@@ -55,3 +55,44 @@ def test_dedup_empty_and_whitespace_docs(spark, empty_docs):
     # whitespace-only docs are excluded from shingling, short docs from
     # 3-gram shingles: no pairs, no crash
     assert minhash_lsh_pairs(ws).count() == 0
+
+
+def test_adjust_empty_ca_table(spark, sf_dir):
+    """No corporate actions → adjusted == value (rounded), never a
+    throw; exercises the exact path's empty-ratio fallback."""
+    from marketstore_spark.operators.adjust import adjust
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value").limit(50)
+    empty_ca = spark.createDataFrame([], "user_id long, ts timestamp, ratio double")
+    out = adjust(ev, empty_ca)
+    assert out.count() == 50
+    assert out.filter(F.col("adjusted") != F.round(F.col("value"), 4)).count() == 0
+
+
+def test_interval_join_empty_sides(spark, empty_events):
+    from marketstore_spark.operators.rangejoin import interval_join
+
+    ivs = spark.createDataFrame([], "iid long, start_ts timestamp, end_ts timestamp")
+    out = interval_join(
+        empty_events.select("ts"), ivs, start_col="start_ts", end_col="end_ts"
+    )
+    assert out.count() == 0
+
+
+def test_parse_announcements_empty_file(spark, tmp_path):
+    from marketstore_spark.operators.ca import parse_announcements
+
+    f = tmp_path / "empty.reorg"
+    f.write_text("H0|header-only\n# nothing else\n")
+    out = parse_announcements(spark, str(f))
+    assert out.count() == 0
+    assert out.columns == ["symbol", "ex_ts", "ratio", "type"]
+
+
+def test_corpus_stats_empty(spark):
+    from marketstore_spark.operators.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert corpus_stats(docs).count() == 0
