@@ -21,7 +21,22 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from marketstore_spark.operators.candler import timeframe_to_duration
+from marketstore_spark.operators.candler import _CALENDAR, _bucket
+
+
+def _stream_bucket(ts_col: str, timeframe: str):
+    """The SAME bucket expression the batch candler aggregates with —
+    so a 1W stream is Monday-aligned like its batch backfill (plain
+    F.window weeks start Thursday).  Calendar-variable timeframes
+    (1Mo/1Y) are rejected: they are not fixed windows, so streaming
+    state could not be watermark-evicted — roll those up from the 1D
+    stream in batch."""
+    if timeframe in _CALENDAR:
+        raise ValueError(
+            f"{timeframe!r} is calendar-variable; streaming rollups support "
+            "fixed windows only — derive it in batch from the 1D bucket"
+        )
+    return _bucket(ts_col, timeframe)
 
 
 def stream_candles(
@@ -39,11 +54,10 @@ def stream_candles(
     max_by on a (ts, tiebreak) struct, exact min/max/count/sum) so batch
     backfill and streaming maintenance produce identical rows.
     """
-    dur = timeframe_to_duration(timeframe)
     ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(*key_cols, F.window(F.col(ts_col), dur).alias("__w"))
+        .groupBy(*key_cols, _stream_bucket(ts_col, timeframe).alias("__w"))
         .agg(
             F.min_by(price_col, ok).alias("open"),
             F.max(price_col).alias("high"),
@@ -91,11 +105,10 @@ def stream_vwap(
     weight 1) — marketstore's tick stream has no volume either.  Same
     windowed-agg state shape as stream_candles: O(keys × open windows),
     watermark-expired."""
-    dur = timeframe_to_duration(timeframe)
     w = F.lit(1.0) if volume_col is None else F.col(volume_col)
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(*key_cols, F.window(F.col(ts_col), dur).alias("__w"))
+        .groupBy(*key_cols, _stream_bucket(ts_col, timeframe).alias("__w"))
         .agg(
             (F.sum(F.col(price_col) * w) / F.sum(w)).alias("vwap"),
             F.count(F.lit(1)).alias("n"),

@@ -367,3 +367,32 @@ def test_market_calendar_gated_feeder(spark):
     for t in sweep:
         want = cal.is_market_open(t.replace(tzinfo=dt.timezone.utc))
         assert got[t] == want, t
+
+
+def test_stream_weekly_rollup_monday_aligned(spark, sf_dir, tmpdir):
+    """A 1W streaming rollup must produce the SAME Monday-aligned
+    buckets as the batch candler (plain F.window weeks start Thursday);
+    calendar timeframes are rejected up front."""
+    import pytest
+
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    candles = stream_candles(stream, "1W", watermark="365 days")
+    q = (
+        candles.writeStream.format("memory")
+        .queryName("rollup_1w_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from rollup_1w_test").toPandas()
+    assert all(e.weekday() == 0 for e in got["epoch"])
+    want = tick_candles(ev, "1W", sum_cols=["value"], include_count=True).toPandas()
+    g = got.sort_values(["user_id", "epoch"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "epoch"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["close"].values == w["close"].values).all()
+
+    with pytest.raises(ValueError, match="calendar-variable"):
+        stream_candles(stream, "1Mo")
