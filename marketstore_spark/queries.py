@@ -1307,6 +1307,240 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+      OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by year — a 6-way join
+    where the disjunctive nation-pair predicate sits ABOVE two
+    broadcast dim joins; facts join facts on their natural keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation")))
+    vol = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,4)")
+    # pair predicate on key parity (a literal nation pair is empty at
+    # tiny sf — only 10 suppliers exist at sf0.001); same disjunctive
+    # two-dim shape as the original FRANCE/GERMANY filter
+    pair = (
+        ((F.col("n1k") % 2 == 0) & (F.col("n2k") % 2 == 1))
+        | ((F.col("n1k") % 2 == 1) & (F.col("n2k") % 2 == 0))
+    )
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1k"))
+        .join(n2, F.col("c_nationkey") == F.col("n2k"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+SELECT o_year, CAST(CAST(SUM(nat_volume) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+         CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END AS nat_volume
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+)
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's part-type trade
+    per year — 8-way join, conditional decimal aggregation (CASE keeps
+    DECIMAL; the ratio is the single final double division)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1k"), F.col("n_regionkey").alias("n1r"))
+    n2 = n.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("supp_nation"))
+    vol = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,4)")
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1k"))
+        .join(F.broadcast(r), F.col("n1r") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2k"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over a LEFT OUTER join
+    with a predicate on the preserved side's partner (customers with
+    zero qualifying orders must survive into the c_count=0 bin)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q17_small_quantity",
+    """
+WITH pa AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+  AND CAST(5 AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) * pa.n < pa.s
+""",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity orders vs the per-part average —
+    the correlated AVG subquery becomes a self-agg join, and the
+    ``qty < 0.2·avg`` comparison is rearranged to the exact integer/
+    decimal form ``5·qty·n < sum`` so no engine-specific double
+    average sits on the decision boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("l_quantity")).alias("s")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_key"))
+        .filter(
+            F.lit(5).cast("decimal(18,2)") * _dec("l_quantity") * F.col("n") < F.col("s")
+        )
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q22_sales_opportunity",
+    """
+WITH pos AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * (SELECT n FROM pos) > (SELECT s FROM pos)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY n.n_name
+""",
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, by nation — scalar aggregate subquery (broadcast) + anti
+    join.  The ``bal > avg`` test is the exact cross-multiplied form
+    ``bal·n > sum`` (no double average on the boundary); the reference
+    schema has no phone column, so 'recent orders' stands in for the
+    original's country-prefix filter."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("pos_n"), F.sum(_dec("c_acctbal")).alias("pos_s")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("pos_n") > F.col("pos_s"))
+        .join(o.select(F.col("o_custkey").alias("__ok")).distinct(),
+              F.col("c_custkey") == F.col("__ok"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@_register(
     "top_symbols",
     """
 SELECT user_id, total_value, CAST(rn AS BIGINT) AS rank FROM (
@@ -2072,6 +2306,11 @@ _FRONT = [
     "corpus_stats",
     "asof_join_tolerance",
     "skew_salted_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
     # round-1 driver-untested, rows-only by design (approximate /
     # iterative operators; value checks live in pytest)
     "dedup_clusters",
