@@ -96,7 +96,7 @@ class MarketCalendar:
         — the distributed analogue of EpochIsMarketOpen.  Pure builtin
         expressions (tz conversion, weekday, time-of-day, literal-set
         membership), so it inlines into the scan filter."""
-        loc = F.from_utc_timestamp(F.col(ts_col), self.tz)
+        loc = F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), self.tz)
         day = F.date_format(loc, "yyyy-MM-dd")
         tod = F.date_format(loc, "HH:mm:ss")
         is_day = ~F.dayofweek(loc).isin(1, 7)  # Sunday=1, Saturday=7

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -75,7 +77,7 @@ def asof_join(
     out = filled.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         stale = (
-            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rt"))
+            epoch_us(F.col("__t")) - epoch_us(F.col("__rt"))
             > tolerance_seconds * 1_000_000
         )
         for c in vals:

@@ -67,7 +67,7 @@ def _bucket(ts_col: str | Column, tf: str, tz: str | None = None) -> Column:
     window origin 1970-01-01 is a Thursday, hence the 4-day
     ``startTime`` shift).  ``1Mo``/``1Y`` truncate on the calendar."""
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    base = ts if tz is None else F.from_utc_timestamp(ts, tz)
+    base = ts if tz is None else F.from_utc_timestamp(ts.cast("timestamp"), tz)
     if tf in _CALENDAR:
         return F.struct(F.date_trunc(_CALENDAR[tf], base).alias("start"))
     dur = timeframe_to_duration(tf)

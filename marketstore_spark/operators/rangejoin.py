@@ -23,13 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import epoch_us
+
 
 def _bucket_of(ts: Column, bucket_seconds: int) -> Column:
     # Exact floor division on the long micros: (us - pmod(us, w)) is
     # divisible by w, so the double division is exact.  A plain
     # cast('long') would truncate toward zero and mis-bucket pre-1970
     # timestamps (floor(-0.5) = -1, trunc(-0.5) = 0).
-    us = F.unix_micros(ts)
+    us = epoch_us(ts)
     w = F.lit(bucket_seconds * 1_000_000)
     return ((us - F.pmod(us, w)) / w).cast("long")
 

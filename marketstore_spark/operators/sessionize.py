@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -28,7 +30,7 @@ def sessionize(
     n_events, session start/end.  All arithmetic is integer
     microseconds — engine-exact."""
     wo = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(F.col(ts_col))
     prev = F.lag(us).over(wo)
     brk = F.when(prev.isNull() | (us - prev > gap_seconds * 1_000_000), 1).otherwise(0)
     wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)

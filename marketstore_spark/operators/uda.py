@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import epoch_us
+
 _AGGS = {
     "min": F.min,
     "max": F.max,
@@ -53,7 +55,7 @@ def _gaps(
         *key_cols,
         F.col(ts_col),
         prev.alias("prev_ts"),
-        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)).alias("gap_us"),
+        (epoch_us(F.col(ts_col)) - epoch_us(prev)).alias("gap_us"),
     ).filter(F.col("prev_ts").isNotNull())
 
 

@@ -2285,41 +2285,51 @@ def uda_adjust_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else in source order.
 
 _FRONT = [
-    # round-1 driver-untested block, oracle-backed keys first
-    # (VERDICT r01: registered but no driver row).  dedup_exact leads:
-    # the first key executed absorbs session warmup (JVM, parquet
-    # footers, first codegen), so it should be a cheap plan.
-    "dedup_exact",
-    "gapfill",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_minhash_keep",
-    "dedup_simhash_pairs",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "multimodal_meta",
-    # changed/new this round (oracle-backed)
+    # Round-4 rotation (driver checks the first ~50 keys).  Lead with
+    # the four keys that FAILED in CORRECTNESS_r03 (TIMESTAMP_NTZ
+    # unix_micros breakage, fixed via functions/timeutil.epoch_us) so
+    # the fix gets fresh driver evidence.  text_tokens opens the list:
+    # the warmup-absorbing first key should be a cheap scan-side plan.
+    "text_tokens",
     "range_join",
-    "corporate_actions",
-    "uda_adjust_ca",
-    "list_symbols_tbk",
-    "vwap",
-    "ann_filtered",
-    "corpus_stats",
     "asof_join_tolerance",
-    "skew_salted_agg",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q22_sales_opportunity",
-    # round-1 driver-untested, rows-only by design (approximate /
-    # iterative operators; value checks live in pytest)
+    "uda_gap",
+    "uda_gap_zscore",
+    # The 26 keys absent from r03's 50-key window (VERDICT r02 item 1:
+    # no key goes >1 round without a driver row).  q18 first among the
+    # TPC-H shapes — its plan changed in round 2 with no driver
+    # re-check since.
+    "asof_join",
+    "sessionize",
+    "q18_large_volume_customer",
+    "returns",
+    "sma",
+    "bollinger",
+    "rsi",
+    "drawdown",
+    "ema",
+    "percentiles",
+    "percentiles_approx",
+    "text_termfreq",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "corpus_filter_pipeline",
+    "top_symbols",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_late_orders",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    # keys whose ORACLE changed this round (band-cap mirroring,
+    # recursive-CTE upgrades) — need fresh parity rows too
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "dedup_clusters",
-    "dedup_embedding_lsh",
-    "ann_lsh",
-    "ann_ivf",
+    "dedup_minhash_keep",
 ]
 
 

@@ -17,6 +17,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
+from marketstore_spark.functions.timeutil import with_instant_ts
+
 
 def dedup_stream(
     stream: DataFrame,
@@ -28,6 +30,7 @@ def dedup_stream(
     of the watermark.  Rows later than the horizon are a replay — they
     pass through (state already expired), which is the standard
     at-least-once/bounded-state trade-off."""
+    stream = with_instant_ts(stream, ts_col)  # watermark needs instant ts
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

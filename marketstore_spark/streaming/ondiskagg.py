@@ -21,6 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import with_instant_ts
 from marketstore_spark.operators.candler import _CALENDAR, _bucket
 
 
@@ -54,6 +55,7 @@ def stream_candles(
     max_by on a (ts, tiebreak) struct, exact min/max/count/sum) so batch
     backfill and streaming maintenance produce identical rows.
     """
+    stream = with_instant_ts(stream, ts_col)  # watermark needs instant ts
     ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
     agg = (
         stream.withWatermark(ts_col, watermark)
@@ -105,6 +107,7 @@ def stream_vwap(
     weight 1) — marketstore's tick stream has no volume either.  Same
     windowed-agg state shape as stream_candles: O(keys × open windows),
     watermark-expired."""
+    stream = with_instant_ts(stream, ts_col)  # watermark needs instant ts
     w = F.lit(1.0) if volume_col is None else F.col(volume_col)
     agg = (
         stream.withWatermark(ts_col, watermark)
