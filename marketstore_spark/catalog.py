@@ -20,6 +20,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from marketstore_spark import txn
+
 TABLES = (
     "region",
     "nation",
@@ -196,7 +198,9 @@ class Catalog:
     def create(self, key: str, df_schema_sample: DataFrame) -> None:
         """Create an empty bucket with the sample's schema."""
         path = TimeBucketKey(key).path(self.root)
-        df_schema_sample.limit(0).write.mode("errorifexists").parquet(path)
+        if os.path.isdir(path):
+            raise FileExistsError(f"bucket exists: {key}")
+        txn.commit_write(df_schema_sample.limit(0), path, mode="replace")
 
     def destroy(self, key: str) -> None:
         path = TimeBucketKey(key).path(self.root)
@@ -205,39 +209,43 @@ class Catalog:
 
     # -- Write / append (frontend/write.go:36; executor/writer.go) --------
     def write(self, key: str, df: DataFrame, mode: str = "append") -> None:
-        """Append rows to a bucket.  Parquet append is the scale path:
-        each write is a new file; no WAL needed because Parquet commits
-        are atomic at the file level (the reference needs a WAL only
-        because it mutates files in place: executor/wal.go).
+        """Append rows to a bucket through the atomic manifest commit
+        (txn.py — the WAL analogue of executor/wal.go): data files are
+        staged invisibly, then one metadata pointer flip publishes them.
+        A writer dying mid-job leaves the previous version fully
+        readable, never a partial bucket.
 
-        Registered triggers fire AFTER the parquet commit — same
-        guarantee as plugins/trigger (content durable before Fire)."""
-        df.write.mode(mode).parquet(TimeBucketKey(key).path(self.root))
+        Registered triggers fire AFTER the commit — same guarantee as
+        plugins/trigger (content durable before Fire)."""
+        txn_mode = "replace" if mode == "overwrite" else "append"
+        txn.commit_write(df, TimeBucketKey(key).path(self.root), mode=txn_mode)
         if self.triggers is not None:
             self.triggers.fire(key, df)
 
-    def read(self, key: str) -> DataFrame:
-        return self.spark.read.parquet(TimeBucketKey(key).path(self.root))
+    def read(self, key: str, version: int | None = None) -> DataFrame:
+        """Scan the bucket's committed snapshot (explicit manifest file
+        list — half-staged files are structurally invisible).  Legacy
+        flat buckets read as-is.  ``version`` time-travels."""
+        return txn.read_bucket(
+            self.spark, TimeBucketKey(key).path(self.root), version=version
+        )
 
     # -- Delete (executor/delete.go) --------------------------------------
     def delete_range(self, key: str, start, end, ts_col: str = "ts") -> int:
         """Delete rows in [start, end] from a bucket; returns rows
-        removed.  Local implementation rewrites the bucket; at scale
-        (date-partitioned layout, sources/parquet.py) the same filter
-        plus dynamic-partition-overwrite rewrites only the touched date
-        directories — the analogue of the reference's per-year file
-        rewrite."""
+        removed.  The kept rows are staged by a distributed rewrite and
+        published as a replace-commit: readers see the old version
+        until the manifest flips — no gone-window, and a crash leaves
+        the old version current.  At scale (date-partitioned layout,
+        sources/parquet.py) the rewrite touches only affected dates."""
         path = TimeBucketKey(key).path(self.root)
         df = self.read(key)
         keep = df.filter(
             ~((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) <= F.lit(end)))
         )
         before = df.count()
-        tmp = path + "__rewrite"
-        keep.write.mode("overwrite").parquet(tmp)  # distributed rewrite
-        after = self.spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
-        os.rename(tmp, path)  # swap, like the reference's file rewrite
+        txn.commit_write(keep, path, mode="replace")
+        after = self.read(key).count()
         return before - after
 
     # -- Compaction --------------------------------------------------------
@@ -245,36 +253,29 @@ class Catalog:
         """Rewrite a bucket's accumulated append files into
         ~``target_file_mb`` files.
 
-        The append write path (``write``) emits one file per commit —
+        The append write path (``write``) emits files per commit —
         exactly how the reference accretes ticks into year files — so a
         hot bucket grows thousands of small files whose open/footer
-        cost dominates scans.  Compaction is a distributed
-        read→coalesce→rewrite with an atomic directory swap; on the
-        partitioned layout (sources/parquet.py) the same rewrite runs
-        per date-partition so only fragmented partitions pay.
-        Returns {files_before, files_after, rows}.
+        cost dominates scans.  Compaction reads the current snapshot,
+        rewrites it coalesced, and publishes a replace-commit; the old
+        files stay until ``vacuum`` so concurrent readers keep a
+        complete snapshot.  Returns {files_before, files_after, rows}.
         """
         path = TimeBucketKey(key).path(self.root)
-        files_before = sum(
-            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
-        )
+        files_before = len(txn.data_files(path))
         df = self.read(key)
-        size_b = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        size_b = sum(os.path.getsize(f) for f in txn.data_files(path))
         nfiles = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
-        tmp = path + "__compact"
-        df.repartition(nfiles).write.mode("overwrite").parquet(tmp)
-        rows = self.spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        files_after = sum(
-            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
-        )
+        txn.commit_write(df.repartition(nfiles), path, mode="replace")
+        rows = self.read(key).count()
+        txn.vacuum(path)
+        files_after = len(txn.data_files(path))
         return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+    def vacuum(self, key: str, keep_versions: int = 1) -> dict:
+        """Reclaim unreferenced data files / stale staging dirs (crash
+        debris and superseded versions) for a bucket."""
+        return txn.vacuum(TimeBucketKey(key).path(self.root), keep_versions)
 
     # -- Integrity check (cmd/tool/integrity) ------------------------------
     def integrity_check(self, pattern: str = "*/*/*", ts_col: str = "ts") -> list[dict]:

@@ -47,7 +47,13 @@ def replicate_bucket(
         key.replace("/", "_"),
     )
     schema = master.read(key).schema
-    stream = read_stream(master.spark, src, schema)
+    # Recursive: txn-layout buckets keep committed files under data/.
+    # File-level mirroring replicates APPEND commits; a replace-commit
+    # (compact / delete_range) rewrites rows into new files, which a
+    # file cursor would re-ship — re-seed the replica after those, as
+    # with the reference's snapshot-then-stream bootstrap
+    # (replication/sender.go).
+    stream = read_stream(master.spark, src, schema, recursive=True)
     return append_sink(
         stream, dst, checkpoint_dir=ckpt, available_now=not continuous
     )

@@ -21,12 +21,18 @@ def read_stream(
     schema,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """File-based streaming source (new files under source_dir are the
-    incoming writes)."""
+    incoming writes).  ``recursive`` follows subdirectories — needed
+    for txn-layout buckets whose files live under ``data/`` (the
+    listing skips ``_manifests``/``.stage-*``: `_`/`.` prefixes are
+    hidden to Spark's file index)."""
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     return reader.load(source_dir)
 
 

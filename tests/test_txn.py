@@ -1,0 +1,143 @@
+"""Atomic-commit protocol tests (txn.py — the WAL analogue).
+
+Reference behavior being matched: executor/wal.go guarantees a crashed
+writer never leaves a partially-visible bucket; replay/cleanup restores
+a consistent state.  Here the protocol is manifest-pointer commits, so
+the tests inject faults at the only publish point and assert readers
+always see a complete version.  A mid-flight kill is simulated by an
+exception raised from the fault hook: every protocol step before the
+atomic ``os.link`` leaves identical on-disk state to a SIGKILL at the
+same point (no state is process-resident), so the injection is an
+exact stand-in for the kill.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from marketstore_spark import txn
+from marketstore_spark.catalog import Catalog
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _kill(point):  # the "process dies here" stand-in
+    raise Boom(point)
+
+
+def _mkdf(spark, n, base=0):
+    return spark.createDataFrame(
+        [Row(ts=i, user_id=i % 3, value=float(base + i)) for i in range(n)]
+    )
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path))
+
+
+KEY = "TEST/1Min/TICK"
+
+
+def test_append_commit_and_read(cat, spark):
+    cat.write(KEY, _mkdf(spark, 10))
+    cat.write(KEY, _mkdf(spark, 5, base=100))
+    assert cat.read(KEY).count() == 15
+    path = cat.root + "/TEST/1Min/TICK"
+    assert txn.current_version(path) == 1
+
+
+def test_crashed_append_invisible_then_vacuumed(cat, spark):
+    cat.write(KEY, _mkdf(spark, 10))
+    path = cat.root + "/TEST/1Min/TICK"
+    with pytest.raises(Boom):
+        txn.commit_write(_mkdf(spark, 7, base=50), path, crash_hook=_kill)
+    # Reader sees the old version in full — never 10+partial.
+    assert cat.read(KEY).count() == 10
+    assert txn.current_version(path) == 0
+    # Crash debris (staged data files + tmp manifest) is sweepable.
+    swept = txn.vacuum(path)
+    assert swept["removed_files"] >= 1
+    assert cat.read(KEY).count() == 10
+
+
+def test_crashed_compact_keeps_old_version(cat, spark):
+    for i in range(4):
+        cat.write(KEY, _mkdf(spark, 10, base=i * 10))
+    path = cat.root + "/TEST/1Min/TICK"
+    before_files = txn.data_files(path)
+    df = cat.read(KEY)
+    with pytest.raises(Boom):
+        txn.commit_write(df.repartition(1), path, mode="replace", crash_hook=_kill)
+    assert cat.read(KEY).count() == 40
+    assert txn.data_files(path) == before_files  # snapshot untouched
+
+
+def test_reader_mid_commit_sees_old_snapshot(cat, spark):
+    """At the instant before the pointer flip — after ALL data files
+    are staged — a reader still plans exactly the old version."""
+    cat.write(KEY, _mkdf(spark, 10))
+    path = cat.root + "/TEST/1Min/TICK"
+    seen = []
+
+    def probe(point):
+        seen.append(cat.read(KEY).count())
+
+    txn.commit_write(_mkdf(spark, 5, base=100), path, crash_hook=probe)
+    assert seen == [10]  # mid-commit read = old version, not 10+5
+    assert cat.read(KEY).count() == 15  # post-commit read = new version
+
+
+def test_publish_cas_retries_on_collision(cat, spark):
+    cat.write(KEY, _mkdf(spark, 3))
+    path = cat.root + "/TEST/1Min/TICK"
+    # Another writer claims version 1 between our read and our link.
+    rels, schema = txn.stage_files(_mkdf(spark, 2, base=10), path)
+    mdir = os.path.join(path, txn.MANIFEST_DIR)
+    import json
+
+    with open(os.path.join(mdir, f"{1:012d}.json"), "w") as fh:
+        json.dump({"version": 1, "files": [], "schema": schema}, fh)
+    v = txn.publish(path, rels, schema, mode="append")
+    assert v == 2  # lost the CAS on 1, retried onto 2
+    # Retry rebuilt from the interloper's (empty) version-1 list.
+    assert cat.read(KEY).count() == 2
+
+
+def test_delete_range_no_gone_window_and_time_travel(cat, spark):
+    cat.write(KEY, _mkdf(spark, 10))
+    removed = cat.delete_range(KEY, 3, 6, ts_col="ts")
+    assert removed == 4
+    assert cat.read(KEY).count() == 6
+    # Old snapshot still addressable (replace keeps prior files).
+    assert cat.read(KEY, version=0).count() == 10
+
+
+def test_compact_reclaims_and_preserves_rows(cat, spark):
+    for i in range(5):
+        cat.write(KEY, _mkdf(spark, 10, base=i * 10))
+    stats = cat.compact(KEY, target_file_mb=128)
+    assert stats["rows"] == 50
+    assert stats["files_after"] < stats["files_before"]
+    assert cat.read(KEY).count() == 50
+
+
+def test_legacy_flat_bucket_adopted_on_first_commit(cat, spark, tmp_path):
+    path = str(tmp_path / "LEG" / "1Min" / "TICK")
+    _mkdf(spark, 8).write.parquet(path)  # pre-protocol flat bucket
+    assert cat.read("LEG/1Min/TICK").count() == 8  # legacy read path
+    cat.write("LEG/1Min/TICK", _mkdf(spark, 2, base=100))
+    assert cat.read("LEG/1Min/TICK").count() == 10  # adopted + appended
+    assert txn.current_version(path) == 0
+
+
+def test_create_empty_bucket_readable_schema(cat, spark):
+    cat.create(KEY, _mkdf(spark, 1))
+    df = cat.read(KEY)
+    assert df.count() == 0
+    assert set(df.columns) == {"ts", "user_id", "value"}
+    with pytest.raises(FileExistsError):
+        cat.create(KEY, _mkdf(spark, 1))
