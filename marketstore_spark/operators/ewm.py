@@ -33,16 +33,37 @@ def ema(
     out_col: str = "ema",
 ) -> DataFrame:
     """Per-key EMA with α = 2/(span+1), seeded at the first value
-    (pandas ``ewm(adjust=False)`` semantics — the trading convention)."""
+    (pandas ``ewm(adjust=False)`` semantics — the trading convention).
+
+    The recurrence is evaluated as the literal float64 expression
+    ``α·x + (1−α)·prev`` (plain IEEE multiply/add, no FMA contraction,
+    no normalizing divide), so any engine replaying that expression —
+    e.g. the DuckDB recursive-CTE oracle — reproduces it bitwise.
+    pandas' C ewm kernel is ~1-6 ulp off that expression (contraction +
+    its `/(old_wt+new_wt)` normalization), which is why it is not used
+    here; the per-row Python loop costs ~0.5 s per million rows per
+    key, amortized across Arrow batches — acceptable for per-symbol
+    histories, and the chunked-carry identity in the module docstring
+    is the path if a single key's history outgrows a batch."""
+    import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
     alpha = 2.0 / (span + 1.0)
+    beta = 1.0 - alpha
     order = [ts_col, *tiebreak]
 
     def fn(pdf):
         pdf = pdf.sort_values(order, ignore_index=True)
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty_like(vals)
+        if len(vals):
+            acc = float(vals[0])
+            out[0] = acc
+            for i in range(1, len(vals)):
+                acc = alpha * float(vals[i]) + beta * acc
+                out[i] = acc
+        pdf[out_col] = out
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema)

@@ -966,11 +966,44 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ema")  # recursive per-symbol state: not SQL-expressible; rows-only
-# check here, value check vs pandas reference in pytest
+def _ema_sql(span: int = 20) -> str:
+    """EMA as a DuckDB recursive CTE.  The step expression
+    ``alpha*x + (1-alpha)*prev`` is the same two-multiply-one-add
+    float64 sequence pandas' ewm(adjust=False) kernel evaluates (its
+    normalizing divide is by exactly 1.0), so the engines agree
+    bitwise.  alpha is pasted as the Python float repr both sides."""
+    # Build the coefficients ARITHMETICALLY: DuckDB routes decimal
+    # literals through DECIMAL and its decimal→double conversion can
+    # land one ulp off the Python float (observed for 2/21), which
+    # then flips every step of the recurrence.  Integer casts are
+    # exact and IEEE division/subtraction round identically in both
+    # engines, so these expressions reproduce Python's
+    # ``2.0/(span+1)`` / ``1.0 - alpha`` bitwise.
+    a = f"(CAST(2 AS DOUBLE) / CAST({span + 1} AS DOUBLE))"
+    b = f"(CAST(1 AS DOUBLE) - {a})"
+    return f"""
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r(user_id, ts, event_id, value, rn, ema) AS (
+  SELECT user_id, ts, event_id, value, rn, value AS ema FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts, e.event_id, e.value, e.rn,
+         {a} * e.value + {b} * r.ema AS ema
+  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, value, ema FROM r
+"""
+
+
+@_register("ema", _ema_sql())
 def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-tick EMA per symbol via applyInPandas (linear recurrence — no
-    window frame expresses it)."""
+    window frame expresses it).  Oracle: recursive CTE replaying the
+    identical float64 recurrence (see _ema_sql)."""
     from marketstore_spark.operators.ewm import ema
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -1853,10 +1886,19 @@ mh AS (
 bands AS (
 {band_selects}
 ),
+-- mirror the operator's bucket cap (dedup.py max_bucket): band buckets
+-- holding >10000 docs are dropped as candidate sources on BOTH engines,
+-- so parity holds even on a hot-banded (near-constant) corpus
+ok_buckets AS (
+  SELECT band_idx, band_key FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 10000
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM ok_buckets o
+  JOIN bands a ON a.band_idx = o.band_idx AND a.band_key = o.band_key
+  JOIN bands b ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+   AND a.doc_id < b.doc_id
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
 inter AS (
@@ -1949,11 +1991,33 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_list(docs, _minhash_pairs_cached(spark, sf_dir))
 
 
-@_register("dedup_clusters")  # iterative (label propagation): rows-only;
-# exact union-find cross-check in pytest
+def _clusters_sql() -> str:
+    """Connected components as a recursive CTE: ``walk`` enumerates
+    every (node, reachable id); MIN over it is exactly the min-label
+    fixed point the Spark propagation converges to."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) q),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+)
+SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+"""
+
+
+@_register("dedup_clusters", _clusters_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the minhash pair graph —
-    iterative min-label propagation (not SQL-expressible)."""
+    iterative min-label propagation on Spark, verified against a
+    DuckDB recursive-CTE reachability oracle (exact hash parity; the
+    union-find cross-check in pytest stays as a third opinion)."""
     from marketstore_spark.operators.dedup import connected_components
 
     return connected_components(_minhash_pairs_cached(spark, sf_dir))
@@ -1987,11 +2051,18 @@ banded AS (
          substr(simhash, CAST(bi * 15 + 1 AS INT), 15) AS band_key
   FROM sig, range(4) t(bi)
 ),
+-- mirror the operator's bucket cap (dedup.py max_bucket)
+ok_buckets AS (
+  SELECT band_idx, band_key FROM banded
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 10000
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM ok_buckets o
+  JOIN banded a ON a.band_idx = o.band_idx AND a.band_key = o.band_key
+  JOIN banded b ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+   AND a.doc_id < b.doc_id
 ),
 ham AS (
   SELECT doc_a, doc_b,
