@@ -5,15 +5,17 @@ TimeBucketKey glob (e.g. ``*/1Min/OHLCV``); every write is pushed to
 matching subscribers.
 
 Scale design: the driver holds ONLY subscription state (name, glob).
-Per micro-batch it routes by evaluating each subscriber's glob against
-the batch's distinct keys (a tiny metadata collect — key cardinality,
-not row count), then delivery happens entirely executor-side: the
-(key → subscriber) routing table broadcast-joins onto the batch and one
-distributed ``partitionBy(subscriber)`` write fans rows out to
-per-subscriber delivery directories.  No row ever transits the driver,
-so subscriber throughput scales with the cluster, not the driver; a
-real deployment points ``delivery_root`` at a message-bus connector or
-object store prefix per subscriber.
+Each glob compiles to an anchored regex in a small broadcast pattern
+table; per micro-batch ONE broadcast join evaluates ``key rlike
+pattern`` executor-side (JVM regex inside codegen — no shuffle, no
+driver collect of any batch content) and a distributed
+``partitionBy(subscriber)`` write fans matched rows out to
+per-subscriber delivery directories.  No row or key ever transits the
+driver, so both row AND key cardinality scale with the cluster; a real
+deployment points ``delivery_root`` at a message-bus connector or
+object store prefix per subscriber.  (With very large subscriber
+counts the rows×patterns regex work grows — pre-matching on a
+``distinct`` of the key column would trade one shuffle for it.)
 """
 
 from __future__ import annotations
@@ -71,22 +73,28 @@ class StreamHub:
         return ds.dataset(path, format="parquet").to_table().to_pylist()
 
     def push_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch hook: glob-match the batch's distinct keys
-        (routing only — cardinality of keys, not rows), then ONE
-        distributed write fans matched rows out per subscriber."""
+        """foreachBatch hook: broadcast the compiled glob patterns and
+        match them executor-side (``rlike`` theta-join), then ONE
+        distributed write fans matched rows out per subscriber.  The
+        driver never collects keys or rows from the batch."""
         if not self.subscribers:
             return
-        keys = [r[0] for r in batch_df.select(self.key_col).distinct().collect()]
-        routes = [
-            (k, sub.name) for k in keys for sub in self.subscribers if sub.matches(k)
-        ]
-        if not routes:
-            return
         spark = batch_df.sparkSession
-        routes_df = spark.createDataFrame(routes, f"{self.key_col} string, __sub string")
+        # \A anchor: rlike is a regex *search*; fnmatch.translate only
+        # end-anchors (\Z), and its (?s:...)\Z output is Java-regex
+        # compatible, so anchoring the start makes it a full match.
+        pats = [
+            (s.name, "\\A" + fnmatch.translate(s.pattern))
+            for s in self.subscribers
+        ]
+        pats_df = spark.createDataFrame(pats, "__sub string, __regex string")
         (
             batch_df.withColumn("__batch_id", F.lit(batch_id))
-            .join(F.broadcast(routes_df), self.key_col)
+            .join(
+                F.broadcast(pats_df),
+                F.regexp_like(F.col(self.key_col), F.col("__regex")),
+            )
+            .drop("__regex")
             .write.mode("append")
             .partitionBy("__sub")
             .parquet(self.delivery_root)
