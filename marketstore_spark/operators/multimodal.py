@@ -6,10 +6,12 @@ bytes in parquet, metadata queryable without touching bytes).  The
 Spark-side plumbing (schemas, Arrow-batched mapInPandas, partition
 behavior) is real and tested.
 
-Codecs: UNCOMPRESSED formats decode for real with stdlib + numpy —
-24-bit BMP (struct-parsed header + pixel array) and PCM WAV (stdlib
-``wave``), including a real nearest-neighbor BMP resize.  Compressed
-codecs (png/jpeg/mp4 — libs not in this environment) raise
+Codecs: formats expressible with stdlib + numpy decode for REAL —
+24-bit BMP (struct-parsed header + pixel array), PCM WAV (stdlib
+``wave``), and 8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate +
+per-scanline unfilter over all five PNG filter types), including real
+nearest-neighbor resizes re-encoded to the same format.  Codecs with
+no stdlib path (jpeg/mp4 — PIL/ffmpeg not in this environment) raise
 NotImplementedError; the deterministic fake decoder remains injectable
 for pipeline tests over arbitrary payloads.
 """
@@ -126,6 +128,107 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return arr[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """H×W×3 uint8 (RGB) → PNG bytes (8-bit truecolor, filter 0 rows,
+    one zlib IDAT).  Stdlib-only (zlib + struct)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """PNG bytes → H×W×3 uint8 (RGB).  Pure stdlib: chunk walk, zlib
+    inflate, then the spec's per-scanline unfilter (None/Sub/Up/
+    Average/Paeth — RFC 2083 §6).  Supports 8-bit truecolor with or
+    without alpha (color types 2/6), non-interlaced — the overwhelming
+    majority of real corpus PNGs; anything else raises so the caller
+    records decoded_ok=0.  The unfilter is a per-byte recurrence
+    (Sub/Average/Paeth feed back reconstructed bytes), so rows loop in
+    Python — fine for thumbnail-scale payloads; a hot 100 TB image
+    pipeline would swap in a compiled codec behind the same
+    ``decoder=`` seam."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced RGB(A) PNG (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace})"
+        )
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((h, stride), np.uint8)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)[:, :, :3].copy()
+
+
 def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
     """int16 mono samples → PCM WAV bytes (stdlib wave)."""
     buf = io.BytesIO()
@@ -150,13 +253,13 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
 def _real_decode(payload: bytes, fmt: str) -> bytes:
     """Decode a payload into a deterministic fixed-layout feature block.
 
-    bmp → (w, h, per-channel mean and std ×1000) as little-endian u32;
-    wav → (rate, n_samples, rms ×1000, zero-crossings).  Compressed
-    codec formats raise — their libs (PIL/ffmpeg) aren't in this
+    bmp/png → (w, h, per-channel mean and std ×1000) as little-endian
+    u32; wav → (rate, n_samples, rms ×1000, zero-crossings).  Codecs
+    with no stdlib path raise — their libs (PIL/ffmpeg) aren't in this
     environment — and the caller records decoded_ok=0.
     """
-    if fmt == "bmp":
-        px = decode_bmp(payload).astype(np.float64)
+    if fmt in ("bmp", "png"):
+        px = (decode_bmp if fmt == "bmp" else decode_png)(payload).astype(np.float64)
         stats = [int(px[..., c].mean() * 1000) for c in range(3)]
         stats += [int(px[..., c].std() * 1000) for c in range(3)]
         return struct.pack("<8I", px.shape[1], px.shape[0], *stats)
@@ -168,7 +271,7 @@ def _real_decode(payload: bytes, fmt: str) -> bytes:
         return struct.pack("<4I", rate, len(s), rms, zc)
     raise NotImplementedError(
         f"codec for {fmt!r} (PIL/ffmpeg/librosa) is not available in this "
-        "environment; uncompressed bmp/wav decode natively, or pass "
+        "environment; bmp/png/wav decode natively, or pass "
         "decoder=fake_decode to exercise the pipeline"
     )
 
@@ -228,18 +331,24 @@ def resize_images(
 ) -> DataFrame:
     """Resize plan for image media via Arrow-batched mapInPandas.
 
-    BMP payloads resize for REAL (numpy nearest-neighbor, re-encoded as
-    BMP); formats whose codecs aren't in this environment fall back to
-    a deterministic fake (content-hash-seeded bytes of width*height
-    length, so output size is verifiable).  The Spark-side contract —
-    schema, batch shape, payload round-trip, metadata update — is the
-    same either way.  Batches stream through Arrow; payload bytes never
-    land on the driver.
+    BMP and PNG payloads resize for REAL (numpy nearest-neighbor,
+    re-encoded in the same format); formats whose codecs aren't in
+    this environment fall back to a deterministic fake
+    (content-hash-seeded bytes of width*height length, so output size
+    is verifiable).  The Spark-side contract — schema, batch shape,
+    payload round-trip, metadata update — is the same either way.
+    Batches stream through Arrow; payload bytes never land on the
+    driver.
     """
     if resizer is None:
         def resizer(payload: bytes, fmt: str, w: int, h: int) -> bytes:
-            if fmt == "bmp":
-                return encode_bmp(resize_nearest(decode_bmp(payload), w, h))
+            try:
+                if fmt == "bmp":
+                    return encode_bmp(resize_nearest(decode_bmp(payload), w, h))
+                if fmt == "png":
+                    return encode_png(resize_nearest(decode_png(payload), w, h))
+            except (ValueError, NotImplementedError):
+                pass  # corrupt/unsupported payload is data, not a bug
             h0 = hashlib.sha256(payload or b"").digest()
             reps = (w * h) // len(h0) + 1
             return (h0 * reps)[: w * h]
