@@ -1,11 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "oracle_secs": {name: sec, ...},
+"sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect).  A warmup run of the flagship amortizes JVM/codegen
-startup so numbers reflect steady-state plan cost.
+startup so numbers reflect steady-state plan cost.  ``oracle_secs``
+times the same query's DuckDB oracle SQL over the same parquet (single
+process, all cores) — the single-node denominator for the within-2×
+gate, since BASELINE.json publishes no wall time.
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ import sys
 import time
 
 from marketstore_spark import get_session
-from marketstore_spark.queries import SPARK_QUERIES
+from marketstore_spark.queries import ORACLE_SQL, SPARK_QUERIES
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -38,7 +42,39 @@ HEADLINE = [
     "ann_ivf",
     "text_quality",
     "multimodal_meta",
+    # window-heavy shapes (VERDICT r02 item 8)
+    "q18_large_volume_customer",
+    "top_symbols",
 ]
+
+_ORACLE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _oracle_times(sf_dir: str) -> dict[str, float]:
+    """Best-of-3 DuckDB wall time per headline query's oracle SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _ORACLE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = ORACLE_SQL.get(name)
+        if sql is None:  # no-oracle-by-design keys (ann_ivf)
+            continue
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
 
 
 def _force(df) -> None:
@@ -76,6 +112,12 @@ def main() -> None:
             spark.catalog.clearCache()
         times[name] = round(best, 3)
 
+    spark.stop()  # release executors before the single-process oracle timing
+    try:
+        oracle_secs = _oracle_times(sf_dir)
+    except Exception:  # noqa: BLE001 — oracle timing is advisory
+        oracle_secs = {}
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -84,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "oracle_secs": oracle_secs,
                 "sf": sf,
             }
         )
