@@ -1,0 +1,540 @@
+"""Baseline JPEG codec — pure stdlib + numpy (no PIL/libjpeg).
+
+Implements the subset that covers the overwhelming majority of corpus
+JPEGs: baseline sequential DCT (SOF0), 8-bit samples, YCbCr (3
+component) or grayscale (1 component), 4:4:4 or 4:2:0 chroma
+subsampling, with Huffman tables read from the file.  Progressive
+(SOF2), arithmetic coding, and 12-bit variants raise
+NotImplementedError — callers record decoded_ok=0 (data, not a bug).
+
+The encoder emits 4:4:4 baseline JFIF with the spec's example tables
+(ITU-T T.81 Annex K: quantization tables scaled by quality, typical
+luma/chroma Huffman tables), so decode(encode(x)) round-trips within
+normal quantization error and any standards-conforming decoder can
+read the output.
+
+Everything is vectorized numpy except the entropy-coded segment, which
+is inherently serial bit I/O — fine for thumbnail-scale payloads
+inside an Arrow batch; a hot 100 TB image pipeline swaps in a
+compiled codec behind the same ``decoder=`` seam (multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- ITU-T T.81 Annex K example tables --------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# (bits-per-length counts for code lengths 1..16, symbol values) —
+# Annex K.3 typical tables
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = 8
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """Forward 2-D DCT-II over an (n, 8, 8) stack (matrix form)."""
+    return _DCT @ blocks @ _DCT.T
+
+
+def _idct(blocks: np.ndarray) -> np.ndarray:
+    return _DCT.T @ blocks @ _DCT
+
+
+# -- bit I/O ----------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:  # marker — entropy data ends; feed 1-bits
+                    self.pos -= 1
+                    byte = 0xFF
+                    self.acc = (self.acc << 8) | byte
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.nbits < length:  # ran off the end: pad with 1s
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+        self.nbits -= length
+        return (self.acc >> self.nbits) & ((1 << length) - 1)
+
+
+def _build_huffman_codes(counts, symbols):
+    """symbol → (code, length) per the canonical JPEG assignment."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_huffman_lut(counts, symbols):
+    """(code, length) → symbol lookup for decoding."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _read_code(reader: _BitReader, lut) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _magnitude(value: int) -> tuple[int, int]:
+    """value → (size category, appended bits) per F.1.2.1."""
+    if value == 0:
+        return 0, 0
+    size = int(value if value > 0 else -value).bit_length()
+    bits = value if value >= 0 else value + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# -- encoder ----------------------------------------------------------
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw, block, q, dct_codes, act_codes, prev_dc):
+    coef = np.round(_fdct(block - 128.0) / q).astype(np.int32).ravel()
+    zz = coef[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dct_codes[size]
+    bw.write(code, length)
+    bw.write(bits, size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = act_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = act_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """H×W×3 uint8 RGB → baseline JFIF bytes (Annex-K tables).
+    ``subsampling='420'`` downsamples chroma 2×2 (the camera-default
+    layout); ``'444'`` keeps full-resolution chroma."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+
+    qy = _quality_scale(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(QUANT_CHROMA, quality).reshape(8, 8)
+    dc_l = _build_huffman_codes(*HUFF_DC_LUMA)
+    ac_l = _build_huffman_codes(*HUFF_AC_LUMA)
+    dc_c = _build_huffman_codes(*HUFF_DC_CHROMA)
+    ac_c = _build_huffman_codes(*HUFF_AC_CHROMA)
+
+    if subsampling == "420":
+        # pad to even, then 2×2 mean-pool the chroma planes
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = [(y, qy, dc_l, ac_l), (cb, qc, dc_c, ac_c), (cr, qc, dc_c, ac_c)]
+    planes = []
+    for (plane, *_), (fh, fv) in zip(comps, factors):
+        th, tw = mcus_y * fv * 8, mcus_x * fh * 8
+        planes.append(
+            np.pad(
+                plane,
+                ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                mode="edge",
+            )
+        )
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((_, q, dcc, acc), (fh, fv)) in enumerate(zip(comps, factors)):
+                for by in range(fv):
+                    for bx in range(fh):
+                        py, px = (my * fv + by) * 8, (mx * fh + bx) * 8
+                        block = planes[ci][py : py + 8, px : px + 8]
+                        prev_dc[ci] = _encode_block(bw, block, q, dcc, acc, prev_dc[ci])
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(q.ravel()[ZIGZAG].astype(np.uint8)))
+
+    def dht(cls: int, tid: int, table) -> bytes:
+        counts, symbols = table
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes(
+            [
+                1, (factors[0][0] << 4) | factors[0][1], 0,
+                2, (factors[1][0] << 4) | factors[1][1], 1,
+                3, (factors[2][0] << 4) | factors[2][1], 1,
+            ]
+        ),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8"
+        + jfif
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + sof
+        + dht(0, 0, HUFF_DC_LUMA)
+        + dht(1, 0, HUFF_AC_LUMA)
+        + dht(0, 1, HUFF_DC_CHROMA)
+        + dht(1, 1, HUFF_AC_CHROMA)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+# -- decoder ----------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → H×W×3 uint8 RGB (grayscale replicates)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        pos += 2
+        if marker in (0xFFD8, 0xFF01) or 0xFFD0 <= marker <= 0xFFD7:
+            continue
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        data = payload[pos + 2 : pos + ln]
+        if marker == 0xFFDB:
+            d = data
+            while d:
+                tid = d[0]
+                if tid >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros(64, np.int32)
+                tab[ZIGZAG] = np.frombuffer(d[1:65], np.uint8)
+                quant[tid & 0xF] = tab.reshape(8, 8)
+                d = d[65:]
+        elif marker == 0xFFC4:
+            d = data
+            while d:
+                cls, tid = d[0] >> 4, d[0] & 0xF
+                counts = list(d[1:17])
+                n = sum(counts)
+                huff[(cls, tid)] = _build_huffman_lut(counts, list(d[17 : 17 + n]))
+                d = d[17 + n :]
+        elif marker == 0xFFC0 or marker == 0xFFC1:
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = data[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            frame = (h, w, comps)
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0/1)")
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack_from(">H", data, 0)[0]
+        elif marker == 0xFFDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            scan = []
+            for i in range(ns):
+                cid, tids = data[1 + 2 * i : 3 + 2 * i]
+                scan.append((cid, tids >> 4, tids & 0xF))
+            entropy_start = pos + ln
+            return _decode_scan(
+                payload, entropy_start, frame, scan, quant, huff, restart_interval
+            )
+        pos += ln
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(payload, start, frame, scan, quant, huff, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+        raise NotImplementedError("only 1x1/2x2 sampling factors")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    reader = _BitReader(payload[start:])
+    planes = []
+    for cid, ch, cv, qid in comps:
+        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
+        planes.append(np.zeros((ph, pw), np.float64))
+    scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan}
+    prev_dc = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # realign to the RSTn marker: drop partial bits, skip marker
+                reader.nbits = 0
+                reader.acc = 0
+                d = reader.data
+                p = reader.pos
+                while p + 1 < len(d) and not (
+                    d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
+                ):
+                    p += 1
+                reader.pos = p + 2
+                for cid in prev_dc:
+                    prev_dc[cid] = 0
+            for ci, (cid, ch, cv, qid) in enumerate(comps):
+                dc_lut = huff[(0, scan_by_cid[cid][0])]
+                ac_lut = huff[(1, scan_by_cid[cid][1])]
+                q = quant[qid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, np.int32)
+                        size = _read_code(reader, dc_lut)
+                        diff = _extend(reader.read(size), size)
+                        prev_dc[cid] += diff
+                        zz[0] = prev_dc[cid]
+                        i = 1
+                        while i < 64:
+                            rs = _read_code(reader, ac_lut)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    i += 16
+                                    continue
+                                break  # EOB
+                            i += run
+                            if i > 63:
+                                break
+                            zz[i] = _extend(reader.read(size), size)
+                            i += 1
+                        coef = np.zeros(64, np.int32)
+                        coef[ZIGZAG] = zz
+                        block = _idct(coef.reshape(8, 8) * q) + 128.0
+                        py = (my * cv + by) * 8
+                        px = (mx * ch + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+            mcu_count += 1
+
+    # upsample each component to full size and color-convert
+    full = []
+    for ci, (cid, ch, cv, qid) in enumerate(comps):
+        p = planes[ci]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.dstack([g, g, g])
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)

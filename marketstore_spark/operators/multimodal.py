@@ -8,11 +8,12 @@ behavior) is real and tested.
 
 Codecs: formats expressible with stdlib + numpy decode for REAL —
 24-bit BMP (struct-parsed header + pixel array), PCM WAV (stdlib
-``wave``), and 8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate +
-per-scanline unfilter over all five PNG filter types), including real
-nearest-neighbor resizes re-encoded to the same format.  Codecs with
-no stdlib path (jpeg/mp4 — PIL/ffmpeg not in this environment) raise
-NotImplementedError; the deterministic fake decoder remains injectable
+``wave``), 8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate + per-scanline
+unfilter over all five PNG filter types), and baseline JPEG
+(operators/jpeg.py: Huffman entropy decode, dequant, IDCT, YCbCr,
+4:4:4 and 4:2:0) — including real nearest-neighbor resizes re-encoded
+to the same format.  Only video containers remain stubbed (no ffmpeg
+in this environment); the deterministic fake decoder stays injectable
 for pipeline tests over arbitrary payloads.
 """
 
@@ -253,13 +254,21 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
 def _real_decode(payload: bytes, fmt: str) -> bytes:
     """Decode a payload into a deterministic fixed-layout feature block.
 
-    bmp/png → (w, h, per-channel mean and std ×1000) as little-endian
-    u32; wav → (rate, n_samples, rms ×1000, zero-crossings).  Codecs
-    with no stdlib path raise — their libs (PIL/ffmpeg) aren't in this
-    environment — and the caller records decoded_ok=0.
+    bmp/png/jpeg → (w, h, per-channel mean and std ×1000) as
+    little-endian u32; wav → (rate, n_samples, rms ×1000,
+    zero-crossings).  Codecs with no stdlib path raise — their libs
+    (ffmpeg) aren't in this environment — and the caller records
+    decoded_ok=0.
     """
-    if fmt in ("bmp", "png"):
-        px = (decode_bmp if fmt == "bmp" else decode_png)(payload).astype(np.float64)
+    if fmt in ("bmp", "png", "jpeg", "jpg"):
+        if fmt == "bmp":
+            px = decode_bmp(payload).astype(np.float64)
+        elif fmt == "png":
+            px = decode_png(payload).astype(np.float64)
+        else:
+            from marketstore_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload).astype(np.float64)
         stats = [int(px[..., c].mean() * 1000) for c in range(3)]
         stats += [int(px[..., c].std() * 1000) for c in range(3)]
         return struct.pack("<8I", px.shape[1], px.shape[0], *stats)
@@ -270,8 +279,8 @@ def _real_decode(payload: bytes, fmt: str) -> bytes:
         zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
         return struct.pack("<4I", rate, len(s), rms, zc)
     raise NotImplementedError(
-        f"codec for {fmt!r} (PIL/ffmpeg/librosa) is not available in this "
-        "environment; bmp/png/wav decode natively, or pass "
+        f"codec for {fmt!r} (ffmpeg/librosa) is not available in this "
+        "environment; bmp/png/jpeg/wav decode natively, or pass "
         "decoder=fake_decode to exercise the pipeline"
     )
 
@@ -331,9 +340,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize plan for image media via Arrow-batched mapInPandas.
 
-    BMP and PNG payloads resize for REAL (numpy nearest-neighbor,
-    re-encoded in the same format); formats whose codecs aren't in
-    this environment fall back to a deterministic fake
+    BMP, PNG, and JPEG payloads resize for REAL (numpy
+    nearest-neighbor, re-encoded in the same format); formats whose
+    codecs aren't in this environment fall back to a deterministic fake
     (content-hash-seeded bytes of width*height length, so output size
     is verifiable).  The Spark-side contract — schema, batch shape,
     payload round-trip, metadata update — is the same either way.
@@ -347,6 +356,13 @@ def resize_images(
                     return encode_bmp(resize_nearest(decode_bmp(payload), w, h))
                 if fmt == "png":
                     return encode_png(resize_nearest(decode_png(payload), w, h))
+                if fmt in ("jpeg", "jpg"):
+                    from marketstore_spark.operators.jpeg import (
+                        decode_jpeg,
+                        encode_jpeg,
+                    )
+
+                    return encode_jpeg(resize_nearest(decode_jpeg(payload), w, h))
             except (ValueError, NotImplementedError):
                 pass  # corrupt/unsupported payload is data, not a bug
             h0 = hashlib.sha256(payload or b"").digest()
