@@ -390,9 +390,96 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video media: emits (media_id, frame_idx)
     rows for every ``every_n``-th frame of a fake fixed frame count
     derived from n_bytes — the real decoder would replace the count.
-    JVM-side sequence+explode; no Python."""
+    JVM-side sequence+explode; no Python.  For real containers see
+    :func:`frame_sample_avi` (header probe) and
+    :func:`extract_frames` (full decode)."""
     n_frames = (F.col("n_bytes") % 300 + 1).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return media.filter(F.col("kind") == "video").select(
         "media_id", F.explode(idx).alias("frame_idx")
+    )
+
+
+FRAME_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", IntegerType()),
+    ]
+)
+
+
+def frame_sample_avi(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling over AVI payloads: probe the container
+    header for the frame count (no frame decode, so the per-row cost
+    is a few struct unpacks) and emit (media_id, frame_idx, width,
+    height, fps) per sampled frame.  Non-AVI / corrupt payloads
+    contribute no rows — data, not bugs."""
+    from marketstore_spark.operators.video import probe_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    info = probe_avi(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                for i in range(0, info["n_frames"], every_n):
+                    rows.append(
+                        (mid, i, info["width"], info["height"], info["fps"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "fps"]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_META_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),  # BMP-encoded frame
+    ]
+)
+
+
+def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Explode video media into image rows: every ``every_n``-th frame
+    of each uncompressed-AVI payload, re-encoded as BMP so the frames
+    flow straight into the image operators (resize_images,
+    extract_features).  Arrow-batched mapInPandas; frames never land
+    on the driver.  Compressed essence is skipped (needs ffmpeg)."""
+    from marketstore_spark.operators.video import decode_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for idx, frame in decode_avi_frames(bytes(payload), every_n):
+                        rows.append(
+                            (
+                                mid,
+                                idx,
+                                frame.shape[1],
+                                frame.shape[0],
+                                encode_bmp(frame),
+                            )
+                        )
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "payload"]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
     )

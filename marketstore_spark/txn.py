@@ -113,6 +113,17 @@ def stage_files(df: DataFrame, bucket: str) -> tuple[list[str], str]:
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(bucket, _STAGE_PREFIX + token)
     df.write.mode("overwrite").parquet(stage)
+    for entry in os.listdir(stage):
+        if os.path.isdir(os.path.join(stage, entry)) and not entry.startswith(
+            (".", "_")
+        ):
+            # Hive partition dirs carry column VALUES in their names;
+            # a manifest's explicit file list would silently drop them.
+            raise NotImplementedError(
+                "partitioned staging is not supported by the manifest "
+                "protocol; use sources.parquet.write_bucket_store for the "
+                "partitioned layout"
+            )
     ddir = os.path.join(bucket, DATA_DIR)
     os.makedirs(ddir, exist_ok=True)
     rels = []
