@@ -4,8 +4,10 @@ Reference: ``cmd/`` — ``connect`` (interactive client: queries and SQL
 against a store), ``create``, ``estimate`` (storage sizing from
 symbols × timeframe × years), and ``tool integrity``; plus trim-style
 maintenance.  ``cmd/start`` (the RPC server) has no analogue — the
-"server" is a SparkSession — and ``tool wal`` is obsolete by design
-(Parquet commits are atomic; there is no WAL to inspect).
+"server" is a SparkSession.  ``tool wal`` maps to ``versions`` /
+``vacuum`` over the manifest commit log (txn.py): inspect the commit
+history and sweep crash debris, which is exactly what the WAL
+debugger was for.
 
 Usage: ``python -m marketstore_spark.cli --root /buckets <command>``.
 Each command is a thin shell over Catalog/Client, so everything a
@@ -88,6 +90,13 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     s.add_argument("statement")
     s.add_argument("--limit", type=int, default=20)
 
+    s = sub.add_parser("versions", help="bucket commit history (tool wal analogue)")
+    s.add_argument("key")
+
+    s = sub.add_parser("vacuum", help="sweep unreferenced files / crash debris")
+    s.add_argument("key")
+    s.add_argument("--keep-versions", type=int, default=1)
+
     args = p.parse_args(argv)
 
     if args.cmd == "estimate":  # needs no catalog/session
@@ -127,6 +136,35 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         df = MarketSQL(cat).sql(args.statement)
         for line in df.limit(args.limit).toJSON().collect():
             print(line, file=out)
+    elif args.cmd == "versions":
+        from marketstore_spark import txn
+        from marketstore_spark.catalog import TimeBucketKey
+
+        path = TimeBucketKey(args.key).path(args.root)
+        cur = txn.current_version(path)
+        if cur is None:
+            print(json.dumps({"key": args.key, "layout": "legacy-flat"}), file=out)
+        else:
+            for v in range(cur + 1):
+                try:
+                    m = txn.read_manifest(path, v)
+                except FileNotFoundError:  # vacuumed away
+                    continue
+                print(
+                    json.dumps(
+                        {
+                            "version": v,
+                            "files": len(m["files"]),
+                            "current": v == cur,
+                        }
+                    ),
+                    file=out,
+                )
+    elif args.cmd == "vacuum":
+        print(
+            json.dumps(cat.vacuum(args.key, keep_versions=args.keep_versions)),
+            file=out,
+        )
     return 0
 
 

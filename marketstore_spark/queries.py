@@ -2214,6 +2214,47 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "ann_ivf_exhaustive",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM q, e c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery driven exhaustively (nprobe = nlist): every
+    inverted list is probed, so the result EQUALS brute force and the
+    brute-force SQL oracle hash-verifies the whole IVF code path —
+    assignment, list routing, re-rank — not just its recall.  The
+    pruned configuration (ann_ivf, nprobe<nlist) stays recall-pinned
+    in pytest; this key is the driver-checked exactness anchor."""
+    from marketstore_spark.operators.simsearch import ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, 16)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = train_ivf_centroids(emb, nlist=16)
+    out = ivf_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        k=5,
+        nlist=16,
+        nprobe=16,
+        centroids=_IVF_CENTROIDS[key],
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # =====================================================================
 # LLM-data-pipeline: multimodal (SURVEY §2 #41)
 # =====================================================================
@@ -2433,6 +2474,7 @@ _FRONT = [
     "dedup_minhash_keep",
     # new this round
     "multimodal_frame_sample",
+    "ann_ivf_exhaustive",
 ]
 
 

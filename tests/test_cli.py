@@ -67,3 +67,20 @@ def test_cli_sql_and_estimate(spark, store):
     assert est["bytes"] == 5000 * 1440 * 252 * 5 * 48
     with pytest.raises(ValueError):
         estimate_bytes(1, "9Q", 1)
+
+
+def test_cli_versions_and_vacuum(spark, store):
+    """tool-wal analogue: commit history is inspectable; vacuum sweeps
+    superseded files after a compact."""
+    root, cat = store
+    cat.write("TSLA/1Min/TICK", cat.read("TSLA/1Min/TICK").limit(10))
+    rows = [json.loads(r) for r in _run(spark, ["--root", root, "versions", "TSLA/1Min/TICK"])]
+    assert [r["version"] for r in rows] == [0, 1]
+    assert rows[-1]["current"] is True
+
+    cat.compact("TSLA/1Min/TICK")  # compact vacuums; next vacuum is a no-op
+    swept = json.loads(_run(spark, ["--root", root, "vacuum", "TSLA/1Min/TICK"])[0])
+    assert swept["removed_files"] == 0
+    # after compact+vacuum only the current version remains listed
+    rows = [json.loads(r) for r in _run(spark, ["--root", root, "versions", "TSLA/1Min/TICK"])]
+    assert len(rows) == 1 and rows[0]["current"]

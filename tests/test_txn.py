@@ -141,3 +141,34 @@ def test_create_empty_bucket_readable_schema(cat, spark):
     assert set(df.columns) == {"ts", "user_id", "value"}
     with pytest.raises(FileExistsError):
         cat.create(KEY, _mkdf(spark, 1))
+
+
+def test_concurrent_appends_all_land(cat, spark):
+    """N threads append concurrently through the CAS publish loop:
+    every commit must land (no lost updates), versions must be a
+    contiguous 0..N-1 range, and the final snapshot holds every row."""
+    import threading
+
+    n_writers, rows_each = 6, 20
+    errs = []
+
+    def work(i):
+        try:
+            cat.write(KEY, _mkdf(spark, rows_each, base=i * 1000))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    path = cat.root + "/TEST/1Min/TICK"
+    assert txn.current_version(path) == n_writers - 1  # contiguous CAS wins
+    df = cat.read(KEY)
+    assert df.count() == n_writers * rows_each
+    # every writer's batch is fully present (no torn commits)
+    got = {r["value"] for r in df.collect()}
+    expect = {float(i * 1000 + j) for i in range(n_writers) for j in range(rows_each)}
+    assert got == expect
