@@ -183,3 +183,61 @@ def test_ca_announcement_ingest_and_adjust(spark, tmp_path):
     assert adj[("AAPL", 15)] == round(100.0 * 0.98, 4)
     assert adj[("AAPL", 25)] == 100.0
     assert adj[("MSFT", 10)] == 100.0  # 50 × 2.0 reverse split
+
+
+def _mk_warc(records):
+    """Build WARC/1.0 bytes from (type, uri, payload) triples."""
+    out = bytearray()
+    for i, (wtype, uri, payload) in enumerate(records):
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"WARC-Date: 2024-01-01T00:00:0{i}Z\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+            + f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        out += hdr + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def test_warc_ingestion_plain_and_gzip(spark, tmp_path):
+    """WARC archives (Common Crawl shape) parse into the record table
+    and map onto the documents schema; gz archives decode per-file."""
+    import gzip as _gzip
+
+    from marketstore_spark.sources.warc import read_warc, warc_to_documents
+
+    http_ok = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html>hello corpus</html>"
+    )
+    http_404 = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+    warc = _mk_warc(
+        [
+            ("warcinfo", "", b"software: test\r\n"),
+            ("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n"),
+            ("response", "http://a.example/", http_ok),
+            ("response", "http://b.example/", http_404),
+        ]
+    )
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "part-0.warc").write_bytes(warc)
+    (d / "part-1.warc.gz").write_bytes(_gzip.compress(warc))
+
+    recs = read_warc(spark, str(d) + "/*").collect()
+    # responses only (default pruning), from BOTH archives
+    assert len(recs) == 4 and all(r["warc_type"] == "response" for r in recs)
+    ok = [r for r in recs if r["http_status"] == 200]
+    assert len(ok) == 2 and ok[0]["body"] == bytearray(b"<html>hello corpus</html>")
+    assert ok[0]["http_content_type"].startswith("text/html")
+
+    docs = warc_to_documents(read_warc(spark, str(d) + "/*")).collect()
+    assert len(docs) == 2  # one 200 per archive
+    assert all(doc["text"] == "<html>hello corpus</html>" for doc in docs)
+    assert len({doc["doc_id"] for doc in docs}) == 1  # same record id hashes equal
+
+    # keep-all mode sees every record type
+    allrecs = read_warc(spark, str(d / "part-0.warc"), warc_types=None).collect()
+    assert sorted({r["warc_type"] for r in allrecs}) == ["request", "response", "warcinfo"]
