@@ -1525,6 +1525,128 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarterly revenue view → supplier(s) at the maximum.
+    Revenue aggregates exact-decimal per supplier (one shuffle on
+    l_suppkey); the scalar-max subquery becomes a broadcast of the
+    one-row max joined back on DECIMAL equality (exact — no double
+    ties), and the supplier dim broadcasts onto the handful of
+    winners.  The quarter filter is pushed to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q21_suppliers_who_kept_orders_waiting",
+    """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING COUNT(DISTINCT l_suppkey) >= 2
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) w
+JOIN multi m ON w.l_orderkey = m.l_orderkey
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM late x
+  WHERE x.l_orderkey = w.l_orderkey AND x.l_suppkey <> w.l_suppkey
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS → semi + anti joins):
+    suppliers solely responsible for lateness in multi-supplier
+    finished orders.  (Adapted lateness: shipdate > orderdate + 60
+    days — this dataset has no commit/receipt dates, same proxy as
+    q4.)  The EXISTS collapses to a join against the
+    distinct-supplier-count aggregate; the NOT EXISTS is a left-anti
+    self-join of the late set on (same order, different supplier) —
+    each one shuffle on the order key, no correlated per-row probes.
+    The top-20 is TakeOrderedAndProject, not a global sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("l_orderkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    sole = late.join(
+        other_late,
+        (late.l_orderkey == F.col("__ok")) & (late.l_suppkey != F.col("__sk")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(multi, "l_orderkey")
+        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
     "q22_sales_opportunity",
     """
 WITH pos AS (
@@ -2475,6 +2597,8 @@ _FRONT = [
     # new this round
     "multimodal_frame_sample",
     "ann_ivf_exhaustive",
+    "q15_top_supplier",
+    "q21_suppliers_who_kept_orders_waiting",
 ]
 
 
