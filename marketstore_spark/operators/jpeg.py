@@ -153,10 +153,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def write_marker(self, second_byte: int) -> None:
+        """Emit a marker (0xFF second_byte) — bypasses byte stuffing,
+        marker FFs are intentional."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, second_byte])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -286,11 +295,17 @@ def _encode_block(bw, block, q, dct_codes, act_codes, prev_dc):
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """H×W×3 uint8 RGB → baseline JFIF bytes (Annex-K tables).
     ``subsampling='420'`` downsamples chroma 2×2 (the camera-default
-    layout); ``'444'`` keeps full-resolution chroma."""
+    layout); ``'444'`` keeps full-resolution chroma.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset) — what cameras write
+    for error resilience."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, w, _ = pixels.shape
@@ -335,8 +350,13 @@ def encode_jpeg(
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.write_marker(0xD0 + (mcu_count // restart_interval - 1) % 8)
+                prev_dc = [0, 0, 0]
+            mcu_count += 1
             for ci, ((_, q, dcc, acc), (fh, fv)) in enumerate(zip(comps, factors)):
                 for by in range(fv):
                     for bx in range(fh):
@@ -368,9 +388,11 @@ def encode_jpeg(
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + jfif
+        + dri
         + dqt(0, qy)
         + dqt(1, qc)
         + sof

@@ -102,3 +102,20 @@ def test_jpeg_through_spark_pipeline(spark):
         # neighbor of a gradient stays within quantization error)
         ref = px[::2, ::2]
         assert np.abs(resized.astype(int) - ref.astype(int)).mean() < 12
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn emission (camera-style error resilience): the
+    decoder's realignment path must reproduce the no-restart decode
+    exactly — same coefficients, same pixels."""
+    px = _gradient(40, 48)  # several MCU rows → multiple RSTn fire
+    for ri in (1, 2, 5):
+        for sub in ("444", "420"):
+            ref = decode_jpeg(encode_jpeg(px, quality=90, subsampling=sub))
+            rst = decode_jpeg(
+                encode_jpeg(px, quality=90, subsampling=sub, restart_interval=ri)
+            )
+            assert (rst == ref).all(), (ri, sub)
+    # DRI segment present only when requested
+    assert b"\xff\xdd" in encode_jpeg(px, restart_interval=2)
+    assert b"\xff\xdd" not in encode_jpeg(px)

@@ -277,3 +277,23 @@ def test_ivf_index_store_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
     a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
     b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
     assert a == b and len(a) == 25
+
+
+def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
+    """Q15's scalar-max subquery must compile to a broadcast join of
+    the one-row max (decimal equality) — no driver collect, and the
+    quarter filter reaches the lineitem scan."""
+    plan = explain_str(SPARK_QUERIES["q15_top_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q21_anti_join_shape(spark, sf_dir):
+    """Q21's NOT EXISTS must be a left-anti join (never a correlated
+    per-row probe or cartesian)."""
+    plan = explain_str(
+        SPARK_QUERIES["q21_suppliers_who_kept_orders_waiting"](spark, sf_dir)
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
