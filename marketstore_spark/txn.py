@@ -138,6 +138,23 @@ def stage_files(df: DataFrame, bucket: str) -> tuple[list[str], str]:
     return rels, schema_json
 
 
+def _check_schema_compatible(base_json: str, new_json: str, bucket: str) -> None:
+    """Appends must match the bucket schema exactly (name → type).  An
+    explicit-file-list scan takes the FIRST file's schema — a silently
+    divergent append would drop or garble columns at read time, so
+    reject it at commit time instead (the reference's writer enforces
+    the bucket's column layout the same way: executor/writer.go)."""
+    if not base_json or not new_json:
+        return
+    base = {f["name"]: f["type"] for f in json.loads(base_json)["fields"]}
+    new = {f["name"]: f["type"] for f in json.loads(new_json)["fields"]}
+    if base != new:
+        diff = sorted(set(base.items()) ^ set(new.items()))
+        raise ValueError(
+            f"append schema does not match bucket {bucket!r}: {diff}"
+        )
+
+
 def publish(
     bucket: str,
     new_files: list[str],
@@ -159,6 +176,7 @@ def publish(
         if mode == "append":
             if cur is not None:
                 base = read_manifest(bucket, cur)
+                _check_schema_compatible(base["schema"], schema_json, bucket)
                 files = base["files"] + list(new_files)
                 schema_json = schema_json or base["schema"]
             else:  # first commit over a legacy flat bucket adopts its files

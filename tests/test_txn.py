@@ -172,3 +172,17 @@ def test_concurrent_appends_all_land(cat, spark):
     got = {r["value"] for r in df.collect()}
     expect = {float(i * 1000 + j) for i in range(n_writers) for j in range(rows_each)}
     assert got == expect
+
+
+def test_append_schema_mismatch_rejected(cat, spark):
+    """A divergent-schema append must fail at commit time — an
+    explicit-file-list scan takes the first file's schema, so a torn
+    layout would silently garble reads."""
+    cat.write(KEY, _mkdf(spark, 5))
+    bad = spark.createDataFrame([Row(ts=1, user_id=2, value="not-a-double")])
+    with pytest.raises(ValueError, match="schema does not match"):
+        cat.write(KEY, bad)
+    assert cat.read(KEY).count() == 5  # bucket untouched
+    # same schema still appends fine
+    cat.write(KEY, _mkdf(spark, 2, base=50))
+    assert cat.read(KEY).count() == 7
