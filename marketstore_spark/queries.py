@@ -2238,6 +2238,32 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@_register(
+    "dedup_embedding_lsh_exhaustive",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+)
+def dedup_embedding_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked-LSH dedup machinery driven exhaustively (zero
+    hyperplanes → one bucket): candidate generation covers every pair,
+    so the output EQUALS the exact operator and the exact oracle
+    hash-verifies the bucket self-join + cosine-verify pipeline.  The
+    tuned configuration (dedup_embedding_lsh) stays recall-pinned."""
+    from marketstore_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        num_planes=0,
+        num_tables=1,
+    )
+
+
 # =====================================================================
 # LLM-data-pipeline: similarity search (SURVEY §2 #35-36)
 # =====================================================================
@@ -2306,6 +2332,42 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_lsh_exhaustive",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id >= 20 AND vec_id < 30),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM q, e c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH machinery driven exhaustively (zero hyperplanes → one
+    bucket): candidates become the whole corpus, so the result EQUALS
+    brute force and the brute-force oracle hash-verifies the bucket
+    assignment / join / re-rank pipeline end to end.  The tuned
+    configuration (ann_lsh) stays recall-pinned in pytest."""
+    from marketstore_spark.operators.simsearch import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30)),
+        k=5,
+        num_planes=0,
+        num_tables=1,
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -2597,6 +2659,8 @@ _FRONT = [
     # new this round
     "multimodal_frame_sample",
     "ann_ivf_exhaustive",
+    "ann_lsh_exhaustive",
+    "dedup_embedding_lsh_exhaustive",
     "q15_top_supplier",
     "q21_suppliers_who_kept_orders_waiting",
 ]
