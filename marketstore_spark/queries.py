@@ -966,6 +966,29 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "percentiles_approx_exhaustive",
+    """
+SELECT user_id, quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95, quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY user_id
+""",
+)
+def percentiles_approx_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GK sketch driven past its exactness threshold: with
+    accuracy ≥ group row count the rank error bound εn drops below
+    one rank, so ``approx_percentile`` returns the exact discrete
+    quantile and the ``quantile_disc`` oracle hash-verifies the whole
+    sketch path (build, merge, query).  The production accuracy
+    (percentiles_approx) stays error-bound-pinned in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("approx_percentile(value, 0.5, 10000000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.95, 10000000)").alias("p95"),
+        F.expr("approx_percentile(value, 0.99, 10000000)").alias("p99"),
+    )
+
+
 def _ema_sql(span: int = 20) -> str:
     """EMA as a DuckDB recursive CTE.  The step expression
     ``alpha*x + (1-alpha)*prev`` is the same two-multiply-one-add
@@ -2661,6 +2684,7 @@ _FRONT = [
     "ann_ivf_exhaustive",
     "ann_lsh_exhaustive",
     "dedup_embedding_lsh_exhaustive",
+    "percentiles_approx_exhaustive",
     "q15_top_supplier",
     "q21_suppliers_who_kept_orders_waiting",
 ]
