@@ -45,6 +45,11 @@ HEADLINE = [
     # window-heavy shapes (VERDICT r02 item 8)
     "q18_large_volume_customer",
     "top_symbols",
+    # round-4 additions: semi/anti-join TPC-H shapes + the exact-mode
+    # percentile sketch
+    "q15_top_supplier",
+    "q21_suppliers_who_kept_orders_waiting",
+    "percentiles_approx_exhaustive",
 ]
 
 _ORACLE_TABLES = (
