@@ -239,12 +239,13 @@ class Catalog:
         the old version current.  At scale (date-partitioned layout,
         sources/parquet.py) the rewrite touches only affected dates."""
         path = TimeBucketKey(key).path(self.root)
-        df = self.read(key)
+        base = txn.current_version(path)  # snapshot the rewrite plans from
+        df = self.read(key, version=base)
         keep = df.filter(
             ~((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) <= F.lit(end)))
         )
         before = df.count()
-        txn.commit_write(keep, path, mode="replace")
+        txn.commit_write(keep, path, mode="replace", base_version=base)
         after = self.read(key).count()
         return before - after
 
@@ -258,24 +259,36 @@ class Catalog:
         hot bucket grows thousands of small files whose open/footer
         cost dominates scans.  Compaction reads the current snapshot,
         rewrites it coalesced, and publishes a replace-commit; the old
-        files stay until ``vacuum`` so concurrent readers keep a
-        complete snapshot.  Returns {files_before, files_after, rows}.
+        files stay until an EXPLICIT ``vacuum`` so concurrent readers
+        keep a complete snapshot and time travel keeps its versions
+        (compact never reclaims implicitly — a concurrent append merged
+        into the replace must not race a same-moment sweep).
+        Returns {files_before, files_after, rows}.
         """
         path = TimeBucketKey(key).path(self.root)
-        files_before = len(txn.data_files(path))
-        df = self.read(key)
-        size_b = sum(os.path.getsize(f) for f in txn.data_files(path))
+        base = txn.current_version(path)
+        files_before = len(txn.data_files(path, version=base))
+        df = self.read(key, version=base)
+        size_b = sum(os.path.getsize(f) for f in txn.data_files(path, version=base))
         nfiles = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
-        txn.commit_write(df.repartition(nfiles), path, mode="replace")
+        txn.commit_write(df.repartition(nfiles), path, mode="replace", base_version=base)
         rows = self.read(key).count()
-        txn.vacuum(path)
         files_after = len(txn.data_files(path))
         return {"files_before": files_before, "files_after": files_after, "rows": rows}
 
-    def vacuum(self, key: str, keep_versions: int = 1) -> dict:
+    def vacuum(
+        self,
+        key: str,
+        keep_versions: int = 1,
+        min_age_seconds: float = txn.DEFAULT_VACUUM_MIN_AGE_S,
+    ) -> dict:
         """Reclaim unreferenced data files / stale staging dirs (crash
-        debris and superseded versions) for a bucket."""
-        return txn.vacuum(TimeBucketKey(key).path(self.root), keep_versions)
+        debris and superseded versions) for a bucket.  Files younger
+        than ``min_age_seconds`` are retained (an in-flight writer may
+        own them — Delta-style retention)."""
+        return txn.vacuum(
+            TimeBucketKey(key).path(self.root), keep_versions, min_age_seconds
+        )
 
     # -- Integrity check (cmd/tool/integrity) ------------------------------
     def integrity_check(self, pattern: str = "*/*/*", ts_col: str = "ts") -> list[dict]:

@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     s = sub.add_parser("vacuum", help="sweep unreferenced files / crash debris")
     s.add_argument("key")
     s.add_argument("--keep-versions", type=int, default=1)
+    s.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=None,
+        help="retention gate; files younger than this survive the sweep "
+        "(default: txn.DEFAULT_VACUUM_MIN_AGE_S). 0 = sweep everything "
+        "(only safe with no concurrent writers).",
+    )
 
     args = p.parse_args(argv)
 
@@ -161,8 +169,11 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                     file=out,
                 )
     elif args.cmd == "vacuum":
+        kw = {}
+        if args.min_age_seconds is not None:
+            kw["min_age_seconds"] = args.min_age_seconds
         print(
-            json.dumps(cat.vacuum(args.key, keep_versions=args.keep_versions)),
+            json.dumps(cat.vacuum(args.key, keep_versions=args.keep_versions, **kw)),
             file=out,
         )
     return 0

@@ -2634,59 +2634,68 @@ def uda_adjust_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else in source order.
 
 _FRONT = [
-    # Round-4 rotation (driver checks the first ~50 keys).  Lead with
-    # the four keys that FAILED in CORRECTNESS_r03 (TIMESTAMP_NTZ
-    # unix_micros breakage, fixed via functions/timeutil.epoch_us) so
-    # the fix gets fresh driver evidence.  text_tokens opens the list:
-    # the warmup-absorbing first key should be a cheap scan-side plan.
-    "text_tokens",
-    "range_join",
-    "asof_join_tolerance",
-    "uda_gap",
-    "uda_gap_zscore",
-    # The 26 keys absent from r03's 50-key window (VERDICT r02 item 1:
-    # no key goes >1 round without a driver row).  q18 first among the
-    # TPC-H shapes — its plan changed in round 2 with no driver
-    # re-check since.
-    "asof_join",
-    "sessionize",
-    "q18_large_volume_customer",
-    "returns",
-    "sma",
-    "bollinger",
-    "rsi",
-    "drawdown",
-    "ema",
-    "percentiles",
-    "percentiles_approx",
-    "text_termfreq",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "corpus_filter_pipeline",
-    "top_symbols",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q4_late_orders",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    # keys whose ORACLE changed this round (band-cap mirroring,
-    # recursive-CTE upgrades) — need fresh parity rows too
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "dedup_minhash_keep",
-    # new this round
-    "multimodal_frame_sample",
-    "ann_ivf_exhaustive",
-    "ann_lsh_exhaustive",
-    "dedup_embedding_lsh_exhaustive",
-    "percentiles_approx_exhaustive",
+    # Round-5 rotation (driver checks the first ~50 keys).  Lead with
+    # the 33 keys absent from CORRECTNESS_r04's window — the VERDICT r04
+    # ⚠ set: their operator files (candler/uda/asof/sessionize/timeutil)
+    # were touched by the round-4 NTZ refactor AFTER r03's driver check,
+    # so their only post-change evidence is pytest.  corpus_stats opens
+    # the list: the warmup-absorbing first key should be a cheap
+    # scan-side plan.
+    "corpus_stats",
+    "uda_min",
+    "uda_max",
+    "uda_avg",
+    "uda_count",
+    "tickcandler",
+    "candlecandler",
+    "rollup_5min",
+    "rollup_1h",
+    "rollup_1d",
+    "rollup_1w",
+    "rollup_1mo",
+    "vwap",
+    "uda_adjust",
+    "corporate_actions",
+    "uda_adjust_ca",
+    "gapfill",
+    "skew_salted_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
+    "dedup_exact",
+    # dedup_ngram_jaccard additionally gets a round-5 perf rework —
+    # fresh parity row doubly required
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "ann_cosine_topk",
+    "ann_filtered",
+    "ann_lsh",
+    "ann_ivf",
+    "multimodal_meta",
+    # New round-5 keys (remaining TPC-H adaptations) — first driver rows
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
+    "multimodal_video_decode",
+    # Round-4-green keys we still have budget for, most-load-bearing
+    # first (plans that changed most recently get re-checked sooner).
     "q15_top_supplier",
     "q21_suppliers_who_kept_orders_waiting",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "multimodal_frame_sample",
+    "ann_ivf_exhaustive",
+    "dedup_embedding_lsh_exhaustive",
+    "percentiles_approx_exhaustive",
+    "range_join",
+    "asof_join_tolerance",
 ]
 
 

@@ -25,26 +25,37 @@ def write_bucket_store(
     symbol_col: str = "user_id",
     ts_col: str = "ts",
     mode: str = "overwrite",
-) -> None:
-    """Lay out a tick table as symbol/date-partitioned parquet.
+) -> int:
+    """Lay out a tick table as symbol/date-partitioned parquet through
+    the ATOMIC manifest commit (txn.py).
 
     Partition columns are derived, not duplicated: `symbol` and `date`
-    become directory keys; row data keeps the original columns.
+    become directory keys; row data keeps the original columns.  The
+    manifest records partition-relative file paths (Iceberg-style), so
+    a writer dying mid-overwrite leaves the previous snapshot fully
+    readable — the WAL guarantee (reference executor/wal.go) now covers
+    the partitioned 100 TB layout, not just flat buckets.  Returns the
+    committed version.
     """
-    (
-        df.withColumn("symbol", F.col(symbol_col))
-        .withColumn("date", F.to_date(F.col(ts_col)))
-        .write.mode(mode)
-        .partitionBy("symbol", "date")
-        .parquet(root)
+    from marketstore_spark import txn
+
+    staged = df.withColumn("symbol", F.col(symbol_col)).withColumn(
+        "date", F.to_date(F.col(ts_col))
+    )
+    txn_mode = "replace" if mode == "overwrite" else "append"
+    return txn.commit_write(
+        staged, root, mode=txn_mode, partition_by=("symbol", "date")
     )
 
 
 def read_bucket_store(spark: SparkSession, root: str) -> DataFrame:
-    """Read the partitioned store; `symbol`/`date` come back as
-    partition columns, so filters on them prune directories before any
-    file is opened."""
-    return spark.read.parquet(root)
+    """Read the partitioned store's committed snapshot; `symbol`/`date`
+    come back as partition columns, so filters on them prune the
+    manifest's file list before any file is opened.  Pre-protocol flat
+    directories read as-is."""
+    from marketstore_spark import txn
+
+    return txn.read_bucket(spark, root)
 
 
 def write_bucketed_table(

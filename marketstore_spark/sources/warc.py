@@ -101,9 +101,29 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def _iter_records_tolerant(raw: bytes) -> Iterator[dict]:
+    """Stop at the first malformed record, keeping everything yielded
+    before it.  A missing/garbled Content-Length desyncs the rest of
+    the stream, so per-record resync isn't possible — but one corrupt
+    archive must cost its own tail, not the whole Spark job (corrupt
+    payload is data, not a bug — same convention as the multimodal
+    decoders' decoded_ok=0)."""
+    it = parse_warc(io.BytesIO(raw))
+    while True:
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+        except (ValueError, OverflowError):
+            return
+
+
 def _records_of_file(path: str, content: bytes) -> Iterator[tuple]:
-    raw = gzip.decompress(content) if content[:2] == b"\x1f\x8b" else content
-    for rec in parse_warc(io.BytesIO(raw)):
+    try:
+        raw = gzip.decompress(content) if content[:2] == b"\x1f\x8b" else content
+    except (OSError, EOFError):  # truncated/corrupt gzip member
+        return
+    for rec in _iter_records_tolerant(raw):
         status, http_ctype, body = (
             split_http_payload(rec["payload"])
             if rec["warc_type"] == "response"

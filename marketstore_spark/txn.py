@@ -40,14 +40,32 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 _STAGE_PREFIX = ".stage-"
+
+#: Default grace period before vacuum sweeps staging dirs / orphan data
+#: files (Delta-style retention).  A writer between ``stage_files`` and
+#: ``publish`` owns files no manifest references yet; sweeping them
+#: instantly would let a concurrent vacuum destroy an in-flight commit.
+DEFAULT_VACUUM_MIN_AGE_S = 3600.0
+
+_UNSET = object()
+
+
+class CommitConflictError(RuntimeError):
+    """A replace commit's base snapshot was invalidated by a concurrent
+    replace/delete (Iceberg/Delta-style optimistic-concurrency
+    conflict).  Pure concurrent APPENDS are not a conflict: their files
+    are merged into the replacement (snapshot-isolation semantics — the
+    replace applies to the rows it saw; appended rows survive)."""
 
 
 def _manifest_dir(bucket: str) -> str:
@@ -92,11 +110,22 @@ def data_files(bucket: str, version: int | None = None) -> list[str]:
     return [os.path.join(bucket, rel) for rel in m["files"]]
 
 
+def _protocol_component(rel_root: str) -> bool:
+    """True when ``rel_root``'s FIRST path component is protocol-owned
+    (manifests / committed data / staging).  Exact component match, not
+    a string prefix: a legacy subdirectory literally named
+    ``database/`` or ``data2/`` must NOT match ``data`` — a prefix test
+    would silently drop its files from the adoption manifest and vacuum
+    would then delete them as unreferenced."""
+    first = rel_root.split(os.sep, 1)[0]
+    return first in (MANIFEST_DIR, DATA_DIR) or first.startswith(_STAGE_PREFIX)
+
+
 def _legacy_relative_files(bucket: str) -> list[str]:
     out = []
     for r, _, fs in os.walk(bucket):
         rel_root = os.path.relpath(r, bucket)
-        if rel_root.startswith((MANIFEST_DIR, DATA_DIR, _STAGE_PREFIX)):
+        if rel_root != "." and _protocol_component(rel_root):
             continue
         for f in fs:
             if f.endswith(".parquet"):
@@ -104,35 +133,43 @@ def _legacy_relative_files(bucket: str) -> list[str]:
     return sorted(out)
 
 
-def stage_files(df: DataFrame, bucket: str) -> tuple[list[str], str]:
+def stage_files(
+    df: DataFrame, bucket: str, partition_by: tuple[str, ...] | None = None
+) -> tuple[list[str], str]:
     """Run the distributed write into a staging dir, then move the
     produced part-files under ``data/`` with a commit-unique prefix.
     The moves need no atomicity: nothing references these names until
     the manifest publishes.  Returns (relative file names, schema json).
+
+    With ``partition_by``, the write is Hive-partitioned and each
+    part-file keeps its ``col=value/...`` directory chain under
+    ``data/`` — the manifest records partition-RELATIVE paths, so the
+    partition values survive in the committed layout (Iceberg records
+    them per manifest entry; here the hive path IS the record) and the
+    read side can plan partition pruning from the explicit file list.
     """
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(bucket, _STAGE_PREFIX + token)
-    df.write.mode("overwrite").parquet(stage)
-    for entry in os.listdir(stage):
-        if os.path.isdir(os.path.join(stage, entry)) and not entry.startswith(
-            (".", "_")
-        ):
-            # Hive partition dirs carry column VALUES in their names;
-            # a manifest's explicit file list would silently drop them.
-            raise NotImplementedError(
-                "partitioned staging is not supported by the manifest "
-                "protocol; use sources.parquet.write_bucket_store for the "
-                "partitioned layout"
-            )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
     ddir = os.path.join(bucket, DATA_DIR)
     os.makedirs(ddir, exist_ok=True)
     rels = []
-    for i, f in enumerate(sorted(os.listdir(stage))):
-        if not f.endswith(".parquet"):
-            continue
-        rel = os.path.join(DATA_DIR, f"{token}-{i:05d}.parquet")
-        os.rename(os.path.join(stage, f), os.path.join(bucket, rel))
-        rels.append(rel)
+    i = 0
+    for r, dirs, fs in sorted(os.walk(stage)):
+        dirs.sort()
+        rel_dir = os.path.relpath(r, stage)
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            sub = () if rel_dir == "." else (rel_dir,)
+            rel = os.path.join(DATA_DIR, *sub, f"{token}-{i:05d}.parquet")
+            os.makedirs(os.path.dirname(os.path.join(bucket, rel)), exist_ok=True)
+            os.rename(os.path.join(r, f), os.path.join(bucket, rel))
+            rels.append(rel)
+            i += 1
     schema_json = df.schema.json()
     shutil.rmtree(stage, ignore_errors=True)
     return rels, schema_json
@@ -155,37 +192,96 @@ def _check_schema_compatible(base_json: str, new_json: str, bucket: str) -> None
         )
 
 
+def _merge_replace_files(
+    bucket: str, base_version: int | None, cur: int | None, new_files: list[str]
+) -> list[str]:
+    """A replace commit found the bucket advanced past its snapshot.
+    If every intervening commit was a pure append (no file the base
+    referenced has disappeared), merge: the replacement set plus the
+    files appended since the snapshot.  Anything else — a concurrent
+    replace/delete, or an unreconstructable base — is a conflict."""
+    if base_version is None or cur is None:
+        raise CommitConflictError(
+            f"replace commit on {bucket!r}: bucket version changed from an "
+            "unversioned/unknown base; cannot verify concurrent commits"
+        )
+    try:
+        base_files = set(read_manifest(bucket, base_version)["files"])
+    except FileNotFoundError as exc:
+        raise CommitConflictError(
+            f"replace commit on {bucket!r}: base version {base_version} was "
+            "vacuumed away; cannot verify concurrent commits"
+        ) from exc
+    cur_files = set(read_manifest(bucket, cur)["files"])
+    removed = base_files - cur_files
+    if removed:
+        raise CommitConflictError(
+            f"replace commit on {bucket!r}: a concurrent replace/delete "
+            f"removed {len(removed)} file(s) the base snapshot "
+            f"(v{base_version}) referenced; rerun on the new snapshot"
+        )
+    return list(new_files) + sorted(cur_files - base_files)
+
+
 def publish(
     bucket: str,
     new_files: list[str],
     schema_json: str,
     mode: str = "append",
     crash_hook=None,
+    base_version=_UNSET,
+    partition_by: tuple[str, ...] | None = None,
 ) -> int:
     """Atomically publish a new version.  ``mode='append'`` unions the
     current file list with ``new_files``; ``mode='replace'`` makes
     ``new_files`` the entire bucket.  Returns the published version.
+
+    ``base_version`` (replace mode) is the version the replacement was
+    computed FROM.  If the bucket advanced past it — a lost CAS or a
+    slow writer — concurrent pure appends are merged into the new
+    manifest and anything else raises :class:`CommitConflictError`;
+    silently publishing only ``new_files`` would drop the concurrently
+    appended rows (the classic lost update).  When the caller doesn't
+    pass it, the version observed on the FIRST loop iteration is the
+    base, so a lost CAS retry still gets conflict detection.
 
     ``crash_hook(point)`` is a fault-injection seam for the crash tests
     (points: 'pre_publish') — production callers leave it None.
     """
     mdir = _manifest_dir(bucket)
     os.makedirs(mdir, exist_ok=True)
+    first_iteration = True
     while True:
         cur = current_version(bucket)
         if mode == "append":
             if cur is not None:
                 base = read_manifest(bucket, cur)
                 _check_schema_compatible(base["schema"], schema_json, bucket)
+                if tuple(base.get("partition_by") or ()) != tuple(partition_by or ()):
+                    raise ValueError(
+                        f"append partitioning {partition_by!r} does not match "
+                        f"bucket {bucket!r}'s {base.get('partition_by')!r}"
+                    )
                 files = base["files"] + list(new_files)
                 schema_json = schema_json or base["schema"]
             else:  # first commit over a legacy flat bucket adopts its files
                 files = _legacy_relative_files(bucket) + list(new_files)
         else:
-            files = list(new_files)
+            if base_version is _UNSET and first_iteration:
+                base_version = cur  # caller gave no snapshot: adopt first-seen
+            if base_version is not _UNSET and cur != base_version:
+                files = _merge_replace_files(bucket, base_version, cur, new_files)
+            else:
+                files = list(new_files)
+        first_iteration = False
         nxt = 0 if cur is None else cur + 1
         payload = json.dumps(
-            {"version": nxt, "files": files, "schema": schema_json}
+            {
+                "version": nxt,
+                "files": files,
+                "schema": schema_json,
+                "partition_by": list(partition_by or ()),
+            }
         )
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as fh:
@@ -204,12 +300,34 @@ def publish(
 
 
 def commit_write(
-    df: DataFrame, bucket: str, mode: str = "append", crash_hook=None
+    df: DataFrame,
+    bucket: str,
+    mode: str = "append",
+    crash_hook=None,
+    base_version=_UNSET,
+    partition_by: tuple[str, ...] | None = None,
 ) -> int:
-    """Stage ``df`` and publish it in one call (the Catalog write path)."""
+    """Stage ``df`` and publish it in one call (the Catalog write path).
+
+    Replace callers that computed ``df`` from an earlier snapshot should
+    pass that snapshot's version as ``base_version`` so concurrent
+    appends are detected (merged) rather than silently dropped."""
     os.makedirs(bucket, exist_ok=True)
-    rels, schema_json = stage_files(df, bucket)
-    return publish(bucket, rels, schema_json, mode=mode, crash_hook=crash_hook)
+    if base_version is _UNSET and mode == "replace":
+        # The caller's df was planned from the bucket no later than now;
+        # capture the snapshot before staging (which can take minutes on
+        # a big rewrite — plenty of time for a concurrent append).
+        base_version = current_version(bucket)
+    rels, schema_json = stage_files(df, bucket, partition_by=partition_by)
+    return publish(
+        bucket,
+        rels,
+        schema_json,
+        mode=mode,
+        crash_hook=crash_hook,
+        base_version=base_version,
+        partition_by=partition_by,
+    )
 
 
 def read_bucket(
@@ -217,26 +335,68 @@ def read_bucket(
 ) -> DataFrame:
     """Plan a scan of the bucket's committed snapshot.  An explicit
     file list goes to the reader (not the directory), so half-staged
-    data files are structurally invisible."""
+    data files are structurally invisible.
+
+    Partitioned snapshots set ``basePath`` so the hive ``col=value``
+    chains under ``data/`` come back as partition columns — filters on
+    them prune files at PLANNING time exactly as a directory scan
+    would, but against the committed file list."""
     if not is_versioned(bucket):
         return spark.read.parquet(bucket)  # legacy flat layout
     if version is None:
         version = current_version(bucket)
     m = read_manifest(bucket, version)
     files = [os.path.join(bucket, rel) for rel in m["files"]]
+    schema = StructType.fromJson(json.loads(m["schema"])) if m["schema"] else None
     if not files:
-        schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    pby = m.get("partition_by") or []
+    if not pby:
+        return spark.read.parquet(*files)
+    df = (
+        spark.read.option("basePath", os.path.join(bucket, DATA_DIR))
+        .parquet(*files)
+    )
+    if schema is not None:
+        # Partition values round-trip through directory names; re-cast
+        # any column whose inferred type drifted (e.g. '42' → int when
+        # the table column is long), then restore the committed order.
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c in pby:
+            if c in by_name and df.schema[c].dataType != by_name[c]:
+                df = df.withColumn(c, F.col(c).cast(by_name[c]))
+        df = df.select(*[f.name for f in schema.fields])
+    return df
 
 
-def vacuum(bucket: str, keep_versions: int = 1) -> dict:
+def vacuum(
+    bucket: str,
+    keep_versions: int = 1,
+    min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE_S,
+) -> dict:
     """Remove data files no manifest in the kept window references,
     stale staging dirs, and temp manifests.  Safe after crashes: orphans
-    are exactly the files no published manifest names."""
+    are exactly the files no published manifest names.
+
+    ``min_age_seconds`` is the Delta-style retention gate: staging dirs
+    and unreferenced files younger than it are left alone, because a
+    LIVE writer between ``stage_files`` and ``publish`` owns exactly
+    such files — sweeping them would destroy its in-flight commit and
+    let it publish a manifest pointing at deleted data.  Pass ``0`` only
+    when no writer can be active (tests, single-writer maintenance)."""
     removed_files = 0
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_seconds
+        except OSError:  # raced with another vacuum / writer cleanup
+            return False
+
     for entry in os.listdir(bucket):
-        if entry.startswith(_STAGE_PREFIX):
+        if entry.startswith(_STAGE_PREFIX) and _old_enough(
+            os.path.join(bucket, entry)
+        ):
             shutil.rmtree(os.path.join(bucket, entry), ignore_errors=True)
     cur = current_version(bucket)
     if cur is None:
@@ -247,7 +407,8 @@ def vacuum(bucket: str, keep_versions: int = 1) -> dict:
     removed_manifests = 0
     for f in sorted(os.listdir(mdir)):
         if f.startswith(".tmp-"):
-            os.unlink(os.path.join(mdir, f))
+            if _old_enough(os.path.join(mdir, f)):
+                os.unlink(os.path.join(mdir, f))
             continue
         if not (f.endswith(".json") and f[:-5].isdigit()):
             continue
@@ -259,14 +420,23 @@ def vacuum(bucket: str, keep_versions: int = 1) -> dict:
             removed_manifests += 1
     # Sweep every unreferenced parquet file — data/ orphans AND flat
     # legacy files superseded after the bucket was adopted.
+    empty_check: set[str] = set()
     for r, _, fs in os.walk(bucket):
-        if os.path.relpath(r, bucket).startswith(MANIFEST_DIR):
+        rel_root = os.path.relpath(r, bucket)
+        if rel_root.split(os.sep, 1)[0] == MANIFEST_DIR:
             continue
         for f in fs:
             if not f.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(r, f), bucket)
-            if rel not in live:
-                os.unlink(os.path.join(r, f))
+            full = os.path.join(r, f)
+            rel = os.path.relpath(full, bucket)
+            if rel not in live and _old_enough(full):
+                os.unlink(full)
                 removed_files += 1
+                empty_check.add(r)
+    # Drop partition dirs the sweep emptied (cosmetic; bottom-up).
+    for d in sorted(empty_check, reverse=True):
+        while d != bucket and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
     return {"removed_files": removed_files, "removed_manifests": removed_manifests}

@@ -78,9 +78,12 @@ def test_cli_versions_and_vacuum(spark, store):
     assert [r["version"] for r in rows] == [0, 1]
     assert rows[-1]["current"] is True
 
-    cat.compact("TSLA/1Min/TICK")  # compact vacuums; next vacuum is a no-op
-    swept = json.loads(_run(spark, ["--root", root, "vacuum", "TSLA/1Min/TICK"])[0])
-    assert swept["removed_files"] == 0
+    cat.compact("TSLA/1Min/TICK")  # compact never reclaims implicitly
+    swept = json.loads(
+        _run(spark, ["--root", root, "vacuum", "TSLA/1Min/TICK",
+                     "--min-age-seconds", "0"])[0]
+    )
+    assert swept["removed_files"] >= 1  # superseded files swept explicitly
     # after compact+vacuum only the current version remains listed
     rows = [json.loads(r) for r in _run(spark, ["--root", root, "versions", "TSLA/1Min/TICK"])]
     assert len(rows) == 1 and rows[0]["current"]

@@ -241,3 +241,43 @@ def test_warc_ingestion_plain_and_gzip(spark, tmp_path):
     # keep-all mode sees every record type
     allrecs = read_warc(spark, str(d / "part-0.warc"), warc_types=None).collect()
     assert sorted({r["warc_type"] for r in allrecs}) == ["request", "response", "warcinfo"]
+
+
+def test_warc_corrupt_archive_degrades_not_fails(spark, tmp_path):
+    """One corrupt archive costs its own tail, never the job: records
+    before the corruption survive, other archives are untouched, and a
+    truncated gzip member yields zero records instead of an error
+    (corrupt payload is data, not a bug)."""
+    import gzip as _gzip
+
+    from marketstore_spark.sources.warc import read_warc
+
+    http_ok = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody-%d"
+    good2 = _mk_warc(
+        [("response", "http://a.example/1", http_ok % 1),
+         ("response", "http://a.example/2", http_ok % 2)]
+    )
+    # good record, then a garbled version line -> desync: tail is lost
+    corrupt = good2 + b"NOT-A-WARC-RECORD\r\njunk\r\n\r\n" + _mk_warc(
+        [("response", "http://a.example/3", http_ok % 3)]
+    )
+    # a record whose Content-Length isn't an int dies mid-header
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:x>\r\n"
+        b"Content-Length: NaN\r\n\r\npayload\r\n\r\n"
+    )
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a-good.warc").write_bytes(good2)
+    (d / "b-corrupt.warc").write_bytes(corrupt)
+    (d / "c-badlen.warc").write_bytes(bad_len)
+    (d / "d-truncated.warc.gz").write_bytes(_gzip.compress(good2)[:20])
+
+    recs = read_warc(spark, str(d) + "/*").collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(r["source_file"].rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file.get("a-good.warc", [])) == 2  # untouched archive intact
+    assert len(by_file.get("b-corrupt.warc", [])) == 2  # pre-corruption records kept
+    assert "c-badlen.warc" not in by_file  # malformed header: no records, no error
+    assert "d-truncated.warc.gz" not in by_file  # torn gzip: skipped, no error

@@ -58,8 +58,12 @@ def test_crashed_append_invisible_then_vacuumed(cat, spark):
     # Reader sees the old version in full — never 10+partial.
     assert cat.read(KEY).count() == 10
     assert txn.current_version(path) == 0
-    # Crash debris (staged data files + tmp manifest) is sweepable.
+    # Retention gate: a default-age vacuum must NOT touch the fresh
+    # debris (it is indistinguishable from a live writer's staging).
     swept = txn.vacuum(path)
+    assert swept["removed_files"] == 0
+    # Past the retention window (simulated via min_age=0) it sweeps.
+    swept = txn.vacuum(path, min_age_seconds=0)
     assert swept["removed_files"] >= 1
     assert cat.read(KEY).count() == 10
 
@@ -172,6 +176,131 @@ def test_concurrent_appends_all_land(cat, spark):
     got = {r["value"] for r in df.collect()}
     expect = {float(i * 1000 + j) for i in range(n_writers) for j in range(rows_each)}
     assert got == expect
+
+
+def test_replace_merges_concurrent_append(cat, spark):
+    """Compaction racing an append must not drop the appended rows:
+    the replace detects its base advanced and merges the appended
+    files (snapshot-isolation, Iceberg/Delta conflict handling)."""
+    for i in range(3):
+        cat.write(KEY, _mkdf(spark, 10, base=i * 10))
+    path = cat.root + "/TEST/1Min/TICK"
+    base = txn.current_version(path)  # v2: the compactor's snapshot
+    rewritten = cat.read(KEY).repartition(1)
+    rels, schema = txn.stage_files(rewritten, path)
+    # An append lands AFTER the compactor snapshotted, BEFORE it publishes.
+    cat.write(KEY, _mkdf(spark, 5, base=1000))
+    v = txn.publish(path, rels, schema, mode="replace", base_version=base)
+    assert v == txn.current_version(path)
+    df = cat.read(KEY)
+    assert df.count() == 35  # 30 rewritten + 5 concurrently appended
+    got = {r["value"] for r in df.collect()}
+    assert {float(1000 + j) for j in range(5)} <= got  # append survived
+
+
+def test_replace_vs_replace_conflicts(cat, spark):
+    """Two concurrent replaces cannot merge (the second would resurrect
+    files the first dropped) — the loser must get a conflict error."""
+    for i in range(2):
+        cat.write(KEY, _mkdf(spark, 10, base=i * 10))
+    path = cat.root + "/TEST/1Min/TICK"
+    base = txn.current_version(path)
+    rels, schema = txn.stage_files(cat.read(KEY).repartition(1), path)
+    cat.delete_range(KEY, 0, 4, ts_col="ts")  # concurrent replace wins first
+    with pytest.raises(txn.CommitConflictError, match="concurrent replace"):
+        txn.publish(path, rels, schema, mode="replace", base_version=base)
+    # Loser's failure left the winner's state intact.
+    assert cat.read(KEY).count() == 10  # 20 - (ts 0..4 across 2 batches)
+
+
+def test_vacuum_spares_young_inflight_staging(cat, spark, tmp_path):
+    """A writer between stage_files and publish owns unreferenced
+    files; a default-retention vacuum must not destroy them."""
+    cat.write(KEY, _mkdf(spark, 5))
+    path = cat.root + "/TEST/1Min/TICK"
+    rels, schema = txn.stage_files(_mkdf(spark, 3, base=50), path)
+    swept = txn.vacuum(path)  # default retention: fresh files survive
+    assert swept["removed_files"] == 0
+    v = txn.publish(path, rels, schema, mode="append")  # commit still works
+    assert cat.read(KEY, version=v).count() == 8
+
+
+def test_legacy_subdir_named_like_protocol_dirs_adopted(cat, spark, tmp_path):
+    """A legacy bucket subdirectory literally named 'database/' must be
+    adopted (exact first-component match, not startswith('data'))."""
+    path = str(tmp_path / "LEG2" / "1Min" / "TICK")
+    _mkdf(spark, 4).write.parquet(os.path.join(path, "database"))
+    _mkdf(spark, 3, base=100).coalesce(1).write.mode("append").parquet(path)
+    cat.write("LEG2/1Min/TICK", _mkdf(spark, 2, base=200))  # adopt + append
+    adopted = txn.read_manifest(path, 0)["files"]
+    assert any(f.startswith("database") for f in adopted), adopted
+    assert cat.read("LEG2/1Min/TICK").count() == 9
+    # and vacuum (past retention) must NOT delete the adopted files
+    swept = txn.vacuum(path, min_age_seconds=0)
+    assert swept["removed_files"] == 0
+    assert cat.read("LEG2/1Min/TICK").count() == 9
+
+
+def test_partitioned_commit_crash_leaves_old_snapshot(spark, tmp_path):
+    """The 100 TB layout (hive-partitioned) now goes through the same
+    manifest protocol: a mid-overwrite kill leaves the old snapshot
+    fully readable — never a torn store."""
+    from marketstore_spark.sources.parquet import (
+        read_bucket_store,
+        write_bucket_store,
+    )
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [Row(epoch=1_700_000_000_000_000 + i * 3_600_000_000, user_id=i % 3,
+             value=float(i)) for i in range(30)]
+    ).select(F.timestamp_micros("epoch").alias("ts"), "user_id", "value")
+    v0 = write_bucket_store(base, root)
+    assert v0 == 0
+    before = read_bucket_store(spark, root).count()
+    with pytest.raises(Boom):
+        txn.commit_write(
+            base.limit(5).select("ts", "user_id", "value",
+                                 F.col("user_id").alias("symbol"),
+                                 F.to_date("ts").alias("date")),
+            root, mode="replace", crash_hook=_kill,
+            partition_by=("symbol", "date"),
+        )
+    after = read_bucket_store(spark, root)
+    assert after.count() == before == 30
+    # partition columns still come back typed and prunable
+    assert {"symbol", "date"} <= set(after.columns)
+    # crash debris sweepable without touching the live snapshot
+    txn.vacuum(root, min_age_seconds=0)
+    assert read_bucket_store(spark, root).count() == 30
+
+
+def test_partitioned_append_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.sources.parquet import (
+        read_bucket_store,
+        write_bucket_store,
+    )
+
+    root = str(tmp_path / "store")
+
+    def mk(n, base=0):
+        return spark.createDataFrame(
+            [Row(epoch=1_700_000_000_000_000 + (base + i) * 3_600_000_000,
+                 user_id=(base + i) % 3, value=float(base + i)) for i in range(n)]
+        ).select(F.timestamp_micros("epoch").alias("ts"), "user_id", "value")
+
+    write_bucket_store(mk(20), root)
+    write_bucket_store(mk(10, base=100), root, mode="append")
+    store = read_bucket_store(spark, root)
+    assert store.count() == 30
+    # appended rows landed under their own hive dirs in the manifest
+    assert txn.read_bucket(spark, root, version=0).count() == 20
+    # partition dtypes survived the dir-name round trip
+    assert dict(store.dtypes)["symbol"] == "bigint"
 
 
 def test_append_schema_mismatch_rejected(cat, spark):
