@@ -1,15 +1,21 @@
-"""Uncompressed AVI (RIFF) container codec — pure stdlib + numpy.
+"""AVI (RIFF) container codec — pure stdlib + numpy.
 
-Gives the multimodal video path a REAL container format: frames are
-24-bit bottom-up BGR DIB bitmaps ('00db' chunks), the layout every
-AVI tool emits for raw video.  Compressed codecs inside the container
-(mp4/h264 — need ffmpeg, absent here) still raise; the honest boundary
-is now "compressed essence", not "video at all".
+Gives the multimodal video path a REAL container format with two kinds
+of essence:
+
+- uncompressed: 24-bit bottom-up BGR DIB bitmaps ('00db' chunks), the
+  layout every AVI tool emits for raw video;
+- Motion-JPEG ('MJPG'): each '00dc' chunk is a standalone baseline
+  JFIF image, decoded/encoded by the repo's own pure-numpy
+  operators/jpeg.py — i.e. genuinely COMPRESSED video with no ffmpeg.
+
+Inter-frame codecs (h264/vp9/...) still raise; the honest boundary is
+now "inter-frame essence", not "compressed video".
 
 Layout written/parsed:
   RIFF('AVI ')
-    LIST('hdrl') avih + LIST('strl') strh('vids','DIB ') strf(BITMAPINFOHEADER)
-    LIST('movi') '00db' frame chunks
+    LIST('hdrl') avih + LIST('strl') strh('vids',codec) strf(BITMAPINFOHEADER)
+    LIST('movi') '00db'/'00dc' frame chunks
     idx1 (written for tool compatibility; parser tolerates absence)
 """
 
@@ -21,6 +27,9 @@ from collections.abc import Iterator
 import numpy as np
 
 
+_FOURCC_MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
 def _chunk(fourcc: bytes, data: bytes) -> bytes:
     pad = b"\x00" if len(data) % 2 else b""
     return fourcc + struct.pack("<I", len(data)) + data + pad
@@ -30,19 +39,35 @@ def _list(fourcc: bytes, data: bytes) -> bytes:
     return _chunk(b"LIST", fourcc + data)
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """(n, H, W, 3) uint8 RGB frames → uncompressed AVI bytes."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 25, codec: str = "DIB", quality: int = 85
+) -> bytes:
+    """(n, H, W, 3) uint8 RGB frames → AVI bytes.
+
+    ``codec='DIB'`` writes uncompressed bottom-up BGR bitmaps ('00db');
+    ``codec='MJPG'`` writes Motion-JPEG — each frame a standalone
+    baseline JFIF ('00dc') from operators/jpeg.encode_jpeg at
+    ``quality`` — the classic webcam/capture-card compressed format."""
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
     n, h, w, _ = frames.shape
     row = w * 3
     stride = row + (4 - row % 4) % 4
-    frame_size = stride * h
 
-    payloads = []
-    for f in frames:
-        body = bytearray()
-        for y in range(h - 1, -1, -1):  # DIB rows are bottom-up BGR
-            body += f[y, :, ::-1].tobytes() + b"\x00" * (stride - row)
-        payloads.append(bytes(body))
+    if codec == "MJPG":
+        from marketstore_spark.operators.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        chunk_id, handler, compression = b"00dc", b"MJPG", _FOURCC_MJPG
+    else:
+        payloads = []
+        for f in frames:
+            body = bytearray()
+            for y in range(h - 1, -1, -1):  # DIB rows are bottom-up BGR
+                body += f[y, :, ::-1].tobytes() + b"\x00" * (stride - row)
+            payloads.append(bytes(body))
+        chunk_id, handler, compression = b"00db", b"DIB ", 0
+    frame_size = max(len(p) for p in payloads)
 
     avih = _chunk(
         b"avih",
@@ -56,20 +81,22 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
     )
     strh = _chunk(
         b"strh",
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh",
+        b"vids" + handler + struct.pack("<IHHIIIIIIIIhhhh",
             0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0, 0, w, h),
     )
     strf = _chunk(
         b"strf",
-        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0),
+        struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
+        ),
     )
     hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
-    movi_body = b"".join(_chunk(b"00db", p) for p in payloads)
+    movi_body = b"".join(_chunk(chunk_id, p) for p in payloads)
     movi = _list(b"movi", movi_body)
     # idx1: one entry per frame (offset relative to 'movi' fourcc)
     idx, off = bytearray(), 4
     for p in payloads:
-        idx += b"00db" + struct.pack("<III", 0x10, off, len(p))
+        idx += chunk_id + struct.pack("<III", 0x10, off, len(p))
         off += 8 + len(p) + (len(p) % 2)
     riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -118,13 +145,17 @@ def decode_avi_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (frame_idx, H×W×3 uint8 RGB) for every ``every_n``-th
-    frame.  Only uncompressed DIB essence decodes; compressed codecs
-    raise NotImplementedError."""
+    frame.  Uncompressed DIB and Motion-JPEG ('MJPG', intra-frame JPEG
+    per chunk — decoded by operators/jpeg.decode_jpeg) both decode;
+    inter-frame codecs (h264/...) raise NotImplementedError."""
     info = probe_avi(payload)
-    if info.get("codec", "DIB") not in ("DIB", ""):
+    codec = info.get("codec", "DIB") or "DIB"
+    if codec not in ("DIB", "MJPG"):
         raise NotImplementedError(
-            f"compressed AVI essence {info['codec']!r} needs ffmpeg"
+            f"inter-frame AVI essence {info['codec']!r} needs ffmpeg"
         )
+    if codec == "MJPG":
+        from marketstore_spark.operators.jpeg import decode_jpeg
     w, h = info["width"], info["height"]
     row = w * 3
     stride = row + (4 - row % 4) % 4
@@ -136,10 +167,15 @@ def decode_avi_frames(
             if f2[2:4] not in (b"db", b"dc"):
                 continue
             if idx % every_n == 0:
-                rows = [
-                    np.frombuffer(payload, np.uint8, count=row, offset=s2 + y * stride)
-                    for y in range(h)
-                ]
-                arr = np.stack(rows).reshape(h, w, 3)[::-1]  # bottom-up
-                yield idx, arr[:, :, ::-1].copy()  # BGR → RGB
+                if codec == "MJPG":
+                    yield idx, decode_jpeg(bytes(payload[s2 : s2 + l2]))
+                else:
+                    rows = [
+                        np.frombuffer(
+                            payload, np.uint8, count=row, offset=s2 + y * stride
+                        )
+                        for y in range(h)
+                    ]
+                    arr = np.stack(rows).reshape(h, w, 3)[::-1]  # bottom-up
+                    yield idx, arr[:, :, ::-1].copy()  # BGR → RGB
             idx += 1

@@ -2522,6 +2522,79 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_video_decode",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, doc_id % 4 + 1 AS n_frames
+  FROM documents WHERE doc_id % 21 = 2
+)
+SELECT media_id,
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT))) AS BIGINT) AS frame_idx,
+       CAST((media_id * 7 + unnest(range(0, CAST(n_frames AS BIGINT)))) % 15
+            AS BIGINT) AS color_bucket,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height
+FROM v
+""",
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode through Spark: per media row a
+    deterministic flat-color Motion-JPEG AVI is synthesized
+    (operators/video.encode_avi codec='MJPG'), decoded frame-by-frame
+    by the pure-numpy JPEG codec inside an Arrow-batched mapInPandas,
+    and each decoded frame's mean pixel is quantized to a 16-level
+    bucket.  Flat-color JPEG decodes within ±2 of the source
+    (tests/test_jpeg.py), and the source color is 16*bucket+8, so the
+    bucket is recoverable EXACTLY — the oracle hash-checks the decoded
+    pixel content, not just the plumbing.  Reference parity:
+    contrib/... has no video path; this is the LLM-pipeline extension
+    (SURVEY §2 #41) with the ffmpeg-free MJPEG essence."""
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 21) == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 4 + 1).alias("n_frames"),
+        )
+    )
+    out_schema = (
+        "media_id long, frame_idx long, color_bucket long, width long, height long"
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from marketstore_spark.operators.video import (
+            decode_avi_frames,
+            encode_avi,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, nf in zip(pdf["media_id"], pdf["n_frames"]):
+                mid, nf = int(mid), int(nf)
+                frames = np.stack(
+                    [
+                        np.full((16, 16, 3), ((mid * 7 + i) % 15) * 16 + 8, np.uint8)
+                        for i in range(nf)
+                    ]
+                )
+                avi = encode_avi(frames, codec="MJPG", quality=90)
+                for idx, px in decode_avi_frames(avi):
+                    rows.append(
+                        (mid, idx, int(px.mean() // 16), px.shape[1], px.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "color_bucket", "width", "height"],
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+@_register(
     "gapfill",
     """
 WITH b AS (
