@@ -50,6 +50,11 @@ HEADLINE = [
     "q15_top_supplier",
     "q21_suppliers_who_kept_orders_waiting",
     "percentiles_approx_exhaustive",
+    # round-5 additions: every dedup family now has a timed scale
+    # datapoint (simhash banding; hyperplane-LSH at the exhaustive
+    # anchor config, which drives the full blocked pipeline)
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh_exhaustive",
 ]
 
 _ORACLE_TABLES = (

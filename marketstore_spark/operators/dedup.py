@@ -95,40 +95,61 @@ def ngram_jaccard_pairs(
 
     Candidate pairs come from co-occurrence in a shingle's posting
     list: one ``groupBy(shingle)`` builds the (sorted, deduped) list of
-    documents containing it, and the pairs explode directly from that
-    list — no self-join, so the shingle table shuffles ONCE instead of
-    twice and the doc-frequency cap is a plain ``size()`` filter
-    instead of a count+join round trip.  Shingles seen in more than
-    ``max_doc_freq`` documents are dropped (standard hot-shingle cap —
-    at 100 TB a stopword-like shingle would otherwise generate
+    documents containing it — no self-join, so the shingle table
+    shuffles ONCE — and the doc-frequency cap is a plain ``size()``
+    filter instead of a count+join round trip.  Shingles seen in more
+    than ``max_doc_freq`` documents are dropped (standard hot-shingle
+    cap — at 100 TB a stopword-like shingle would otherwise generate
     quadratic candidates; the cap also bounds each posting list, so no
     single groupBy key can OOM an executor).  The cap only prunes
     candidates; Jaccard is computed on capped sets for both sides
     identically, keeping results deterministic.
+
+    The posting lists are consumed in a SINGLE downstream pass: each
+    list emits its member docs (``doc_b`` NULL — the per-doc capped
+    set-size contributions) and its i<j pairs in one generated array,
+    so one explode + one groupBy yields set sizes AND intersection
+    counts together.  Only that small aggregate (≤ docs + candidate
+    pairs, orders of magnitude under the shingle table) is persisted
+    for the two size joins — the heavy shingle pipeline runs exactly
+    once and is never cached.  The size-lookup joins are left to AQE:
+    at test scale it broadcasts them; at 100 TB (billions of docs) the
+    size side exceeds broadcast reach and the shuffle join on the
+    already-aggregated tables is the right plan anyway.
     """
     from pyspark import StorageLevel
 
     sh = word_shingles(df, n, text_col, id_col, distinct=False)
     grouped = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("docs")
+        F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("docs") <= max_doc_freq)
-    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = (
-        grouped.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("set_size"))
+    combined = grouped.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  transform(docs, d ->
+                    struct(d AS doc_a, CAST(NULL AS BIGINT) AS doc_b)),
+                  flatten(transform(docs, (x, i) ->
+                    transform(slice(docs, i + 2, size(docs)),
+                              y -> struct(x AS doc_a, y AS doc_b))))
+                )
+                """
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b")
+    agg = (
+        combined.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    inter = (
-        grouped.filter(F.size("docs") >= 2)
-        .select(F.posexplode("docs").alias("__i", "doc_a"), "docs")
-        .select(
-            "doc_a",
-            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("doc_b"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sizes = agg.filter(F.col("doc_b").isNull()).select(
+        F.col("doc_a").alias("doc_id"), F.col("cnt").alias("set_size")
+    )
+    inter = agg.filter(F.col("doc_b").isNotNull()).select(
+        "doc_a", "doc_b", F.col("cnt").alias("inter")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
@@ -366,12 +387,15 @@ def simhash(
 
     Each distinct token hashes to 60 bits (binary expansion of the top
     15 hex chars of its md5); bit j of the signature is 1 iff more
-    tokens have bit j set than unset.  Computed with one explode over
-    (token × bit-position) and two hash aggregations — linear, no
-    pairwise work.
+    tokens have bit j set than unset.  The 60 per-position votes are 60
+    conditional-sum AGGREGATE COLUMNS over the (doc, token) table — not
+    a row explosion to (doc, token, position): partial aggregation
+    collapses each doc to one 60-counter row map-side, so the shuffle
+    carries docs×60 longs instead of docs×tokens×60 rows (a 60× row
+    blowup this operator previously paid, dominating its wall time).
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
-    # Parallelize the token×bit fan-out regardless of input split count
+    # Parallelize the token fan-out regardless of input split count
     # (see word_shingles note).
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     toks = (
@@ -379,31 +403,32 @@ def simhash(
         .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
         .distinct()
     )
-    bits = F.lpad(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 2), SIMHASH_BITS, "0"
+    # One 60-bit integer per token (conv is exact: 15 hex chars < 2^63);
+    # vote j tests bit (59-j) with shift+mask — pure JVM integer
+    # arithmetic, no per-position string allocation.
+    sigl = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tok_sig = toks.select("doc_id", sigl.alias("sigl"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("sigl"), SIMHASH_BITS - 1 - i).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sig_str = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIMHASH_BITS)
+        ]
     )
-    pos = F.posexplode(F.split(bits, ""))
-    tok_bits = toks.select("doc_id", pos.alias("pos", "bit")).filter(F.col("bit") != "")
-    votes = tok_bits.groupBy("doc_id", "pos").agg(
-        F.sum(F.when(F.col("bit") == "1", 1).otherwise(-1)).alias("vote")
+    return (
+        tok_sig.groupBy("doc_id").agg(*votes).select("doc_id", sig_str.alias("simhash"))
     )
-    sig = votes.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("pos"),
-                            F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
-                        )
-                    )
-                ),
-                lambda s: s["b"],
-            ),
-        ).alias("simhash")
-    )
-    return sig
 
 
 def simhash_pairs(
@@ -421,13 +446,25 @@ def simhash_pairs(
 
     Candidates come from each band bucket's posting list (one shuffle
     of the banded table, capped buckets — same shape as
-    minhash_lsh_pairs); signatures re-attach via two hash joins keyed
-    on doc id."""
+    minhash_lsh_pairs).  The 60-bit signature travels WITH the doc id
+    through the posting list as an integer, so candidate pairs emit
+    with both signatures attached and verify map-side —
+    ``bit_count(sig_a XOR sig_b)`` is one JVM instruction pair per
+    candidate (vs. the ~120 array ops of a per-character zip_with) and
+    there are no signature re-attach joins at all.  Only the pairs
+    that SURVIVE the Hamming filter reach the final distinct (a pair
+    can match in up to ``bands`` buckets), so the second shuffle
+    carries results, not candidates — the shape that matters at
+    100 TB, where candidates dwarf results."""
     from pyspark import StorageLevel
 
     width = SIMHASH_BITS // bands
     max_bucket = 10_000
-    sigs = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = (
+        simhash(df, text_col, id_col)
+        .withColumn("sigl", F.conv("simhash", 2, 10).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -435,45 +472,34 @@ def simhash_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    banded = sigs.select(
+        F.struct("doc_id", "sigl").alias("doc"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(
+        "doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
-    pair_ids = (
+    # array_sort on (doc_id, sigl) structs orders by doc_id, so the
+    # slice expansion yields doc_a < doc_b exactly as before.
+    pairs = (
         banded.groupBy("band_idx", "band_key")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
-        .select(F.posexplode("docs").alias("__i", "doc_a"), "docs")
+        .select(F.posexplode("docs").alias("__i", "a"), "docs")
         .select(
-            "doc_a",
-            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("doc_b"),
+            "a",
+            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("b"),
+        )
+    )
+    ham = F.bit_count(F.col("a.sigl").bitwiseXOR(F.col("b.sigl"))).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
         )
         .distinct()
-    )
-    cands = (
-        pair_ids.join(
-            sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")),
-            "doc_b",
-        )
-    )
-    # Hamming distance via per-position compare of the two bit strings
-    # (JVM-side zip_with over the split arrays).
-    ham = F.aggregate(
-        F.zip_with(
-            F.slice(F.split(F.col("sig_a"), ""), 1, SIMHASH_BITS),
-            F.slice(F.split(F.col("sig_b"), ""), 1, SIMHASH_BITS),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cands.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -500,27 +526,61 @@ def embedding_dup_pairs_lsh(
     tables / fewer planes → higher recall, more candidates) — the
     recall test in pytest pins the tradeoff.  The pairwise stage only
     ever joins within buckets: no O(n²) crossJoin on the corpus.
+
+    Within a bucket, candidate GENERATION is one numpy gram matrix per
+    bucket (blockwise, bounded memory) in applyInPandas — the
+    sanctioned Arrow/BLAS case, ~100× over per-pair Catalyst lambda
+    evaluation — gated at ``threshold - 1e-6``.  Survivors (≈ results,
+    orders of magnitude under candidates) are re-verified with the
+    exact sequential-sum ``cosine_sim`` expression, so emitted values
+    and the threshold decision bit-match the pre-BLAS implementation
+    (matmul FMA/pairwise summation sits ~1e-15 off the sequential sum,
+    absorbed by the gate margin; no pair can flip).
     """
+    import numpy as np
+    import pandas as pd
+
     from marketstore_spark.functions.vector import cosine_sim
     from marketstore_spark.operators.simsearch import _bucket_assigner
 
     dim = df.select(F.size(F.col(vec_col))).first()[0]
     with_buckets = _bucket_assigner(num_planes, num_tables, dim, id_col, vec_col)
     sig = with_buckets(df, "id", "v")
-    a, b = sig.alias("a"), sig.alias("b")
-    cands = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("__va"),
-            F.col("b.v").alias("__vb"),
-        )
+    gate = threshold - 1e-6
+
+    def _bucket_pairs(pdf):
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        n = len(ids)
+        out_a, out_b = [], []
+        block = 1024  # bounds the gram slab at block×n doubles
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = unit[s:e] @ unit.T
+            for r in range(e - s):
+                i = s + r
+                cols = np.nonzero(sims[r, i + 1 :] >= gate)[0] + i + 1
+                if len(cols):
+                    out_a.extend([ids[i]] * len(cols))
+                    out_b.extend(ids[cols])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = (
+        sig.groupBy("bucket")
+        .applyInPandas(_bucket_pairs, "id_a long, id_b long")
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     vd = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     return (
-        cands.withColumn("cosine", cosine_sim(vd("__va"), vd("__vb")))
+        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+        .withColumn("cosine", cosine_sim(vd("__va"), vd("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
