@@ -33,6 +33,16 @@ snapshot (snapshot isolation, and time travel for free via
 At 100 TB this is exactly the production shape: executors write data
 files in parallel with no renames of data (object-store friendly), and
 the only serialized step is a single small metadata publish.
+
+Compatibility note (SURVEY §7.11): the protocol is deliberately
+isomorphic to Delta Lake / Iceberg — manifest ≙ _delta_log commit,
+os.link CAS ≙ log-store putIfAbsent, base_version conflict handling ≙
+OCC commit validation, vacuum retention ≙ VACUUM RETAIN, and the hive
+``col=value`` relative paths double as Delta add-action partition
+values.  Migrating a deployment to delta-spark is a two-call-site swap
+(read_bucket/commit_write); data files need no rewrite because they
+are already immutable, uniquely named, and hive-partitioned
+(``CONVERT TO DELTA`` adopts them in place).
 """
 
 from __future__ import annotations

@@ -107,6 +107,60 @@ def test_pubsub_glob_routing(spark, sf_dir, tmpdir):
     assert all(r["tbk"].startswith("SYM1/") for r in one_sub.received)
 
 
+def test_pubsub_delivers_within_one_micro_batch(spark, tmpdir):
+    """Latency guard for the executor-side broadcast-pattern rewrite:
+    a batch's rows must be fully delivered to every matching subscriber
+    when that micro-batch completes — not buffered into a later one.
+    Proven by draining batch 1 BEFORE batch 2's data exists, under a
+    multi-subscriber overlapping glob set."""
+    import json as _json
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    ckpt = os.path.join(tmpdir, "ckpt")
+    hub = StreamHub(key_col="tbk", delivery_root=os.path.join(tmpdir, "deliveries"))
+    hub.subscribe("ticks", "*/1Min/TICK")
+    hub.subscribe("sym1", "SYM1/*/*")
+    hub.subscribe("daily", "*/1D/*")
+
+    def run_once():
+        stream = spark.readStream.schema("tbk string, v long").json(src)
+        q = (
+            stream.writeStream.foreachBatch(hub.push_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"tbk": "SYM1/1Min/TICK", "v": 1},
+                    {"tbk": "SYM2/1Min/TICK", "v": 2},
+                    {"tbk": "SYM1/1D/OHLCV", "v": 3},
+                ]
+            )
+        )
+    run_once()
+    # batch 1 fully delivered, to every matching subscriber, before any
+    # batch-2 data exists anywhere
+    assert {r["v"] for r in hub.delivered("ticks")} == {1, 2}
+    assert {r["v"] for r in hub.delivered("sym1")} == {1, 3}
+    assert {r["v"] for r in hub.delivered("daily")} == {3}
+
+    with open(os.path.join(src, "b2.json"), "w") as fh:
+        fh.write(_json.dumps({"tbk": "SYM1/1Min/TICK", "v": 4}))
+    run_once()
+    assert {r["v"] for r in hub.delivered("ticks")} == {1, 2, 4}
+    # each row rode the micro-batch that read it: batch ids advanced
+    by_v = {r["v"]: r["__batch_id"] for r in hub.delivered("ticks")}
+    assert by_v[1] == by_v[2] < by_v[4]
+
+
 def test_catalog_ddl_roundtrip(spark, sf_dir, tmpdir):
     """Create/Write/GetInfo/Destroy (frontend/write.go DDL surface)."""
     ev = load_table(spark, sf_dir, "events")
