@@ -127,12 +127,18 @@ class TimeBucketKey:
 class Catalog:
     """Bucket DDL + metadata over a Parquet root directory."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, metrics=None):
         self.spark = spark
         self.root = root
         # plugins/trigger: write-path hooks, fired post-commit (set via
         # marketstore_spark.triggers.TriggerRegistry)
         self.triggers = None
+        # metrics/metrics.go analogue: operation counters + duration
+        # histograms land in the in-process registry (DEFAULT unless a
+        # deployment passes its own)
+        if metrics is None:
+            from marketstore_spark.metrics import DEFAULT as metrics
+        self.metrics = metrics
 
     # -- ListSymbols (frontend/query.go:259-275) --------------------------
     def _hadoop_fs(self):
@@ -218,7 +224,9 @@ class Catalog:
         Registered triggers fire AFTER the commit — same guarantee as
         plugins/trigger (content durable before Fire)."""
         txn_mode = "replace" if mode == "overwrite" else "append"
-        txn.commit_write(df, TimeBucketKey(key).path(self.root), mode=txn_mode)
+        with self.metrics.time("write_duration_seconds"):
+            txn.commit_write(df, TimeBucketKey(key).path(self.root), mode=txn_mode)
+        self.metrics.inc("writes_total")
         if self.triggers is not None:
             self.triggers.fire(key, df)
 
@@ -226,6 +234,7 @@ class Catalog:
         """Scan the bucket's committed snapshot (explicit manifest file
         list — half-staged files are structurally invisible).  Legacy
         flat buckets read as-is.  ``version`` time-travels."""
+        self.metrics.inc("reads_total")
         return txn.read_bucket(
             self.spark, TimeBucketKey(key).path(self.root), version=version
         )

@@ -93,6 +93,10 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     s = sub.add_parser("versions", help="bucket commit history (tool wal analogue)")
     s.add_argument("key")
 
+    s = sub.add_parser(
+        "du", help="per-bucket disk usage: total vs live (metrics/du.go analogue)"
+    )
+
     s = sub.add_parser("vacuum", help="sweep unreferenced files / crash debris")
     s.add_argument("key")
     s.add_argument("--keep-versions", type=int, default=1)
@@ -168,6 +172,11 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
                     ),
                     file=out,
                 )
+    elif args.cmd == "du":
+        from marketstore_spark.metrics import du_report
+
+        for row in du_report(cat):
+            print(json.dumps(row), file=out)
     elif args.cmd == "vacuum":
         kw = {}
         if args.min_age_seconds is not None:

@@ -1670,6 +1670,301 @@ def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> D
 
 
 @_register(
+    "q2_min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5
+),
+minc AS (SELECT l_partkey, MIN(cost) AS min_cost FROM offers GROUP BY 1)
+SELECT CAST(o.s_acctbal AS DOUBLE) AS s_acctbal, o.s_name, o.n_name,
+       p.p_partkey, p.p_name, CAST(o.cost AS DOUBLE) AS supply_cost
+FROM offers o
+JOIN minc m ON o.l_partkey = m.l_partkey AND o.cost = m.min_cost
+JOIN part p ON p.p_partkey = o.l_partkey
+WHERE p.p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery → per-group minimum
+    joined back on exact-decimal equality): cheapest regional supplier
+    per part.  (Adapted cost: this dataset has no partsupp, so an
+    offer's cost is the supplier's minimum extended price for the part
+    — same correlated-minimum plan.)  Dims broadcast onto the fact
+    scan; the per-part min is one extra aggregation over the already
+    co-partitioned offers (no second fact shuffle); top-100 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+    )
+    minc = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        offers.join(
+            minc,
+            (offers.l_partkey == F.col("__pk")) & (offers.cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q9_product_type_profit",
+    """
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(l.l_quantity AS DECIMAL(9,2))
+                  * CAST(p.p_retailprice AS DECIMAL(9,2))
+                  * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation × order year over a
+    part-name filter): part/supplier/nation dims broadcast onto the
+    lineitem scan — the name filter prunes the fact through the
+    broadcast hash — and the only big-big join is lineitem⋈orders on
+    the order key, one shuffle each side.  (Adapted cost: no
+    ps_supplycost here, so cost is half retail price — exact decimals
+    end to end.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+        - F.col("l_quantity").cast("decimal(9,2)")
+        * F.col("p_retailprice").cast("decimal(9,2)")
+        * F.lit(0.5).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+WITH val AS (
+  SELECT l.l_partkey AS ps_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+),
+tot AS (SELECT SUM(v) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM val)
+SELECT ps_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val, tot
+WHERE v * n > t * 2
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group value vs. a global-total scalar): parts
+    whose single-nation supply value exceeds a threshold derived from
+    the whole corpus.  The scalar total is a one-row broadcast
+    crossJoin (never a recompute of the aggregate).  The canonical
+    fraction is spec-scaled by 1/SF; with SF unknown at plan time the
+    equivalent scale-invariant form is value > 2 × mean part value,
+    and the comparison is cross-multiplied (v·n > 2·t) so both sides
+    stay in exact integer×decimal arithmetic — no mean division, no
+    boundary row can flip.  (Adapted value: extended price from
+    lineitem stands in for availqty × supplycost.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("v"))
+    )
+    tot = val.agg(
+        F.sum("v").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * F.col("n") > F.col("t") * F.lit(2))
+        .select("ps_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@_register(
+    "q16_parts_supplier",
+    """
+WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT rel.l_partkey, rel.l_suppkey FROM rel
+  WHERE rel.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 5, 11, 17, 23, 29, 35, 41, 47)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN → left-anti join + distinct-supplier
+    count per part group): how many distinct eligible suppliers offer
+    each (brand, type, size) bucket.  The complaint exclusion (adapted:
+    negative account balance) is a broadcast anti-join — never a
+    per-row subquery — and the part dim broadcasts onto the distinct
+    part-supplier relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rel = li.distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ok = rel.join(
+        F.broadcast(bad), rel.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 11, 17, 23, 29, 35, 41, 47)
+    )
+    return (
+        ok.join(F.broadcast(p), ok.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q20_potential_promotion",
+    """
+WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+q97 AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(l_quantity) AS DOUBLE) AS qty97
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+qall AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(l_quantity) AS DOUBLE) AS qtyall
+  FROM lineitem GROUP BY 1, 2
+),
+hot AS (
+  SELECT DISTINCT q97.l_suppkey
+  FROM q97
+  JOIN qall ON q97.l_suppkey = qall.l_suppkey AND q97.l_partkey = qall.l_partkey
+  JOIN pp ON pp.p_partkey = q97.l_partkey
+  WHERE q97.qty97 > 0.5 * qall.qtyall
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN hot ON hot.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN subqueries → derived per-group
+    thresholds, then semi-joins up to the supplier dim): regional
+    suppliers whose 1997 shipments of a part-name family exceeded half
+    their all-time shipments of it.  Both aggregates group on the same
+    (suppkey, partkey) key, so the threshold join is co-partitioned —
+    one shuffle pays for both sides; quantities are integer-valued, so
+    the double sums compare exactly.  (Adapted: no ps_availqty; the
+    all-time quantity is the stock stand-in.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    q97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("double").alias("qty97"))
+    )
+    qall = li.groupBy(
+        F.col("l_suppkey").alias("__sk"), F.col("l_partkey").alias("__pk")
+    ).agg(F.sum("l_quantity").cast("double").alias("qtyall"))
+    hot = (
+        q97.join(
+            qall,
+            (q97.l_suppkey == F.col("__sk")) & (q97.l_partkey == F.col("__pk")),
+        )
+        .join(F.broadcast(pp), q97.l_partkey == pp.p_partkey)
+        .filter(F.col("qty97") > F.lit(0.5) * F.col("qtyall"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(hot, s.s_suppkey == hot.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_register(
     "q22_sales_opportunity",
     """
 WITH pos AS (

@@ -63,6 +63,39 @@ def test_q18_no_static_broadcast_of_keylist(spark, sf_dir):
     assert "LeftSemi" in optimized
 
 
+def test_q2_takeordered_and_no_cartesian(spark, sf_dir):
+    """q2: the correlated-min shape must plan dims as broadcasts, take
+    the top-100 with TakeOrderedAndProject (not a global sort), and
+    never degrade to a cartesian product."""
+    plan = explain_str(SPARK_QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q9_broadcasts_dims_single_fact_join(spark, sf_dir):
+    """q9: part/supplier/nation broadcast onto the lineitem scan; the
+    only shuffle-worthy join is lineitem-orders on the order key."""
+    plan = explain_str(SPARK_QUERIES["q9_product_type_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_total_is_broadcast(spark, sf_dir):
+    """q11: the global-total comparison joins a one-row aggregate via
+    broadcast — the fact-side aggregate is computed once, never
+    re-derived per row."""
+    plan = explain_str(SPARK_QUERIES["q11_important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("ReadSchema") <= 6  # no duplicate fact re-scan per row
+
+
+def test_q16_anti_join_not_subquery(spark, sf_dir):
+    df = SPARK_QUERIES["q16_parts_supplier"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "LeftAnti" in optimized
+
+
 def test_ann_filtered_predicate_reaches_scan(spark, sf_dir):
     """ann_filtered: the corpus metadata predicate must prune at the
     parquet scan, BEFORE any scoring work."""
