@@ -265,3 +265,26 @@ def test_avi_roundtrip_property(n, h, w, step):
     got = dict(decode_avi_frames(encode_avi(frames), every_n=step))
     assert sorted(got) == list(range(0, n, step))
     assert all((got[i] == frames[i]).all() for i in got)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_mjpeg_avi_roundtrip_property(n, h, w, step):
+    """MJPEG essence is lossy, so the property is structural (shape,
+    dtype, frame indexing incl. odd dimensions) plus flat-field
+    accuracy: a constant-color frame decodes within quantization
+    error."""
+    from marketstore_spark.operators.video import decode_avi_frames, encode_avi
+
+    color = (n * 37 + h * 11 + w) % 240 + 8
+    frames = np.full((n, h, w, 3), color, dtype=np.uint8)
+    got = dict(decode_avi_frames(encode_avi(frames, codec="MJPG", quality=90), every_n=step))
+    assert sorted(got) == list(range(0, n, step))
+    for i, px in got.items():
+        assert px.shape == (h, w, 3) and px.dtype == np.uint8
+        assert np.abs(px.astype(int) - color).max() <= 3
