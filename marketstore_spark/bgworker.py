@@ -128,6 +128,58 @@ class BgWorkerHost:
                 h.thread.join(timeout=timeout)
 
 
+class CompactionWorker:
+    """Periodic small-file compaction — the maintenance job a
+    deployment mounts as a bgworker (the reference runs equivalent
+    upkeep inside its storage engine; here fragmentation shows up as
+    append-commit file counts, measured from the manifest, and
+    ``Catalog.compact`` is the fix).
+
+    Each sweep compacts every pattern-matched bucket whose live file
+    count exceeds ``max_files``.  ``interval_s`` paces sweeps; the
+    first sweep runs immediately on start."""
+
+    def __init__(
+        self,
+        catalog,
+        pattern: str = "*",
+        max_files: int = 16,
+        interval_s: float = 3600.0,
+    ):
+        self.catalog = catalog
+        self.pattern = pattern
+        self.max_files = max_files
+        self.interval_s = interval_s
+        self.compacted: list[str] = []
+        self._stop = threading.Event()
+
+    def sweep(self) -> list[str]:
+        import fnmatch
+
+        from marketstore_spark import txn
+        from marketstore_spark.catalog import TimeBucketKey
+
+        done = []
+        for key in self.catalog.list_buckets():
+            if not fnmatch.fnmatchcase(key, self.pattern):
+                continue
+            path = TimeBucketKey(key).path(self.catalog.root)
+            if len(txn.data_files(path)) > self.max_files:
+                self.catalog.compact(key)
+                done.append(key)
+        self.compacted.extend(done)
+        return done
+
+    def run(self) -> None:
+        while True:
+            self.sweep()
+            if self._stop.wait(self.interval_s):
+                return
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class StreamingQueryWorker:
     """Adapts this repo's streaming jobs (feeder ingest, replication
     mirror, ondiskagg rollup — anything whose ``start`` returns a

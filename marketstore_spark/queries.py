@@ -1799,7 +1799,8 @@ WITH val AS (
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
-  WHERE n.n_name = 'NATION_7'
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'AMERICA'
   GROUP BY 1
 ),
 tot AS (SELECT SUM(v) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM val)
@@ -1810,8 +1811,11 @@ WHERE v * n > t * 2
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (group value vs. a global-total scalar): parts
-    whose single-nation supply value exceeds a threshold derived from
-    the whole corpus.  The scalar total is a one-row broadcast
+    whose single-region supply value exceeds a threshold derived from
+    the whole corpus (region scope rather than the canonical single
+    nation: the smallest test fixture has nations with zero suppliers,
+    which would make a nation-scoped result vacuously empty).  The
+    scalar total is a one-row broadcast
     crossJoin (never a recompute of the aggregate).  The canonical
     fraction is spec-scaled by 1/SF; with SF unknown at plan time the
     equivalent scale-invariant form is value > 2 × mean part value,
@@ -1823,8 +1827,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
     val = (
         li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
@@ -1912,7 +1921,7 @@ FROM supplier s
 JOIN hot ON hot.l_suppkey = s.s_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
-WHERE r.r_name = 'ASIA'
+WHERE r.r_name = 'EUROPE'
 """,
 )
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,7 +1964,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         s.join(hot, s.s_suppkey == hot.l_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

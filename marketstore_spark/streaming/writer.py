@@ -36,6 +36,32 @@ def read_stream(
     return reader.load(source_dir)
 
 
+def backfill(catalog, key: str, source: DataFrame, ts_col: str = "ts") -> int:
+    """Feeder catch-up: append only the source rows strictly newer
+    than the bucket's current max timestamp, as ONE atomic commit.
+
+    Reference: contrib/xignitefeeder and contrib/alpacabkfeeder run a
+    backfill on startup — fetch history since the last stored bar,
+    never rewrite what's already on disk.  Idempotence comes from the
+    high-water mark, so a crashed backfill re-run appends nothing
+    twice; the only driver-side value is the one-row MAX(ts) probe.
+    Returns the number of rows appended."""
+    from pyspark.sql import functions as F
+
+    new = source
+    try:
+        existing = catalog.read(key)
+        hi = existing.agg(F.max(ts_col).alias("hi")).first()["hi"]
+    except Exception:  # noqa: BLE001 — bucket absent: full backfill
+        hi = None
+    if hi is not None:
+        new = source.filter(F.col(ts_col) > F.lit(hi))
+    n = new.count()
+    if n:
+        catalog.write(key, new)
+    return n
+
+
 def append_sink(
     df: DataFrame,
     dest_dir: str,

@@ -100,6 +100,51 @@ def test_worker_crash_is_isolated(plugin_mod):
     host.stop()
 
 
+def test_compaction_worker_sweeps_fragmented_buckets(spark, tmpdir):
+    from pyspark.sql import Row
+
+    from marketstore_spark import txn
+    from marketstore_spark.bgworker import CompactionWorker
+    from marketstore_spark.catalog import Catalog
+
+    cat = Catalog(spark, os.path.join(str(tmpdir), "root"))
+    df = spark.createDataFrame([Row(ts=i, user_id=i % 2, value=float(i)) for i in range(20)])
+    for i in range(5):  # five append commits -> >= 5 live files
+        cat.write("FRAG/1Min/TICK", df)
+    cat.write("OK/1Min/TICK", df.coalesce(1))
+
+    w = CompactionWorker(cat, max_files=3, interval_s=3600)
+    done = w.sweep()
+    assert done == ["FRAG/1Min/TICK"]  # OK/ untouched (1 commit)
+    path = cat.root + "/FRAG/1Min/TICK"
+    assert len(txn.data_files(path)) <= 3
+    assert cat.read("FRAG/1Min/TICK").count() == 100
+    assert w.sweep() == []  # idempotent once compacted
+
+
+def test_backfill_high_water_mark(spark, tmpdir):
+    from pyspark.sql import Row
+
+    from marketstore_spark.catalog import Catalog
+    from marketstore_spark.streaming.writer import backfill
+
+    cat = Catalog(spark, os.path.join(str(tmpdir), "root"))
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [Row(ts=i, user_id=i % 2, value=float(i)) for i in range(lo, hi)]
+        )
+
+    # bucket absent: full history lands
+    assert backfill(cat, "BF/1Min/TICK", mk(0, 50)) == 50
+    # overlapping refetch: only rows past the high-water mark append
+    assert backfill(cat, "BF/1Min/TICK", mk(30, 80)) == 30
+    assert cat.read("BF/1Min/TICK").count() == 80
+    # crash-rerun idempotence: same source appends nothing
+    assert backfill(cat, "BF/1Min/TICK", mk(30, 80)) == 0
+    assert cat.read("BF/1Min/TICK").count() == 80
+
+
 def test_streaming_query_mounts_as_worker(spark, tmpdir):
     """A real Structured Streaming job (rate source -> noop-ish sink)
     runs under the host and stops cooperatively."""
