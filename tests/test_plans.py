@@ -87,7 +87,10 @@ def test_q11_scalar_total_is_broadcast(spark, sf_dir):
     re-derived per row."""
     plan = explain_str(SPARK_QUERIES["q11_important_stock"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert plan.count("ReadSchema") <= 6  # no duplicate fact re-scan per row
+    # val + tot branches each scan the 4 inputs once (the standard
+    # scalar-subquery doubling, deduped by ReuseExchange at runtime) —
+    # anything above 8 would mean a per-row or per-branch re-derivation
+    assert plan.count("ReadSchema") <= 8
 
 
 def test_q16_anti_join_not_subquery(spark, sf_dir):
