@@ -303,6 +303,52 @@ def test_partitioned_append_and_time_travel(spark, tmp_path):
     assert dict(store.dtypes)["symbol"] == "bigint"
 
 
+def test_partitioned_concurrent_appends_all_land(spark, tmp_path):
+    """The partitioned layout rides the same CAS publish loop: N
+    concurrent appends through write_bucket_store must all land, with
+    contiguous versions and every row present."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.sources.parquet import (
+        read_bucket_store,
+        write_bucket_store,
+    )
+
+    root = str(tmp_path / "store")
+
+    def mk(base):
+        return spark.createDataFrame(
+            [Row(epoch=1_700_000_000_000_000 + (base + i) * 3_600_000_000,
+                 user_id=(base + i) % 3, value=float(base + i)) for i in range(10)]
+        ).select(F.timestamp_micros("epoch").alias("ts"), "user_id", "value")
+
+    write_bucket_store(mk(0), root)
+    errs = []
+
+    def work(i):
+        try:
+            write_bucket_store(mk((i + 1) * 100), root, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert txn.current_version(root) == 4
+    df = read_bucket_store(spark, root)
+    assert df.count() == 50
+    got = {r["value"] for r in df.collect()}
+    expect = {float(j) for j in range(10)} | {
+        float((i + 1) * 100 + j) for i in range(4) for j in range(10)
+    }
+    assert got == expect
+
+
 def test_append_schema_mismatch_rejected(cat, spark):
     """A divergent-schema append must fail at commit time — an
     explicit-file-list scan takes the first file's schema, so a torn
