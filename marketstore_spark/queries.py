@@ -1199,13 +1199,17 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a
-    threshold (HAVING subquery → semi join).  The `big` keylist is an
-    aggregate of the fact on its own join key, so the semi join
-    co-partitions with the existing l_orderkey shuffle — no static
-    broadcast hint: the keylist GROWS with the fact (2.9k keys at
-    sf0.1, ~3M at sf100), so forcing a broadcast is an OOM at scale;
-    AQE may still choose one at runtime when the filtered set is
-    actually small."""
+    threshold (HAVING subquery).  The canonical SQL scans lineitem
+    twice — once for the HAVING keylist, once for the outer SUM — but
+    the outer sum of a kept order IS the inner per-order sum (the
+    final grouping key contains the order key), so one aggregation
+    serves both: aggregate lineitem once, filter > 150, and join only
+    the surviving orders up to the orders/customer dims.  The fact
+    shuffles exactly once, on its own join key; no static broadcast
+    hint on the filtered set — it GROWS with the fact (2.9k keys at
+    sf0.1, ~3M at sf100), so forcing a broadcast is an OOM at scale
+    while AQE may still pick one at runtime when it's actually small.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1213,14 +1217,17 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 150)
-        .select(F.col("l_orderkey").alias("__bk"))
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(big, F.col("o_orderkey") == F.col("__bk"), "left_semi")
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("q").cast("double").alias("total_qty"),
+        )
     )
 
 

@@ -51,16 +51,18 @@ def test_q5_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 4
 
 
-def test_q18_no_static_broadcast_of_keylist(spark, sf_dir):
-    """q18's `big` keylist is an aggregate over the whole fact — its
+def test_q18_single_fact_scan_no_static_broadcast(spark, sf_dir):
+    """q18's filtered keylist is an aggregate over the whole fact — its
     size grows linearly with data, so a static broadcast hint is an OOM
     at 100× scale.  The plan must carry no broadcast hint (AQE may
-    still pick a runtime broadcast when the set is actually small)."""
+    still pick a runtime broadcast when the set is actually small), and
+    the fact must be scanned exactly ONCE: the outer sum is the inner
+    per-order sum, so a second lineitem scan would be pure waste."""
     df = SPARK_QUERIES["q18_large_volume_customer"](spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
     assert "ResolvedHint" not in analyzed, analyzed[:2000]
-    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
-    assert "LeftSemi" in optimized
+    plan = explain_str(df)
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_q2_takeordered_and_no_cartesian(spark, sf_dir):
