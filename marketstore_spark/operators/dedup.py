@@ -15,10 +15,15 @@ pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS = r"\s+"
+
+#: Rows per block side in the embedding-LSH pair generator: bounds each
+#: task's gram slab at block² doubles (~32 MB) and is the split point
+#: past which a hot bucket fans out across block-pair tasks.
+_PAIR_BLOCK_ROWS = 2048
 
 
 # ---------------------------------------------------------------------
@@ -528,14 +533,21 @@ def embedding_dup_pairs_lsh(
     ever joins within buckets: no O(n²) crossJoin on the corpus.
 
     Within a bucket, candidate GENERATION is one numpy gram matrix per
-    bucket (blockwise, bounded memory) in applyInPandas — the
-    sanctioned Arrow/BLAS case, ~100× over per-pair Catalyst lambda
-    evaluation — gated at ``threshold - 1e-6``.  Survivors (≈ results,
-    orders of magnitude under candidates) are re-verified with the
-    exact sequential-sum ``cosine_sim`` expression, so emitted values
-    and the threshold decision bit-match the pre-BLAS implementation
-    (matmul FMA/pairwise summation sits ~1e-15 off the sequential sum,
-    absorbed by the gate margin; no pair can flip).
+    BLOCK PAIR in applyInPandas — the sanctioned Arrow/BLAS case,
+    ~100× over per-pair Catalyst lambda evaluation — gated at
+    ``threshold - 1e-6``.  A bucket larger than ``_PAIR_BLOCK_ROWS``
+    is split (by id order) into blocks, and every block pair (i ≤ j)
+    becomes its own task: a hot bucket — the classic LSH straggler at
+    100 TB, where one skewed band key would otherwise serialize the
+    whole gram on a single executor — parallelizes across the cluster
+    with each task's slab bounded at block² doubles.  Survivors
+    (≈ results, orders of magnitude under candidates) carry their
+    vectors out of the generator and are re-verified in-place with the
+    exact sequential-sum ``cosine_sim`` expression — no re-join against
+    the corpus — so emitted values and the threshold decision bit-match
+    the pre-BLAS implementation (matmul FMA/pairwise summation sits
+    ~1e-15 off the sequential sum, absorbed by the gate margin; no pair
+    can flip; float→double widening is exact).
     """
     import numpy as np
     import pandas as pd
@@ -543,44 +555,76 @@ def embedding_dup_pairs_lsh(
     from marketstore_spark.functions.vector import cosine_sim
     from marketstore_spark.operators.simsearch import _bucket_assigner
 
-    dim = df.select(F.size(F.col(vec_col))).first()[0]
-    with_buckets = _bucket_assigner(num_planes, num_tables, dim, id_col, vec_col)
+    with_buckets = _bucket_assigner(num_planes, num_tables, id_col, vec_col)
     sig = with_buckets(df, "id", "v")
     gate = threshold - 1e-6
 
-    def _bucket_pairs(pdf):
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        mat = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0.0] = 1.0
-        unit = mat / norms[:, None]
-        n = len(ids)
-        out_a, out_b = [], []
-        block = 1024  # bounds the gram slab at block×n doubles
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sims = unit[s:e] @ unit.T
-            for r in range(e - s):
-                i = s + r
-                cols = np.nonzero(sims[r, i + 1 :] >= gate)[0] + i + 1
-                if len(cols):
-                    out_a.extend([ids[i]] * len(cols))
-                    out_b.extend(ids[cols])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    cand = (
-        sig.groupBy("bucket")
-        .applyInPandas(_bucket_pairs, "id_a long, id_b long")
-        .dropDuplicates(["id_a", "id_b"])
+    # Block assignment: contiguous id-ordered runs of ≤ _PAIR_BLOCK_ROWS
+    # per bucket.  Every row fans out to each block it must meet
+    # (nblk rows emitted per row), so group (bucket, ga, gb) holds
+    # exactly the two blocks' rows — small buckets (nblk == 1) pay no
+    # fan-out and keep the old one-task-per-bucket shape.
+    w_rn = Window.partitionBy("bucket").orderBy("id")
+    w_n = Window.partitionBy("bucket")
+    sig = (
+        sig.withColumn("rn", F.row_number().over(w_rn) - 1)
+        .withColumn("nblk", F.ceil(F.count("*").over(w_n) / _PAIR_BLOCK_ROWS).cast("int"))
+        .withColumn("blk", (F.col("rn") / _PAIR_BLOCK_ROWS).cast("int"))
     )
-    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    vd = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    ex = (
+        sig.select(
+            "bucket", "id", "v", "blk",
+            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("other"),
+        )
+        .withColumn("ga", F.least("blk", "other"))
+        .withColumn("gb", F.greatest("blk", "other"))
+    )
+
+    def _block_pairs(key, pdf):
+        ga, gb = int(key[1]), int(key[2])
+
+        def prep(sub):
+            ids = sub["id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = np.stack(sub["v"].to_numpy())[order].astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            return ids, mat, mat / norms[:, None]
+
+        if ga == gb:
+            ids_a, mat_a, unit_a = prep(pdf)
+            sims = unit_a @ unit_a.T
+            ri, ci = np.nonzero(np.triu(sims >= gate, k=1))
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            # row_number orders blocks by id, so every id in block ga
+            # sorts before every id in block gb — pair orientation is
+            # free, and no cross-block pair can be double-emitted.
+            ids_a, mat_a, unit_a = prep(pdf[pdf["blk"] == ga])
+            ids_b, mat_b, unit_b = prep(pdf[pdf["blk"] == gb])
+            sims = unit_a @ unit_b.T
+            ri, ci = np.nonzero(sims >= gate)
+        # Explicit dtypes: a zero-survivor group would otherwise give the
+        # vector columns a float64 dtype Arrow can't cast to list<double>.
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ids_a[ri], dtype="int64"),
+                "id_b": pd.Series(ids_b[ci], dtype="int64"),
+                "va": pd.Series([r.tolist() for r in mat_a[ri]], dtype="object"),
+                "vb": pd.Series([r.tolist() for r in mat_b[ci]], dtype="object"),
+            }
+        )
+
+    cand = ex.groupBy("bucket", "ga", "gb").applyInPandas(
+        _block_pairs, "id_a long, id_b long, va array<double>, vb array<double>"
+    )
+    if num_tables > 1:
+        # A pair surfaces once per table whose bucket it shares; with a
+        # single table no duplicate is possible — skip the shuffle.
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
-        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
-        .withColumn("cosine", cosine_sim(vd("__va"), vd("__vb")))
+        cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -15,6 +15,8 @@ Vector math is JVM-side (zip_with/aggregate) — see functions/vector.py.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 
@@ -110,28 +112,43 @@ def hyperplane_signature(
     )
 
 
-def _bucket_assigner(num_planes: int, num_tables: int, dim: int, id_col: str, vec_col: str):
-    """Returns with_buckets(df, out_id, out_vec) → (id, vec, bucket)
-    rows, one per hash table.
-
-    Plane matrix (dim × tables·planes) built once on the driver from
-    the md5 derivation; the per-row work is one numpy matmul in an
-    Arrow-batched pandas UDF.  This is the sanctioned Pandas-UDF case
-    (SURVEY §6): Spark's higher-order functions evaluate the lambda
-    per element interpreted, which loses to BLAS by ~100× on wide
-    embeddings; results are identical except sign flips on
-    exactly-zero dots (measure-zero; LSH outputs are recall-checked,
-    not oracle-hashed)."""
-    planes = np.array(
+@lru_cache(maxsize=None)
+def _plane_matrix(num_planes: int, num_tables: int, dim: int) -> "np.ndarray":
+    """dim × tables·planes hyperplane matrix from the md5 derivation —
+    pure function of its arguments, so executors rebuild the identical
+    matrix locally (lru-cached per worker; no broadcast needed)."""
+    return np.array(
         [
             [_plane_component(f"lsh{t}", p, i) for t in range(num_tables) for p in range(num_planes)]
             for i in range(dim)
         ]
     )
 
+
+def _bucket_assigner(num_planes: int, num_tables: int, id_col: str, vec_col: str):
+    """Returns with_buckets(df, out_id, out_vec) → (id, vec, bucket)
+    rows, one per hash table.
+
+    The per-row work is one numpy matmul in an Arrow-batched pandas
+    UDF.  This is the sanctioned Pandas-UDF case (SURVEY §6): Spark's
+    higher-order functions evaluate the lambda per element interpreted,
+    which loses to BLAS by ~100× on wide embeddings; results are
+    identical except sign flips on exactly-zero dots (measure-zero; LSH
+    outputs are recall-checked, not oracle-hashed).
+
+    The plane matrix is derived lazily from the first batch's vector
+    width (``_plane_matrix``): callers don't pay a driver-side
+    ``select(size(vec)).first()`` job, and no repartition is imposed —
+    a 100 TB parquet scan arrives pre-split by maxPartitionBytes, and
+    funneling it through an exchange (or fragmenting a small input into
+    core-count Arrow batches) only adds cost."""
+
     @F.pandas_udf("array<string>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
         mat = np.stack(emb.to_numpy()).astype(np.float64)
+        planes = _plane_matrix(num_planes, num_tables, mat.shape[1])
         signs = (mat @ planes) >= 0
         out = []
         for row in signs:
@@ -145,9 +162,6 @@ def _bucket_assigner(num_planes: int, num_tables: int, dim: int, id_col: str, ve
         return pd.Series(out)
 
     def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        # Repartition first: the signature math must not inherit the
-        # input's (possibly single) split count.
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
@@ -398,8 +412,7 @@ def lsh_topk(
     table.  Recall rises with more tables / fewer planes at the cost of
     candidate volume — the standard LSH tuning surface.  The pytest
     suite measures recall against brute force."""
-    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
-    with_buckets = _bucket_assigner(num_planes, num_tables, dim, id_col, vec_col)
+    with_buckets = _bucket_assigner(num_planes, num_tables, id_col, vec_col)
     csig = with_buckets(corpus, "vec_id", vec_col)
     qsig = with_buckets(queries, "query_id", "qvec")
     cand = (
