@@ -681,3 +681,42 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .withColumn("cosine", F.round("cosine", 6))
     )
+
+
+# ---------------------------------------------------------------------
+# train/test decontamination
+# ---------------------------------------------------------------------
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing at
+    least one word ``n``-gram with a benchmark/eval set, with the count
+    of distinct overlapping n-grams — the published pre-training hygiene
+    step (GPT-3 appendix C / PaLM / Llama all document n-gram-overlap
+    decontamination against eval sets; the reference engine has no
+    analogue — pipeline surface beyond SURVEY §2 #30-34).
+
+    Shape: the benchmark's distinct shingle set is BROADCAST — eval sets
+    are tiny next to a 100 TB corpus, so the corpus-side shingle stream
+    joins map-side with no shuffle of corpus data; the only exchange is
+    the per-doc overlap count (map-side combined).  Long n (default 8)
+    keeps chance collisions near zero, so the match list is genuinely
+    contamination-sized.
+    """
+    c = word_shingles(corpus, n, text_col, id_col, distinct=True)
+    b = (
+        word_shingles(benchmark, n, text_col, id_col, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -188,3 +188,62 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.length(norm).alias("fp_len"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document: the
+    duplicate-word fraction, the most-frequent-word fraction, and the
+    duplicate-2-gram fraction (the published quality-filter family of
+    Rae et al. 2021 §A1.1 — public paper; the reference engine has no
+    analogue, this is pipeline surface beyond SURVEY §2 #37-40).
+
+    Distinct counts are per-row higher-order functions
+    (``array_distinct`` — JVM-side, bounded by document length), so the
+    only shuffle is the word-mode aggregation (explode → two-level
+    groupBy with map-side partial aggregation).  Output fractions are
+    rounded to 6dp.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    # sequence(1, 0) DESCENDS in Spark — guard the one-word doc.
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.filter(_nonempty(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"), words.alias("__w"), grams.alias("__g")
+    )
+    hof = base.select(
+        "doc_id",
+        F.size("__w").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("__uw"),
+        F.size("__g").alias("__ng"),
+        F.size(F.array_distinct("__g")).alias("__ug"),
+    )
+    mode = (
+        base.select("doc_id", F.explode("__w").alias("__word"))
+        .groupBy("doc_id", "__word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__top"))
+    )
+    nw = F.col("n_words").cast("double")
+    return (
+        hof.join(mode, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("__uw") / nw, 6).alias("dup_word_frac"),
+            F.round(F.col("__top") / nw, 6).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.col("__ng") > 0, 1.0 - F.col("__ug") / F.col("__ng").cast("double")
+                ),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+    )

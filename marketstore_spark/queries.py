@@ -2253,6 +2253,105 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_repetition",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+hof AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(list_distinct(words)) AS uw,
+         len(words) - 1 AS ng,
+         len(list_distinct(list_transform(range(len(words) - 1),
+             i -> words[i+1] || ' ' || words[i+2]))) AS ug
+  FROM w
+),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+md AS (SELECT doc_id, MAX(c) AS top FROM wc GROUP BY 1)
+SELECT h.doc_id,
+       CAST(h.n_words AS BIGINT) AS n_words,
+       CAST(ROUND(CAST(CAST(1.0 - h.uw / CAST(h.n_words AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS dup_word_frac,
+       CAST(ROUND(CAST(CAST(md.top / CAST(h.n_words AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS top_word_frac,
+       CASE WHEN h.ng > 0 THEN
+         CAST(ROUND(CAST(CAST(1.0 - h.ug / CAST(h.ng AS DOUBLE) AS VARCHAR)
+              AS DECIMAL(35,16)), 6) AS DOUBLE)
+       END AS dup_2gram_frac
+FROM hof h JOIN md ON h.doc_id = md.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word /
+    top-word / duplicate-2-gram fractions) per document — the published
+    repetition-filter family a pretraining pipeline runs corpus-wide.
+    Distinct counts are per-row HOFs; the word mode is the only
+    shuffle.  (Oracle emulates Spark's shortest-repr double rounding.)"""
+    from marketstore_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_decontaminate",
+    """
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(words[i+1:i+8], ' ') AS shingle
+  FROM (SELECT doc_id, source, words, unnest(range(len(words) - 7)) AS i
+        FROM w WHERE len(words) >= 8)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM cand c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs (source != 'src0')
+    sharing any word 8-gram with the benchmark set (source == 'src0'
+    stands in for an eval suite), with the distinct-overlap count.
+    The benchmark shingle set broadcasts; corpus shingles never
+    shuffle (operators/dedup.benchmark_overlap)."""
+    from marketstore_spark.operators.dedup import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@_register(
+    "corpus_sample",
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+""",
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling (~51/256 ≈ 20%): the
+    reproducible-subset idiom for 100 TB pipelines — a pure md5 filter,
+    engine-portable (the oracle applies the identical predicate), no
+    RNG state, no shuffle (operators/sampling.hash_sample)."""
+    from marketstore_spark.operators.sampling import hash_sample
+
+    return hash_sample(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )
+
+
 # =====================================================================
 # LLM-data-pipeline: dedup (SURVEY §2 #30-34)
 # =====================================================================
@@ -3067,6 +3166,9 @@ _FRONT = [
     "q16_parts_supplier",
     "q20_potential_promotion",
     "multimodal_video_decode",
+    "text_repetition",
+    "corpus_decontaminate",
+    "corpus_sample",
     # Round-4-green keys we still have budget for, most-load-bearing
     # first (plans that changed most recently get re-checked sooner).
     "q15_top_supplier",

@@ -463,3 +463,78 @@ def test_lsh_band_buckets_below_cap(spark, sf_dir):
         .first()[0]
     )
     assert biggest < 10_000, f"band bucket of {biggest} docs hits the cap — oracle diverges"
+
+
+# ---------------------------------------------------------------------
+# corpus hygiene: repetition / decontamination / sampling
+# ---------------------------------------------------------------------
+
+
+def test_repetition_stats_known_doc(spark):
+    from marketstore_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),       # 4 words, 2 uniq; top=3; 2-grams: aa,aa,ab → 2 uniq of 3
+            (2, "x y z"),          # no repetition at all
+            (3, "solo"),           # 1 word → no 2-grams → NULL frac
+            (4, "   "),            # blank → filtered out
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.5
+    assert r1["top_word_frac"] == 0.75
+    assert r1["dup_2gram_frac"] == round(1 - 2 / 3, 6)
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["dup_2gram_frac"] == 0.0
+    assert r2["top_word_frac"] == round(1 / 3, 6)
+    assert rows[3]["dup_2gram_frac"] is None
+
+
+def test_benchmark_overlap_counts_and_broadcast(spark):
+    from marketstore_spark.operators.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five"), (101, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 2 distinct 3-grams with bench doc 100
+            (1, "zero one two three four six"),
+            # shares nothing
+            (2, "p q r s t u"),
+            # shares the SAME 3-gram twice → counted once (distinct)
+            (3, "alpha beta gamma x alpha beta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = benchmark_overlap(corpus, bench, n=3)
+    rows = {r["doc_id"]: r["n_overlap"] for r in out.collect()}
+    assert rows == {1: 2, 3: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan  # bench side must broadcast
+
+
+def test_hash_sample_deterministic_and_validated(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in hash_sample(df).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df).collect())
+    assert a == b and 0 < len(a) < 2000
+    # ~51/256 of 2000 ≈ 398; generous determinism-not-statistics bounds
+    assert 250 < len(a) < 560
+    # disjoint salts give a different (deterministic) subset
+    c = sorted(r["doc_id"] for r in hash_sample(df, salt="other").collect())
+    assert c != a
+    with _pytest.raises(ValueError):
+        hash_sample(df, rate_den=100)
+    with _pytest.raises(ValueError):
+        hash_sample(df, rate_num=300)
