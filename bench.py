@@ -55,6 +55,11 @@ HEADLINE = [
     # anchor config, which drives the full blocked pipeline)
     "dedup_simhash_pairs",
     "dedup_embedding_lsh_exhaustive",
+    # round-5 corpus-hygiene additions: the repetition quality filter
+    # (pure-projection HOF shape) and benchmark decontamination
+    # (broadcast n-gram join) each get a timed scale datapoint
+    "text_repetition",
+    "corpus_decontaminate",
 ]
 
 _ORACLE_TABLES = (

@@ -199,11 +199,16 @@ def repetition_stats(
     Rae et al. 2021 §A1.1 — public paper; the reference engine has no
     analogue, this is pipeline surface beyond SURVEY §2 #37-40).
 
-    Distinct counts are per-row higher-order functions
-    (``array_distinct`` — JVM-side, bounded by document length), so the
-    only shuffle is the word-mode aggregation (explode → two-level
-    groupBy with map-side partial aggregation).  Output fractions are
-    rounded to 6dp.
+    Every signal — including the word mode — is a per-row higher-order
+    function, so the operator is ONE narrow projection: no explode, no
+    shuffle, no join; it scales as a plain scan (the 100 TB shape) and
+    each row's work is bounded by its own document length.  The mode
+    count is a run-length pass over ``array_sort(words)`` via
+    ``aggregate`` (O(n log n) sort + O(n) fold, vs the O(u·n)
+    count-each-distinct-word formulation that melts on long documents —
+    and vs an explode/groupBy, where Catalyst's projection collapse
+    re-evaluates sibling per-doc HOFs once per exploded row).  Output
+    fractions are rounded to 6dp.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     # sequence(1, 0) DESCENDS in Spark — guard the one-word doc.
@@ -214,36 +219,45 @@ def repetition_stats(
             lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+    def _longest_run(acc, x):
+        run = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("cur"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(
+        F.array_sort(F.col("__w")),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        _longest_run,
+        lambda acc: acc["best"],
+    )
+    # The HOF lambdas are interpreted per element — spread the heavy
+    # projection across the cluster even when the input arrives in one
+    # split (see word_shingles); the shuffled payload is just the raw
+    # text rows.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     base = df.filter(_nonempty(F.col(text_col))).select(
         F.col(id_col).alias("doc_id"), words.alias("__w"), grams.alias("__g")
     )
-    hof = base.select(
+    per_doc = base.select(
         "doc_id",
         F.size("__w").alias("n_words"),
         F.size(F.array_distinct("__w")).alias("__uw"),
         F.size("__g").alias("__ng"),
         F.size(F.array_distinct("__g")).alias("__ug"),
-    )
-    mode = (
-        base.select("doc_id", F.explode("__w").alias("__word"))
-        .groupBy("doc_id", "__word")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("doc_id")
-        .agg(F.max("__c").alias("__top"))
+        top.alias("__top"),
     )
     nw = F.col("n_words").cast("double")
-    return (
-        hof.join(mode, "doc_id")
-        .select(
-            "doc_id",
-            "n_words",
-            F.round(1.0 - F.col("__uw") / nw, 6).alias("dup_word_frac"),
-            F.round(F.col("__top") / nw, 6).alias("top_word_frac"),
-            F.round(
-                F.when(
-                    F.col("__ng") > 0, 1.0 - F.col("__ug") / F.col("__ng").cast("double")
-                ),
-                6,
-            ).alias("dup_2gram_frac"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(1.0 - F.col("__uw") / nw, 6).alias("dup_word_frac"),
+        F.round(F.col("__top") / nw, 6).alias("top_word_frac"),
+        F.round(
+            F.when(
+                F.col("__ng") > 0, 1.0 - F.col("__ug") / F.col("__ng").cast("double")
+            ),
+            6,
+        ).alias("dup_2gram_frac"),
     )

@@ -335,3 +335,17 @@ def test_q21_anti_join_shape(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_q20_no_cartesian_two_fact_scans(spark, sf_dir):
+    """q20: the 1997 and all-time quantity aggregates each scan
+    lineitem once (different pushed filters — no third scan may
+    appear), dims broadcast, and the nested-subquery shape must not
+    degrade to a cartesian product.  The threshold join itself is
+    left to AQE: at test SF the tiny aggregate broadcasts; at scale
+    both sides group on (suppkey, partkey), so the non-broadcast
+    fallback is already co-partitioned."""
+    plan = explain_str(SPARK_QUERIES["q20_potential_promotion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert plan.count("BroadcastHashJoin") >= 3
