@@ -1720,21 +1720,31 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # The part predicate prunes the FACT before any aggregation: p_size
+    # selects ~1/50 of parts, so the offers groupBy (and everything
+    # after) runs on the pruned stream — at 100 TB this is the
+    # difference between aggregating the whole lineitem table and 2% of
+    # it.  p_name rides along as a (functionally dependent) group key,
+    # so no re-join with part is needed at the end.
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
     offers = (
-        li.join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(_dec("l_extendedprice")).alias("cost"))
     )
-    minc = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
+    minc = offers.groupBy(F.col("p_partkey").alias("__pk")).agg(
         F.min("cost").alias("min_cost")
     )
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
         offers.join(
             minc,
-            (offers.l_partkey == F.col("__pk")) & (offers.cost == F.col("min_cost")),
+            (offers.p_partkey == F.col("__pk")) & (offers.cost == F.col("min_cost")),
         )
-        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",
