@@ -349,3 +349,39 @@ def test_q20_no_cartesian_two_fact_scans(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("lineitem.parquet") == 2, plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_corpus_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination must broadcast the benchmark shingle set — the
+    corpus-side shingle stream may never shuffle for the join (the only
+    exchanges are word_shingles' spread repartitions and the final
+    per-doc count)."""
+    import re
+
+    plan = explain_str(SPARK_QUERIES["corpus_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: the corpus shingles go scan → project
+    # → broadcast-probe → partial count
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_sample_is_pure_filter(spark, sf_dir):
+    """hash_sample is a filter — zero exchanges, zero aggregates; the
+    md5 predicate evaluates inside the scan's WholeStageCodegen."""
+    import re
+
+    plan = explain_str(SPARK_QUERIES["corpus_sample"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "HashAggregate" not in plan
+
+
+def test_text_repetition_no_join_single_scan(spark, sf_dir):
+    """All repetition signals are per-row HOFs: one documents scan, no
+    join, no aggregate — the only exchange is the parallelism-spread
+    repartition."""
+    import re
+
+    plan = explain_str(SPARK_QUERIES["text_repetition"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
