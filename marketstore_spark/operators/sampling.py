@@ -33,5 +33,7 @@ def hash_sample(
         raise ValueError("hash_sample: rate_den must be 256 (one md5 byte)")
     if not 0 <= rate_num <= 256:
         raise ValueError("hash_sample: rate_num out of [0, 256]")
+    if rate_num == 256:  # '100' would break the 2-hex-char compare
+        return df
     key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
     return df.filter(F.substring(F.md5(key), 1, 2) < F.lit(format(rate_num, "02x")))

@@ -96,3 +96,16 @@ def test_corpus_stats_empty(spark):
         [], "doc_id long, text string, lang string, source string, n_chars long"
     )
     assert corpus_stats(docs).count() == 0
+
+
+def test_corpus_hygiene_empty_input(spark, empty_docs):
+    from marketstore_spark.operators.dedup import benchmark_overlap
+    from marketstore_spark.operators.sampling import hash_sample
+    from marketstore_spark.operators.text import repetition_stats
+
+    assert repetition_stats(empty_docs).count() == 0
+    assert hash_sample(empty_docs).count() == 0
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    # empty benchmark → nothing flagged; empty corpus → nothing flagged
+    assert benchmark_overlap(docs, empty_docs, n=3).count() == 0
+    assert benchmark_overlap(empty_docs, docs, n=3).count() == 0

@@ -288,3 +288,50 @@ def test_mjpeg_avi_roundtrip_property(n, h, w, step):
     for i, px in got.items():
         assert px.shape == (h, w, 3) and px.dtype == np.uint8
         assert np.abs(px.astype(int) - color).max() <= 3
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs_words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_matches_bruteforce(spark, docs_words):
+    """repetition_stats ≡ the obvious per-doc Python computation."""
+    from collections import Counter
+
+    from marketstore_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    for i, ws in enumerate(docs_words):
+        n = len(ws)
+        grams = [" ".join(ws[j : j + 2]) for j in range(n - 1)]
+        r = out[i]
+        assert r["n_words"] == n
+        assert r["dup_word_frac"] == round(1 - len(set(ws)) / n, 6)
+        assert r["top_word_frac"] == round(Counter(ws).most_common(1)[0][1] / n, 6)
+        if grams:
+            assert r["dup_2gram_frac"] == round(1 - len(set(grams)) / len(grams), 6)
+        else:
+            assert r["dup_2gram_frac"] is None
+
+
+def test_hash_sample_rate_edges_and_nesting(spark):
+    """rate 0 keeps nothing, 256 keeps everything, and lower rates are
+    strict subsets of higher ones (same salt → same byte ordering)."""
+    from marketstore_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, rate_num=0).count() == 0
+    assert hash_sample(df, rate_num=256).count() == 500
+    lo = {r["doc_id"] for r in hash_sample(df, rate_num=32).collect()}
+    hi = {r["doc_id"] for r in hash_sample(df, rate_num=64).collect()}
+    assert lo <= hi and len(lo) < len(hi)
