@@ -3181,6 +3181,9 @@ _FRONT = [
     "corpus_sample",
     # Round-4-green keys we still have budget for, most-load-bearing
     # first (plans that changed most recently get re-checked sooner).
+    # ann_lsh_exhaustive's signature path changed this round (lazy
+    # plane matrix, no forced repartition) — fresh driver row required
+    "ann_lsh_exhaustive",
     "q15_top_supplier",
     "q21_suppliers_who_kept_orders_waiting",
     "dedup_minhash_lsh",
