@@ -3183,8 +3183,8 @@ _FRONT = [
     # first (plans that changed most recently get re-checked sooner).
     # ann_lsh_exhaustive's signature path changed this round (lazy
     # plane matrix, no forced repartition) — fresh driver row required
+    # (displaces q15_top_supplier, r04-green and untouched this round)
     "ann_lsh_exhaustive",
-    "q15_top_supplier",
     "q21_suppliers_who_kept_orders_waiting",
     "dedup_minhash_lsh",
     "dedup_clusters",
