@@ -473,6 +473,91 @@ def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("__w.start").alias("epoch"), "vwap", "volume")
 
 
+@_register(
+    "twap",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(value AS DECIMAL(18,2)) AS px,
+         time_bucket(INTERVAL '1 day', ts) AS bstart
+  FROM events
+),
+wt AS (
+  SELECT symbol, bstart, px,
+         COALESCE(
+           LEAD(epoch_us(ts)) OVER (PARTITION BY symbol, bstart ORDER BY ts, event_id),
+           epoch_us(bstart + INTERVAL '1 day')
+         ) - epoch_us(ts) AS dt
+  FROM t
+)
+SELECT symbol, bstart AS epoch,
+       CAST(ROUND(CAST(CAST(
+         CAST(SUM(px * dt) AS DOUBLE) / NULLIF(SUM(dt), 0)
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM wt GROUP BY 1, 2
+""",
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TWAP per symbol: each tick weighted by integer
+    microseconds until the next tick (bucket-end carry for the last) —
+    exact decimal·µs sums, one shuffle (operators/quant.twap).
+    Reference analogue: the client-side TWAP every marketstore OHLCV
+    consumer computes; here it is one declarative plan."""
+    from marketstore_spark.operators.quant import twap
+
+    return twap(load_table(spark, sf_dir, "events"), "1 day")
+
+
+@_register(
+    "pairwise_corr",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id, CAST(value AS DECIMAL(18,2)) AS close,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, close FROM (
+    SELECT symbol, bucket, close,
+           row_number() OVER (PARTITION BY symbol, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM t
+  ) WHERE rn = 1
+),
+g AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, COUNT(*) AS n_obs,
+         CAST(SUM(a.close) AS DOUBLE) AS sx, CAST(SUM(b.close) AS DOUBLE) AS sy,
+         CAST(SUM(a.close * b.close) AS DOUBLE) AS sxy,
+         CAST(SUM(a.close * a.close) AS DOUBLE) AS sxx,
+         CAST(SUM(b.close * b.close) AS DOUBLE) AS syy
+  FROM c a JOIN c b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  GROUP BY 1, 2
+)
+SELECT sym_a, sym_b, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(ROUND(CAST(CAST(
+         (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+           / (SQRT(CAST(n_obs AS DOUBLE) * sxx - sx * sx)
+              * SQRT(CAST(n_obs AS DOUBLE) * syy - sy * sy))
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS corr
+FROM g
+WHERE n_obs >= 3
+  AND (CAST(n_obs AS DOUBLE) * sxx - sx * sx) > 0
+  AND (CAST(n_obs AS DOUBLE) * syy - sy * sy) > 0
+""",
+)
+def pairwise_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol Pearson correlation of daily closes.  The five
+    correlation sums are EXACT decimal aggregates (closes are original
+    tick values — no intermediate arithmetic), so no order-dependent
+    double summation exists anywhere; the Pearson formula is one
+    engine-identical double expression per pair (IEEE-rounded sqrt
+    only).  operators/quant.pairwise_corr."""
+    from marketstore_spark.operators.quant import pairwise_corr
+
+    return pairwise_corr(load_table(spark, sf_dir, "events"), "1 day")
+
+
 # Bit-reproducible adjustment oracles: both engines read the SAME
 # power-table literals (operators/adjust.ratio_power_table) and compute
 # integer CA counts — no exp/ln/pow, whose libm rounding differs across
@@ -3179,22 +3264,25 @@ _FRONT = [
     "text_repetition",
     "corpus_decontaminate",
     "corpus_sample",
+    "twap",
+    "pairwise_corr",
     # Round-4-green keys we still have budget for, most-load-bearing
     # first (plans that changed most recently get re-checked sooner).
     # ann_lsh_exhaustive's signature path changed this round (lazy
     # plane matrix, no forced repartition) — fresh driver row required
     # (displaces q15_top_supplier, r04-green and untouched this round)
     "ann_lsh_exhaustive",
+    "dedup_embedding_lsh_exhaustive",
     "q21_suppliers_who_kept_orders_waiting",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash_pairs",
     "multimodal_frame_sample",
     "ann_ivf_exhaustive",
-    "dedup_embedding_lsh_exhaustive",
     "percentiles_approx_exhaustive",
-    "range_join",
-    "asof_join_tolerance",
+    # range_join / asof_join_tolerance dropped from the window this
+    # round (r04-green, untouched) to make room for twap/pairwise_corr;
+    # they rotate back in r06.
 ]
 
 

@@ -538,3 +538,56 @@ def test_hash_sample_deterministic_and_validated(spark):
         hash_sample(df, rate_den=100)
     with _pytest.raises(ValueError):
         hash_sample(df, rate_num=300)
+
+
+# ---------------------------------------------------------------------
+# quant idioms: twap / pairwise_corr
+# ---------------------------------------------------------------------
+
+
+def test_twap_interval_weights_and_ties(spark):
+    from marketstore_spark.operators.quant import twap
+
+    rows = [
+        # symbol 1, one day: price 100 for 6h, then 200 for the rest
+        (1, _ts(2024, 1, 1, 0, 0, 0), 1, 100.0),
+        (1, _ts(2024, 1, 1, 6, 0, 0), 2, 200.0),
+        # symbol 2: duplicate timestamp — the later event_id wins the
+        # whole interval; the earlier one gets zero weight
+        (2, _ts(2024, 1, 1, 0, 0, 0), 3, 50.0),
+        (2, _ts(2024, 1, 1, 0, 0, 0), 4, 70.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["symbol"]: r for r in twap(df, "1 day").collect()}
+    # 100*(6/24) + 200*(18/24) = 175
+    assert out[1]["twap"] == 175.0 and out[1]["n_ticks"] == 2
+    assert out[2]["twap"] == 70.0 and out[2]["n_ticks"] == 2
+
+
+def test_pairwise_corr_perfect_and_inverse(spark):
+    from marketstore_spark.operators.quant import pairwise_corr
+
+    rows = []
+    eid = 0
+    for d, (a, b, c) in enumerate([(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)]):
+        for sym, px in ((1, a), (2, b), (3, c)):
+            eid += 1
+            rows.append((sym, _ts(2024, 1, 1 + d, 12, 0, 0), eid, px))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {(r["sym_a"], r["sym_b"]): r for r in pairwise_corr(df, "1 day").collect()}
+    assert out[(1, 2)]["corr"] == 1.0      # y = 2x
+    assert out[(1, 3)]["corr"] == -1.0     # perfectly inverse
+    assert out[(2, 3)]["corr"] == -1.0
+    assert all(r["n_obs"] == 3 for r in out.values())
+
+
+def test_pairwise_corr_drops_constant_series(spark):
+    from marketstore_spark.operators.quant import pairwise_corr
+
+    rows = [
+        (1, _ts(2024, 1, 1 + d, 0, 0, 0), d * 2 + 1, 5.0) for d in range(3)
+    ] + [
+        (2, _ts(2024, 1, 1 + d, 0, 0, 0), d * 2 + 2, float(d)) for d in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    assert pairwise_corr(df, "1 day").count() == 0  # zero variance on sym 1

@@ -385,3 +385,13 @@ def test_text_repetition_no_join_single_scan(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan and "HashAggregate" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_twap_single_shuffle_single_scan(spark, sf_dir):
+    """twap: the interval-weight window and the bucket aggregation
+    share one exchange on (symbol, bucket); one events scan."""
+    import re
+
+    plan = explain_str(SPARK_QUERIES["twap"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert plan.count("events.parquet") == 1
