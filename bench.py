@@ -60,6 +60,10 @@ HEADLINE = [
     # (broadcast n-gram join) each get a timed scale datapoint
     "text_repetition",
     "corpus_decontaminate",
+    # quant idioms: single-shuffle interval-weighted TWAP and the
+    # blocked masked-gram correlation matrix (1.1M pairs at sf0.1)
+    "twap",
+    "pairwise_corr",
 ]
 
 _ORACLE_TABLES = (

@@ -513,7 +513,8 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairwise_corr",
     """
 WITH t AS (
-  SELECT user_id AS symbol, ts, event_id, CAST(value AS DECIMAL(18,2)) AS close,
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS close,
          time_bucket(INTERVAL '1 day', ts) AS bucket
   FROM events
 ),
@@ -547,12 +548,12 @@ WHERE n_obs >= 3
 """,
 )
 def pairwise_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-symbol Pearson correlation of daily closes.  The five
-    correlation sums are EXACT decimal aggregates (closes are original
-    tick values — no intermediate arithmetic), so no order-dependent
-    double summation exists anywhere; the Pearson formula is one
-    engine-identical double expression per pair (IEEE-rounded sqrt
-    only).  operators/quant.pairwise_corr."""
+    """Cross-symbol Pearson correlation of daily closes, computed as
+    blocked masked-gram matmuls over integer-cent matrices (the
+    formulation that survives 100k symbols; the oracle is the naive
+    SQL pair join).  Every Pearson sum is an exact integer in float64,
+    so the final engine-identical double expression (IEEE sqrt only)
+    hash-matches the oracle.  operators/quant.pairwise_corr."""
     from marketstore_spark.operators.quant import pairwise_corr
 
     return pairwise_corr(load_table(spark, sf_dir, "events"), "1 day")
