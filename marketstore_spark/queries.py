@@ -1713,48 +1713,58 @@ LIMIT 20
 """,
 )
 def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (EXISTS + NOT EXISTS → semi + anti joins):
-    suppliers solely responsible for lateness in multi-supplier
-    finished orders.  (Adapted lateness: shipdate > orderdate + 60
-    days — this dataset has no commit/receipt dates, same proxy as
-    q4.)  The EXISTS collapses to a join against the
-    distinct-supplier-count aggregate; the NOT EXISTS is a left-anti
-    self-join of the late set on (same order, different supplier) —
-    each one shuffle on the order key, no correlated per-row probes.
-    The top-20 is TakeOrderedAndProject, not a global sort."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate"
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers solely
+    responsible for lateness in multi-supplier finished orders.
+    (Adapted lateness: shipdate > orderdate + 60 days — this dataset
+    has no commit/receipt dates, same proxy as q4.)
+
+    Both quantifiers collapse into ONE per-order aggregation: an order
+    qualifies for supplier s iff s is late in it, the distinct late
+    suppliers number exactly 1 (NOT EXISTS another late supplier), and
+    the distinct suppliers number ≥ 2 (EXISTS another supplier).  The
+    lineitem-orders join shuffles on the order key and the groupBy
+    REUSES that partitioning — one fact scan, one fact shuffle, no
+    late-set distinct, no anti self-join (the prior formulation paid
+    three more fact-sized shuffles).  The sole late supplier is
+    recovered as max(late suppkey), exact because the qualifier pins
+    the distinct count to 1.  Top-20 is TakeOrderedAndProject."""
+    # The status predicate is an ORDER property — apply it before the
+    # join (pushed to the orders scan) so no string column rides
+    # through the aggregation (a string aggregate buffer would demote
+    # both levels to SortAggregate).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = (
+    is_late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1
+    ).otherwise(0)
+    # Two-level aggregation instead of count_distinct×2: multiple
+    # distinct aggregates plan an Expand (3× fact-row blowup through
+    # the shuffle).  All buffers are primitive, so both levels are
+    # partial-aggregated HashAggregates; level 2 groups on a prefix of
+    # level 1's key, so only the first aggregation exchanges.
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            (F.col("o_orderstatus") == "F")
-            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late).alias("__late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__ns"),
+            F.sum("__late").alias("__nlate"),
+            F.max(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias("__late_supp"),
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("__ns"))
-        .filter(F.col("__ns") >= 2)
-        .select("l_orderkey")
-    )
-    other_late = late.select(
-        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
-    )
-    sole = late.join(
-        other_late,
-        (late.l_orderkey == F.col("__ok")) & (late.l_suppkey != F.col("__sk")),
-        "left_anti",
+        .filter((F.col("__ns") >= 2) & (F.col("__nlate") == 1))
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(multi, "l_orderkey")
-        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        per_order.join(F.broadcast(s), per_order.__late_supp == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

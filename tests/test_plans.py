@@ -326,15 +326,18 @@ def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
     assert "PushedFilters" in plan and "l_shipdate" in plan
 
 
-def test_q21_anti_join_shape(spark, sf_dir):
-    """Q21's NOT EXISTS must be a left-anti join (never a correlated
-    per-row probe or cartesian)."""
+def test_q21_single_fact_pass(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS collapse into one per-order
+    aggregation: one lineitem scan, no anti/semi join on the fact, no
+    cartesian; the per-order groupBy reuses the join's order-key
+    partitioning (no exchange between them); top-20 via
+    TakeOrderedAndProject, not a global sort."""
     plan = explain_str(
         SPARK_QUERIES["q21_suppliers_who_kept_orders_waiting"](spark, sf_dir)
     )
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "CartesianProduct" not in plan
-    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_q20_no_cartesian_two_fact_scans(spark, sf_dir):
