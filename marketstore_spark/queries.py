@@ -3259,11 +3259,8 @@ _FRONT = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
-    "dedup_embedding_lsh",
     "ann_cosine_topk",
     "ann_filtered",
-    "ann_lsh",
-    "ann_ivf",
     "multimodal_meta",
     # New round-5 keys (remaining TPC-H adaptations) — first driver rows
     "q2_min_cost_supplier",
@@ -3285,15 +3282,22 @@ _FRONT = [
     "ann_lsh_exhaustive",
     "dedup_embedding_lsh_exhaustive",
     "q21_suppliers_who_kept_orders_waiting",
+    "q18_large_volume_customer",
     "dedup_minhash_lsh",
+    "dedup_minhash_keep",
     "dedup_clusters",
     "dedup_simhash_pairs",
     "multimodal_frame_sample",
-    "ann_ivf_exhaustive",
-    "percentiles_approx_exhaustive",
-    # range_join / asof_join_tolerance dropped from the window this
-    # round (r04-green, untouched) to make room for twap/pairwise_corr;
-    # they rotate back in r06.
+    # Exactly 50 keys — the driver window.  Dropped to make the count:
+    # ann_lsh / dedup_embedding_lsh / ann_ivf are no-oracle rows-only
+    # checks whose hash-parity *_exhaustive anchors (same machinery,
+    # exhaustive config) ARE in the window, so the weaker check is
+    # redundant with a stronger one; ann_ivf_exhaustive and
+    # percentiles_approx_exhaustive are r04-green on code untouched
+    # this round (the r05 simsearch change is confined to the
+    # hyperplane bucket assigner, which IVF does not use).
+    # range_join / asof_join_tolerance / q15 stay out (r04-green,
+    # untouched); they rotate back in r06.
 ]
 
 
