@@ -83,6 +83,62 @@ def exact_dedup_groups(
     )
 
 
+def span_dedup_groups(
+    df: DataFrame,
+    span_words: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup at span granularity: documents are cut
+    into NON-overlapping ``span_words``-word windows (a trailing
+    partial window is dropped), each span is content-hashed, and spans
+    that recur across ≥ ``min_docs`` distinct documents are reported
+    with their duplication stats and canonical (minimum) first
+    occurrence.
+
+    This is the paragraph/line-level dedup stage of published corpus
+    pipelines (Dolma's paragraph dedup, CCNet/RefinedWeb line dedup) —
+    exact whole-document dedup misses boilerplate repeated INSIDE
+    otherwise-distinct pages; this catches it.  The reference engine
+    has no analogue (pipeline surface beyond SURVEY §2 #30).  With a
+    newline-structured corpus pass the natural unit by pre-splitting;
+    the fixed word window is the structure-free default that works on
+    any text.
+
+    Shape: one narrow projection (split → slice spans via a step-``w``
+    index sequence → posexplode) followed by ONE hash aggregate on the
+    32-byte span hash — the exact_dedup_groups plan at span grain.
+    The span count per doc is len/w (bounded, linear in input), the
+    groupBy key is fixed-width, and min/count/count-distinct are all
+    combiner-friendly, so the operator scales like a plain wordcount;
+    no posting lists, no pair generation.
+    """
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    n_spans = (F.size(words) / span_words).cast("int")
+    starts = F.sequence(F.lit(1), (n_spans - 1) * span_words + 1, F.lit(span_words))
+    spans = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, span_words)))
+    # Spread the per-doc HOF work across the cluster before the heavy
+    # projection (word_shingles pattern: few input splits otherwise
+    # serialize it), and keep the span builder OUT of the explode
+    # pipeline so Catalyst can't re-evaluate it per exploded row.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    exploded = (
+        df.filter(F.size(words) >= span_words)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("span_idx", "span"))
+    )
+    return (
+        exploded.select("doc_id", "span_idx", F.md5(F.col("span")).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # ---------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------

@@ -224,3 +224,90 @@ def pairwise_corr(
         _pairs, "sym_a long, sym_b long, n_obs long, corr double"
     )
     return out.select("sym_a", "sym_b", "n_obs", F.round("corr", 6).alias("corr"))
+
+
+def obv(
+    df: DataFrame,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """On-balance volume per tick: the running sum of volume signed by
+    the tick-to-tick price direction (up ticks add, down ticks
+    subtract, flat ticks and the first tick contribute zero) — the
+    classic accumulation/distribution indicator every OHLCV consumer
+    of the reference computes client-side (models/bar.go serves the
+    inputs; this moves the recurrence into the engine).
+
+    Unlike EMA, the OBV "recurrence" is a plain prefix sum, so it
+    needs no applyInPandas: one lag + one running-sum window over the
+    same (symbol, ts) ordering — Spark plans a single sort per
+    symbol partition and both windows share it.  All arithmetic is
+    BIGINT (direction in {-1,0,1} × integer volume), so the running
+    sum is order-exact and hash-matches any engine.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    delta = (
+        F.when(prev.isNull(), F.lit(0).cast("long"))
+        .when(F.col(value_col) > prev, F.col(volume_col).cast("long"))
+        .when(F.col(value_col) < prev, -F.col(volume_col).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("epoch"),
+        F.col(tiebreak_col).alias("event_id"),
+        F.sum(delta).over(run).alias("obv"),
+    )
+
+
+def stochastic_k(
+    df: DataFrame,
+    n: int = 14,
+    d_periods: int = 3,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Stochastic oscillator %K / %D over the last ``n`` ticks per
+    symbol: %K = 100·(close − min_n) / (max_n − min_n), %D = the
+    ``d_periods``-tick simple average of %K.
+
+    NULL during the warm-up (fewer than ``n`` ticks seen) and when the
+    window is flat (max == min) — both standard conventions.  min/max
+    are exact picks and the %K expression is a fixed-order chain of
+    IEEE ops (sub, mul, div), so results are bit-identical across
+    engines with no rounding emulation; %D averages exactly
+    ``d_periods`` values via explicit lags (a windowed SUM of doubles
+    would leave the accumulation order to the engine).
+
+    One sort per symbol partition shared by every window here — the
+    rolling frame, the row counter, and the %D lags all use the same
+    (symbol, ts, tiebreak) ordering.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col, tiebreak_col)
+    frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    v = F.col(value_col)
+    lo = F.min(v).over(frame)
+    hi = F.max(v).over(frame)
+    rn = F.row_number().over(w)
+    k = F.when(
+        (rn >= n) & (hi > lo), (F.lit(100.0) * (v - lo)) / (hi - lo)
+    )
+    out = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("epoch"),
+        F.col(tiebreak_col).alias("event_id"),
+        k.alias("pct_k"),
+    )
+    wk = Window.partitionBy("symbol").orderBy("epoch", "event_id")
+    lags = [F.lag(F.col("pct_k"), i).over(wk) for i in range(1, d_periods)]
+    acc = F.col("pct_k")
+    for lag_col in lags:
+        acc = acc + lag_col
+    return out.withColumn("pct_d", acc / F.lit(float(d_periods)))

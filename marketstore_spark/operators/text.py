@@ -261,3 +261,50 @@ def repetition_stats(
             6,
         ).alias("dup_2gram_frac"),
     )
+
+
+# Dolma/C4-style PII masking (public pipeline surface; the synthetic
+# documents corpus contains no PII by construction, so this operator is
+# exercised by constructed fixtures in pytest rather than a driver
+# oracle key).  Patterns are Java-regex (Spark-side only) and
+# deliberately conservative: detection-over-coverage is the published
+# convention (Dolma masks email/phone/IP with |||TOKEN||| markers).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?<!\d)(?:\+?\d{1,2}[\s.-]?)?(?:\(\d{3}\)\s?|\d{3}[\s.-])\d{3}[\s.-]\d{4}(?!\d)",
+    # lookarounds reject a 4th-octet continuation (1.2.3.4.5) but allow
+    # a bare sentence period after the address
+    "ipv4": r"(?<!\d)(?<!\d\.)(?:\d{1,3}\.){3}\d{1,3}(?!\.?\d)",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    classes: list[str] | None = None,
+    marker: str = "|||{cls}|||",
+) -> DataFrame:
+    """Mask PII spans in-place and count them per class.
+
+    One narrow projection: per class, one ``regexp_count`` for the
+    count and one chained ``regexp_replace`` for the masking — all
+    JVM-side regex inside whole-stage codegen, no shuffle, so the
+    operator scales as a plain scan (same shape as the quality/langid
+    signals it typically runs beside).  Email is masked before phone
+    so digit runs inside a masked email can't double-match.
+
+    Output: every input column except ``text_col``, the scrubbed
+    ``text``, and one ``n_<class>`` count per class.
+    """
+    classes = list(PII_PATTERNS) if classes is None else classes
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(PII_PATTERNS[c])).alias(f"n_{c}") for c in classes
+    ]
+    scrubbed = t
+    for c in classes:
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[c], marker.format(cls=c.upper())
+        )
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(*keep, scrubbed.alias(text_col), *counts)

@@ -559,6 +559,75 @@ def pairwise_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_corr(load_table(spark, sf_dir, "events"), "1 day")
 
 
+@_register(
+    "obv",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id, value,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+d AS (
+  SELECT symbol, ts, event_id,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN value > prev THEN vol
+              WHEN value < prev THEN -vol
+              ELSE 0 END AS delta
+  FROM (
+    SELECT symbol, ts, event_id, value, vol,
+           LAG(value) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS prev
+    FROM t
+  )
+)
+SELECT symbol, ts AS epoch, event_id,
+       CAST(SUM(delta) OVER (PARTITION BY symbol ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM d
+""",
+)
+def obv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per tick (operators/quant.obv): direction-
+    signed running volume sum, volume from the typed attrs payload.
+    Pure BIGINT window arithmetic — order-exact, no rounding
+    emulation needed."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import obv
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events"))
+    return obv(ev.withColumn("volume", F.col("attrs.k")))
+
+
+@_register(
+    "stochastic_k",
+    """
+WITH k AS (
+  SELECT user_id AS symbol, ts AS epoch, event_id,
+         CASE WHEN ROW_NUMBER() OVER w >= 14
+                   AND MAX(value) OVER w14 > MIN(value) OVER w14
+              THEN 100 * (value - MIN(value) OVER w14)
+                   / (MAX(value) OVER w14 - MIN(value) OVER w14)
+         END AS pct_k
+  FROM events
+  WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch, event_id, pct_k,
+       (pct_k + LAG(pct_k, 1) OVER ws + LAG(pct_k, 2) OVER ws) / 3.0 AS pct_d
+FROM k
+WINDOW ws AS (PARTITION BY symbol ORDER BY epoch, event_id)
+""",
+)
+def stochastic_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-tick stochastic oscillator %K with 3-tick %D
+    (operators/quant.stochastic_k).  Exact min/max picks + a
+    fixed-order IEEE expression, %D from explicit lags — bit-identical
+    across engines with no rounding emulation."""
+    from marketstore_spark.operators.quant import stochastic_k
+
+    return stochastic_k(load_table(spark, sf_dir, "events"))
+
+
 # Bit-reproducible adjustment oracles: both engines read the SAME
 # power-table literals (operators/adjust.ratio_power_table) and compute
 # integer CA counts — no exp/ln/pow, whose libm rounding differs across
@@ -2489,6 +2558,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstore_spark.operators.dedup import exact_dedup_groups
 
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_span",
+    r"""
+WITH w AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(list_slice(ws, i, i + 9), ' '))
+                 FOR i IN generate_series(1, len(ws) - 9, 10)]) AS span_hash
+  FROM w WHERE len(ws) >= 10
+)
+SELECT span_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph/line-analogue) exact dedup over
+    non-overlapping 10-word spans — the Dolma/CCNet dedup stage that
+    whole-document hashing misses (operators/dedup.span_dedup_groups)."""
+    from marketstore_spark.operators.dedup import span_dedup_groups
+
+    return span_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
 @_register(

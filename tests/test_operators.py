@@ -591,3 +591,85 @@ def test_pairwise_corr_drops_constant_series(spark):
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
     assert pairwise_corr(df, "1 day").count() == 0  # zero variance on sym 1
+
+
+def test_obv_direction_signed_running_sum(spark):
+    from marketstore_spark.operators.quant import obv
+
+    rows = [
+        # symbol, ts, id, price, volume
+        (1, _ts(2024, 1, 1, 9, 30, 0), 1, 100.0, 10),
+        (1, _ts(2024, 1, 1, 9, 31, 0), 2, 101.0, 5),   # up   → +5
+        (1, _ts(2024, 1, 1, 9, 32, 0), 3, 99.0, 7),    # down → -7
+        (1, _ts(2024, 1, 1, 9, 33, 0), 4, 99.0, 9),    # flat → +0
+        (2, _ts(2024, 1, 1, 9, 30, 0), 5, 50.0, 3),    # first tick of sym2 → 0
+        (2, _ts(2024, 1, 1, 9, 30, 0), 6, 51.0, 4),    # same ts: id order → up
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value", "volume"])
+    got = {r["event_id"]: r["obv"] for r in obv(df).collect()}
+    assert got == {1: 0, 2: 5, 3: -2, 4: -2, 5: 0, 6: 4}
+
+
+def test_stochastic_k_warmup_flat_and_values(spark):
+    from marketstore_spark.operators.quant import stochastic_k
+
+    rows = [(1, _ts(2024, 1, 1, 9, 30, i), i, float(p), 0)
+            for i, p in enumerate([10, 20, 15, 15])]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value", "volume"])
+    out = {r["event_id"]: (r["pct_k"], r["pct_d"]) for r in
+           stochastic_k(df, n=3, d_periods=2).collect()}
+    # warm-up (fewer than n ticks) → NULL
+    assert out[0] == (None, None)
+    assert out[1] == (None, None)
+    # window [10,20,15]: (15-10)/(20-10)*100 = 50
+    assert out[2][0] == 50.0
+    # window [20,15,15]: (15-15)/(20-15) = 0
+    assert out[3][0] == 0.0
+    assert out[3][1] == 25.0  # (0 + 50) / 2
+    # flat window → NULL (max == min)
+    flat = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1, 9, 30, i), i, 5.0, 0) for i in range(3)],
+        ["user_id", "ts", "event_id", "value", "volume"],
+    )
+    assert all(r["pct_k"] is None for r in stochastic_k(flat, n=3).collect())
+
+
+def test_span_dedup_groups_window_edges(spark):
+    from marketstore_spark.operators.dedup import span_dedup_groups
+
+    shared = "a b c d e"                       # one full 5-word span
+    rows = [
+        (1, shared + " tail1 x"),              # trailing partial dropped
+        (2, shared),                           # exact span again
+        (3, "one two three"),                  # shorter than span → no spans
+        (4, "p q r s t " + shared),            # shared span NOT on a window
+                                               # boundary → not detected (doc 4
+                                               # spans: [p..t], [a..e] — wait,
+                                               # 10 words = two windows, second
+                                               # IS the shared span)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_dedup_groups(df, span_words=5, min_docs=2).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["n_docs"] == 3 and g["n_occurrences"] == 3 and g["first_doc_id"] == 1
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from marketstore_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or call 415-555-1234."),
+        (2, "server at 10.0.255.7 responded; versions 1.2.3.4.5 stay."),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "|||EMAIL|||" in out[1]["text"] and "|||PHONE|||" in out[1]["text"]
+    assert "alice" not in out[1]["text"] and "555" not in out[1]["text"]
+    assert out[2]["n_ipv4"] == 1 and "|||IPV4|||" in out[2]["text"]
+    # 1.2.3.4.5 is not an IPv4 (digit lookarounds) — unchanged
+    assert "1.2.3.4.5" in out[2]["text"]
+    assert out[3]["text"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
