@@ -212,6 +212,16 @@ class Catalog:
         path = TimeBucketKey(key).path(self.root)
         if os.path.isdir(path):
             shutil.rmtree(path)
+        # Prune now-empty parents (Symbol/Timeframe levels) so
+        # ListSymbols reflects the removal — the reference's catalog
+        # tree drops empty nodes on removal (catalog/catalog.go's
+        # directory pruning); without this a destroyed symbol's husk
+        # directory keeps it listed forever.
+        parent = os.path.dirname(path)
+        root = os.path.abspath(self.root.rstrip("/"))
+        while os.path.abspath(parent) != root and os.path.isdir(parent) and not os.listdir(parent):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
 
     # -- Write / append (frontend/write.go:36; executor/writer.go) --------
     def write(self, key: str, df: DataFrame, mode: str = "append") -> None:

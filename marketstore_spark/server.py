@@ -1,0 +1,231 @@
+"""JSON-RPC wire frontend: the serving analogue of the reference's
+msgpack-RPC endpoint (frontend/server.go registers ``DataService`` on
+``/rpc`` via gorilla JSON-RPC-over-msgpack; frontend/query.go:91 Query,
+frontend/write.go:36/70/152/182 Write/Create/GetInfo/Destroy,
+frontend/query.go:264 ListSymbols).
+
+Spark-first substitutions, stated plainly:
+
+- **JSON codec, not msgpack** — msgpack is not in this container, and
+  the codec is an encoding detail of the same RPC shapes; request and
+  response field names mirror the reference's msgpack tags
+  (``destination``, ``epoch_start``, ``limit_record_count``, ...).
+- **Control plane only.**  The reference streams bulk data through its
+  custom NumpyMultiDataset wire format; our bulk path is Arrow via
+  ``client.DataSet.arrays()/df()`` in-process.  The RPC server returns
+  column-major JSON (the ColumnSeries name→array map, timestamps as
+  epoch **nanoseconds** like the reference's Epoch index) and is meant
+  for control-plane parity and modest result sets, not 100 TB scans —
+  at scale the *query* runs distributed and only the reduced result
+  crosses this wire, which is the same posture as the reference (one
+  server process marshals the final ColumnSeriesMap).
+- **Threaded stdlib server** over a shared SparkSession: Spark
+  sessions accept concurrent job submission, so each HTTP thread
+  plans/collects independently (the reference serves each RPC on a Go
+  routine over one shared catalog; same shape).
+
+Runs under pytest with a live ephemeral-port server (the driver's
+correctness gate never touches this surface — wire serving is
+pytest-only by design, SURVEY §2).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pandas as pd
+
+from marketstore_spark.catalog import Catalog
+from marketstore_spark.client import Client, Params
+
+_PARSE_ERROR = -32700
+_METHOD_NOT_FOUND = -32601
+_INVALID_PARAMS = -32602
+_SERVER_ERROR = -32000
+
+
+def _column_series(pdf: pd.DataFrame) -> dict:
+    """name→values map (utils/io ColumnSeries); datetimes → epoch ns."""
+    out = {}
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[ns]").astype("int64").tolist()
+        else:
+            out[c] = [None if pd.isna(v) else v for v in s.tolist()]
+    return out
+
+
+class DataService:
+    """RPC method table.  One instance per server; stateless between
+    calls except for the catalog it fronts."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.client = Client(catalog)
+
+    # -- DataService.Query (frontend/query.go:91 MultiQueryRequest) ------
+    def Query(self, params: dict) -> dict:
+        responses = []
+        for req in params.get("requests", []):
+            dest = req["destination"]
+            sym, tf, ag = dest.split("/")
+            p = Params(
+                symbols=sym.split(","),
+                timeframe=tf,
+                attrgroup=ag,
+                start=_ns_ts(req.get("epoch_start")),
+                end=_ns_ts(req.get("epoch_end")),
+                limit=req.get("limit_record_count"),
+                limit_from_start=bool(req.get("limit_from_start", False)),
+                columns=req.get("columns"),
+                functions=req.get("functions", []),
+            )
+            reply = self.client.query(p)
+            responses.append(
+                {
+                    "result": {
+                        ds.key: _column_series(ds.df()) for ds in reply.all().values()
+                    }
+                }
+            )
+        return {"responses": responses}
+
+    # -- DataService.SQL (frontend/query.go:118 executeSQL) --------------
+    def SQL(self, params: dict) -> dict:
+        statements = params.get("statements") or [params["statement"]]
+        out = []
+        for stmt in statements:
+            out.append({"result": _column_series(self.client.sql(stmt).toPandas())})
+        return {"responses": out}
+
+    # -- DataService.Write (frontend/write.go:36 MultiWriteRequest) ------
+    def Write(self, params: dict) -> dict:
+        responses = []
+        for req in params.get("requests", []):
+            tbk = req["key"]
+            data = req["data"]  # ColumnSeries map; ts columns in epoch ns
+            pdf = pd.DataFrame(data["columns"])
+            for c in data.get("ts_columns", ["ts"]):
+                if c in pdf.columns:
+                    pdf[c] = pd.to_datetime(pdf[c], unit="ns")
+            self.client.write(pdf, tbk, mode=req.get("mode", "append"))
+            responses.append({"error": None, "version": None})
+        return {"responses": responses}
+
+    # -- DataService.Create (frontend/write.go:70) -----------------------
+    def Create(self, params: dict) -> dict:
+        responses = []
+        for req in params.get("requests", []):
+            sample = pd.DataFrame(req["columns"])
+            for c in req.get("ts_columns", ["ts"]):
+                if c in sample.columns:
+                    sample[c] = pd.to_datetime(sample[c], unit="ns")
+            self.catalog.create(
+                req["key"], self.catalog.spark.createDataFrame(sample)
+            )
+            responses.append({"error": None})
+        return {"responses": responses}
+
+    # -- DataService.Destroy (frontend/write.go:182) ---------------------
+    def Destroy(self, params: dict) -> dict:
+        responses = []
+        for req in params.get("requests", []):
+            self.catalog.destroy(req["key"])
+            responses.append({"error": None})
+        return {"responses": responses}
+
+    # -- DataService.GetInfo (frontend/write.go:152) ---------------------
+    def GetInfo(self, params: dict) -> dict:
+        responses = []
+        for req in params.get("requests", []):
+            info = self.catalog.get_info(req["key"])
+            info = {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in info.items()
+            }
+            responses.append(info)
+        return {"responses": responses}
+
+    # -- DataService.ListSymbols (frontend/query.go:264) -----------------
+    def ListSymbols(self, params: dict) -> dict:
+        fmt = (params or {}).get("format", "symbol")
+        return {"results": self.catalog.list_symbols(format=fmt)}
+
+
+def _ns_ts(epoch_ns):
+    if epoch_ns is None:
+        return None
+    return pd.Timestamp(epoch_ns, unit="ns")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: DataService  # set by make_server
+
+    def log_message(self, *a):  # quiet under pytest
+        pass
+
+    def do_POST(self):  # noqa: N802  (http.server API)
+        if self.path != "/rpc":
+            self.send_error(404)
+            return
+        try:
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            req = json.loads(body)
+        except (ValueError, TypeError):
+            self._reply(None, error={"code": _PARSE_ERROR, "message": "parse error"})
+            return
+        rid = req.get("id")
+        method = str(req.get("method", ""))
+        prefix = "DataService."
+        if not method.startswith(prefix) or not hasattr(
+            DataService, method[len(prefix):]
+        ):
+            self._reply(rid, error={"code": _METHOD_NOT_FOUND, "message": method})
+            return
+        params = req.get("params")
+        if params is None:
+            params = {}
+        if not isinstance(params, dict):
+            self._reply(rid, error={"code": _INVALID_PARAMS, "message": "params must be an object"})
+            return
+        try:
+            result = getattr(self.service, method[len(prefix):])(params)
+        except Exception as ex:  # surface as RPC error, keep serving
+            self._reply(
+                rid,
+                error={"code": _SERVER_ERROR, "message": f"{type(ex).__name__}: {ex}"},
+            )
+            return
+        self._reply(rid, result=result)
+
+    def _reply(self, rid, result=None, error=None) -> None:
+        payload = {"jsonrpc": "2.0", "id": rid}
+        payload["error" if error is not None else "result"] = (
+            error if error is not None else result
+        )
+        data = json.dumps(payload, default=str).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def make_server(catalog: Catalog, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the RPC server; ``port=0`` binds an
+    ephemeral port (``server.server_address[1]`` reads it back)."""
+    service = DataService(catalog)
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(catalog: Catalog, host: str = "127.0.0.1", port: int = 0):
+    """Start the server on a daemon thread; returns (server, thread).
+    ``server.shutdown()`` stops it."""
+    srv = make_server(catalog, host, port)
+    t = threading.Thread(target=srv.serve_forever, name="msdb-rpc", daemon=True)
+    t.start()
+    return srv, t

@@ -1,0 +1,132 @@
+"""JSON-RPC wire frontend (server.py): live-server tests against the
+reference's DataService method surface (frontend/server.go /rpc;
+query.go:91 Query, write.go Write/Create/GetInfo/Destroy,
+query.go:264 ListSymbols)."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketstore_spark.catalog import Catalog, load_table
+from marketstore_spark.server import serve_background
+
+
+@pytest.fixture(scope="module")
+def rpc(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rpcroot"))
+    cat = Catalog(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    for sym in (1, 2):
+        cat.write(f"SYM{sym}/1Min/TICK", ev.filter(F.col("user_id") == sym))
+    srv, _t = serve_background(cat)
+    port = srv.server_address[1]
+
+    def call(method, params=None, rid=1):
+        body = json.dumps(
+            {"jsonrpc": "2.0", "id": rid, "method": method, "params": params or {}}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rpc",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    yield call
+    srv.shutdown()
+
+
+def test_list_symbols_and_tbk_format(rpc):
+    out = rpc("DataService.ListSymbols")
+    assert sorted(out["result"]["results"]) == ["SYM1", "SYM2"]
+    tbk = rpc("DataService.ListSymbols", {"format": "tbk"})
+    assert "SYM1/1Min/TICK" in tbk["result"]["results"]
+
+
+def test_query_range_limit_and_epoch_ns(rpc):
+    out = rpc(
+        "DataService.Query",
+        {
+            "requests": [
+                {
+                    "destination": "SYM1/1Min/TICK",
+                    "limit_record_count": 7,
+                    "columns": ["ts", "value", "event_id"],
+                }
+            ]
+        },
+    )
+    cs = out["result"]["responses"][0]["result"]["SYM1/1Min/TICK"]
+    assert set(cs) == {"ts", "value", "event_id"} and len(cs["value"]) == 7
+    # Epoch wire convention: integer nanoseconds, ascending (tail query
+    # returns the LAST 7 rows in ascending order)
+    assert all(isinstance(v, int) for v in cs["ts"])
+    assert cs["ts"] == sorted(cs["ts"])
+
+
+def test_query_function_chain(rpc):
+    out = rpc(
+        "DataService.Query",
+        {
+            "requests": [
+                {
+                    "destination": "SYM1/1Min/TICK",
+                    "functions": ["tickcandler('1H',value)"],
+                }
+            ]
+        },
+    )
+    cs = out["result"]["responses"][0]["result"]["SYM1/1Min/TICK"]
+    assert {"open", "high", "low", "close"} <= set(cs)
+    assert len(cs["open"]) > 0
+
+
+def test_write_getinfo_destroy_roundtrip(rpc):
+    ts0 = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in ns
+    rpc(
+        "DataService.Write",
+        {
+            "requests": [
+                {
+                    "key": "NEW/1Min/TICK",
+                    "data": {
+                        "columns": {
+                            "ts": [ts0, ts0 + 60_000_000_000],
+                            "event_id": [1, 2],
+                            "value": [1.5, 2.5],
+                        },
+                        "ts_columns": ["ts"],
+                    },
+                }
+            ]
+        },
+    )
+    info = rpc("DataService.GetInfo", {"requests": [{"key": "NEW/1Min/TICK"}]})
+    row = info["result"]["responses"][0]
+    assert row["rows"] == 2
+    out = rpc("DataService.Destroy", {"requests": [{"key": "NEW/1Min/TICK"}]})
+    assert out["result"]["responses"][0]["error"] is None
+    listed = rpc("DataService.ListSymbols")["result"]["results"]
+    assert "NEW" not in listed
+
+
+def test_sql_method(rpc):
+    out = rpc(
+        "DataService.SQL",
+        {"statements": ["SELECT COUNT(*) AS n FROM `SYM1/1Min/TICK`"]},
+    )
+    n = out["result"]["responses"][0]["result"]["n"][0]
+    assert n > 0
+
+
+def test_rpc_errors_keep_server_alive(rpc):
+    bad = rpc("DataService.NoSuchMethod")
+    assert bad["error"]["code"] == -32601
+    boom = rpc("DataService.Query", {"requests": [{"destination": "NOPE/1Min/TICK"}]})
+    assert boom["error"]["code"] == -32000
+    # still serving after both errors
+    ok = rpc("DataService.ListSymbols")
+    assert "results" in ok["result"]
