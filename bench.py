@@ -64,6 +64,10 @@ HEADLINE = [
     # blocked masked-gram correlation matrix (1.1M pairs at sf0.1)
     "twap",
     "pairwise_corr",
+    # round-5 second pass: prefix-sum indicator (single-sort window
+    # shape) and sub-document span dedup (fixed-width hash aggregate)
+    "obv",
+    "dedup_span",
 ]
 
 _ORACLE_TABLES = (

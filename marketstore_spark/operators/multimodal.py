@@ -483,3 +483,79 @@ def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# audio analysis
+# ---------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, rate long, n_samples long, peak long, energy long, "
+    "zero_crossings long, trailing_silence long, decoded_ok int"
+)
+
+
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-file audio signal features from REAL PCM decode: sample
+    rate, length, peak amplitude, total energy (Σx², the loudness
+    integral), zero-crossing count (the classic pitch/voicedness
+    proxy), and trailing-silence length (what a segmentation pass
+    trims).  Everything is integer-exact from int16 samples — energy
+    fits float64/int64 exactly for any clip with Σx² < 2⁶³.
+
+    Arrow-batched ``mapInPandas`` over the binary column — the same
+    single-Python-hop shape as ``extract_features``; a payload that is
+    not decodable PCM16 WAV yields a decoded_ok=0 row (corrupt payload
+    is data, not a bug).  Reference parity: none (the reference serves
+    bytes); this is the LLM-pipeline audio pillar beyond SURVEY §2 #41
+    decode.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, s = decode_wav(bytes(payload))
+                    x = s.astype(np.int64)
+                    nz = np.nonzero(x)[0]
+                    trail = len(x) - 1 - nz[-1] if len(nz) else len(x)
+                    zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
+                    rows.append(
+                        (mid, rate, len(x), int(np.abs(x).max(initial=0)),
+                         int((x * x).sum()), zc, int(trail), 1)
+                    )
+                except Exception:  # noqa: BLE001 — corrupt/foreign payload
+                    rows.append((mid, 0, 0, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "rate", "n_samples", "peak", "energy",
+                    "zero_crossings", "trailing_silence", "decoded_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synth_square_wav(media_id: int) -> bytes:
+    """Deterministic square-wave PCM16 clip for media row
+    ``media_id``: N = id%400+100 active samples of amplitude
+    A = (id%8+1)·1000 alternating every h = id%5+2 samples, then
+    Z = id%50 silent samples, at rate 8000 + (id%4)·4000 Hz.  Every
+    audio feature of this clip has a closed form (peak = A,
+    energy = A²·N, crossings = ⌊(N−1)/h⌋, trailing silence = Z), so
+    decoded CONTENT is oracle-checkable exactly — the audio analogue
+    of the flat-color MJPEG content oracle."""
+    n = media_id % 400 + 100
+    h = media_id % 5 + 2
+    amp = (media_id % 8 + 1) * 1000
+    z = media_id % 50
+    i = np.arange(n)
+    x = np.where((i // h) % 2 == 0, amp, -amp).astype(np.int16)
+    samples = np.concatenate([x, np.zeros(z, dtype=np.int16)])
+    return encode_wav_pcm16(samples, rate=8000 + (media_id % 4) * 4000)

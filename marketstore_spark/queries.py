@@ -3209,6 +3209,55 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_decode",
+    """
+WITH a AS (
+  SELECT doc_id AS media_id,
+         doc_id % 400 + 100 AS n,
+         doc_id % 5 + 2 AS h,
+         (doc_id % 8 + 1) * 1000 AS amp,
+         doc_id % 50 AS z
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_id,
+       CAST(8000 + (media_id % 4) * 4000 AS BIGINT) AS rate,
+       CAST(n + z AS BIGINT) AS n_samples,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(amp * amp * n AS BIGINT) AS energy,
+       CAST((n - 1) // h AS BIGINT) AS zero_crossings,
+       CAST(z AS BIGINT) AS trailing_silence,
+       CAST(1 AS INT) AS decoded_ok
+FROM a
+""",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + signal analysis through Spark: each audio
+    media row synthesizes a deterministic square-wave PCM16 WAV
+    (operators/multimodal.synth_square_wav), which the real stdlib
+    decoder then analyzes in an Arrow-batched mapInPandas
+    (operators/multimodal.audio_features): peak, energy integral,
+    zero-crossings, trailing silence — all integer-exact, so the
+    oracle checks the decoded CONTENT in closed form (the audio
+    analogue of the flat-color MJPEG content oracle)."""
+    from pyspark.sql.types import BinaryType
+
+    from marketstore_spark.operators.multimodal import (
+        audio_features,
+        synth_square_wav,
+    )
+
+    synth = F.pandas_udf(
+        lambda s: s.map(lambda mid: synth_square_wav(int(mid))), BinaryType()
+    )
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(F.col("doc_id").alias("media_id"), synth("doc_id").alias("payload"))
+    )
+    return audio_features(media)
+
+
+@_register(
     "gapfill",
     """
 WITH b AS (

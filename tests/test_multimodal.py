@@ -257,3 +257,31 @@ def test_png_decode_resize_in_spark(spark):
     out = resize_images(media, 3, 4).collect()[0]
     assert decode_png(bytes(out["payload"])).shape == (4, 3, 3)
     assert out["n_bytes"] == len(bytes(out["payload"]))
+
+
+def test_audio_features_known_clip_and_corrupt_payload(spark):
+    from marketstore_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+        synth_square_wav,
+    )
+    import numpy as np
+
+    # known clip: [5, -5, 5, 0, 0] → peak 5, energy 75, 2 crossings,
+    # trailing silence 2
+    wav = encode_wav_pcm16(np.array([5, -5, 5, 0, 0], dtype=np.int16), rate=8000)
+    rows = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav")),
+         (3, bytearray(synth_square_wav(123)))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in audio_features(rows).collect()}
+    r1 = out[1]
+    assert (r1["rate"], r1["n_samples"], r1["peak"], r1["energy"]) == (8000, 5, 5, 75)
+    assert (r1["zero_crossings"], r1["trailing_silence"], r1["decoded_ok"]) == (2, 2, 1)
+    # corrupt payload is data, not a bug
+    assert out[2]["decoded_ok"] == 0 and out[2]["n_samples"] == 0
+    # synth closed forms (the oracle's contract)
+    r3 = out[3]
+    assert r3["peak"] == (123 % 8 + 1) * 1000
+    assert r3["zero_crossings"] == (123 % 400 + 100 - 1) // (123 % 5 + 2)
