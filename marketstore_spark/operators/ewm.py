@@ -67,3 +67,65 @@ def ema(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+def macd(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """MACD per key: fast/slow EMA difference plus its signal-line EMA
+    and the histogram — three coupled linear recurrences evaluated in
+    ONE applyInPandas pass (one shuffle; the ema() scale notes apply).
+
+    Bit-reproducibility contract (the ema() policy extended): each
+    step is the literal float64 sequence ``α·x + (1−α)·prev`` per EMA,
+    one subtract for the MACD line, and the same literal step for the
+    signal EMA seeded at the first MACD value (exactly 0.0, since both
+    EMAs seed at x₀) — so a recursive-CTE oracle carrying all three
+    accumulators replays it bitwise.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("macd", DoubleType()),
+            StructField("signal", DoubleType()),
+            StructField("histogram", DoubleType()),
+        ]
+    )
+    af, bf = 2.0 / (fast + 1.0), 1.0 - 2.0 / (fast + 1.0)
+    as_, bs = 2.0 / (slow + 1.0), 1.0 - 2.0 / (slow + 1.0)
+    ag, bg = 2.0 / (signal + 1.0), 1.0 - 2.0 / (signal + 1.0)
+    order = [ts_col, *tiebreak]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, ignore_index=True)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        m = np.empty_like(vals)
+        s = np.empty_like(vals)
+        if len(vals):
+            ef = es = float(vals[0])
+            line = ef - es  # exactly 0.0
+            sig = line
+            m[0], s[0] = line, sig
+            for i in range(1, len(vals)):
+                x = float(vals[i])
+                ef = af * x + bf * ef
+                es = as_ * x + bs * es
+                line = ef - es
+                sig = ag * line + bg * sig
+                m[i], s[i] = line, sig
+        pdf["macd"] = m
+        pdf["signal"] = s
+        pdf["histogram"] = m - s
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)

@@ -1188,6 +1188,57 @@ def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema(ev, span=20)
 
 
+def _macd_sql(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    """MACD as ONE recursive CTE carrying three accumulators (fast
+    EMA, slow EMA, signal EMA) — the _ema_sql coefficient policy
+    (arithmetic construction, never float literals) applied to the
+    coupled recurrences."""
+
+    def coeffs(span: int) -> tuple[str, str]:
+        a = f"(CAST(2 AS DOUBLE) / CAST({span + 1} AS DOUBLE))"
+        return a, f"(CAST(1 AS DOUBLE) - {a})"
+
+    af, bf = coeffs(fast)
+    as_, bs = coeffs(slow)
+    ag, bg = coeffs(signal)
+    return f"""
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r(user_id, ts, event_id, value, rn, ef, es, line, sig) AS (
+  SELECT user_id, ts, event_id, value, rn,
+         value AS ef, value AS es,
+         value - value AS line, value - value AS sig
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts, e.event_id, e.value, e.rn,
+         {af} * e.value + {bf} * r.ef,
+         {as_} * e.value + {bs} * r.es,
+         ({af} * e.value + {bf} * r.ef) - ({as_} * e.value + {bs} * r.es),
+         {ag} * (({af} * e.value + {bf} * r.ef) - ({as_} * e.value + {bs} * r.es))
+           + {bg} * r.sig
+  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, value,
+       line AS macd, sig AS signal, line - sig AS histogram
+FROM r
+"""
+
+
+@_register("macd", _macd_sql())
+def macd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) per symbol — three coupled EMA recurrences in one
+    applyInPandas pass (operators/ewm.macd); oracle replays the
+    identical float64 step chain in a single recursive CTE."""
+    from marketstore_spark.operators.ewm import macd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return macd(ev)
+
+
 # =====================================================================
 # General SQL surface: TPC-H-style joins (SURVEY §2 #28-29)
 # =====================================================================

@@ -673,3 +673,26 @@ def test_scrub_pii_masks_and_counts(spark):
     assert "1.2.3.4.5" in out[2]["text"]
     assert out[3]["text"] == "no pii here at all"
     assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_macd_matches_ema_composition_and_pandas(spark):
+    import numpy as np
+    import pandas as pd
+    from marketstore_spark.operators.ewm import ema, macd
+
+    rows = [(1, _ts(2024, 1, 1, 9, 30, i), i, float(100 + ((i * 37) % 11) - 5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = macd(df).orderBy("event_id").toPandas()
+    # histogram ≡ macd − signal, bitwise
+    assert (out["histogram"] == out["macd"] - out["signal"]).all()
+    # macd line ≡ ema(fast) − ema(slow) from the standalone operator
+    e12 = ema(df, span=12, out_col="e").orderBy("event_id").toPandas()["e"]
+    e26 = ema(df, span=26, out_col="e").orderBy("event_id").toPandas()["e"]
+    assert (out["macd"].to_numpy() == (e12 - e26).to_numpy()).all()
+    # semantics vs pandas' C kernel (ulp-level differences allowed)
+    s = pd.Series([r[3] for r in rows])
+    ref = s.ewm(span=12, adjust=False).mean() - s.ewm(span=26, adjust=False).mean()
+    assert np.allclose(out["macd"], ref, rtol=1e-12, atol=1e-12)
+    refsig = ref.ewm(span=9, adjust=False).mean()
+    assert np.allclose(out["signal"], refsig, rtol=1e-12, atol=1e-12)
