@@ -3499,9 +3499,23 @@ _FRONT = [
 ]
 
 
+# Immediately after the 50-key window: the round-5 second-pass keys
+# (no driver row yet — they lead the r06 rotation; if the driver's
+# budget stretches past 50 they get rows a round early), then the
+# r04-green untouched remainder in source order.
+_BACK = [
+    "obv",
+    "stochastic_k",
+    "macd",
+    "dedup_span",
+    "multimodal_audio_decode",
+]
+
+
 def _reorder_registry() -> None:
-    order = [k for k in _FRONT if k in SPARK_QUERIES] + [
-        k for k in SPARK_QUERIES if k not in _FRONT
+    pinned = _FRONT + _BACK
+    order = [k for k in pinned if k in SPARK_QUERIES] + [
+        k for k in SPARK_QUERIES if k not in pinned
     ]
     for name, mapping in (("q", SPARK_QUERIES), ("o", ORACLE_SQL)):
         items = {k: mapping[k] for k in order if k in mapping}
