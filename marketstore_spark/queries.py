@@ -3309,6 +3309,44 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gapfill_interp",
+    """
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS epoch, MAX(value) AS value
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT user_id, epoch, value,
+         LEAD(epoch) OVER w AS nepoch, LEAD(value) OVER w AS nvalue
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY epoch)
+),
+e AS (
+  SELECT user_id, epoch AS e0, value, nvalue,
+         CAST(COALESCE((epoch_us(nepoch) - epoch_us(epoch)) // 3600000000, 1) AS BIGINT) AS gap_len,
+         unnest(generate_series(
+           0,
+           CAST(COALESCE((epoch_us(nepoch) - epoch_us(epoch)) // 3600000000, 1) AS BIGINT) - 1
+         )) AS pos
+  FROM f
+)
+SELECT user_id, e0 + INTERVAL '1 hour' * pos AS epoch,
+       CASE WHEN pos = 0 THEN value
+            ELSE value + (nvalue - value) * pos / gap_len END AS value,
+       CAST(CASE WHEN pos > 0 THEN 1 ELSE 0 END AS INT) AS filled
+FROM e
+""",
+)
+def gapfill_interp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly series densified with LINEAR interpolation between
+    present buckets (operators/gapfill.gapfill_interp) — the charting
+    half of the continuous-series contract; same never-shuffle-the-grid
+    fan-out plan as gapfill."""
+    from marketstore_spark.operators.gapfill import gapfill_interp
+
+    return gapfill_interp(load_table(spark, sf_dir, "events"), "1H")
+
+
+@_register(
     "gapfill",
     """
 WITH b AS (
@@ -3509,6 +3547,7 @@ _BACK = [
     "macd",
     "dedup_span",
     "multimodal_audio_decode",
+    "gapfill_interp",
 ]
 
 

@@ -696,3 +696,27 @@ def test_macd_matches_ema_composition_and_pandas(spark):
     assert np.allclose(out["macd"], ref, rtol=1e-12, atol=1e-12)
     refsig = ref.ewm(span=9, adjust=False).mean()
     assert np.allclose(out["signal"], refsig, rtol=1e-12, atol=1e-12)
+
+
+def test_gapfill_interp_linear_values_and_calendar_guard(spark):
+    from marketstore_spark.operators.gapfill import gapfill_interp
+
+    rows = [
+        (1, _ts(2024, 1, 1, 0, 15), 1, 10.0),
+        (1, _ts(2024, 1, 1, 3, 45), 2, 40.0),   # 3-bucket gap: 00,01,02,03
+        (2, _ts(2024, 1, 1, 5, 0), 3, 7.0),     # lone bucket, no fan-out
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {(r["user_id"], r["epoch"].hour): (r["value"], r["filled"])
+           for r in gapfill_interp(df, "1H").collect()}
+    assert out[(1, 0)] == (10.0, 0)
+    assert out[(1, 1)] == (20.0, 1)   # 10 + (40-10)*1/3
+    assert out[(1, 2)] == (30.0, 1)
+    assert out[(1, 3)] == (40.0, 0)
+    assert out[(2, 5)] == (7.0, 0)
+    assert len(out) == 5
+    # calendar timeframes have no fixed step: rejected at either layer
+    with pytest.raises(ValueError):
+        gapfill_interp(df, "1Mo")
+    with pytest.raises(ValueError, match="calendar-variable"):
+        gapfill_interp(df, "1 month")
