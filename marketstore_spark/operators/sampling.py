@@ -37,3 +37,71 @@ def hash_sample(
         return df
     key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
     return df.filter(F.substring(F.md5(key), 1, 2) < F.lit(format(rate_num, "02x")))
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity: int = 2048,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign each document to a
+    fixed-``capacity`` token bin, in deterministic ``id_col`` order
+    within each shard — the standard LLM pre-training packing step
+    (concatenate documents into fixed-length training sequences; a doc
+    that would overflow the open bin starts a new one; an oversized
+    doc occupies a bin alone).  No reference analogue; pipeline
+    surface beyond SURVEY §2 #37-45.
+
+    Packing is a sequential recurrence (each decision depends on the
+    running fill), so — like the EMA family — it runs as ONE
+    applyInPandas pass per shard (single shuffle on the shard key) and
+    the oracle replays the identical recurrence in a recursive CTE.
+    All state is integer, so parity is exact.  At 100 TB the shard IS
+    the packing domain (packs never span shards, matching how training
+    shards are built); a shard's documents must fit one Arrow batch —
+    shard by (lang, source, hash-bucket) when a single shard outgrows
+    that.
+
+    Output: shard, doc_id, n_tokens, pack_id (0-based per shard),
+    pack_offset (token offset of the doc inside its pack).
+    """
+    import pandas as pd
+
+    tokens = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.when(
+            F.trim(F.col(text_col)) != "",
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        ).otherwise(F.lit(0))
+    )
+    slim = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        tokens.cast("long").alias("n_tokens"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        pack = fill = 0
+        packs, offs = [], []
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and fill + n > capacity:
+                pack += 1
+                fill = 0
+            first = False
+            packs.append(pack)
+            offs.append(fill)
+            fill += n
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        pdf["pack_offset"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    return slim.groupBy("shard").applyInPandas(
+        fn, "shard string, doc_id long, n_tokens long, pack_id long, pack_offset long"
+    )

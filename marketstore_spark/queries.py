@@ -2578,6 +2578,43 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_pack",
+    r"""
+WITH RECURSIVE
+ev AS (
+  SELECT lang AS shard, doc_id,
+         CAST(CASE WHEN trim(text) <> ''
+              THEN len(string_split_regex(trim(text), '\s+'))
+              ELSE 0 END AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+r(shard, doc_id, n_tokens, rn, pack_id, pack_offset, fill) AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.shard, e.doc_id, e.n_tokens, e.rn,
+         CASE WHEN r.fill + e.n_tokens > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.fill + e.n_tokens > 256 THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill + e.n_tokens > 256 THEN e.n_tokens
+              ELSE r.fill + e.n_tokens END
+  FROM ev e JOIN r ON e.shard = r.shard AND e.rn = r.rn + 1
+)
+SELECT shard, doc_id, n_tokens, pack_id, pack_offset FROM r
+""",
+)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing into 256-token bins per lang
+    shard (operators/sampling.pack_documents) — the LLM pre-training
+    packing step as one applyInPandas recurrence; oracle replays the
+    identical integer recurrence in a recursive CTE."""
+    from marketstore_spark.operators.sampling import pack_documents
+
+    return pack_documents(load_table(spark, sf_dir, "documents"), capacity=256)
+
+
 # =====================================================================
 # LLM-data-pipeline: dedup (SURVEY §2 #30-34)
 # =====================================================================
@@ -3548,6 +3585,7 @@ _BACK = [
     "dedup_span",
     "multimodal_audio_decode",
     "gapfill_interp",
+    "corpus_pack",
 ]
 
 

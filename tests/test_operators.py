@@ -720,3 +720,25 @@ def test_gapfill_interp_linear_values_and_calendar_guard(spark):
         gapfill_interp(df, "1Mo")
     with pytest.raises(ValueError, match="calendar-variable"):
         gapfill_interp(df, "1 month")
+
+
+def test_pack_documents_next_fit_and_oversized(spark):
+    from marketstore_spark.operators.sampling import pack_documents
+
+    rows = [
+        ("en", 1, "a b c"),                    # 3 tokens → pack 0 @ 0
+        ("en", 2, "d e f g"),                  # 4 → pack 0 @ 3
+        ("en", 3, "h i j k l"),                # 5 > remaining 3 → pack 1 @ 0
+        ("en", 4, " ".join(["x"] * 20)),       # oversized → own pack 2
+        ("en", 5, "m n"),                      # after oversized → pack 3
+        ("de", 6, "p q r s t u v w x y"),      # other shard packs from 0
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+           for r in pack_documents(df, capacity=10).collect()}
+    assert out[1] == (0, 0, 3)
+    assert out[2] == (0, 3, 4)
+    assert out[3] == (1, 0, 5)
+    assert out[4] == (2, 0, 20)
+    assert out[5] == (3, 0, 2)
+    assert out[6] == (0, 0, 10)
