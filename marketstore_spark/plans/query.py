@@ -112,6 +112,60 @@ def _candlecandler(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
     )
 
 
+def _tb1(p: QueryParams) -> str:
+    return p.tiebreak[0] if p.tiebreak else p.ts_col
+
+
+def _ema(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    from marketstore_spark.operators.ewm import ema
+
+    return ema(
+        df, span=int(args[0]) if args else 20, key_cols=[p.symbol_col],
+        ts_col=p.ts_col, value_col=p.value_col, tiebreak=p.tiebreak,
+    )
+
+
+def _macd(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    from marketstore_spark.operators.ewm import macd
+
+    fast, slow, sig = [int(a) for a in args] if args else (12, 26, 9)
+    return macd(
+        df, fast=fast, slow=slow, signal=sig, key_cols=[p.symbol_col],
+        ts_col=p.ts_col, value_col=p.value_col, tiebreak=p.tiebreak,
+    )
+
+
+def _obv(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    from marketstore_spark.operators.quant import obv
+
+    return obv(
+        df, symbol_col=p.symbol_col, ts_col=p.ts_col, value_col=p.value_col,
+        volume_col=args[0] if args else "volume", tiebreak_col=_tb1(p),
+    )
+
+
+def _stochastic(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    from marketstore_spark.operators.quant import stochastic_k
+
+    return stochastic_k(
+        df, n=int(args[0]) if args else 14,
+        d_periods=int(args[1]) if len(args) > 1 else 3,
+        symbol_col=p.symbol_col, ts_col=p.ts_col, value_col=p.value_col,
+        tiebreak_col=_tb1(p),
+    )
+
+
+def _twap(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
+    from marketstore_spark.operators.candler import timeframe_to_duration
+    from marketstore_spark.operators.quant import twap
+
+    tf = timeframe_to_duration(args[0]) if args else "1 day"
+    return twap(
+        df, tf, symbol_col=p.symbol_col, ts_col=p.ts_col,
+        value_col=p.value_col, tiebreak_col=_tb1(p),
+    )
+
+
 REGISTRY: dict[str, Operator] = {
     "min": _scalar("min"),
     "max": _scalar("max"),
@@ -121,6 +175,14 @@ REGISTRY: dict[str, Operator] = {
     "adjust": _adjust,
     "tickcandler": _tickcandler,
     "candlecandler": _candlecandler,
+    # round-5 indicator family: the same operators the driver keys use,
+    # callable through the Params.functions / MarketSQL UDA chain
+    # (sqlparser/registry.go registers UDAs once for both paths too)
+    "ema": _ema,
+    "macd": _macd,
+    "obv": _obv,
+    "stochastic": _stochastic,
+    "twap": _twap,
 }
 
 

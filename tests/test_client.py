@@ -161,3 +161,19 @@ def test_client_adjust_uda_reads_ca_bucket(spark, tmp_path):
     reply2 = client.query(Params("AAPL", "1Min", "TICK", functions=["adjust('split')"]))
     got2 = {r["ts"].day: r["adjusted"] for r in reply2.first().dataframe().collect()}
     assert got2[5] == 50.0 and got2[15] == 100.0
+
+
+def test_function_chain_indicators(cli):
+    # round-5 indicator UDAs ride the same chain as tickcandler
+    p = Params("SYM1", "1Min", "TICK", functions=["ema(12)"])
+    pdf = cli.query(p).first().df()
+    assert "ema" in pdf.columns and pdf["ema"].notna().all()
+    p = Params("SYM1", "1Min", "TICK", functions=["macd(12,26,9)"])
+    pdf = cli.query(p).first().df()
+    assert {"macd", "signal", "histogram"} <= set(pdf.columns)
+    p = Params("SYM1", "1Min", "TICK", functions=["stochastic(5,3)"])
+    pdf = cli.query(p).first().df()
+    assert {"pct_k", "pct_d"} <= set(pdf.columns)
+    p = Params("SYM1", "1Min", "TICK", functions=["twap('1D')"])
+    pdf = cli.query(p).first().df()
+    assert {"twap", "n_ticks"} <= set(pdf.columns) and len(pdf) > 0
