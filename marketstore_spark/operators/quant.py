@@ -299,15 +299,20 @@ def stochastic_k(
     k = F.when(
         (rn >= n) & (hi > lo), (F.lit(100.0) * (v - lo)) / (hi - lo)
     )
-    out = df.select(
+    # %K materializes under the ORIGINAL column names, and the %D lags
+    # run over the same (symbol, ts, tiebreak) window — renaming first
+    # would break Catalyst's partitioning/ordering reuse and buy a
+    # second exchange + sort (plan-tested: one of each).
+    staged = df.select(
+        F.col(symbol_col), F.col(ts_col), F.col(tiebreak_col), k.alias("pct_k")
+    )
+    acc = F.col("pct_k")
+    for i in range(1, d_periods):
+        acc = acc + F.lag(F.col("pct_k"), i).over(w)
+    return staged.select(
         F.col(symbol_col).alias("symbol"),
         F.col(ts_col).alias("epoch"),
         F.col(tiebreak_col).alias("event_id"),
-        k.alias("pct_k"),
+        "pct_k",
+        (acc / F.lit(float(d_periods))).alias("pct_d"),
     )
-    wk = Window.partitionBy("symbol").orderBy("epoch", "event_id")
-    lags = [F.lag(F.col("pct_k"), i).over(wk) for i in range(1, d_periods)]
-    acc = F.col("pct_k")
-    for lag_col in lags:
-        acc = acc + lag_col
-    return out.withColumn("pct_d", acc / F.lit(float(d_periods)))

@@ -5,6 +5,7 @@ from a bad plan is a failure at scale.
 """
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -398,3 +399,54 @@ def test_twap_single_shuffle_single_scan(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["twap"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert plan.count("events.parquet") == 1
+
+
+def test_obv_single_sort_per_symbol(spark, sf_dir):
+    """OBV's lag and running sum share one (symbol, ts, id) sort: the
+    plan must contain exactly ONE exchange and ONE sort — a second of
+    either means the windows didn't share their ordering."""
+    plan = explain_str(SPARK_QUERIES["obv"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_stochastic_windows_share_sort(spark, sf_dir):
+    """%K's rolling frame, the row counter, and %D's lags all order by
+    the same key — one exchange, one sort (the %D pass runs over the
+    original attributes; renaming first would break reuse)."""
+    plan = explain_str(SPARK_QUERIES["stochastic_k"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_dedup_span_fixed_width_aggregate_no_joins(spark, sf_dir):
+    """Span dedup is exact_dedup at span grain: explode → ONE hash
+    aggregate on the md5 key.  No join anywhere (posting lists and
+    pair generation would be wrong-shape here), and the scan reads
+    only doc_id + text."""
+    plan = explain_str(SPARK_QUERIES["dedup_span"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "lang" not in m[0] and "source" not in m[0]
+
+
+def test_gapfill_interp_never_shuffles_grid(spark, sf_dir):
+    """The dense grid is generated AFTER the window pass: exchanges
+    move only bucketed rows (bucket agg + window), never the exploded
+    grid — the Generate must be downstream of every Exchange."""
+    plan = explain_str(SPARK_QUERIES["gapfill_interp"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    ops = re.findall(r"\((\d+)\) (Exchange|Generate)", plan)
+    gen_ids = [int(n) for n, op in ops if op == "Generate"]
+    ex_ids = [int(n) for n, op in ops if op == "Exchange"]
+    assert gen_ids and ex_ids
+    # higher operator id = later in the plan (closer to the result)
+    assert min(gen_ids) > max(ex_ids), plan
+
+
+def test_corpus_pack_single_shard_shuffle(spark, sf_dir):
+    """Packing shuffles once on the shard key into the applyInPandas
+    recurrence."""
+    plan = explain_str(SPARK_QUERIES["corpus_pack"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
