@@ -170,16 +170,17 @@ def ngram_jaccard_pairs(
     list emits its member docs (``doc_b`` NULL — the per-doc capped
     set-size contributions) and its i<j pairs in one generated array,
     so one explode + one groupBy yields set sizes AND intersection
-    counts together.  Only that small aggregate (≤ docs + candidate
-    pairs, orders of magnitude under the shingle table) is persisted
-    for the two size joins — the heavy shingle pipeline runs exactly
-    once and is never cached.  The size-lookup joins are left to AQE:
-    at test scale it broadcasts them; at 100 TB (billions of docs) the
-    size side exceeds broadcast reach and the shuffle join on the
-    already-aggregated tables is the right plan anyway.
+    counts together.  The three consumers of that aggregate (sizes ×2,
+    intersections) share its shuffle through AQE's ReusedExchange —
+    no persist: the shuffle files already sit on local disk, so a
+    second materialization only adds memory pressure (measured ~10%
+    slower at sf0.1, and at 100 TB a persisted multi-billion-row agg
+    would spill anyway while the exchange reuse stays free).  The
+    size-lookup joins are left to AQE: at test scale it broadcasts
+    them; at 100 TB (billions of docs) the size side exceeds broadcast
+    reach and the shuffle join on the already-aggregated tables is the
+    right plan anyway.
     """
-    from pyspark import StorageLevel
-
     sh = word_shingles(df, n, text_col, id_col, distinct=False)
     grouped = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
@@ -201,11 +202,7 @@ def ngram_jaccard_pairs(
             )
         ).alias("e")
     ).select("e.doc_a", "e.doc_b")
-    agg = (
-        combined.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    agg = combined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("cnt"))
     sizes = agg.filter(F.col("doc_b").isNull()).select(
         F.col("doc_a").alias("doc_id"), F.col("cnt").alias("set_size")
     )
