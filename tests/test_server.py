@@ -130,3 +130,27 @@ def test_rpc_errors_keep_server_alive(rpc):
     # still serving after both errors
     ok = rpc("DataService.ListSymbols")
     assert "results" in ok["result"]
+
+
+def test_concurrent_rpc_queries(rpc):
+    """The threaded server shares one SparkSession across handler
+    threads (Spark accepts concurrent job submission — the Go-routine-
+    per-RPC shape of the reference).  8 parallel queries must all
+    succeed and return consistent results."""
+    import concurrent.futures as cf
+
+    def one(i):
+        out = rpc(
+            "DataService.Query",
+            {"requests": [{"destination": "SYM1/1Min/TICK",
+                           "limit_record_count": 5,
+                           "columns": ["ts", "value"]}]},
+            rid=i,
+        )
+        assert "error" not in out or out.get("error") is None
+        cs = out["result"]["responses"][0]["result"]["SYM1/1Min/TICK"]
+        return tuple(cs["ts"])
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(8)))
+    assert len(set(results)) == 1  # all identical
