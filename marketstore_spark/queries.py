@@ -1432,10 +1432,11 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 150)
+        .agg(F.sum(qty_c).alias("q_c"))  # integer cents — the q1 fast path
+        .filter(F.col("q_c") > 150 * 100)  # exact: q > 150 ⟺ cents > 15000
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -1445,7 +1446,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.col("q").cast("double").alias("total_qty"),
+            (F.col("q_c").cast("double") / F.lit(1e2)).alias("total_qty"),
         )
     )
 
@@ -1796,25 +1797,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_suppkey); the scalar-max subquery becomes a broadcast of the
     one-row max joined back on DECIMAL equality (exact — no double
     ties), and the supplier dim broadcasts onto the handful of
-    winners.  The quarter filter is pushed to the lineitem scan."""
+    winners.  The quarter filter is pushed to the lineitem scan.
+    Revenue sums integer cents·1e2 (long — the q1 fast path; exact and
+    compact), so the max-equality join compares exact integers and the
+    one double division per winner reproduces the oracle's
+    DECIMAL→DOUBLE cast bitwise."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    price_c = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    disc_c = F.round(F.col("l_discount") * F.lit(100.0)).cast("long")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.sum(price_c * (F.lit(100) - disc_c)).alias("rev_e4")
     )
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    mx = rev.agg(F.max("rev_e4").alias("__mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        rev.join(F.broadcast(mx), rev.rev_e4 == F.col("__mx"))
         .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            (F.col("rev_e4").cast("double") / F.lit(1e4)).alias("total_revenue"),
         )
     )
 
