@@ -474,13 +474,17 @@ def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstore_spark.models import typed_attrs
 
     ev = typed_attrs(load_table(spark, sf_dir, "events"))
-    vol = F.col("attrs.k")
-    pv = _dec("value") * vol
+    vol = F.col("attrs.k").cast("long")
+    # price·volume in integer cents (long) — the q1 fast path; the
+    # decimal(18,2)×bigint product would plan as a non-compact decimal.
+    # (sum_c/1e2)/vol reproduces the oracle's DECIMAL→DOUBLE-then-divide
+    # association bitwise while bucket sums stay < 2^53.
+    pv_c = F.round(F.col("value") * F.lit(100.0)).cast("long") * vol
     sum_vol = F.sum(vol)
     return ev.groupBy(
         "user_id", F.window("ts", "1 hour").alias("__w")
     ).agg(
-        (F.sum(pv).cast("double")
+        (F.sum(pv_c).cast("double") / F.lit(1e2)
          / F.when(sum_vol == 0, F.lit(None)).otherwise(sum_vol)).alias("vwap"),
         sum_vol.alias("volume"),
     ).select("user_id", F.col("__w.start").alias("epoch"), "vwap", "volume")
