@@ -109,3 +109,25 @@ def test_corpus_hygiene_empty_input(spark, empty_docs):
     # empty benchmark → nothing flagged; empty corpus → nothing flagged
     assert benchmark_overlap(docs, empty_docs, n=3).count() == 0
     assert benchmark_overlap(empty_docs, docs, n=3).count() == 0
+
+
+def test_round5_operators_empty_input(spark, empty_events, empty_docs):
+    from marketstore_spark.operators.dedup import span_dedup_groups
+    from marketstore_spark.operators.ewm import macd
+    from marketstore_spark.operators.gapfill import gapfill_interp
+    from marketstore_spark.operators.quant import obv, stochastic_k
+    from marketstore_spark.operators.sampling import pack_documents
+    from marketstore_spark.operators.text import scrub_pii
+
+    ev = empty_events.withColumn("volume", F.lit(1).cast("long"))
+    assert obv(ev).count() == 0
+    assert stochastic_k(ev).count() == 0
+    assert macd(empty_events.select("user_id", "ts", "event_id", "value")).count() == 0
+    assert gapfill_interp(empty_events, "1H").count() == 0
+    assert span_dedup_groups(empty_docs).count() == 0
+    assert scrub_pii(empty_docs).count() == 0
+    docs = empty_docs.withColumn("lang", F.lit("en"))
+    assert pack_documents(docs).count() == 0
+    # whitespace-only and sub-span docs: no spans, no crash
+    short = spark.createDataFrame([(1, "   "), (2, "a b")], "doc_id long, text string")
+    assert span_dedup_groups(short, span_words=5).count() == 0
