@@ -220,7 +220,13 @@ class Catalog:
         parent = os.path.dirname(path)
         root = os.path.abspath(self.root.rstrip("/"))
         while os.path.abspath(parent) != root and os.path.isdir(parent) and not os.listdir(parent):
-            os.rmdir(parent)
+            try:
+                os.rmdir(parent)
+            except OSError:
+                # listdir→rmdir races a concurrent writer creating a
+                # sibling (or a concurrent destroy): the bucket itself
+                # is gone, so losing the husk-prune is fine
+                break
             parent = os.path.dirname(parent)
 
     # -- Write / append (frontend/write.go:36; executor/writer.go) --------

@@ -102,6 +102,12 @@ def pack_documents(
         pdf["pack_offset"] = pd.Series(offs, dtype="int64")
         return pdf
 
+    # shard keeps its INPUT type (the docstring recommends composite /
+    # integer shard keys at scale — a hardcoded string field would
+    # break them at Arrow conversion)
+    shard_type = df.schema[shard_col].dataType.simpleString()
     return slim.groupBy("shard").applyInPandas(
-        fn, "shard string, doc_id long, n_tokens long, pack_id long, pack_offset long"
+        fn,
+        f"shard {shard_type}, doc_id long, n_tokens long, "
+        "pack_id long, pack_offset long",
     )

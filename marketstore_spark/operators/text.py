@@ -297,12 +297,14 @@ def scrub_pii(
     ``text``, and one ``n_<class>`` count per class.
     """
     classes = list(PII_PATTERNS) if classes is None else classes
-    t = F.col(text_col)
-    counts = [
-        F.regexp_count(t, F.lit(PII_PATTERNS[c])).alias(f"n_{c}") for c in classes
-    ]
-    scrubbed = t
+    # Each class counts on the PROGRESSIVELY-masked value, then masks:
+    # counting every class on the original text would report matches a
+    # prior class already consumed (a phone-shaped local part inside an
+    # email) — n_<class> must equal the markers actually inserted.
+    scrubbed = F.col(text_col)
+    counts = []
     for c in classes:
+        counts.append(F.regexp_count(scrubbed, F.lit(PII_PATTERNS[c])).alias(f"n_{c}"))
         scrubbed = F.regexp_replace(
             scrubbed, PII_PATTERNS[c], marker.format(cls=c.upper())
         )

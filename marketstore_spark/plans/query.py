@@ -128,7 +128,9 @@ def _ema(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
 def _macd(df: DataFrame, p: QueryParams, args: list[str]) -> DataFrame:
     from marketstore_spark.operators.ewm import macd
 
-    fast, slow, sig = [int(a) for a in args] if args else (12, 26, 9)
+    defaults = (12, 26, 9)
+    vals = [int(a) for a in args[:3]] + list(defaults[len(args):])
+    fast, slow, sig = vals
     return macd(
         df, fast=fast, slow=slow, signal=sig, key_cols=[p.symbol_col],
         ts_col=p.ts_col, value_col=p.value_col, tiebreak=p.tiebreak,

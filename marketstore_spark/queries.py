@@ -83,11 +83,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the compact-Long representation (Int128 per row — the
     pairwise_corr gotcha).  price·(1−d) in cents·1e2 and ·(1+t) in
     cents·1e4 are exact integers; each output is ONE double division
-    by the scale — the correctly-rounded value of the same rational as
-    the oracle's DECIMAL→DOUBLE cast while group sums stay < 2⁵³
-    (≈9·10¹⁵ — around sf100 per group; past that, pre-aggregate per
-    partition or fall back to decimal sums).  The avg chain keeps the
-    oracle's association: (sum/scale)/n ≡ CAST(SUM AS DOUBLE)/COUNT."""
+    by the scale.  Parity contract: DuckDB's DECIMAL→DOUBLE cast is
+    itself fl(fl(unscaled)/10^scale) — the IDENTICAL long→double-then-
+    divide convention, verified on 7k random unscaled values up to
+    2⁶², including above 2⁵³ where neither engine is correctly
+    rounded — so the engines agree bit-for-bit all the way to the
+    long-sum limit (2⁶³ unscaled ≈ $9·10¹² per group for the e6
+    charge, ≈ sf160), where Spark's default ANSI mode fails LOUDLY
+    (ARITHMETIC_OVERFLOW) rather than drifting.  The avg chain keeps
+    the oracle's association: (sum/scale)/n ≡ CAST(SUM AS DOUBLE)/COUNT."""
     li = load_table(spark, sf_dir, "lineitem")
     qty_c = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")
     price_c = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
@@ -3569,22 +3573,22 @@ _FRONT = [
     "corpus_sample",
     "twap",
     "pairwise_corr",
-    # Round-4-green keys we still have budget for, most-load-bearing
-    # first (plans that changed most recently get re-checked sooner).
-    # ann_lsh_exhaustive's signature path changed this round (lazy
-    # plane matrix, no forced repartition) — fresh driver row required
-    # (displaces q15_top_supplier, r04-green and untouched this round)
+    # Round-4-green keys whose code changed this round — fresh driver
+    # rows required, most-load-bearing first.  ann_lsh_exhaustive's
+    # signature path changed (lazy plane matrix, no forced
+    # repartition); q18/q21 got plan rework; the dedup/simhash and
+    # frame-sample families got the hot-path rework.
     "ann_lsh_exhaustive",
     "dedup_embedding_lsh_exhaustive",
     "q21_suppliers_who_kept_orders_waiting",
     "q18_large_volume_customer",
-    # q1/q15 re-enter the window: their aggregates moved to the
+    # q1/q15 are in the window: their aggregates moved to the
     # integer-cents fast path this round (bitwise-verified locally at
     # all three SFs, but a post-change driver row is the standard).
-    # They displace dedup_minhash_keep/dedup_clusters, whose operator
-    # code region and queries.py entries are UNCHANGED since their
-    # green r04 rows (the r05 dedup rework touched ngram/simhash/
-    # embedding only — verified against the r04 diff hunks).
+    # The slots come from dedup_minhash_keep and dedup_clusters, whose
+    # operator code region and queries.py entries are UNCHANGED since
+    # their green r04 rows (the r05 dedup rework touched ngram/
+    # simhash/embedding only — verified against the r04 diff hunks).
     "q1_pricing_summary",
     "q15_top_supplier",
     "dedup_minhash_lsh",
@@ -3598,8 +3602,9 @@ _FRONT = [
     # percentiles_approx_exhaustive are r04-green on code untouched
     # this round (the r05 simsearch change is confined to the
     # hyperplane bucket assigner, which IVF does not use).
-    # range_join / asof_join_tolerance / q15 stay out (r04-green,
-    # untouched); they rotate back in r06.
+    # range_join / asof_join_tolerance / dedup_minhash_keep /
+    # dedup_clusters stay out (r04-green, untouched); they rotate
+    # back in r06.
 ]
 
 

@@ -54,7 +54,16 @@ def _column_series(pdf: pd.DataFrame) -> dict:
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[ns]").astype("int64").tolist()
         else:
-            out[c] = [None if pd.isna(v) else v for v in s.tolist()]
+            # pd.isna on a list/ndarray cell (array columns) returns an
+            # array — only scalar cells get the NaN→None normalization
+            def conv(v):
+                if isinstance(v, (list, tuple)):
+                    return list(v)
+                if getattr(v, "ndim", 0):  # ndarray cell
+                    return v.tolist()
+                return None if pd.isna(v) else v
+
+            out[c] = [conv(v) for v in s.tolist()]
     return out
 
 
@@ -155,6 +164,11 @@ class DataService:
         return {"results": self.catalog.list_symbols(format=fmt)}
 
 
+_RPC_METHODS = frozenset(
+    ["Query", "SQL", "Write", "Create", "Destroy", "GetInfo", "ListSymbols"]
+)
+
+
 def _ns_ts(epoch_ns):
     if epoch_ns is None:
         return None
@@ -180,9 +194,11 @@ class _Handler(BaseHTTPRequestHandler):
         rid = req.get("id")
         method = str(req.get("method", ""))
         prefix = "DataService."
-        if not method.startswith(prefix) or not hasattr(
-            DataService, method[len(prefix):]
-        ):
+        # Explicit allowlist — a hasattr() check would also expose
+        # dunders (DataService.__init__ over the wire replaces the
+        # catalog and bricks the service) and any future helper.
+        name = method[len(prefix):] if method.startswith(prefix) else ""
+        if name not in _RPC_METHODS:
             self._reply(rid, error={"code": _METHOD_NOT_FOUND, "message": method})
             return
         params = req.get("params")
@@ -192,7 +208,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(rid, error={"code": _INVALID_PARAMS, "message": "params must be an object"})
             return
         try:
-            result = getattr(self.service, method[len(prefix):])(params)
+            result = getattr(self.service, name)(params)
         except Exception as ex:  # surface as RPC error, keep serving
             self._reply(
                 rid,

@@ -177,3 +177,9 @@ def test_function_chain_indicators(cli):
     p = Params("SYM1", "1Min", "TICK", functions=["twap('1D')"])
     pdf = cli.query(p).first().df()
     assert {"twap", "n_ticks"} <= set(pdf.columns) and len(pdf) > 0
+
+
+def test_macd_partial_args_fall_back_to_defaults(cli):
+    p = Params("SYM1", "1Min", "TICK", functions=["macd(10)"])
+    pdf = cli.query(p).first().df()
+    assert {"macd", "signal", "histogram"} <= set(pdf.columns)

@@ -642,11 +642,11 @@ def test_span_dedup_groups_window_edges(spark):
         (1, shared + " tail1 x"),              # trailing partial dropped
         (2, shared),                           # exact span again
         (3, "one two three"),                  # shorter than span → no spans
-        (4, "p q r s t " + shared),            # shared span NOT on a window
-                                               # boundary → not detected (doc 4
-                                               # spans: [p..t], [a..e] — wait,
-                                               # 10 words = two windows, second
-                                               # IS the shared span)
+        (4, "p q r s t " + shared),            # 10 words = two aligned windows;
+                                               # the second, [a..e], IS the
+                                               # shared span → doc 4 is found.
+                                               # (Alignment matters: a 1-word
+                                               # prefix would hide it.)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = span_dedup_groups(df, span_words=5, min_docs=2).collect()
@@ -742,3 +742,28 @@ def test_pack_documents_next_fit_and_oversized(spark):
     assert out[4] == (2, 0, 20)
     assert out[5] == (3, 0, 2)
     assert out[6] == (0, 0, 10)
+
+
+def test_scrub_pii_counts_match_masks(spark):
+    """A phone-shaped local part inside an email must not inflate
+    n_phone: counts run on the progressively-masked value, so every
+    n_<class> equals the markers actually inserted."""
+    from marketstore_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach me at 415.555.1234@example.com")], ["doc_id", "text"]
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r["n_email"] == 1 and r["text"].count("|||EMAIL|||") == 1
+    assert r["n_phone"] == r["text"].count("|||PHONE|||") == 0
+    assert r["n_ipv4"] == r["text"].count("|||IPV4|||") == 0
+
+
+def test_pack_documents_integer_shard_key(spark):
+    from marketstore_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(7, 1, "a b c"), (7, 2, "d e")], ["bucket", "doc_id", "text"]
+    )
+    out = pack_documents(df, capacity=4, shard_col="bucket").collect()
+    assert {r["shard"] for r in out} == {7}

@@ -154,3 +154,26 @@ def test_concurrent_rpc_queries(rpc):
     with cf.ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(one, range(8)))
     assert len(set(results)) == 1  # all identical
+
+
+def test_dunder_methods_not_dispatchable(rpc):
+    """Only the DataService RPC surface is callable — dunders would let
+    one request re-__init__ the service and brick the server."""
+    out = rpc("DataService.__init__")
+    assert out["error"]["code"] == -32601
+    out = rpc("DataService.__class__")
+    assert out["error"]["code"] == -32601
+    # the service still works afterwards
+    assert "results" in rpc("DataService.ListSymbols")["result"]
+
+
+def test_sql_array_column_serializes(rpc):
+    out = rpc(
+        "DataService.SQL",
+        {"statements": [
+            "SELECT user_id, collect_list(event_id) AS ids "
+            "FROM `SYM1/1Min/TICK` GROUP BY user_id"
+        ]},
+    )
+    cs = out["result"]["responses"][0]["result"]
+    assert isinstance(cs["ids"][0], list) and len(cs["ids"][0]) > 0
