@@ -316,3 +316,81 @@ def stochastic_k(
         "pct_k",
         (acc / F.lit(float(d_periods))).alias("pct_d"),
     )
+
+
+def beta_vs_market(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    min_obs: int = 3,
+) -> DataFrame:
+    """Per-symbol beta of bucket-over-bucket price moves against the
+    AGGREGATE market move (the sum of all symbols' moves that bucket).
+
+    Regressing against the sum — not the mean — keeps every Pearson
+    sum an exact integer: moves are integer cents (close diffs of the
+    last tick per bucket), the market move is their per-bucket integer
+    sum, and the five regression sums per symbol are integer-valued
+    float64s (exact while cents²·buckets < 2⁵³ — the pairwise_corr
+    bound).  Versus a mean-based beta the slope simply scales by the
+    symbol count, so the ranking and sign are identical; the
+    definition is stated in the output contract.
+
+    Shape (all small after the first agg): one shuffle for the bucket
+    closes (window last-tick per symbol·bucket), one lag window per
+    symbol for moves, one tiny per-bucket aggregate for the market
+    move — broadcast back onto the moves — then one per-symbol
+    aggregate.  Nothing here is quadratic in symbols (contrast
+    pairwise_corr); 100k symbols is just a bigger groupBy.
+
+    beta = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx) with x = market move,
+    y = symbol move, over buckets where the symbol HAS a move; NULL
+    variance → row dropped.  The final expression is the fixed-order
+    IEEE chain both engines evaluate identically; 6-dp round applied
+    Spark-side (oracle emulates Spark's rounding).
+    """
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        cents.alias("close_c"),
+        w["start"].alias("bucket"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("symbol", "bucket").orderBy(
+            F.col("__ts").desc(), F.col("__tb").desc()
+        )
+    )
+    closes = ticks.withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
+        "symbol", "bucket", "close_c"
+    )
+    prev = F.lag("close_c").over(Window.partitionBy("symbol").orderBy("bucket"))
+    moves = closes.select(
+        "symbol", "bucket", (F.col("close_c") - prev).alias("mv")
+    ).filter(F.col("mv").isNotNull())
+    market = moves.groupBy("bucket").agg(F.sum("mv").alias("mkt"))
+    joined = moves.join(F.broadcast(market), "bucket")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("mkt").cast("double")
+    sy = F.sum("mv").cast("double")
+    sxy = F.sum(F.col("mkt") * F.col("mv")).cast("double")
+    sxx = F.sum(F.col("mkt") * F.col("mkt")).cast("double")
+    agg = joined.groupBy("symbol").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / varx
+    return (
+        agg.filter((F.col("n") >= min_obs) & (varx > 0))
+        .select(
+            "symbol",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(beta, 6).alias("beta"),
+        )
+    )

@@ -649,6 +649,57 @@ def stochastic_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stochastic_k(load_table(spark, sf_dir, "events"))
 
 
+@_register(
+    "beta",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS close_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, close_c FROM (
+    SELECT symbol, bucket, close_c,
+           row_number() OVER (PARTITION BY symbol, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM t
+  ) WHERE rn = 1
+),
+mv AS (
+  SELECT * FROM (
+    SELECT symbol, bucket,
+           close_c - LAG(close_c) OVER (PARTITION BY symbol ORDER BY bucket) AS mv
+    FROM c
+  ) WHERE mv IS NOT NULL
+),
+mkt AS (SELECT bucket, CAST(SUM(mv) AS BIGINT) AS mkt FROM mv GROUP BY 1),
+g AS (
+  SELECT symbol, COUNT(*) AS n,
+         CAST(SUM(mkt) AS DOUBLE) AS sx, CAST(SUM(mv) AS DOUBLE) AS sy,
+         CAST(SUM(mkt * mv) AS DOUBLE) AS sxy,
+         CAST(SUM(mkt * mkt) AS DOUBLE) AS sxx
+  FROM mv JOIN mkt USING (bucket) GROUP BY 1
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs,
+       CAST(ROUND(CAST(CAST(
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx)
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS beta
+FROM g
+WHERE n >= 3 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+""",
+)
+def beta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol beta of daily moves against the aggregate market
+    move (operators/quant.beta_vs_market): integer-cents regression
+    sums, one tiny per-bucket market aggregate broadcast back, one
+    per-symbol aggregate — linear in symbols, unlike pairwise_corr."""
+    from marketstore_spark.operators.quant import beta_vs_market
+
+    return beta_vs_market(load_table(spark, sf_dir, "events"), "1 day")
+
+
 # Bit-reproducible adjustment oracles: both engines read the SAME
 # power-table literals (operators/adjust.ratio_power_table) and compute
 # integer CA counts — no exp/ln/pow, whose libm rounding differs across
@@ -3620,6 +3671,7 @@ _BACK = [
     "multimodal_audio_decode",
     "gapfill_interp",
     "corpus_pack",
+    "beta",
 ]
 
 

@@ -767,3 +767,28 @@ def test_pack_documents_integer_shard_key(spark):
     )
     out = pack_documents(df, capacity=4, shard_col="bucket").collect()
     assert {r["shard"] for r in out} == {7}
+
+
+def test_beta_vs_market_proportional_movers(spark):
+    """Two symbols where B always moves twice A: market move = 3x, so
+    beta_B = cov(2x,3x)/var(3x) = 2/3 and beta_A = 1/3 — the 2:1
+    ratio is preserved under the against-the-sum definition."""
+    from datetime import timedelta
+    from marketstore_spark.operators.quant import beta_vs_market
+
+    rows = []
+    base = _ts(2024, 1, 1, 12, 0)
+    moves = [3, -2, 5, -1, 4]  # dollars, varying so var > 0
+    pa, pb = 100, 200
+    rows.append((1, base, 1, float(pa)))
+    rows.append((2, base, 2, float(pb)))
+    for i, m in enumerate(moves, start=1):
+        pa += m
+        pb += 2 * m
+        rows.append((1, base + timedelta(days=i), 10 + i, float(pa)))
+        rows.append((2, base + timedelta(days=i), 20 + i, float(pb)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["symbol"]: r for r in beta_vs_market(df, "1 day").collect()}
+    assert out[1]["n_obs"] == 5 and out[2]["n_obs"] == 5
+    assert out[1]["beta"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["beta"] == pytest.approx(2 / 3, abs=1e-6)
