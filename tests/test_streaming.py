@@ -450,3 +450,54 @@ def test_stream_weekly_rollup_monday_aligned(spark, sf_dir, tmpdir):
 
     with pytest.raises(ValueError, match="calendar-variable"):
         stream_candles(stream, "1Mo")
+
+
+def test_stream_ema_obv_matches_batch_across_microbatches(spark, sf_dir, tmpdir):
+    """Stateful live EMA/OBV == the batch operators bitwise, with the
+    feed deliberately split into multiple micro-batches (the carried
+    state must seamlessly continue the recurrence across the batch
+    boundary)."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.ewm import ema
+    from marketstore_spark.operators.quant import obv
+    from marketstore_spark.streaming.indicators import stream_ema_obv
+
+    ev = (
+        typed_attrs(load_table(spark, sf_dir, "events"))
+        .filter(F.col("user_id") <= 10)
+        .select("user_id", "ts", "event_id", "value", F.col("attrs.k").alias("volume"))
+    )
+    # two time-ordered files → two micro-batches (maxFilesPerTrigger=1)
+    src = os.path.join(tmpdir, "feed")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).orderBy("ts").coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    ev.filter(F.col("event_id") > mid).orderBy("ts").coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    schema = ev.schema
+    stream = read_stream(spark, src, schema, max_files_per_trigger=1, recursive=True)
+
+    live = stream_ema_obv(stream, span=20)
+    q = (
+        live.writeStream.format("memory")
+        .queryName("live_indicators")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select event_id, ema, obv from live_indicators")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # batch truth over the union (same literal recurrences)
+    want_ema = ema(ev.select("user_id", "ts", "event_id", "value"), span=20)
+    want_ema = want_ema.select("event_id", "ema").toPandas().sort_values(
+        "event_id").reset_index(drop=True)
+    want_obv = obv(ev).select(F.col("event_id"), "obv").toPandas().sort_values(
+        "event_id").reset_index(drop=True)
+    assert len(got) == len(want_ema) > 0
+    assert (got["ema"].values == want_ema["ema"].values).all()  # bitwise
+    assert (got["obv"].values == want_obv["obv"].values).all()
