@@ -394,3 +394,62 @@ def beta_vs_market(
             F.round(beta, 6).alias("beta"),
         )
     )
+
+
+def realized_vol(
+    df: DataFrame,
+    window_buckets: int = 20,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Rolling realized volatility per symbol: the sample standard
+    deviation of the last ``window_buckets`` bucket-over-bucket price
+    moves (integer cents), reported per bucket.
+
+    Exactness: Σx and Σx² over the rolling frame are window sums of
+    LONGs — exact integers — and the variance expression
+    ``(n·Σx² − Σx·Σx) / (n·(n−1))`` feeds one correctly-rounded IEEE
+    sqrt, so both engines agree bitwise (the bollinger E[x²]−E[x]²
+    policy applied to moves instead of levels).  NULL during warm-up
+    (fewer than ``window_buckets`` moves) and for n < 2.
+
+    Shape: the bucket-close extraction shuffles once on
+    (symbol, bucket); the lag and the two rolling sums share the
+    per-symbol sort.  Linear in symbols and buckets.
+    """
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        cents.alias("close_c"),
+        w["start"].alias("bucket"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("symbol", "bucket").orderBy(
+            F.col("__ts").desc(), F.col("__tb").desc()
+        )
+    )
+    closes = ticks.withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
+        "symbol", "bucket", "close_c"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    moves = closes.select(
+        "symbol", "bucket",
+        (F.col("close_c") - F.lag("close_c").over(ws)).alias("mv"),
+    ).filter(F.col("mv").isNotNull())
+    frame = ws.rowsBetween(-(window_buckets - 1), Window.currentRow)
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    sx = F.sum("mv").over(frame).cast("double")
+    sxx = F.sum(F.col("mv") * F.col("mv")).over(frame).cast("double")
+    rown = F.row_number().over(ws)
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    vol = F.when(rown >= window_buckets, F.sqrt(var))
+    return moves.select(
+        "symbol", F.col("bucket").alias("epoch"), "mv",
+        F.round(vol, 6).alias("realized_vol"),
+    )

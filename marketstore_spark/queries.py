@@ -650,6 +650,58 @@ def stochastic_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "realized_vol",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS close_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, close_c FROM (
+    SELECT symbol, bucket, close_c,
+           row_number() OVER (PARTITION BY symbol, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM t
+  ) WHERE rn = 1
+),
+mv AS (
+  SELECT * FROM (
+    SELECT symbol, bucket,
+           close_c - LAG(close_c) OVER (PARTITION BY symbol ORDER BY bucket) AS mv
+    FROM c
+  ) WHERE mv IS NOT NULL
+),
+g AS (
+  SELECT symbol, bucket, mv,
+         CAST(COUNT(*) OVER wf AS DOUBLE) AS n,
+         CAST(SUM(mv) OVER wf AS DOUBLE) AS sx,
+         CAST(SUM(mv * mv) OVER wf AS DOUBLE) AS sxx,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM mv
+  WINDOW wf AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket AS epoch, CAST(mv AS BIGINT) AS mv,
+       CAST(ROUND(CAST(CAST(
+         CASE WHEN rn >= 20
+              THEN SQRT((n * sxx - sx * sx) / (n * (n - 1)))
+         END
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS realized_vol
+FROM g
+""",
+)
+def realized_vol_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day rolling realized volatility of daily moves
+    (operators/quant.realized_vol): exact integer window sums + one
+    IEEE sqrt — the bollinger exactness policy applied to moves."""
+    from marketstore_spark.operators.quant import realized_vol
+
+    return realized_vol(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "beta",
     """
 WITH t AS (
@@ -3672,6 +3724,7 @@ _BACK = [
     "gapfill_interp",
     "corpus_pack",
     "beta",
+    "realized_vol",
 ]
 
 

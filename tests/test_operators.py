@@ -792,3 +792,22 @@ def test_beta_vs_market_proportional_movers(spark):
     assert out[1]["n_obs"] == 5 and out[2]["n_obs"] == 5
     assert out[1]["beta"] == pytest.approx(1 / 3, abs=1e-6)
     assert out[2]["beta"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_realized_vol_known_window(spark):
+    from datetime import timedelta
+    import math
+    from marketstore_spark.operators.quant import realized_vol
+
+    # moves (cents): 100, -200, 300 → sample std over the 3-move window
+    prices = [10.0, 11.0, 9.0, 12.0]
+    base = _ts(2024, 1, 1, 12, 0)
+    rows = [(1, base + timedelta(days=i), i, p) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["epoch"].day: r for r in realized_vol(df, window_buckets=3).collect()}
+    assert out[2]["realized_vol"] is None  # warm-up
+    assert out[3]["realized_vol"] is None
+    moves = [100, -200, 300]
+    mean = sum(moves) / 3
+    want = math.sqrt(sum((m - mean) ** 2 for m in moves) / 2)
+    assert out[4]["realized_vol"] == pytest.approx(want, abs=1e-6)
