@@ -154,7 +154,18 @@ def pairwise_corr(
         [(d, i) for i, d in enumerate(days)], ["bucket", "didx"]
     )
     n_sym = closes.select("symbol").distinct().count()
-    nblk = max(1, math.ceil(n_sym / block_symbols))
+    # Block count balances two bounds (results are identical under any
+    # blocking — each unordered pair lands in exactly one group):
+    #  - memory: blocks no wider than ``block_symbols`` (task footprint
+    #    is block²·days doubles);
+    #  - parallelism: ~4·cores block-pair tasks, i.e. nblk ≈ √(8·par) —
+    #    at sf0.1 the memory bound alone gave 3 blocks = 6 tasks on 32
+    #    cores (measured 20% slower than the parallel split), while at
+    #    100k symbols the memory bound dominates and caps task width.
+    par = spark.sparkContext.defaultParallelism
+    nblk_mem = math.ceil(n_sym / block_symbols)
+    nblk_par = math.ceil(math.sqrt(8 * par))
+    nblk = max(1, min(n_sym, max(nblk_mem, nblk_par)))
 
     ex = (
         closes.join(F.broadcast(day_idx), "bucket")
