@@ -335,3 +335,77 @@ def test_hash_sample_rate_edges_and_nesting(spark):
     lo = {r["doc_id"] for r in hash_sample(df, rate_num=32).collect()}
     hi = {r["doc_id"] for r in hash_sample(df, rate_num=64).collect()}
     assert lo <= hi and len(lo) < len(hi)
+
+
+# ---------------------------------------------------------------------
+# round-5 corpus operators vs direct Python models
+# ---------------------------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=24
+)
+_corpus = st.lists(_words, min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus)
+def test_span_dedup_matches_python_model(spark, docs):
+    """span_dedup_groups == a direct model: non-overlapping w-word
+    windows (trailing partial dropped), grouped by content, reported
+    iff seen in >= 2 distinct docs."""
+    import hashlib
+
+    from marketstore_spark.operators.dedup import span_dedup_groups
+
+    w = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["span_hash"]: (r["n_docs"], r["n_occurrences"], r["first_doc_id"])
+        for r in span_dedup_groups(df, span_words=w).collect()
+    }
+
+    model = defaultdict(list)  # span text -> [(doc, idx)]
+    for i, ws in enumerate(docs):
+        for s in range(0, len(ws) - w + 1, w):
+            model[" ".join(ws[s:s + w])].append(i)
+    want = {}
+    for span, ds in model.items():
+        if len(set(ds)) >= 2:
+            h = hashlib.md5(span.encode()).hexdigest()
+            want[h] = (len(set(ds)), len(ds), min(ds))
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=20),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_pack_documents_matches_python_model(spark, toks, cap):
+    """pack_documents == the sequential next-fit model, and satisfies
+    the packing invariants (offset+tokens <= capacity unless the doc
+    alone exceeds it; pack ids contiguous from 0)."""
+    from marketstore_spark.operators.sampling import pack_documents
+
+    rows = [(("en"), i, " ".join(["x"] * n) if n else "") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    out = sorted(
+        ((r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_offset"])
+         for r in pack_documents(df, capacity=cap).collect())
+    )
+    # direct model
+    pack = fill = 0
+    want = []
+    for i, n in enumerate(toks):
+        if i > 0 and fill + n > cap:
+            pack += 1
+            fill = 0
+        want.append((i, n, pack, fill))
+        fill += n
+    assert out == want
+    # invariants
+    for _, n, p, off in out:
+        assert off == 0 or off + n <= cap
+    packs = [p for _, _, p, _ in out]
+    assert packs == sorted(packs) and packs[0] == 0
