@@ -2708,6 +2708,46 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_heavy_hitters",
+    r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+cells AS (
+  SELECT d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || term), 1, 15)
+              AS BIGINT) % 64 AS slot,
+         COUNT(*) AS cnt
+  FROM toks, range(4) t(d)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT c.term, t.d,
+         CAST('0x' || substr(md5(CAST(t.d AS VARCHAR) || '|' || c.term), 1, 15)
+              AS BIGINT) % 64 AS slot
+  FROM (SELECT DISTINCT term FROM toks) c, range(4) t(d)
+)
+SELECT p.term, CAST(MIN(s.cnt) AS BIGINT) AS est_count
+FROM probes p JOIN cells s ON s.d = p.d AND s.slot = p.slot
+GROUP BY p.term
+ORDER BY est_count DESC, term ASC
+LIMIT 20
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by Count-Min estimate (operators/sketch): the
+    linear-sketch frequency path whose shuffle is bounded at
+    depth·width cells regardless of vocabulary size.  md5-derived
+    slots make the approximation deterministic, so the oracle
+    replicates the sketch exactly — hash parity on an approximate
+    operator with no rows-only compromise."""
+    from marketstore_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "corpus_pack",
     r"""
 WITH RECURSIVE
@@ -3725,6 +3765,7 @@ _BACK = [
     "corpus_pack",
     "beta",
     "realized_vol",
+    "text_heavy_hitters",
 ]
 
 

@@ -811,3 +811,28 @@ def test_realized_vol_known_window(spark):
     mean = sum(moves) / 3
     want = math.sqrt(sum((m - mean) ** 2 for m in moves) / 2)
     assert out[4]["realized_vol"] == pytest.approx(want, abs=1e-6)
+
+
+def test_cms_overestimates_and_converges_when_wide(spark):
+    """Count-Min property: estimate >= true count always; with width
+    large enough that no collisions occur the estimates are EXACT."""
+    from collections import Counter
+    from marketstore_spark.operators.sketch import cms_heavy_hitters
+
+    docs = [
+        (1, "a a a b b c"),
+        (2, "a b d d d d"),
+        (3, "c c e"),
+    ]
+    truth = Counter(" ".join(t for _, t in docs).split())
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # narrow sketch: collisions likely → overestimates allowed, never under
+    narrow = {r["term"]: r["est_count"]
+              for r in cms_heavy_hitters(df, width=2, depth=2, top_k=10).collect()}
+    assert set(narrow) == set(truth)
+    for t, c in truth.items():
+        assert narrow[t] >= c
+    # wide sketch: 5 terms in 4096 slots × 4 rows → exact with near-certainty
+    wide = {r["term"]: r["est_count"]
+            for r in cms_heavy_hitters(df, width=4096, depth=4, top_k=10).collect()}
+    assert wide == dict(truth)
