@@ -2708,6 +2708,43 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "distinct_users",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user counts — the exactness anchor for
+    distinct_users_approx (same grouping, HLL++ replaced by the exact
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register("distinct_users_approx")
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via Spark's native HLL++ sketch
+    (approx_count_distinct, rsd=2%) — the mergeable-sketch path for
+    cardinality at 100 TB, where exact COUNT(DISTINCT) shuffles every
+    key and HLL ships one ~kB sketch per group per partition.
+    No oracle BY DESIGN (HLL++ cell layout is engine-specific);
+    the driver records rows-only, the 2%-rsd error bound is pinned in
+    pytest against the exact sibling, and ``distinct_users`` anchors
+    the grouping exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
     "text_heavy_hitters",
     r"""
 WITH toks AS (
@@ -3766,6 +3803,8 @@ _BACK = [
     "beta",
     "realized_vol",
     "text_heavy_hitters",
+    "distinct_users",
+    "distinct_users_approx",
 ]
 
 

@@ -836,3 +836,17 @@ def test_cms_overestimates_and_converges_when_wide(spark):
     wide = {r["term"]: r["est_count"]
             for r in cms_heavy_hitters(df, width=4096, depth=4, top_k=10).collect()}
     assert wide == dict(truth)
+
+
+def test_hll_distinct_within_rsd_of_exact(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) must land within a conservative
+    3x-rsd band of the exact per-group cardinality on the test data."""
+    from marketstore_spark.queries import SPARK_QUERIES
+
+    exact = {r["event_type"]: r["n_users"]
+             for r in SPARK_QUERIES["distinct_users"](spark, sf_dir).collect()}
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in SPARK_QUERIES["distinct_users_approx"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.06 * n), (k, n, approx[k])
