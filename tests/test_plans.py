@@ -450,3 +450,22 @@ def test_corpus_pack_single_shard_shuffle(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["corpus_pack"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_cms_single_aggregate_broadcast_probe(spark, sf_dir):
+    """The sketch is ONE hash aggregate (bounded depth·width state) and
+    the candidate probe joins it via broadcast — no sort-merge join,
+    no Expand."""
+    plan = explain_str(SPARK_QUERIES["text_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_hll_no_expand_single_pass(spark, sf_dir):
+    """approx_count_distinct + count in one groupBy must NOT plan an
+    Expand (the count_distinct row-blowup) — the HLL buffer aggregates
+    in a single pass."""
+    plan = explain_str(SPARK_QUERIES["distinct_users_approx"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
