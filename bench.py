@@ -68,6 +68,10 @@ HEADLINE = [
     # shape) and sub-document span dedup (fixed-width hash aggregate)
     "obv",
     "dedup_span",
+    # round-5 third pass: rolling-window stat (shared-sort frame shape)
+    # and the Count-Min linear sketch (bounded-state aggregate shape)
+    "realized_vol",
+    "text_heavy_hitters",
 ]
 
 _ORACLE_TABLES = (
