@@ -74,6 +74,11 @@ def cms_heavy_hitters(
     toks = (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("term"))
+        # Parallelize the depth×token md5 fan-out regardless of input
+        # split count (the word_shingles pattern): without this, a
+        # single-file corpus runs all depth·tokens hashes in one task
+        # (measured 1.1s → 0.3s for the sketch at sf0.1).
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     sketch = cms_sketch(toks, width=width, depth=depth)
     cand = toks.distinct()
