@@ -260,11 +260,17 @@ def _real_decode(payload: bytes, fmt: str) -> bytes:
     (ffmpeg) aren't in this environment — and the caller records
     decoded_ok=0.
     """
-    if fmt in ("bmp", "png", "jpeg", "jpg"):
+    if fmt in ("bmp", "png", "jpeg", "jpg", "gif"):
         if fmt == "bmp":
             px = decode_bmp(payload).astype(np.float64)
         elif fmt == "png":
             px = decode_png(payload).astype(np.float64)
+        elif fmt == "gif":
+            from marketstore_spark.operators.gif import decode_gif
+
+            # stats over the composed FIRST frame (animated frames are
+            # reachable via decode_gif for the frame operators)
+            px = decode_gif(payload)[0].astype(np.float64)
         else:
             from marketstore_spark.operators.jpeg import decode_jpeg
 

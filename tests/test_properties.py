@@ -409,3 +409,44 @@ def test_pack_documents_matches_python_model(spark, toks, cap):
         assert off == 0 or off + n <= cap
     packs = [p for _, _, p, _ in out]
     assert packs == sorted(packs) and packs[0] == 0
+
+
+gif_spec = st.tuples(
+    st.integers(min_value=1, max_value=3),    # frames
+    st.integers(min_value=1, max_value=12),   # h
+    st.integers(min_value=1, max_value=12),   # w
+    st.integers(min_value=2, max_value=9),    # palette size
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(spec=gif_spec)
+def test_gif_roundtrip_property(spec):
+    import numpy as np
+    from marketstore_spark.operators.gif import decode_gif, encode_gif
+
+    n, h, w, pal = spec
+    rng = np.random.RandomState(n * 1000 + h * 100 + w * 10 + pal)
+    palette = rng.randint(0, 256, (pal, 3)).astype("uint8")
+    frames = palette[rng.randint(0, pal, (n, h, w))]
+    got = decode_gif(encode_gif(frames))
+    assert got.shape == frames.shape
+    assert (got == frames).all()
+
+
+def test_gif_feature_extraction_through_spark(spark):
+    import numpy as np
+    from marketstore_spark.operators.gif import encode_gif
+    from marketstore_spark.operators.multimodal import extract_features
+
+    frame = np.full((5, 7, 3), 33, np.uint8)
+    rows = [(1, "image", "gif", 7, 5, 0, bytearray(encode_gif(frame))),
+            (2, "image", "gif", 1, 1, 0, bytearray(b"GIFnot really"))]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, format string, width int, height int, "
+        "n_bytes long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["decoded_ok"] == 1 and out[1]["feat_dim"] == 32
+    assert out[2]["decoded_ok"] == 0  # corrupt payload is data, not a bug
