@@ -3503,6 +3503,71 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_gif_decode",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, doc_id % 4 + 1 AS n_frames
+  FROM documents WHERE doc_id % 17 = 3
+)
+SELECT media_id,
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT))) AS BIGINT) AS frame_idx,
+       CAST((media_id * 5 + unnest(range(0, CAST(n_frames AS BIGINT)))) % 15
+            AS BIGINT) AS color_bucket,
+       CAST(12 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height
+FROM v
+""",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode through Spark: per media row a
+    deterministic flat-color animated GIF is synthesized
+    (operators/gif.encode_gif), decoded frame-by-frame by the
+    pure-python LZW decoder inside an Arrow-batched mapInPandas, and
+    each frame's color recovered exactly — GIF is LOSSLESS, so the
+    oracle checks decoded pixel content with no quantization slack at
+    all (stronger than the ±2 JPEG bucket check)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 17) == 3)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 4 + 1).alias("n_frames"),
+        )
+    )
+    out_schema = (
+        "media_id long, frame_idx long, color_bucket long, width long, height long"
+    )
+
+    def run(batches):
+        from marketstore_spark.operators.gif import decode_gif, encode_gif
+
+        for pdf in batches:
+            rows = []
+            for mid, nf in zip(pdf["media_id"], pdf["n_frames"]):
+                mid, nf = int(mid), int(nf)
+                frames = np.stack(
+                    [
+                        np.full((12, 12, 3), ((mid * 5 + i) % 15) * 16 + 8, np.uint8)
+                        for i in range(nf)
+                    ]
+                )
+                gif = encode_gif(frames)
+                for idx, px in enumerate(decode_gif(gif)):
+                    rows.append(
+                        (mid, idx, int(px.mean()) // 16, px.shape[1], px.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "color_bucket", "width", "height"],
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+@_register(
     "multimodal_audio_decode",
     """
 WITH a AS (
@@ -3805,6 +3870,7 @@ _BACK = [
     "text_heavy_hitters",
     "distinct_users",
     "distinct_users_approx",
+    "multimodal_gif_decode",
 ]
 
 
