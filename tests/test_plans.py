@@ -469,3 +469,18 @@ def test_hll_no_expand_single_pass(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["distinct_users_approx"](spark, sf_dir))
     assert "Expand" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_beta_market_aggregate_broadcast(spark, sf_dir):
+    """beta's per-bucket market table is dimension-sized and must come
+    back via broadcast; nothing in the plan is a cartesian product."""
+    plan = explain_str(SPARK_QUERIES["beta"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_realized_vol_shares_symbol_sort(spark, sf_dir):
+    """The lag and both rolling sums ride the per-symbol sort; the only
+    exchanges are the bucket-close extraction and the symbol window."""
+    plan = explain_str(SPARK_QUERIES["realized_vol"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
