@@ -195,7 +195,12 @@ def decode_gif(payload: bytes) -> "np.ndarray":
 
     canvas = np.zeros((ch, cw, 3), np.uint8)
     if gct is not None:
-        canvas[:] = gct[0]
+        # Seed with the logical-screen descriptor's background color
+        # index (spec 89a §18) — foreign GIFs whose frames don't cover
+        # the canvas expect gct[bg], not palette entry 0.  Guard the
+        # index: some encoders write bg past a truncated palette, in
+        # which case entry 0 is the conventional fallback.
+        canvas[:] = gct[_bg if _bg < len(gct) else 0]
     frames = []
     transparent = None
     while pos < len(payload):

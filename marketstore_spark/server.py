@@ -41,6 +41,7 @@ from marketstore_spark.catalog import Catalog
 from marketstore_spark.client import Client, Params
 
 _PARSE_ERROR = -32700
+_INVALID_REQUEST = -32600
 _METHOD_NOT_FOUND = -32601
 _INVALID_PARAMS = -32602
 _SERVER_ERROR = -32000
@@ -52,7 +53,13 @@ def _column_series(pdf: pd.DataFrame) -> dict:
     for c in pdf.columns:
         s = pdf[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            out[c] = s.astype("datetime64[ns]").astype("int64").tolist()
+            # astype(int64) turns NaT into INT64_MIN — mask to None so
+            # missing timestamps serialize as null like every other
+            # column's NaN does.
+            ns = s.astype("datetime64[ns]").astype("int64")
+            out[c] = [
+                None if miss else int(v) for v, miss in zip(ns, s.isna())
+            ]
         else:
             # pd.isna on a list/ndarray cell (array columns) returns an
             # array — only scalar cells get the NaN→None normalization
@@ -190,6 +197,14 @@ class _Handler(BaseHTTPRequestHandler):
             req = json.loads(body)
         except (ValueError, TypeError):
             self._reply(None, error={"code": _PARSE_ERROR, "message": "parse error"})
+            return
+        if not isinstance(req, dict):
+            # Valid JSON but not a request object (batch array, bare
+            # string, ...) — JSON-RPC invalid request, not a raw 500.
+            self._reply(
+                None,
+                error={"code": _INVALID_REQUEST, "message": "request must be an object"},
+            )
             return
         rid = req.get("id")
         method = str(req.get("method", ""))

@@ -58,7 +58,19 @@ def stream_ema_obv(
             ema = last_px = None
             obv = 0
         rows = []
-        for pdf in pdf_iter:
+        # Materialize the whole micro-batch before sorting: pdf_iter
+        # yields Arrow chunks (~10k rows each), and sorting chunks
+        # independently would let out-of-order rows straddling a chunk
+        # boundary reach the recurrence unsorted.  Per-key state is
+        # O(1) but the batch itself is already resident executor-side,
+        # so one concat does not change the memory envelope.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
             for ts, tb, px, vol in zip(
                 pdf[ts_col], pdf[tiebreak_col], pdf[value_col], pdf[volume_col]

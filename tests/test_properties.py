@@ -450,3 +450,28 @@ def test_gif_feature_extraction_through_spark(spark):
     out = {r["media_id"]: r for r in extract_features(media).collect()}
     assert out[1]["decoded_ok"] == 1 and out[1]["feat_dim"] == 32
     assert out[2]["decoded_ok"] == 0  # corrupt payload is data, not a bug
+
+
+def test_gif_background_color_index_seeds_canvas():
+    """Foreign GIFs can set the logical-screen background-color index
+    to a non-zero palette entry; uncovered canvas pixels must compose
+    from gct[bg], not palette entry 0 (spec 89a §18).  Hand-built 3x3
+    GIF, bg=2, single 1x1 frame of palette entry 1 at (0,0)."""
+    import struct
+    import numpy as np
+    from marketstore_spark.operators.gif import decode_gif
+
+    gct = [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)]
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HHBBB", 3, 3, 0x81, 2, 0)  # canvas 3x3, GCT(4), bg=2
+    for rgb in gct:
+        buf += bytes(rgb)
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)  # 1x1 frame at 0,0
+    # LZW min-code-size 2: clear(4), literal 1, EOI(5) packed LSB-first
+    buf += b"\x02" + b"\x02\x4c\x01" + b"\x00"
+    buf += b"\x3b"
+    got = decode_gif(bytes(buf))
+    assert got.shape == (1, 3, 3, 3)
+    want = np.full((3, 3, 3), 30, np.uint8)
+    want[0, 0] = (20, 20, 20)
+    assert (got[0] == want).all()

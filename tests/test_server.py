@@ -35,6 +35,7 @@ def rpc(spark, sf_dir, tmp_path_factory):
         with urllib.request.urlopen(req, timeout=120) as resp:
             return json.loads(resp.read())
 
+    call.port = port
     yield call
     srv.shutdown()
 
@@ -177,3 +178,33 @@ def test_sql_array_column_serializes(rpc):
     )
     cs = out["result"]["responses"][0]["result"]
     assert isinstance(cs["ids"][0], list) and len(cs["ids"][0]) > 0
+
+
+def test_non_object_json_body_is_invalid_request(rpc):
+    """A JSON-RPC batch array (or any non-object valid-JSON body) must
+    get the -32600 invalid-request error, not a raw 500/broken pipe."""
+    for body in (b"[1, 2, 3]", b'"just a string"', b"42"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rpc.port}/rpc",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["error"]["code"] == -32600
+    # still serving
+    assert "results" in rpc("DataService.ListSymbols")["result"]
+
+
+def test_nat_timestamp_serializes_as_null(rpc):
+    """NaT in a datetime column must serialize as JSON null, not the
+    INT64_MIN sentinel astype(int64) would produce."""
+    out = rpc(
+        "DataService.SQL",
+        {"statements": [
+            "SELECT CAST(NULL AS TIMESTAMP) AS t, TIMESTAMP '2024-01-02 03:04:05' AS u"
+        ]},
+    )
+    cs = out["result"]["responses"][0]["result"]
+    assert cs["t"] == [None]
+    assert cs["u"] == [1704164645 * 10**9]

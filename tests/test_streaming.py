@@ -501,3 +501,53 @@ def test_stream_ema_obv_matches_batch_across_microbatches(spark, sf_dir, tmpdir)
     assert len(got) == len(want_ema) > 0
     assert (got["ema"].values == want_ema["ema"].values).all()  # bitwise
     assert (got["obv"].values == want_obv["obv"].values).all()
+
+
+def test_stream_ema_obv_sorts_across_arrow_chunk_boundaries(spark, sf_dir, tmpdir):
+    """applyInPandasWithState hands the fold an ITERATOR of Arrow
+    chunks; sorting chunks independently would corrupt the recurrence
+    whenever out-of-order rows straddle a chunk boundary.  Force 3-row
+    chunks, feed one micro-batch whose file is written in REVERSE time
+    order, and require bitwise equality with the batch operators."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.ewm import ema
+    from marketstore_spark.operators.quant import obv
+    from marketstore_spark.streaming.indicators import stream_ema_obv
+
+    ev = (
+        typed_attrs(load_table(spark, sf_dir, "events"))
+        .filter(F.col("user_id") <= 3)
+        .select("user_id", "ts", "event_id", "value", F.col("attrs.k").alias("volume"))
+    )
+    src = os.path.join(tmpdir, "feed")
+    # one file, reverse-time order → one micro-batch with guaranteed
+    # out-of-order rows across every chunk boundary
+    ev.orderBy(F.desc("ts"), F.desc("event_id")).coalesce(1).write.parquet(src)
+    schema = ev.schema
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = read_stream(spark, src, schema)
+        live = stream_ema_obv(stream, span=20)
+        q = (
+            live.writeStream.format("memory")
+            .queryName("live_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = (
+        spark.sql("select event_id, ema, obv from live_chunked")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want_ema = ema(ev.select("user_id", "ts", "event_id", "value"), span=20)
+    want_ema = want_ema.select("event_id", "ema").toPandas().sort_values(
+        "event_id").reset_index(drop=True)
+    want_obv = obv(ev).select("event_id", "obv").toPandas().sort_values(
+        "event_id").reset_index(drop=True)
+    assert len(got) == len(want_ema) > 0
+    assert (got["ema"].values == want_ema["ema"].values).all()  # bitwise
+    assert (got["obv"].values == want_obv["obv"].values).all()
