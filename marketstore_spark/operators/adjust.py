@@ -6,18 +6,21 @@ every price strictly before a corporate action by the product of all
 later ratios; results rounded to 4 decimals (adjust.go
 roundToDecimals=4).
 
-Spark design: no per-symbol loop.  Union the price stream with the CA
-stream, then a single descending window per symbol computes the running
-product of ratios via exp(sum(ln ratio)) — an O(n) windowed scan, one
-shuffle on symbol.  At 100 TB the CA side is tiny; it rides along in the
-union and the window state is a single float per partition stream.
+Spark design: corporate actions are dims-scale (the reference loads
+them as a small in-memory table per symbol — caloader.go), so the
+price stream must never shuffle for them.  The CA table is aggregated
+per symbol into one array of action timestamps per distinct ratio,
+broadcast-joined onto the prices, and the adjustment factor is a pure
+projection: ``count = size(filter(ca_arr, t -> t > ts))`` per ratio,
+then a lookup into a literal power table.  Zero exchanges on the fact
+side — at 100 TB the plan is scan → broadcast-hash-join → project.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,37 +56,26 @@ def adjust(
     Determinism: when the CA stream holds at most ``exact_ratio_limit``
     distinct ratios (real corporate actions do — split legs and
     dividend rates repeat), the factor is computed EXACTLY as
-    ∏ ratio_r^count_r: integer counts from order-insensitive window
-    sums, powers from literal tables (:func:`ratio_power_table`).  No
+    ∏ ratio_r^count_r: integer counts from the broadcast per-key CA
+    arrays, powers from literal tables (:func:`ratio_power_table`).  No
     exp/ln — whose libm implementations differ across engines by an
     ulp and flip 4-decimal rounding at boundaries — anywhere on the
-    path.  Falls back to the running exp(sum(ln)) product for
-    pathological ratio sets; the distinct-ratio probe is a collect on
-    the CA table, which is dims-scale by construction — pass ``ratios``
-    when the caller already knows the set to skip the probe job.
+    path.  Falls back to a per-row log-sum over the broadcast (ts,
+    ratio) array for pathological ratio sets; the distinct-ratio probe
+    is a collect on the CA table, which is dims-scale by construction —
+    pass ``ratios`` when the caller already knows the set to skip the
+    probe job.
+
+    Scale: the price side is never shuffled or sorted — the only
+    exchanges are the CA-side aggregate (dims-scale) and its broadcast.
+    ``element_at`` past the power-table end (> MAX_ACTIONS_PER_KEY CAs
+    on one key) surfaces as NULL adjusted values, never a silent clamp.
     """
     keys = list(key_cols)
-    p = prices.select(
-        *keys,
-        F.col(ts_col).alias("__ts"),
-        F.col(price_col).alias("__price"),
-        F.lit(1.0).alias("__ratio"),
-        F.lit(0).alias("__is_ca"),
-    )
     a = actions.select(
         *keys,
-        F.col(ts_col).alias("__ts"),
-        F.lit(None).cast("double").alias("__price"),
-        F.col(ratio_col).cast("double").alias("__ratio"),
-        F.lit(1).alias("__is_ca"),
-    )
-    u = p.unionByName(a)
-    # Descending time; at equal ts the price row sorts first so a CA at
-    # exactly t does not adjust the price at t (strict inequality).
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").desc(), F.col("__is_ca").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        F.col(ts_col).alias("__ca_ts"),
+        F.col(ratio_col).cast("double").alias("__ca_ratio"),
     )
 
     if ratios is None:
@@ -93,28 +85,70 @@ def adjust(
             if r[0] is not None
         ]
     ratios = sorted(ratios)
-    if 0 < len(ratios) <= exact_ratio_limit and all(r > 0 for r in ratios):
-        # exact path: factor = ∏ ratio^count(later CAs with that ratio)
-        factor = F.lit(1.0)
-        for r in ratios:
-            cnt = F.sum(
-                F.when((F.col("__is_ca") == 1) & (F.col("__ratio") == r), 1).otherwise(0)
-            ).over(w)
-            table = F.array(*[F.lit(v) for v in ratio_power_table(r)])
-            # element_at is 1-based and yields NULL past the table end,
-            # so an overflow (> MAX_ACTIONS_PER_KEY CAs on one key)
-            # surfaces as NULL adjusted values, never a silent clamp
-            factor = factor * F.element_at(table, (cnt + 1).cast("int"))
+    exact = 0 < len(ratios) <= exact_ratio_limit and all(r > 0 for r in ratios)
+
+    if exact:
+        # one timestamp array per distinct ratio, per key
+        aggs = [
+            F.collect_list(
+                F.when(F.col("__ca_ratio") == r, F.col("__ca_ts"))
+            ).alias(f"__ca_{i}")
+            for i, r in enumerate(ratios)
+        ]
     else:
-        factor = F.exp(F.sum(F.log("__ratio")).over(w))
-    out = (
-        u.withColumn("__factor", factor)
-        .filter(F.col("__is_ca") == 0)
-        .select(
-            *keys,
-            F.col("__ts").alias(ts_col),
-            F.col("__price").alias(price_col),
-            F.round(F.col("__price") * F.col("__factor"), round_to).alias("adjusted"),
+        aggs = [
+            F.collect_list(
+                F.when(
+                    F.col("__ca_ratio").isNotNull(),
+                    F.struct(
+                        F.col("__ca_ts").alias("t"), F.col("__ca_ratio").alias("r")
+                    ),
+                )
+            ).alias("__ca_all")
+        ]
+    ca_per_key = a.groupBy(*keys).agg(*aggs)
+
+    joined = prices.join(F.broadcast(ca_per_key), on=keys, how="left")
+    ts = F.col(ts_col)
+
+    if exact:
+        # factor = ∏ ratio^count(later CAs with that ratio) — a pure
+        # projection over the broadcast arrays (strictly-later: a CA at
+        # exactly t does not adjust the price at t).  The whole factor
+        # is ONE parsed SQL expression: the element-wise F.lit /
+        # Column-algebra form pays hundreds of py4j round trips
+        # (~0.5s of driver time per query build); the string parses
+        # JVM-side in ~1ms.  The 'D' suffix makes each power-table
+        # element a DOUBLE literal of the shortest-roundtrip repr —
+        # bitwise the Python values — and the left-associative `*`
+        # chain evaluates the identical float64 steps as the Column
+        # form did.  try_element_at (not element_at): past-the-end
+        # lookups (> MAX_ACTIONS_PER_KEY CAs on one key) yield NULL
+        # under ANSI and non-ANSI alike, never a silent clamp or an
+        # ANSI-mode-dependent error.
+        terms = []
+        for i, r in enumerate(ratios):
+            tbl = (
+                "array(" + ",".join(repr(v) + "D" for v in ratio_power_table(r)) + ")"
+            )
+            cnt = (
+                f"(CASE WHEN `__ca_{i}` IS NULL THEN 0 "
+                f"ELSE size(filter(`__ca_{i}`, t -> t > `{ts_col}`)) END)"
+            )
+            terms.append(f"try_element_at({tbl}, cast(({cnt} + 1) AS int))")
+        factor = F.expr("1.0D" + "".join(" * " + t for t in terms))
+    else:
+        # log-sum accumulated in descending ts order, mirroring the
+        # order a descending window scan would use (non-parity path)
+        arr = F.col("__ca_all")
+        later = F.reverse(F.array_sort(F.filter(arr, lambda x: x["t"] > ts)))
+        factor = F.when(arr.isNull(), F.lit(1.0)).otherwise(
+            F.exp(F.aggregate(later, F.lit(0.0), lambda acc, x: acc + F.log(x["r"])))
         )
+
+    return joined.select(
+        *keys,
+        F.col(ts_col),
+        F.col(price_col),
+        F.round(F.col(price_col) * factor, round_to).alias("adjusted"),
     )
-    return out

@@ -12,10 +12,10 @@ scans them line-by-line).
 
 Spark design: the CA table is an ordinary (tiny) DataFrame
 ``(symbol, ex_ts, ratio, type)``; ingest parses announcement lines with
-a distributed text read and appends to a catalog bucket; the adjust join
-unions the CA stream into the price stream and runs one descending
-window per symbol (operators/adjust.py) — CA data is dims-scale, so at
-100 TB it broadcasts/rides along for free.
+a distributed text read and appends to a catalog bucket; the adjuster
+aggregates it per symbol into broadcast arrays and applies the factor
+as a pure projection over the price stream (operators/adjust.py) — CA
+data is dims-scale, so at 100 TB the fact side never shuffles.
 """
 
 from __future__ import annotations
@@ -41,20 +41,33 @@ def synthetic_corporate_actions(events: DataFrame) -> DataFrame:
     split (ratio 0.5), every 89th a 2% stock dividend (ratio 0.98).
     Column semantics match caloader.go's RateChange: the ratio applies
     to all prices strictly before ``ex_ts``."""
-    purchases = events.filter(F.col("event_type") == "purchase")
-    splits = purchases.filter(F.col("event_id") % 97 == 0).select(
-        F.col("user_id").cast("string").alias("symbol"),
-        F.col("ts").alias("ex_ts"),
-        F.lit(0.5).alias("ratio"),
-        F.lit("split").alias("type"),
+    # single scan: an event divisible by both 97 and 89 yields BOTH a
+    # split and a dividend row (the explode over a conditional struct
+    # array is the one-pass equivalent of the two-filter union)
+    legs = F.array_compact(
+        F.array(
+            F.when(
+                F.col("event_id") % 97 == 0,
+                F.struct(F.lit(0.5).alias("ratio"), F.lit("split").alias("type")),
+            ),
+            F.when(
+                F.col("event_id") % 89 == 0,
+                F.struct(F.lit(0.98).alias("ratio"), F.lit("dividend").alias("type")),
+            ),
+        )
     )
-    dividends = purchases.filter(F.col("event_id") % 89 == 0).select(
-        F.col("user_id").cast("string").alias("symbol"),
-        F.col("ts").alias("ex_ts"),
-        F.lit(0.98).alias("ratio"),
-        F.lit("dividend").alias("type"),
+    return (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & ((F.col("event_id") % 97 == 0) | (F.col("event_id") % 89 == 0))
+        )
+        .select(
+            F.col("user_id").cast("string").alias("symbol"),
+            F.col("ts").alias("ex_ts"),
+            F.explode(legs).alias("leg"),
+        )
+        .select("symbol", "ex_ts", F.col("leg.ratio").alias("ratio"), F.col("leg.type").alias("type"))
     )
-    return splits.unionByName(dividends)
 
 
 def parse_announcements(spark: SparkSession, path: str) -> DataFrame:

@@ -90,6 +90,7 @@ def pairwise_corr(
     tiebreak_col: str = "event_id",
     min_obs: int = 3,
     block_symbols: int = 512,
+    max_buckets: int = 50_000,
 ) -> DataFrame:
     """Pearson correlation of per-bucket CLOSES for every symbol pair,
     computed as blocked masked-gram matrices — the only formulation
@@ -144,7 +145,27 @@ def pairwise_corr(
     )
 
     spark = df.sparkSession
-    days = [r[0] for r in closes.select("bucket").distinct().orderBy("bucket").collect()]
+    # The bucket list is collected to the driver and every task holds
+    # dense block×n_buckets matrices — sound for the daily/hourly
+    # buckets this operator is designed around (10³-10⁴ doubles wide),
+    # quadratic-memory-wrong for tick-grained timeframes.  Guard it
+    # the way embedding dedup guards its exact path: the probe reads
+    # at most max_buckets+1 rows, so a runaway timeframe fails fast
+    # without materializing millions of rows on the driver.
+    days = [
+        r[0]
+        for r in closes.select("bucket")
+        .distinct()
+        .orderBy("bucket")
+        .limit(max_buckets + 1)
+        .collect()
+    ]
+    if len(days) > max_buckets:
+        raise ValueError(
+            f"pairwise_corr: more than {max_buckets} {timeframe!r} buckets; "
+            "this operator holds a dense per-bucket matrix per task — use a "
+            "coarser timeframe (daily/hourly) or raise max_buckets explicitly"
+        )
     n_days = len(days)
     if n_days == 0:
         return spark.createDataFrame(

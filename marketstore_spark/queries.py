@@ -3767,97 +3767,11 @@ def uda_adjust_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else in source order.
 
 _FRONT = [
-    # Round-5 rotation (driver checks the first ~50 keys).  Lead with
-    # the 33 keys absent from CORRECTNESS_r04's window — the VERDICT r04
-    # ⚠ set: their operator files (candler/uda/asof/sessionize/timeutil)
-    # were touched by the round-4 NTZ refactor AFTER r03's driver check,
-    # so their only post-change evidence is pytest.  corpus_stats opens
-    # the list: the warmup-absorbing first key should be a cheap
-    # scan-side plan.
-    "corpus_stats",
-    "uda_min",
-    "uda_max",
-    "uda_avg",
-    "uda_count",
-    "tickcandler",
-    "candlecandler",
-    "rollup_5min",
-    "rollup_1h",
-    "rollup_1d",
-    "rollup_1w",
-    "rollup_1mo",
-    "vwap",
-    "uda_adjust",
-    "corporate_actions",
-    "uda_adjust_ca",
-    "gapfill",
-    "skew_salted_agg",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q22_sales_opportunity",
-    "dedup_exact",
-    # dedup_ngram_jaccard additionally gets a round-5 perf rework —
-    # fresh parity row doubly required
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "ann_filtered",
-    "multimodal_meta",
-    # New round-5 keys (remaining TPC-H adaptations) — first driver rows
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_potential_promotion",
-    "multimodal_video_decode",
-    "text_repetition",
-    "corpus_decontaminate",
-    "corpus_sample",
-    "twap",
-    "pairwise_corr",
-    # Round-4-green keys whose code changed this round — fresh driver
-    # rows required, most-load-bearing first.  ann_lsh_exhaustive's
-    # signature path changed (lazy plane matrix, no forced
-    # repartition); q18/q21 got plan rework; the dedup/simhash and
-    # frame-sample families got the hot-path rework.
-    "ann_lsh_exhaustive",
-    "dedup_embedding_lsh_exhaustive",
-    "q21_suppliers_who_kept_orders_waiting",
-    "q18_large_volume_customer",
-    # q1/q15 are in the window: their aggregates moved to the
-    # integer-cents fast path this round (bitwise-verified locally at
-    # all three SFs, but a post-change driver row is the standard).
-    # The slots come from dedup_minhash_keep and dedup_clusters, whose
-    # operator code region and queries.py entries are UNCHANGED since
-    # their green r04 rows (the r05 dedup rework touched ngram/
-    # simhash/embedding only — verified against the r04 diff hunks).
-    "q1_pricing_summary",
-    "q15_top_supplier",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "multimodal_frame_sample",
-    # Exactly 50 keys — the driver window.  Dropped to make the count:
-    # ann_lsh / dedup_embedding_lsh / ann_ivf are no-oracle rows-only
-    # checks whose hash-parity *_exhaustive anchors (same machinery,
-    # exhaustive config) ARE in the window, so the weaker check is
-    # redundant with a stronger one; ann_ivf_exhaustive and
-    # percentiles_approx_exhaustive are r04-green on code untouched
-    # this round (the r05 simsearch change is confined to the
-    # hyperplane bucket assigner, which IVF does not use).
-    # range_join / asof_join_tolerance / dedup_minhash_keep /
-    # dedup_clusters stay out (r04-green, untouched); they rotate
-    # back in r06.
-]
-
-
-# Immediately after the 50-key window: the round-5 second-pass keys
-# (no driver row yet — they lead the r06 rotation; if the driver's
-# budget stretches past 50 they get rows a round early), then the
-# r04-green untouched remainder in source order.
-_BACK = [
+    # Round-6 rotation (driver checks the first ~50 keys).  Lead with
+    # the 13 round-5 keys that have never had a driver row (VERDICT r05
+    # "What's missing" #1 — the ◇ set): with these green, every
+    # registered key has a driver-checked CORRECTNESS row at least once
+    # (union coverage 107/107).
     "obv",
     "stochastic_k",
     "macd",
@@ -3871,6 +3785,72 @@ _BACK = [
     "distinct_users",
     "distinct_users_approx",
     "multimodal_gif_decode",
+    # Keys whose operator files changed this round — fresh driver rows
+    # required: adjust.py/ca.py were re-planned as broadcast-CA
+    # projections (VERDICT r05 must-fix #2), quant.py gained the
+    # pairwise_corr bucket guard (twap shares the file; obv/
+    # stochastic_k/beta/realized_vol are already above).
+    "uda_adjust",
+    "corporate_actions",
+    "uda_adjust_ca",
+    "pairwise_corr",
+    "twap",
+    # Back-fill: the oldest-evidence keys (last driver row r4) in the
+    # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
+    # asof pair, indicator family, text family, TPC-H r4 block.
+    "query_range",
+    "query_limit_tail",
+    "query_limit_head",
+    "list_symbols",
+    "list_symbols_tbk",
+    "get_info",
+    "multi_query",
+    "sql_select",
+    "uda_gap",
+    "uda_gap_zscore",
+    "asof_join",
+    "asof_join_tolerance",
+    "returns",
+    "sma",
+    "bollinger",
+    "rsi",
+    "drawdown",
+    "ema",
+    "sessionize",
+    "percentiles",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_termfreq",
+    "q3_shipping_priority",
+    "q4_late_orders",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    # Exactly 50 keys — the driver window.  Everything left out is
+    # r4/r5-green on code untouched this round: the whole r5 window
+    # (corpus_stats…multimodal_frame_sample), q19/top_symbols/
+    # range_join/corpus_filter_pipeline, the *_exhaustive anchors, and
+    # the rows-only keys whose anchors are driver-green.
+]
+
+
+# Immediately after the 50-key window: the r4-green keys that could
+# not fit (they lead the r07 rotation; if the driver's budget
+# stretches past 50 they get rows a round early), then everything
+# else in source order.
+_BACK = [
+    "q19_discounted_revenue",
+    "top_symbols",
+    "range_join",
+    "corpus_filter_pipeline",
+    "percentiles_approx_exhaustive",
+    "ann_ivf_exhaustive",
+    "dedup_minhash_keep",
+    "dedup_clusters",
 ]
 
 

@@ -593,6 +593,24 @@ def test_pairwise_corr_drops_constant_series(spark):
     assert pairwise_corr(df, "1 day").count() == 0  # zero variance on sym 1
 
 
+def test_pairwise_corr_guards_runaway_bucket_count(spark):
+    """A tick-grained timeframe would collect millions of buckets to
+    the driver and hold dense block×buckets matrices per task — the
+    guard must fail fast with a pointer at coarser timeframes, before
+    any matrix work, and raising max_buckets must re-enable the call."""
+    from marketstore_spark.operators.quant import pairwise_corr
+
+    rows = [
+        (sym, _ts(2024, 1, 1, 0, m, 0), m * 2 + sym, float(m + sym))
+        for m in range(10)
+        for sym in (1, 2)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    with pytest.raises(ValueError, match="coarser timeframe"):
+        pairwise_corr(df, "1 minute", max_buckets=5)
+    assert pairwise_corr(df, "1 minute", max_buckets=100).count() == 1
+
+
 def test_obv_direction_signed_running_sum(spark):
     from marketstore_spark.operators.quant import obv
 
@@ -850,3 +868,28 @@ def test_hll_distinct_within_rsd_of_exact(spark, sf_dir):
     assert set(exact) == set(approx) and len(exact) > 0
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.06 * n), (k, n, approx[k])
+
+
+def test_adjust_no_actions_key_and_fallback_path(spark):
+    """Keys absent from the CA table pass through with factor 1 (the
+    broadcast join is left-outer), and a ratio set larger than
+    exact_ratio_limit falls back to the log-sum path with the same
+    strictly-before semantics."""
+    prices = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1), 100.0), (2, _ts(2024, 1, 1), 40.0)],
+        ["user_id", "ts", "value"],
+    )
+    actions = spark.createDataFrame(
+        [(1, _ts(2024, 1, 2), 0.5)], ["user_id", "ts", "ratio"]
+    )
+    out = {r["user_id"]: r["adjusted"] for r in adjust(prices, actions).collect()}
+    assert out[1] == pytest.approx(50.0, abs=1e-4)
+    assert out[2] == pytest.approx(40.0, abs=1e-4)  # no CA for key 2
+
+    # fallback: force via exact_ratio_limit=0
+    out2 = {
+        r["user_id"]: r["adjusted"]
+        for r in adjust(prices, actions, exact_ratio_limit=0).collect()
+    }
+    assert out2[1] == pytest.approx(50.0, abs=1e-4)
+    assert out2[2] == pytest.approx(40.0, abs=1e-4)

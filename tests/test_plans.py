@@ -484,3 +484,17 @@ def test_realized_vol_shares_symbol_sort(spark, sf_dir):
     exchanges are the bucket-close extraction and the symbol window."""
     plan = explain_str(SPARK_QUERIES["realized_vol"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_adjust_never_shuffles_prices(spark, sf_dir):
+    """Corporate actions are dims-scale; the price stream must not
+    shuffle or sort for them.  The plan is scan → BroadcastHashJoin →
+    project: the ONLY shuffle Exchange is the CA-side aggregate, and
+    there is no Window/Sort anywhere (the old union-window formulation
+    sorted the entire fact)."""
+    for key in ("uda_adjust", "uda_adjust_ca"):
+        plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan
+        assert "Window" not in plan, plan
