@@ -49,8 +49,56 @@ def _get_session():
     return get_session("marketstore-spark-cli")
 
 
-def main(argv: list[str] | None = None, spark=None, out=None) -> int:
+def _repl(cat, out, stdin, limit: int) -> int:
+    """cmd/connect-style interactive shell: each line is a MarketSQL
+    statement (TBK backticks work: ``SELECT * FROM `SYM/1Min/TICK```);
+    backslash commands mirror the reference's session commands
+    (\\l list, \\i KEY getinfo, \\h help, \\q quit).  Reads until EOF,
+    so a scripted stdin drives it exactly like a terminal does."""
+    from marketstore_spark.plans.sqlfront import MarketSQL
+
+    interactive = hasattr(stdin, "isatty") and stdin.isatty()
+    if interactive:
+        try:  # arrow-key history when a real terminal is attached
+            import readline  # noqa: F401
+        except ImportError:
+            pass
+    msql = MarketSQL(cat)
+    while True:
+        if interactive:
+            print("marketstore> ", end="", file=out, flush=True)
+        line = stdin.readline()
+        if not line:  # EOF
+            return 0
+        stmt = line.strip().rstrip(";")
+        if not stmt:
+            continue
+        cmd, _, rest = stmt.partition(" ")
+        try:
+            if cmd in (r"\q", "quit", "exit"):
+                return 0
+            elif cmd == r"\h":
+                print(
+                    r"\l  list buckets   \i KEY  bucket info   \q  quit   "
+                    "anything else runs as SQL",
+                    file=out,
+                )
+            elif cmd == r"\l":
+                for name in cat.list_symbols(format="tbk"):
+                    print(name, file=out)
+            elif cmd == r"\i":
+                info = cat.get_info(rest.strip())
+                print(json.dumps({k: str(v) for k, v in info.items()}), file=out)
+            else:
+                for row in msql.sql(stmt).limit(limit).toJSON().collect():
+                    print(row, file=out)
+        except Exception as ex:  # noqa: BLE001 — a REPL survives bad input
+            print(f"ERROR: {type(ex).__name__}: {ex}", file=out)
+
+
+def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int:
     out = out or sys.stdout
+    stdin = stdin or sys.stdin
     p = argparse.ArgumentParser(prog="marketstore-spark")
     p.add_argument("--root", help="bucket catalog root (any Spark-readable URI)")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -88,6 +136,12 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
 
     s = sub.add_parser("sql", help="run a MarketSQL/SQL statement (connect)")
     s.add_argument("statement")
+    s.add_argument("--limit", type=int, default=20)
+
+    s = sub.add_parser(
+        "connect",
+        help="interactive SQL shell over the store (cmd/connect REPL)",
+    )
     s.add_argument("--limit", type=int, default=20)
 
     s = sub.add_parser("versions", help="bucket commit history (tool wal analogue)")
@@ -148,6 +202,8 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         df = MarketSQL(cat).sql(args.statement)
         for line in df.limit(args.limit).toJSON().collect():
             print(line, file=out)
+    elif args.cmd == "connect":
+        return _repl(cat, out, stdin, args.limit)
     elif args.cmd == "versions":
         from marketstore_spark import txn
         from marketstore_spark.catalog import TimeBucketKey

@@ -170,9 +170,25 @@ class DataService:
         fmt = (params or {}).get("format", "symbol")
         return {"results": self.catalog.list_symbols(format=fmt)}
 
+    # -- DataService.ServerVersion (proto/marketstore.proto:163;
+    #    frontend ServerVersion RPC) ---------------------------------------
+    def ServerVersion(self, params: dict) -> dict:
+        from marketstore_spark import __version__
+
+        return {"version": __version__}
+
 
 _RPC_METHODS = frozenset(
-    ["Query", "SQL", "Write", "Create", "Destroy", "GetInfo", "ListSymbols"]
+    [
+        "Query",
+        "SQL",
+        "Write",
+        "Create",
+        "Destroy",
+        "GetInfo",
+        "ListSymbols",
+        "ServerVersion",
+    ]
 )
 
 
@@ -184,9 +200,69 @@ def _ns_ts(epoch_ns):
 
 class _Handler(BaseHTTPRequestHandler):
     service: DataService  # set by make_server
+    hub = None  # optional streaming.pubsub.StreamHub, set by make_server
 
     def log_message(self, *a):  # quiet under pytest
         pass
+
+    def do_GET(self):  # noqa: N802  (http.server API)
+        """Client-facing live-stream endpoint (frontend/stream/stream.go
+        websocket push, as HTTP long-poll): ``GET /stream?streams=<glob>
+        [&cursor=N][&timeout=S]`` subscribes the glob on the attached
+        StreamHub and blocks until rows past ``cursor`` arrive in the
+        subscriber's delivery directory (or the timeout lapses).  The
+        reply is ``{"cursor": M, "payloads": [...]}`` — re-issue with
+        the returned cursor to continue; an idle poll returns an empty
+        payload list with the cursor unchanged.  The glob matching and
+        fan-out stay executor-side in the hub's foreachBatch broadcast
+        join; this handler only tails the (already per-subscriber)
+        delivery directory — the client-visible analogue of a
+        subscription socket, without the driver touching batch rows."""
+        import hashlib
+        import time
+        import urllib.parse as up
+
+        parsed = up.urlsplit(self.path)
+        if parsed.path != "/stream":
+            self.send_error(404)
+            return
+        if self.hub is None:
+            self._reply(
+                None,
+                error={"code": _SERVER_ERROR, "message": "no stream hub attached"},
+            )
+            return
+        q = up.parse_qs(parsed.query)
+        pattern = (q.get("streams") or [""])[0]
+        if not pattern:
+            self._reply(
+                None,
+                error={"code": _INVALID_PARAMS, "message": "streams= glob required"},
+            )
+            return
+        try:
+            cursor = int((q.get("cursor") or ["0"])[0])
+            timeout = min(float((q.get("timeout") or ["30"])[0]), 60.0)
+        except ValueError:
+            self._reply(
+                None,
+                error={"code": _INVALID_PARAMS, "message": "bad cursor/timeout"},
+            )
+            return
+        # one durable subscriber per distinct glob, shared by every
+        # poller of that glob (delivery directories are append-only, so
+        # concurrent pollers just read at different cursors)
+        name = "http-" + hashlib.md5(pattern.encode()).hexdigest()[:10]
+        if not any(s.name == name for s in self.hub.subscribers):
+            self.hub.subscribe(name, pattern)
+        deadline = time.monotonic() + timeout
+        while True:
+            rows = self.hub.delivered(name)
+            if len(rows) > cursor or time.monotonic() >= deadline:
+                break
+            time.sleep(0.2)
+        rows.sort(key=lambda r: r.get("__batch_id", 0))
+        self._reply(None, result={"cursor": len(rows), "payloads": rows[cursor:]})
 
     def do_POST(self):  # noqa: N802  (http.server API)
         if self.path != "/rpc":
@@ -245,18 +321,24 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
 
-def make_server(catalog: Catalog, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    catalog: Catalog, host: str = "127.0.0.1", port: int = 0, hub=None
+) -> ThreadingHTTPServer:
     """Build (but don't start) the RPC server; ``port=0`` binds an
-    ephemeral port (``server.server_address[1]`` reads it back)."""
+    ephemeral port (``server.server_address[1]`` reads it back).
+    ``hub`` (a streaming.pubsub.StreamHub) enables the ``GET /stream``
+    long-poll subscription endpoint."""
     service = DataService(catalog)
-    handler = type("BoundHandler", (_Handler,), {"service": service})
+    handler = type("BoundHandler", (_Handler,), {"service": service, "hub": hub})
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve_background(catalog: Catalog, host: str = "127.0.0.1", port: int = 0):
+def serve_background(
+    catalog: Catalog, host: str = "127.0.0.1", port: int = 0, hub=None
+):
     """Start the server on a daemon thread; returns (server, thread).
     ``server.shutdown()`` stops it."""
-    srv = make_server(catalog, host, port)
+    srv = make_server(catalog, host, port, hub=hub)
     t = threading.Thread(target=srv.serve_forever, name="msdb-rpc", daemon=True)
     t.start()
     return srv, t

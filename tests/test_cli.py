@@ -87,3 +87,47 @@ def test_cli_versions_and_vacuum(spark, store):
     # after compact+vacuum only the current version remains listed
     rows = [json.loads(r) for r in _run(spark, ["--root", root, "versions", "TSLA/1Min/TICK"])]
     assert len(rows) == 1 and rows[0]["current"]
+
+
+def test_cli_connect_repl_scripted_session(spark, store):
+    """cmd/connect analogue: a scripted stdin drives the interactive
+    shell — SQL with TBK backticks, \\l and \\i session commands, an
+    error that must NOT kill the session, and \\q to exit."""
+    root, _cat = store
+    script = "\n".join(
+        [
+            "",  # blank line is ignored
+            r"\h",
+            r"\l",
+            r"\i TSLA/1Min/TICK",
+            "SELECT COUNT(*) AS n FROM `TSLA/1Min/TICK`;",
+            "SELECT broken syntax here",  # survives as ERROR line
+            "SELECT COUNT(*) AS m FROM `AAPL/1Min/TICK`",
+            r"\q",
+            "never reached",
+        ]
+    ) + "\n"
+    buf = io.StringIO()
+    rc = main(
+        ["--root", root, "connect"],
+        spark=spark,
+        out=buf,
+        stdin=io.StringIO(script),
+    )
+    assert rc == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert any(r"\l  list buckets" in l for l in lines)  # \h
+    assert "TSLA/1Min/TICK" in lines and "AAPL/1Min/TICK" in lines  # \l
+    info = next(json.loads(l) for l in lines if l.startswith("{") and "rows" in l)
+    assert info["rows"] == "300"
+    assert any('"n":300' in l for l in lines)
+    assert any('"m":100' in l for l in lines)
+    assert any(l.startswith("ERROR:") for l in lines)
+    assert not any("never reached" in l for l in lines)
+
+
+def test_cli_connect_eof_exits_cleanly(spark, store):
+    root, _cat = store
+    buf = io.StringIO()
+    rc = main(["--root", root, "connect"], spark=spark, out=buf, stdin=io.StringIO(""))
+    assert rc == 0

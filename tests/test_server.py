@@ -208,3 +208,75 @@ def test_nat_timestamp_serializes_as_null(rpc):
     cs = out["result"]["responses"][0]["result"]
     assert cs["t"] == [None]
     assert cs["u"] == [1704164645 * 10**9]
+
+
+def test_stream_longpoll_subscription(spark, sf_dir, tmp_path_factory):
+    """frontend/stream/stream.go analogue: GET /stream long-polls a
+    TBK-glob subscription; a micro-batch pushed through the hub while
+    the poll is blocked must wake it with the matched rows, and the
+    returned cursor must resume past them on the next poll."""
+    import json as _json
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.streaming.pubsub import StreamHub
+    from marketstore_spark.streaming.writer import read_stream
+
+    root = tmp_path_factory.mktemp("streamrpc")
+    cat = Catalog(spark, str(root / "cat"))
+    hub = StreamHub(key_col="tbk", delivery_root=str(root / "deliveries"))
+    srv, _t = serve_background(cat, hub=hub)
+    port = srv.server_address[1]
+    try:
+        def poll(params):
+            url = f"http://127.0.0.1:{port}/stream?" + params
+            with urllib.request.urlopen(url, timeout=120) as resp:
+                return json.loads(resp.read())
+
+        # no hub rows yet: a short poll returns empty at cursor 0
+        idle = poll("streams=SYM1/1Min/*&timeout=0.5")
+        assert idle["result"] == {"cursor": 0, "payloads": []}
+
+        # long-poll in a thread, THEN push one micro-batch through
+        got = {}
+        waiter = threading.Thread(
+            target=lambda: got.update(poll("streams=SYM1/1Min/*&timeout=30"))
+        )
+        waiter.start()
+
+        src = str(root / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "b0.json"), "w") as fh:
+            for row in (
+                {"tbk": "SYM1/1Min/TICK", "v": 1},
+                {"tbk": "SYM2/1Min/TICK", "v": 2},
+                {"tbk": "SYM1/1Min/TICK", "v": 3},
+            ):
+                fh.write(_json.dumps(row) + "\n")
+        stream = spark.readStream.schema("tbk string, v long").json(src)
+        q = hub.attach(stream)
+        q.awaitTermination(120)
+        waiter.join(timeout=120)
+        assert not waiter.is_alive()
+        rows = got["result"]["payloads"]
+        assert sorted(r["v"] for r in rows) == [1, 3]  # glob filtered
+        assert all(r["tbk"] == "SYM1/1Min/TICK" for r in rows)
+
+        # resuming from the returned cursor is idle again
+        after = poll(f"streams=SYM1/1Min/*&cursor={got['result']['cursor']}&timeout=0.5")
+        assert after["result"]["payloads"] == []
+
+        # bad requests
+        bad = poll("timeout=0.5")
+        assert bad["error"]["code"] == -32602
+    finally:
+        srv.shutdown()
+
+
+def test_server_version_rpc(rpc):
+    from marketstore_spark import __version__
+
+    out = rpc("DataService.ServerVersion")
+    assert out["result"]["version"] == __version__
