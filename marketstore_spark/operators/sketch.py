@@ -61,32 +61,42 @@ def cms_heavy_hitters(
 ) -> DataFrame:
     """Top-k most frequent terms with Count-Min estimated counts.
 
-    One token scan feeds BOTH the sketch (bounded depth·width state)
-    and the candidate vocabulary; each candidate's estimate is the min
-    over its ``depth`` cells, read from the broadcast sketch.  At
-    unbounded vocabulary, replace the distinct-candidates pass with a
-    sampled/floored candidate stream — the sketch side is already
-    O(depth·width) regardless.  Output deterministic: ties break on
-    term; estimates are exact-deterministic (md5 slots), so the SQL
-    oracle reproduces them bit-for-bit — estimate ≥ true count always
-    (CMS overestimate property, pinned in pytest).
+    The candidate pass is inherently vocabulary-wide (a heavy-hitter
+    query needs candidate terms), so the sketch is built WEIGHTED from
+    the same per-term count aggregate — cell(d, slot) = Σ tcnt over
+    terms hashing there, identical to hashing every raw token but with
+    the depth× md5 fan-out over the vocabulary instead of the token
+    stream (~50× fewer hashes at sf0.1), and the wordcount exchange is
+    reused for sketch and probes (no persist needed).  For a truly
+    unbounded vocabulary use :func:`cms_sketch` directly on the token
+    stream — its shuffle state stays O(depth·width) with no
+    per-term aggregate — and probe with a sampled/floored candidate
+    stream.  Output deterministic: ties break on term; estimates are
+    exact-deterministic (md5 slots), so the SQL oracle reproduces them
+    bit-for-bit — estimate ≥ true count always (CMS overestimate
+    property, pinned in pytest).
     """
-    toks = (
+    docs = (
         df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("term"))
-        # Parallelize the depth×token md5 fan-out regardless of input
-        # split count (the word_shingles pattern): without this, a
-        # single-file corpus runs all depth·tokens hashes in one task
-        # (measured 1.1s → 0.3s for the sketch at sf0.1).
+        .select(F.lower(F.trim(F.col(text_col))).alias("__t"))
+        # Parallelize tokenize+partial-count regardless of input split
+        # count (the word_shingles pattern): a single-file corpus would
+        # otherwise run the whole map side in one task.  Repartitioning
+        # documents (not tokens) moves each byte once.
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    sketch = cms_sketch(toks, width=width, depth=depth)
-    cand = toks.distinct()
-    probes = cand.select(
-        "term", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
-    ).select("term", "d", _slot(F.col("d"), F.col("term"), width).alias("slot"))
+    tc = (
+        docs.select(F.explode(F.split(F.col("__t"), _WS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    fan = tc.select("term", "tcnt", d).select(
+        "term", "tcnt", "d", _slot(F.col("d"), F.col("term"), width).alias("slot")
+    )
+    sketch = fan.groupBy("d", "slot").agg(F.sum("tcnt").alias("cnt"))
     est = (
-        probes.join(F.broadcast(sketch), ["d", "slot"])
+        fan.join(F.broadcast(sketch), ["d", "slot"])
         .groupBy("term")
         .agg(F.min("cnt").alias("est_count"))
     )
