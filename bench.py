@@ -72,6 +72,13 @@ HEADLINE = [
     # and the Count-Min linear sketch (bounded-state aggregate shape)
     "realized_vol",
     "text_heavy_hitters",
+    # round-6 additions: candle-fed indicator (map-side partial candle
+    # agg), cross-sectional rank (three linear shuffles), per-row chunk
+    # explode, and the wordcount-join quality score
+    "atr",
+    "xs_momentum",
+    "corpus_chunk",
+    "text_doc_freq_score",
 ]
 
 _ORACLE_TABLES = (

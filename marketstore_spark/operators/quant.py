@@ -485,3 +485,190 @@ def realized_vol(
         "symbol", F.col("bucket").alias("epoch"), "mv",
         F.round(vol, 6).alias("realized_vol"),
     )
+
+
+def _bucket_closes(
+    df: DataFrame,
+    timeframe: str,
+    symbol_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Last-tick integer-cent close per (symbol, bucket) — the shared
+    front half of realized_vol/beta/xs_momentum: ONE shuffle on
+    (symbol, bucket), deterministic last pick by (ts, tiebreak)."""
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        cents.alias("close_c"),
+        w["start"].alias("bucket"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("symbol", "bucket").orderBy(
+            F.col("__ts").desc(), F.col("__tb").desc()
+        )
+    )
+    return (
+        ticks.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("symbol", "bucket", "close_c")
+    )
+
+
+def atr(
+    df: DataFrame,
+    n: int = 14,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Average True Range (Wilder's volatility measure, SMA variant):
+    per-bucket candles H/L/C in integer cents, true range
+    TR = max(H−L, |H−prev_C|, |L−prev_C|) (first bucket: H−L), and
+    ATR = the ``n``-bucket simple average of TR — NULL during warm-up.
+
+    OHLC consumers of the reference compute this client-side from the
+    candler output (contrib/candler serves the inputs); this moves the
+    whole chain into the engine.  Exactness: candle picks are exact
+    min/max/max_by on LONG cents, TR is integer, the rolling sum is an
+    integer window sum, and ATR is ONE double division by ``n`` — the
+    realized_vol policy, so both engines agree bitwise.
+
+    Shape: one shuffle for the candle aggregate (map-side partials),
+    then one per-symbol sort shared by the lag, the rolling sum, and
+    the row counter.  Linear in symbols × buckets.
+    """
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        cents.alias("px_c"),
+        w["start"].alias("bucket"),
+    )
+    candles = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+        F.max_by("px_c", F.struct("__ts", "__tb")).alias("c"),
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev_c = F.lag("c").over(ws)
+    tr = F.when(prev_c.isNull(), F.col("h") - F.col("l")).otherwise(
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - prev_c),
+            F.abs(F.col("l") - prev_c),
+        )
+    )
+    staged = candles.select("symbol", "bucket", tr.alias("tr"))
+    frame = ws.rowsBetween(-(n - 1), Window.currentRow)
+    rown = F.row_number().over(ws)
+    atr_c = F.when(rown >= n, F.sum("tr").over(frame).cast("double") / F.lit(float(n)))
+    return staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "tr",
+        F.round(atr_c, 6).alias("atr"),
+    )
+
+
+def donchian(
+    df: DataFrame,
+    n: int = 20,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Donchian channels: the rolling ``n``-bucket highest high /
+    lowest low per symbol, plus the midline — the breakout bands every
+    OHLCV client derives from the reference's candler output.
+
+    Pure exact arithmetic end to end: bucket H/L are integer-cent
+    min/max picks, the channel bounds are window min/max over LONGs,
+    and the midline divides an integer sum by 2 (a power of two —
+    exact in float64).  NULL bounds during warm-up.
+
+    Shape: one candle shuffle, one shared per-symbol sort for both
+    rolling extrema and the row counter.
+    """
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        cents.alias("px_c"),
+        w["start"].alias("bucket"),
+    )
+    hilo = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"), F.min("px_c").alias("l")
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    frame = ws.rowsBetween(-(n - 1), Window.currentRow)
+    rown = F.row_number().over(ws)
+    upper = F.when(rown >= n, F.max("h").over(frame))
+    lower = F.when(rown >= n, F.min("l").over(frame))
+    return hilo.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        upper.alias("upper_c"),
+        lower.alias("lower_c"),
+        ((upper + lower).cast("double") / F.lit(2.0)).alias("mid_c"),
+    )
+
+
+def xs_momentum(
+    df: DataFrame,
+    lookback: int = 5,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Cross-sectional momentum rank: each symbol's ``lookback``-bucket
+    price move, ranked across ALL symbols within each bucket (rank 1 =
+    strongest move) — the factor-model building block computed
+    client-side from reference candle queries.
+
+    The move is an integer-cent difference (exact), the return is ONE
+    double division (move / base close), and the rank is an integer
+    window function ordered by return DESC alone — ties share a rank
+    (rank() depends only on the key values), so the output is
+    deterministic without a tie-break column.  Warm-up rows (no
+    ``lookback``-back close) are dropped.
+
+    Shape: bucket-close extraction shuffles once on (symbol, bucket);
+    the lag shares the per-symbol sort; the cross-sectional rank is
+    one more shuffle on bucket — unavoidable for a cross-sectional
+    operator and linear in rows.  Nothing is quadratic in symbols.
+    """
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    base = F.lag("close_c", lookback).over(ws)
+    staged = (
+        closes.select(
+            "symbol",
+            "bucket",
+            (F.col("close_c") - base).alias("mom_c"),
+            base.alias("base_c"),
+        )
+        .filter(F.col("mom_c").isNotNull() & (F.col("base_c") != 0))
+    )
+    ret = F.col("mom_c").cast("double") / F.col("base_c")
+    wr = Window.partitionBy("bucket").orderBy(ret.desc())
+    return staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "mom_c",
+        F.round(ret, 6).alias("ret"),
+        F.rank().over(wr).cast("long").alias("xs_rank"),
+    )

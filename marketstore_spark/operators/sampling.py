@@ -111,3 +111,91 @@ def pack_documents(
         f"shard {shard_type}, doc_id long, n_tokens long, "
         "pack_id long, pack_offset long",
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_num: int = 0,
+    stratum_col: str = "lang",
+    key_cols: tuple[str, ...] = ("doc_id",),
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling: each stratum keeps rows at
+    its own ``rates[stratum]/256`` rate (``default_num/256`` for
+    unlisted strata) — the language/source-rebalancing step of a
+    training-data mix (up/down-weighting by bucket, as in public
+    CommonCrawl pipeline practice), with hash_sample's engine-portable
+    determinism.
+
+    The rate table is dimension-sized, so it compiles into the filter
+    as a CASE expression — a pure projection+filter with NO join and
+    no shuffle; partition pruning and pushdown compose as usual.
+    """
+    for k, v in rates.items():
+        if not 0 <= v <= 256:
+            raise ValueError(f"stratified_hash_sample: rate {k}={v} out of [0, 256]")
+    if not 0 <= default_num <= 256:
+        raise ValueError("stratified_hash_sample: default_num out of [0, 256]")
+    def _hex(v: int) -> str:
+        # full rate needs a sentinel ABOVE every md5 prefix; '100'
+        # would lexicographically sort below 'ff' ('1' < 'f')
+        return "zz" if v == 256 else format(v, "02x")
+
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    byte = F.substring(F.md5(key), 1, 2)
+    thresh = F.lit(_hex(default_num))
+    for k, v in sorted(rates.items()):
+        thresh = F.when(F.col(stratum_col) == k, F.lit(_hex(v))).otherwise(thresh)
+    return df.filter(byte < thresh)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with optional
+    overlap (``stride`` < ``chunk_tokens``) — the context-window
+    chunking step of a training/RAG pipeline (the per-document dual of
+    pack_documents, which concatenates; this splits).
+
+    Whitespace tokens, chunk = ``chunk_tokens`` consecutive tokens
+    starting every ``stride`` tokens; the tail chunk may be short.
+    Pure per-row array work (split → sequence → explode → slice →
+    array_join): no shuffle, no UDF, linear in corpus tokens, and the
+    explode multiplies rows only by ceil(n/stride) — the same growth
+    the downstream training job needs anyway.  Empty documents yield
+    no chunks.
+
+    Output: doc_id, chunk_id (0-based), n_tokens (in chunk),
+    chunk_text.
+    """
+    stride = chunk_tokens if stride is None else stride
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_documents: chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError("chunk_documents: stride must be <= chunk_tokens (gaps)")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    exploded = base.select(
+        "doc_id",
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        ).alias("__start"),
+    )
+    take = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+    return exploded.select(
+        "doc_id",
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        take.cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, take), " "
+        ).alias("chunk_text"),
+    )

@@ -310,3 +310,46 @@ def scrub_pii(
         )
     keep = [c for c in df.columns if c != text_col]
     return df.select(*keep, scrubbed.alias(text_col), *counts)
+
+
+def doc_freq_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-frequency document quality score: the mean corpus
+    frequency of a document's tokens — the engine-portable core of
+    KenLM-style perplexity filtering (CCNet's quality signal).  A
+    document of common words scores high; one of rare/garbage tokens
+    scores low.  Kept integer-exact: per-doc Σ count(term) and token
+    count are LONG sums, the score is ONE double division — no logs,
+    no order-dependent float accumulation (the repo parity policy; a
+    caller wanting log-space perplexity applies its own log to the
+    integer counts).
+
+    Plan: one explode→groupBy(term) builds the corpus unigram table
+    (wordcount shape, combiner-friendly); the token stream re-joins it
+    on term (shuffle join — the vocabulary is corpus-scale in general;
+    broadcast the top-V slice + OOV fallback when the vocab fits), and
+    one groupBy(doc) folds the doc score.  Linear end to end.
+    """
+    t = F.col(text_col)
+    toks = df.filter(_nonempty(t)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    return (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term_count").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
+                "mean_term_freq"
+            ),
+        )
+    )

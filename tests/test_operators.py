@@ -893,3 +893,158 @@ def test_adjust_no_actions_key_and_fallback_path(spark):
     }
     assert out2[1] == pytest.approx(50.0, abs=1e-4)
     assert out2[2] == pytest.approx(40.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------------
+# Round-6 indicator family: ATR / Donchian / cross-sectional momentum
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture()
+def daily_ticks(spark):
+    """Two symbols, four days; day 3 of symbol 1 gaps up so the true
+    range is driven by |H - prev_C|, not H - L."""
+    rows = [
+        # sym, ts, id, price
+        (1, _ts(2024, 1, 1, 10), 1, 10.00),
+        (1, _ts(2024, 1, 1, 15), 2, 12.00),   # d1: H=12 L=10 C=12
+        (1, _ts(2024, 1, 2, 10), 3, 11.00),
+        (1, _ts(2024, 1, 2, 15), 4, 9.00),    # d2: H=11 L=9 C=9
+        (1, _ts(2024, 1, 3, 10), 5, 20.00),
+        (1, _ts(2024, 1, 3, 15), 6, 21.00),   # d3: gap up, H=21 L=20 C=21
+        (1, _ts(2024, 1, 4, 10), 7, 21.00),   # d4: flat H=L=C=21
+        (2, _ts(2024, 1, 1, 10), 8, 50.00),
+        (2, _ts(2024, 1, 2, 10), 9, 55.00),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+
+
+def test_atr_true_range_and_warmup(daily_ticks):
+    from marketstore_spark.operators.quant import atr
+
+    out = {
+        (r["symbol"], r["epoch"].day): r
+        for r in atr(daily_ticks, n=3).collect()
+    }
+    # TR in cents: d1 first bucket = H-L = 200; d2 = max(200, |1100-1200|,
+    # |900-1200|) = 300; d3 gap = max(100, |2100-900|, |2000-900|) = 1200;
+    # d4 flat = max(0, 0, 0) = 0
+    assert out[(1, 1)]["tr"] == 200
+    assert out[(1, 2)]["tr"] == 300
+    assert out[(1, 3)]["tr"] == 1200
+    assert out[(1, 4)]["tr"] == 0
+    # warm-up: n=3 → first two days NULL, d3 = (200+300+1200)/3
+    assert out[(1, 1)]["atr"] is None and out[(1, 2)]["atr"] is None
+    assert out[(1, 3)]["atr"] == round((200 + 300 + 1200) / 3, 6)
+    assert out[(1, 4)]["atr"] == round((300 + 1200 + 0) / 3, 6)
+    # symbol 2 never reaches 3 buckets
+    assert out[(2, 1)]["atr"] is None and out[(2, 2)]["atr"] is None
+
+
+def test_donchian_extrema_and_midline(daily_ticks):
+    from marketstore_spark.operators.quant import donchian
+
+    out = {
+        (r["symbol"], r["epoch"].day): r
+        for r in donchian(daily_ticks, n=2).collect()
+    }
+    assert out[(1, 1)]["upper_c"] is None  # warm-up
+    d2 = out[(1, 2)]
+    assert (d2["upper_c"], d2["lower_c"], d2["mid_c"]) == (1200, 900, 1050.0)
+    d3 = out[(1, 3)]
+    assert (d3["upper_c"], d3["lower_c"], d3["mid_c"]) == (2100, 900, 1500.0)
+
+
+def test_xs_momentum_rank_and_ties(spark):
+    from marketstore_spark.operators.quant import xs_momentum
+
+    rows = []
+    eid = 0
+    # three symbols over three days; with lookback=1, day-2 moves are
+    # +10% (sym1), +10% (sym2 — tie), -10% (sym3)
+    for day, prices in [(1, (10.0, 20.0, 30.0)), (2, (11.0, 22.0, 27.0)),
+                        (3, (11.0, 22.0, 27.0))]:
+        for sym, px in enumerate(prices, start=1):
+            eid += 1
+            rows.append((sym, _ts(2024, 1, day, 12), eid, px))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = xs_momentum(df, lookback=1)
+    d2 = {r["symbol"]: r for r in out.filter(F.dayofmonth("epoch") == 2).collect()}
+    assert d2[1]["xs_rank"] == 1 and d2[2]["xs_rank"] == 1  # tied +10%
+    assert d2[3]["xs_rank"] == 3  # rank (not dense_rank) skips 2
+    assert d2[1]["ret"] == 0.1 and d2[3]["ret"] == -0.1
+    d3 = {r["symbol"]: r for r in out.filter(F.dayofmonth("epoch") == 3).collect()}
+    assert all(r["mom_c"] == 0 for r in d3.values())
+
+
+# ---------------------------------------------------------------------
+# Round-6 corpus shaping: chunking, stratified sampling, unigram score
+# ---------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from marketstore_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=3, stride=2)
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0,2,4 → [a b c][c d e][e]
+    assert got[(1, 0)]["chunk_text"] == "a b c"
+    assert got[(1, 1)]["chunk_text"] == "c d e"
+    assert got[(1, 2)]["chunk_text"] == "e"
+    assert got[(1, 2)]["n_tokens"] == 1
+    # doc 2: one short chunk; doc 3 (blank): none
+    assert got[(2, 0)]["chunk_text"] == "x"
+    assert len(got) == 4
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=3, stride=4)
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from marketstore_spark.operators.sampling import stratified_hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    # full rate keeps every row of the stratum (the 'zz' sentinel: a
+    # '100' threshold would sort BELOW 'ff' and drop most rows)
+    full = stratified_hash_sample(docs, rates={"en": 256}, default_num=0)
+    assert full.count() == 200
+    assert full.filter(F.col("lang") == "zh").count() == 0
+    # zero rate drops the stratum entirely
+    none = stratified_hash_sample(docs, rates={"en": 0}, default_num=256)
+    assert none.filter(F.col("lang") == "en").count() == 0
+    assert none.filter(F.col("lang") == "zh").count() == 200
+    # deterministic: same inputs → identical keep set
+    a = sorted(
+        r[0]
+        for r in stratified_hash_sample(docs, rates={"en": 64}, default_num=32)
+        .select("doc_id").collect()
+    )
+    b = sorted(
+        r[0]
+        for r in stratified_hash_sample(docs, rates={"en": 64}, default_num=32)
+        .select("doc_id").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, rates={"en": 300})
+
+
+def test_doc_freq_score_hand_counts(spark):
+    from marketstore_spark.operators.text import doc_freq_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the the dog"), (3, "")],
+        ["doc_id", "text"],
+    )
+    # corpus counts: the=3, cat=1, dog=1
+    out = {r["doc_id"]: r for r in doc_freq_score(docs).collect()}
+    assert out[1]["sum_freq"] == 4 and out[1]["n_tokens"] == 2
+    assert out[1]["mean_term_freq"] == 2.0
+    assert out[2]["sum_freq"] == 7 and out[2]["n_tokens"] == 3
+    assert out[2]["mean_term_freq"] == 7 / 3
+    assert 3 not in out  # empty docs yield no score

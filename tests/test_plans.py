@@ -498,3 +498,58 @@ def test_adjust_never_shuffles_prices(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
         assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan
         assert "Window" not in plan, plan
+
+
+def test_atr_candle_agg_plus_shared_symbol_sort(spark, sf_dir):
+    """ATR: one exchange for the candle aggregate (with MAP-SIDE
+    partials — the shuffle carries candles, not ticks) and one for the
+    symbol window, whose lag/rolling-sum/row-counter share one sort."""
+    plan = explain_str(SPARK_QUERIES["atr"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "partial_max" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_donchian_candle_agg_plus_shared_symbol_sort(spark, sf_dir):
+    """Donchian: same two-exchange shape as ATR; both rolling extrema
+    and the row counter ride one per-symbol sort."""
+    plan = explain_str(SPARK_QUERIES["donchian"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_xs_momentum_linear_three_stage(spark, sf_dir):
+    """Cross-sectional rank needs the bucket-close shuffle, the symbol
+    window, and the per-bucket rank — three exchanges, nothing
+    quadratic, no join."""
+    plan = explain_str(SPARK_QUERIES["xs_momentum"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_corpus_chunk_pure_projection(spark, sf_dir):
+    """Chunking is split→sequence→explode→slice per row: no shuffle,
+    no join, and the scan reads only doc_id + text."""
+    plan = explain_str(SPARK_QUERIES["corpus_chunk"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "Join" not in plan, plan
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "lang" not in m[0] and "n_chars" not in m[0]
+
+
+def test_corpus_sample_stratified_pure_filter(spark, sf_dir):
+    """The per-stratum rate table compiles into the filter as a CASE —
+    a pure filter+project plan with no join and no shuffle."""
+    plan = explain_str(SPARK_QUERIES["corpus_sample_stratified"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_doc_freq_score_wordcount_join_no_cartesian(spark, sf_dir):
+    """The unigram score is wordcount + an equi-join on term + one
+    doc fold: hash aggregates and a hash join only — never a sort-less
+    cartesian, never a fact broadcast of the token stream."""
+    plan = explain_str(SPARK_QUERIES["text_doc_freq_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
