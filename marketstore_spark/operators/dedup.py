@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.layout import spread_for_narrow_work
+
 _WS = r"\s+"
 
 #: Rows per block side in the embedding-LSH pair generator: bounds each
@@ -50,11 +52,12 @@ def word_shingles(
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(1), k)  # slice() is 1-indexed
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    # Spread the heavy explode/hash projection across the cluster: the
-    # corpus may arrive in few (or one) input splits, and everything up
-    # to the first shuffle would otherwise run in those few tasks.  One
-    # cheap row-shuffle here parallelizes all downstream shingle work.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    # Spread the heavy explode/hash projection across the cluster when
+    # the input's split count can't (functions/layout: size-gated — a
+    # tiny local corpus skips the shuffle, a 100 TB scan already has
+    # more splits than cores and skips it too; heavy: the shingle
+    # transform is an interpreted per-word lambda).
+    df = spread_for_narrow_work(df, id_col, heavy=True)
     out = (
         df.filter(F.trim(F.col(text_col)) != "")
         .filter(k >= 1)
@@ -118,11 +121,11 @@ def span_dedup_groups(
     n_spans = (F.size(words) / span_words).cast("int")
     starts = F.sequence(F.lit(1), (n_spans - 1) * span_words + 1, F.lit(span_words))
     spans = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, span_words)))
-    # Spread the per-doc HOF work across the cluster before the heavy
-    # projection (word_shingles pattern: few input splits otherwise
-    # serialize it), and keep the span builder OUT of the explode
-    # pipeline so Catalyst can't re-evaluate it per exploded row.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    # Spread the per-doc HOF work across the cluster when splits can't
+    # (size-gated — see word_shingles), and keep the span builder OUT
+    # of the explode pipeline so Catalyst can't re-evaluate it per
+    # exploded row.
+    df = spread_for_narrow_work(df, id_col)
     exploded = (
         df.filter(F.size(words) >= span_words)
         .select(F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("span_idx", "span"))
@@ -453,9 +456,9 @@ def simhash(
     blowup this operator previously paid, dominating its wall time).
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
-    # Parallelize the token fan-out regardless of input split count
-    # (see word_shingles note).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    # Parallelize the token fan-out when the split count can't
+    # (size-gated — see word_shingles note).
+    df = spread_for_narrow_work(df, id_col, heavy=True)
     toks = (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.layout import spread_for_narrow_work
+
 _WS = r"\s+"
 
 
@@ -76,14 +78,14 @@ def cms_heavy_hitters(
     bit-for-bit — estimate ≥ true count always (CMS overestimate
     property, pinned in pytest).
     """
-    docs = (
+    docs = spread_for_narrow_work(
+        # Parallelize tokenize+partial-count when the input split count
+        # can't (size-gated, functions/layout): a single-file corpus
+        # would otherwise run the whole map side in one task, but a
+        # tiny or cluster-wide corpus skips the shuffle.  Repartitioning
+        # documents (not tokens) moves each byte at most once.
         df.filter(F.trim(F.col(text_col)) != "")
         .select(F.lower(F.trim(F.col(text_col))).alias("__t"))
-        # Parallelize tokenize+partial-count regardless of input split
-        # count (the word_shingles pattern): a single-file corpus would
-        # otherwise run the whole map side in one task.  Repartitioning
-        # documents (not tokens) moves each byte once.
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     tc = (
         docs.select(F.explode(F.split(F.col("__t"), _WS)).alias("term"))

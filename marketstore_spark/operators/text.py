@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.layout import spread_for_narrow_work
+
 # Per-language stopword markers for the n-gram/stopword langid
 # heuristic.  Counting is on word boundaries, case-insensitive.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -233,10 +235,9 @@ def repetition_stats(
         lambda acc: acc["best"],
     )
     # The HOF lambdas are interpreted per element — spread the heavy
-    # projection across the cluster even when the input arrives in one
-    # split (see word_shingles); the shuffled payload is just the raw
-    # text rows.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    # projection when the input's split count can't (size-gated, see
+    # functions/layout); the shuffled payload is just the raw text rows.
+    df = spread_for_narrow_work(df, id_col, heavy=True)
     base = df.filter(_nonempty(F.col(text_col))).select(
         F.col(id_col).alias("doc_id"), words.alias("__w"), grams.alias("__g")
     )

@@ -4034,13 +4034,19 @@ _FRONT = [
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
+    # The size-gated parallelism spread (functions/layout) re-plans the
+    # shingle/simhash/CMS front half — fresh driver rows for the main
+    # consumers not already above (dedup_span and text_heavy_hitters
+    # are); results are partitioning-independent and re-verified at
+    # sf0.001+sf0.01 locally.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "text_repetition",
+    "corpus_decontaminate",
+    # Oldest-evidence back-fill (last driver row r4, code untouched).
     "query_range",
     "query_limit_tail",
-    "query_limit_head",
-    "list_symbols",
-    "list_symbols_tbk",
-    "get_info",
-    "multi_query",
     "sql_select",
     "uda_gap",
     "uda_gap_zscore",

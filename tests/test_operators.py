@@ -1048,3 +1048,23 @@ def test_doc_freq_score_hand_counts(spark):
     assert out[2]["sum_freq"] == 7 and out[2]["n_tokens"] == 3
     assert out[2]["mean_term_freq"] == 7 / 3
     assert 3 not in out  # empty docs yield no score
+
+
+def test_spread_for_narrow_work_size_gate(spark):
+    from marketstore_spark.functions.layout import spread_for_narrow_work
+
+    # tiny input (an in-memory relation with known stats): both modes
+    # skip — the shuffle can't pay for itself
+    tiny = spark.range(10).selectExpr("id AS doc_id", "'x' AS text")
+    assert spread_for_narrow_work(tiny, "doc_id").rdd.getNumPartitions() == \
+        tiny.rdd.getNumPartitions()
+    # a LocalRelation under ~64KB skips even in heavy mode
+    assert spread_for_narrow_work(tiny, "doc_id", heavy=True) is tiny or \
+        spread_for_narrow_work(tiny, "doc_id", heavy=True).rdd.getNumPartitions() == \
+        tiny.rdd.getNumPartitions()
+    # a heavy-mode input above the floor spreads to defaultParallelism
+    big = spark.range(200_000).selectExpr(
+        "id AS doc_id", "repeat('word ', 20) AS text"
+    )
+    spread = spread_for_narrow_work(big, "doc_id", heavy=True)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -381,14 +381,15 @@ def test_corpus_sample_is_pure_filter(spark, sf_dir):
 
 def test_text_repetition_no_join_single_scan(spark, sf_dir):
     """All repetition signals are per-row HOFs: one documents scan, no
-    join, no aggregate — the only exchange is the parallelism-spread
-    repartition."""
+    join, no aggregate — the only admissible exchange is the
+    parallelism-spread repartition, and the size gate
+    (functions/layout) elides even that on a tiny input."""
     import re
 
     plan = explain_str(SPARK_QUERIES["text_repetition"](spark, sf_dir))
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan and "HashAggregate" not in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
 def test_twap_single_shuffle_single_scan(spark, sf_dir):
