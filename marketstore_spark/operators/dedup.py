@@ -569,6 +569,89 @@ def simhash_pairs(
 # ---------------------------------------------------------------------
 
 
+def _blocked_cosine_candidates(sig: DataFrame, gate: float) -> DataFrame:
+    """Candidate near-dup pairs within each bucket of ``sig``
+    (columns: bucket, id, v) at cosine ≥ ``gate``, via block-pair
+    numpy grams — the shared core of the hyperplane-LSH and semantic-
+    cluster dedup paths.
+
+    Block assignment: contiguous id-ordered runs of ≤ _PAIR_BLOCK_ROWS
+    per bucket.  Every row fans out to each block it must meet
+    (nblk rows emitted per row), so group (bucket, ga, gb) holds
+    exactly the two blocks' rows — small buckets (nblk == 1) pay no
+    fan-out and keep the one-task-per-bucket shape.  A hot bucket —
+    the classic straggler at 100 TB — parallelizes across the cluster
+    with each task's slab bounded at block² doubles.  Survivors carry
+    their vectors out for in-place exact re-verification (no re-join
+    against the corpus).  Output: bucket, id_a, id_b, va, vb.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w_rn = Window.partitionBy("bucket").orderBy("id")
+    w_n = Window.partitionBy("bucket")
+    sig = (
+        sig.withColumn("rn", F.row_number().over(w_rn) - 1)
+        .withColumn("nblk", F.ceil(F.count("*").over(w_n) / _PAIR_BLOCK_ROWS).cast("int"))
+        .withColumn("blk", (F.col("rn") / _PAIR_BLOCK_ROWS).cast("int"))
+    )
+    bucket_type = sig.schema["bucket"].dataType.simpleString()
+    ex = (
+        sig.select(
+            "bucket", "id", "v", "blk",
+            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("other"),
+        )
+        .withColumn("ga", F.least("blk", "other"))
+        .withColumn("gb", F.greatest("blk", "other"))
+    )
+
+    def _block_pairs(key, pdf):
+        ga, gb = int(key[1]), int(key[2])
+
+        def prep(sub):
+            ids = sub["id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = np.stack(sub["v"].to_numpy())[order].astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            return ids, mat, mat / norms[:, None]
+
+        if ga == gb:
+            ids_a, mat_a, unit_a = prep(pdf)
+            sims = unit_a @ unit_a.T
+            ri, ci = np.nonzero(np.triu(sims >= gate, k=1))
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            # row_number orders blocks by id, so every id in block ga
+            # sorts before every id in block gb — pair orientation is
+            # free, and no cross-block pair can be double-emitted.
+            ids_a, mat_a, unit_a = prep(pdf[pdf["blk"] == ga])
+            ids_b, mat_b, unit_b = prep(pdf[pdf["blk"] == gb])
+            sims = unit_a @ unit_b.T
+            ri, ci = np.nonzero(sims >= gate)
+        # Explicit dtypes: a zero-survivor group would otherwise give the
+        # vector columns a float64 dtype Arrow can't cast to list<double>.
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(
+                    [key[0]] * len(ri),
+                    dtype="object" if bucket_type == "string" else "int64",
+                ),
+                "id_a": pd.Series(ids_a[ri], dtype="int64"),
+                "id_b": pd.Series(ids_b[ci], dtype="int64"),
+                "va": pd.Series([r.tolist() for r in mat_a[ri]], dtype="object"),
+                "vb": pd.Series([r.tolist() for r in mat_b[ci]], dtype="object"),
+            }
+        )
+
+    return ex.groupBy("bucket", "ga", "gb").applyInPandas(
+        _block_pairs,
+        f"bucket {bucket_type}, id_a long, id_b long, "
+        "va array<double>, vb array<double>",
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.35,
@@ -613,68 +696,7 @@ def embedding_dup_pairs_lsh(
 
     with_buckets = _bucket_assigner(num_planes, num_tables, id_col, vec_col)
     sig = with_buckets(df, "id", "v")
-    gate = threshold - 1e-6
-
-    # Block assignment: contiguous id-ordered runs of ≤ _PAIR_BLOCK_ROWS
-    # per bucket.  Every row fans out to each block it must meet
-    # (nblk rows emitted per row), so group (bucket, ga, gb) holds
-    # exactly the two blocks' rows — small buckets (nblk == 1) pay no
-    # fan-out and keep the old one-task-per-bucket shape.
-    w_rn = Window.partitionBy("bucket").orderBy("id")
-    w_n = Window.partitionBy("bucket")
-    sig = (
-        sig.withColumn("rn", F.row_number().over(w_rn) - 1)
-        .withColumn("nblk", F.ceil(F.count("*").over(w_n) / _PAIR_BLOCK_ROWS).cast("int"))
-        .withColumn("blk", (F.col("rn") / _PAIR_BLOCK_ROWS).cast("int"))
-    )
-    ex = (
-        sig.select(
-            "bucket", "id", "v", "blk",
-            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("other"),
-        )
-        .withColumn("ga", F.least("blk", "other"))
-        .withColumn("gb", F.greatest("blk", "other"))
-    )
-
-    def _block_pairs(key, pdf):
-        ga, gb = int(key[1]), int(key[2])
-
-        def prep(sub):
-            ids = sub["id"].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            mat = np.stack(sub["v"].to_numpy())[order].astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0.0] = 1.0
-            return ids, mat, mat / norms[:, None]
-
-        if ga == gb:
-            ids_a, mat_a, unit_a = prep(pdf)
-            sims = unit_a @ unit_a.T
-            ri, ci = np.nonzero(np.triu(sims >= gate, k=1))
-            ids_b, mat_b = ids_a, mat_a
-        else:
-            # row_number orders blocks by id, so every id in block ga
-            # sorts before every id in block gb — pair orientation is
-            # free, and no cross-block pair can be double-emitted.
-            ids_a, mat_a, unit_a = prep(pdf[pdf["blk"] == ga])
-            ids_b, mat_b, unit_b = prep(pdf[pdf["blk"] == gb])
-            sims = unit_a @ unit_b.T
-            ri, ci = np.nonzero(sims >= gate)
-        # Explicit dtypes: a zero-survivor group would otherwise give the
-        # vector columns a float64 dtype Arrow can't cast to list<double>.
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(ids_a[ri], dtype="int64"),
-                "id_b": pd.Series(ids_b[ci], dtype="int64"),
-                "va": pd.Series([r.tolist() for r in mat_a[ri]], dtype="object"),
-                "vb": pd.Series([r.tolist() for r in mat_b[ci]], dtype="object"),
-            }
-        )
-
-    cand = ex.groupBy("bucket", "ga", "gb").applyInPandas(
-        _block_pairs, "id_a long, id_b long, va array<double>, vb array<double>"
-    )
+    cand = _blocked_cosine_candidates(sig, threshold - 1e-6).drop("bucket")
     if num_tables > 1:
         # A pair surfaces once per table whose bucket it shares; with a
         # single table no duplicate is possible — skip the shuffle.
@@ -775,4 +797,79 @@ def benchmark_overlap(
         c.join(F.broadcast(b), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    seed: str = "semdedup",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 — public method):
+    cluster the embedding space, then report near-dup pairs
+    (cosine ≥ ``threshold``) WITHIN each cluster — the scale trick is
+    that the quadratic search runs per cluster, never corpus-wide.
+
+    This engine-portable variant replaces k-means with deterministic
+    seeded assignment so the whole pipeline is oracle-checkable:
+    ``n_clusters`` seed vectors are the rows with the smallest
+    md5(seed|id) (an engine-portable pseudo-random sample, the
+    hash_sample idiom), and every vector joins the seed it has the
+    highest cosine to (ties → smallest seed id).  Seeds stay a
+    dimension-sized DataFrame end to end — selected with a top-k
+    (never collected) and broadcast into the assignment join.
+
+    Shape: one broadcast cross join (n × n_clusters rows) folded by a
+    map-side-combinable max_by per vector, then the shared block-pair
+    gram machinery (:func:`_blocked_cosine_candidates`) keyed on the
+    cluster id, with survivors re-verified in place by the exact
+    sequential-fold cosine.  Nothing is quadratic in the corpus; a hot
+    cluster parallelizes across block-pair tasks exactly like a hot
+    LSH bucket.
+
+    Output: cluster_id (seed vec id), id_a, id_b, cosine (6dp).
+    """
+    from marketstore_spark.functions.vector import cosine_sim
+
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = (
+        e.orderBy(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("id").cast("string"))), "id"
+        )
+        .limit(n_clusters)
+        .select(F.col("id").alias("seed_id"), F.col("v").alias("sv"))
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "id", "v", "seed_id", cosine_sim(F.col("v"), F.col("sv")).alias("cos")
+    )
+    # max_by on (cos, -seed_id): highest cosine wins, ties go to the
+    # smallest seed id — combiner-friendly (partial max_by map-side),
+    # deterministic on any row order.
+    assigned = (
+        scored.filter(F.col("cos").isNotNull())
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "seed_id", F.struct(F.col("cos"), (-F.col("seed_id")).alias("ns"))
+            ).alias("bucket"),
+            F.first("v").alias("v"),
+        )
+        .select("bucket", "id", "v")
+    )
+    cand = _blocked_cosine_candidates(assigned, threshold - 1e-6)
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("bucket").alias("cluster_id"),
+            "id_a",
+            "id_b",
+            F.round("cosine", 6).alias("cosine"),
+        )
     )

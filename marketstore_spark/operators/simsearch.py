@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from marketstore_spark.functions.vector import cosine_sim
+from marketstore_spark.functions.vector import cosine_sim, dot, l2_norm
 
 
 def _as_double(vec_col: str) -> Column:
@@ -40,17 +40,24 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector the k nearest corpus
     vectors (self-matches excluded).  Output: query_id, neighbor_id,
     cosine (rounded 6dp), rank."""
+    # Norms are per-vector, not per-pair: fold them ONCE on each side
+    # before the join (the interpreted aggregate lambda is the cost
+    # center — this cuts HOF work per pair from three folds to one).
+    # Numerically identical to folding inside the pair: same
+    # element-order fold, same dot/(na*nb) expression.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    den = F.col("qn") * F.col("cn")
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        (dot(F.col("qv"), F.col("cv"))
+         / F.when(den == 0, F.lit(None)).otherwise(den)).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()

@@ -1068,3 +1068,44 @@ def test_spread_for_narrow_work_size_gate(spark):
     )
     spread = spread_for_narrow_work(big, "doc_id", heavy=True)
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from marketstore_spark.operators.dedup import semantic_dedup_pairs
+
+    # two tight clusters on orthogonal axes + one outlier; seeds are
+    # md5-sampled so we only assert STRUCTURAL properties (pairs stay
+    # within a cluster; all near-identical same-axis pairs found)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.98, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.99, 0.01]),
+        (20, [0.5, 0.5, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup_pairs(df, n_clusters=2, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    # same-axis pairs have cosine ~0.9998 — must appear if their
+    # members share a cluster; orthogonal pairs (1,10) must NOT
+    assert (1, 10) not in got and (1, 11) not in got
+    for (a, b), r in got.items():
+        assert r["cosine"] >= 0.9
+    # determinism: second run identical
+    again = {(r["id_a"], r["id_b"]) for r in
+             semantic_dedup_pairs(df, n_clusters=2, threshold=0.9).collect()}
+    assert set(got) == again
+
+
+def test_semantic_dedup_assignment_is_argmax(spark):
+    """With every vector as its own seed (n_clusters >= n), each vector
+    clusters to itself (cos(v,v)=1 beats all) — so no pairs survive
+    unless two vectors are in the same direction and one seed wins
+    both by the tie rule."""
+    from marketstore_spark.operators.dedup import semantic_dedup_pairs
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, -1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup_pairs(df, n_clusters=3, threshold=0.5).collect()
+    assert out == []

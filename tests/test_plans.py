@@ -554,3 +554,14 @@ def test_doc_freq_score_wordcount_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_dedup_semantic_broadcast_seeds_blocked_pairs(spark, sf_dir):
+    """Semantic dedup: the seed table joins via broadcast nested loop
+    (dimension-sized cross join — the corpus side never shuffles for
+    assignment), pair generation runs in the block-pair pandas stage,
+    and nothing plans a non-broadcast cartesian over the corpus."""
+    plan = explain_str(SPARK_QUERIES["dedup_semantic"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
