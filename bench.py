@@ -79,6 +79,16 @@ HEADLINE = [
     "xs_momentum",
     "corpus_chunk",
     "text_doc_freq_score",
+    # round-6 second pass: the recursive-indicator shape — a sequential
+    # float recurrence the engine runs as ONE applyInPandas pass per
+    # symbol vs. the oracle's recursive CTE; the heaviest real-compute
+    # entries in the suite (~1M recurrence steps at sf0.1), at parity
+    # with the single-node SQL engine.  (corpus_pack's packing
+    # recurrence is the same shape but its recursive-CTE oracle is
+    # ~100x slower than the operator at sf0.1 — including it would
+    # swamp the suite denominator, so it stays a correctness-only key.)
+    "ema",
+    "macd",
 ]
 
 _ORACLE_TABLES = (

@@ -3,24 +3,40 @@
 marketstore serves EMA-style overlays from its timeseries API (the
 charting/backtesting use case behind uda/ and contrib/candler).  An
 EMA is a linear recurrence (ema_t = α·x_t + (1−α)·ema_{t−1}), which no
-window frame expresses — this is the sanctioned ``applyInPandas`` case
-(SURVEY §6): per-key ordered recursion, Arrow-batched, vectorized by
-pandas' C ewm kernel.
+window frame expresses — this is the sanctioned Pandas-UDF case
+(SURVEY §6): per-key ordered recursion, Arrow-batched.
 
-Scale shape: one shuffle on the symbol key; each group is one symbol's
-history processed in a single Arrow batch.  State is O(1) per key but
-the batch is O(rows-per-symbol) — for multi-year tick histories at
-100 TB, split the recurrence by time-chunk (carry ema forward with the
-identity ema_chunk = α·Σ(1−α)^i·x + (1−α)^n·carry) or serve from the
-candle rollups instead of raw ticks.  The streaming analogue lives in
-streaming/gapwatch.py (applyInPandasWithState).
+Scale shape: ONE shuffle hash-partitioned on the key plus a
+within-partition sort, then a single ``mapInPandas`` streaming pass
+per partition that folds every key's recurrence with carry state
+across Arrow batches.  (The earlier ``groupBy().applyInPandas``
+formulation invoked Python once per KEY — pandas construction,
+per-group sort, and Arrow framing ~1500× at sf0.1 dominated the
+actual ~1M-step fold by ~5×; the partition-streaming pass pays those
+costs once per partition and handles a key whose history spans many
+Arrow batches, which the one-group-one-batch contract could not.)
+The streaming analogue lives in streaming/gapwatch.py
+(applyInPandasWithState).
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
+
+
+def _partition_sorted(
+    df: DataFrame, key_cols: Sequence[str], order: Sequence[str]
+) -> DataFrame:
+    """Hash-partition on the key and sort each partition by
+    (key, order): every key's rows become one contiguous, time-ordered
+    run inside a partition — the layout the streaming fold consumes.
+    Arrow batching may split a run across batches; the fold carries
+    its accumulators over the boundary."""
+    return df.repartition(*[df[c] for c in key_cols]).sortWithinPartitions(
+        *key_cols, *order
+    )
 
 
 def ema(
@@ -41,32 +57,35 @@ def ema(
     e.g. the DuckDB recursive-CTE oracle — reproduces it bitwise.
     pandas' C ewm kernel is ~1-6 ulp off that expression (contraction +
     its `/(old_wt+new_wt)` normalization), which is why it is not used
-    here; the per-row Python loop costs ~0.5 s per million rows per
-    key, amortized across Arrow batches — acceptable for per-symbol
-    histories, and the chunked-carry identity in the module docstring
-    is the path if a single key's history outgrows a batch."""
+    here."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
     alpha = 2.0 / (span + 1.0)
     beta = 1.0 - alpha
-    order = [ts_col, *tiebreak]
+    keys = list(key_cols)
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, ignore_index=True)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        out = np.empty_like(vals)
-        if len(vals):
-            acc = float(vals[0])
-            out[0] = acc
-            for i in range(1, len(vals)):
-                acc = alpha * float(vals[i]) + beta * acc
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        acc = 0.0
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            kcols = [pdf[k].to_numpy() for k in keys]
+            out = np.empty_like(vals)
+            for i in range(len(vals)):
+                k = tuple(c[i] for c in kcols)
+                x = float(vals[i])
+                if k != cur_key:
+                    cur_key, acc = k, x
+                else:
+                    acc = alpha * x + beta * acc
                 out[i] = acc
-        pdf[out_col] = out
-        return pdf
+            pdf[out_col] = out
+            yield pdf
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+    return _partition_sorted(df, keys, [ts_col, *tiebreak]).mapInPandas(gen, schema)
 
 
 def macd(
@@ -80,8 +99,8 @@ def macd(
     tiebreak: Sequence[str] = ("event_id",),
 ) -> DataFrame:
     """MACD per key: fast/slow EMA difference plus its signal-line EMA
-    and the histogram — three coupled linear recurrences evaluated in
-    ONE applyInPandas pass (one shuffle; the ema() scale notes apply).
+    and the histogram — three coupled linear recurrences folded in the
+    same single partition-streaming pass as :func:`ema` (one shuffle).
 
     Bit-reproducibility contract (the ema() policy extended): each
     step is the literal float64 sequence ``α·x + (1−α)·prev`` per EMA,
@@ -91,6 +110,7 @@ def macd(
     accumulators replays it bitwise.
     """
     import numpy as np
+    import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType(
@@ -104,28 +124,33 @@ def macd(
     af, bf = 2.0 / (fast + 1.0), 1.0 - 2.0 / (fast + 1.0)
     as_, bs = 2.0 / (slow + 1.0), 1.0 - 2.0 / (slow + 1.0)
     ag, bg = 2.0 / (signal + 1.0), 1.0 - 2.0 / (signal + 1.0)
-    order = [ts_col, *tiebreak]
+    keys = list(key_cols)
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, ignore_index=True)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        m = np.empty_like(vals)
-        s = np.empty_like(vals)
-        if len(vals):
-            ef = es = float(vals[0])
-            line = ef - es  # exactly 0.0
-            sig = line
-            m[0], s[0] = line, sig
-            for i in range(1, len(vals)):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        ef = es = sig = 0.0
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            kcols = [pdf[k].to_numpy() for k in keys]
+            m = np.empty_like(vals)
+            s = np.empty_like(vals)
+            for i in range(len(vals)):
+                k = tuple(c[i] for c in kcols)
                 x = float(vals[i])
-                ef = af * x + bf * ef
-                es = as_ * x + bs * es
-                line = ef - es
-                sig = ag * line + bg * sig
+                if k != cur_key:
+                    cur_key = k
+                    ef = es = x
+                    line = ef - es  # exactly 0.0
+                    sig = line
+                else:
+                    ef = af * x + bf * ef
+                    es = as_ * x + bs * es
+                    line = ef - es
+                    sig = ag * line + bg * sig
                 m[i], s[i] = line, sig
-        pdf["macd"] = m
-        pdf["signal"] = s
-        pdf["histogram"] = m - s
-        return pdf
+            pdf["macd"] = m
+            pdf["signal"] = s
+            pdf["histogram"] = m - s
+            yield pdf
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+    return _partition_sorted(df, keys, [ts_col, *tiebreak]).mapInPandas(gen, schema)

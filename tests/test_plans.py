@@ -565,3 +565,16 @@ def test_dedup_semantic_broadcast_seeds_blocked_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_ema_macd_partition_streaming_fold(spark, sf_dir):
+    """The EMA family folds in ONE mapInPandas pass over key-hashed,
+    partition-sorted data: one exchange, one sort, a MapInPandas node —
+    and no per-group FlatMapGroupsInPandas (whose per-key Python
+    invocation dominated the fold ~5× at sf0.1)."""
+    for key in ("ema", "macd"):
+        plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+        assert "MapInPandas" in plan, plan
+        assert "FlatMapGroupsInPandas" not in plan, plan
