@@ -873,3 +873,23 @@ def semantic_dedup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    seed: str = "semdedup",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup's end product: the KEEP list.  A vector is dropped iff
+    it appears as the larger id of some within-cluster near-dup pair —
+    the same greedy min-id-survives reduction as :func:`keep_list`
+    (one distinct + one anti join; the corpus side never shuffles for
+    the reduction), applied to :func:`semantic_dedup_pairs`.
+    """
+    pairs = semantic_dedup_pairs(
+        df, n_clusters, threshold, seed, id_col, vec_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return keep_list(df, pairs, id_col=id_col)

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from marketstore_spark.catalog import Catalog, TimeBucketKey
-from marketstore_spark.operators.candler import candle_candles, tick_candles
+from marketstore_spark.operators.candler import (
+    candle_candles,
+    tick_candles,
+    timeframe_to_duration,
+)
 
 _TBK_RE = re.compile(r"`([^`]+/[^`]+/[^`]+)`")
 _INSERT_RE = re.compile(r"^\s*insert\s+into\s+`([^`]+)`\s+(.*)$", re.I | re.S)
@@ -36,7 +40,8 @@ _CREATE_VIEW_RE = re.compile(
     r"^\s*create\s+view\s+(\w+)\s+as\s+(.*)$", re.I | re.S
 )
 _CANDLER_RE = re.compile(
-    r"^\s*select\s+(tickcandler|candlecandler|gap|adjust)\s*\((.*?)\)\s+from\s+(\S+)"
+    r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian)"
+    r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
 )
@@ -159,6 +164,68 @@ class MarketSQL:
             ).drop("__symbol")
             if limit:
                 out = out.orderBy(ts_col).limit(int(limit))
+            return out
+        if fname.lower() in ("ema", "macd", "atr", "donchian"):
+            # Indicator UDAs through the SQL registry (the reference
+            # resolves registered aggregators by name the same way —
+            # sqlparser/registry.go); the statement's TBK is one
+            # symbol, so the per-key operators run over a constant key.
+            #   ema('20', Price)  macd(Price)  macd('12,26,9', Price)
+            #   atr('14', '1D')   donchian('20', '1D')
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            # re-split rawargs (the naive comma split severs quoted
+            # lists like '12,26,9' — the adjust-arm parsing rule)
+            parts = re.findall(r"'([^']*)'|\"([^\"]*)\"|([A-Za-z_]\w*)", rawargs)
+            quoted = [a or b for a, b, _ in parts if (a or b)]
+            colargs = [c for _, _, c in parts if c]
+            keyed = base.withColumn("__symbol", F.lit("_"))
+            name = fname.lower()
+            if name == "ema":
+                from marketstore_spark.operators.ewm import ema as ema_op
+
+                out = ema_op(
+                    keyed,
+                    span=int(quoted[0]) if quoted else 20,
+                    key_cols=("__symbol",),
+                    ts_col=ts_col,
+                    value_col=colargs[0] if colargs else "value",
+                    tiebreak=tiebreak,
+                ).drop("__symbol")
+            elif name == "macd":
+                from marketstore_spark.operators.ewm import macd as macd_op
+
+                fss = [int(x) for x in quoted[0].split(",")] if quoted else [12, 26, 9]
+                out = macd_op(
+                    keyed,
+                    *fss,
+                    key_cols=("__symbol",),
+                    ts_col=ts_col,
+                    value_col=colargs[0] if colargs else "value",
+                    tiebreak=tiebreak,
+                ).drop("__symbol")
+            else:
+                from marketstore_spark.operators.quant import atr as atr_op
+                from marketstore_spark.operators.quant import donchian as don_op
+
+                n = int(quoted[0]) if quoted else (14 if name == "atr" else 20)
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 day"
+                )
+                fn_op = atr_op if name == "atr" else don_op
+                kwargs = dict(
+                    n=n,
+                    timeframe=tf,
+                    symbol_col="__symbol",
+                    ts_col=ts_col,
+                    value_col=colargs[0] if colargs else "value",
+                )
+                if name == "atr":
+                    kwargs["tiebreak_col"] = tiebreak[0] if tiebreak else ts_col
+                out = fn_op(keyed, **kwargs).drop("symbol")
+            if limit:
+                out = out.orderBy(out.columns[0]).limit(int(limit))
             return out
         if fname.lower() == "tickcandler":
             # tickcandler('5Min', Price, Sum::Volume) — one price column

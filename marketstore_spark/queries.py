@@ -1303,9 +1303,10 @@ SELECT user_id, ts, event_id, value, ema FROM r
 
 @_register("ema", _ema_sql())
 def ema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """20-tick EMA per symbol via applyInPandas (linear recurrence — no
-    window frame expresses it).  Oracle: recursive CTE replaying the
-    identical float64 recurrence (see _ema_sql)."""
+    """20-tick EMA per symbol via the partition-streaming mapInPandas
+    fold (linear recurrence — no window frame expresses it).  Oracle:
+    recursive CTE replaying the identical float64 recurrence (see
+    _ema_sql)."""
     from marketstore_spark.operators.ewm import ema
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -1355,8 +1356,9 @@ FROM r
 @_register("macd", _macd_sql())
 def macd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD(12,26,9) per symbol — three coupled EMA recurrences in one
-    applyInPandas pass (operators/ewm.macd); oracle replays the
-    identical float64 step chain in a single recursive CTE."""
+    partition-streaming mapInPandas pass (operators/ewm.macd); oracle
+    replays the identical float64 step chain in a single recursive
+    CTE."""
     from marketstore_spark.operators.ewm import macd
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -3955,9 +3957,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-@_register(
-    "dedup_semantic",
-    """
+_SEMANTIC_ASSIGN_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (
   SELECT vec_id AS seed_id, v AS sv FROM e
@@ -3970,6 +3970,13 @@ assign AS (
           LIMIT 1) AS cluster_id
   FROM e
 )
+"""
+
+
+@_register(
+    "dedup_semantic",
+    _SEMANTIC_ASSIGN_SQL
+    + """
 SELECT a.cluster_id, a.id AS id_a, b.id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.id < b.id
@@ -3985,6 +3992,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstore_spark.operators.dedup import semantic_dedup_pairs
 
     return semantic_dedup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "dedup_semantic_keep",
+    _SEMANTIC_ASSIGN_SQL
+    + """
+SELECT id AS vec_id FROM assign
+WHERE id NOT IN (
+  SELECT b.id
+  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.id < b.id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+)
+""",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list (operators/dedup.semantic_dedup_keep):
+    survivors after dropping every vector that near-duplicates a
+    smaller-id vector within its cluster — the greedy keep_list
+    reduction over the semantic pairs."""
+    from marketstore_spark.operators.dedup import semantic_dedup_keep
+
+    return semantic_dedup_keep(load_table(spark, sf_dir, "embeddings"))
 
 
 @_register(
@@ -4075,6 +4104,7 @@ _FRONT = [
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_semantic",
+    "dedup_semantic_keep",
     "text_repetition",
     "corpus_decontaminate",
     # Oldest-evidence back-fill (last driver row r4, code untouched).
@@ -4097,7 +4127,6 @@ _FRONT = [
     "text_quality",
     "text_tokens",
     "text_fingerprint",
-    "text_termfreq",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
     # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
@@ -4112,6 +4141,7 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "text_termfreq",
     "q3_shipping_priority",
     "q4_late_orders",
     "q5_local_supplier",

@@ -1109,3 +1109,25 @@ def test_semantic_dedup_assignment_is_argmax(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = semantic_dedup_pairs(df, n_clusters=3, threshold=0.5).collect()
     assert out == []
+
+
+def test_semantic_dedup_keep_drops_larger_ids(spark):
+    from marketstore_spark.operators.dedup import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),
+        (3, [0.998, 0.002, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = semantic_dedup_pairs(df, n_clusters=2, threshold=0.99)
+    kept = {r["vec_id"] for r in semantic_dedup_keep(df, n_clusters=2,
+                                                     threshold=0.99).collect()}
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert kept == {1, 2, 3, 10} - dropped
+    # every id_a smaller than its id_b by construction
+    assert all(r["id_a"] < r["id_b"] for r in pairs.collect())

@@ -151,3 +151,34 @@ def test_sql_gap_and_adjust_udas(spark, sf_dir, tmp_path):
         for r in msql.sql("SELECT adjust('split,dividend', value) FROM `AAPL/1D/TICK`").collect()
     }
     assert adj == {5: 50.0, 15: 100.0}
+
+
+def test_ema_uda_matches_operator(msql):
+    from marketstore_spark.operators.ewm import ema
+
+    out = msql.sql("SELECT ema('20', value) FROM `EV1/1Min/TICK`")
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    exp = ema(base, span=20, key_cols=("__symbol",), tiebreak=("event_id",)).drop(
+        "__symbol"
+    )
+    got = {r["event_id"]: r["ema"] for r in out.collect()}
+    want = {r["event_id"]: r["ema"] for r in exp.collect()}
+    assert got == want  # bitwise
+
+
+def test_macd_uda_custom_spans(msql):
+    out = msql.sql("SELECT macd('5,10,3', value) FROM `EV1/1Min/TICK` LIMIT 5")
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {"macd", "signal", "histogram"} <= set(out.columns)
+
+
+def test_atr_donchian_udas(msql):
+    out = msql.sql("SELECT atr('3', '1D', value) FROM `EV1/1Min/TICK`")
+    rows = out.collect()
+    assert rows and {"epoch", "tr", "atr"} <= set(out.columns)
+    out2 = msql.sql("SELECT donchian('2', '1D', value) FROM `EV1/1Min/TICK`")
+    assert {"upper_c", "lower_c", "mid_c"} <= set(out2.columns)
+    # warm-up rows are NULL, later rows are bounded
+    vals = [r for r in out2.collect() if r["upper_c"] is not None]
+    assert vals and all(r["lower_c"] <= r["mid_c"] <= r["upper_c"] for r in vals)
