@@ -56,14 +56,15 @@ def pack_documents(
     surface beyond SURVEY §2 #37-45.
 
     Packing is a sequential recurrence (each decision depends on the
-    running fill), so — like the EMA family — it runs as ONE
-    applyInPandas pass per shard (single shuffle on the shard key) and
-    the oracle replays the identical recurrence in a recursive CTE.
-    All state is integer, so parity is exact.  At 100 TB the shard IS
-    the packing domain (packs never span shards, matching how training
-    shards are built); a shard's documents must fit one Arrow batch —
-    shard by (lang, source, hash-bucket) when a single shard outgrows
-    that.
+    running fill), so — like the EMA family — it folds in ONE
+    partition-streaming ``mapInPandas`` pass over shard-hashed,
+    within-partition-sorted rows, carrying (pack, fill) across Arrow
+    batch boundaries: a shard of ANY size packs correctly (the earlier
+    one-group-one-batch applyInPandas required a shard's documents to
+    fit a single Arrow batch).  The oracle replays the identical
+    recurrence in a recursive CTE; all state is integer, so parity is
+    exact.  At 100 TB the shard IS the packing domain (packs never
+    span shards, matching how training shards are built).
 
     Output: shard, doc_id, n_tokens, pack_id (0-based per shard),
     pack_offset (token offset of the doc inside its pack).
@@ -84,32 +85,44 @@ def pack_documents(
         tokens.cast("long").alias("n_tokens"),
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", ignore_index=True)
+    def gen(batches):
+        cur_shard = object()  # sentinel unequal to any real shard
         pack = fill = 0
-        packs, offs = [], []
         first = True
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if not first and fill + n > capacity:
-                pack += 1
-                fill = 0
-            first = False
-            packs.append(pack)
-            offs.append(fill)
-            fill += n
-        pdf["pack_id"] = pd.Series(packs, dtype="int64")
-        pdf["pack_offset"] = pd.Series(offs, dtype="int64")
-        return pdf
+        for pdf in batches:
+            shards = pdf["shard"].to_numpy()
+            toks = pdf["n_tokens"].to_numpy()
+            packs, offs = [], []
+            for i in range(len(pdf)):
+                if shards[i] != cur_shard:
+                    cur_shard = shards[i]
+                    pack = fill = 0
+                    first = True
+                n = int(toks[i])
+                if not first and fill + n > capacity:
+                    pack += 1
+                    fill = 0
+                first = False
+                packs.append(pack)
+                offs.append(fill)
+                fill += n
+            pdf = pdf.copy()
+            pdf["pack_id"] = pd.Series(packs, dtype="int64")
+            pdf["pack_offset"] = pd.Series(offs, dtype="int64")
+            yield pdf
 
     # shard keeps its INPUT type (the docstring recommends composite /
     # integer shard keys at scale — a hardcoded string field would
     # break them at Arrow conversion)
     shard_type = df.schema[shard_col].dataType.simpleString()
-    return slim.groupBy("shard").applyInPandas(
-        fn,
-        f"shard {shard_type}, doc_id long, n_tokens long, "
-        "pack_id long, pack_offset long",
+    return (
+        slim.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .mapInPandas(
+            gen,
+            f"shard {shard_type}, doc_id long, n_tokens long, "
+            "pack_id long, pack_offset long",
+        )
     )
 
 

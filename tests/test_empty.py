@@ -131,3 +131,47 @@ def test_round5_operators_empty_input(spark, empty_events, empty_docs):
     # whitespace-only and sub-span docs: no spans, no crash
     short = spark.createDataFrame([(1, "   "), (2, "a b")], "doc_id long, text string")
     assert span_dedup_groups(short, span_words=5).count() == 0
+
+
+def test_round6_indicators_empty_input(empty_events):
+    from marketstore_spark.operators.quant import atr, donchian, xs_momentum
+
+    ee = empty_events.withColumn("event_id", F.col("event_id"))
+    assert atr(ee).count() == 0
+    assert donchian(ee).count() == 0
+    assert xs_momentum(ee).count() == 0
+
+
+def test_round6_corpus_ops_empty_input(spark, empty_docs):
+    from marketstore_spark.operators.sampling import (
+        chunk_documents,
+        stratified_hash_sample,
+    )
+    from marketstore_spark.operators.text import doc_freq_score
+
+    assert chunk_documents(empty_docs).count() == 0
+    assert doc_freq_score(empty_docs).count() == 0
+    ed = empty_docs.withColumn("lang", F.lit("en"))
+    assert stratified_hash_sample(ed, rates={"en": 64}).count() == 0
+    # whitespace-only docs produce no chunks and no score rows
+    ws = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert chunk_documents(ws).count() == 0
+    assert doc_freq_score(ws).count() == 0
+
+
+def test_semantic_dedup_empty_input(spark):
+    from marketstore_spark.operators.dedup import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup_pairs(empty).count() == 0
+    assert semantic_dedup_keep(empty).count() == 0
+
+
+def test_ema_macd_empty_input(empty_events):
+    from marketstore_spark.operators.ewm import ema, macd
+
+    assert ema(empty_events).count() == 0
+    assert macd(empty_events).count() == 0

@@ -1131,3 +1131,36 @@ def test_semantic_dedup_keep_drops_larger_ids(spark):
     assert kept == {1, 2, 3, 10} - dropped
     # every id_a smaller than its id_b by construction
     assert all(r["id_a"] < r["id_b"] for r in pairs.collect())
+
+
+def test_corpus_pack_carries_state_across_arrow_batches(spark):
+    """A shard spanning many Arrow batches must pack identically to the
+    one-batch case — force 3-row batches over a 20-doc shard and
+    compare to the recurrence computed directly."""
+    from marketstore_spark.operators.sampling import pack_documents
+
+    docs = [(i, "en", "w " * ((i % 7) + 1)) for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+            for r in pack_documents(df, capacity=10).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # replay the next-fit recurrence directly
+    pack = fill = 0
+    first = True
+    for i in range(20):
+        n = (i % 7) + 1
+        if not first and fill + n > 10:
+            pack += 1
+            fill = 0
+        first = False
+        assert got[i] == (pack, fill, n), (i, got[i], (pack, fill, n))
+        fill += n

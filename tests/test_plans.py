@@ -446,11 +446,15 @@ def test_gapfill_interp_never_shuffles_grid(spark, sf_dir):
 
 
 def test_corpus_pack_single_shard_shuffle(spark, sf_dir):
-    """Packing shuffles once on the shard key into the applyInPandas
-    recurrence."""
+    """Packing shuffles once on the shard key into the partition-
+    streaming mapInPandas recurrence (one shard-hash exchange, one
+    within-partition sort — the EMA fold shape, so a shard of any size
+    packs without the one-Arrow-batch limit)."""
     plan = explain_str(SPARK_QUERIES["corpus_pack"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
 
 
 def test_cms_single_aggregate_broadcast_probe(spark, sf_dir):
