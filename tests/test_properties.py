@@ -475,3 +475,139 @@ def test_gif_background_color_index_seeds_canvas():
     want = np.full((3, 3, 3), 30, np.uint8)
     want[0, 0] = (20, 20, 20)
     assert (got[0] == want).all()
+
+
+# ---------------------------------------------------------------------
+# Round-6 operators vs direct Python models
+# ---------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "d"]), min_size=0, max_size=23),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=1, max_value=6),
+)
+def test_chunk_documents_matches_python_model(spark, docs, chunk):
+    """Chunking == the direct sliding-window model, for every
+    (chunk_tokens, stride) combination with stride <= chunk_tokens;
+    and with stride == chunk_tokens, re-joining chunks reconstructs
+    the tokenized document exactly."""
+    from marketstore_spark.operators.sampling import chunk_documents
+
+    stride = max(1, chunk - 1)
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    }
+    want = {}
+    for i, words in enumerate(docs):
+        if not words:
+            continue
+        for ci, start in enumerate(range(0, len(words), stride)):
+            seg = words[start : start + chunk]
+            want[(i, ci)] = (" ".join(seg), len(seg))
+    assert got == want
+    # exact-cover reconstruction at stride == chunk_tokens
+    cover = chunk_documents(df, chunk_tokens=chunk, stride=chunk).collect()
+    rebuilt = defaultdict(list)
+    for r in sorted(cover, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        rebuilt[r["doc_id"]].append(r["chunk_text"])
+    for i, words in enumerate(docs):
+        if words:
+            assert " ".join(rebuilt[i]).split(" ") == words
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),       # day
+            st.integers(min_value=0, max_value=3),       # symbol
+            st.integers(min_value=100, max_value=9999),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_atr_matches_python_model(spark, ticks, n):
+    """ATR == the direct candle/true-range/rolling-mean model."""
+    from marketstore_spark.operators.quant import atr
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + day, 12, 0, i % 60), sym, c / 100.0)
+        for i, (day, sym, c) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["symbol"], r["epoch"].day): (r["tr"], r["atr"])
+        for r in atr(df, n=n).collect()
+    }
+    # direct model
+    candles = {}
+    for i, (day, sym, c) in enumerate(ticks):
+        key = (sym, day)
+        h, l, last_i, close = candles.get(key, (c, c, -1, c))
+        candles[key] = (max(h, c), min(l, c), max(last_i, i), c if i > last_i else close)
+    bysym = defaultdict(list)
+    for (sym, day), (h, l, _, c) in sorted(candles.items()):
+        bysym[sym].append((day, h, l, c))
+    want = {}
+    for sym, days in bysym.items():
+        trs = []
+        prev_c = None
+        for day, h, l, c in days:
+            tr = h - l if prev_c is None else max(h - l, abs(h - prev_c), abs(l - prev_c))
+            trs.append(tr)
+            a = round(sum(trs[-n:]) / float(n), 6) if len(trs) >= n else None
+            want[(sym, day + 1)] = (tr, a)
+            prev_c = c
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    span=st.integers(min_value=2, max_value=30),
+)
+def test_ema_streaming_fold_bitwise_vs_direct_loop(spark, vals, span):
+    """The partition-streaming EMA equals the literal per-row float64
+    loop bit for bit, under forced tiny Arrow batches (cross-batch
+    carry exercised)."""
+    from marketstore_spark.operators.ewm import ema
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=i), 1, float(v))
+        for i, (v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        got = {r["event_id"]: r["ema"] for r in ema(df, span=span).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    alpha = 2.0 / (span + 1.0)
+    beta = 1.0 - alpha
+    acc = None
+    for i, v in enumerate(vals):
+        x = float(v)
+        acc = x if acc is None else alpha * x + beta * acc
+        assert got[i] == acc  # bitwise
