@@ -169,6 +169,7 @@ def chunk_documents(
     stride: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into fixed-size token chunks with optional
     overlap (``stride`` < ``chunk_tokens``) — the context-window
@@ -183,8 +184,11 @@ def chunk_documents(
     the downstream training job needs anyway.  Empty documents yield
     no chunks.
 
-    Output: doc_id, chunk_id (0-based), n_tokens (in chunk),
-    chunk_text.
+    Output: doc_id, [carry_cols...], chunk_id (0-based), n_tokens
+    (in chunk), chunk_text — ``carry_cols`` pass through unchanged
+    (e.g. the shard key a downstream packing step groups on; carrying
+    it through the projection costs nothing and saves a re-join
+    against the corpus).
     """
     stride = chunk_tokens if stride is None else stride
     if stride <= 0 or chunk_tokens <= 0:
@@ -192,11 +196,16 @@ def chunk_documents(
     if stride > chunk_tokens:
         raise ValueError("chunk_documents: stride must be <= chunk_tokens (gaps)")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    carry = [F.col(c) for c in carry_cols]
     base = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks"), F.size(toks).alias("__n")
+        F.col(id_col).alias("doc_id"),
+        *carry,
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
     )
     exploded = base.select(
         "doc_id",
+        *carry_cols,
         "__toks",
         "__n",
         F.explode(
@@ -206,6 +215,7 @@ def chunk_documents(
     take = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
     return exploded.select(
         "doc_id",
+        *carry_cols,
         (F.col("__start") / stride).cast("long").alias("chunk_id"),
         take.cast("long").alias("n_tokens"),
         F.array_join(

@@ -4017,6 +4017,94 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_training_mix",
+    r"""
+WITH RECURSIVE
+mixed AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40' ELSE '60' END
+),
+t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM mixed WHERE trim(text) <> ''
+),
+ch AS (
+  SELECT doc_id, lang,
+         CAST(start // 64 AS BIGINT) AS chunk_id,
+         CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id, lang, toks,
+           unnest(generate_series(0, len(toks) - 1, 64)) AS start
+    FROM t
+  )
+),
+ev AS (
+  SELECT lang AS shard, doc_id * 1000000 + chunk_id AS cid,
+         doc_id, chunk_id, n_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY doc_id * 1000000 + chunk_id) AS rn
+  FROM ch
+),
+r(shard, cid, doc_id, chunk_id, n_tokens, rn, pack_id, pack_offset, fill) AS (
+  SELECT shard, cid, doc_id, chunk_id, n_tokens, rn,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.shard, e.cid, e.doc_id, e.chunk_id, e.n_tokens, e.rn,
+         CASE WHEN r.fill + e.n_tokens > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.fill + e.n_tokens > 256 THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill + e.n_tokens > 256 THEN e.n_tokens
+              ELSE r.fill + e.n_tokens END
+  FROM ev e JOIN r ON e.shard = r.shard AND e.rn = r.rn + 1
+)
+SELECT shard AS lang, CAST(doc_id AS BIGINT) AS doc_id, chunk_id, n_tokens,
+       pack_id, pack_offset
+FROM r
+""",
+)
+def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data preparation flow as ONE declarative
+    plan — the capstone composition of the round-6 corpus operators:
+    per-language rebalanced sampling (en 128/256, zh 64/256, rest
+    96/256) → 64-token non-overlapping chunking (lang carried through
+    the projection — no re-join) → next-fit packing of chunks into
+    256-token bins per language shard.  Every stage keeps its own
+    scale shape: pure filter, pure projection, one shard shuffle into
+    the streaming packing fold.  The oracle replays the identical
+    chain: md5 CASE filter → generate_series chunking → recursive-CTE
+    packing — integer-exact end to end."""
+    from marketstore_spark.operators.sampling import (
+        chunk_documents,
+        pack_documents,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = stratified_hash_sample(
+        docs, rates={"en": 128, "zh": 64}, default_num=96, salt="mix"
+    )
+    chunks = chunk_documents(
+        mixed, chunk_tokens=64, stride=64, carry_cols=("lang",)
+    )
+    keyed = chunks.withColumn(
+        "cid", F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")
+    )
+    packed = pack_documents(
+        keyed, capacity=256, shard_col="lang", id_col="cid", tokens_col="n_tokens"
+    )
+    cid = F.col("doc_id")  # pack_documents exposes the id under doc_id
+    return packed.select(
+        F.col("shard").alias("lang"),
+        F.floor(cid / F.lit(1_000_000)).cast("long").alias("doc_id"),
+        F.pmod(cid, F.lit(1_000_000)).cast("long").alias("chunk_id"),
+        "n_tokens",
+        "pack_id",
+        "pack_offset",
+    )
+
+
+@_register(
     "text_doc_freq_score",
     r"""
 WITH toks AS (
@@ -4092,6 +4180,7 @@ _FRONT = [
     "corpus_chunk",
     "corpus_sample_stratified",
     "text_doc_freq_score",
+    "corpus_training_mix",
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
@@ -4125,7 +4214,6 @@ _FRONT = [
     "percentiles",
     "text_langid",
     "text_quality",
-    "text_tokens",
     "text_fingerprint",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
@@ -4141,6 +4229,7 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "text_tokens",
     "text_termfreq",
     "q3_shipping_priority",
     "q4_late_orders",

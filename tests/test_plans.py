@@ -582,3 +582,15 @@ def test_ema_macd_partition_streaming_fold(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
         assert "MapInPandas" in plan, plan
         assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_corpus_training_mix_single_shuffle_chain(spark, sf_dir):
+    """The composed mix→chunk→pack pipeline must stay one linear plan:
+    the ONLY exchange is the shard hash into the packing fold — the
+    sample is a pure filter and the chunk explode is a pure projection
+    (no join anywhere, lang is carried, never re-joined)."""
+    plan = explain_str(SPARK_QUERIES["corpus_training_mix"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
