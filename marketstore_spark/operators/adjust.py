@@ -126,11 +126,19 @@ def adjust(
         # lookups (> MAX_ACTIONS_PER_KEY CAs on one key) yield NULL
         # under ANSI and non-ANSI alike, never a silent clamp or an
         # ANSI-mode-dependent error.
+        def _lit(v: float) -> str:
+            # repr(inf) is 'inf', which is not a SQL literal — a ratio
+            # above ~4.03 overflows the tail of its 512-entry power
+            # table, and 'infD' would fail to PARSE (killing the whole
+            # query) where the overflowed lookup itself is a perfectly
+            # valid Infinity result.
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            return repr(v) + "D"
+
         terms = []
         for i, r in enumerate(ratios):
-            tbl = (
-                "array(" + ",".join(repr(v) + "D" for v in ratio_power_table(r)) + ")"
-            )
+            tbl = "array(" + ",".join(_lit(v) for v in ratio_power_table(r)) + ")"
             cnt = (
                 f"(CASE WHEN `__ca_{i}` IS NULL THEN 0 "
                 f"ELSE size(filter(`__ca_{i}`, t -> t > `{ts_col}`)) END)"
@@ -139,9 +147,14 @@ def adjust(
         factor = F.expr("1.0D" + "".join(" * " + t for t in terms))
     else:
         # log-sum accumulated in descending ts order, mirroring the
-        # order a descending window scan would use (non-parity path)
+        # order a descending window scan would use (non-parity path).
+        # Non-positive ratios are excluded from the fold — log(r<=0) is
+        # NULL and one NULL would poison the whole accumulator, whereas
+        # the window-SUM formulation this replaced skipped them.
         arr = F.col("__ca_all")
-        later = F.reverse(F.array_sort(F.filter(arr, lambda x: x["t"] > ts)))
+        later = F.reverse(
+            F.array_sort(F.filter(arr, lambda x: (x["t"] > ts) & (x["r"] > 0)))
+        )
         factor = F.when(arr.isNull(), F.lit(1.0)).otherwise(
             F.exp(F.aggregate(later, F.lit(0.0), lambda acc, x: acc + F.log(x["r"])))
         )

@@ -688,9 +688,6 @@ def embedding_dup_pairs_lsh(
     ~1e-15 off the sequential sum, absorbed by the gate margin; no pair
     can flip; float→double widening is exact).
     """
-    import numpy as np
-    import pandas as pd
-
     from marketstore_spark.functions.vector import cosine_sim
     from marketstore_spark.operators.simsearch import _bucket_assigner
 
@@ -844,11 +841,20 @@ def semantic_dedup_pairs(
         )
         .limit(n_clusters)
         .select(F.col("id").alias("seed_id"), F.col("v").alias("sv"))
+        # numeric rank in ascending seed_id order: the tie-break field
+        # must be orderable-negated, which a raw id of string type is
+        # not (unary minus would NULL-cast it) — rank works for any id
+        # type and preserves "smallest seed id wins"
+        .withColumn("seed_rank", F.row_number().over(Window.orderBy("seed_id")))
     )
     scored = e.crossJoin(F.broadcast(seeds)).select(
-        "id", "v", "seed_id", cosine_sim(F.col("v"), F.col("sv")).alias("cos")
+        "id",
+        "v",
+        "seed_id",
+        "seed_rank",
+        cosine_sim(F.col("v"), F.col("sv")).alias("cos"),
     )
-    # max_by on (cos, -seed_id): highest cosine wins, ties go to the
+    # max_by on (cos, -seed_rank): highest cosine wins, ties go to the
     # smallest seed id — combiner-friendly (partial max_by map-side),
     # deterministic on any row order.
     assigned = (
@@ -856,7 +862,7 @@ def semantic_dedup_pairs(
         .groupBy("id")
         .agg(
             F.max_by(
-                "seed_id", F.struct(F.col("cos"), (-F.col("seed_id")).alias("ns"))
+                "seed_id", F.struct(F.col("cos"), (-F.col("seed_rank")).alias("ns"))
             ).alias("bucket"),
             F.first("v").alias("v"),
         )

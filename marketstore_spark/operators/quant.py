@@ -384,22 +384,8 @@ def beta_vs_market(
     IEEE chain both engines evaluate identically; 6-dp round applied
     Spark-side (oracle emulates Spark's rounding).
     """
-    w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
-    ticks = df.select(
-        F.col(symbol_col).alias("symbol"),
-        F.col(ts_col).alias("__ts"),
-        F.col(tiebreak_col).alias("__tb"),
-        cents.alias("close_c"),
-        w["start"].alias("bucket"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("symbol", "bucket").orderBy(
-            F.col("__ts").desc(), F.col("__tb").desc()
-        )
-    )
-    closes = ticks.withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
-        "symbol", "bucket", "close_c"
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
     )
     prev = F.lag("close_c").over(Window.partitionBy("symbol").orderBy("bucket"))
     moves = closes.select(
@@ -452,22 +438,8 @@ def realized_vol(
     (symbol, bucket); the lag and the two rolling sums share the
     per-symbol sort.  Linear in symbols and buckets.
     """
-    w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
-    ticks = df.select(
-        F.col(symbol_col).alias("symbol"),
-        F.col(ts_col).alias("__ts"),
-        F.col(tiebreak_col).alias("__tb"),
-        cents.alias("close_c"),
-        w["start"].alias("bucket"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("symbol", "bucket").orderBy(
-            F.col("__ts").desc(), F.col("__tb").desc()
-        )
-    )
-    closes = ticks.withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
-        "symbol", "bucket", "close_c"
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
     moves = closes.select(
@@ -496,8 +468,10 @@ def _bucket_closes(
     tiebreak_col: str,
 ) -> DataFrame:
     """Last-tick integer-cent close per (symbol, bucket) — the shared
-    front half of realized_vol/beta/xs_momentum: ONE shuffle on
-    (symbol, bucket), deterministic last pick by (ts, tiebreak)."""
+    front half of beta_vs_market / realized_vol / xs_momentum: ONE
+    shuffle on (symbol, bucket), deterministic last pick by
+    (ts, tiebreak).  (atr/donchian extract full candles, not closes,
+    so they keep their own aggregate.)"""
     w = F.window(ts_col, timeframe)
     cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
     ticks = df.select(

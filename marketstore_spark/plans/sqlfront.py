@@ -174,10 +174,16 @@ class MarketSQL:
             #   atr('14', '1D')   donchian('20', '1D')
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             # re-split rawargs (the naive comma split severs quoted
-            # lists like '12,26,9' — the adjust-arm parsing rule)
-            parts = re.findall(r"'([^']*)'|\"([^\"]*)\"|([A-Za-z_]\w*)", rawargs)
-            quoted = [a or b for a, b, _ in parts if (a or b)]
-            colargs = [c for _, _, c in parts if c]
+            # lists like '12,26,9' — the adjust-arm parsing rule).
+            # Bare number-led tokens (ema(5, value), atr(3, 1D, ...))
+            # are parameters exactly like their quoted forms — the gap
+            # arm accepts gap(1800) unquoted, so this registry does too;
+            # silently defaulting them would run the wrong indicator.
+            parts = re.findall(
+                r"'([^']*)'|\"([^\"]*)\"|(\d[\w.]*)|([A-Za-z_]\w*)", rawargs
+            )
+            quoted = [a or b or n for a, b, n, _ in parts if (a or b or n)]
+            colargs = [c for _, _, _, c in parts if c]
             keyed = base.withColumn("__symbol", F.lit("_"))
             name = fname.lower()
             if name == "ema":
@@ -194,7 +200,11 @@ class MarketSQL:
             elif name == "macd":
                 from marketstore_spark.operators.ewm import macd as macd_op
 
-                fss = [int(x) for x in quoted[0].split(",")] if quoted else [12, 26, 9]
+                fss = (
+                    [int(x) for q in quoted for x in q.split(",")]
+                    if quoted
+                    else [12, 26, 9]
+                )
                 out = macd_op(
                     keyed,
                     *fss,

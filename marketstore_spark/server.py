@@ -40,6 +40,8 @@ import pandas as pd
 from marketstore_spark.catalog import Catalog
 from marketstore_spark.client import Client, Params
 
+_SUBSCRIBE_LOCK = threading.Lock()
+
 _PARSE_ERROR = -32700
 _INVALID_REQUEST = -32600
 _METHOD_NOT_FOUND = -32601
@@ -242,25 +244,41 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             cursor = int((q.get("cursor") or ["0"])[0])
-            timeout = min(float((q.get("timeout") or ["30"])[0]), 60.0)
+            timeout = float((q.get("timeout") or ["30"])[0])
         except ValueError:
             self._reply(
                 None,
                 error={"code": _INVALID_PARAMS, "message": "bad cursor/timeout"},
             )
             return
+        if not (0.0 <= timeout <= 60.0):
+            # NaN fails every comparison, so it lands here too — without
+            # this a timeout=nan deadline would never be reached and the
+            # poll loop would pin its handler thread forever.
+            self._reply(
+                None,
+                error={"code": _INVALID_PARAMS, "message": "timeout must be in [0, 60]"},
+            )
+            return
         # one durable subscriber per distinct glob, shared by every
         # poller of that glob (delivery directories are append-only, so
-        # concurrent pollers just read at different cursors)
+        # concurrent pollers just read at different cursors); the lock
+        # closes the check-then-subscribe race between two first pollers
+        # of the same glob (a duplicate subscriber would double-deliver
+        # every matched row forever)
         name = "http-" + hashlib.md5(pattern.encode()).hexdigest()[:10]
-        if not any(s.name == name for s in self.hub.subscribers):
-            self.hub.subscribe(name, pattern)
+        with _SUBSCRIBE_LOCK:
+            if not any(s.name == name for s in self.hub.subscribers):
+                self.hub.subscribe(name, pattern)
+        # wait on the footer-metadata row count (O(#files) per tick);
+        # materialize rows only once, after the wait resolves
         deadline = time.monotonic() + timeout
-        while True:
-            rows = self.hub.delivered(name)
-            if len(rows) > cursor or time.monotonic() >= deadline:
-                break
+        while (
+            self.hub.delivered_count(name) <= cursor
+            and time.monotonic() < deadline
+        ):
             time.sleep(0.2)
+        rows = self.hub.delivered(name)
         rows.sort(key=lambda r: r.get("__batch_id", 0))
         self._reply(None, result={"cursor": len(rows), "payloads": rows[cursor:]})
 

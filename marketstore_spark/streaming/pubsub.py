@@ -72,6 +72,22 @@ class StreamHub:
 
         return ds.dataset(path, format="parquet").to_table().to_pylist()
 
+    def delivered_count(self, name: str) -> int:
+        """Row count of the subscriber's delivery directory from parquet
+        FOOTER metadata only — the cheap probe a poll loop should use
+        while waiting (materializing every delivered row per 0.2s tick
+        is O(history) work; the footers are O(#files))."""
+        path = os.path.join(self.delivery_root, f"__sub={name}")
+        if not os.path.isdir(path):
+            return 0
+        import pyarrow.dataset as ds
+
+        return sum(
+            f.metadata.num_rows
+            for f in ds.dataset(path, format="parquet").get_fragments()
+            if f.metadata is not None
+        )
+
     def push_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: broadcast the compiled glob patterns and
         match them executor-side (``rlike`` theta-join), then ONE

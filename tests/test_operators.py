@@ -1164,3 +1164,35 @@ def test_corpus_pack_carries_state_across_arrow_batches(spark):
         first = False
         assert got[i] == (pack, fill, n), (i, got[i], (pack, fill, n))
         fill += n
+
+
+def test_adjust_large_ratio_power_table_overflow(spark):
+    """A 1:5 reverse split (ratio 5.0) overflows the tail of its
+    512-entry power table; the SQL-literal table must still PARSE
+    (repr(inf) is not a SQL literal) and small counts must adjust
+    exactly."""
+    prices = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1), 10.0), (1, _ts(2024, 1, 3), 10.0)],
+        ["user_id", "ts", "value"],
+    )
+    ca = spark.createDataFrame(
+        [(1, _ts(2024, 1, 2), 5.0)], ["user_id", "ts", "ratio"]
+    )
+    out = {r["ts"].day: r["adjusted"] for r in adjust(prices, ca).collect()}
+    assert out[1] == 50.0  # one later CA: x5
+    assert out[3] == 10.0  # none later
+
+
+def test_adjust_fallback_skips_nonpositive_ratios(spark):
+    """A ratio <= 0 routes the whole CA set to the log-sum fallback;
+    log(0) is NULL and must NOT poison the factor — the valid ratios
+    still apply (the window-SUM behavior the fold replaced)."""
+    prices = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1), 10.0)], ["user_id", "ts", "value"]
+    )
+    ca = spark.createDataFrame(
+        [(1, _ts(2024, 1, 2), 2.0), (1, _ts(2024, 1, 3), 0.0)],
+        ["user_id", "ts", "ratio"],
+    )
+    out = adjust(prices, ca).collect()
+    assert out[0]["adjusted"] == 20.0  # x2 applies; the 0-ratio is skipped

@@ -280,3 +280,24 @@ def test_server_version_rpc(rpc):
 
     out = rpc("DataService.ServerVersion")
     assert out["result"]["version"] == __version__
+
+
+def test_stream_rejects_nan_and_oob_timeout(spark, tmp_path_factory):
+    """timeout=nan passes float() but fails every comparison — without
+    the range check the poll loop would spin past a NaN deadline
+    forever, pinning its handler thread."""
+    root = tmp_path_factory.mktemp("streamnan")
+    cat = Catalog(spark, str(root / "cat"))
+    from marketstore_spark.streaming.pubsub import StreamHub
+
+    hub = StreamHub(key_col="tbk", delivery_root=str(root / "deliveries"))
+    srv, _t = serve_background(cat, hub=hub)
+    port = srv.server_address[1]
+    try:
+        for bad in ("nan", "inf", "-5", "1e9"):
+            url = f"http://127.0.0.1:{port}/stream?streams=A/B/C&timeout={bad}"
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                out = json.loads(resp.read())
+            assert out["error"]["code"] == -32602, bad
+    finally:
+        srv.shutdown()

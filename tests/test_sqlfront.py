@@ -182,3 +182,19 @@ def test_atr_donchian_udas(msql):
     # warm-up rows are NULL, later rows are bounded
     vals = [r for r in out2.collect() if r["upper_c"] is not None]
     assert vals and all(r["lower_c"] <= r["mid_c"] <= r["upper_c"] for r in vals)
+
+
+def test_uda_bare_numeric_args(msql):
+    """ema(5, value) with an UNQUOTED span must run with span 5 (the
+    gap arm accepts gap(1800) the same way) — silently falling back to
+    the default span would return wrong indicator values."""
+    from marketstore_spark.operators.ewm import ema
+
+    out = msql.sql("SELECT ema(5, value) FROM `EV1/1Min/TICK`")
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    exp = ema(base, span=5, key_cols=("__symbol",), tiebreak=("event_id",)).drop(
+        "__symbol"
+    )
+    got = {r["event_id"]: r["ema"] for r in out.collect()}
+    want = {r["event_id"]: r["ema"] for r in exp.collect()}
+    assert got == want and got != {}
