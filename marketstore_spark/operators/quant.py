@@ -646,3 +646,149 @@ def xs_momentum(
         F.round(ret, 6).alias("ret"),
         F.rank().over(wr).cast("long").alias("xs_rank"),
     )
+
+
+def tick_rule(
+    df: DataFrame,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Lee-Ready tick-test trade signing + cumulative net order flow.
+
+    A trade is a buy (+1) on an uptick, a sell (-1) on a downtick, and
+    inherits the LAST resolved direction on a zero tick (the tick
+    test's carry rule); the leading run before any price move is 0.
+    ``signed_vol`` = side x volume, ``cum_flow`` = the per-symbol
+    running sum — the standard microstructure order-flow series the
+    reference's Trade consumers (models/trade.go) compute client-side.
+
+    Plan: one sort per symbol partition shared by all four windows
+    (lag, carry, running sum) — Spark plans a single Exchange + Sort.
+    Carry-forward is ``last(dir, ignorenulls)`` over unbounded
+    preceding, the same idiom as gapfill's ffill.  All arithmetic is
+    BIGINT, so every output is order-exact across engines.
+    """
+    # All three window passes run over the ORIGINAL column names —
+    # renaming between passes would break Catalyst's ordering reuse
+    # and buy a second exchange + sort (same lesson as stochastic_k).
+    w = Window.partitionBy(symbol_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(value_col)).over(w)
+    direction = (
+        F.when(F.col(value_col) > prev, F.lit(1))
+        .when(F.col(value_col) < prev, F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    staged = df.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(volume_col).cast("long").alias("__vol"),
+        direction.alias("__dir"),
+    )
+    side = F.coalesce(F.last("__dir", ignorenulls=True).over(run), F.lit(0))
+    signed = staged.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        (side.cast("long") * F.col("__vol")).alias("signed_vol"),
+        side.alias("side"),
+    )
+    return signed.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("epoch"),
+        F.col(tiebreak_col).alias("event_id"),
+        "side",
+        "signed_vol",
+        F.sum("signed_vol").over(run).alias("cum_flow"),
+    )
+
+
+def nbbo(
+    df: DataFrame,
+    timeframe: str = "1 minute",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    venue_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """National-best-bid-offer consolidation: per (symbol, bucket),
+    the best bid (max) and best ask (min) across each venue's LAST
+    quote in the bucket, with venue attribution — the consolidated-
+    tape reduction of the reference's Quote model (models/quote.go
+    carries BidPrice/AskPrice/BidExchange/AskExchange per venue; this
+    produces the NBBO series a client would assemble from it).
+
+    Synthetic two-sided quotes are derived from the tick stream by the
+    caller (deterministic integer-cent half-spreads); this operator
+    takes any frame with ``bid_c`` / ``ask_c`` LONG columns already
+    present, or derives them when absent from ``value_col`` +
+    ``tiebreak_col`` hashes (documented in the registered query).
+
+    Plan: two hash aggregates — (symbol, venue, bucket) last-quote
+    pick via a struct max (partial-agg friendly: each map task reduces
+    its slice before any shuffle), then a (symbol, bucket) rollup
+    whose input is already venue-collapsed, i.e. dims x buckets
+    small.  No windows, no sorts, no joins.  Ties on the best price
+    across venues resolve by venue name (greatest on the bid's
+    struct-max, smallest on the ask's struct-min) — deterministic on
+    any row order.
+    """
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    has_sides = "bid_c" in df.columns and "ask_c" in df.columns
+    quotes = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(venue_col).alias("venue"),
+        w["start"].alias("bucket"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        (
+            F.col("bid_c")
+            if has_sides
+            else cents - 1 - F.pmod(F.col(tiebreak_col), F.lit(4))
+        ).cast("long").alias("bid_c"),
+        (
+            F.col("ask_c")
+            if has_sides
+            else cents + 1 + F.pmod(F.col(tiebreak_col), F.lit(3))
+        ).cast("long").alias("ask_c"),
+    )
+    last_q = (
+        quotes.groupBy("symbol", "venue", "bucket")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__ts"), F.col("__tb"), F.col("bid_c"), F.col("ask_c")
+                )
+            ).alias("__last")
+        )
+        .select(
+            "symbol",
+            "venue",
+            "bucket",
+            F.col("__last.bid_c").alias("bid_c"),
+            F.col("__last.ask_c").alias("ask_c"),
+        )
+    )
+    best = last_q.groupBy("symbol", "bucket").agg(
+        F.max(F.struct(F.col("bid_c"), F.col("venue"))).alias("__bb"),
+        F.min(F.struct(F.col("ask_c"), F.col("venue"))).alias("__ba"),
+    )
+    return best.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        F.col("__bb.bid_c").alias("best_bid_c"),
+        F.col("__ba.ask_c").alias("best_ask_c"),
+        F.col("__bb.venue").alias("bid_venue"),
+        F.col("__ba.venue").alias("ask_venue"),
+        (F.col("__ba.ask_c") - F.col("__bb.bid_c")).alias("spread_c"),
+        (
+            (F.col("__bb.bid_c") + F.col("__ba.ask_c")).cast("double")
+            / F.lit(2.0)
+        ).alias("mid_c"),
+    )

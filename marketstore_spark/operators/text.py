@@ -354,3 +354,80 @@ def doc_freq_score(
             ),
         )
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term list — the standard retrieval score a corpus pipeline uses to
+    mine topic-relevant training data (and the engine analogue of the
+    reference's "serve the raw series, client post-processes" posture
+    moved server-side).
+
+    Scale shape: the corpus is NEVER shuffled.  One aggregate pass
+    reduces the whole corpus to a single row of integers — n_docs,
+    Σ doc_len, and per-term document frequencies — which is
+    broadcast back; the score is then a pure projection per document
+    (tf per term via a JVM-side ``filter`` over the token array, no
+    explode).  Two scans, zero fact shuffles, no vocabulary join —
+    the query term list is a literal, unlike :func:`doc_freq_score`'s
+    corpus-wide vocabulary.
+
+    Determinism: tf/df/dl are exact integers; idf uses ln (the BM25
+    definition — the one deliberate libm use in this module), and the
+    per-term score contributions are added in EXPLICIT sorted-term
+    order, never a float aggregate, so the expression tree is
+    identical in any engine.  Callers compare at 6 decimals (the
+    repo's round-trip emulation in the registered oracle).
+    """
+    terms = sorted(set(terms))
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), _WS)
+
+    def _df_flag(term: str) -> Column:
+        return F.array_contains(toks, term).cast("long")
+
+    stats = (
+        df.filter(_nonempty(t))
+        .select(
+            F.size(toks).alias("__dl"),
+            *[_df_flag(term).alias(f"__c{i}") for i, term in enumerate(terms)],
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dl").alias("sum_dl"),
+            *[F.sum(f"__c{i}").alias(f"df{i}") for i in range(len(terms))],
+        )
+    )
+
+    scored = df.filter(_nonempty(t)).join(F.broadcast(stats))
+    dl = F.size(toks)
+    n = F.col("n_docs")
+    # avgdl enters as dl·N/Σdl so the only divisions are the two in
+    # the final per-term expression — fixed order, both engines alike.
+    score = F.lit(0.0)
+    for i, term in enumerate(terms):
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (n.cast("double") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (dl.cast("double") * n.cast("double"))
+            / F.col("sum_dl").cast("double")
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+    return scored.select(
+        F.col(id_col).alias("doc_id"),
+        dl.cast("long").alias("n_tokens"),
+        score.alias("bm25"),
+    )

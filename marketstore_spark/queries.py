@@ -4132,6 +4132,171 @@ def text_doc_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_freq_score(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "tick_rule",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts AS epoch, event_id, value,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+d AS (
+  SELECT symbol, epoch, event_id, vol,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value > prev THEN 1
+              WHEN value < prev THEN -1
+              ELSE NULL END AS dir
+  FROM (
+    SELECT symbol, epoch, event_id, value, vol,
+           LAG(value) OVER (PARTITION BY symbol ORDER BY epoch, event_id)
+             AS prev
+    FROM t
+  )
+),
+s AS (
+  SELECT symbol, epoch, event_id, vol,
+         COALESCE(LAST_VALUE(dir IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY epoch, event_id
+           ROWS UNBOUNDED PRECEDING), 0) AS side
+  FROM d
+)
+SELECT symbol, epoch, event_id, CAST(side AS INT) AS side,
+       CAST(side * vol AS BIGINT) AS signed_vol,
+       CAST(SUM(side * vol) OVER (PARTITION BY symbol
+                                  ORDER BY epoch, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_flow
+FROM s
+""",
+)
+def tick_rule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-Ready tick-test signing + cumulative order flow
+    (operators/quant.tick_rule): carry-forward direction via
+    last-ignorenulls, BIGINT signed volume — order-exact, one sort
+    per symbol shared by all windows."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import tick_rule
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events"))
+    return tick_rule(ev.withColumn("volume", F.col("attrs.k")))
+
+
+@_register(
+    "nbbo",
+    """
+WITH q AS (
+  SELECT user_id AS symbol, event_type AS venue, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 minute', ts) AS bucket
+  FROM events
+),
+qq AS (
+  SELECT symbol, venue, bucket, ts, event_id,
+         px_c - 1 - (event_id % 4) AS bid_c,
+         px_c + 1 + (event_id % 3) AS ask_c
+  FROM q
+),
+lastq AS (
+  SELECT symbol, venue, bucket, bid_c, ask_c FROM (
+    SELECT symbol, venue, bucket, bid_c, ask_c,
+           ROW_NUMBER() OVER (PARTITION BY symbol, venue, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM qq
+  ) WHERE rn = 1
+),
+best AS (
+  SELECT symbol, bucket,
+         MAX(bid_c) AS best_bid_c, MIN(ask_c) AS best_ask_c
+  FROM lastq GROUP BY symbol, bucket
+)
+SELECT b.symbol, b.bucket AS epoch, b.best_bid_c, b.best_ask_c,
+       bt.bid_venue, aa.ask_venue,
+       b.best_ask_c - b.best_bid_c AS spread_c,
+       CAST(b.best_bid_c + b.best_ask_c AS DOUBLE) / 2.0 AS mid_c
+FROM best b
+JOIN (
+  SELECT l.symbol, l.bucket, MAX(l.venue) AS bid_venue
+  FROM lastq l JOIN best bb
+    ON l.symbol = bb.symbol AND l.bucket = bb.bucket
+   AND l.bid_c = bb.best_bid_c
+  GROUP BY l.symbol, l.bucket
+) bt ON b.symbol = bt.symbol AND b.bucket = bt.bucket
+JOIN (
+  SELECT l.symbol, l.bucket, MIN(l.venue) AS ask_venue
+  FROM lastq l JOIN best bb
+    ON l.symbol = bb.symbol AND l.bucket = bb.bucket
+   AND l.ask_c = bb.best_ask_c
+  GROUP BY l.symbol, l.bucket
+) aa ON b.symbol = aa.symbol AND b.bucket = aa.bucket
+""",
+)
+def nbbo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated NBBO per (symbol, minute) from synthetic two-sided
+    quotes (operators/quant.nbbo; models/quote.go semantics): venue =
+    event_type, deterministic integer-cent half-spreads derived from
+    the tiebreak id, best-bid/ask across venues' last quotes with
+    venue attribution.  Two partial-agg-friendly hash aggregates; the
+    oracle reconstructs the struct-max tie-breaks with explicit
+    attribution joins."""
+    from marketstore_spark.operators.quant import nbbo
+
+    return nbbo(load_table(spark, sf_dir, "events"))
+
+
+_BM25_TERMS = ["join", "merge", "scan", "window"]
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    terms = sorted(set(terms))
+    tf = {
+        t: f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        for t in terms
+    }
+    dfc = {t: f"df{i}" for i, t in enumerate(terms)}
+    contrib = " + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - {dfc[t]} + 0.5) / ({dfc[t]} + 0.5))"
+        f" * ({tf[t]} * {k1 + 1.0!r}) / ({tf[t]} + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * (CAST(len(toks) AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+        f" / CAST(sum_dl AS DOUBLE)))"
+        for t in terms
+    )
+    df_aggs = ", ".join(
+        f"SUM(CAST(list_contains(toks, '{t}') AS BIGINT)) AS {dfc[t]}"
+        for t in terms
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl, {df_aggs}
+  FROM d
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(CAST(0.0 + {contrib} AS VARCHAR)
+                  AS DECIMAL(35,16)), 6) AS DOUBLE) AS bm25
+FROM d CROSS JOIN stats
+"""
+
+
+@_register("text_bm25", _bm25_oracle(_BM25_TERMS))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a literal query term list
+    (operators/text.bm25_score): ONE corpus aggregate reduced to a
+    single broadcast row of integers (N, Σdl, per-term df), then a
+    pure projection — zero corpus shuffles, tf via JVM array filter.
+    The per-term contributions add in explicit sorted-term order and
+    the score rounds at 6 via Spark's BigDecimal path (oracle
+    emulates with the VARCHAR→DECIMAL chain)."""
+    from marketstore_spark.operators.text import bm25_score
+
+    scored = bm25_score(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+    return scored.select(
+        "doc_id", "n_tokens", F.round("bm25", 6).alias("bm25")
+    )
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -4181,6 +4346,9 @@ _FRONT = [
     "corpus_sample_stratified",
     "text_doc_freq_score",
     "corpus_training_mix",
+    "tick_rule",
+    "nbbo",
+    "text_bm25",
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
@@ -4212,9 +4380,6 @@ _FRONT = [
     "ema",
     "sessionize",
     "percentiles",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
     # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
@@ -4229,6 +4394,9 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
     "text_tokens",
     "text_termfreq",
     "q3_shipping_priority",

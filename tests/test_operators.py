@@ -1196,3 +1196,90 @@ def test_adjust_fallback_skips_nonpositive_ratios(spark):
     )
     out = adjust(prices, ca).collect()
     assert out[0]["adjusted"] == 20.0  # x2 applies; the 0-ratio is skipped
+
+
+def test_tick_rule_carry_and_flow(spark):
+    from marketstore_spark.operators.quant import tick_rule
+
+    rows = [
+        # symbol, ts, id, price, volume
+        (1, _ts(2024, 1, 1, 9, 30, 0), 1, 100.0, 10),  # leading run → 0
+        (1, _ts(2024, 1, 1, 9, 31, 0), 2, 100.0, 5),   # still unresolved → 0
+        (1, _ts(2024, 1, 1, 9, 32, 0), 3, 101.0, 7),   # uptick → +1
+        (1, _ts(2024, 1, 1, 9, 33, 0), 4, 101.0, 9),   # flat carries +1
+        (1, _ts(2024, 1, 1, 9, 34, 0), 5, 99.0, 2),    # downtick → -1
+        (1, _ts(2024, 1, 1, 9, 35, 0), 6, 99.0, 4),    # flat carries -1
+        (2, _ts(2024, 1, 1, 9, 30, 0), 7, 50.0, 3),    # other symbol isolated
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "value", "volume"]
+    )
+    got = {
+        r["event_id"]: (r["side"], r["signed_vol"], r["cum_flow"])
+        for r in tick_rule(df).collect()
+    }
+    assert got == {
+        1: (0, 0, 0),
+        2: (0, 0, 0),
+        3: (1, 7, 7),
+        4: (1, 9, 16),
+        5: (-1, -2, 14),
+        6: (-1, -4, 10),
+        7: (0, 0, 0),
+    }
+
+
+def test_nbbo_best_pick_and_venue_attribution(spark):
+    from marketstore_spark.operators.quant import nbbo
+
+    rows = [
+        # symbol, ts, id, venue, bid_c, ask_c — venue A updates its
+        # quote inside the bucket: only the LAST one counts.
+        (1, _ts(2024, 1, 1, 9, 30, 0), 1, "A", 10000, 10400),
+        (1, _ts(2024, 1, 1, 9, 30, 40), 2, "A", 10100, 10300),
+        (1, _ts(2024, 1, 1, 9, 30, 20), 3, "B", 10100, 10200),
+        (1, _ts(2024, 1, 1, 9, 30, 30), 4, "C", 9900, 10250),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "bid_c", "ask_c"]
+    ).withColumn("value", F.lit(0.0))
+    out = nbbo(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # best bid 10100 is a tie between A (last quote) and B → greatest
+    # venue name wins; best ask 10200 is B alone.
+    assert (r["best_bid_c"], r["bid_venue"]) == (10100, "B")
+    assert (r["best_ask_c"], r["ask_venue"]) == (10200, "B")
+    assert r["spread_c"] == 100
+    assert r["mid_c"] == 10150.0
+
+
+def test_bm25_hand_formula(spark):
+    import math
+
+    from marketstore_spark.operators.text import bm25_score
+
+    docs = [
+        (1, "scan scan join"),
+        (2, "merge sort line"),
+        (3, "window window window window"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25"] for r in bm25_score(df, ["scan", "window"]).collect()}
+
+    def expected(tf_by_term, dl, n=3, sum_dl=10, k1=1.2, b=0.75):
+        s = 0.0
+        for term in sorted(tf_by_term):
+            tf, dfreq = tf_by_term[term]
+            idf = math.log(1.0 + (float(n) - dfreq + 0.5) / (dfreq + 0.5))
+            denom = tf + k1 * ((1.0 - b) + b * (float(dl) * n) / sum_dl)
+            s += idf * (tf * (k1 + 1.0)) / denom
+        return s
+
+    assert got[1] == pytest.approx(
+        expected({"scan": (2.0, 1), "window": (0.0, 1)}, dl=3), abs=1e-12
+    )
+    assert got[2] == pytest.approx(0.0, abs=0.0)
+    assert got[3] == pytest.approx(
+        expected({"scan": (0.0, 1), "window": (4.0, 1)}, dl=4), abs=1e-12
+    )

@@ -594,3 +594,39 @@ def test_corpus_training_mix_single_shuffle_chain(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_tick_rule_windows_share_one_sort(spark, sf_dir):
+    """The lag, the ignorenulls-last carry, and the running sum all
+    order by (symbol, ts, id) over the original column names — ONE
+    exchange and ONE sort, exactly like obv."""
+    plan = explain_str(SPARK_QUERIES["tick_rule"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_nbbo_two_rollup_aggregates_no_joins(spark, sf_dir):
+    """NBBO is two grouping levels — (symbol, venue, bucket) last-quote
+    pick, then the (symbol, bucket) venue rollup: exactly two shuffle
+    exchanges, and no join anywhere (the oracle's attribution joins
+    are the SQL reconstruction, not the plan).  Struct-ordered min/max
+    forces SortAggregate; the sorts are per-task, pre-partial-agg —
+    bounded by task input, never a global sort."""
+    plan = explain_str(SPARK_QUERIES["nbbo"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_bm25_corpus_never_shuffled(spark, sf_dir):
+    """BM25's only shuffle is the single-partition reduce of the
+    1-row corpus stats (N, Σdl, per-term df); the stats row comes back
+    via BroadcastNestedLoopJoin and scoring is a pure projection —
+    the corpus itself never repartitions, and the scan reads only
+    doc_id + text."""
+    plan = explain_str(SPARK_QUERIES["text_bm25"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "SinglePartition" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "lang" not in m[0] and "source" not in m[0], m
