@@ -289,14 +289,20 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     max_bucket = 10_000
-    from pyspark import StorageLevel
 
     sh = word_shingles(df, n, text_col, id_col, distinct=False)
+    # No persist: per_doc feeds three subtrees (banding + both verify
+    # sides), but they share the SAME groupBy exchange — Catalyst
+    # plans one shuffle and ReusedExchange for the other two, so only
+    # the post-shuffle final agg re-runs per consumer.  Measured
+    # faster than MEMORY_AND_DISK at sf0.1 (1.15s vs 1.41s min-of-3),
+    # and at 100 TB a persisted multi-billion-row shingle-set table
+    # would pin executor storage for the query's whole lifetime (and
+    # leak past it: a returned lazy DataFrame can never unpersist).
     per_doc = (
         sh.groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shset"), *_minhash_cols(num_hashes))
         .withColumn("set_size", F.size("shset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_structs = [
         F.struct(
@@ -517,14 +523,12 @@ def simhash_pairs(
     can match in up to ``bands`` buckets), so the second shuffle
     carries results, not candidates — the shape that matters at
     100 TB, where candidates dwarf results."""
-    from pyspark import StorageLevel
-
     width = SIMHASH_BITS // bands
     max_bucket = 10_000
-    sigs = (
-        simhash(df, text_col, id_col)
-        .withColumn("sigl", F.conv("simhash", 2, 10).cast("long"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Single consumer (the banding explode) — no persist needed; one
+    # previously sat here and only pinned executor storage.
+    sigs = simhash(df, text_col, id_col).withColumn(
+        "sigl", F.conv("simhash", 2, 10).cast("long")
     )
     band_structs = [
         F.struct(
