@@ -10,6 +10,13 @@ Spark-first substitutions, stated plainly:
   the codec is an encoding detail of the same RPC shapes; request and
   response field names mirror the reference's msgpack tags
   (``destination``, ``epoch_start``, ``limit_record_count``, ...).
+- **No gRPC transport** — the reference also serves DataService over
+  gRPC (proto/marketstore.proto:163, frontend/grpc.go); grpcio is not
+  installable in this container, so that second transport of the SAME
+  method surface is excluded like msgpack.  Every RPC it would carry
+  (Query/Write/Create/Destroy/GetInfo/ListSymbols/ServerVersion) is
+  served here, and the ``GET /stream`` long-poll endpoint covers the
+  websocket push analogue (frontend/stream/stream.go).
 - **Control plane only.**  The reference streams bulk data through its
   custom NumpyMultiDataset wire format; our bulk path is Arrow via
   ``client.DataSet.arrays()/df()`` in-process.  The RPC server returns
