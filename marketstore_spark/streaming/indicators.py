@@ -99,3 +99,115 @@ def stream_ema_obv(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_nbbo(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    venue_col: str = "event_type",
+    bid_col: str = "bid_c",
+    ask_col: str = "ask_c",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Live consolidated NBBO: after each micro-batch, emit the current
+    best bid / best ask per symbol across every venue's LAST quote —
+    the streaming face of operators/quant.nbbo, and the engine-side
+    version of what a subscriber to the reference's quote stream
+    (frontend/stream + models/quote.go) assembles client-side.
+
+    State per symbol is one quote per venue — venue count is a small
+    constant (dozens), so state is O(venues), carried as parallel
+    arrays in the state struct.  Each batch folds its quotes in
+    (ts, tiebreak) order updating the per-venue last; the emitted row
+    is the argmax/argmin over the venue map with the SAME tie rule as
+    the batch operator (greatest venue name on bid ties, smallest on
+    ask ties).  One output row per (symbol, batch) — the consolidated
+    tape tick, not per-quote fan-out.
+    """
+    out_schema = (
+        f"{key_col} long, asof_ts timestamp, best_bid_c long, "
+        f"best_ask_c long, bid_venue string, ask_venue string, "
+        f"spread_c long, n_venues int"
+    )
+    state_schema = (
+        "venues array<string>, ts_us array<long>, tbs array<long>, "
+        "bids array<long>, asks array<long>"
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            venues, ts_us, tbs, bids, asks = state.get
+            book = {
+                v: (t, tb, b, a)
+                for v, t, tb, b, a in zip(venues, ts_us, tbs, bids, asks)
+            }
+        else:
+            book = {}
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update(
+                (
+                    list(book),
+                    [book[v][0] for v in book],
+                    [book[v][1] for v in book],
+                    [book[v][2] for v in book],
+                    [book[v][3] for v in book],
+                )
+            )
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
+        for ts, tb, venue, bid, ask in zip(
+            pdf[ts_col], pdf[tiebreak_col], pdf[venue_col],
+            pdf[bid_col], pdf[ask_col],
+        ):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            prev = book.get(venue)
+            # last-quote-wins within and across batches, (ts, tiebreak)
+            # ordered — identical pick rule to the batch struct-max
+            if prev is None or (t_us, int(tb)) >= (prev[0], prev[1]):
+                book[venue] = (t_us, int(tb), int(bid), int(ask))
+        # argmax bid (ties -> greatest venue), argmin ask (ties ->
+        # smallest venue): the batch operator's struct ordering
+        bid_px, bid_venue = max((q[2], v) for v, q in book.items())
+        ask_px = min(q[3] for q in book.values())
+        ask_venue = min(v for v, q in book.items() if q[3] == ask_px)
+        asof_us = max(q[0] for q in book.values())
+        state.update(
+            (
+                list(book),
+                [book[v][0] for v in book],
+                [book[v][1] for v in book],
+                [book[v][2] for v in book],
+                [book[v][3] for v in book],
+            )
+        )
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    pd.Timestamp(asof_us * 1000),
+                    bid_px,
+                    ask_px,
+                    bid_venue,
+                    ask_venue,
+                    ask_px - bid_px,
+                    len(book),
+                )
+            ],
+            columns=[
+                key_col, "asof_ts", "best_bid_c", "best_ask_c",
+                "bid_venue", "ask_venue", "spread_c", "n_venues",
+            ],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

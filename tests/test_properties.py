@@ -611,3 +611,48 @@ def test_ema_streaming_fold_bitwise_vs_direct_loop(spark, vals, span):
         x = float(v)
         acc = x if acc is None else alpha * x + beta * acc
         assert got[i] == acc  # bitwise
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),   # ts offset s
+            st.integers(min_value=-3, max_value=3),    # price level
+            st.integers(min_value=0, max_value=20),    # volume
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_tick_rule_matches_direct_model(spark, ticks):
+    """tick_rule == the textbook tick test evaluated row by row in
+    Python: sign by price change, carry the last resolved sign on flat
+    ticks, 0 before any move; cumulative flow is the running sum.
+    Narrow price levels force plenty of flat ticks and sign flips."""
+    from marketstore_spark.operators.quant import tick_rule
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(seconds=off), 1, float(100 + lvl), v)
+        for i, (off, lvl, v) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double, volume long"
+    )
+    got = {
+        r["event_id"]: (r["side"], r["signed_vol"], r["cum_flow"])
+        for r in tick_rule(df).collect()
+    }
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    side, prev, cum = 0, None, 0
+    want = {}
+    for eid, _ts, _sym, px, vol in ordered:
+        if prev is not None and px > prev:
+            side = 1
+        elif prev is not None and px < prev:
+            side = -1
+        prev = px
+        cum += side * vol
+        want[eid] = (side, side * vol, cum)
+    assert got == want

@@ -551,3 +551,58 @@ def test_stream_ema_obv_sorts_across_arrow_chunk_boundaries(spark, sf_dir, tmpdi
     assert len(got) == len(want_ema) > 0
     assert (got["ema"].values == want_ema["ema"].values).all()  # bitwise
     assert (got["obv"].values == want_obv["obv"].values).all()
+
+
+def test_stream_nbbo_carries_venue_book_across_batches(spark, tmpdir):
+    """Live NBBO consolidation: venue A quotes only in batch 0; batch 1
+    must still consolidate against A's carried quote (per-venue book in
+    the state struct), and the per-batch emission applies the batch
+    operator's tie rules."""
+    from datetime import datetime
+
+    from marketstore_spark.streaming.indicators import stream_nbbo
+
+    cols = ["user_id", "ts", "event_id", "event_type", "bid_c", "ask_c"]
+    b0 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 30, 0), 1, "A", 10000, 10100),
+            (1, datetime(2024, 1, 1, 9, 30, 5), 2, "B", 10010, 10120),
+        ],
+        cols,
+    )
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 31, 0), 3, "B", 9990, 10105)], cols
+    )
+    src = os.path.join(tmpdir, "quotes")
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = read_stream(
+        spark, src, b0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_nbbo(stream)
+        .writeStream.format("memory")
+        .queryName("live_nbbo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from live_nbbo")
+        .toPandas()
+        .sort_values("asof_ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    first, second = got.iloc[0], got.iloc[1]
+    # after batch 0: B holds the best bid, A the best ask
+    assert (first["best_bid_c"], first["bid_venue"]) == (10010, "B")
+    assert (first["best_ask_c"], first["ask_venue"]) == (10100, "A")
+    assert first["n_venues"] == 2
+    # after batch 1: B's refresh drops its bid below A's CARRIED quote
+    # — A must win both sides even though it never appeared in batch 1
+    assert (second["best_bid_c"], second["bid_venue"]) == (10000, "A")
+    assert (second["best_ask_c"], second["ask_venue"]) == (10100, "A")
+    assert second["spread_c"] == 100
+    assert second["n_venues"] == 2
