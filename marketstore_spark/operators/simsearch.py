@@ -441,3 +441,73 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
     )
+
+
+def knn_label_eval(
+    emb: DataFrame,
+    k: int = 5,
+    test_mod: int = 5,
+    max_test_id: int = 250,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label prediction accuracy — the standard embedding-quality
+    evaluation a training-data pipeline runs over its vector column:
+    hold out a deterministic test slice (``id % test_mod == 0`` below
+    ``max_test_id``), predict each held-out vector's label by majority
+    vote of its ``k`` nearest TRAIN vectors (cosine), and emit per-row
+    truth vs prediction.  Output: vec_id, label, pred, correct.
+
+    Scale shape: one corpus scan.  The query slice is broadcast
+    (brute_force_topk's posture) and the neighbor's label RIDES THROUGH
+    the scoring projection, so no second corpus scan or re-join to
+    recover labels.  The per-query top-k rank prune happens in the
+    one shuffle; votes and the argmax are dims-scale (#test × k rows).
+    Ties: equal cosine ranks by neighbor id (brute_force_topk's rule);
+    equal vote counts pick the smallest label (struct-max on
+    (count, -label)) — deterministic end to end.  At 100 TB swap the
+    brute-force scorer for the IVF probe (same vote/argmax tail).
+    """
+    vid = F.col(id_col)
+    is_test = ((vid % test_mod) == 0) & (vid < max_test_id)
+    q = emb.filter(is_test).select(
+        vid.alias("query_id"),
+        F.col(label_col).alias("label"),
+        _as_double(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = emb.filter((vid % test_mod) != 0).select(
+        vid.alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+
+    den = F.col("qn") * F.col("cn")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "label",
+        "neighbor_id",
+        "nlabel",
+        (dot(F.col("qv"), F.col("cv"))
+         / F.when(den == 0, F.lit(None)).otherwise(den)).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "label", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy("query_id", "label").agg(
+        F.max(
+            F.struct(F.col("votes"), (-F.col("nlabel")).alias("neg_label"))
+        ).alias("__b")
+    )
+    return best.select(
+        F.col("query_id").alias("vec_id"),
+        "label",
+        (-F.col("__b.neg_label")).cast("int").alias("pred"),
+        (F.col("label") == -F.col("__b.neg_label")).cast("int").alias("correct"),
+    )

@@ -4297,6 +4297,51 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "knn_label_eval",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 5 = 0 AND vec_id < 250),
+c AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+topk AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, q.label AS label,
+           c.vec_id AS neighbor_id, c.label AS nlabel,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+           ) AS rn
+    FROM q, c
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT query_id, label, nlabel, COUNT(*) AS votes
+  FROM topk GROUP BY query_id, label, nlabel
+),
+best AS (
+  SELECT query_id, label, nlabel AS pred FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, nlabel ASC
+    ) AS brn
+    FROM votes
+  ) WHERE brn = 1
+)
+SELECT query_id AS vec_id, label, CAST(pred AS INT) AS pred,
+       CAST(label = pred AS INT) AS correct
+FROM best
+""",
+)
+def knn_label_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction eval over the embedding column
+    (operators/simsearch.knn_label_eval): deterministic holdout,
+    5-NN cosine majority vote with (count, smallest-label) tie rule,
+    per-row truth vs prediction — one corpus scan, neighbor labels
+    carried through the scoring projection."""
+    from marketstore_spark.operators.simsearch import knn_label_eval
+
+    return knn_label_eval(load_table(spark, sf_dir, "embeddings"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -4349,6 +4394,7 @@ _FRONT = [
     "tick_rule",
     "nbbo",
     "text_bm25",
+    "knn_label_eval",
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
@@ -4379,7 +4425,6 @@ _FRONT = [
     "drawdown",
     "ema",
     "sessionize",
-    "percentiles",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
     # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
@@ -4394,6 +4439,7 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "percentiles",
     "text_langid",
     "text_quality",
     "text_fingerprint",

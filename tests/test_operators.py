@@ -1283,3 +1283,33 @@ def test_bm25_hand_formula(spark):
     assert got[3] == pytest.approx(
         expected({"scan": (0.0, 1), "window": (4.0, 1)}, dl=4), abs=1e-12
     )
+
+
+def test_knn_label_eval_majority_and_ties(spark):
+    from marketstore_spark.operators.simsearch import knn_label_eval
+
+    # axis-aligned vectors: cosine is 1 for same axis, 0 across axes.
+    # test vec 0 (axis x) -> train neighbors: two x-axis label-1 vecs
+    # and one y-axis label-2 vec; k=3 votes 2:1 -> pred 1 (correct).
+    # test vec 5 (axis y, label 9) -> neighbors vote 1:1:1 between
+    # labels 2, 3, 4 (one each) -> smallest label 2 wins (tie rule).
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),   # test (0 % 5 == 0)
+        (5, [0.0, 1.0, 0.0], 9),   # test
+        (1, [1.0, 0.0, 0.0], 1),   # train, x
+        (2, [0.9, 0.1, 0.0], 1),   # train, x-ish
+        (3, [0.0, 1.0, 0.0], 2),   # train, y
+        (4, [0.0, 0.9, 0.1], 3),   # train, y-ish
+        (6, [0.0, 1.0, 0.1], 4),   # train, y-ish
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["vec_id"]: (r["label"], r["pred"], r["correct"])
+        for r in knn_label_eval(df, k=3).collect()
+    }
+    assert out[0] == (1, 1, 1)
+    # vec 5's 3 nearest are the three y-ish vecs (labels 2, 3, 4) —
+    # one vote each, smallest label wins, prediction is wrong vs 9
+    assert out[5] == (9, 2, 0)

@@ -630,3 +630,16 @@ def test_bm25_corpus_never_shuffled(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert m and "lang" not in m[0] and "source" not in m[0], m
+
+
+def test_knn_label_eval_one_shuffle_mapside_topk(spark, sf_dir):
+    """The query slice broadcasts; WindowGroupLimit prunes each task to
+    its local top-k BEFORE the one exchange (only k rows per query
+    cross the wire); the vote aggregates reuse the window's
+    query_id partitioning — exactly ONE shuffle end to end, and no
+    sort-merge join anywhere."""
+    plan = explain_str(SPARK_QUERIES["knn_label_eval"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert re.search(r"\(\d+\) BroadcastNestedLoopJoin", plan), plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
