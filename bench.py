@@ -89,6 +89,17 @@ HEADLINE = [
     # swamp the suite denominator, so it stays a correctness-only key.)
     "ema",
     "macd",
+    # round-6 third pass: venue-rollup aggregate (struct-ordered
+    # min/max picks), broadcast-stats pure projection (corpus never
+    # shuffles), and the broadcast-query top-k + vote tail — one new
+    # timed shape per operator family added this round (tick_rule is
+    # obv's plan shape, already covered).
+    "nbbo",
+    "text_bm25",
+    "knn_label_eval",
+    # all five rollup levels in one grouping-sets pass (1 scan /
+    # 1 shuffle) vs the oracle's five direct scans
+    "rollup_cascade",
 ]
 
 _ORACLE_TABLES = (

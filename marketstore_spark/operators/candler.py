@@ -164,3 +164,94 @@ def candle_candles(
     cols = list(key_cols) + ["epoch", "open", "high", "low", "close"]
     cols += [f"{x}_sum" for x in sum_cols] + [f"{x}_avg" for x in avg_cols]
     return out.select(*cols)
+
+
+def rollup_cascade(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    price_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Every ondiskagg destination timeframe (5Min/1H/1D/1W/1Mo) in ONE
+    pass — the batch form of the reference's on-disk aggregate
+    timeframe fan-out (contrib/ondiskagg/aggtrigger.go:70), which
+    maintains all destinations from one write stream instead of
+    re-reading ticks per timeframe.
+
+    Plan: GROUPING SETS.  One fact scan projects all five bucket
+    columns (fixed-width buckets by integer-µs floor arithmetic —
+    identical phase to ``F.window``'s 1970 origin and DuckDB
+    time_bucket's 2000 origin, both midnight/Monday-aligned; calendar
+    months via date_trunc), Expand replicates each row once per level
+    into the partial aggregate, and ONE exchange carries partial
+    candles for all five levels.  A union of five aggregates would
+    rescan the fact five times (exchange reuse does not fire across
+    union branches — measured); grouping sets is the plan that scans
+    once.  The 5x Expand feeds map-side partials, so the shuffle
+    carries candles, not ticks.
+
+    Output: key_cols, level, epoch, open/high/low/close, value_sum,
+    value_avg, n.  The registered oracle computes every level DIRECTLY
+    from ticks, so hash parity proves cascade == direct — the
+    invariant ondiskagg relies on.
+    """
+    from marketstore_spark.functions.timeutil import epoch_us
+
+    keys = list(key_cols)
+    us = epoch_us(F.col(ts_col))
+
+    def fixed(width_s: int, origin_shift_s: int = 0) -> Column:
+        w = F.lit(width_s * 1_000_000).cast("long")
+        off = F.lit(origin_shift_s * 1_000_000).cast("long")
+        return F.timestamp_micros(F.floor((us - off) / w).cast("long") * w + off)
+
+    levels = {
+        "5Min": fixed(300),
+        "1H": fixed(3600),
+        "1D": fixed(86400),
+        # Monday alignment: 1970-01-01 is a Thursday; +4 days origin
+        "1W": fixed(7 * 86400, 4 * 86400),
+        "1Mo": F.timestamp_micros(epoch_us(F.date_trunc("month", F.col(ts_col)))),
+    }
+    bcols = [c.alias(f"__b_{lv}") for lv, c in levels.items()]
+    ev = df.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(t) for t in tiebreak],
+        F.col(price_col),
+        F.col(price_col).cast("decimal(18,2)").alias("__pv"),
+        *bcols,
+    )
+    bnames = [f"__b_{lv}" for lv in levels]
+    ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    g = ev.groupingSets(
+        [[*keys, b] for b in bnames], *keys, *bnames
+    ).agg(
+        F.min_by(price_col, ok).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ok).alias("close"),
+        F.sum("__pv").alias("__pv_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Exactly one bucket column is non-null per grouping set (ts is
+    # non-null under epoch_us); it identifies both level and epoch.
+    level = F.coalesce(
+        *[
+            F.when(F.col(b).isNotNull(), F.lit(lv))
+            for lv, b in zip(levels, bnames)
+        ]
+    )
+    return g.select(
+        *keys,
+        level.alias("level"),
+        F.coalesce(*[F.col(b) for b in bnames]).alias("epoch"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("__pv_sum").cast("double").alias("value_sum"),
+        (F.col("__pv_sum").cast("double") / F.col("n")).alias("value_avg"),
+        F.col("n").cast("long").alias("n"),
+    )

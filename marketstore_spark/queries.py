@@ -4342,6 +4342,40 @@ def knn_label_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_eval(load_table(spark, sf_dir, "embeddings"))
 
 
+def _rollup_cascade_oracle() -> str:
+    levels = [
+        ("5Min", _tick_candle_sql("5 minutes")),
+        ("1H", _tick_candle_sql("1 hour")),
+        ("1D", _tick_candle_sql("1 day")),
+        ("1W", _tick_candle_sql("7 days")),
+        (
+            "1Mo",
+            _tick_candle_sql("1 day").replace(
+                "time_bucket(INTERVAL '1 day', ts)", "date_trunc('month', ts)"
+            ),
+        ),
+    ]
+    parts = [
+        f"SELECT user_id, '{lv}' AS level, epoch, open, high, low, close,"
+        f" value_sum, value_avg, n FROM ({sql})"
+        for lv, sql in levels
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register("rollup_cascade", _rollup_cascade_oracle())
+def rollup_cascade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five ondiskagg timeframes in one pass
+    (operators/candler.rollup_cascade): ticks shuffle ONCE into 5Min
+    candles, every coarser level re-aggregates the level below
+    (contrib/ondiskagg/aggtrigger.go:70's fan-out, batch form).  The
+    oracle computes each level directly from ticks, so hash parity
+    proves cascade == direct — the invariant ondiskagg relies on."""
+    from marketstore_spark.operators.candler import rollup_cascade
+
+    return rollup_cascade(load_table(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -4395,6 +4429,7 @@ _FRONT = [
     "nbbo",
     "text_bm25",
     "knn_label_eval",
+    "rollup_cascade",
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
@@ -4424,7 +4459,6 @@ _FRONT = [
     "rsi",
     "drawdown",
     "ema",
-    "sessionize",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
     # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
@@ -4439,6 +4473,7 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "sessionize",
     "percentiles",
     "text_langid",
     "text_quality",

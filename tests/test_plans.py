@@ -643,3 +643,17 @@ def test_knn_label_eval_one_shuffle_mapside_topk(spark, sf_dir):
     assert re.search(r"\(\d+\) BroadcastNestedLoopJoin", plan), plan
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rollup_cascade_one_scan_one_shuffle(spark, sf_dir):
+    """All five rollup levels in one pass: the fact is scanned ONCE,
+    Expand replicates rows into per-level partial aggregates, and a
+    single exchange carries partial candles for every level (a union
+    of five aggregates would rescan the fact five times — exchange
+    reuse does not fire across union branches)."""
+    df = SPARK_QUERIES["rollup_cascade"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    ex = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert ex.count("FileScan") == 1, ex
+    assert ex.count("Expand") == 1, ex
+    assert ex.count("Exchange hashpartitioning") == 1, ex
