@@ -40,7 +40,8 @@ _CREATE_VIEW_RE = re.compile(
     r"^\s*create\s+view\s+(\w+)\s+as\s+(.*)$", re.I | re.S
 )
 _CANDLER_RE = re.compile(
-    r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian)"
+    r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
+    r"|tickrule|nbbo)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -236,6 +237,51 @@ class MarketSQL:
                 out = fn_op(keyed, **kwargs).drop("symbol")
             if limit:
                 out = out.orderBy(out.columns[0]).limit(int(limit))
+            return out
+        if fname.lower() in ("tickrule", "nbbo"):
+            # Microstructure UDAs through the registry:
+            #   tickrule(Price, Volume) — Lee-Ready signing + order flow
+            #   nbbo('1Min')            — consolidated best bid/offer
+            from marketstore_spark.operators.quant import nbbo as nbbo_op
+            from marketstore_spark.operators.quant import tick_rule as tr_op
+
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            tb = tiebreak[0] if tiebreak else ts_col
+            parts = re.findall(r"'([^']*)'|\"([^\"]*)\"|([A-Za-z_]\w*)", rawargs)
+            quoted = [a or b for a, b, _ in parts if (a or b)]
+            colargs = [c for _, _, c in parts if c]
+            keyed = base.withColumn("__symbol", F.lit("_"))
+            if fname.lower() == "tickrule":
+                out = tr_op(
+                    keyed,
+                    symbol_col="__symbol",
+                    ts_col=ts_col,
+                    value_col=colargs[0] if colargs else "value",
+                    volume_col=colargs[1] if len(colargs) > 1 else "value",
+                    tiebreak_col=tb,
+                ).drop("symbol")
+                order_col = "epoch"
+            else:
+                tf = (
+                    timeframe_to_duration(quoted[0])
+                    if quoted
+                    else "1 minute"
+                )
+                venue = colargs[0] if colargs else None
+                if venue is None:
+                    keyed = keyed.withColumn("__venue", F.lit("_"))
+                    venue = "__venue"
+                out = nbbo_op(
+                    keyed,
+                    timeframe=tf,
+                    symbol_col="__symbol",
+                    ts_col=ts_col,
+                    venue_col=venue,
+                    tiebreak_col=tb,
+                ).drop("symbol")
+                order_col = "epoch"
+            if limit:
+                out = out.orderBy(order_col).limit(int(limit))
             return out
         if fname.lower() == "tickcandler":
             # tickcandler('5Min', Price, Sum::Volume) — one price column

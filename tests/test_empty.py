@@ -175,3 +175,34 @@ def test_ema_macd_empty_input(empty_events):
 
     assert ema(empty_events).count() == 0
     assert macd(empty_events).count() == 0
+
+
+def test_round6_operators_empty_input(spark, empty_events, empty_docs):
+    from marketstore_spark.operators.candler import rollup_cascade
+    from marketstore_spark.operators.quant import nbbo, tick_rule
+    from marketstore_spark.operators.simsearch import knn_label_eval
+    from marketstore_spark.operators.text import bm25_score
+
+    ev = empty_events.withColumn("volume", F.lit(None).cast("long"))
+    out = tick_rule(ev)
+    assert out.count() == 0
+    assert {"side", "signed_vol", "cum_flow"} <= set(out.columns)
+
+    out = nbbo(empty_events)
+    assert out.count() == 0
+    assert {"best_bid_c", "best_ask_c", "bid_venue", "ask_venue"} <= set(out.columns)
+
+    out = rollup_cascade(empty_events)
+    assert out.count() == 0
+    assert {"level", "epoch", "open", "close", "n"} <= set(out.columns)
+
+    out = bm25_score(empty_docs, ["scan", "join"])
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "bm25"}
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_label_eval(empty_emb)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "label", "pred", "correct"}

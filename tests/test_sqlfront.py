@@ -198,3 +198,25 @@ def test_uda_bare_numeric_args(msql):
     got = {r["event_id"]: r["ema"] for r in out.collect()}
     want = {r["event_id"]: r["ema"] for r in exp.collect()}
     assert got == want and got != {}
+
+
+def test_tickrule_uda_matches_operator(msql):
+    from marketstore_spark.operators.quant import tick_rule
+
+    out = msql.sql("SELECT tickrule(value, value) FROM `EV1/1Min/TICK`")
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    exp = tick_rule(
+        base.withColumn("volume", F.col("value")),
+        symbol_col="__symbol",
+    ).drop("symbol")
+    got = {r["event_id"]: (r["side"], r["cum_flow"]) for r in out.collect()}
+    want = {r["event_id"]: (r["side"], r["cum_flow"]) for r in exp.collect()}
+    assert got == want and got
+
+
+def test_nbbo_uda_consolidates(msql):
+    out = msql.sql("SELECT nbbo('5Min') FROM `EV1/1Min/TICK`")
+    rows = out.collect()
+    assert rows
+    assert {"epoch", "best_bid_c", "best_ask_c", "spread_c"} <= set(out.columns)
+    assert all(r["best_bid_c"] <= r["best_ask_c"] for r in rows)
