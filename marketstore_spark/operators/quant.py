@@ -459,6 +459,33 @@ def realized_vol(
     )
 
 
+def _cent_ticks(
+    df: DataFrame,
+    timeframe: str,
+    symbol_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    extras: Sequence[Column] = (),
+) -> DataFrame:
+    """Shared tick normalization for the candle-fed operators (atr /
+    donchian / nbbo / _bucket_closes): integer-cent price, bucket
+    start, and the (ts, tiebreak) order key under canonical names —
+    the cent-cast policy lives HERE, once.  ``extras`` are additional
+    projections to carry through (e.g. nbbo's venue).
+    Output: symbol, bucket, __ts, __tb, px_c, *extras."""
+    w = F.window(ts_col, timeframe)
+    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+    return df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        cents.alias("px_c"),
+        w["start"].alias("bucket"),
+        *extras,
+    )
+
+
 def _bucket_closes(
     df: DataFrame,
     timeframe: str,
@@ -472,15 +499,9 @@ def _bucket_closes(
     shuffle on (symbol, bucket), deterministic last pick by
     (ts, tiebreak).  (atr/donchian extract full candles, not closes,
     so they keep their own aggregate.)"""
-    w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
-    ticks = df.select(
-        F.col(symbol_col).alias("symbol"),
-        F.col(ts_col).alias("__ts"),
-        F.col(tiebreak_col).alias("__tb"),
-        cents.alias("close_c"),
-        w["start"].alias("bucket"),
-    )
+    ticks = _cent_ticks(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    ).withColumnRenamed("px_c", "close_c")
     rn = F.row_number().over(
         Window.partitionBy("symbol", "bucket").orderBy(
             F.col("__ts").desc(), F.col("__tb").desc()
@@ -518,15 +539,7 @@ def atr(
     then one per-symbol sort shared by the lag, the rolling sum, and
     the row counter.  Linear in symbols × buckets.
     """
-    w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
-    ticks = df.select(
-        F.col(symbol_col).alias("symbol"),
-        F.col(ts_col).alias("__ts"),
-        F.col(tiebreak_col).alias("__tb"),
-        cents.alias("px_c"),
-        w["start"].alias("bucket"),
-    )
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
     candles = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"),
         F.min("px_c").alias("l"),
@@ -573,13 +586,9 @@ def donchian(
     Shape: one candle shuffle, one shared per-symbol sort for both
     rolling extrema and the row counter.
     """
-    w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
-    ticks = df.select(
-        F.col(symbol_col).alias("symbol"),
-        cents.alias("px_c"),
-        w["start"].alias("bucket"),
-    )
+    # _cent_ticks also carries the (ts, tiebreak) order key; donchian
+    # never references it, so Catalyst prunes it out of the scan.
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, "event_id")
     hilo = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"), F.min("px_c").alias("l")
     )
@@ -738,24 +747,29 @@ def nbbo(
     struct-max, smallest on the ask's struct-min) — deterministic on
     any row order.
     """
-    w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
     has_sides = "bid_c" in df.columns and "ask_c" in df.columns
-    quotes = df.select(
-        F.col(symbol_col).alias("symbol"),
-        F.col(venue_col).alias("venue"),
-        w["start"].alias("bucket"),
-        F.col(ts_col).alias("__ts"),
-        F.col(tiebreak_col).alias("__tb"),
+    extras = [F.col(venue_col).alias("venue")]
+    if has_sides:
+        extras += [F.col("bid_c"), F.col("ask_c")]
+    ticks = _cent_ticks(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col, extras
+    )
+    px = F.col("px_c")
+    quotes = ticks.select(
+        "symbol",
+        "venue",
+        "bucket",
+        "__ts",
+        "__tb",
         (
             F.col("bid_c")
             if has_sides
-            else cents - 1 - F.pmod(F.col(tiebreak_col), F.lit(4))
+            else px - 1 - F.pmod(F.col("__tb"), F.lit(4))
         ).cast("long").alias("bid_c"),
         (
             F.col("ask_c")
             if has_sides
-            else cents + 1 + F.pmod(F.col(tiebreak_col), F.lit(3))
+            else px + 1 + F.pmod(F.col("__tb"), F.lit(3))
         ).cast("long").alias("ask_c"),
     )
     last_q = (

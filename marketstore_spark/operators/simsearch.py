@@ -30,6 +30,57 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _scored_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    q_extra: dict[str, str] | None = None,
+    c_extra: dict[str, str] | None = None,
+) -> DataFrame:
+    """Shared exact-cosine top-k core (brute_force_topk and
+    knn_label_eval): per-side norms folded ONCE before the broadcast
+    crossJoin (the interpreted aggregate lambda is the cost center —
+    one fold per row, not three per pair; numerically identical, same
+    element-order fold), zero-norm guarded, per-query rank pruned to
+    ``k``.  ``q_extra``/``c_extra`` map source→output column names
+    that ride through the scoring projection (e.g. labels) so callers
+    never re-join the corpus to recover them.  Self-matches are always
+    excluded.  Output: query_id, neighbor_id, extras, cos_raw, rank.
+    """
+    q_extra = q_extra or {}
+    c_extra = c_extra or {}
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        *[F.col(s).alias(d) for s, d in q_extra.items()],
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        *[F.col(s).alias(d) for s, d in c_extra.items()],
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    den = F.col("qn") * F.col("cn")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *q_extra.values(),
+        *c_extra.values(),
+        (dot(F.col("qv"), F.col("cv"))
+         / F.when(den == 0, F.lit(None)).otherwise(den)).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,37 +91,11 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector the k nearest corpus
     vectors (self-matches excluded).  Output: query_id, neighbor_id,
     cosine (rounded 6dp), rank."""
-    # Norms are per-vector, not per-pair: fold them ONCE on each side
-    # before the join (the interpreted aggregate lambda is the cost
-    # center — this cuts HOF work per pair from three folds to one).
-    # Numerically identical to folding inside the pair: same
-    # element-order fold, same dot/(na*nb) expression.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    den = F.col("qn") * F.col("cn")
-    scored = pairs.select(
+    return _scored_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv"))
-         / F.when(den == 0, F.lit(None)).otherwise(den)).alias("cos_raw"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_raw", 6).alias("cosine"),
-            "rank",
-        )
+        F.round("cos_raw", 6).alias("cosine"),
+        "rank",
     )
 
 
@@ -471,31 +496,14 @@ def knn_label_eval(
     """
     vid = F.col(id_col)
     is_test = ((vid % test_mod) == 0) & (vid < max_test_id)
-    q = emb.filter(is_test).select(
-        vid.alias("query_id"),
-        F.col(label_col).alias("label"),
-        _as_double(vec_col).alias("qv"),
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    c = emb.filter((vid % test_mod) != 0).select(
-        vid.alias("neighbor_id"),
-        F.col(label_col).alias("nlabel"),
-        _as_double(vec_col).alias("cv"),
-    ).withColumn("cn", l2_norm(F.col("cv")))
-
-    den = F.col("qn") * F.col("cn")
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "label",
-        "neighbor_id",
-        "nlabel",
-        (dot(F.col("qv"), F.col("cv"))
-         / F.when(den == 0, F.lit(None)).otherwise(den)).alias("cos_raw"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
-    )
-    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    topk = _scored_topk(
+        emb.filter((vid % test_mod) != 0),
+        emb.filter(is_test),
+        k,
+        id_col,
+        vec_col,
+        q_extra={label_col: "label"},
+        c_extra={label_col: "nlabel"},
     )
     votes = topk.groupBy("query_id", "label", "nlabel").agg(
         F.count(F.lit(1)).alias("votes")

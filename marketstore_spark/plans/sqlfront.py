@@ -236,7 +236,13 @@ class MarketSQL:
                     kwargs["tiebreak_col"] = tiebreak[0] if tiebreak else ts_col
                 out = fn_op(keyed, **kwargs).drop("symbol")
             if limit:
-                out = out.orderBy(out.columns[0]).limit(int(limit))
+                # LIMIT orders on the time axis like every other arm —
+                # the first output column is whatever the bucket schema
+                # leads with, which need not be unique or temporal.
+                order_cols = [
+                    c for c in (ts_col, "epoch", *tiebreak) if c in out.columns
+                ] or [out.columns[0]]
+                out = out.orderBy(*order_cols).limit(int(limit))
             return out
         if fname.lower() in ("tickrule", "nbbo"):
             # Microstructure UDAs through the registry:
@@ -247,17 +253,37 @@ class MarketSQL:
 
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
-            parts = re.findall(r"'([^']*)'|\"([^\"]*)\"|([A-Za-z_]\w*)", rawargs)
-            quoted = [a or b for a, b, _ in parts if (a or b)]
-            colargs = [c for _, _, c in parts if c]
+            # Number-led bare tokens (nbbo(5Min)) are parameters like
+            # their quoted forms — the indicator arm's parsing rule;
+            # without the (\d[\w.]*) alternative '5Min' tokenizes to
+            # the identifier 'Min' and the timeframe silently defaults.
+            parts = re.findall(
+                r"'([^']*)'|\"([^\"]*)\"|(\d[\w.]*)|([A-Za-z_]\w*)", rawargs
+            )
+            quoted = [a or b or n for a, b, n, _ in parts if (a or b or n)]
+            colargs = [c for _, _, _, c in parts if c]
             keyed = base.withColumn("__symbol", F.lit("_"))
             if fname.lower() == "tickrule":
+                # Volume defaults to the bucket's 'volume' column; a
+                # price-weighted flow (volume_col == price) is a
+                # plausible-looking wrong answer, so a missing volume
+                # column is an error, not a silent fallback.
+                if len(colargs) > 1:
+                    vol = colargs[1]
+                elif "volume" in base.columns:
+                    vol = "volume"
+                else:
+                    raise ValueError(
+                        "tickrule needs a volume column: "
+                        "tickrule(Price, Volume), or a 'volume' column "
+                        "in the bucket"
+                    )
                 out = tr_op(
                     keyed,
                     symbol_col="__symbol",
                     ts_col=ts_col,
                     value_col=colargs[0] if colargs else "value",
-                    volume_col=colargs[1] if len(colargs) > 1 else "value",
+                    volume_col=vol,
                     tiebreak_col=tb,
                 ).drop("symbol")
                 order_col = "epoch"

@@ -49,6 +49,10 @@ from marketstore_spark.client import Client, Params
 
 _SUBSCRIBE_LOCK = threading.Lock()
 
+#: Upper bound on distinct long-poll glob subscriptions per server —
+#: each one is a durable delivery stream (see do_GET).
+_MAX_HTTP_SUBSCRIBERS = 64
+
 _PARSE_ERROR = -32700
 _INVALID_REQUEST = -32600
 _METHOD_NOT_FOUND = -32601
@@ -267,6 +271,15 @@ class _Handler(BaseHTTPRequestHandler):
                 error={"code": _INVALID_PARAMS, "message": "timeout must be in [0, 60]"},
             )
             return
+        if cursor < 0:
+            # A negative cursor would skip the long-poll wait AND slice
+            # rows[cursor:] from the END — silently dropping every
+            # unseen row before the last |cursor|.
+            self._reply(
+                None,
+                error={"code": _INVALID_PARAMS, "message": "cursor must be >= 0"},
+            )
+            return
         # one durable subscriber per distinct glob, shared by every
         # poller of that glob (delivery directories are append-only, so
         # concurrent pollers just read at different cursors); the lock
@@ -276,6 +289,25 @@ class _Handler(BaseHTTPRequestHandler):
         name = "http-" + hashlib.md5(pattern.encode()).hexdigest()[:10]
         with _SUBSCRIBE_LOCK:
             if not any(s.name == name for s in self.hub.subscribers):
+                # Every distinct glob creates a DURABLE subscriber whose
+                # delivery directory receives a copy of each matching
+                # row from then on; cap the count so enumerated or
+                # typo'd globs can't grow delivery disk without bound
+                # (the reference's stream server likewise bounds its
+                # per-connection subscription list).
+                http_subs = sum(
+                    1 for s in self.hub.subscribers if s.name.startswith("http-")
+                )
+                if http_subs >= _MAX_HTTP_SUBSCRIBERS:
+                    self._reply(
+                        None,
+                        error={
+                            "code": _SERVER_ERROR,
+                            "message": "subscriber limit reached "
+                            f"({_MAX_HTTP_SUBSCRIBERS} distinct globs)",
+                        },
+                    )
+                    return
                 self.hub.subscribe(name, pattern)
         # wait on the footer-metadata row count (O(#files) per tick);
         # materialize rows only once, after the wait resolves

@@ -159,6 +159,16 @@ def stream_nbbo(
             )
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        # A quote with any null field can't update the book (int() on
+        # the NaN a nullable int column becomes would kill the whole
+        # streaming query); dropping it mirrors the batch operator,
+        # where a null side loses every struct-max comparison.
+        pdf = pdf.dropna(
+            subset=[ts_col, tiebreak_col, venue_col, bid_col, ask_col]
+        )
+        if not len(pdf) and not book:
+            state.update(([], [], [], [], []))
+            return
         pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
         for ts, tb, venue, bid, ask in zip(
             pdf[ts_col], pdf[tiebreak_col], pdf[venue_col],

@@ -301,3 +301,52 @@ def test_stream_rejects_nan_and_oob_timeout(spark, tmp_path_factory):
             assert out["error"]["code"] == -32602, bad
     finally:
         srv.shutdown()
+
+
+def test_stream_rejects_negative_cursor(spark, tmp_path_factory):
+    """cursor=-1 would skip the long-poll wait AND slice rows[-1:] —
+    silently dropping every unseen row before the last one."""
+    root = tmp_path_factory.mktemp("streamneg")
+    cat = Catalog(spark, str(root / "cat"))
+    from marketstore_spark.streaming.pubsub import StreamHub
+
+    hub = StreamHub(key_col="tbk", delivery_root=str(root / "deliveries"))
+    srv, _t = serve_background(cat, hub=hub)
+    port = srv.server_address[1]
+    try:
+        url = f"http://127.0.0.1:{port}/stream?streams=A/B/C&cursor=-1&timeout=0.5"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            out = json.loads(resp.read())
+        assert out["error"]["code"] == -32602
+    finally:
+        srv.shutdown()
+
+
+def test_stream_subscriber_cap(spark, tmp_path_factory, monkeypatch):
+    """Every distinct glob registers a durable delivery stream; past
+    the cap the server must refuse instead of growing delivery disk
+    without bound."""
+    import marketstore_spark.server as srv_mod
+
+    monkeypatch.setattr(srv_mod, "_MAX_HTTP_SUBSCRIBERS", 2)
+    root = tmp_path_factory.mktemp("streamcap")
+    cat = Catalog(spark, str(root / "cat"))
+    from marketstore_spark.streaming.pubsub import StreamHub
+
+    hub = StreamHub(key_col="tbk", delivery_root=str(root / "deliveries"))
+    srv, _t = serve_background(cat, hub=hub)
+    port = srv.server_address[1]
+    try:
+        outs = []
+        for glob in ("A/1Min/*", "B/1Min/*", "C/1Min/*"):
+            url = f"http://127.0.0.1:{port}/stream?streams={glob}&timeout=0"
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                outs.append(json.loads(resp.read()))
+        assert "result" in outs[0] and "result" in outs[1]
+        assert outs[2].get("error", {}).get("code") == -32000
+        # an EXISTING glob still polls fine at the cap
+        url = f"http://127.0.0.1:{port}/stream?streams=A/1Min/*&timeout=0"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            assert "result" in json.loads(resp.read())
+    finally:
+        srv.shutdown()

@@ -220,3 +220,18 @@ def test_nbbo_uda_consolidates(msql):
     assert rows
     assert {"epoch", "best_bid_c", "best_ask_c", "spread_c"} <= set(out.columns)
     assert all(r["best_bid_c"] <= r["best_ask_c"] for r in rows)
+
+
+def test_nbbo_uda_bare_timeframe_and_tickrule_volume_guard(msql):
+    """nbbo(5Min) with an UNQUOTED timeframe must bucket at 5 minutes
+    (the bare-number-led-token parsing rule); tickrule with no volume
+    argument and no volume column must refuse instead of silently
+    computing price-weighted flow."""
+    import pytest as _pytest
+
+    q = msql.sql("SELECT nbbo('5Min') FROM `EV1/1Min/TICK`")
+    b = msql.sql("SELECT nbbo(5Min) FROM `EV1/1Min/TICK`")
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, q.collect()))
+
+    with _pytest.raises(ValueError, match="volume"):
+        msql.sql("SELECT tickrule(value) FROM `EV1/1Min/TICK`")

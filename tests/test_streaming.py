@@ -606,3 +606,37 @@ def test_stream_nbbo_carries_venue_book_across_batches(spark, tmpdir):
     assert (second["best_ask_c"], second["ask_venue"]) == (10100, "A")
     assert second["spread_c"] == 100
     assert second["n_venues"] == 2
+
+
+def test_stream_nbbo_tolerates_null_quote_fields(spark, tmpdir):
+    """A quote row with a NULL side must be skipped, not crash the
+    query: nullable int columns arrive as float64+NaN in the pandas
+    chunk, and int(NaN) would kill the stateful stream permanently."""
+    from datetime import datetime
+
+    from marketstore_spark.streaming.indicators import stream_nbbo
+
+    cols = "user_id long, ts timestamp, event_id long, event_type string, bid_c long, ask_c long"
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 30, 0), 1, "A", 10000, 10100),
+        (1, datetime(2024, 1, 1, 9, 30, 5), 2, "B", None, 10050),
+        (1, datetime(2024, 1, 1, 9, 30, 9), 3, "C", 10020, None),
+    ]
+    b0 = spark.createDataFrame(rows, cols)
+    src = os.path.join(tmpdir, "nullquotes")
+    b0.coalesce(1).write.parquet(src)
+    stream = read_stream(spark, src, b0.schema)
+    q = (
+        stream_nbbo(stream)
+        .writeStream.format("memory")
+        .queryName("live_nbbo_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from live_nbbo_nulls").collect()
+    assert len(got) == 1
+    r = got[0]
+    # only venue A's complete quote updates the book
+    assert (r["best_bid_c"], r["best_ask_c"], r["n_venues"]) == (10000, 10100, 1)
