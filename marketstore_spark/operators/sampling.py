@@ -222,3 +222,40 @@ def chunk_documents(
             F.slice(F.col("__toks"), F.col("__start") + 1, take), " "
         ).alias("chunk_text"),
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    num_shards: int = 8,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a (shard, position) — shard by md5 hash, position by md5
+    order within the shard — the step that randomizes example order
+    before packing/serving so no batch correlates with source layout.
+
+    Engine-portable determinism (the hash_sample idiom): the key is
+    md5(seed | doc_id), so any engine reproduces the exact permutation
+    — reshuffling for a new epoch is just a new ``seed``.  Scale: one
+    hash shuffle on shard (uniform by construction — md5 bits), one
+    per-shard sort; at 100 TB each shard sorts independently and
+    writes its training file with no global coordination.  The
+    position is dense per shard (row_number), which downstream
+    packing/striping consumes directly.
+
+    Output: id_col, shard (int), position (long).
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(num_shards)
+    ).cast("int")
+    staged = df.select(F.col(id_col), key.alias("__key"), shard.alias("shard"))
+    from pyspark.sql import Window
+
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("__key", id_col)
+    )
+    return staged.select(
+        id_col, "shard", pos.cast("long").alias("position")
+    )

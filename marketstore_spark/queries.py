@@ -4376,6 +4376,34 @@ def rollup_cascade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_cascade(load_table(spark, sf_dir, "events"))
 
 
+@_register(
+    "corpus_shuffle",
+    """
+WITH k AS (
+  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, key,
+         CAST('0x' || substr(key, 1, 15) AS BIGINT) % 8 AS shard
+  FROM k
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS BIGINT) AS position
+FROM s
+""",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/sampling.training_shuffle): md5 shard + md5-ordered
+    dense position per shard, reproducible on any engine; one uniform
+    hash shuffle + independent per-shard sorts."""
+    from marketstore_spark.operators.sampling import training_shuffle
+
+    return training_shuffle(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -4430,6 +4458,7 @@ _FRONT = [
     "text_bm25",
     "knn_label_eval",
     "rollup_cascade",
+    "corpus_shuffle",
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
@@ -4458,7 +4487,6 @@ _FRONT = [
     "bollinger",
     "rsi",
     "drawdown",
-    "ema",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
     # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
@@ -4473,6 +4501,7 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "ema",
     "sessionize",
     "percentiles",
     "text_langid",

@@ -214,6 +214,7 @@ def _ns_ts(epoch_ns):
 class _Handler(BaseHTTPRequestHandler):
     service: DataService  # set by make_server
     hub = None  # optional streaming.pubsub.StreamHub, set by make_server
+    metrics = None  # MetricsRegistry, set by make_server
 
     def log_message(self, *a):  # quiet under pytest
         pass
@@ -236,6 +237,18 @@ class _Handler(BaseHTTPRequestHandler):
         import urllib.parse as up
 
         parsed = up.urlsplit(self.path)
+        if parsed.path == "/metrics":
+            # Prometheus scrape endpoint on the serving listener — the
+            # reference registers promhttp on its HTTP mux the same way
+            # (metrics/metrics.go; utils/log counters).  Text format,
+            # no auth, read-only.
+            body = self.metrics.render_prometheus().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if parsed.path != "/stream":
             self.send_error(404)
             return
@@ -356,13 +369,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(rid, error={"code": _INVALID_PARAMS, "message": "params must be an object"})
             return
         try:
-            result = getattr(self.service, name)(params)
+            with self.metrics.time("rpc_request_seconds", method=name):
+                result = getattr(self.service, name)(params)
         except Exception as ex:  # surface as RPC error, keep serving
+            self.metrics.inc("rpc_errors_total", method=name)
             self._reply(
                 rid,
                 error={"code": _SERVER_ERROR, "message": f"{type(ex).__name__}: {ex}"},
             )
             return
+        self.metrics.inc("rpc_requests_total", method=name)
         self._reply(rid, result=result)
 
     def _reply(self, rid, result=None, error=None) -> None:
@@ -385,8 +401,14 @@ def make_server(
     ephemeral port (``server.server_address[1]`` reads it back).
     ``hub`` (a streaming.pubsub.StreamHub) enables the ``GET /stream``
     long-poll subscription endpoint."""
+    from marketstore_spark.metrics import MetricsRegistry
+
     service = DataService(catalog)
-    handler = type("BoundHandler", (_Handler,), {"service": service, "hub": hub})
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"service": service, "hub": hub, "metrics": MetricsRegistry()},
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 

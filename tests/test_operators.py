@@ -1313,3 +1313,25 @@ def test_knn_label_eval_majority_and_ties(spark):
     # vec 5's 3 nearest are the three y-ish vecs (labels 2, 3, 4) —
     # one vote each, smallest label wins, prediction is wrong vs 9
     assert out[5] == (9, 2, 0)
+
+
+def test_training_shuffle_is_a_dense_deterministic_permutation(spark):
+    from marketstore_spark.operators.sampling import training_shuffle
+
+    docs = spark.createDataFrame([(i, "x") for i in range(200)], ["doc_id", "text"])
+    out = training_shuffle(docs, num_shards=4).collect()
+    assert len(out) == 200
+    assert {r["doc_id"] for r in out} == set(range(200))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        # positions are dense 1..n within each shard
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic: same seed reproduces the permutation exactly...
+    again = training_shuffle(docs, num_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # ...and a different seed produces a different order
+    other = training_shuffle(docs, num_shards=4, seed="epoch2").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))

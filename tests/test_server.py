@@ -350,3 +350,16 @@ def test_stream_subscriber_cap(spark, tmp_path_factory, monkeypatch):
             assert "result" in json.loads(resp.read())
     finally:
         srv.shutdown()
+
+
+def test_metrics_endpoint_counts_rpcs(rpc):
+    """GET /metrics serves the Prometheus text registry on the RPC
+    listener (the reference mounts promhttp the same way), and RPC
+    dispatch feeds per-method counters + latency histograms."""
+    rpc("DataService.ServerVersion", {})
+    url = f"http://127.0.0.1:{rpc.port}/metrics"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert 'rpc_requests_total{method="ServerVersion"}' in text
+    assert "rpc_request_seconds" in text  # histogram present
