@@ -806,3 +806,73 @@ def nbbo(
             / F.lit(2.0)
         ).alias("mid_c"),
     )
+
+
+def lee_ready(
+    trades: DataFrame,
+    quotes: DataFrame,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    price_col: str = "px_c",
+    mid2_col: str = "mid2",
+) -> DataFrame:
+    """Lee-Ready (1991, public algorithm) trade classification: sign
+    each trade against the PREVAILING QUOTE midpoint (strictly above
+    mid = buy, below = sell), falling back to the tick test (carried
+    last price direction) at the midpoint or when no quote precedes
+    the trade — the full algorithm whose tick-test half
+    :func:`tick_rule` implements standalone.
+
+    Inputs are integer-cent frames: ``trades(symbol, ts, tiebreak,
+    px_c)`` and ``quotes(symbol, ts, mid2)`` where ``mid2`` is
+    bid_c + ask_c (twice the midpoint — comparing ``2·px`` against it
+    keeps every comparison in exact integers; no halves, no doubles).
+
+    Plan: one as-of join (operators/asof — window over the union, no
+    pair blow-up) attaches the latest quote at-or-before each trade,
+    then the tick-test windows share one (symbol, ts, tiebreak) sort.
+    All arithmetic BIGINT; deterministic on any row order.
+    """
+    from marketstore_spark.operators.asof import asof_join
+
+    j = asof_join(
+        trades,
+        quotes,
+        on=[symbol_col],
+        left_ts=ts_col,
+        right_ts=ts_col,
+        value_cols=[mid2_col],
+    )
+    w = Window.partitionBy(symbol_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    px = F.col(price_col)
+    prev = F.lag(px).over(w)
+    dirn = (
+        F.when(px > prev, F.lit(1))
+        .when(px < prev, F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    staged = j.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        px,
+        F.col(mid2_col),
+        dirn.alias("__dir"),
+    )
+    quote_sign = (
+        F.when(F.col(mid2_col).isNull(), F.lit(None).cast("int"))
+        .when(px * 2 > F.col(mid2_col), F.lit(1))
+        .when(px * 2 < F.col(mid2_col), F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    carry = F.last("__dir", ignorenulls=True).over(run)
+    return staged.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("epoch"),
+        F.col(tiebreak_col).alias("event_id"),
+        price_col,
+        F.col(mid2_col).alias("mid2_c"),
+        F.coalesce(quote_sign, carry, F.lit(0)).cast("int").alias("side"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketstore_spark.catalog import load_table, register_views
@@ -4404,6 +4404,94 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shuffle(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "lee_ready",
+    """
+WITH q0 AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c
+  FROM events WHERE event_type = 'view'
+),
+q1 AS (
+  SELECT user_id, ts,
+         (px_c - 1 - (event_id % 4)) + (px_c + 1 + (event_id % 3)) AS mid2
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM q0
+  ) WHERE rn = 1
+),
+t AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT t.user_id, t.ts, t.event_id, t.px_c, q.mid2
+  FROM t ASOF LEFT JOIN q1 q
+    ON t.user_id = q.user_id AND q.ts <= t.ts
+),
+d AS (
+  SELECT *, CASE WHEN prev IS NULL THEN NULL
+                 WHEN px_c > prev THEN 1
+                 WHEN px_c < prev THEN -1 END AS dirn
+  FROM (
+    SELECT *, LAG(px_c) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+    FROM j
+  )
+),
+s AS (
+  SELECT *, LAST_VALUE(dirn IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS carry
+  FROM d
+)
+SELECT user_id AS symbol, ts AS epoch, event_id, px_c,
+       mid2 AS mid2_c,
+       CAST(COALESCE(
+         CASE WHEN mid2 IS NULL THEN NULL
+              WHEN 2 * px_c > mid2 THEN 1
+              WHEN 2 * px_c < mid2 THEN -1 END,
+         carry, 0) AS INT) AS side
+FROM s
+""",
+)
+def lee_ready_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lee-Ready classification (operators/quant.lee_ready):
+    trades ('purchase' ticks) signed against the prevailing synthetic
+    quote midpoint ('view' ticks with the nbbo half-spread
+    derivation, last-per-timestamp), tick-test fallback at the mid —
+    as-of join + one shared trade-side sort, all-integer comparisons
+    via the doubled midpoint."""
+    from marketstore_spark.operators.quant import lee_ready
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    q0 = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", cents.alias("px_c")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    quotes = (
+        q0.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            (
+                (F.col("px_c") - 1 - F.pmod(F.col("event_id"), F.lit(4)))
+                + (F.col("px_c") + 1 + F.pmod(F.col("event_id"), F.lit(3)))
+            ).alias("mid2"),
+        )
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", cents.alias("px_c")
+    )
+    return lee_ready(trades, quotes)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -4459,6 +4547,7 @@ _FRONT = [
     "knn_label_eval",
     "rollup_cascade",
     "corpus_shuffle",
+    "lee_ready",
     # Back-fill: the oldest-evidence keys (last driver row r4) in the
     # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
     # asof pair, indicator family, text family, TPC-H r4 block.
@@ -4486,7 +4575,6 @@ _FRONT = [
     "sma",
     "bollinger",
     "rsi",
-    "drawdown",
     # Exactly 50 keys — the driver window.  Everything left out is
     # r4/r5-green on code untouched this round: the whole r5 window
     # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
@@ -4501,6 +4589,7 @@ _FRONT = [
 # stretches past 50 they get rows a round early), then everything
 # else in source order.
 _BACK = [
+    "drawdown",
     "ema",
     "sessionize",
     "percentiles",

@@ -1335,3 +1335,33 @@ def test_training_shuffle_is_a_dense_deterministic_permutation(spark):
     # ...and a different seed produces a different order
     other = training_shuffle(docs, num_shards=4, seed="epoch2").collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_lee_ready_quote_rule_and_tick_fallback(spark):
+    from marketstore_spark.operators.quant import lee_ready
+
+    quotes = spark.createDataFrame(
+        [
+            # symbol, ts, mid2 (= 2 * midpoint in cents)
+            (1, _ts(2024, 1, 1, 9, 30, 0), 20000),   # mid 100.00
+            (1, _ts(2024, 1, 1, 9, 32, 0), 20400),   # mid 102.00
+        ],
+        "user_id long, ts timestamp, mid2 long",
+    )
+    trades = spark.createDataFrame(
+        [
+            # before any quote: no mid -> tick test; first trade -> 0
+            (1, _ts(2024, 1, 1, 9, 29, 0), 1, 10050),
+            # above mid 100 -> buy regardless of tick direction
+            (1, _ts(2024, 1, 1, 9, 30, 30), 2, 10010),
+            # AT mid 100.00 -> tick test: down from 10010 -> sell
+            (1, _ts(2024, 1, 1, 9, 31, 0), 3, 10000),
+            # below mid 102 -> sell
+            (1, _ts(2024, 1, 1, 9, 32, 30), 4, 10150),
+            # at mid 102, up-tick from 10150 -> buy
+            (1, _ts(2024, 1, 1, 9, 33, 0), 5, 10200),
+        ],
+        "user_id long, ts timestamp, event_id long, px_c long",
+    )
+    got = {r["event_id"]: r["side"] for r in lee_ready(trades, quotes).collect()}
+    assert got == {1: 0, 2: 1, 3: -1, 4: -1, 5: 1}
