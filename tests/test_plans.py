@@ -657,3 +657,25 @@ def test_rollup_cascade_one_scan_one_shuffle(spark, sf_dir):
     assert ex.count("FileScan") == 1, ex
     assert ex.count("Expand") == 1, ex
     assert ex.count("Exchange hashpartitioning") == 1, ex
+
+
+def test_corpus_shuffle_one_shuffle_one_sort(spark, sf_dir):
+    """The training shuffle is ONE hash exchange on shard + ONE
+    per-shard sort (position assignment) — no joins, no global sort,
+    and the scan reads only the id column."""
+    plan = explain_str(SPARK_QUERIES["corpus_shuffle"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "text" not in m[0], m
+
+
+def test_lee_ready_no_join_blowup(spark, sf_dir):
+    """The prevailing-quote attach is the as-of UNION-window plan, not
+    a pair join: no Join node anywhere, and the whole classification
+    costs two exchanges (the as-of union's and the quote-dedup's) —
+    the tick-test windows reuse the trade-side sort."""
+    plan = explain_str(SPARK_QUERIES["lee_ready"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
