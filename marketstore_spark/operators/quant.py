@@ -464,26 +464,32 @@ def _cent_ticks(
     timeframe: str,
     symbol_col: str,
     ts_col: str,
-    value_col: str,
-    tiebreak_col: str,
+    value_col: str | None,
+    tiebreak_col: str | None,
     extras: Sequence[Column] = (),
 ) -> DataFrame:
     """Shared tick normalization for the candle-fed operators (atr /
     donchian / nbbo / _bucket_closes): integer-cent price, bucket
     start, and the (ts, tiebreak) order key under canonical names —
     the cent-cast policy lives HERE, once.  ``extras`` are additional
-    projections to carry through (e.g. nbbo's venue).
-    Output: symbol, bucket, __ts, __tb, px_c, *extras."""
+    projections to carry through (e.g. nbbo's venue).  Pass
+    ``value_col=None`` / ``tiebreak_col=None`` to OMIT px_c / __tb:
+    column pruning cannot save a caller whose frame lacks the column —
+    analysis resolves every selected column before the optimizer runs
+    (donchian needs no tiebreak; a pre-sided nbbo frame needs no
+    price).  Output: symbol, bucket, __ts[, __tb][, px_c], *extras."""
     w = F.window(ts_col, timeframe)
-    cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
-    return df.select(
+    cols = [
         F.col(symbol_col).alias("symbol"),
         F.col(ts_col).alias("__ts"),
-        F.col(tiebreak_col).alias("__tb"),
-        cents.alias("px_c"),
-        w["start"].alias("bucket"),
-        *extras,
-    )
+    ]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("__tb"))
+    if value_col is not None:
+        cents = (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+        cols.append(cents.alias("px_c"))
+    cols.append(w["start"].alias("bucket"))
+    return df.select(*cols, *extras)
 
 
 def _bucket_closes(
@@ -586,9 +592,9 @@ def donchian(
     Shape: one candle shuffle, one shared per-symbol sort for both
     rolling extrema and the row counter.
     """
-    # _cent_ticks also carries the (ts, tiebreak) order key; donchian
-    # never references it, so Catalyst prunes it out of the scan.
-    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, "event_id")
+    # donchian needs no order key — omit __tb so frames without a
+    # tiebreak column (MarketSQL buckets may lack event_id) analyze.
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, None)
     hilo = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"), F.min("px_c").alias("l")
     )
@@ -751,8 +757,16 @@ def nbbo(
     extras = [F.col(venue_col).alias("venue")]
     if has_sides:
         extras += [F.col("bid_c"), F.col("ask_c")]
+    # A pre-sided frame needs no price column at all — value_col may
+    # not even exist there (the documented contract).
     ticks = _cent_ticks(
-        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col, extras
+        df,
+        timeframe,
+        symbol_col,
+        ts_col,
+        None if has_sides else value_col,
+        tiebreak_col,
+        extras,
     )
     px = F.col("px_c")
     quotes = ticks.select(
@@ -789,9 +803,24 @@ def nbbo(
             F.col("__last.ask_c").alias("ask_c"),
         )
     )
+    # A venue whose last quote has a null side contributes NO candidate
+    # on that side: the when() yields a NULL struct, which min/max skip
+    # as aggregate input.  (Bare min(struct(ask, venue)) would instead
+    # pick the null-ask struct as the minimum — struct ordering sorts a
+    # null field first — nuking the consolidated ask.)
     best = last_q.groupBy("symbol", "bucket").agg(
-        F.max(F.struct(F.col("bid_c"), F.col("venue"))).alias("__bb"),
-        F.min(F.struct(F.col("ask_c"), F.col("venue"))).alias("__ba"),
+        F.max(
+            F.when(
+                F.col("bid_c").isNotNull(),
+                F.struct(F.col("bid_c"), F.col("venue")),
+            )
+        ).alias("__bb"),
+        F.min(
+            F.when(
+                F.col("ask_c").isNotNull(),
+                F.struct(F.col("ask_c"), F.col("venue")),
+            )
+        ).alias("__ba"),
     )
     return best.select(
         "symbol",

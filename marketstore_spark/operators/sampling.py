@@ -237,14 +237,18 @@ def training_shuffle(
 
     Engine-portable determinism (the hash_sample idiom): the key is
     md5(seed | doc_id), so any engine reproduces the exact permutation
-    — reshuffling for a new epoch is just a new ``seed``.  Scale: one
-    hash shuffle on shard (uniform by construction — md5 bits), one
-    per-shard sort; at 100 TB each shard sorts independently and
-    writes its training file with no global coordination.  The
-    position is dense per shard (row_number), which downstream
-    packing/striping consumes directly.
+    — reshuffling for a new epoch is just a new ``seed``.
 
-    Output: id_col, shard (int), position (long).
+    Scale: ``num_shards`` is the PARALLELISM UNIT — a dense per-shard
+    position requires the whole shard in one task's sort, exactly like
+    one training file requires one writer.  Size shards like training
+    files: ~corpus_bytes / 512 MB shards (thousands at 100 TB), never
+    the default 8 — eight shards means eight tasks sorting 1/8 of the
+    corpus each.  With shards so sized, each sort is file-sized,
+    independent, and needs no global coordination; the shard hash is
+    uniform by construction (md5 bits), so no shard skews.
+
+    Output: id_col, shard (int), position (long, dense per shard).
     """
     key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
     shard = F.pmod(

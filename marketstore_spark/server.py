@@ -368,6 +368,10 @@ class _Handler(BaseHTTPRequestHandler):
         if not isinstance(params, dict):
             self._reply(rid, error={"code": _INVALID_PARAMS, "message": "params must be an object"})
             return
+        # requests_total counts every dispatch (errors are a SUBSET via
+        # errors_total — counting only successes would push error-rate
+        # ratios past 1 and undercount traffic).
+        self.metrics.inc("rpc_requests_total", method=name)
         try:
             with self.metrics.time("rpc_request_seconds", method=name):
                 result = getattr(self.service, name)(params)
@@ -378,7 +382,6 @@ class _Handler(BaseHTTPRequestHandler):
                 error={"code": _SERVER_ERROR, "message": f"{type(ex).__name__}: {ex}"},
             )
             return
-        self.metrics.inc("rpc_requests_total", method=name)
         self._reply(rid, result=result)
 
     def _reply(self, rid, result=None, error=None) -> None:

@@ -159,13 +159,13 @@ def stream_nbbo(
             )
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        # A quote with any null field can't update the book (int() on
-        # the NaN a nullable int column becomes would kill the whole
-        # streaming query); dropping it mirrors the batch operator,
-        # where a null side loses every struct-max comparison.
-        pdf = pdf.dropna(
-            subset=[ts_col, tiebreak_col, venue_col, bid_col, ask_col]
-        )
+        # Rows without an identity (ts/tiebreak/venue) can't be placed
+        # in the book at all; a null SIDE, however, still REPLACES the
+        # venue's last quote (the batch struct-max picks the latest
+        # quote first and only then compares sides) — the null side
+        # simply contributes no candidate.  int() guards below keep
+        # NaN (nullable-int-as-float) from killing the query.
+        pdf = pdf.dropna(subset=[ts_col, tiebreak_col, venue_col])
         if not len(pdf) and not book:
             state.update(([], [], [], [], []))
             return
@@ -179,12 +179,25 @@ def stream_nbbo(
             # last-quote-wins within and across batches, (ts, tiebreak)
             # ordered — identical pick rule to the batch struct-max
             if prev is None or (t_us, int(tb)) >= (prev[0], prev[1]):
-                book[venue] = (t_us, int(tb), int(bid), int(ask))
+                book[venue] = (
+                    t_us,
+                    int(tb),
+                    None if pd.isna(bid) else int(bid),
+                    None if pd.isna(ask) else int(ask),
+                )
         # argmax bid (ties -> greatest venue), argmin ask (ties ->
-        # smallest venue): the batch operator's struct ordering
-        bid_px, bid_venue = max((q[2], v) for v, q in book.items())
-        ask_px = min(q[3] for q in book.values())
-        ask_venue = min(v for v, q in book.items() if q[3] == ask_px)
+        # smallest venue): the batch operator's struct ordering.
+        # Venues whose latest quote has a null side contribute no
+        # candidate on that side; if EVERY side is null the price is
+        # null with the struct ordering's venue-only fallback.
+        bids = [(q[2], v) for v, q in book.items() if q[2] is not None]
+        bid_px, bid_venue = max(bids) if bids else (None, None)
+        asks = [q[3] for q in book.values() if q[3] is not None]
+        if asks:
+            ask_px = min(asks)
+            ask_venue = min(v for v, q in book.items() if q[3] == ask_px)
+        else:
+            ask_px, ask_venue = None, None
         asof_us = max(q[0] for q in book.values())
         state.update(
             (
@@ -204,7 +217,11 @@ def stream_nbbo(
                     ask_px,
                     bid_venue,
                     ask_venue,
-                    ask_px - bid_px,
+                    (
+                        None
+                        if bid_px is None or ask_px is None
+                        else ask_px - bid_px
+                    ),
                     len(book),
                 )
             ],

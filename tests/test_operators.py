@@ -1240,9 +1240,11 @@ def test_nbbo_best_pick_and_venue_attribution(spark):
         (1, _ts(2024, 1, 1, 9, 30, 20), 3, "B", 10100, 10200),
         (1, _ts(2024, 1, 1, 9, 30, 30), 4, "C", 9900, 10250),
     ]
+    # deliberately NO value column: a pre-sided frame must not need
+    # one (the documented contract — regression-pinned)
     df = spark.createDataFrame(
         rows, ["user_id", "ts", "event_id", "event_type", "bid_c", "ask_c"]
-    ).withColumn("value", F.lit(0.0))
+    )
     out = nbbo(df).collect()
     assert len(out) == 1
     r = out[0]
@@ -1365,3 +1367,37 @@ def test_lee_ready_quote_rule_and_tick_fallback(spark):
     )
     got = {r["event_id"]: r["side"] for r in lee_ready(trades, quotes).collect()}
     assert got == {1: 0, 2: 1, 3: -1, 4: -1, 5: 1}
+
+
+def test_donchian_without_tiebreak_column(spark):
+    """donchian never uses an order key, so a frame with only
+    symbol/ts/value columns must work (MarketSQL buckets may lack
+    event_id — regression: the shared tick projection used to select
+    it unconditionally and fail analysis)."""
+    from marketstore_spark.operators.quant import donchian
+
+    rows = [(1, _ts(2024, 1, d, 12, 0, 0), float(100 + d)) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = donchian(df, n=2).collect()
+    vals = [r for r in out if r["upper_c"] is not None]
+    assert vals and all(r["lower_c"] <= r["upper_c"] for r in vals)
+
+
+def test_nbbo_null_sides_contribute_no_candidate(spark):
+    """A venue whose last quote has a null side must not win (or nuke)
+    that side of the consolidation — bare min(struct) would pick the
+    null-ask struct as minimum (struct ordering sorts a null field
+    first); the when()-guarded aggregate skips it."""
+    from marketstore_spark.operators.quant import nbbo
+
+    rows = [
+        (1, _ts(2024, 1, 1, 9, 30, 0), 1, "A", 10000, 10100),
+        (1, _ts(2024, 1, 1, 9, 30, 10), 2, "B", None, 10050),
+        (1, _ts(2024, 1, 1, 9, 30, 20), 3, "C", 10020, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, bid_c long, ask_c long"
+    )
+    r = nbbo(df).collect()[0]
+    assert (r["best_bid_c"], r["bid_venue"]) == (10020, "C")
+    assert (r["best_ask_c"], r["ask_venue"]) == (10050, "B")

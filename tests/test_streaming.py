@@ -638,5 +638,8 @@ def test_stream_nbbo_tolerates_null_quote_fields(spark, tmpdir):
     got = spark.sql("select * from live_nbbo_nulls").collect()
     assert len(got) == 1
     r = got[0]
-    # only venue A's complete quote updates the book
-    assert (r["best_bid_c"], r["best_ask_c"], r["n_venues"]) == (10000, 10100, 1)
+    # every row with an identity enters the book; null SIDES simply
+    # contribute no candidate (the batch null-skipping struct rule):
+    # best bid = C's 10020, best ask = B's 10050, three venues booked.
+    assert (r["best_bid_c"], r["best_ask_c"], r["n_venues"]) == (10020, 10050, 3)
+    assert (r["bid_venue"], r["ask_venue"]) == ("C", "B")
