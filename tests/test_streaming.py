@@ -643,3 +643,56 @@ def test_stream_nbbo_tolerates_null_quote_fields(spark, tmpdir):
     # best bid = C's 10020, best ask = B's 10050, three venues booked.
     assert (r["best_bid_c"], r["best_ask_c"], r["n_venues"]) == (10020, 10050, 3)
     assert (r["bid_venue"], r["ask_venue"]) == ("C", "B")
+
+
+def test_stream_nbbo_state_survives_restart(spark, tmpdir):
+    """The per-venue book must round-trip through the checkpointed
+    state store across a full query STOP/RESTART (not just across
+    micro-batches within one run): venue A quotes only before the
+    restart, and the post-restart batch must still consolidate
+    against A's carried quote."""
+    from datetime import datetime
+
+    from marketstore_spark.streaming.indicators import stream_nbbo
+
+    cols = "user_id long, ts timestamp, event_id long, event_type string, bid_c long, ask_c long"
+    src = os.path.join(tmpdir, "restartq")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    b0 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 30, 0), 1, "A", 10000, 10100)], cols
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    out = os.path.join(tmpdir, "out")
+
+    def run_once():
+        stream = read_stream(
+            spark, src, b0.schema, max_files_per_trigger=1, recursive=True
+        )
+        q = (
+            stream_nbbo(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second file arrives while the query is STOPPED
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 31, 0), 2, "B", 9990, 10105)], cols
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    run_once()
+
+    got = spark.read.parquet(out).orderBy("asof_ts").collect()
+    assert len(got) == 2
+    r = got[-1]
+    # A's quote was only ever seen BEFORE the restart — it must still
+    # win both sides against B's worse refresh
+    assert (r["best_bid_c"], r["bid_venue"]) == (10000, "A")
+    assert (r["best_ask_c"], r["ask_venue"]) == (10100, "A")
+    assert r["n_venues"] == 2
