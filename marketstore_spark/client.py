@@ -165,3 +165,119 @@ class Client:
 
     def sql(self, statement: str) -> DataFrame:
         return self._msql.sql(statement)
+
+
+class HttpClient:
+    """Wire client for the JSON-RPC frontend (server.py) — the
+    pymarketstore-over-HTTP shape: the reference's client speaks
+    msgpack-RPC to ``/rpc``; this one speaks the same request shapes
+    in JSON (server.py's documented codec substitution), plus the
+    long-poll ``GET /stream`` subscription.
+
+    Results come back as the wire's ColumnSeries dicts (name→values,
+    timestamps as epoch NANOSECONDS like the reference's Epoch index);
+    ``to_frame`` lifts one into pandas.  Pure stdlib — usable from any
+    process with no Spark on the client side, which is the point of a
+    wire client.
+    """
+
+    def __init__(self, base_url: str, timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._rid = 0
+
+    def _rpc(self, method: str, params: dict) -> dict:
+        import json as _json
+        import urllib.request as _rq
+
+        self._rid += 1
+        body = _json.dumps(
+            {"jsonrpc": "2.0", "id": self._rid, "method": method, "params": params}
+        ).encode()
+        req = _rq.Request(
+            f"{self.base_url}/rpc",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with _rq.urlopen(req, timeout=self.timeout) as resp:
+            out = _json.loads(resp.read())
+        if "error" in out:
+            raise RuntimeError(f"{method}: {out['error']}")
+        return out["result"]
+
+    # -- DataService surface ----------------------------------------------
+    def query(
+        self,
+        destination: str,
+        epoch_start: int | None = None,
+        epoch_end: int | None = None,
+        limit_record_count: int | None = None,
+        limit_from_start: bool = False,
+        columns: list[str] | None = None,
+        functions: list[str] | None = None,
+    ) -> dict:
+        """One QueryRequest; returns {tbk: column_series_dict}."""
+        req = {"destination": destination, "limit_from_start": limit_from_start}
+        if epoch_start is not None:
+            req["epoch_start"] = epoch_start
+        if epoch_end is not None:
+            req["epoch_end"] = epoch_end
+        if limit_record_count is not None:
+            req["limit_record_count"] = limit_record_count
+        if columns:
+            req["columns"] = columns
+        if functions:
+            req["functions"] = functions
+        out = self._rpc("DataService.Query", {"requests": [req]})
+        return out["responses"][0]["result"]
+
+    def sql(self, statement: str) -> dict:
+        return self._rpc("DataService.SQL", {"statement": statement})
+
+    def write(self, columns: dict, tbk: str) -> dict:
+        return self._rpc("DataService.Write", {"columns": columns, "tbk": tbk})
+
+    def list_symbols(self, format: str = "symbol") -> list[str]:
+        return self._rpc("DataService.ListSymbols", {"format": format})["results"]
+
+    def create(self, tbk: str, columns: dict) -> dict:
+        return self._rpc("DataService.Create", {"tbk": tbk, "columns": columns})
+
+    def destroy(self, tbk: str) -> dict:
+        return self._rpc("DataService.Destroy", {"tbk": tbk})
+
+    def get_info(self, tbk: str) -> dict:
+        return self._rpc("DataService.GetInfo", {"tbk": tbk})
+
+    def server_version(self) -> dict:
+        return self._rpc("DataService.ServerVersion", {})
+
+    # -- live stream (GET /stream long-poll) ------------------------------
+    def stream_poll(
+        self, streams: str, cursor: int = 0, timeout: float = 30.0
+    ) -> dict:
+        """One long-poll against the subscription endpoint; returns
+        {"cursor": M, "payloads": [...]} — re-issue with the returned
+        cursor to continue (frontend/stream/stream.go's subscription,
+        pull-shaped)."""
+        import json as _json
+        import urllib.parse as _up
+        import urllib.request as _rq
+
+        qs = _up.urlencode(
+            {"streams": streams, "cursor": cursor, "timeout": timeout}
+        )
+        with _rq.urlopen(
+            f"{self.base_url}/stream?{qs}", timeout=self.timeout + timeout
+        ) as resp:
+            out = _json.loads(resp.read())
+        if "error" in out:
+            raise RuntimeError(f"stream: {out['error']}")
+        return out["result"]
+
+    @staticmethod
+    def to_frame(series: dict) -> pd.DataFrame:
+        """ColumnSeries dict → pandas frame; epoch-ns 'ts'-like columns
+        stay as int64 nanoseconds (the wire contract — callers convert
+        with pd.to_datetime(..., unit='ns') when they want instants)."""
+        return pd.DataFrame(series)

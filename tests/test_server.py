@@ -363,3 +363,23 @@ def test_metrics_endpoint_counts_rpcs(rpc):
         text = resp.read().decode()
     assert 'rpc_requests_total{method="ServerVersion"}' in text
     assert "rpc_request_seconds" in text  # histogram present
+
+
+def test_http_client_end_to_end(rpc):
+    """The stdlib wire client (client.HttpClient) drives the live
+    server: version, symbol listing, a ranged query lifted to pandas,
+    and SQL — the pymarketstore-over-HTTP round trip with no Spark on
+    the client side."""
+    from marketstore_spark.client import HttpClient
+
+    c = HttpClient(f"http://127.0.0.1:{rpc.port}")
+    v = c.server_version()
+    assert "version" in json.dumps(v).lower()
+    assert sorted(c.list_symbols()) == ["SYM1", "SYM2"]
+    res = c.query("SYM1/1Min/TICK", limit_record_count=5, columns=["ts", "value"])
+    series = res["SYM1/1Min/TICK"]
+    pdf = HttpClient.to_frame(series)
+    assert len(pdf) == 5 and {"ts", "value"} <= set(pdf.columns)
+    assert pdf["ts"].dtype.kind == "i"  # epoch ns on the wire
+    out = c.sql("SELECT count(*) AS n FROM `SYM1/1Min/TICK`")
+    assert json.dumps(out)  # structured reply round-trips
