@@ -163,6 +163,21 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
         "(only safe with no concurrent writers).",
     )
 
+    s = sub.add_parser(
+        "serve",
+        help="start the JSON-RPC wire frontend on the store "
+        "(marketstore.go `start` analogue; GET /metrics and the "
+        "/stream long-poll ride the same listener)",
+    )
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=5993)  # reference default
+    s.add_argument(
+        "--max-seconds",
+        type=float,
+        default=None,
+        help="exit after this many seconds (tests/smoke); default: serve forever",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "estimate":  # needs no catalog/session
@@ -241,6 +256,24 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
             json.dumps(cat.vacuum(args.key, keep_versions=args.keep_versions, **kw)),
             file=out,
         )
+    elif args.cmd == "serve":
+        import time as _time
+
+        from marketstore_spark.server import serve_background
+
+        srv, thread = serve_background(cat, host=args.host, port=args.port)
+        print(
+            json.dumps({"listening": list(srv.server_address)}),
+            file=out,
+            flush=True,
+        )
+        try:
+            if args.max_seconds is None:
+                thread.join()
+            else:
+                _time.sleep(args.max_seconds)
+        finally:
+            srv.shutdown()
     return 0
 
 

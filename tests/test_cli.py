@@ -131,3 +131,36 @@ def test_cli_connect_eof_exits_cleanly(spark, store):
     buf = io.StringIO()
     rc = main(["--root", root, "connect"], spark=spark, out=buf, stdin=io.StringIO(""))
     assert rc == 0
+
+
+def test_cli_serve_starts_wire_frontend(spark, store):
+    """`serve` boots the JSON-RPC listener over the store (the
+    `marketstore start` analogue): a thread runs the CLI with a
+    bounded lifetime while the main thread drives the HTTP client
+    against the advertised ephemeral port."""
+    import re
+    import threading
+    import time
+
+    from marketstore_spark.client import HttpClient
+
+    root, _cat = store
+    buf = io.StringIO()
+    t = threading.Thread(
+        target=main,
+        args=(["--root", root, "serve", "--port", "0", "--max-seconds", "15"],),
+        kwargs={"spark": spark, "out": buf},
+        daemon=True,
+    )
+    t.start()
+    port = None
+    for _ in range(100):
+        m = re.search(r'"listening": \["[^"]*", (\d+)\]', buf.getvalue())
+        if m:
+            port = int(m.group(1))
+            break
+        time.sleep(0.1)
+    assert port, buf.getvalue()
+    c = HttpClient(f"http://127.0.0.1:{port}")
+    assert sorted(c.list_symbols()) == ["AAPL", "TSLA"]
+    assert "version" in json.dumps(c.server_version()).lower()
