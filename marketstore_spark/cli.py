@@ -177,6 +177,18 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
         default=None,
         help="exit after this many seconds (tests/smoke); default: serve forever",
     )
+    s.add_argument(
+        "--stream-delivery-root",
+        default=None,
+        help="attach a StreamHub rooted here so GET /stream long-polls "
+        "work (frontend/stream analogue); without it /stream replies "
+        "'no stream hub attached'",
+    )
+    s.add_argument(
+        "--stream-key-col",
+        default="tbk",
+        help="column carrying the TimeBucketKey in published batches",
+    )
 
     args = p.parse_args(argv)
 
@@ -261,7 +273,15 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
 
         from marketstore_spark.server import serve_background
 
-        srv, thread = serve_background(cat, host=args.host, port=args.port)
+        hub = None
+        if args.stream_delivery_root:
+            from marketstore_spark.streaming.pubsub import StreamHub
+
+            hub = StreamHub(
+                key_col=args.stream_key_col,
+                delivery_root=args.stream_delivery_root,
+            )
+        srv, thread = serve_background(cat, host=args.host, port=args.port, hub=hub)
         print(
             json.dumps({"listening": list(srv.server_address)}),
             file=out,

@@ -234,20 +234,45 @@ class HttpClient:
     def sql(self, statement: str) -> dict:
         return self._rpc("DataService.SQL", {"statement": statement})
 
-    def write(self, columns: dict, tbk: str) -> dict:
-        return self._rpc("DataService.Write", {"columns": columns, "tbk": tbk})
+    def write(
+        self,
+        columns: dict,
+        tbk: str,
+        mode: str = "append",
+        ts_columns: list[str] | None = None,
+    ) -> dict:
+        """One MultiWriteRequest entry (frontend/write.go:36): the server
+        iterates ``params['requests']``, each ``{'key', 'data'}`` with the
+        ColumnSeries map under ``data['columns']`` and epoch-ns timestamp
+        column names under ``data['ts_columns']``."""
+        data: dict = {"columns": columns}
+        if ts_columns is not None:
+            data["ts_columns"] = ts_columns
+        out = self._rpc(
+            "DataService.Write",
+            {"requests": [{"key": tbk, "data": data, "mode": mode}]},
+        )
+        return out["responses"][0]
 
     def list_symbols(self, format: str = "symbol") -> list[str]:
         return self._rpc("DataService.ListSymbols", {"format": format})["results"]
 
-    def create(self, tbk: str, columns: dict) -> dict:
-        return self._rpc("DataService.Create", {"tbk": tbk, "columns": columns})
+    def create(
+        self, tbk: str, columns: dict, ts_columns: list[str] | None = None
+    ) -> dict:
+        req: dict = {"key": tbk, "columns": columns}
+        if ts_columns is not None:
+            req["ts_columns"] = ts_columns
+        out = self._rpc("DataService.Create", {"requests": [req]})
+        return out["responses"][0]
 
     def destroy(self, tbk: str) -> dict:
-        return self._rpc("DataService.Destroy", {"tbk": tbk})
+        out = self._rpc("DataService.Destroy", {"requests": [{"key": tbk}]})
+        return out["responses"][0]
 
     def get_info(self, tbk: str) -> dict:
-        return self._rpc("DataService.GetInfo", {"tbk": tbk})
+        out = self._rpc("DataService.GetInfo", {"requests": [{"key": tbk}]})
+        return out["responses"][0]
 
     def server_version(self) -> dict:
         return self._rpc("DataService.ServerVersion", {})

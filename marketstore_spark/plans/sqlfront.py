@@ -297,6 +297,18 @@ class MarketSQL:
                 if venue is None:
                     keyed = keyed.withColumn("__venue", F.lit("_"))
                     venue = "__venue"
+                # Without event_id the tiebreak falls back to the
+                # timestamp; deriving synthetic bid/ask sides then
+                # evaluates pmod(<timestamp>, 4), which fails analysis
+                # with a cryptic DATATYPE_MISMATCH — fail loud instead
+                # (the tickrule volume guard's treatment).
+                has_sides = "bid_c" in base.columns and "ask_c" in base.columns
+                if not tiebreak and not has_sides:
+                    raise ValueError(
+                        "nbbo needs either an integer 'event_id' tiebreak "
+                        "column (to derive synthetic bid/ask sides) or "
+                        "pre-sided 'bid_c'/'ask_c' columns in the bucket"
+                    )
                 out = nbbo_op(
                     keyed,
                     timeframe=tf,

@@ -125,8 +125,9 @@ def stream_nbbo(
     ask ties).  One output row per (symbol, batch) — the consolidated
     tape tick, not per-quote fan-out.
     """
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, asof_ts timestamp, best_bid_c long, "
+        f"{key_col} {key_type}, asof_ts timestamp, best_bid_c long, "
         f"best_ask_c long, bid_venue string, ask_venue string, "
         f"spread_c long, n_venues int"
     )
@@ -166,8 +167,20 @@ def stream_nbbo(
         # simply contributes no candidate.  int() guards below keep
         # NaN (nullable-int-as-float) from killing the query.
         pdf = pdf.dropna(subset=[ts_col, tiebreak_col, venue_col])
-        if not len(pdf) and not book:
-            state.update(([], [], [], [], []))
+        if not len(pdf):
+            # Nothing placeable this batch: persist the book unchanged
+            # and emit NOTHING (mirroring the empty-chunks branch) — a
+            # re-emitted previous row would carry a stale asof_ts and
+            # duplicate the consolidated tick in append mode.
+            state.update(
+                (
+                    list(book),
+                    [book[v][0] for v in book],
+                    [book[v][1] for v in book],
+                    [book[v][2] for v in book],
+                    [book[v][3] for v in book],
+                )
+            )
             return
         pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
         for ts, tb, venue, bid, ask in zip(

@@ -164,3 +164,47 @@ def test_cli_serve_starts_wire_frontend(spark, store):
     c = HttpClient(f"http://127.0.0.1:{port}")
     assert sorted(c.list_symbols()) == ["AAPL", "TSLA"]
     assert "version" in json.dumps(c.server_version()).lower()
+
+
+def test_cli_serve_attaches_stream_hub(spark, store, tmp_path):
+    """--stream-delivery-root constructs a StreamHub so the advertised
+    GET /stream long-poll actually works from `serve` (without the
+    flag the endpoint answers 'no stream hub attached')."""
+    import re
+    import threading
+    import time
+
+    from marketstore_spark.client import HttpClient
+
+    root, _cat = store
+    buf = io.StringIO()
+    t = threading.Thread(
+        target=main,
+        args=(
+            [
+                "--root",
+                root,
+                "serve",
+                "--port",
+                "0",
+                "--max-seconds",
+                "15",
+                "--stream-delivery-root",
+                str(tmp_path / "deliveries"),
+            ],
+        ),
+        kwargs={"spark": spark, "out": buf},
+        daemon=True,
+    )
+    t.start()
+    port = None
+    for _ in range(100):
+        m = re.search(r'"listening": \["[^"]*", (\d+)\]', buf.getvalue())
+        if m:
+            port = int(m.group(1))
+            break
+        time.sleep(0.1)
+    assert port, buf.getvalue()
+    c = HttpClient(f"http://127.0.0.1:{port}")
+    out = c.stream_poll("AAPL/1Min/*", cursor=0, timeout=0)
+    assert out["cursor"] == 0 and out["payloads"] == []

@@ -383,3 +383,31 @@ def test_http_client_end_to_end(rpc):
     assert pdf["ts"].dtype.kind == "i"  # epoch ns on the wire
     out = c.sql("SELECT count(*) AS n FROM `SYM1/1Min/TICK`")
     assert json.dumps(out)  # structured reply round-trips
+
+
+def test_http_client_write_create_info_destroy(rpc):
+    """The wire client's mutating surface must wrap each call in the
+    server's MultiRequest envelope ({'requests': [{'key', ...}]}) —
+    flat params iterate an empty list server-side and silently no-op
+    (silent data loss).  Round-trip create → write → query-back →
+    get_info → destroy against the live server."""
+    from marketstore_spark.client import HttpClient
+
+    c = HttpClient(f"http://127.0.0.1:{rpc.port}")
+    tbk = "WIRE/1Min/TICK"
+    base = 1_600_000_000 * 1_000_000_000
+    cols = {
+        "ts": [base + i * 60_000_000_000 for i in range(4)],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    }
+    c.create(tbk, {"ts": cols["ts"][:1], "value": cols["value"][:1]})
+    c.write(cols, tbk, mode="replace")
+    res = c.query(tbk, columns=["ts", "value"])
+    pdf = HttpClient.to_frame(res[tbk])
+    assert sorted(pdf["value"].tolist()) == [1.0, 2.0, 3.0, 4.0]
+    assert pdf["ts"].dtype.kind == "i" and pdf["ts"].min() == base
+    info = c.get_info(tbk)
+    assert json.dumps(info)  # per-key info dict, not {'responses': []}
+    assert "WIRE" in c.list_symbols()
+    c.destroy(tbk)
+    assert "WIRE" not in c.list_symbols()

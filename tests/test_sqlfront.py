@@ -235,3 +235,26 @@ def test_nbbo_uda_bare_timeframe_and_tickrule_volume_guard(msql):
 
     with _pytest.raises(ValueError, match="volume"):
         msql.sql("SELECT tickrule(value) FROM `EV1/1Min/TICK`")
+
+
+def test_nbbo_uda_without_tiebreak_or_sides_fails_loud(
+    spark, sf_dir, tmp_path_factory
+):
+    """A bucket with neither an integer event_id tiebreak nor pre-sided
+    bid_c/ask_c columns cannot derive synthetic sides — the fallback
+    tiebreak is the timestamp, and pmod(<timestamp>, 4) dies in
+    analysis with a cryptic DATATYPE_MISMATCH.  The registry must
+    raise a clear ValueError first (the tickrule volume guard's
+    treatment)."""
+    import pytest as _pytest
+
+    root = str(tmp_path_factory.mktemp("nbboguard"))
+    cat = Catalog(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    cat.write(
+        "BARE/1Min/TICK",
+        ev.filter(F.col("user_id") == 1).select("ts", "value"),
+    )
+    msql2 = MarketSQL(cat)
+    with _pytest.raises(ValueError, match="event_id|bid_c"):
+        msql2.sql("SELECT nbbo('5Min') FROM `BARE/1Min/TICK`")

@@ -645,6 +645,45 @@ def test_stream_nbbo_tolerates_null_quote_fields(spark, tmpdir):
     assert (r["bid_venue"], r["ask_venue"]) == ("C", "B")
 
 
+def test_stream_nbbo_all_null_batch_emits_nothing(spark, tmpdir):
+    """A micro-batch whose rows ALL lack an identity (null ts/event_id/
+    venue) must persist the book and emit NO row: re-emitting the
+    previous consolidated tick would carry a stale asof_ts and
+    duplicate it in append mode.  The output key column must also
+    follow the input schema's type (here int, not the old hardcoded
+    long)."""
+    from datetime import datetime
+
+    from marketstore_spark.streaming.indicators import stream_nbbo
+
+    cols = "user_id int, ts timestamp, event_id long, event_type string, bid_c long, ask_c long"
+    b0 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 30, 0), 1, "A", 10000, 10100)], cols
+    )
+    b1 = spark.createDataFrame([(1, None, None, None, 9990, 10050)], cols)
+    src = os.path.join(tmpdir, "nullbatch")
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = read_stream(
+        spark, src, b0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_nbbo(stream)
+        .writeStream.format("memory")
+        .queryName("live_nbbo_nullbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("live_nbbo_nullbatch")
+    got = out.collect()
+    # exactly ONE consolidated tick — the all-null batch emitted nothing
+    assert len(got) == 1
+    assert (got[0]["best_bid_c"], got[0]["best_ask_c"]) == (10000, 10100)
+    assert out.schema["user_id"].dataType.simpleString() == "int"
+
+
 def test_stream_nbbo_state_survives_restart(spark, tmpdir):
     """The per-venue book must round-trip through the checkpointed
     state store across a full query STOP/RESTART (not just across
