@@ -905,3 +905,308 @@ def lee_ready(
         F.col(mid2_col).alias("mid2_c"),
         F.coalesce(quote_sign, carry, F.lit(0)).cast("int").alias("side"),
     )
+
+
+def amihud_illiquidity(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Amihud (2002, public measure) price-impact illiquidity per
+    (symbol, bucket): |bucket return| divided by the bucket's dollar
+    volume.  Emitted PER BUCKET (no cross-bucket averaging of doubles
+    — a group-average of floats is summation-order-dependent across
+    engines; consumers aggregate the per-bucket series however they
+    like, ideally after fixed-point rounding).
+
+    Exactness: close picks and dollar-volume sums are integer cents;
+    the only float ops are the two mirrored divisions
+    ``ret = (c - prev_c)/prev_c`` and ``illiq = |ret| / (dv_c/100)``.
+
+    Shape: one (symbol, bucket) candle shuffle with map-side partials,
+    one per-symbol sort for the lag.  First bucket per symbol: NULL.
+    """
+    ticks = _cent_ticks(
+        df,
+        timeframe,
+        symbol_col,
+        ts_col,
+        value_col,
+        tiebreak_col,
+        extras=[F.col(volume_col).cast("long").alias("vol")],
+    )
+    daily = ticks.groupBy("symbol", "bucket").agg(
+        F.max_by("px_c", F.struct("__ts", "__tb")).alias("close_c"),
+        F.sum(F.col("px_c") * F.col("vol")).alias("dv_c"),
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev_c = F.lag("close_c").over(ws)
+    ret = (F.col("close_c") - prev_c).cast("double") / prev_c
+    dv_d = F.col("dv_c").cast("double") / F.lit(1e2)
+    illiq = F.abs(ret) / F.when(dv_d == 0, F.lit(None)).otherwise(dv_d)
+    return daily.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "close_c",
+        "dv_c",
+        ret.alias("ret"),
+        illiq.alias("illiq"),
+    )
+
+
+def ichimoku(
+    df: DataFrame,
+    tenkan_n: int = 9,
+    kijun_n: int = 26,
+    senkou_n: int = 52,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ichimoku Kinko Hyo lines per (symbol, bucket) over integer-cent
+    candles: tenkan/kijun/senkou-B are rolling (high+low)/2 midpoints
+    at 9/26/52 buckets, senkou-A = (tenkan+kijun)/2, chikou = the
+    close LED by ``kijun_n`` buckets.  Lines are emitted AT the bucket
+    that computes them (no forward/backward plot displacement — a
+    chart-rendering concern, not a data one; documented here).
+
+    Exactness: rolling extrema are LONG min/max; each midpoint is one
+    double division by 2 (exact), senkou-A averages two dyadic doubles
+    (mirrored literal expression).  NULL during each line's warm-up.
+
+    Shape: one candle shuffle, ONE shared per-symbol sort driving all
+    three rolling extrema windows, the row counter, and the lead.
+    """
+    ticks = _cent_ticks(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    hilo = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+        F.max_by("px_c", F.struct("__ts", "__tb")).alias("c"),
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    rown = F.row_number().over(ws)
+
+    def mid(n: int) -> Column:
+        fr = ws.rowsBetween(-(n - 1), Window.currentRow)
+        return F.when(
+            rown >= n,
+            (F.max("h").over(fr) + F.min("l").over(fr)).cast("double")
+            / F.lit(2.0),
+        )
+
+    tenkan = mid(tenkan_n)
+    kijun = mid(kijun_n)
+    return hilo.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        F.col("c").alias("close_c"),
+        tenkan.alias("tenkan"),
+        kijun.alias("kijun"),
+        ((tenkan + kijun) / F.lit(2.0)).alias("senkou_a"),
+        mid(senkou_n).alias("senkou_b"),
+        F.lead("c", kijun_n).over(ws).alias("chikou_c"),
+    )
+
+
+def order_flow_imbalance(
+    quotes: DataFrame,
+    timeframe: str = "5 minutes",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    venue_col: str = "venue",
+    bid_col: str = "bid_c",
+    ask_col: str = "ask_c",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Order-flow imbalance per (symbol, bucket): the signed count of
+    best-quote improvements minus deteriorations, summed across
+    venues.  Per consecutive quote pair WITHIN a venue,
+    ``sign(bid_t − bid_{t−1}) − sign(ask_t − ask_{t−1})`` — a rising
+    bid or falling ask is buying pressure (+), the reverse selling (−)
+    — the size-free price-direction form of the public OFI measure
+    (Cont, Kukanov & Stoikov 2014 use depth sizes; the tick stream
+    here carries none).
+
+    All-integer arithmetic (BIGINT cent comparisons, ±1 contributions,
+    LONG sums) — exact on any engine.  First quote per venue
+    contributes 0.
+
+    Shape: one per-(symbol, venue) sort for the lags, then one
+    (symbol, bucket) hash aggregate with map-side partials.
+    """
+    w = Window.partitionBy(symbol_col, venue_col).orderBy(ts_col, tiebreak_col)
+    db = F.col(bid_col) - F.lag(bid_col).over(w)
+    da = F.col(ask_col) - F.lag(ask_col).over(w)
+    contrib = F.coalesce(F.signum(db).cast("long"), F.lit(0)) - F.coalesce(
+        F.signum(da).cast("long"), F.lit(0)
+    )
+    staged = quotes.select(
+        F.col(symbol_col).alias("symbol"),
+        F.window(ts_col, timeframe)["start"].alias("epoch"),
+        contrib.alias("__ofi"),
+    )
+    return staged.groupBy("symbol", "epoch").agg(
+        F.sum("__ofi").alias("ofi"),
+        F.count(F.lit(1)).alias("n_quotes"),
+    )
+
+
+def cusum_filter(
+    df: DataFrame,
+    threshold_c: int,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Symmetric CUSUM filter over per-bucket closes (the event-
+    sampling filter from the public literature — Page 1954; López de
+    Prado AFML ch. 2.5.2): carry S⁺ = max(0, S⁺ + Δ) and
+    S⁻ = min(0, S⁻ + Δ) over integer-cent close changes; when S⁺
+    exceeds ``threshold_c`` emit a +1 event and reset S⁺ (resp. S⁻
+    below −threshold → −1).  Both sides accumulate every row; a row
+    can trigger at most one side (a single Δ cannot push S⁺ above +h
+    and S⁻ below −h simultaneously when h > 0).
+
+    ALL-INTEGER state — the recursion is exact, so the recursive-CTE
+    oracle matches hash-for-hash, no float policy needed.  Per-key
+    ordered recursion = the sanctioned fold (operators/ewm pattern):
+    one close-pick shuffle, one partition-streaming pass.
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from marketstore_spark.operators.ewm import _partition_sorted
+
+    if threshold_c <= 0:
+        raise ValueError("threshold_c must be positive")
+    closes = _bucket_closes(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    sym_type = closes.schema["symbol"].dataType
+    bkt_type = closes.schema["bucket"].dataType
+    schema = StructType(
+        [
+            StructField("symbol", sym_type),
+            StructField("epoch", bkt_type),
+            StructField("direction", IntegerType()),
+            StructField("excursion_c", LongType()),
+        ]
+    )
+    h = int(threshold_c)
+
+    def fold(batches):
+        cur_sym = None
+        sp = sn = 0
+        prev_close = None
+        for pdf in batches:
+            out_sym, out_ep, out_dir, out_exc = [], [], [], []
+            for sym, bucket, close in zip(
+                pdf["symbol"], pdf["bucket"], pdf["close_c"]
+            ):
+                if sym != cur_sym:
+                    cur_sym, sp, sn, prev_close = sym, 0, 0, int(close)
+                    continue
+                d = int(close) - prev_close
+                prev_close = int(close)
+                sp = max(0, sp + d)
+                sn = min(0, sn + d)
+                if sp > h:
+                    out_sym.append(sym)
+                    out_ep.append(bucket)
+                    out_dir.append(1)
+                    out_exc.append(sp)
+                    sp = 0
+                elif sn < -h:
+                    out_sym.append(sym)
+                    out_ep.append(bucket)
+                    out_dir.append(-1)
+                    out_exc.append(sn)
+                    sn = 0
+            yield pd.DataFrame(
+                {
+                    "symbol": out_sym,
+                    "epoch": out_ep,
+                    "direction": out_dir,
+                    "excursion_c": out_exc,
+                }
+            )
+
+    return _partition_sorted(closes, ["symbol"], ["bucket"]).mapInPandas(
+        fold, schema
+    )
+
+
+def rolling_corr_vs_market(
+    df: DataFrame,
+    n: int = 20,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Rolling ``n``-bucket Pearson correlation between each symbol's
+    close and the MARKET AGGREGATE close (the sum of all symbols'
+    closes that bucket — an equal-share integer index, no float
+    averaging), per (symbol, bucket).
+
+    Exactness: all five window sums (Σx, Σy, Σxy, Σx², Σy²) are LONG
+    sums of integer-cent products (cents² · n ≪ 2⁵³); the final
+    Pearson expression is evaluated once in double with IEEE sqrt —
+    mirrored literally by the oracle, hence bitwise.  NULL during
+    warm-up or when either variance term is zero.
+
+    Shape: the fact scans and shuffles ONCE (the bucket-close
+    extraction); the market index is a full-partition window SUM over
+    the already-dims-scale closes table — not a groupBy + self-join,
+    which would re-scan and re-shuffle the 100 TB fact for the second
+    lineage branch (ReusedExchange does not fire across the join's
+    two branches).  Then ONE shared per-symbol sort drives all five
+    rolling sums and the row counter.
+    """
+    closes = _bucket_closes(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    j = closes.withColumn(
+        "mkt_c", F.sum("close_c").over(Window.partitionBy("bucket"))
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    fr = ws.rowsBetween(-(n - 1), Window.currentRow)
+    x = F.col("close_c")
+    y = F.col("mkt_c")
+    staged = j.select(
+        "symbol",
+        "bucket",
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).alias("xy"),
+        (x * x).alias("xx"),
+        (y * y).alias("yy"),
+    )
+    sx = F.sum("x").over(fr)
+    sy = F.sum("y").over(fr)
+    sxy = F.sum("xy").over(fr)
+    sxx = F.sum("xx").over(fr)
+    syy = F.sum("yy").over(fr)
+    nn = F.lit(int(n))
+    cov = (nn * sxy - sx * sy).cast("double")
+    vx = (nn * sxx - sx * sx).cast("double")
+    vy = (nn * syy - sy * sy).cast("double")
+    rown = F.row_number().over(ws)
+    corr = F.when(
+        (rown >= n) & (vx > 0) & (vy > 0),
+        cov / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        F.col("x").alias("close_c"),
+        F.col("y").alias("mkt_c"),
+        corr.alias("corr"),
+    )

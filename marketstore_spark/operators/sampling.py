@@ -263,3 +263,63 @@ def training_shuffle(
     return staged.select(
         id_col, "shard", pos.cast("long").alias("position")
     )
+
+
+LENGTH_BUCKETS: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length bucketing report: assign each document to the
+    smallest power-of-two bucket holding its whitespace token count
+    and report, per bucket, the document count, real tokens, padded
+    tokens, and the padding-waste ratio — the dry-run a training
+    pipeline does before choosing batch-shape buckets (pad-to-bucket
+    batching wastes (bucket − len) per doc; this quantifies it).
+
+    Documents LONGER than the top bucket pad to the next multiple of
+    it (they get chunked into top-bucket pieces downstream —
+    chunk_documents — so their padded cost is ceil(len/top)·top).
+
+    Exactness: bucket assignment is an integer CASE ladder over the
+    literal bucket list (no log2 floats), sums are LONG; the waste
+    ratio is one mirrored double division.  Plan: projection + one
+    #buckets-row hash aggregate — wordcount shape, no joins.
+    """
+    t = F.col(text_col)
+    n_tok = F.when(
+        F.trim(t) != "", F.size(F.split(F.trim(t), r"\s+"))
+    ).otherwise(F.lit(0))
+    staged = df.select(n_tok.alias("n_tok"))
+    top = buckets[-1]
+    bucket = F.lit(None).cast("long")
+    for b in reversed(buckets):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    # above the top bucket: pad to the next multiple of it.  top is a
+    # power of two, so the double division is EXACT and ceil/floor are
+    # engine-portable.
+    over = F.ceil(F.col("n_tok") / F.lit(top)) * top
+    bucket = F.when(F.col("n_tok") > top, F.lit(top)).otherwise(bucket)
+    padded = F.when(F.col("n_tok") > top, over).otherwise(bucket)
+    g = (
+        staged.select(
+            bucket.cast("long").alias("bucket"),
+            F.col("n_tok"),
+            padded.cast("long").alias("padded"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("padded").alias("sum_padded"),
+        )
+    )
+    waste = F.lit(1.0) - (
+        F.col("sum_tokens").cast("double") / F.col("sum_padded")
+    )
+    return g.select(
+        "bucket", "n_docs", "sum_tokens", "sum_padded", waste.alias("waste_ratio")
+    )

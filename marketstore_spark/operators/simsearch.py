@@ -519,3 +519,60 @@ def knn_label_eval(
         (-F.col("__b.neg_label")).cast("int").alias("pred"),
         (F.col("label") == -F.col("__b.neg_label")).cast("int").alias("correct"),
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means E-step: assign EVERY vector to its highest-
+    cosine centroid.  The per-iteration workhorse of embedding-space
+    clustering (topic balancing, SemDeDup-style cluster pruning,
+    IVF coarse quantization — _spherical_kmeans runs this same step
+    driver-side over a bounded sample; this is the full-corpus
+    distributed form).
+
+    ``centroids`` defaults to the ``k`` lowest-id vectors — a
+    deterministic, engine-portable seed choice (k-means++ etc. need a
+    random stream; a caller mid-Lloyd passes its own centroid frame).
+
+    Plan: centroids are dims-scale → BROADCAST crossJoin against the
+    corpus (the fact never shuffles for the join); the argmax is a
+    (vec_id) hash aggregate over k candidate rows via one struct
+    max_by — map-side combinable, no window sort.  Norms fold once per
+    side before the join (the _scored_topk policy).
+    """
+    if centroids is None:
+        centroids = df.orderBy(id_col).limit(k)
+    c = centroids.select(
+        F.col(id_col).alias("cluster"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    v = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    den = F.col("qn") * F.col("cn")
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cluster",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / F.when(den == 0, F.lit(None)).otherwise(den)
+        ).alias("cos_raw"),
+    )
+    # argmax cosine, ties -> smallest cluster id (maximize (cos, -id))
+    pick = F.max_by(
+        F.struct(F.col("cluster"), F.col("cos_raw")),
+        F.struct(F.col("cos_raw"), (-F.col("cluster")).alias("nid")),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(pick.alias("__p"))
+        .select(
+            "vec_id",
+            F.col("__p.cluster").alias("cluster"),
+            F.round("__p.cos_raw", 6).alias("cosine"),
+        )
+    )

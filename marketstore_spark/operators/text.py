@@ -438,3 +438,90 @@ def bm25_score(
         dl.cast("long").alias("n_tokens"),
         score.alias("bm25"),
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: the ``top_k`` adjacent word pairs by LIFT —
+    p(ab) / (p(a)·p(b)), the exponentiated-PMI association measure
+    (log-free on purpose: engines' ln() differ by ulps; lift orders
+    identically).  The phrase-detection pass a corpus pipeline runs
+    before tokenizer training or n-gram feature mining (word2vec's
+    phrase pass uses the same statistic, publicly documented).
+
+    Counts are exact integers; the lift is evaluated once per pair as
+    the mirrored literal expression
+    ``(c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni))`` in float64.
+
+    The global top-k window sort ranks only the min_count-filtered
+    pair table (collocation-scale, not corpus-scale).
+
+    Plan: one explode→count shuffle per granularity (unigrams,
+    bigrams); the unigram table is vocabulary-scale → BROADCAST joined
+    onto the bigram counts twice (left word, right word); the corpus
+    totals are single-row aggregates crossJoined broadcast.  Final
+    top-k is one k-row global sort.  sequence(1, size-1) DESCENDS for
+    one-word docs — the size >= 2 filter guards it.
+    """
+    t = F.col(text_col)
+    toks = df.select(
+        F.split(F.lower(F.trim(t)), _WS).alias("__toks")
+    ).filter(_nonempty(t))
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    n_bi = big.agg(F.sum("c_ab").alias("n_bi_kept"))
+    # N_bi must count ALL bigrams (the sample space), not just the
+    # kept ones — recompute from doc lengths: sum(max(len-1, 0)).
+    n_bi_all = toks.agg(
+        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("n_bi")
+    )
+    _ = n_bi  # (kept-total intentionally unused; documents the trap)
+    j = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                             .withColumnRenamed("c_w", "c_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c_w", "c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_all))
+    )
+    lift = (
+        (F.col("c_ab").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_uni"))
+            * (F.col("c_b").cast("double") / F.col("n_uni"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        j.select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -4493,6 +4493,526 @@ def lee_ready_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Event-driven bars & round-7 indicator family (operators/bars.py,
+# operators/quant.py) — information-driven sampling and the remaining
+# chart-service derivations over the reference's tick model.
+# =====================================================================
+
+
+@_register(
+    "volume_bars",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+cb AS (
+  SELECT *, COALESCE(SUM(vol) OVER (PARTITION BY symbol ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum_before
+  FROM t
+),
+b AS (SELECT *, CAST(cum_before // 2000 AS BIGINT) AS bar_id FROM cb)
+SELECT symbol, bar_id,
+       first(px_c ORDER BY ts, event_id) AS open_c,
+       MAX(px_c) AS high_c, MIN(px_c) AS low_c,
+       last(px_c ORDER BY ts, event_id) AS close_c,
+       CAST(SUM(vol) AS BIGINT) AS volume,
+       CAST(SUM(px_c * vol) AS BIGINT) AS notional_c,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       MIN(ts) AS t_open, MAX(ts) AS t_close,
+       CAST(SUM(px_c * vol) AS DOUBLE) / 100.0 / NULLIF(SUM(vol), 0) AS vwap
+FROM b GROUP BY symbol, bar_id
+""",
+)
+def volume_bars_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars at 2000 shares/bar (operators/bars.event_bars):
+    cumulative-activity bucketing, exact integer OHLC picks, one
+    shuffle (the candle aggregate reuses the cumsum's symbol
+    partitioning)."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.bars import event_bars
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return event_bars(ev, threshold=2000, measure="volume")
+
+
+@_register(
+    "dollar_bars",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+cb AS (
+  SELECT *, COALESCE(SUM(px_c * vol) OVER (PARTITION BY symbol ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum_before
+  FROM t
+),
+b AS (SELECT *, CAST(cum_before // 10000000 AS BIGINT) AS bar_id FROM cb)
+SELECT symbol, bar_id,
+       first(px_c ORDER BY ts, event_id) AS open_c,
+       MAX(px_c) AS high_c, MIN(px_c) AS low_c,
+       last(px_c ORDER BY ts, event_id) AS close_c,
+       CAST(SUM(vol) AS BIGINT) AS volume,
+       CAST(SUM(px_c * vol) AS BIGINT) AS notional_c,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       MIN(ts) AS t_open, MAX(ts) AS t_close,
+       CAST(SUM(px_c * vol) AS DOUBLE) / 100.0 / NULLIF(SUM(vol), 0) AS vwap
+FROM b GROUP BY symbol, bar_id
+""",
+)
+def dollar_bars_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars at 100k$ notional/bar — the dollar-activity variant
+    of volume_bars (same plan, integer price×volume bucketing)."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.bars import event_bars
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return event_bars(ev, threshold=10_000_000, measure="dollar")
+
+
+@_register(
+    "heikin_ashi",
+    """
+WITH RECURSIVE t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cand AS (
+  SELECT symbol, bucket,
+         first(px_c ORDER BY ts, event_id) AS o,
+         MAX(px_c) AS h, MIN(px_c) AS l,
+         last(px_c ORDER BY ts, event_id) AS c
+  FROM t GROUP BY symbol, bucket
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM cand
+),
+ha AS (
+  SELECT symbol, rn, bucket, o, h, l, c,
+         (CAST(o AS DOUBLE) + CAST(c AS DOUBLE)) / 2.0 AS ha_open,
+         (((CAST(o AS DOUBLE) + CAST(h AS DOUBLE)) + CAST(l AS DOUBLE))
+          + CAST(c AS DOUBLE)) / 4.0 AS ha_close
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.symbol, s.rn, s.bucket, s.o, s.h, s.l, s.c,
+         (p.ha_open + p.ha_close) / 2.0,
+         (((CAST(s.o AS DOUBLE) + CAST(s.h AS DOUBLE)) + CAST(s.l AS DOUBLE))
+          + CAST(s.c AS DOUBLE)) / 4.0
+  FROM seq s JOIN ha p ON s.symbol = p.symbol AND s.rn = p.rn + 1
+)
+SELECT symbol, bucket AS epoch, o, h, l, c,
+       ha_open,
+       greatest(CAST(h AS DOUBLE), ha_open, ha_close) AS ha_high,
+       least(CAST(l AS DOUBLE), ha_open, ha_close) AS ha_low,
+       ha_close
+FROM ha
+""",
+)
+def heikin_ashi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Heikin-Ashi candles (operators/bars.heikin_ashi): exact
+    integer candle picks, the ha_open recurrence folded as literal
+    float64 ops — the recursive-CTE oracle replays it bitwise."""
+    from marketstore_spark.operators.bars import heikin_ashi
+
+    return heikin_ashi(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "amihud",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+d AS (
+  SELECT symbol, bucket,
+         last(px_c ORDER BY ts, event_id) AS close_c,
+         CAST(SUM(px_c * vol) AS BIGINT) AS dv_c
+  FROM t GROUP BY symbol, bucket
+),
+l AS (
+  SELECT *, LAG(close_c) OVER (PARTITION BY symbol ORDER BY bucket) AS prev_c
+  FROM d
+)
+SELECT symbol, bucket AS epoch, close_c, dv_c,
+       CAST(close_c - prev_c AS DOUBLE) / prev_c AS ret,
+       abs(CAST(close_c - prev_c AS DOUBLE) / prev_c)
+         / NULLIF(CAST(dv_c AS DOUBLE) / 100.0, 0) AS illiq
+FROM l
+""",
+)
+def amihud_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Amihud illiquidity per symbol
+    (operators/quant.amihud_illiquidity): integer close/dollar-volume
+    aggregates, two mirrored double divisions."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import amihud_illiquidity
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return amihud_illiquidity(ev)
+
+
+@_register(
+    "ichimoku",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, MAX(px_c) AS h, MIN(px_c) AS l,
+         last(px_c ORDER BY ts, event_id) AS c
+  FROM t GROUP BY symbol, bucket
+),
+g AS (
+  SELECT symbol, bucket, c,
+         ROW_NUMBER() OVER ws AS rn,
+         MAX(h) OVER w9 AS h9, MIN(l) OVER w9 AS l9,
+         MAX(h) OVER w26 AS h26, MIN(l) OVER w26 AS l26,
+         MAX(h) OVER w52 AS h52, MIN(l) OVER w52 AS l52,
+         LEAD(c, 26) OVER ws AS chikou
+  FROM c
+  WINDOW ws AS (PARTITION BY symbol ORDER BY bucket),
+         w9 AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         w52 AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket AS epoch, c AS close_c,
+       CASE WHEN rn >= 9 THEN CAST(h9 + l9 AS DOUBLE) / 2.0 END AS tenkan,
+       CASE WHEN rn >= 26 THEN CAST(h26 + l26 AS DOUBLE) / 2.0 END AS kijun,
+       (CASE WHEN rn >= 9 THEN CAST(h9 + l9 AS DOUBLE) / 2.0 END
+        + CASE WHEN rn >= 26 THEN CAST(h26 + l26 AS DOUBLE) / 2.0 END) / 2.0
+         AS senkou_a,
+       CASE WHEN rn >= 52 THEN CAST(h52 + l52 AS DOUBLE) / 2.0 END AS senkou_b,
+       chikou AS chikou_c
+FROM g
+""",
+)
+def ichimoku_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly Ichimoku lines (operators/quant.ichimoku): LONG rolling
+    extrema, power-of-two midpoint divisions, one shared per-symbol
+    sort."""
+    from marketstore_spark.operators.quant import ichimoku
+
+    return ichimoku(load_table(spark, sf_dir, "events"), timeframe="1 hour")
+
+
+@_register(
+    "ofi",
+    """
+WITH q AS (
+  SELECT user_id AS symbol, ts, event_id,
+         'V' || CAST(event_id % 3 AS VARCHAR) AS venue,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c
+  FROM events WHERE event_type = 'view'
+),
+s AS (
+  SELECT symbol, ts, event_id, venue,
+         px_c - 1 - (event_id % 4) AS bid_c,
+         px_c + 1 + (event_id % 3) AS ask_c
+  FROM q
+),
+d AS (
+  SELECT symbol, time_bucket(INTERVAL '5 minutes', ts) AS epoch,
+         COALESCE(SIGN(bid_c - LAG(bid_c) OVER w), 0)
+         - COALESCE(SIGN(ask_c - LAG(ask_c) OVER w), 0) AS ofi
+  FROM s
+  WINDOW w AS (PARTITION BY symbol, venue ORDER BY ts, event_id)
+)
+SELECT symbol, epoch, CAST(SUM(ofi) AS BIGINT) AS ofi,
+       CAST(COUNT(*) AS BIGINT) AS n_quotes
+FROM d GROUP BY symbol, epoch
+""",
+)
+def ofi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute order-flow imbalance over the synthetic per-venue
+    quote stream (operators/quant.order_flow_imbalance — 'view' ticks,
+    nbbo's half-spread derivation, venue = event_id mod 3): all-
+    integer sign arithmetic, one per-(symbol, venue) sort, one bucket
+    aggregate."""
+    from marketstore_spark.operators.quant import order_flow_imbalance
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.lit("V"), F.pmod(F.col("event_id"), F.lit(3)).cast("string")
+        ).alias("venue"),
+        (cents - 1 - F.pmod(F.col("event_id"), F.lit(4))).alias("bid_c"),
+        (cents + 1 + F.pmod(F.col("event_id"), F.lit(3))).alias("ask_c"),
+    )
+    return order_flow_imbalance(quotes)
+
+
+@_register(
+    "cusum_filter",
+    """
+WITH RECURSIVE t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+seq AS (
+  SELECT symbol, bucket, close_c,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM c
+),
+st AS (
+  SELECT symbol, rn, bucket, close_c,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+         CAST(0 AS INT) AS dir, CAST(NULL AS BIGINT) AS exc
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.symbol, s.rn, s.bucket, s.close_c,
+         CASE WHEN greatest(CAST(0 AS BIGINT),
+                            p.sp + (s.close_c - p.close_c)) > 8000
+              THEN CAST(0 AS BIGINT)
+              ELSE greatest(CAST(0 AS BIGINT),
+                            p.sp + (s.close_c - p.close_c)) END,
+         CASE WHEN least(CAST(0 AS BIGINT),
+                         p.sn + (s.close_c - p.close_c)) < -8000
+              THEN CAST(0 AS BIGINT)
+              ELSE least(CAST(0 AS BIGINT),
+                         p.sn + (s.close_c - p.close_c)) END,
+         CASE WHEN greatest(CAST(0 AS BIGINT),
+                            p.sp + (s.close_c - p.close_c)) > 8000 THEN 1
+              WHEN least(CAST(0 AS BIGINT),
+                         p.sn + (s.close_c - p.close_c)) < -8000 THEN -1
+              ELSE 0 END,
+         CASE WHEN greatest(CAST(0 AS BIGINT),
+                            p.sp + (s.close_c - p.close_c)) > 8000
+              THEN greatest(CAST(0 AS BIGINT),
+                            p.sp + (s.close_c - p.close_c))
+              WHEN least(CAST(0 AS BIGINT),
+                         p.sn + (s.close_c - p.close_c)) < -8000
+              THEN least(CAST(0 AS BIGINT),
+                         p.sn + (s.close_c - p.close_c)) END
+  FROM seq s JOIN st p ON s.symbol = p.symbol AND s.rn = p.rn + 1
+)
+SELECT symbol, bucket AS epoch, CAST(dir AS INT) AS direction,
+       exc AS excursion_c
+FROM st WHERE dir <> 0
+""",
+)
+def cusum_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric CUSUM event filter over hourly closes at an 8000-cent
+    threshold (operators/quant.cusum_filter): all-integer recursion,
+    recursive-CTE oracle, hash-exact."""
+    from marketstore_spark.operators.quant import cusum_filter
+
+    return cusum_filter(
+        load_table(spark, sf_dir, "events"),
+        threshold_c=8000,
+        timeframe="1 hour",
+    )
+
+
+@_register(
+    "rolling_corr_market",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (SELECT bucket, CAST(SUM(close_c) AS BIGINT) AS mkt_c FROM c GROUP BY bucket),
+j AS (
+  SELECT c.symbol, c.bucket, c.close_c AS x, m.mkt_c AS y
+  FROM c JOIN m USING (bucket)
+),
+g AS (
+  SELECT symbol, bucket, x, y,
+         ROW_NUMBER() OVER ws AS rn,
+         CAST(SUM(x) OVER wf AS BIGINT) AS sx,
+         CAST(SUM(y) OVER wf AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER wf AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER wf AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER wf AS BIGINT) AS syy
+  FROM j
+  WINDOW ws AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket AS epoch, x AS close_c, y AS mkt_c,
+       CASE WHEN rn >= 24 AND (24 * sxx - sx * sx) > 0
+                          AND (24 * syy - sy * sy) > 0
+            THEN CAST(24 * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(24 * syy - sy * sy AS DOUBLE)))
+       END AS corr
+FROM g
+""",
+)
+def rolling_corr_market_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation vs the integer market-sum
+    index (operators/quant.rolling_corr_vs_market): exact LONG window
+    sums, broadcast market join, one mirrored double expression."""
+    from marketstore_spark.operators.quant import rolling_corr_vs_market
+
+    return rolling_corr_vs_market(
+        load_table(spark, sf_dir, "events"), n=24, timeframe="1 hour"
+    )
+
+
+# =====================================================================
+# LLM-data-pipeline round-7 additions: batch-shape planning,
+# collocation mining, distributed k-means E-step
+# =====================================================================
+
+
+@_register(
+    "corpus_length_buckets",
+    """
+WITH d AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT n_tok,
+    CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+         WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+         WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+         WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket,
+    CASE WHEN n_tok > 2048
+         THEN CAST(CEIL(CAST(n_tok AS DOUBLE) / 2048) AS BIGINT) * 2048
+         WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+         WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+         WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+         WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS padded
+  FROM d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(padded) AS BIGINT) AS sum_padded,
+       1.0 - CAST(SUM(n_tok) AS DOUBLE) / CAST(SUM(padded) AS DOUBLE)
+         AS waste_ratio
+FROM b GROUP BY bucket
+""",
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length bucket report with padding-waste
+    ratios (operators/sampling.length_bucket_stats): integer CASE
+    ladder, wordcount-shaped single aggregate."""
+    from marketstore_spark.operators.sampling import length_bucket_stats
+
+    return length_bucket_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_bigram_lift",
+    """
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+),
+nu AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM uni),
+nb AS (
+  SELECT CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS n_bi FROM toks
+),
+bg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) >= 2
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+j AS (
+  SELECT b.w1, b.w2, b.c_ab, u1.c_w AS c_a, u2.c_w AS c_b,
+         (CAST(b.c_ab AS DOUBLE) / nb.n_bi)
+         / ((CAST(u1.c_w AS DOUBLE) / nu.n_uni)
+            * (CAST(u2.c_w AS DOUBLE) / nu.n_uni)) AS lift
+  FROM bc b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN nu CROSS JOIN nb
+)
+SELECT w1, w2, c_ab, c_a, c_b, lift, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS rn
+  FROM j
+) WHERE rn <= 100
+""",
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by lift (operators/text.bigram_lift):
+    exact counts, broadcast unigram joins, one mirrored float
+    division chain."""
+    from marketstore_spark.operators.text import bigram_lift
+
+    out = bigram_lift(load_table(spark, sf_dir, "documents"))
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "embedding_kmeans_assign",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.cluster, list_cosine_similarity(e.v, c.cv) AS cos_raw
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, cluster, ROUND(cos_raw, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_raw DESC, cluster ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means E-step at k=8 with the deterministic lowest-
+    id centroid seed (operators/simsearch.kmeans_assign): broadcast
+    centroids, struct-max argmax, no window sort on the fact."""
+    from marketstore_spark.operators.simsearch import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+# =====================================================================
 # Registration order
 # =====================================================================
 # The external correctness driver walks ``queries()`` in registration

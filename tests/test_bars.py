@@ -1,0 +1,310 @@
+"""Event-driven bars (volume/dollar), Heikin-Ashi, and the round-7
+quant additions (amihud / ichimoku / OFI / CUSUM / rolling corr)."""
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marketstore_spark.operators.bars import event_bars, heikin_ashi
+from marketstore_spark.operators.quant import (
+    amihud_illiquidity,
+    cusum_filter,
+    ichimoku,
+    order_flow_imbalance,
+    rolling_corr_vs_market,
+)
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+
+
+def test_volume_bars_bucket_by_cumulative_prefix(spark):
+    """A tick belongs to the bar its PRE-tick running total falls in —
+    the first tick of a symbol always opens bar 0, and a tick that
+    crosses the threshold finishes its current bar (it doesn't open
+    the next one)."""
+    t0 = datetime(2024, 1, 1, 9, 30)
+    rows = [
+        (1, t0.replace(minute=30), 1, 10.00, 60),   # cum_before 0   -> bar 0
+        (1, t0.replace(minute=31), 2, 11.00, 50),   # cum_before 60  -> bar 0
+        (1, t0.replace(minute=32), 3, 9.00, 10),    # cum_before 110 -> bar 1
+        (1, t0.replace(minute=33), 4, 12.00, 300),  # cum_before 120 -> bar 1
+        (1, t0.replace(minute=34), 5, 8.00, 1),     # cum_before 420 -> bar 4
+    ]
+    out = {
+        r["bar_id"]: r
+        for r in event_bars(_ticks(spark, rows), threshold=100).collect()
+    }
+    assert sorted(out) == [0, 1, 4]
+    b0 = out[0]
+    assert (b0["open_c"], b0["close_c"]) == (1000, 1100)
+    assert (b0["high_c"], b0["low_c"]) == (1100, 1000)
+    assert b0["volume"] == 110 and b0["n_ticks"] == 2
+    # vwap = (1000*60 + 1100*50)/100c / 110
+    assert b0["vwap"] == pytest.approx((1000 * 60 + 1100 * 50) / 100.0 / 110)
+    b1 = out[1]
+    assert (b1["open_c"], b1["close_c"], b1["volume"]) == (900, 1200, 310)
+    assert out[4]["n_ticks"] == 1 and out[4]["open_c"] == 800
+
+
+def test_dollar_bars_use_notional_and_validate_args(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0.replace(hour=1), 1, 10.00, 10),  # notional 10000c
+        (1, t0.replace(hour=2), 2, 10.00, 10),  # cum_before 10000 -> bar 1
+    ]
+    out = event_bars(_ticks(spark, rows), threshold=10_000, measure="dollar")
+    assert sorted(r["bar_id"] for r in out.collect()) == [0, 1]
+    with pytest.raises(ValueError, match="measure"):
+        event_bars(_ticks(spark, rows), threshold=10, measure="time")
+    with pytest.raises(ValueError, match="threshold"):
+        event_bars(_ticks(spark, rows), threshold=0)
+
+
+def test_heikin_ashi_recurrence_hand_checked(spark):
+    """Two daily candles: the second bucket's ha_open must average the
+    FIRST bucket's ha_open/ha_close, and the HA extrema include the
+    synthetic open/close."""
+    d1, d2 = datetime(2024, 1, 1, 10), datetime(2024, 1, 2, 10)
+    rows = [
+        (1, d1, 1, 10.00, 0),                  # day 1: o=1000
+        (1, d1.replace(hour=12), 2, 14.00, 0),  # h=1400
+        (1, d1.replace(hour=14), 3, 12.00, 0),  # c=1200, l=1000
+        (1, d2, 4, 8.00, 0),                   # day 2: o=800=l
+        (1, d2.replace(hour=12), 5, 9.00, 0),  # c=900, h=900? no: h=900
+    ]
+    out = sorted(
+        heikin_ashi(_ticks(spark, rows)).collect(), key=lambda r: r["epoch"]
+    )
+    r1, r2 = out
+    ha_c1 = (1000 + 1400 + 1000 + 1200) / 4.0
+    ha_o1 = (1000 + 1200) / 2.0
+    assert (r1["ha_open"], r1["ha_close"]) == (ha_o1, ha_c1)
+    ha_o2 = (ha_o1 + ha_c1) / 2.0
+    ha_c2 = (800 + 900 + 800 + 900) / 4.0
+    assert (r2["ha_open"], r2["ha_close"]) == (ha_o2, ha_c2)
+    assert r2["ha_high"] == max(900.0, ha_o2, ha_c2)
+    assert r2["ha_low"] == min(800.0, ha_o2, ha_c2)
+
+
+def test_cusum_filter_triggers_and_resets(spark):
+    """+1 event exactly when S+ crosses the threshold, state resets
+    after, and the symmetric side fires on drawdowns."""
+    t0 = datetime(2024, 1, 1)
+    closes = [100.00, 140.00, 190.00, 150.00, 80.00, 100.00]
+    rows = [
+        (1, t0.replace(hour=h + 1), h + 1, px, 0) for h, px in enumerate(closes)
+    ]
+    out = sorted(
+        cusum_filter(
+            _ticks(spark, rows), threshold_c=5000, timeframe="1 hour"
+        ).collect(),
+        key=lambda r: r["epoch"],
+    )
+    # diffs (cents): +4000, +5000, -4000, -7000, +2000
+    # S+ : 4000, 9000 -> +1 reset; S-: 0,0,-4000,-11000 -> -1 reset
+    assert [(r["direction"], r["excursion_c"]) for r in out] == [
+        (1, 9000),
+        (-1, -11000),
+    ]
+
+
+def test_cusum_filter_matches_direct_model(spark):
+    """Property check vs a direct Python fold on pseudo-random walks."""
+    import random
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    rows, model_events = [], []
+    for sym in (1, 2, 3):
+        px = 200.00
+        sp = sn = 0
+        prev = None
+        for h in range(120):
+            px = round(max(1.0, px + rng.randint(-900, 900) / 100.0), 2)
+            ts = t0.replace(hour=0) if False else None
+            ts = datetime(2024, 1, 1 + h // 24, h % 24)
+            rows.append((sym, ts, h, px, 0))
+            c = round(px * 100)
+            if prev is None:
+                prev = c
+                continue
+            d = c - prev
+            prev = c
+            sp = max(0, sp + d)
+            sn = min(0, sn + d)
+            if sp > 700:
+                model_events.append((sym, ts, 1, sp))
+                sp = 0
+            elif sn < -700:
+                model_events.append((sym, ts, -1, sn))
+                sn = 0
+    out = cusum_filter(_ticks(spark, rows), threshold_c=700, timeframe="1 hour")
+    got = sorted(
+        (r["symbol"], r["epoch"], r["direction"], r["excursion_c"])
+        for r in out.collect()
+    )
+    assert got == sorted(model_events)
+    assert len(got) > 10  # non-vacuous
+
+
+def test_ofi_signs_per_venue_quote_changes(spark):
+    """Bid up on venue A (+1), ask down on venue B (+1), first quotes
+    contribute 0; contributions sum per 5-minute bucket."""
+    t0 = datetime(2024, 1, 1, 9, 30)
+    q = spark.createDataFrame(
+        [
+            (1, t0, 1, "A", 1000, 1010),
+            (1, t0.replace(minute=31), 2, "B", 999, 1012),
+            (1, t0.replace(minute=32), 3, "A", 1002, 1010),  # bid up: +1
+            (1, t0.replace(minute=33), 4, "B", 999, 1008),   # ask down: +1
+            (1, t0.replace(minute=36), 5, "A", 1001, 1011),  # next bucket: -1-1
+        ],
+        "user_id long, ts timestamp, event_id long, venue string, bid_c long, ask_c long",
+    )
+    out = {r["epoch"]: r for r in order_flow_imbalance(q).collect()}
+    assert out[t0]["ofi"] == 2 and out[t0]["n_quotes"] == 4
+    assert out[t0.replace(minute=35)]["ofi"] == -2
+
+
+def test_ichimoku_warmup_and_midpoints(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0.replace(day=1 + d), d, float(10 + d), 0) for d in range(12)
+    ]
+    out = sorted(
+        ichimoku(
+            _ticks(spark, rows), tenkan_n=3, kijun_n=5, senkou_n=9
+        ).collect(),
+        key=lambda r: r["epoch"],
+    )
+    assert out[0]["tenkan"] is None and out[1]["tenkan"] is None
+    # day 2 (0-idx): window closes 1000,1100,1200 -> (1200+1000)/2
+    assert out[2]["tenkan"] == 1100.0
+    assert out[3]["kijun"] is None and out[4]["kijun"] == 1200.0
+    assert out[4]["senkou_a"] == (out[4]["tenkan"] + 1200.0) / 2.0
+    assert out[7]["senkou_b"] is None and out[8]["senkou_b"] == 1400.0
+    # chikou leads by kijun_n buckets
+    assert out[0]["chikou_c"] == out[5]["close_c"]
+    assert out[7]["chikou_c"] is None
+
+
+def test_amihud_per_bucket_values(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0.replace(day=1, hour=10), 1, 10.00, 100),
+        (1, t0.replace(day=2, hour=10), 2, 12.00, 50),
+    ]
+    out = sorted(
+        amihud_illiquidity(_ticks(spark, rows)).collect(),
+        key=lambda r: r["epoch"],
+    )
+    assert out[0]["ret"] is None and out[0]["illiq"] is None
+    r = out[1]
+    assert r["ret"] == pytest.approx(0.2)
+    # dv = 1200c*50 = 60000c = $600; illiq = 0.2/600
+    assert r["illiq"] == pytest.approx(0.2 / 600.0)
+
+
+def test_rolling_corr_matches_pandas(spark):
+    """The exact-integer window formulation equals pandas' rolling
+    Pearson (float tolerance) on a multi-symbol frame."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    closes = {}
+    for sym in (1, 2):
+        px = 100.0
+        for h in range(60):
+            px = float(round(max(1.0, px + int(rng.integers(-300, 300)) / 100.0), 2))
+            rows.append((sym, datetime(2024, 1, 1 + h // 24, h % 24), h, px, 0))
+            closes.setdefault(sym, []).append(round(px * 100))
+    out = rolling_corr_vs_market(
+        _ticks(spark, rows), n=10, timeframe="1 hour"
+    )
+    got = {
+        (r["symbol"], r["epoch"]): r["corr"] for r in out.collect()
+    }
+    mkt = [a + b for a, b in zip(closes[1], closes[2])]
+    for sym in (1, 2):
+        s = pd.Series(closes[sym], dtype=float)
+        m = pd.Series(mkt, dtype=float)
+        expect = s.rolling(10).corr(m)
+        for h in range(60):
+            ts = datetime(2024, 1, 1 + h // 24, h % 24)
+            got_v = got[(sym, ts)]
+            if h < 9:
+                assert got_v is None
+            else:
+                assert got_v == pytest.approx(expect[h], abs=1e-9)
+
+
+def test_kmeans_assign_centroids_self_assign(spark, sf_dir):
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=4)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()  # every vector assigned exactly once
+    for cid in range(4):
+        assert rows[cid]["cluster"] == cid and rows[cid]["cosine"] == 1.0
+    assert {r["cluster"] for r in rows.values()} <= {0, 1, 2, 3}
+
+
+def test_length_bucket_stats_ladder_and_overflow(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                      # 3 tokens  -> bucket 16
+            (2, " ".join(["w"] * 17)),         # 17        -> bucket 32
+            (3, " ".join(["w"] * 5000)),       # 5000      -> top, pad 3*2048
+            (4, ""),                           # 0         -> bucket 16
+        ],
+        "doc_id long, text string",
+    )
+    from marketstore_spark.operators.sampling import length_bucket_stats
+
+    out = {r["bucket"]: r for r in length_bucket_stats(docs).collect()}
+    assert out[16]["n_docs"] == 2 and out[16]["sum_padded"] == 32
+    assert out[32]["sum_tokens"] == 17 and out[32]["sum_padded"] == 32
+    assert out[2048]["sum_padded"] == 3 * 2048
+    assert out[2048]["waste_ratio"] == pytest.approx(1 - 5000 / 6144)
+
+
+def test_bigram_lift_finds_collocation(spark):
+    """A pair that always co-occurs ('new york') outranks pairs of
+    independent frequent words."""
+    rows = [(i, "new york is big and the cat is here") for i in range(10)]
+    rows += [(100 + i, "the dog is big and new things are here") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from marketstore_spark.operators.text import bigram_lift
+
+    out = bigram_lift(docs, min_count=5, top_k=10).collect()
+    pairs = {(r["w1"], r["w2"]): r for r in out}
+    assert ("new", "york") in pairs
+    ny = pairs[("new", "york")]
+    assert ny["c_ab"] == 10 and ny["c_a"] == 20 and ny["c_b"] == 10
+    # 'york' follows 'new' half the time -> lift far above independent pairs
+    assert ny["lift"] > pairs[("is", "big")]["lift"]
+    assert out[0]["rank"] == 1
+
+
+def test_bigram_lift_single_word_docs_guarded(spark):
+    """One-word docs must not explode (sequence(1,0) DESCENDS)."""
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "a b a b a b a b a b a b")],
+        "doc_id long, text string",
+    )
+    from marketstore_spark.operators.text import bigram_lift
+
+    out = bigram_lift(docs, min_count=2, top_k=5).collect()
+    assert all(r["w1"] != "solo" for r in out)
+    assert any((r["w1"], r["w2"]) == ("a", "b") for r in out)

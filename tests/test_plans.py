@@ -679,3 +679,69 @@ def test_lee_ready_no_join_blowup(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["lee_ready"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_volume_bars_single_exchange(spark, sf_dir):
+    """Event bars: the cumulative-sum window repartitions on symbol
+    ONCE; the (symbol, bar_id) candle aggregate must REUSE that
+    partitioning (HashPartitioning(symbol) satisfies the clustered
+    distribution on the superset key) — a second exchange would
+    re-shuffle the whole tick stream."""
+    for key in ("volume_bars", "dollar_bars"):
+        plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+        # window sort + the SortAggregate's in-partition sort (struct
+        # min_by/max_by buffers demote to SortAggregate) — both ride
+        # the single exchange
+        assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 2, plan
+        assert "Join" not in plan, plan
+
+
+def test_kmeans_assign_broadcast_no_fact_window(spark, sf_dir):
+    """The E-step broadcasts the dims-scale centroid table and argmaxes
+    via a hash aggregate — the corpus must NOT sort (no Window) and
+    must not hit a shuffle join."""
+    plan = explain_str(SPARK_QUERIES["embedding_kmeans_assign"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_corr_market_single_fact_scan(spark, sf_dir):
+    """The market index is a full-partition window over the dims-scale
+    closes — NOT a groupBy + self-join, which would scan and shuffle
+    the fact twice (ReusedExchange does not fire across join
+    branches).  One FileScan, no joins; all five rolling sums share
+    one per-symbol sort."""
+    df = SPARK_QUERIES["rolling_corr_market"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    df.write.format("noop").mode("overwrite").save()
+    ex = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert ex.count("FileScan") == 1, ex
+
+
+def test_bigram_lift_broadcast_unigrams(spark, sf_dir):
+    """The vocabulary-scale unigram table joins the bigram counts via
+    broadcast (twice); no sort-merge join anywhere; the final top-k
+    window sorts only the filtered pair table."""
+    plan = explain_str(SPARK_QUERIES["text_bigram_lift"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_length_buckets_projection_only(spark, sf_dir):
+    """Length bucketing is wordcount-shaped: one exchange (the bucket
+    aggregate with map-side partials), no joins, no windows."""
+    plan = explain_str(SPARK_QUERIES["corpus_length_buckets"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_ofi_one_venue_sort_one_bucket_agg(spark, sf_dir):
+    """OFI: one per-(symbol, venue) window sort, one (symbol, bucket)
+    hash aggregate — two exchanges total, no joins."""
+    plan = explain_str(SPARK_QUERIES["ofi"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
