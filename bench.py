@@ -100,6 +100,24 @@ HEADLINE = [
     # all five rollup levels in one grouping-sets pass (1 scan /
     # 1 shuffle) vs the oracle's five direct scans
     "rollup_cascade",
+    # round-7 operators (added to the bench in round 8): event-driven
+    # bars (cumulative-prefix bucketing), candle-fed indicator chains,
+    # the window-over-closes market correlation, single-aggregate
+    # batch shaping, pruned-broadcast collocation mining, and the
+    # broadcast k-means E-step.  heikin_ashi and cusum_filter are the
+    # applyInPandas recurrence shape (recursive-CTE oracles, same
+    # class as ema/macd above).
+    "volume_bars",
+    "dollar_bars",
+    "heikin_ashi",
+    "amihud",
+    "ichimoku",
+    "ofi",
+    "cusum_filter",
+    "rolling_corr_market",
+    "corpus_length_buckets",
+    "text_bigram_lift",
+    "embedding_kmeans_assign",
 ]
 
 _ORACLE_TABLES = (
@@ -174,15 +192,29 @@ def main() -> None:
         oracle_secs = {}
 
     total = round(sum(times.values()), 3)
+    oracle_total = round(sum(oracle_secs.values()), 3)
+    # Oracle-paired ratio: compare only over queries the oracle timed,
+    # so no-oracle keys (ann_ivf) don't skew the gate number.
+    paired = [n for n in times if n in oracle_secs]
+    spark_paired = round(sum(times[n] for n in paired), 3)
+    ratio = round(spark_paired / oracle_total, 3) if oracle_total else None
+    # Key order matters: the driver records the TAIL of this (long)
+    # line, so the per-query dicts go FIRST and the suite summary
+    # fields (metric/value/ratio) go LAST — BENCH_r07.json was
+    # `parsed: null` because the totals sat at the truncated front.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
                 "queries": times,
                 "oracle_secs": oracle_secs,
                 "sf": sf,
+                "unit": "sec",
+                "total_secs": total,
+                "oracle_total_secs": oracle_total,
+                "spark_paired_secs": spark_paired,
+                "ratio": ratio,
+                "metric": "headline_suite_total",
+                "value": total,
             }
         )
     )

@@ -1158,11 +1158,20 @@ def rolling_corr_vs_market(
     closes that bucket — an equal-share integer index, no float
     averaging), per (symbol, bucket).
 
-    Exactness: all five window sums (Σx, Σy, Σxy, Σx², Σy²) are LONG
-    sums of integer-cent products (cents² · n ≪ 2⁵³); the final
-    Pearson expression is evaluated once in double with IEEE sqrt —
-    mirrored literally by the oracle, hence bitwise.  NULL during
-    warm-up or when either variance term is zero.
+    Exactness: the x-side window sums (Σx, Σx²) are LONG sums of
+    per-symbol integer cents (cents² · n ≪ 2⁵³ holds per symbol).
+    The y-side does NOT fit LONG at a large symbol universe: ``mkt_c``
+    is the SUM of all symbols' closes, so at ~15k symbols × ~$500
+    closes, Σ_window(mkt_c²) ≈ 1.3e19 > 2⁶³ and sy² ≈ 4e22 — a
+    genuine 100× symbol scale-up dies with ARITHMETIC_OVERFLOW under
+    ANSI.  Every moment touching y (y², x·y, and their window sums,
+    plus sy at the point it is squared) is therefore computed in
+    DECIMAL(38,0) — still exact integer arithmetic, headroom to
+    1e38 ≈ (3e13 symbols·cents)² · large windows — and the oracle
+    mirrors with HUGEINT (int128).  The final Pearson expression is
+    evaluated once in double with IEEE sqrt — mirrored literally by
+    the oracle, hence bitwise.  NULL during warm-up or when either
+    variance term is zero.
 
     Shape: the fact scans and shuffles ONCE (the bucket-close
     extraction); the market index is a full-partition window SUM over
@@ -1180,17 +1189,22 @@ def rolling_corr_vs_market(
     fr = ws.rowsBetween(-(n - 1), Window.currentRow)
     x = F.col("close_c")
     y = F.col("mkt_c")
+    # y-side moments in DECIMAL(38,0): see docstring — the market
+    # aggregate overflows LONG at a realistic symbol universe.
+    y_d = y.cast("decimal(38,0)")
     staged = j.select(
         "symbol",
         "bucket",
         x.alias("x"),
         y.alias("y"),
-        (x * y).alias("xy"),
+        (x * y_d).alias("xy"),
         (x * x).alias("xx"),
-        (y * y).alias("yy"),
+        (y_d * y_d).alias("yy"),
     )
     sx = F.sum("x").over(fr)
-    sy = F.sum("y").over(fr)
+    # cast BEFORE the sum: the LONG running total itself is the first
+    # thing to overflow at scale, not just sy².
+    sy = F.sum(F.col("y").cast("decimal(38,0)")).over(fr)
     sxy = F.sum("xy").over(fr)
     sxx = F.sum("xx").over(fr)
     syy = F.sum("yy").over(fr)

@@ -538,6 +538,16 @@ def kmeans_assign(
     ``centroids`` defaults to the ``k`` lowest-id vectors — a
     deterministic, engine-portable seed choice (k-means++ etc. need a
     random stream; a caller mid-Lloyd passes its own centroid frame).
+    NOTE: an oracle that expresses the same seed as ``vec_id < k``
+    only coincides when ids are 0-based contiguous; the registered
+    query's oracle uses the order-by-id form for exactly this reason.
+
+    Cross-engine determinism: the argmax compares the cosine ROUNDED
+    to 12 dp, not the raw float — two engines' dot products can
+    differ by an ulp, and on near-tied centroids a raw-float argmax
+    would flip the assigned cluster between engines.  12 dp is far
+    below any semantically meaningful cosine gap and far above ulp
+    noise (~2e-16), so both engines pick on identical keys.
 
     Plan: centroids are dims-scale → BROADCAST crossJoin against the
     corpus (the fact never shuffles for the join); the argmax is a
@@ -562,10 +572,14 @@ def kmeans_assign(
             / F.when(den == 0, F.lit(None)).otherwise(den)
         ).alias("cos_raw"),
     )
-    # argmax cosine, ties -> smallest cluster id (maximize (cos, -id))
+    # argmax cosine, ties -> smallest cluster id (maximize (cos, -id));
+    # the comparison key is the 12-dp-rounded cosine (see docstring).
     pick = F.max_by(
         F.struct(F.col("cluster"), F.col("cos_raw")),
-        F.struct(F.col("cos_raw"), (-F.col("cluster")).alias("nid")),
+        F.struct(
+            F.round(F.col("cos_raw"), 12).alias("cos12"),
+            (-F.col("cluster")).alias("nid"),
+        ),
     )
     return (
         scored.groupBy("vec_id")

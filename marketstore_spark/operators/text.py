@@ -461,11 +461,18 @@ def bigram_lift(
     pair table (collocation-scale, not corpus-scale).
 
     Plan: one explode→count shuffle per granularity (unigrams,
-    bigrams); the unigram table is vocabulary-scale → BROADCAST joined
-    onto the bigram counts twice (left word, right word); the corpus
-    totals are single-row aggregates crossJoined broadcast.  Final
-    top-k is one k-row global sort.  sequence(1, size-1) DESCENDS for
-    one-word docs — the size >= 2 filter guards it.
+    bigrams).  The unigram table is VOCABULARY-scale (10^8–10^9
+    distinct words at corpus scale) — broadcasting it unfiltered is
+    an executor OOM at 100 TB, so it is first semi-join-PRUNED to the
+    word set of the min_count-kept bigram table (collocation-scale by
+    construction: ≤ 2·|kept pairs| words).  Only then is the pruned
+    slice broadcast onto the bigram counts twice (left word, right
+    word).  Pruning drops rows, never rewrites counts — c_a/c_b stay
+    the full-corpus unigram totals, so lift values are unchanged.
+    The corpus totals are single-row aggregates crossJoined
+    broadcast.  Final top-k is one k-row global sort.
+    sequence(1, size-1) DESCENDS for one-word docs — the size >= 2
+    filter guards it.
     """
     t = F.col(text_col)
     toks = df.select(
@@ -502,10 +509,20 @@ def bigram_lift(
         F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("n_bi")
     )
     _ = n_bi  # (kept-total intentionally unused; documents the trap)
+    # Prune the vocabulary to the kept-pair word set BEFORE the
+    # broadcast (see docstring — the unfiltered table is a
+    # scale-killer).  The kept word set is itself tiny, so it drives
+    # the semi join as the broadcast side.
+    kept_w = (
+        big.select(F.col("w1").alias("w"))
+        .union(big.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    uni_kept = uni.join(F.broadcast(kept_w), "w", "left_semi")
     j = (
-        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+        big.join(F.broadcast(uni_kept.withColumnRenamed("w", "w1")
                              .withColumnRenamed("c_w", "c_a")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+        .join(F.broadcast(uni_kept.withColumnRenamed("w", "w2")
                           .withColumnRenamed("c_w", "c_b")), "w2")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi_all))

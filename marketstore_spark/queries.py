@@ -4858,13 +4858,17 @@ j AS (
   FROM c JOIN m USING (bucket)
 ),
 g AS (
+  -- y-side moments in HUGEINT (int128), mirroring the engine's
+  -- DECIMAL(38,0): the market-sum index overflows BIGINT at a large
+  -- symbol universe.  x-side stays BIGINT (per-symbol cents).
   SELECT symbol, bucket, x, y,
          ROW_NUMBER() OVER ws AS rn,
          CAST(SUM(x) OVER wf AS BIGINT) AS sx,
-         CAST(SUM(y) OVER wf AS BIGINT) AS sy,
-         CAST(SUM(x * y) OVER wf AS BIGINT) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT)) OVER wf AS HUGEINT) AS sy,
+         CAST(SUM(x * CAST(y AS HUGEINT)) OVER wf AS HUGEINT) AS sxy,
          CAST(SUM(x * x) OVER wf AS BIGINT) AS sxx,
-         CAST(SUM(y * y) OVER wf AS BIGINT) AS syy
+         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wf
+              AS HUGEINT) AS syy
   FROM j
   WINDOW ws AS (PARTITION BY symbol ORDER BY bucket),
          wf AS (PARTITION BY symbol ORDER BY bucket
@@ -4997,8 +5001,11 @@ scored AS (
 )
 SELECT vec_id, cluster, ROUND(cos_raw, 6) AS cosine
 FROM (
+  -- pick on the 12-dp-rounded cosine, mirroring the engine: raw-float
+  -- argmax can flip near-tied centroids across engines (1-ulp dot
+  -- product differences)
   SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cos_raw DESC, cluster ASC) AS rn
+                               ORDER BY ROUND(cos_raw, 12) DESC, cluster ASC) AS rn
   FROM scored
 ) WHERE rn = 1
 """,
@@ -5023,101 +5030,37 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else in source order.
 
 _FRONT = [
-    # Round-6 rotation (driver checks the first ~50 keys).  Lead with
-    # the 13 round-5 keys that have never had a driver row (VERDICT r05
-    # "What's missing" #1 — the ◇ set): with these green, every
-    # registered key has a driver-checked CORRECTNESS row at least once
-    # (union coverage 107/107).
-    "obv",
-    "stochastic_k",
-    "macd",
-    "dedup_span",
-    "multimodal_audio_decode",
-    "gapfill_interp",
-    "corpus_pack",
-    "beta",
-    "realized_vol",
-    "text_heavy_hitters",
-    "distinct_users",
-    "distinct_users_approx",
-    "multimodal_gif_decode",
-    # Keys whose operator files changed this round — fresh driver rows
-    # required: adjust.py/ca.py were re-planned as broadcast-CA
-    # projections (VERDICT r05 must-fix #2), quant.py gained the
-    # pairwise_corr bucket guard (twap shares the file; obv/
-    # stochastic_k/beta/realized_vol are already above).
-    "uda_adjust",
-    "corporate_actions",
-    "uda_adjust_ca",
-    "pairwise_corr",
-    "twap",
-    # New round-6 keys ship WITH driver evidence (the r05 lesson: a key
-    # registered outside the window accrues ◇ debt) — each is sf0.001-
-    # and sf0.01-parity-green locally before entering the window.
-    "atr",
-    "donchian",
-    "xs_momentum",
-    "corpus_chunk",
-    "corpus_sample_stratified",
-    "text_doc_freq_score",
-    "corpus_training_mix",
-    "tick_rule",
-    "nbbo",
-    "text_bm25",
-    "knn_label_eval",
-    "rollup_cascade",
-    "corpus_shuffle",
-    "lee_ready",
-    # Back-fill: the oldest-evidence keys (last driver row r4) in the
-    # VERDICT-prescribed order — query/catalog surface, uda_gap pair,
-    # asof pair, indicator family, text family, TPC-H r4 block.
-    # The size-gated parallelism spread (functions/layout) re-plans the
-    # shingle/simhash/CMS front half — fresh driver rows for the main
-    # consumers not already above (dedup_span and text_heavy_hitters
-    # are); results are partitioning-independent and re-verified at
-    # sf0.001+sf0.01 locally.
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_semantic",
-    "dedup_semantic_keep",
-    "text_repetition",
-    "corpus_decontaminate",
-    # Oldest-evidence back-fill (last driver row r4, code untouched).
-    "query_range",
-    "query_limit_tail",
-    "sql_select",
-    "uda_gap",
-    "uda_gap_zscore",
-    "asof_join",
-    "asof_join_tolerance",
-    "returns",
-    "sma",
-    "bollinger",
-    "rsi",
-    # Exactly 50 keys — the driver window.  Everything left out is
-    # r4/r5-green on code untouched this round: the whole r5 window
-    # (corpus_stats…multimodal_frame_sample), the r4 TPC-H block
-    # (q4–q14 lead _BACK), q19/top_symbols/range_join/
-    # corpus_filter_pipeline, the *_exhaustive anchors, and the
-    # rows-only keys whose anchors are driver-green.
-]
-
-
-# Immediately after the 50-key window: the r4-green keys that could
-# not fit (they lead the r07 rotation; if the driver's budget
-# stretches past 50 they get rows a round early), then everything
-# else in source order.
-_BACK = [
-    "drawdown",
-    "ema",
-    "sessionize",
-    "percentiles",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_tokens",
-    "text_termfreq",
+    # ------------------------------------------------------------------
+    # Round-8 rotation (driver checks the first ~50 keys).  Mechanical
+    # per-round policy (VERDICT r07 "What's wrong" #1): lead with keys
+    # that have NEVER had a driver row, then this round's new keys,
+    # then back-fill with the oldest-evidence keys.
+    # ------------------------------------------------------------------
+    # Block A — the 11 round-7 keys that shipped without driver
+    # evidence (the r07 window was a byte-identical repeat of r06's):
+    # with these green, union coverage is 134/134.  text_bigram_lift,
+    # rolling_corr_market, and embedding_kmeans_assign were ALSO
+    # re-planned this round (vocab-broadcast prune / DECIMAL y-side
+    # moments / 12-dp argmax key) — fresh rows doubly required.
+    "volume_bars",
+    "dollar_bars",
+    "heikin_ashi",
+    "amihud",
+    "ichimoku",
+    "ofi",
+    "cusum_filter",
+    "rolling_corr_market",
+    "corpus_length_buckets",
+    "text_bigram_lift",
+    "embedding_kmeans_assign",
+    # Block B — new round-8 keys ship WITH driver evidence (each is
+    # sf0.001- and sf0.01-parity-green locally before entering).
+    # (inserted as implemented)
+    # Block C — back-fill: every key whose last driver row is <= r4,
+    # oldest-format first (the q3-q19 TPC-H r4 block, text family,
+    # catalog surface, percentiles, sessionize, ema, drawdown,
+    # range_join, query_limit_head, anchors), then the r3 rows-only
+    # ANN trio (anchors are driver-green; the rows-only rows refresh).
     "q3_shipping_priority",
     "q4_late_orders",
     "q5_local_supplier",
@@ -5127,12 +5070,80 @@ _BACK = [
     "q14_promo_revenue",
     "q19_discounted_revenue",
     "top_symbols",
-    "range_join",
-    "corpus_filter_pipeline",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_termfreq",
+    "percentiles",
+    "percentiles_approx",
     "percentiles_approx_exhaustive",
-    "ann_ivf_exhaustive",
+    "sessionize",
+    "ema",
+    "drawdown",
+    "range_join",
+    "query_limit_head",
+    "get_info",
+    "list_symbols",
+    "list_symbols_tbk",
+    "multi_query",
+    "corpus_filter_pipeline",
     "dedup_minhash_keep",
     "dedup_clusters",
+    "ann_ivf_exhaustive",
+    "ann_ivf",
+    "ann_lsh",
+    "dedup_embedding_lsh",
+    # 44 keys + block B = the 50-key driver window.  Everything left
+    # out is r5/r7-green on code untouched this round.
+]
+
+
+# Immediately after the window: the 40 keys whose last driver row is
+# r5 (oldest remaining evidence) — if the driver's budget stretches
+# past 50 they get refreshed a round early; then everything else
+# (r7-green) in source order.
+_BACK = [
+    "q1_pricing_summary",
+    "uda_min",
+    "uda_max",
+    "uda_avg",
+    "uda_count",
+    "tickcandler",
+    "candlecandler",
+    "rollup_5min",
+    "rollup_1h",
+    "rollup_1d",
+    "rollup_1w",
+    "rollup_1mo",
+    "vwap",
+    "skew_salted_agg",
+    "q18_large_volume_customer",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q15_top_supplier",
+    "q21_suppliers_who_kept_orders_waiting",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
+    "q22_sales_opportunity",
+    "corpus_stats",
+    "corpus_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_embedding_lsh_exhaustive",
+    "ann_cosine_topk",
+    "ann_filtered",
+    "ann_lsh_exhaustive",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_video_decode",
+    "gapfill",
 ]
 
 

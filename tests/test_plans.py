@@ -721,13 +721,23 @@ def test_rolling_corr_market_single_fact_scan(spark, sf_dir):
     assert ex.count("FileScan") == 1, ex
 
 
-def test_bigram_lift_broadcast_unigrams(spark, sf_dir):
-    """The vocabulary-scale unigram table joins the bigram counts via
-    broadcast (twice); no sort-merge join anywhere; the final top-k
-    window sorts only the filtered pair table."""
+def test_bigram_lift_broadcast_pruned_unigrams(spark, sf_dir):
+    """The vocabulary-scale unigram table must NOT broadcast raw: it is
+    first semi-join-pruned (LeftSemi against the kept-pair word set,
+    collocation-scale) and only the pruned slice broadcasts onto the
+    bigram counts (twice).  No sort-merge join anywhere; the final
+    top-k window sorts only the filtered pair table."""
     plan = explain_str(SPARK_QUERIES["text_bigram_lift"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    # one semi prune + two lookup joins, all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+    # every BroadcastExchange input must sit DOWNSTREAM of either the
+    # semi prune or a filter/aggregate — i.e. the raw unigram count
+    # aggregate may not feed a BroadcastExchange directly.  The
+    # LeftSemi assertions above plus join count pin this; also assert
+    # the pruned lineage exists at all (union of w1/w2 words).
+    assert "Union" in plan, plan
 
 
 def test_length_buckets_projection_only(spark, sf_dir):
