@@ -37,6 +37,12 @@ HEADLINE = [
     "range_join",
     "gapfill",
     "dedup_minhash_lsh",
+    # r5->r7 apparent drift (1.23s -> 1.56s) root-caused in r8: NOT a
+    # plan change — an isolated deep-warm A/B run (quiet box) shows
+    # 1.245s steady-state (== r5) and confirms the r6 word_shingles
+    # spread is a 3.4x win (no-spread ablation: 4.9s).  The interpreted
+    # HOF shingle lambda needs deeper JIT tiering than min-of-3 in a
+    # 50+ query suite provides; the number breathes with suite heat.
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_ivf",

@@ -180,8 +180,11 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
     s.add_argument(
         "--stream-delivery-root",
         default=None,
-        help="attach a StreamHub rooted here so GET /stream long-polls "
-        "work (frontend/stream analogue); without it /stream replies "
+        help="attach a StreamHub rooted here; GET /stream long-polls "
+        "then serve deliveries that an EXTERNAL streaming pipeline "
+        "(a StreamHub.attach/push_batch foreachBatch writer) appends "
+        "under this root — `serve` itself wires no publisher "
+        "(frontend/stream analogue); without it /stream replies "
         "'no stream hub attached'",
     )
     s.add_argument(

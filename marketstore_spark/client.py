@@ -241,10 +241,16 @@ class HttpClient:
         mode: str = "append",
         ts_columns: list[str] | None = None,
     ) -> dict:
-        """One MultiWriteRequest entry (frontend/write.go:36): the server
-        iterates ``params['requests']``, each ``{'key', 'data'}`` with the
-        ColumnSeries map under ``data['columns']`` and epoch-ns timestamp
-        column names under ``data['ts_columns']``."""
+        """One write-request entry in THIS server's JSON envelope — the
+        ``{'key', 'data', 'mode'}`` analogue of the reference's
+        MultiWriteRequest (frontend/write.go:36), not a wire-compatible
+        clone of it: the reference entry is ``{dataset:
+        NumpyMultiDataset, is_variable_length}`` with the TBK embedded
+        in the dataset and no mode field, so a reference client
+        (pymarketstore) would not interoperate.  The server iterates
+        ``params['requests']``; the ColumnSeries map travels under
+        ``data['columns']`` and epoch-ns timestamp column names under
+        ``data['ts_columns']``."""
         data: dict = {"columns": columns}
         if ts_columns is not None:
             data["ts_columns"] = ts_columns

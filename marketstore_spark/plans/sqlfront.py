@@ -41,7 +41,7 @@ _CREATE_VIEW_RE = re.compile(
 )
 _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
-    r"|tickrule|nbbo)"
+    r"|tickrule|nbbo|heikinashi|ichimoku|amihud)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -243,6 +243,74 @@ class MarketSQL:
                     c for c in (ts_col, "epoch", *tiebreak) if c in out.columns
                 ] or [out.columns[0]]
                 out = out.orderBy(*order_cols).limit(int(limit))
+            return out
+        if fname.lower() in ("heikinashi", "ichimoku", "amihud"):
+            # Round-7 indicator family through the registry (the
+            # ema/atr/nbbo precedent — sqlparser/registry.go resolves
+            # aggregators by name the same way):
+            #   heikinashi('1D', Price)
+            #   ichimoku('9,26,52', '1D', Price)   ichimoku('1D')
+            #   amihud('1D', Price, Volume)
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            tb = tiebreak[0] if tiebreak else ts_col
+            parts = re.findall(
+                r"'([^']*)'|\"([^\"]*)\"|(\d[\w.]*)|([A-Za-z_]\w*)", rawargs
+            )
+            quoted = [a or b or n for a, b, n, _ in parts if (a or b or n)]
+            colargs = [c for _, _, _, c in parts if c]
+            keyed = base.withColumn("__symbol", F.lit("_"))
+            name = fname.lower()
+            common = dict(
+                symbol_col="__symbol",
+                ts_col=ts_col,
+                value_col=colargs[0] if colargs else "value",
+                tiebreak_col=tb,
+            )
+            if name == "heikinashi":
+                from marketstore_spark.operators.bars import heikin_ashi as ha_op
+
+                tf = timeframe_to_duration(quoted[0]) if quoted else "1 day"
+                out = ha_op(keyed, timeframe=tf, **common)
+            elif name == "ichimoku":
+                from marketstore_spark.operators.quant import ichimoku as ich_op
+
+                # a comma-list leads ('9,26,52'); a lone token is the
+                # timeframe (the macd quoted-list parsing rule)
+                periods = [9, 26, 52]
+                tfq = quoted
+                if quoted and "," in quoted[0]:
+                    periods = [int(x) for x in quoted[0].split(",")]
+                    tfq = quoted[1:]
+                tf = timeframe_to_duration(tfq[0]) if tfq else "1 day"
+                out = ich_op(
+                    keyed,
+                    *periods,
+                    timeframe=tf,
+                    **common,
+                )
+            else:
+                from marketstore_spark.operators.quant import (
+                    amihud_illiquidity as ami_op,
+                )
+
+                # the tickrule volume guard: a price-weighted flow
+                # (volume_col == price) is a plausible-looking wrong
+                # answer, so a missing volume column is an error
+                if len(colargs) > 1:
+                    vol = colargs[1]
+                elif "volume" in base.columns:
+                    vol = "volume"
+                else:
+                    raise ValueError(
+                        "amihud needs a volume column: "
+                        "amihud('1D', Price, Volume), or a 'volume' "
+                        "column in the bucket"
+                    )
+                tf = timeframe_to_duration(quoted[0]) if quoted else "1 day"
+                out = ami_op(keyed, timeframe=tf, volume_col=vol, **common)
+            out = out.drop("symbol")
+            if limit:
+                out = out.orderBy("epoch").limit(int(limit))
             return out
         if fname.lower() in ("tickrule", "nbbo"):
             # Microstructure UDAs through the registry:

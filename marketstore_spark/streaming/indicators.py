@@ -149,15 +149,11 @@ def stream_nbbo(
             book = {}
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if not chunks:
-            state.update(
-                (
-                    list(book),
-                    [book[v][0] for v in book],
-                    [book[v][1] for v in book],
-                    [book[v][2] for v in book],
-                    [book[v][3] for v in book],
-                )
-            )
+            # Nothing to fold: the book is unchanged from state, and
+            # un-updated state persists as-is under NoTimeout — so no
+            # state.update here.  (Updating would also MATERIALIZE
+            # empty state for keys whose batches carry only junk rows
+            # — unbounded state-store growth.)
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         # Rows without an identity (ts/tiebreak/venue) can't be placed
@@ -168,19 +164,10 @@ def stream_nbbo(
         # NaN (nullable-int-as-float) from killing the query.
         pdf = pdf.dropna(subset=[ts_col, tiebreak_col, venue_col])
         if not len(pdf):
-            # Nothing placeable this batch: persist the book unchanged
-            # and emit NOTHING (mirroring the empty-chunks branch) — a
-            # re-emitted previous row would carry a stale asof_ts and
-            # duplicate the consolidated tick in append mode.
-            state.update(
-                (
-                    list(book),
-                    [book[v][0] for v in book],
-                    [book[v][1] for v in book],
-                    [book[v][2] for v in book],
-                    [book[v][3] for v in book],
-                )
-            )
+            # Nothing placeable this batch: emit NOTHING (a re-emitted
+            # previous row would carry a stale asof_ts and duplicate
+            # the consolidated tick in append mode), and leave state
+            # untouched — same rationale as the empty-chunks branch.
             return
         pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
         for ts, tb, venue, bid, ask in zip(

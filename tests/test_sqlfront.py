@@ -258,3 +258,51 @@ def test_nbbo_uda_without_tiebreak_or_sides_fails_loud(
     msql2 = MarketSQL(cat)
     with _pytest.raises(ValueError, match="event_id|bid_c"):
         msql2.sql("SELECT nbbo('5Min') FROM `BARE/1Min/TICK`")
+
+
+def test_heikinashi_uda_matches_operator(msql):
+    from marketstore_spark.operators.bars import heikin_ashi
+
+    out = msql.sql("SELECT heikinashi('1D', value) FROM `EV1/1Min/TICK`")
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    exp = heikin_ashi(base, timeframe="1 day", symbol_col="__symbol").drop("symbol")
+    got = {r["epoch"]: (r["ha_open"], r["ha_close"]) for r in out.collect()}
+    want = {r["epoch"]: (r["ha_open"], r["ha_close"]) for r in exp.collect()}
+    assert got == want and got
+
+
+def test_ichimoku_uda_periods_and_default(msql):
+    from marketstore_spark.operators.quant import ichimoku
+
+    out = msql.sql("SELECT ichimoku('2,3,4', '1D', value) FROM `EV1/1Min/TICK`")
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    exp = ichimoku(base, 2, 3, 4, timeframe="1 day", symbol_col="__symbol").drop(
+        "symbol"
+    )
+    got = {r["epoch"]: (r["tenkan"], r["kijun"], r["senkou_b"]) for r in out.collect()}
+    want = {r["epoch"]: (r["tenkan"], r["kijun"], r["senkou_b"]) for r in exp.collect()}
+    assert got == want and got
+    # a lone token is the timeframe, not a period list
+    d = msql.sql("SELECT ichimoku('1D') FROM `EV1/1Min/TICK`")
+    assert {"tenkan", "kijun", "senkou_a", "senkou_b", "chikou_c"} <= set(d.columns)
+    assert d.count() == len(want)
+
+
+def test_amihud_uda_matches_operator_and_volume_guard(msql):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.quant import amihud_illiquidity
+
+    out = msql.sql("SELECT amihud('1D', value, event_id) FROM `EV1/1Min/TICK`")
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    exp = amihud_illiquidity(
+        base, timeframe="1 day", symbol_col="__symbol", volume_col="event_id"
+    ).drop("symbol")
+    got = {r["epoch"]: (r["ret"], r["illiq"]) for r in out.collect()}
+    want = {r["epoch"]: (r["ret"], r["illiq"]) for r in exp.collect()}
+    assert got == want and got
+    # no volume arg + no volume column in the bucket -> loud refusal
+    # (the tickrule guard: price-weighted flow is a plausible-looking
+    # wrong answer)
+    with _pytest.raises(ValueError, match="volume"):
+        msql.sql("SELECT amihud('1D', value) FROM `EV1/1Min/TICK`")
