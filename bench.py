@@ -124,6 +124,15 @@ HEADLINE = [
     "corpus_length_buckets",
     "text_bigram_lift",
     "embedding_kmeans_assign",
+    # round-8 additions: the serial-dependence estimator family
+    # (shared-sort window + reused-partitioning aggregate shapes; kyle
+    # and vpin ride ONE symbol exchange end-to-end) and the per-doc
+    # HOF run-length fold
+    "roll_spread",
+    "variance_ratio",
+    "kyle_lambda",
+    "vpin",
+    "text_lexical_diversity",
 ]
 
 _ORACLE_TABLES = (

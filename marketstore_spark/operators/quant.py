@@ -1224,3 +1224,257 @@ def rolling_corr_vs_market(
         F.col("y").alias("mkt_c"),
         corr.alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------
+# Serial-dependence estimators over bucket closes (round 8): the Roll
+# effective-spread estimator, return autocorrelation, and the
+# Lo-MacKinlay variance ratio — the standard microstructure /
+# market-efficiency statistics clients of the reference's OHLCV
+# serving (uda/, models/bar.go consumers) compute downstream.
+# ---------------------------------------------------------------------
+
+
+def _move_pairs(
+    df: DataFrame,
+    timeframe: str,
+    symbol_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-symbol (move, prev_move) integer-cent pairs over bucket
+    closes — the shared front half of roll_spread / autocorr_returns:
+    the bucket-close shuffle, then ONE per-symbol sort driving both
+    lags.  The downstream groupBy(symbol) reuses the window's hash
+    partitioning, so neither consumer pays a second exchange."""
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    # prev_move as lag(close,1) − lag(close,2), NOT lag(move): a lag of
+    # a computed lag chains two WindowExec passes; three direct close
+    # lags evaluate in ONE Window node over the shared sort.
+    mv = closes.select(
+        "symbol",
+        "bucket",
+        (F.col("close_c") - F.lag("close_c", 1).over(w)).alias("move_c"),
+        (F.lag("close_c", 1).over(w) - F.lag("close_c", 2).over(w)).alias(
+            "prev_move_c"
+        ),
+    )
+    return mv.filter(
+        F.col("move_c").isNotNull() & F.col("prev_move_c").isNotNull()
+    )
+
+
+def _pair_sums(pairs: DataFrame) -> DataFrame:
+    """Exact LONG sums over the (move, prev_move) pairs per symbol.
+    Per-symbol cents² · n ≪ 2⁵³ (the bollinger/realized_vol bound —
+    these are single-symbol moves, not the market aggregate that
+    forced rolling_corr_vs_market onto DECIMAL)."""
+    x, y = F.col("move_c"), F.col("prev_move_c")
+    return pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+
+
+def roll_spread(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Roll (1984, public) implied effective spread per symbol:
+    ``2·sqrt(−cov(Δp_t, Δp_{t−1}))`` over bucket-close moves, in
+    cents.  The bid-ask bounce induces negative serial covariance in
+    observed price changes; Roll inverts it into a spread estimate
+    using trade prices alone — the classic liquidity measure computed
+    from exactly the bar/tick series the reference serves.
+
+    Exactness: population covariance as integers —
+    ``cov·n² = n·Σxy − Σx·Σy`` — with ONE double expression per
+    symbol: ``spread_c = 2·sqrt(−(n·Σxy − Σx·Σy))/n`` (IEEE sqrt,
+    engine-identical).  When the covariance is non-negative the
+    estimator is undefined → NULL spread (cov is still emitted).
+
+    Shape: one bucket-close shuffle, one per-symbol sort for both
+    lags, and a symbol aggregate that REUSES the sort's partitioning
+    (no second exchange) — dims-scale output, nothing quadratic.
+    """
+    s = _pair_sums(
+        _move_pairs(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")  # cov · n², LONG
+    cov = num.cast("double") / (n * n).cast("double")
+    spread = F.when(
+        num < 0, F.lit(2.0) * F.sqrt((-num).cast("double")) / n.cast("double")
+    )
+    return s.select(
+        "symbol",
+        "n_pairs",
+        cov.alias("move_autocov"),
+        spread.alias("roll_spread_c"),
+    )
+
+
+def autocorr_returns(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Lag-1 autocorrelation of bucket-close moves per symbol — the
+    serial-dependence screen (momentum/mean-reversion diagnostic) run
+    on served bar series.  Pearson over (Δp_t, Δp_{t−1}) pairs:
+    every sum is an exact LONG; the correlation is ONE mirrored
+    double expression (two IEEE sqrts).  NULL when either variance
+    term is zero (constant moves).  Same single-exchange shape as
+    roll_spread (shared ``_move_pairs`` front half)."""
+    s = _pair_sums(
+        _move_pairs(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    )
+    n = F.col("n_pairs")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
+    return s.select("symbol", "n_pairs", r.alias("autocorr"))
+
+
+def variance_ratio(
+    df: DataFrame,
+    q: int = 5,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Lo-MacKinlay (1988, public) variance ratio VR(q) per symbol:
+    the variance of OVERLAPPING q-bucket close moves over q times the
+    variance of 1-bucket moves — the classic random-walk test (VR ≈ 1
+    under a random walk; <1 mean reversion, >1 momentum).  Plain
+    population variances (the textbook estimator without the
+    small-sample bias correction — documented choice, both engines
+    mirror it).
+
+    Exactness: both moves are integer cents from the SAME close
+    series (one lag(1), one lag(q) over one shared per-symbol sort);
+    all five sums are exact LONGs via conditional aggregation (a
+    single aggregate — no second scan for the q-move series), and
+    VR is ONE double expression:
+    ``((nq·Σqq − Σq²)·n1²) / (q·nq²·(n1·Σmm − Σm²))``.
+    NULL when either variance is zero or there are no q-pairs.
+    """
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    mv = closes.select(
+        "symbol",
+        (F.col("close_c") - F.lag("close_c", 1).over(w)).alias("m1"),
+        (F.col("close_c") - F.lag("close_c", int(q)).over(w)).alias("mq"),
+    )
+    agg = mv.groupBy("symbol").agg(
+        F.count("m1").alias("n1"),
+        F.sum("m1").alias("sm"),
+        F.sum(F.col("m1") * F.col("m1")).alias("smm"),
+        F.count("mq").alias("nq"),
+        F.sum("mq").alias("sq"),
+        F.sum(F.col("mq") * F.col("mq")).alias("sqq"),
+    )
+    n1, nq = F.col("n1"), F.col("nq")
+    var1_num = (n1 * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
+    varq_num = (nq * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    vr = F.when(
+        (nq > 0) & (var1_num > 0),
+        (varq_num * (n1 * n1).cast("double"))
+        / (F.lit(float(q)) * (nq * nq).cast("double") * var1_num),
+    )
+    return agg.select("symbol", "n1", "nq", vr.alias("vr"))
+
+
+def kyle_lambda(
+    df: DataFrame,
+    timeframe: str = "1 hour",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Kyle (1985, public) price-impact lambda per symbol: the OLS
+    slope of bucket price change (cents) on bucket signed volume —
+    ``Δp_t = α + λ·SV_t``, where SV is the bucket's net tick-rule
+    signed volume (the aggregated order flow of operators/quant.
+    tick_rule).  λ measures cents moved per share of net order flow —
+    the standard price-impact liquidity estimate over served
+    tick+volume series.
+
+    Exactness: y = Δclose (cents, LONG); x = Σ(side·vol) per bucket,
+    a LONG; the OLS moment sums involving x are computed in
+    DECIMAL(38,0) (the rolling_corr_vs_market policy: a hot symbol's
+    bucket volume at 100 TB can reach 1e9-1e10 shares, so Σx² breaks
+    2⁶³ where per-symbol cent moves cannot); the slope is ONE double
+    division of two exact integers.  NULL when the x-variance is
+    zero (no signed flow variation).
+
+    Shape: one tick-level per-symbol sort (tick-rule sign + carry),
+    one (symbol, bucket) aggregate, one per-symbol sort over buckets
+    for the close lag, then a symbol aggregate reusing that
+    partitioning.  The tick-rule side derivation shares its sort with
+    the cumulative machinery — nothing quadratic, output dims-scale.
+    """
+    ticks = _cent_ticks(
+        df,
+        timeframe,
+        symbol_col,
+        ts_col,
+        value_col,
+        tiebreak_col,
+        extras=(F.col(volume_col).cast("long").alias("__vol"),),
+    )
+    wt = Window.partitionBy("symbol").orderBy("__ts", "__tb")
+    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("px_c").over(wt)
+    direction = (
+        F.when(F.col("px_c") > prev, F.lit(1))
+        .when(F.col("px_c") < prev, F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    signed = ticks.withColumn(
+        "__side", F.coalesce(F.last(direction, ignorenulls=True).over(run), F.lit(0))
+    )
+    buckets = signed.groupBy("symbol", "bucket").agg(
+        F.max_by(F.col("px_c"), F.struct("__ts", "__tb")).alias("close_c"),
+        F.sum(F.col("__side").cast("long") * F.col("__vol")).alias("sv"),
+    )
+    wb = Window.partitionBy("symbol").orderBy("bucket")
+    pair = buckets.select(
+        "symbol",
+        (F.col("close_c") - F.lag("close_c").over(wb)).alias("dp"),
+        F.col("sv").cast("decimal(38,0)").alias("x"),
+    ).filter(F.col("dp").isNotNull())
+    agg = pair.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dp").alias("sy"),
+        F.sum(F.col("x") * F.col("dp")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    lam = F.when(den > 0, num / den)
+    return agg.select("symbol", "n", lam.alias("kyle_lambda"))

@@ -542,3 +542,65 @@ def bigram_lift(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity quality signals: token count,
+    type count (distinct tokens), type-token ratio, and the hapax
+    fraction (share of tokens occurring exactly once — the classic
+    vocabulary-richness measure; low TTR/hapax flags boilerplate and
+    generated text, the complement of the repetition_stats family).
+
+    Every signal is a per-row higher-order function — ONE narrow
+    projection, no explode/shuffle/join (the repetition_stats shape;
+    Catalyst's projection collapse makes explode pipelines quadratic
+    for sibling per-doc HOFs).  The hapax count is a run-length fold
+    over ``array_sort(words)``: a run of length 1 is a hapax —
+    O(n log n) per row, bounded by the document's own length.
+    Fractions are integer ÷ integer, ONE double division each,
+    rounded to 6dp (oracle emulates Spark's shortest-repr rounding).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+
+    # fold state: (prev token, current run length, hapaxes CLOSED so
+    # far); a new token closes the previous run — closing a run of
+    # exactly 1 increments the count — and the finisher closes the
+    # final run the same way.
+    def _hapax_step(acc, x):
+        is_new = x != acc["prev"]
+        closed1 = F.when(is_new & (acc["cur"] == 1), 1).otherwise(0)
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_new, F.lit(1)).otherwise(acc["cur"] + 1).alias("cur"),
+            (acc["hap"] + closed1).alias("hap"),
+        )
+
+    hapax = F.aggregate(
+        F.array_sort(F.col("__w")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("hap")
+        ),
+        _hapax_step,
+        lambda acc: acc["hap"] + F.when(acc["cur"] == 1, 1).otherwise(0),
+    )
+    df = spread_for_narrow_work(df, id_col, heavy=True)
+    base = df.filter(_nonempty(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"), words.alias("__w")
+    )
+    per = base.select(
+        "doc_id",
+        F.size("__w").alias("n_tokens"),
+        F.size(F.array_distinct("__w")).alias("n_types"),
+        hapax.alias("n_hapax"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.round(F.col("n_types") / nt, 6).alias("ttr"),
+        F.round(F.col("n_hapax") / nt, 6).alias("hapax_frac"),
+    )

@@ -5020,6 +5020,335 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-8 additions: serial-dependence microstructure estimators
+# (Roll spread, return autocorrelation, variance ratio, Kyle lambda,
+# VPIN) and per-doc lexical diversity
+# =====================================================================
+
+
+@_register(
+    "roll_spread",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol, bucket,
+         close_c - LAG(close_c) OVER ws AS move
+  FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+p AS (
+  SELECT symbol, move AS x, LAG(move) OVER ws AS y
+  FROM m WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE)
+         AS move_autocov,
+       CASE WHEN (n * sxy - sx * sy) < 0 THEN
+         2.0 * sqrt(CAST(-(n * sxy - sx * sy) AS DOUBLE))
+             / CAST(n AS DOUBLE)
+       END AS roll_spread_c
+FROM g
+""",
+)
+def roll_spread_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread from the serial covariance
+    of daily close moves (operators/quant.roll_spread): exact LONG
+    pair sums, one mirrored double expression per symbol."""
+    from marketstore_spark.operators.quant import roll_spread
+
+    return roll_spread(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "autocorr_returns",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol, bucket,
+         close_c - LAG(close_c) OVER ws AS move
+  FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+p AS (
+  SELECT symbol, move AS x, LAG(move) OVER ws AS y
+  FROM m WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS autocorr
+FROM g
+""",
+)
+def autocorr_returns_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily close moves per symbol
+    (operators/quant.autocorr_returns): shared _move_pairs front half
+    with roll_spread, exact sums, mirrored Pearson expression."""
+    from marketstore_spark.operators.quant import autocorr_returns
+
+    return autocorr_returns(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "variance_ratio",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol,
+         close_c - LAG(close_c, 1) OVER ws AS m1,
+         close_c - LAG(close_c, 5) OVER ws AS mq
+  FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol,
+         CAST(COUNT(m1) AS BIGINT) AS n1,
+         CAST(SUM(m1) AS BIGINT) AS sm,
+         CAST(SUM(m1 * m1) AS BIGINT) AS smm,
+         CAST(COUNT(mq) AS BIGINT) AS nq,
+         CAST(SUM(mq) AS BIGINT) AS sq,
+         CAST(SUM(mq * mq) AS BIGINT) AS sqq
+  FROM m GROUP BY symbol
+)
+SELECT symbol, n1, nq,
+       CASE WHEN nq > 0 AND (n1 * smm - sm * sm) > 0 THEN
+         (CAST(nq * sqq - sq * sq AS DOUBLE) * CAST(n1 * n1 AS DOUBLE))
+         / (5.0 * CAST(nq * nq AS DOUBLE)
+            * CAST(n1 * smm - sm * sm AS DOUBLE))
+       END AS vr
+FROM g
+""",
+)
+def variance_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay VR(5) over daily close moves (operators/quant.
+    variance_ratio): one shared lag(1)/lag(5) sort, exact conditional
+    LONG sums, one mirrored double expression."""
+    from marketstore_spark.operators.quant import variance_ratio
+
+    return variance_ratio(load_table(spark, sf_dir, "events"), q=5)
+
+
+@_register(
+    "kyle_lambda",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket
+  FROM events
+),
+d AS (
+  SELECT *, CASE WHEN prev IS NULL THEN NULL
+                 WHEN px_c > prev THEN 1
+                 WHEN px_c < prev THEN -1
+                 ELSE NULL END AS dir
+  FROM (
+    SELECT *, LAG(px_c) OVER (PARTITION BY symbol ORDER BY ts, event_id)
+                AS prev
+    FROM t
+  )
+),
+s AS (
+  SELECT symbol, bucket, ts, event_id, px_c, vol,
+         COALESCE(LAST_VALUE(dir IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 0) AS side
+  FROM d
+),
+b AS (
+  SELECT symbol, bucket,
+         last(px_c ORDER BY ts, event_id) AS close_c,
+         CAST(SUM(side * vol) AS BIGINT) AS sv
+  FROM s GROUP BY symbol, bucket
+),
+p AS (
+  SELECT symbol,
+         close_c - LAG(close_c) OVER wb AS dp,
+         CAST(sv AS HUGEINT) AS x
+  FROM b WINDOW wb AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  -- x-side moments in HUGEINT, mirroring the engine's DECIMAL(38,0):
+  -- a hot symbol's bucket volume breaks BIGINT at 100 TB scale
+  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(dp) AS BIGINT) AS sy,
+         CAST(SUM(x * dp) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM p WHERE dp IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS kyle_lambda
+FROM g
+""",
+)
+def kyle_lambda_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle (1985) price-impact lambda per symbol over hourly buckets
+    (operators/quant.kyle_lambda): tick-rule signed volume, exact
+    DECIMAL/HUGEINT OLS moment sums, one mirrored double division."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import kyle_lambda
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return kyle_lambda(ev, timeframe="1 hour")
+
+
+@_register(
+    "vpin",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+d AS (
+  SELECT *, CASE WHEN prev IS NULL THEN NULL
+                 WHEN px_c > prev THEN 1
+                 WHEN px_c < prev THEN -1
+                 ELSE NULL END AS dir
+  FROM (
+    SELECT *, LAG(px_c) OVER (PARTITION BY symbol ORDER BY ts, event_id)
+                AS prev
+    FROM t
+  )
+),
+s AS (
+  SELECT symbol, ts, event_id, vol,
+         COALESCE(LAST_VALUE(dir IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 0) AS side,
+         COALESCE(SUM(vol) OVER (
+           PARTITION BY symbol ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS BIGINT)) AS cum_before
+  FROM d
+),
+b AS (SELECT *, CAST(cum_before // 2000 AS BIGINT) AS bucket_id FROM s),
+per AS (
+  SELECT symbol, bucket_id,
+         CAST(COALESCE(SUM(CASE WHEN side = 1 THEN vol ELSE 0 END), 0)
+              AS BIGINT) AS buy_vol,
+         CAST(COALESCE(SUM(CASE WHEN side = -1 THEN vol ELSE 0 END), 0)
+              AS BIGINT) AS sell_vol,
+         CAST(SUM(vol) AS BIGINT) AS total_vol,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks
+  FROM b GROUP BY symbol, bucket_id
+),
+w AS (
+  SELECT *,
+         abs(buy_vol - sell_vol) AS imbalance,
+         ROW_NUMBER() OVER wb AS rn,
+         CAST(SUM(abs(buy_vol - sell_vol)) OVER
+              (wb ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS si,
+         CAST(SUM(total_vol) OVER
+              (wb ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS st
+  FROM per WINDOW wb AS (PARTITION BY symbol ORDER BY bucket_id)
+)
+SELECT symbol, bucket_id, buy_vol, sell_vol, total_vol, n_ticks,
+       CAST(imbalance AS BIGINT) AS imbalance,
+       CASE WHEN rn >= 10 AND st > 0 THEN
+         CAST(si AS DOUBLE) / CAST(st AS DOUBLE)
+       END AS vpin
+FROM w
+""",
+)
+def vpin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN order-flow toxicity at 2000-share volume buckets, trailing
+    10 (operators/bars.vpin): tick-rule signing, exact integer window
+    sums, ratio-of-sums (never a float rolling mean)."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.bars import vpin
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return vpin(ev, bucket_volume=2000, n=10)
+
+
+@_register(
+    "text_lexical_diversity",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_hapax
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CAST(ROUND(CAST(CAST(n_types / CAST(n_tokens AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS ttr,
+       CAST(ROUND(CAST(CAST(n_hapax / CAST(n_tokens AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS hapax_frac
+FROM a
+""",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax fraction per document (operators/text.
+    lexical_diversity): per-row HOF run-length fold, no shuffle;
+    oracle emulates Spark's shortest-repr rounding."""
+    from marketstore_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# =====================================================================
 # Registration order
 # =====================================================================
 # The external correctness driver walks ``queries()`` in registration
@@ -5055,7 +5384,12 @@ _FRONT = [
     "embedding_kmeans_assign",
     # Block B — new round-8 keys ship WITH driver evidence (each is
     # sf0.001- and sf0.01-parity-green locally before entering).
-    # (inserted as implemented)
+    "roll_spread",
+    "autocorr_returns",
+    "variance_ratio",
+    "kyle_lambda",
+    "vpin",
+    "text_lexical_diversity",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

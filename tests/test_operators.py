@@ -1401,3 +1401,150 @@ def test_nbbo_null_sides_contribute_no_candidate(spark):
     r = nbbo(df).collect()[0]
     assert (r["best_bid_c"], r["bid_venue"]) == (10020, "C")
     assert (r["best_ask_c"], r["ask_venue"]) == (10050, "B")
+
+
+# ---------------------------------------------------------------------
+# round 8: serial-dependence estimators + lexical diversity
+# ---------------------------------------------------------------------
+
+
+def _r8_closes(spark):
+    """One symbol, five daily closes 100, 110, 104, 112, 106 dollars
+    (one tick per day) — moves +1000, -600, +800, -600 cents."""
+    rows = [
+        (1, _ts(2024, 1, 1 + d, 12), d + 1, p)
+        for d, p in enumerate([100.0, 110.0, 104.0, 112.0, 106.0])
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+
+
+def test_roll_spread_hand_computed(spark):
+    import math
+
+    from marketstore_spark.operators.quant import roll_spread
+
+    out = roll_spread(_r8_closes(spark)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # pairs (x=move_t, y=move_{t-1}): (-600,1000), (800,-600), (-600,800)
+    # n=3  sx=-400  sy=1200  sxy=-1_560_000
+    # num = 3*sxy - sx*sy = -4_680_000 + 480_000 = -4_200_000
+    assert r["n_pairs"] == 3
+    assert r["move_autocov"] == -4_200_000.0 / 9.0
+    assert r["roll_spread_c"] == 2.0 * math.sqrt(4_200_000.0) / 3.0
+
+
+def test_autocorr_returns_hand_computed(spark):
+    import math
+
+    from marketstore_spark.operators.quant import autocorr_returns
+
+    r = autocorr_returns(_r8_closes(spark)).collect()[0]
+    # sxx=1_360_000  syy=2_000_000
+    # vx = 3*sxx - sx^2 = 4_080_000 - 160_000 = 3_920_000
+    # vy = 3*syy - sy^2 = 6_000_000 - 1_440_000 = 4_560_000
+    assert r["n_pairs"] == 3
+    assert r["autocorr"] == -4_200_000.0 / (
+        math.sqrt(3_920_000.0) * math.sqrt(4_560_000.0)
+    )
+
+
+def test_variance_ratio_hand_computed_q2(spark):
+    from marketstore_spark.operators.quant import variance_ratio
+
+    r = variance_ratio(_r8_closes(spark), q=2).collect()[0]
+    # m1: 1000,-600,800,-600 -> n1=4 sm=600 smm=2_360_000
+    # m2: 400,200,200        -> nq=3 sq=800 sqq=240_000
+    # var1num = 4*2_360_000 - 360_000 = 9_080_000
+    # varqnum = 3*240_000 - 640_000 = 80_000
+    assert (r["n1"], r["nq"]) == (4, 3)
+    assert r["vr"] == (80_000.0 * 16.0) / (2.0 * 9.0 * 9_080_000.0)
+
+
+def test_variance_ratio_null_when_constant(spark):
+    from marketstore_spark.operators.quant import variance_ratio
+
+    rows = [(1, _ts(2024, 1, 1 + d, 12), d, 50.0) for d in range(6)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = variance_ratio(df, q=2).collect()[0]
+    assert r["vr"] is None  # zero 1-move variance -> undefined
+
+
+def test_kyle_lambda_hand_computed(spark):
+    from marketstore_spark.operators.quant import kyle_lambda
+
+    # one tick per hourly bucket; sides by tick rule: 0, +1, -1, +1
+    rows = [
+        (1, _ts(2024, 1, 1, 9), 1, 100.0, 10),
+        (1, _ts(2024, 1, 1, 10), 2, 101.0, 20),
+        (1, _ts(2024, 1, 1, 11), 3, 100.0, 30),
+        (1, _ts(2024, 1, 1, 12), 4, 102.0, 40),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value", "volume"])
+    r = kyle_lambda(df).collect()[0]
+    # pairs (x=sv, dp): (20,100), (-30,-100), (40,200)
+    # n=3 sx=30 sy=200 sxy=13_000 sxx=2_900
+    # num = 39_000 - 6_000 = 33_000 ; den = 8_700 - 900 = 7_800
+    assert r["n"] == 3
+    assert r["kyle_lambda"] == 33_000.0 / 7_800.0
+
+
+def test_vpin_bucketing_and_ratio_of_sums(spark):
+    from marketstore_spark.operators.bars import vpin
+
+    rows = [
+        (1, _ts(2024, 1, 1, 9, 30, 0), 1, 100.0, 5),   # side 0 (leading)
+        (1, _ts(2024, 1, 1, 9, 31, 0), 2, 101.0, 5),   # +1
+        (1, _ts(2024, 1, 1, 9, 32, 0), 3, 99.0, 10),   # -1
+        (1, _ts(2024, 1, 1, 9, 33, 0), 4, 100.0, 5),   # +1
+        (1, _ts(2024, 1, 1, 9, 34, 0), 5, 101.0, 5),   # +1
+        (1, _ts(2024, 1, 1, 9, 35, 0), 6, 102.0, 10),  # +1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value", "volume"])
+    out = {r["bucket_id"]: r for r in vpin(df, bucket_volume=10, n=2).collect()}
+    # cum_before: 0,5,10,20,25,30 -> buckets 0,0,1,2,2,3
+    assert set(out) == {0, 1, 2, 3}
+    b0, b1, b2, b3 = out[0], out[1], out[2], out[3]
+    assert (b0["buy_vol"], b0["sell_vol"], b0["total_vol"], b0["imbalance"]) == (
+        5, 0, 10, 5,
+    )
+    assert (b1["sell_vol"], b1["imbalance"]) == (10, 10)
+    assert b0["vpin"] is None  # warm-up (rn < n)
+    assert b1["vpin"] == (5 + 10) / 20.0
+    assert b2["vpin"] == (10 + 10) / 20.0
+    assert b3["vpin"] == (10 + 10) / 20.0
+
+
+def test_vpin_rejects_bad_params(spark):
+    from marketstore_spark.operators.bars import vpin
+
+    df = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1, 9), 1, 1.0, 1)],
+        ["user_id", "ts", "event_id", "value", "volume"],
+    )
+    with pytest.raises(ValueError, match="positive"):
+        vpin(df, bucket_volume=0)
+    with pytest.raises(ValueError, match="positive"):
+        vpin(df, n=0)
+
+
+def test_lexical_diversity_hand_computed(spark):
+    from marketstore_spark.operators.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat the mat"),   # 5 tokens, 4 types, 3 hapax
+            (2, "hello"),                 # 1/1/1
+            (3, "a a a"),                 # 3/1/0
+            (4, "  "),                    # filtered (empty after trim)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["n_hapax"]) == (5, 4, 3)
+    assert (out[1]["ttr"], out[1]["hapax_frac"]) == (0.8, 0.6)
+    assert (out[2]["n_tokens"], out[2]["n_types"], out[2]["n_hapax"]) == (1, 1, 1)
+    assert (out[2]["ttr"], out[2]["hapax_frac"]) == (1.0, 1.0)
+    assert (out[3]["n_tokens"], out[3]["n_types"], out[3]["n_hapax"]) == (3, 1, 0)
+    assert (out[3]["ttr"], out[3]["hapax_frac"]) == (0.333333, 0.0)

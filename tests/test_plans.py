@@ -755,3 +755,52 @@ def test_ofi_one_venue_sort_one_bucket_agg(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["ofi"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_roll_spread_autocorr_single_sort_no_join(spark, sf_dir):
+    """roll_spread / autocorr_returns: bucket-close shuffle + one
+    per-symbol window (all close lags in ONE Window node — a lag of a
+    computed lag would chain two WindowExec passes) + a symbol
+    aggregate reusing that partitioning.  Two exchanges, no joins."""
+    for key in ("roll_spread", "autocorr_returns"):
+        plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
+        assert "Join" not in plan, (key, plan)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, (key, plan)
+        # rn pick window + ONE lag window (not two chained)
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, (key, plan)
+
+
+def test_variance_ratio_shared_lag_window(spark, sf_dir):
+    """lag(1) and lag(q) share one Window node and one per-symbol
+    sort; the moment aggregate reuses the partitioning."""
+    plan = explain_str(SPARK_QUERIES["variance_ratio"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_kyle_lambda_one_exchange(spark, sf_dir):
+    """The tick-rule sign derivation, the (symbol, bucket) aggregate,
+    the close-lag window, and the final symbol aggregate all ride the
+    ONE symbol hash partitioning — a single Exchange, no joins."""
+    plan = explain_str(SPARK_QUERIES["kyle_lambda"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_vpin_one_exchange_ratio_of_sums(spark, sf_dir):
+    """VPIN: tick sort, volume bucketing, per-bucket aggregate and the
+    trailing windows share one symbol Exchange; no joins anywhere."""
+    plan = explain_str(SPARK_QUERIES["vpin"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_lexical_diversity_projection_only(spark, sf_dir):
+    """Per-doc HOFs only: no joins, no windows, no aggregate exchange
+    (the only permissible Exchange is the size-gated narrow-work
+    spread, which is a round-robin repartition, not a shuffle forced
+    by the operator's semantics)."""
+    plan = explain_str(SPARK_QUERIES["text_lexical_diversity"](spark, sf_dir))
+    assert "Join" not in plan and not re.search(r"\(\d+\) Window\b", plan), plan
+    assert "HashAggregate" not in plan, plan
