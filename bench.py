@@ -133,6 +133,11 @@ HEADLINE = [
     "kyle_lambda",
     "vpin",
     "text_lexical_diversity",
+    # round-8 second pass: the range-window future-close attach (one
+    # scan, zero joins — the plan shape that replaces groupBy+self-join
+    # at scale) and the second-order dedup summary
+    "markout_returns",
+    "corpus_dup_size_histogram",
 ]
 
 _ORACLE_TABLES = (

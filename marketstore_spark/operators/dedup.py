@@ -903,3 +903,34 @@ def semantic_dedup_keep(
         df, n_clusters, threshold, seed, id_col, vec_col
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return keep_list(df, pairs, id_col=id_col)
+
+
+def dup_size_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the corpus-health summary a
+    dedup pass reports before anything is dropped: for each exact-
+    duplicate cluster size, how many clusters have that size and how
+    many documents they hold (so `docs − clusters` summed over sizes
+    ≥ 2 is exactly the removable-duplicate count).
+
+    Second-order aggregation (wordcount-of-wordcount): the
+    ``exact_dedup_groups`` content-hash aggregate, then a #sizes-row
+    rollup — two combiner-friendly hash shuffles, the second over a
+    table already reduced to distinct-content scale.  All counts are
+    exact LONGs.
+    """
+    groups = exact_dedup_groups(df, text_col=text_col, id_col=id_col)
+    return (
+        groups.groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n_docs").alias("n_docs_total"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs_total",
+            (F.col("n_docs_total") - F.col("n_clusters")).alias("n_removable"),
+        )
+    )

@@ -1478,3 +1478,141 @@ def kyle_lambda(
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     lam = F.when(den > 0, num / den)
     return agg.select("symbol", "n", lam.alias("kyle_lambda"))
+
+
+def markout_returns(
+    df: DataFrame,
+    horizon: int = 3,
+    timeframe: str = "1 hour",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-(symbol, bucket) markout: the side-signed drift of the
+    close ``horizon`` buckets after each trade —
+    ``side · (close_{b+horizon} − trade_px)`` in cents, aggregated per
+    bucket (count + exact signed sum + ONE double division for the
+    average).  The standard post-trade adverse-selection measure: a
+    negative average markout means informed flow picked the trader
+    off.  Sides come from the tick rule (operators/quant.tick_rule's
+    exact rule); zero-side (pre-first-move) trades are excluded, as
+    are trades whose future bucket has no ticks (no close to mark
+    against — the bucket must EXIST, exactly horizon steps ahead on
+    the wall clock).
+
+    Shape — deliberately NOT groupBy(closes) + join back: that plans
+    TWO fact scans (ReusedExchange does not fire across join
+    branches — the rolling_corr_vs_market lesson) and re-shuffles the
+    fact for the join.  Instead the future close attaches at TICK
+    level via a RANGE window over the bucket epoch:
+    ``max_by(px_c, (ts, tb)) OVER (PARTITION BY symbol ORDER BY
+    bucket_us RANGE BETWEEN h·tf FOLLOWING AND h·tf FOLLOWING)`` —
+    the frame is exactly the future bucket's ticks, the max_by is its
+    deterministic last-tick close, and Spark evaluates the frame ONCE
+    per distinct bucket (SlidingWindowFunctionFrame recomputes only
+    when bounds move).  ONE scan, ONE symbol exchange shared by the
+    sign windows, the range window, and the final (symbol, bucket)
+    aggregate; zero joins.  Requires a fixed-duration timeframe
+    (calendar buckets have no constant range offset).
+    """
+    from marketstore_spark.operators.gapfill import _duration_us
+
+    off = int(horizon) * _duration_us(timeframe)
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    wt = Window.partitionBy("symbol").orderBy("__ts", "__tb")
+    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("px_c").over(wt)
+    direction = (
+        F.when(F.col("px_c") > prev, F.lit(1))
+        .when(F.col("px_c") < prev, F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    signed = ticks.withColumn(
+        "__side", F.coalesce(F.last(direction, ignorenulls=True).over(run), F.lit(0))
+    ).withColumn("__bus", epoch_us(F.col("bucket")))
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("__bus")
+        .rangeBetween(off, off)
+    )
+    staged = signed.withColumn(
+        "fut_close_c", F.max_by(F.col("px_c"), F.struct("__ts", "__tb")).over(wr)
+    )
+    mo = F.col("__side").cast("long") * (F.col("fut_close_c") - F.col("px_c"))
+    agg = (
+        staged.filter(
+            (F.col("__side") != 0) & F.col("fut_close_c").isNotNull()
+        )
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(mo).alias("sum_markout_c"),
+        )
+    )
+    return agg.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "n_trades",
+        "sum_markout_c",
+        (
+            F.col("sum_markout_c").cast("double")
+            / F.col("n_trades").cast("double")
+        ).alias("avg_markout_c"),
+    )
+
+
+def intraday_seasonality(
+    df: DataFrame,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Hour-of-day activity profile per symbol — the U-shaped intraday
+    seasonality chart (volume and volatility concentrate at the open/
+    close) every execution desk builds from served tick series: per
+    (symbol, hour 0–23), tick count, total volume, and the average
+    absolute tick-to-tick move in cents.
+
+    Exactness: |Δpx| and volume sum as LONGs; the two averages are
+    single double divisions (exact-sum/count — never a float mean).
+    First tick per symbol has no move and is excluded from the move
+    average (but counts toward ticks/volume).
+
+    Shape: ONE tick-level per-symbol sort for the lag, then one
+    (symbol, hour) hash aggregate reusing the symbol partitioning —
+    24 rows per symbol out.
+    """
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        (F.col(value_col).cast("decimal(8,2)") * 100).cast("long").alias("px_c"),
+        F.col(volume_col).cast("long").alias("vol"),
+    )
+    wt = Window.partitionBy("symbol").orderBy("__ts", "__tb")
+    staged = ticks.withColumn(
+        "__absmove", F.abs(F.col("px_c") - F.lag("px_c").over(wt))
+    ).withColumn("hour", F.hour("__ts"))
+    agg = staged.groupBy("symbol", "hour").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("vol").alias("total_volume"),
+        F.count("__absmove").alias("__n_moves"),
+        F.sum("__absmove").alias("__sum_absmove"),
+    )
+    return agg.select(
+        "symbol",
+        "hour",
+        "n_ticks",
+        "total_volume",
+        (
+            F.col("total_volume").cast("double") / F.col("n_ticks").cast("double")
+        ).alias("avg_volume"),
+        F.when(
+            F.col("__n_moves") > 0,
+            F.col("__sum_absmove").cast("double")
+            / F.col("__n_moves").cast("double"),
+        ).alias("avg_abs_move_c"),
+    )

@@ -5348,6 +5348,131 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "markout_returns",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket
+  FROM events
+),
+d AS (
+  SELECT *, CASE WHEN prev IS NULL THEN NULL
+                 WHEN px_c > prev THEN 1
+                 WHEN px_c < prev THEN -1
+                 ELSE NULL END AS dir
+  FROM (
+    SELECT *, LAG(px_c) OVER (PARTITION BY symbol ORDER BY ts, event_id)
+                AS prev
+    FROM t
+  )
+),
+s AS (
+  SELECT symbol, bucket, ts, event_id, px_c,
+         COALESCE(LAST_VALUE(dir IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 0) AS side
+  FROM d
+),
+b AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM s GROUP BY symbol, bucket
+),
+-- wall-clock horizon (the engine's RANGE-window semantics): the
+-- future bucket is exactly horizon·timeframe ahead; a missing bucket
+-- yields no markout (NOT the close of the 3rd existing bar)
+j AS (
+  SELECT s.symbol, s.bucket, s.side, s.px_c, b.close_c AS fut_close_c
+  FROM s JOIN b ON s.symbol = b.symbol
+              AND b.bucket = s.bucket + INTERVAL 3 HOUR
+  WHERE s.side <> 0
+)
+SELECT symbol, bucket AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(side * (fut_close_c - px_c)) AS BIGINT) AS sum_markout_c,
+       CAST(SUM(side * (fut_close_c - px_c)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_markout_c
+FROM j GROUP BY symbol, bucket
+""",
+)
+def markout_returns_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-signed 3-bucket markout per (symbol, hour) — post-trade
+    adverse selection (operators/quant.markout_returns): tick-rule
+    sides, exact integer sums, one mirrored double division."""
+    from marketstore_spark.operators.quant import markout_returns
+
+    return markout_returns(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "intraday_seasonality",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+m AS (
+  SELECT symbol, CAST(hour(ts) AS INT) AS hour, vol,
+         abs(px_c - LAG(px_c) OVER (PARTITION BY symbol
+                                    ORDER BY ts, event_id)) AS absmove
+  FROM t
+),
+g AS (
+  SELECT symbol, hour,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks,
+         CAST(SUM(vol) AS BIGINT) AS total_volume,
+         CAST(COUNT(absmove) AS BIGINT) AS n_moves,
+         CAST(COALESCE(SUM(absmove), 0) AS BIGINT) AS sum_absmove
+  FROM m GROUP BY symbol, hour
+)
+SELECT symbol, hour, n_ticks, total_volume,
+       CAST(total_volume AS DOUBLE) / CAST(n_ticks AS DOUBLE) AS avg_volume,
+       CASE WHEN n_moves > 0 THEN
+         CAST(sum_absmove AS DOUBLE) / CAST(n_moves AS DOUBLE)
+       END AS avg_abs_move_c
+FROM g
+""",
+)
+def intraday_seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per symbol (operators/quant.
+    intraday_seasonality): one tick sort + one (symbol, hour)
+    aggregate; exact-sum/count averages."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import intraday_seasonality
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return intraday_seasonality(ev)
+
+
+@_register(
+    "corpus_dup_size_histogram",
+    """
+WITH h AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+g AS (SELECT text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+SELECT n_docs AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs_total,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_removable
+FROM g GROUP BY 1
+""",
+)
+def corpus_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/dedup.
+    dup_size_histogram): wordcount-of-wordcount second-order
+    aggregate, exact LONG counts."""
+    from marketstore_spark.operators.dedup import dup_size_histogram
+
+    return dup_size_histogram(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -5390,6 +5515,9 @@ _FRONT = [
     "kyle_lambda",
     "vpin",
     "text_lexical_diversity",
+    "markout_returns",
+    "intraday_seasonality",
+    "corpus_dup_size_histogram",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -1548,3 +1548,74 @@ def test_lexical_diversity_hand_computed(spark):
     assert (out[2]["ttr"], out[2]["hapax_frac"]) == (1.0, 1.0)
     assert (out[3]["n_tokens"], out[3]["n_types"], out[3]["n_hapax"]) == (3, 1, 0)
     assert (out[3]["ttr"], out[3]["hapax_frac"]) == (0.333333, 0.0)
+
+
+def test_markout_wall_clock_horizon_and_signing(spark):
+    from marketstore_spark.operators.quant import markout_returns
+
+    # one tick per hourly bucket; sides 0, +1, -1, +1; horizon 1
+    rows = [
+        (1, _ts(2024, 1, 1, 9), 1, 100.0),
+        (1, _ts(2024, 1, 1, 10), 2, 101.0),
+        (1, _ts(2024, 1, 1, 11), 3, 100.0),
+        (1, _ts(2024, 1, 1, 12), 4, 102.0),
+        # gap: no 13:00 bucket -> the 12:00 trade has no markout
+        (1, _ts(2024, 1, 1, 14), 5, 103.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["epoch"]: r for r in markout_returns(df, horizon=1).collect()}
+    # 10:00 trade (side +1, px 10100): fut close 11:00 = 10000 -> -100
+    # 11:00 trade (side -1, px 10000): fut close 12:00 = 10200 -> -200
+    # 12:00 trade (side +1): 13:00 bucket MISSING -> excluded
+    # 14:00 trade (side +1): 15:00 missing -> excluded
+    assert len(out) == 2
+    r10 = out[_ts(2024, 1, 1, 10)]
+    assert (r10["n_trades"], r10["sum_markout_c"], r10["avg_markout_c"]) == (
+        1, -100, -100.0,
+    )
+    r11 = out[_ts(2024, 1, 1, 11)]
+    assert (r11["n_trades"], r11["sum_markout_c"], r11["avg_markout_c"]) == (
+        1, -200, -200.0,
+    )
+
+
+def test_intraday_seasonality_hand_computed(spark):
+    from marketstore_spark.operators.quant import intraday_seasonality
+
+    rows = [
+        (1, _ts(2024, 1, 1, 9, 0, 0), 1, 100.0, 10),
+        (1, _ts(2024, 1, 1, 9, 30, 0), 2, 101.0, 20),  # move +100 in h9
+        (1, _ts(2024, 1, 1, 10, 0, 0), 3, 99.0, 30),   # move -200 in h10
+        (1, _ts(2024, 1, 2, 9, 0, 0), 4, 99.0, 40),    # move 0 in h9 (day 2)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value", "volume"])
+    out = {r["hour"]: r for r in intraday_seasonality(df).collect()}
+    h9, h10 = out[9], out[10]
+    # h9: 3 ticks (first has no move), moves {100, 0} -> avg 50.0
+    assert (h9["n_ticks"], h9["total_volume"]) == (3, 70)
+    assert h9["avg_volume"] == 70.0 / 3.0
+    assert h9["avg_abs_move_c"] == 50.0
+    assert (h10["n_ticks"], h10["avg_abs_move_c"]) == (1, 200.0)
+
+
+def test_dup_size_histogram_hand_computed(spark):
+    from marketstore_spark.operators.dedup import dup_size_histogram
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "A  b "),   # normalizes to the same content
+            (3, "c"),
+            (4, "d"),
+            (5, "d"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["cluster_size"]: r for r in dup_size_histogram(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[2]["n_clusters"], out[2]["n_docs_total"], out[2]["n_removable"]) == (
+        2, 4, 2,
+    )
+    assert (out[1]["n_clusters"], out[1]["n_docs_total"], out[1]["n_removable"]) == (
+        1, 1, 0,
+    )

@@ -804,3 +804,33 @@ def test_lexical_diversity_projection_only(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["text_lexical_diversity"](spark, sf_dir))
     assert "Join" not in plan and not re.search(r"\(\d+\) Window\b", plan), plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_markout_single_scan_no_join(spark, sf_dir):
+    """The future close attaches via the RANGE window over the bucket
+    epoch — NOT a closes-groupBy joined back, which would scan and
+    shuffle the fact twice (ReusedExchange does not fire across join
+    branches).  One FileScan, one Exchange, zero joins."""
+    df = SPARK_QUERIES["markout_returns"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_intraday_seasonality_one_exchange(spark, sf_dir):
+    """One tick sort for the move lag; the (symbol, hour) aggregate
+    reuses the symbol partitioning — one Exchange, no joins."""
+    plan = explain_str(SPARK_QUERIES["intraday_seasonality"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_dup_size_histogram_two_hash_aggs(spark, sf_dir):
+    """Second-order wordcount: two combiner-friendly hash aggregates,
+    no windows or joins; the second shuffle is over the already
+    content-distinct table."""
+    plan = explain_str(SPARK_QUERIES["corpus_dup_size_histogram"](spark, sf_dir))
+    assert "Join" not in plan and not re.search(r"\(\d+\) Window\b", plan), plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "partial" in plan.lower(), plan
