@@ -945,7 +945,12 @@ def amihud_illiquidity(
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
     prev_c = F.lag("close_c").over(ws)
-    ret = (F.col("close_c") - prev_c).cast("double") / prev_c
+    # a zero previous close (data allows px = 0.00) has no defined
+    # return — NULL, not an ANSI DIVIDE_BY_ZERO (bug found by the
+    # sf0.1 value-parity sweep; invisible at smaller scales)
+    ret = (F.col("close_c") - prev_c).cast("double") / F.when(
+        prev_c == 0, F.lit(None)
+    ).otherwise(prev_c)
     dv_d = F.col("dv_c").cast("double") / F.lit(1e2)
     illiq = F.abs(ret) / F.when(dv_d == 0, F.lit(None)).otherwise(dv_d)
     return daily.select(

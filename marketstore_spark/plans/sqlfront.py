@@ -41,7 +41,8 @@ _CREATE_VIEW_RE = re.compile(
 )
 _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
-    r"|tickrule|nbbo|heikinashi|ichimoku|amihud)"
+    r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
+    r"|rollspread|autocorr|varratio|kylelambda|vpin|markout)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -311,6 +312,106 @@ class MarketSQL:
             out = out.drop("symbol")
             if limit:
                 out = out.orderBy("epoch").limit(int(limit))
+            return out
+        if fname.lower() in (
+            "rollspread",
+            "autocorr",
+            "varratio",
+            "kylelambda",
+            "vpin",
+            "markout",
+        ):
+            # Round-8 serial-dependence family through the registry:
+            #   rollspread('1D', Price)      autocorr('1D', Price)
+            #   varratio('5', '1D', Price)   kylelambda('1H', Price, Volume)
+            #   vpin('2000', '10', Price, Volume)
+            #   markout('3', '1H', Price)
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            tb = tiebreak[0] if tiebreak else ts_col
+            parts = re.findall(
+                r"'([^']*)'|\"([^\"]*)\"|(\d[\w.]*)|([A-Za-z_]\w*)", rawargs
+            )
+            quoted = [a or b or n for a, b, n, _ in parts if (a or b or n)]
+            colargs = [c for _, _, _, c in parts if c]
+            keyed = base.withColumn("__symbol", F.lit("_"))
+            name = fname.lower()
+            common = dict(
+                symbol_col="__symbol",
+                ts_col=ts_col,
+                value_col=colargs[0] if colargs else "value",
+                tiebreak_col=tb,
+            )
+
+            def _vol_guard(what: str) -> str:
+                # the tickrule precedent: volume must be explicit or a
+                # real 'volume' column — price-weighted flow is a
+                # plausible-looking wrong answer
+                if len(colargs) > 1:
+                    return colargs[1]
+                if "volume" in base.columns:
+                    return "volume"
+                raise ValueError(
+                    f"{what} needs a volume column: {what}(..., Price, "
+                    "Volume), or a 'volume' column in the bucket"
+                )
+
+            if name in ("rollspread", "autocorr"):
+                from marketstore_spark.operators.quant import (
+                    autocorr_returns,
+                    roll_spread,
+                )
+
+                tf = timeframe_to_duration(quoted[0]) if quoted else "1 day"
+                op = roll_spread if name == "rollspread" else autocorr_returns
+                out = op(keyed, timeframe=tf, **common)
+            elif name == "varratio":
+                from marketstore_spark.operators.quant import variance_ratio
+
+                q_ = int(quoted[0]) if quoted else 5
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 day"
+                )
+                out = variance_ratio(keyed, q=q_, timeframe=tf, **common)
+            elif name == "kylelambda":
+                from marketstore_spark.operators.quant import kyle_lambda
+
+                tf = timeframe_to_duration(quoted[0]) if quoted else "1 hour"
+                out = kyle_lambda(
+                    keyed, timeframe=tf, volume_col=_vol_guard("kylelambda"),
+                    **common,
+                )
+            elif name == "vpin":
+                from marketstore_spark.operators.bars import vpin as vpin_op
+
+                bv = int(quoted[0]) if quoted else 2000
+                nn = int(quoted[1]) if len(quoted) > 1 else 10
+                out = vpin_op(
+                    keyed,
+                    bucket_volume=bv,
+                    n=nn,
+                    volume_col=_vol_guard("vpin"),
+                    **common,
+                )
+            else:
+                from marketstore_spark.operators.quant import markout_returns
+
+                hz = int(quoted[0]) if quoted else 3
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 hour"
+                )
+                out = markout_returns(keyed, horizon=hz, timeframe=tf, **common)
+            out = out.drop("symbol")
+            if limit:
+                order_cols = [
+                    c
+                    for c in ("epoch", "bucket_id", "hour")
+                    if c in out.columns
+                ] or [out.columns[0]]
+                out = out.orderBy(*order_cols).limit(int(limit))
             return out
         if fname.lower() in ("tickrule", "nbbo"):
             # Microstructure UDAs through the registry:

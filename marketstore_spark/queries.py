@@ -4652,8 +4652,8 @@ l AS (
   FROM d
 )
 SELECT symbol, bucket AS epoch, close_c, dv_c,
-       CAST(close_c - prev_c AS DOUBLE) / prev_c AS ret,
-       abs(CAST(close_c - prev_c AS DOUBLE) / prev_c)
+       CAST(close_c - prev_c AS DOUBLE) / NULLIF(prev_c, 0) AS ret,
+       abs(CAST(close_c - prev_c AS DOUBLE) / NULLIF(prev_c, 0))
          / NULLIF(CAST(dv_c AS DOUBLE) / 100.0, 0) AS illiq
 FROM l
 """,

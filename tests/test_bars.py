@@ -367,3 +367,23 @@ def test_bigram_lift_single_word_docs_guarded(spark):
     out = bigram_lift(docs, min_count=2, top_k=5).collect()
     assert all(r["w1"] != "solo" for r in out)
     assert any((r["w1"], r["w2"]) == ("a", "b") for r in out)
+
+
+def test_amihud_zero_prev_close_yields_null_not_error(spark):
+    """A 0.00 close exists in the data domain: the next bucket's
+    return must be NULL, not an ANSI DIVIDE_BY_ZERO (sf0.1 sweep
+    regression)."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0.replace(day=1, hour=10), 1, 0.00, 100),
+        (1, t0.replace(day=2, hour=10), 2, 12.00, 50),
+        (1, t0.replace(day=3, hour=10), 3, 6.00, 0),   # zero volume too
+        (1, t0.replace(day=4, hour=10), 4, 9.00, 10),
+    ]
+    out = sorted(
+        amihud_illiquidity(_ticks(spark, rows)).collect(),
+        key=lambda r: r["epoch"],
+    )
+    assert out[1]["ret"] is None and out[1]["illiq"] is None   # prev close 0
+    assert out[2]["ret"] is not None and out[2]["illiq"] is None  # dv 0
+    assert out[3]["ret"] == pytest.approx(0.5)

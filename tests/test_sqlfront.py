@@ -306,3 +306,55 @@ def test_amihud_uda_matches_operator_and_volume_guard(msql):
     # wrong answer)
     with _pytest.raises(ValueError, match="volume"):
         msql.sql("SELECT amihud('1D', value) FROM `EV1/1Min/TICK`")
+
+
+def test_rollspread_autocorr_varratio_udas(msql):
+    from marketstore_spark.operators.quant import (
+        autocorr_returns,
+        roll_spread,
+        variance_ratio,
+    )
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql("SELECT rollspread('1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = roll_spread(base, symbol_col="__symbol").collect()
+    assert [r["roll_spread_c"] for r in out] == [r["roll_spread_c"] for r in exp]
+    out = msql.sql("SELECT autocorr('1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = autocorr_returns(base, symbol_col="__symbol").collect()
+    assert [r["autocorr"] for r in out] == [r["autocorr"] for r in exp]
+    out = msql.sql("SELECT varratio('2', '1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = variance_ratio(base, q=2, symbol_col="__symbol").collect()
+    assert [r["vr"] for r in out] == [r["vr"] for r in exp] and out
+
+
+def test_kylelambda_vpin_markout_udas(msql):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.bars import vpin
+    from marketstore_spark.operators.quant import kyle_lambda, markout_returns
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql(
+        "SELECT kylelambda('1H', value, event_id) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = kyle_lambda(base, symbol_col="__symbol", volume_col="event_id").collect()
+    assert [r["kyle_lambda"] for r in out] == [r["kyle_lambda"] for r in exp] and out
+    out = msql.sql(
+        "SELECT vpin('500', '3', value, event_id) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = vpin(
+        base, bucket_volume=500, n=3, symbol_col="__symbol", volume_col="event_id"
+    ).collect()
+    got = {r["bucket_id"]: r["vpin"] for r in out}
+    want = {r["bucket_id"]: r["vpin"] for r in exp}
+    assert got == want and got
+    out = msql.sql("SELECT markout('1', '1H', value) FROM `EV1/1Min/TICK`").collect()
+    exp = markout_returns(base, horizon=1, symbol_col="__symbol").collect()
+    got = {r["epoch"]: r["avg_markout_c"] for r in out}
+    want = {r["epoch"]: r["avg_markout_c"] for r in exp}
+    assert got == want and got
+    # volume guards refuse rather than silently price-weight
+    with _pytest.raises(ValueError, match="volume"):
+        msql.sql("SELECT vpin('500', '3', value) FROM `EV1/1Min/TICK`")
+    with _pytest.raises(ValueError, match="volume"):
+        msql.sql("SELECT kylelambda('1H', value) FROM `EV1/1Min/TICK`")

@@ -735,3 +735,124 @@ def test_stream_nbbo_state_survives_restart(spark, tmpdir):
     assert (r["best_bid_c"], r["bid_venue"]) == (10000, "A")
     assert (r["best_ask_c"], r["ask_venue"]) == (10100, "A")
     assert r["n_venues"] == 2
+
+
+def test_stream_event_bars_matches_batch_across_slicings(spark, tmpdir):
+    """Streaming volume bars: a 2-batch replay must emit exactly the
+    bars the batch operator closes, integer-for-integer — the running
+    activity total and the open partial bar carry across batches; the
+    still-open bar is never emitted."""
+    from datetime import datetime
+
+    from marketstore_spark.operators.bars import event_bars
+    from marketstore_spark.streaming.bars import stream_event_bars
+
+    cols = ["user_id", "ts", "event_id", "value", "volume"]
+    rows = [
+        # symbol 1: threshold 100 -> bars close as cum crosses 100, 200…
+        (1, datetime(2024, 1, 1, 9, 30, 0), 1, 10.00, 60),
+        (1, datetime(2024, 1, 1, 9, 31, 0), 2, 11.00, 50),   # bar 0 (cum_before 60)
+        # --- batch boundary ---
+        (1, datetime(2024, 1, 1, 9, 32, 0), 3, 9.00, 10),    # bar 1 opens (110)
+        (1, datetime(2024, 1, 1, 9, 33, 0), 4, 12.00, 300),  # bar 1 (120) then crosses
+        (1, datetime(2024, 1, 1, 9, 34, 0), 5, 8.00, 1),     # bar 4 opens (420)
+        (2, datetime(2024, 1, 1, 9, 30, 0), 6, 50.00, 120),  # sym2 bar 0
+        (2, datetime(2024, 1, 1, 9, 31, 0), 7, 51.00, 5),    # sym2 bar 1 opens
+    ]
+    b0, b1 = rows[:2], rows[2:]
+    src = os.path.join(tmpdir, "ticks")
+    df0 = spark.createDataFrame(b0, cols)
+    df0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, df0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_event_bars(stream, threshold=100)
+        .writeStream.format("memory")
+        .queryName("live_bars")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select * from live_bars order by user_id, bar_id"
+    ).collect()
+    batch = {
+        (r["symbol"], r["bar_id"]): r
+        for r in event_bars(
+            spark.createDataFrame(rows, cols), threshold=100
+        ).collect()
+    }
+    # open partials (sym1 bar 4, sym2 bar 1) must NOT be emitted
+    assert [(r["user_id"], r["bar_id"]) for r in got] == [(1, 0), (1, 1), (2, 0)]
+    for r in got:
+        b = batch[(r["user_id"], r["bar_id"])]
+        for c in (
+            "open_c", "high_c", "low_c", "close_c", "volume",
+            "notional_c", "n_ticks", "t_open", "t_close", "vwap",
+        ):
+            assert r[c] == b[c], (r["user_id"], r["bar_id"], c, r[c], b[c])
+
+
+def test_stream_vpin_matches_batch_closed_buckets(spark, tmpdir):
+    """Live VPIN: a 2-batch replay must equal the batch operator on
+    every CLOSED volume bucket — tick-rule side, running volume, the
+    open bucket's flow split, and the trailing (imbalance, total)
+    window all carry across the batch boundary."""
+    from datetime import datetime
+
+    from marketstore_spark.operators.bars import vpin
+    from marketstore_spark.streaming.bars import stream_vpin
+
+    cols = ["user_id", "ts", "event_id", "value", "volume"]
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 30, 0), 1, 100.0, 5),   # side 0
+        (1, datetime(2024, 1, 1, 9, 31, 0), 2, 101.0, 5),   # +1
+        (1, datetime(2024, 1, 1, 9, 32, 0), 3, 99.0, 10),   # -1
+        # --- batch boundary ---
+        (1, datetime(2024, 1, 1, 9, 33, 0), 4, 100.0, 5),   # +1 (carried lag)
+        (1, datetime(2024, 1, 1, 9, 34, 0), 5, 101.0, 5),   # +1
+        (1, datetime(2024, 1, 1, 9, 35, 0), 6, 102.0, 10),  # +1
+        (1, datetime(2024, 1, 1, 9, 36, 0), 7, 101.0, 10),  # -1 (closes b3)
+    ]
+    b0, b1 = rows[:3], rows[3:]
+    src = os.path.join(tmpdir, "vpinticks")
+    df0 = spark.createDataFrame(b0, cols)
+    df0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, df0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_vpin(stream, bucket_volume=10, n=2)
+        .writeStream.format("memory")
+        .queryName("live_vpin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bucket_id"]: r
+        for r in spark.sql("select * from live_vpin").collect()
+    }
+    batch = {
+        r["bucket_id"]: r
+        for r in vpin(
+            spark.createDataFrame(rows, cols), bucket_volume=10, n=2
+        ).collect()
+    }
+    # buckets 0..2 close (cum reaches 50 -> bucket 3 is open when tick 7
+    # lands it at cum_before 40 -> b4? compute: vols 5,5,10,5,5,10,10 ->
+    # cum_before 0,5,10,20,25,30,40 -> buckets 0,0,1,2,2,3,4: closed 0-3
+    assert set(got) == {0, 1, 2, 3}
+    for bid, r in got.items():
+        b = batch[bid]
+        for c in ("buy_vol", "sell_vol", "total_vol", "n_ticks", "imbalance", "vpin"):
+            assert r[c] == b[c], (bid, c, r[c], b[c])
