@@ -138,6 +138,9 @@ HEADLINE = [
     # at scale) and the second-order dedup summary
     "markout_returns",
     "corpus_dup_size_histogram",
+    # as-of-join + bucket-aggregate composite (the lee_ready pipeline
+    # feeding a reused-partitioning rollup)
+    "effective_spread",
 ]
 
 _ORACLE_TABLES = (

@@ -1628,3 +1628,65 @@ def intraday_seasonality(
             / F.col("__n_moves").cast("double"),
         ).alias("avg_abs_move_c"),
     )
+
+
+def effective_spread(
+    trades: DataFrame,
+    quotes: DataFrame,
+    timeframe: str = "1 hour",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    price_col: str = "px_c",
+    mid2_col: str = "mid2",
+) -> DataFrame:
+    """Effective spread per (symbol, bucket) — the execution-quality
+    headline number (SEC Rule 605 reporting uses exactly this):
+    ``2·side·(px − mid)`` per trade against the prevailing quote
+    midpoint, aggregated per bucket.  Composes :func:`lee_ready` for
+    the side and the as-of midpoint attach.
+
+    Exactness: with ``mid2 = bid+ask`` (the doubled midpoint),
+    ``2·side·(px − mid) = side·(2·px − mid2)`` — an exact BIGINT per
+    trade; the bucket sum is a LONG and the average is ONE double
+    division.  Trades with no preceding quote or an unresolved side
+    (0) are excluded — only mid-classified or tick-carried trades
+    count, mirroring how 605 stats drop unmatchable trades.
+
+    Shape: the lee_ready pipeline (one as-of union window + one trade
+    sort) then ONE (symbol, bucket) hash aggregate reusing the symbol
+    partitioning — no extra scan, no joins beyond the as-of attach.
+    """
+    classified = lee_ready(
+        trades,
+        quotes,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        tiebreak_col=tiebreak_col,
+        price_col=price_col,
+        mid2_col=mid2_col,
+    )
+    es = F.col("side").cast("long") * (
+        2 * F.col(price_col) - F.col("mid2_c")
+    )
+    w = F.window("epoch", timeframe)
+    agg = (
+        classified.filter(
+            (F.col("side") != 0) & F.col("mid2_c").isNotNull()
+        )
+        .groupBy("symbol", w.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(es).alias("sum_eff_spread_c"),
+        )
+    )
+    return agg.select(
+        "symbol",
+        F.col("__w.start").alias("epoch"),
+        "n_trades",
+        "sum_eff_spread_c",
+        (
+            F.col("sum_eff_spread_c").cast("double")
+            / F.col("n_trades").cast("double")
+        ).alias("avg_eff_spread_c"),
+    )

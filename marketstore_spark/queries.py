@@ -5473,6 +5473,96 @@ def corpus_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_size_histogram(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "effective_spread",
+    """
+WITH q0 AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c
+  FROM events WHERE event_type = 'view'
+),
+q1 AS (
+  SELECT user_id, ts,
+         (px_c - 1 - (event_id % 4)) + (px_c + 1 + (event_id % 3)) AS mid2
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM q0
+  ) WHERE rn = 1
+),
+t AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT t.user_id, t.ts, t.event_id, t.px_c, q.mid2
+  FROM t ASOF LEFT JOIN q1 q
+    ON t.user_id = q.user_id AND q.ts <= t.ts
+),
+d AS (
+  SELECT *, CASE WHEN prev IS NULL THEN NULL
+                 WHEN px_c > prev THEN 1
+                 WHEN px_c < prev THEN -1 END AS dirn
+  FROM (
+    SELECT *, LAG(px_c) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+    FROM j
+  )
+),
+s AS (
+  SELECT *, COALESCE(
+    CASE WHEN mid2 IS NULL THEN NULL
+         WHEN 2 * px_c > mid2 THEN 1
+         WHEN 2 * px_c < mid2 THEN -1 END,
+    LAST_VALUE(dirn IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING), 0) AS side
+  FROM d
+)
+SELECT user_id AS symbol,
+       time_bucket(INTERVAL '1 hour', ts) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(side * (2 * px_c - mid2)) AS BIGINT) AS sum_eff_spread_c,
+       CAST(SUM(side * (2 * px_c - mid2)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_eff_spread_c
+FROM s
+WHERE side <> 0 AND mid2 IS NOT NULL
+GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+""",
+)
+def effective_spread_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEC-605-style hourly effective spread (operators/quant.
+    effective_spread): lee_ready classification + one bucket
+    aggregate; exact doubled-midpoint integers, one double division."""
+    from marketstore_spark.operators.quant import effective_spread
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    q0 = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", cents.alias("px_c")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    quotes = (
+        q0.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            (
+                (F.col("px_c") - 1 - F.pmod(F.col("event_id"), F.lit(4)))
+                + (F.col("px_c") + 1 + F.pmod(F.col("event_id"), F.lit(3)))
+            ).alias("mid2"),
+        )
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", cents.alias("px_c")
+    )
+    return effective_spread(trades, quotes)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -5518,6 +5608,7 @@ _FRONT = [
     "markout_returns",
     "intraday_seasonality",
     "corpus_dup_size_histogram",
+    "effective_spread",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -1619,3 +1619,78 @@ def test_dup_size_histogram_hand_computed(spark):
     assert (out[1]["n_clusters"], out[1]["n_docs_total"], out[1]["n_removable"]) == (
         1, 1, 0,
     )
+
+
+def test_effective_spread_hand_computed(spark):
+    from marketstore_spark.operators.quant import effective_spread
+
+    trades = spark.createDataFrame(
+        [
+            (1, _ts(2024, 1, 1, 9, 30, 10), 1, 10050),
+            (1, _ts(2024, 1, 1, 9, 30, 20), 2, 10040),  # at mid -> tick test
+            (1, _ts(2024, 1, 1, 9, 31, 0), 3, 10000),
+        ],
+        "user_id long, ts timestamp, event_id long, px_c long",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(2024, 1, 1, 9, 30, 0), 20080)],  # mid 100.40
+        "user_id long, ts timestamp, mid2 long",
+    )
+    out = effective_spread(trades, quotes).collect()
+    assert len(out) == 1
+    r = out[0]
+    # es: +1*(20100-20080)=20 ; -1*(20080-20080)=0 ; -1*(20000-20080)=80
+    assert (r["n_trades"], r["sum_eff_spread_c"]) == (3, 100)
+    assert r["avg_eff_spread_c"] == 100.0 / 3.0
+
+
+def test_vpin_matches_direct_model_on_random_walks(spark):
+    """Property check: the whole VPIN chain (tick-rule carry, volume
+    bucketing, trailing ratio-of-sums) vs a direct Python fold on
+    pseudo-random walks, multiple symbols."""
+    import random
+
+    from marketstore_spark.operators.bars import vpin
+
+    rng = random.Random(13)
+    rows = []
+    model = {}  # sym -> list of (side, vol)
+    for sym in (1, 2):
+        px = 100.0
+        for i in range(300):
+            px = round(max(1.0, px + rng.randint(-200, 200) / 100.0), 2)
+            v = rng.randint(1, 50)
+            rows.append((sym, _ts(2024, 1, 1 + i // 96, (i // 4) % 24, (i % 4) * 15, 0), i, px, v))
+            model.setdefault(sym, []).append((round(px * 100), v))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value", "volume"])
+    got = {
+        (r["symbol"], r["bucket_id"]): r
+        for r in vpin(df, bucket_volume=100, n=3).collect()
+    }
+    for sym, ticks in model.items():
+        # direct fold
+        side, last, cum = 0, None, 0
+        per = {}
+        for px_c, v in ticks:
+            if last is not None and px_c != last:
+                side = 1 if px_c > last else -1
+            last = px_c
+            b = cum // 100
+            cum += v
+            d = per.setdefault(b, [0, 0, 0])  # buy, sell, tot
+            if side == 1:
+                d[0] += v
+            elif side == -1:
+                d[1] += v
+            d[2] += v
+        bids = sorted(per)
+        for i, b in enumerate(bids):
+            r = got[(sym, b)]
+            buy, sell, tot = per[b]
+            assert (r["buy_vol"], r["sell_vol"], r["total_vol"]) == (buy, sell, tot)
+            if i >= 2:
+                si = sum(abs(per[x][0] - per[x][1]) for x in bids[i - 2 : i + 1])
+                st = sum(per[x][2] for x in bids[i - 2 : i + 1])
+                assert r["vpin"] == float(si) / float(st)
+            else:
+                assert r["vpin"] is None
