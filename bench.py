@@ -141,6 +141,9 @@ HEADLINE = [
     # as-of-join + bucket-aggregate composite (the lee_ready pipeline
     # feeding a reused-partitioning rollup)
     "effective_spread",
+    # single-row funnel reduce + per-stratum exact percentiles
+    "corpus_filter_funnel",
+    "corpus_length_percentiles",
 ]
 
 _ORACLE_TABLES = (

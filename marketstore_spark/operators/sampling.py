@@ -323,3 +323,47 @@ def length_bucket_stats(
     return g.select(
         "bucket", "n_docs", "sum_tokens", "sum_padded", waste.alias("waste_ratio")
     )
+
+
+def length_percentiles(
+    df: DataFrame, text_col: str = "text", strata: tuple = ("lang", "source")
+) -> DataFrame:
+    """Per-stratum token-length distribution summary (p10/p50/p90) —
+    the length profile a pipeline reads per (lang, source) before
+    choosing chunking/packing parameters.  EXACT linear-interpolation
+    percentiles, rounded to 6dp: the interpolation RANK ``p·(n−1)``
+    itself carries a double residue (0.1·30 = 3.0000000000000004) and
+    the engines fold it through differently-ordered expressions — a
+    raw compare differs by ulps exactly at integer-valued quantiles,
+    so this operator pins the 6dp contract (the `percentiles` key's
+    raw compare survives only because its input doubles never land on
+    the residue pattern).
+
+    Scale note: exact per-group percentiles materialize each group's
+    lengths (one shuffle on the strata key).  Strata are
+    dimension-scale (languages × sources) but group SIZES are
+    corpus-scale — at 100 TB swap in approx_percentile (GK sketch,
+    map-side mergeable), the percentiles_approx path; this operator
+    is the exact-verification twin, same contract as
+    percentiles/percentiles_approx.
+    """
+    t = F.col(text_col)
+    n_tok = F.when(
+        F.trim(t) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    staged = df.select(*strata, n_tok.alias("__n_tok"))
+    pct = F.expr("percentile(__n_tok, array(0.1, 0.5, 0.9))")
+    return (
+        staged.groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("__p"),
+        )
+        .select(
+            *strata,
+            "n_docs",
+            F.round(F.col("__p")[0], 6).alias("p10_tokens"),
+            F.round(F.col("__p")[1], 6).alias("p50_tokens"),
+            F.round(F.col("__p")[2], 6).alias("p90_tokens"),
+        )
+    )

@@ -604,3 +604,44 @@ def lexical_diversity(
         F.round(F.col("n_types") / nt, 6).alias("ttr"),
         F.round(F.col("n_hapax") / nt, 6).alias("hapax_frac"),
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    min_words: int = 5,
+    max_punct: float = 0.2,
+    max_digit: float = 0.3,
+    max_word_len: float = 20.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter FUNNEL report: how many documents survive each
+    successive gate (the attrition table every published corpus
+    pipeline reports — C4, RefinedWeb, Dolma all lead with one).
+    Gates, applied cumulatively in order: non-empty → ≥ ``min_words``
+    words → punctuation ratio < ``max_punct`` → digit ratio <
+    ``max_digit`` → average word length < ``max_word_len``.
+
+    One scan (the shared ``quality_features`` projection) reduced to a
+    SINGLE row of exact LONG counts — a SinglePartition aggregate with
+    map-side partials; the ratios are each one double division, so the
+    gate comparisons are engine-identical.  A NULL ratio (empty doc)
+    fails its gate, matching SQL CASE semantics.
+    """
+    feats = quality_features(df, text_col=text_col)
+    g0 = F.col("n_chars").isNotNull()  # every row
+    g1 = F.col("n_words") >= int(min_words)
+    g2 = g1 & (F.col("punct_ratio") < float(max_punct))
+    g3 = g2 & (F.col("digit_ratio") < float(max_digit))
+    g4 = g3 & (F.col("avg_word_len") < float(max_word_len))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+    return feats.agg(
+        cnt(g0).alias("n_total"),
+        cnt(F.col("n_words") > 0).alias("n_nonempty"),
+        cnt(g1).alias("n_min_len"),
+        cnt(g2).alias("n_punct"),
+        cnt(g3).alias("n_digit"),
+        cnt(g4).alias("n_word_len"),
+    )

@@ -5563,6 +5563,77 @@ def effective_spread_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_spread(trades, quotes)
 
 
+@_register(
+    "corpus_filter_funnel",
+    """
+WITH f AS (
+  SELECT CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_words,
+         length(text) * 1.0
+           / NULLIF(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 0)
+           AS avg_word_len,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+           / NULLIF(length(text), 0) AS punct_ratio,
+         len(regexp_extract_all(text, '[0-9]')) * 1.0
+           / NULLIF(length(text), 0) AS digit_ratio
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN n_words > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonempty,
+       CAST(SUM(CASE WHEN n_words >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_min_len,
+       CAST(SUM(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
+       CAST(SUM(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
+                     AND digit_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_digit,
+       CAST(SUM(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
+                     AND digit_ratio < 0.3 AND avg_word_len < 20.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len
+FROM f
+""",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate attrition funnel (operators/text.filter_funnel):
+    one scan reduced to a single row of exact survivor counts per
+    cumulative gate."""
+    from marketstore_spark.operators.text import filter_funnel
+
+    return filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_length_percentiles",
+    """
+WITH t AS (
+  SELECT lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(CAST(quantile_cont(n_tok, 0.1) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS p10_tokens,
+       CAST(ROUND(CAST(CAST(quantile_cont(n_tok, 0.5) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS p50_tokens,
+       CAST(ROUND(CAST(CAST(quantile_cont(n_tok, 0.9) AS VARCHAR)
+            AS DECIMAL(35,16)), 6) AS DOUBLE) AS p90_tokens
+FROM t GROUP BY lang, source
+""",
+)
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) token-length p10/p50/p90 (operators/
+    sampling.length_percentiles): exact interpolated percentiles, the
+    percentiles-key bitwise convention; GK sketch is the scale twin."""
+    from marketstore_spark.operators.sampling import length_percentiles
+
+    return length_percentiles(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -5609,6 +5680,8 @@ _FRONT = [
     "intraday_seasonality",
     "corpus_dup_size_histogram",
     "effective_spread",
+    "corpus_filter_funnel",
+    "corpus_length_percentiles",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -1694,3 +1694,37 @@ def test_vpin_matches_direct_model_on_random_walks(spark):
                 assert r["vpin"] == float(si) / float(st)
             else:
                 assert r["vpin"] is None
+
+
+def test_filter_funnel_cumulative_gates(spark):
+    from marketstore_spark.operators.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat today fine"),        # passes all
+            (2, ""),                                        # empty
+            (3, "one two"),                                 # < 5 words
+            (4, "a b c d e !!!!!!!!!!!!!!!!!!!!!!!!!!!"),   # punct heavy
+            (5, "a1 2b 3c 44 55 66 77 88"),                 # digit heavy
+            (6, "ab " * 4 + "abcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrst"),  # avg word len >= 20
+        ],
+        ["doc_id", "text"],
+    )
+    r = filter_funnel(df).collect()[0]
+    assert r["n_total"] == 6
+    assert r["n_nonempty"] == 5
+    assert r["n_min_len"] == 4       # docs 1, 4, 5, 6
+    assert r["n_punct"] == 3         # drop 4
+    assert r["n_digit"] == 2         # drop 5
+    assert r["n_word_len"] == 1      # drop 6 -> only doc 1
+
+
+def test_length_percentiles_hand_computed(spark):
+    from marketstore_spark.operators.sampling import length_percentiles
+
+    rows = [(i, "en", "s1", "w " * n) for i, n in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    r = length_percentiles(df).collect()[0]
+    # trailing space: "w " * n splits to n tokens after trim
+    assert (r["lang"], r["source"], r["n_docs"]) == ("en", "s1", 5)
+    assert (r["p10_tokens"], r["p50_tokens"], r["p90_tokens"]) == (1.4, 3.0, 4.6)

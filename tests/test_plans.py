@@ -834,3 +834,12 @@ def test_dup_size_histogram_two_hash_aggs(spark, sf_dir):
     assert "Join" not in plan and not re.search(r"\(\d+\) Window\b", plan), plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_filter_funnel_single_row_reduce(spark, sf_dir):
+    """The funnel is one scan reduced to a single row: a partial
+    aggregate, one SinglePartition exchange, no joins/windows."""
+    plan = explain_str(SPARK_QUERIES["corpus_filter_funnel"](spark, sf_dir))
+    assert "Join" not in plan and not re.search(r"\(\d+\) Window\b", plan), plan
+    assert "SinglePartition" in plan, plan
+    assert "partial" in plan.lower(), plan
