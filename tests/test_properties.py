@@ -656,3 +656,70 @@ def test_tick_rule_matches_direct_model(spark, ticks):
         cum += side * vol
         want[eid] = (side, side * vol, cum)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    closes=st.lists(
+        st.integers(min_value=1, max_value=2000), min_size=3, max_size=30
+    )
+)
+def test_serial_dependence_family_matches_exact_models(spark, closes):
+    """roll_spread / autocorr_returns / variance_ratio(2) vs exact
+    unbounded-int models evaluating the SAME final float expressions
+    — bitwise, any close path (constant runs force the NULL guards)."""
+    import math
+
+    from marketstore_spark.operators.quant import (
+        autocorr_returns,
+        roll_spread,
+        variance_ratio,
+    )
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(days=i), 1, float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    m = [(closes[i] - closes[i - 1]) * 100 for i in range(1, len(closes))]
+    pairs = [(m[i], m[i - 1]) for i in range(1, len(m))]
+
+    rs = roll_spread(df).collect()
+    ac = autocorr_returns(df).collect()
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    num = n * sxy - sx * sy
+    assert len(rs) == 1 and rs[0]["n_pairs"] == n
+    assert rs[0]["move_autocov"] == float(num) / float(n * n)
+    want_spread = (
+        2.0 * math.sqrt(float(-num)) / float(n) if num < 0 else None
+    )
+    assert rs[0]["roll_spread_c"] == want_spread
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    want_ac = (
+        float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        if vx > 0 and vy > 0
+        else None
+    )
+    assert ac[0]["autocorr"] == want_ac
+
+    vr = variance_ratio(df, q=2).collect()[0]
+    mq = [(closes[i] - closes[i - 2]) * 100 for i in range(2, len(closes))]
+    n1, sm, smm = len(m), sum(m), sum(v * v for v in m)
+    nq, sq, sqq = len(mq), sum(mq), sum(v * v for v in mq)
+    v1n = n1 * smm - sm * sm
+    vqn = nq * sqq - sq * sq
+    want_vr = (
+        (float(vqn) * float(n1 * n1))
+        / (2.0 * float(nq * nq) * float(v1n))
+        if nq > 0 and v1n > 0
+        else None
+    )
+    assert (vr["n1"], vr["nq"]) == (n1, nq)
+    assert vr["vr"] == want_vr
