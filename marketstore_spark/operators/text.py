@@ -635,7 +635,10 @@ def filter_funnel(
     g4 = g3 & (F.col("avg_word_len") < float(max_word_len))
 
     def cnt(cond):
-        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+        # count(when(...)) — not sum(when/otherwise): COUNT is 0 on an
+        # empty corpus where SUM degrades to NULL (the report must
+        # always be one well-formed row)
+        return F.count(F.when(cond, F.lit(1)))
 
     return feats.agg(
         cnt(g0).alias("n_total"),

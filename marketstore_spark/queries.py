@@ -5582,18 +5582,18 @@ WITH f AS (
   FROM documents
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN n_words > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COUNT(CASE WHEN n_words > 0 THEN 1 END) AS BIGINT)
          AS n_nonempty,
-       CAST(SUM(CASE WHEN n_words >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COUNT(CASE WHEN n_words >= 5 THEN 1 END) AS BIGINT)
          AS n_min_len,
-       CAST(SUM(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
-       CAST(SUM(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
-                     AND digit_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COUNT(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
+                  THEN 1 END) AS BIGINT) AS n_punct,
+       CAST(COUNT(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
+                       AND digit_ratio < 0.3 THEN 1 END) AS BIGINT)
          AS n_digit,
-       CAST(SUM(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
-                     AND digit_ratio < 0.3 AND avg_word_len < 20.0
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len
+       CAST(COUNT(CASE WHEN n_words >= 5 AND punct_ratio < 0.2
+                       AND digit_ratio < 0.3 AND avg_word_len < 20.0
+                  THEN 1 END) AS BIGINT) AS n_word_len
 FROM f
 """,
 )

@@ -206,3 +206,38 @@ def test_round6_operators_empty_input(spark, empty_events, empty_docs):
     out = knn_label_eval(empty_emb)
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "label", "pred", "correct"}
+
+
+def test_round8_quant_family_empty_input(spark):
+    from marketstore_spark.operators.bars import vpin
+    from marketstore_spark.operators.quant import (
+        autocorr_returns,
+        intraday_seasonality,
+        kyle_lambda,
+        markout_returns,
+        roll_spread,
+        variance_ratio,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, value double, volume long",
+    )
+    for op in (roll_spread, autocorr_returns, variance_ratio):
+        out = op(empty)
+        assert out.count() == 0 and "symbol" in out.columns
+    assert kyle_lambda(empty).count() == 0
+    assert vpin(empty).count() == 0
+    assert markout_returns(empty).count() == 0
+    assert intraday_seasonality(empty).count() == 0
+
+
+def test_round8_text_family_empty_input(empty_docs, spark):
+    from marketstore_spark.operators.dedup import dup_size_histogram
+    from marketstore_spark.operators.text import filter_funnel, lexical_diversity
+
+    assert lexical_diversity(empty_docs).count() == 0
+    assert dup_size_histogram(empty_docs).count() == 0
+    # the funnel is a global aggregate: one all-zero row, never empty
+    r = filter_funnel(empty_docs).collect()
+    assert len(r) == 1 and r[0]["n_total"] == 0 and r[0]["n_word_len"] == 0
