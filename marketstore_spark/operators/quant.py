@@ -501,22 +501,23 @@ def _bucket_closes(
     tiebreak_col: str,
 ) -> DataFrame:
     """Last-tick integer-cent close per (symbol, bucket) — the shared
-    front half of beta_vs_market / realized_vol / xs_momentum: ONE
-    shuffle on (symbol, bucket), deterministic last pick by
-    (ts, tiebreak).  (atr/donchian extract full candles, not closes,
+    front half of beta_vs_market / realized_vol / xs_momentum /
+    rolling_corr / the serial-dependence family: ONE shuffle on
+    (symbol, bucket), deterministic last pick by (ts, tiebreak).
+
+    The pick is a ``max_by`` AGGREGATE, not a row_number window: the
+    aggregate combines map-side, so the exchange carries one partial
+    candle per (symbol, bucket) per map partition — bar-scale — where
+    the window formulation shuffled EVERY tick and sorted each
+    partition (round 8 re-plan; at 100 TB the shuffle-bytes ratio is
+    ticks-per-bar, often 10³–10⁴×).  Same pick, same values —
+    parity-neutral.  (atr/donchian extract full candles, not closes,
     so they keep their own aggregate.)"""
     ticks = _cent_ticks(
         df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
-    ).withColumnRenamed("px_c", "close_c")
-    rn = F.row_number().over(
-        Window.partitionBy("symbol", "bucket").orderBy(
-            F.col("__ts").desc(), F.col("__tb").desc()
-        )
     )
-    return (
-        ticks.withColumn("__rn", rn)
-        .filter(F.col("__rn") == 1)
-        .select("symbol", "bucket", "close_c")
+    return ticks.groupBy("symbol", "bucket").agg(
+        F.max_by("px_c", F.struct("__ts", "__tb")).alias("close_c")
     )
 
 

@@ -766,8 +766,11 @@ def test_roll_spread_autocorr_single_sort_no_join(spark, sf_dir):
         plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
         assert "Join" not in plan, (key, plan)
         assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, (key, plan)
-        # rn pick window + ONE lag window (not two chained)
-        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, (key, plan)
+        # ONE lag window (all three close lags in it, not chained);
+        # the close pick is a map-side-combinable aggregate, so the
+        # bucket exchange carries partial candles, not ticks
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, (key, plan)
+        assert "partial_max_by" in plan, (key, plan)
 
 
 def test_variance_ratio_shared_lag_window(spark, sf_dir):
@@ -776,7 +779,8 @@ def test_variance_ratio_shared_lag_window(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["variance_ratio"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "partial_max_by" in plan, plan
 
 
 def test_kyle_lambda_one_exchange(spark, sf_dir):
