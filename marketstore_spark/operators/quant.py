@@ -133,15 +133,10 @@ def pairwise_corr(
         (F.col(value_col).cast("decimal(8,2)") * 100).cast("long").alias("cents"),
         w["start"].alias("bucket"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("symbol", "bucket").orderBy(
-            F.col("__ts").desc(), F.col("__tb").desc()
-        )
-    )
-    closes = (
-        base.withColumn("__rn", rn)
-        .filter(F.col("__rn") == 1)
-        .select("symbol", "bucket", "cents")
+    # map-side-combinable close pick (the _bucket_closes re-plan): the
+    # exchange carries partial candles, not every tick
+    closes = base.groupBy("symbol", "bucket").agg(
+        F.max_by("cents", F.struct("__ts", "__tb")).alias("cents")
     )
 
     spark = df.sparkSession
