@@ -164,10 +164,15 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
 
 def test_no_python_udfs_in_inventory_plans(spark, sf_dir):
     """Every oracle-backed query must stay JVM-side (Pandas UDFs are
-    allowed only in multimodal decode, which is not oracle-backed)."""
+    allowed only in multimodal decode, which is not oracle-backed),
+    and no registered plan may degrade to a Cartesian product — a
+    nested-loop cross of two fact-scale inputs is instant death at
+    100 TB regardless of correctness (the intended cross joins are
+    all one-row/dims-scale broadcast: BroadcastNestedLoopJoin)."""
     for name, fn in SPARK_QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
 
 
 def test_sessionize_reuses_window_shuffle(spark, sf_dir):
