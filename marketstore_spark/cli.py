@@ -52,9 +52,13 @@ def _get_session():
 def _repl(cat, out, stdin, limit: int) -> int:
     """cmd/connect-style interactive shell: each line is a MarketSQL
     statement (TBK backticks work: ``SELECT * FROM `SYM/1Min/TICK```);
-    backslash commands mirror the reference's session commands
-    (\\l list, \\i KEY getinfo, \\h help, \\q quit).  Reads until EOF,
-    so a scripted stdin drives it exactly like a terminal does."""
+    backslash commands mirror the reference's session command set
+    (cmd/connect/session/client.go registers \\o \\timing \\show
+    \\trim \\gaps \\load \\create \\destroy \\getinfo \\help — the
+    feeder-only \\feed stays with the streaming module).  Reads until
+    EOF, so a scripted stdin drives it exactly like a terminal does."""
+    import time as _time
+
     from marketstore_spark.plans.sqlfront import MarketSQL
 
     interactive = hasattr(stdin, "isatty") and stdin.isatty()
@@ -64,34 +68,95 @@ def _repl(cat, out, stdin, limit: int) -> int:
         except ImportError:
             pass
     msql = MarketSQL(cat)
+    timing = False
+    redirect = None  # \o target file object, None = `out`
+
+    def _emit(line: str) -> None:
+        print(line, file=redirect or out)
+
     while True:
         if interactive:
             print("marketstore> ", end="", file=out, flush=True)
         line = stdin.readline()
         if not line:  # EOF
+            if redirect is not None:
+                redirect.close()
             return 0
         stmt = line.strip().rstrip(";")
         if not stmt:
             continue
         cmd, _, rest = stmt.partition(" ")
+        args = rest.split()
+        t0 = _time.perf_counter()
         try:
             if cmd in (r"\q", "quit", "exit"):
+                if redirect is not None:
+                    redirect.close()
                 return 0
-            elif cmd == r"\h":
+            elif cmd in (r"\h", r"\help"):
                 print(
-                    r"\l  list buckets   \i KEY  bucket info   \q  quit   "
+                    r"\l list   \i|\getinfo KEY   \show KEY [n]   "
+                    r"\load KEY CSV   \trim KEY START END   "
+                    r"\gaps KEY SECONDS   \create KEY LIKE   "
+                    r"\destroy KEY   \o [FILE]   \timing   \q   "
                     "anything else runs as SQL",
                     file=out,
                 )
             elif cmd == r"\l":
                 for name in cat.list_symbols(format="tbk"):
-                    print(name, file=out)
-            elif cmd == r"\i":
+                    _emit(name)
+            elif cmd in (r"\i", r"\getinfo"):
                 info = cat.get_info(rest.strip())
-                print(json.dumps({k: str(v) for k, v in info.items()}), file=out)
+                _emit(json.dumps({k: str(v) for k, v in info.items()}))
+            elif cmd == r"\show":
+                key = args[0]
+                n = int(args[1]) if len(args) > 1 else limit
+                for row in cat.read(key).limit(n).toJSON().collect():
+                    _emit(row)
+            elif cmd == r"\load":
+                from marketstore_spark.sources.csv import import_csv_to_bucket
+
+                key, path = args[0], args[1]
+                n = import_csv_to_bucket(cat.spark, path, cat, key)
+                _emit(f"loaded {n} rows into {key}")
+            elif cmd == r"\trim":
+                key, start, end = args[0], args[1], args[2]
+                n = cat.delete_range(key, start, end)
+                _emit(f"trimmed {n} rows from {key}")
+            elif cmd == r"\gaps":
+                from marketstore_spark.operators.uda import gap_threshold
+
+                key, secs = args[0], float(args[1])
+                g = gap_threshold(cat.read(key), secs, key_cols=())
+                for row in g.limit(limit).toJSON().collect():
+                    _emit(row)
+            elif cmd == r"\create":
+                key, like = args[0], args[1]
+                cat.create(key, cat.read(like))
+                _emit(f"created {key}")
+            elif cmd == r"\destroy":
+                cat.destroy(args[0])
+                _emit(f"destroyed {args[0]}")
+            elif cmd == r"\o":
+                if redirect is not None:
+                    redirect.close()
+                    redirect = None
+                if args:
+                    redirect = open(args[0], "w")  # noqa: SIM115 — lives across lines
+                    print(f"output -> {args[0]}", file=out)
+                else:
+                    print("output -> stdout", file=out)
+            elif cmd == r"\timing":
+                timing = not timing
+                print(f"timing {'on' if timing else 'off'}", file=out)
             else:
                 for row in msql.sql(stmt).limit(limit).toJSON().collect():
-                    print(row, file=out)
+                    _emit(row)
+            if timing and not cmd.startswith("\\"):
+                print(
+                    f"time: {(_time.perf_counter() - t0) * 1000:.1f} ms",
+                    file=out,
+                )
         except Exception as ex:  # noqa: BLE001 — a REPL survives bad input
             print(f"ERROR: {type(ex).__name__}: {ex}", file=out)
 

@@ -116,7 +116,7 @@ def test_cli_connect_repl_scripted_session(spark, store):
     )
     assert rc == 0
     lines = buf.getvalue().strip().splitlines()
-    assert any(r"\l  list buckets" in l for l in lines)  # \h
+    assert any(r"\load KEY CSV" in l for l in lines)  # \h
     assert "TSLA/1Min/TICK" in lines and "AAPL/1Min/TICK" in lines  # \l
     info = next(json.loads(l) for l in lines if l.startswith("{") and "rows" in l)
     assert info["rows"] == "300"
@@ -208,3 +208,50 @@ def test_cli_serve_attaches_stream_hub(spark, store, tmp_path):
     c = HttpClient(f"http://127.0.0.1:{port}")
     out = c.stream_poll("AAPL/1Min/*", cursor=0, timeout=0)
     assert out["cursor"] == 0 and out["payloads"] == []
+
+
+def test_cli_connect_session_commands(spark, store, tmp_path):
+    """The reference's full session command set (cmd/connect/session/
+    client.go): \\show, \\load (CSV import), \\trim, \\gaps, \\create,
+    \\destroy, \\getinfo, \\o redirect, \\timing toggle."""
+    root, cat = store
+    csv = tmp_path / "ticks.csv"
+    base = cat.read("TSLA/1Min/TICK").limit(7).toPandas()
+    base.to_csv(csv, index=False)
+    outfile = tmp_path / "out.txt"
+    script = "\n".join(
+        [
+            r"\show TSLA/1Min/TICK 3",
+            rf"\load NEW/1Min/TICK {csv}",
+            r"\getinfo NEW/1Min/TICK",
+            r"\create CLONE/1Min/TICK NEW/1Min/TICK",
+            r"\destroy CLONE/1Min/TICK",
+            r"\gaps TSLA/1Min/TICK 0.5",
+            r"\timing",
+            "SELECT COUNT(*) AS n FROM `NEW/1Min/TICK`",
+            r"\timing",
+            rf"\o {outfile}",
+            r"\l",
+            r"\o",
+            r"\trim NEW/1Min/TICK 1970-01-01 2100-01-01",
+            r"\q",
+        ]
+    ) + "\n"
+    buf = io.StringIO()
+    rc = main(
+        ["--root", root, "connect"], spark=spark, out=buf, stdin=io.StringIO(script)
+    )
+    assert rc == 0
+    text = buf.getvalue()
+    lines = text.strip().splitlines()
+    assert sum(1 for l in lines if l.startswith("{") and '"ts"' in l) >= 3  # \show
+    assert any("loaded 7 rows into NEW/1Min/TICK" in l for l in lines)
+    assert any("created CLONE/1Min/TICK" in l for l in lines)
+    assert any("destroyed CLONE/1Min/TICK" in l for l in lines)
+    assert any('"n":7' in l for l in lines)
+    assert any(l.startswith("time:") for l in lines)  # \timing wrapped the SQL
+    assert text.count("time:") == 1  # toggled back off
+    assert any("trimmed 7 rows" in l for l in lines)
+    # \o redirected the bucket list to the file, not stdout
+    redirected = outfile.read_text()
+    assert "NEW/1Min/TICK" in redirected and "TSLA/1Min/TICK" in redirected
