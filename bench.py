@@ -144,6 +144,14 @@ HEADLINE = [
     # single-row funnel reduce + per-stratum exact percentiles
     "corpus_filter_funnel",
     "corpus_length_percentiles",
+    # round-8 third pass: candle-projection estimators (one exchange
+    # then pure projection / one window), and the two per-source
+    # vocabulary surfaces (wordcount + token-keyed intersection join)
+    "range_vol",
+    "corwin_schultz",
+    "kaufman_er",
+    "source_token_jaccard",
+    "source_token_stats",
 ]
 
 _ORACLE_TABLES = (

@@ -1686,3 +1686,222 @@ def effective_spread(
             / F.col("n_trades").cast("double")
         ).alias("avg_eff_spread_c"),
     )
+
+
+# ---------------------------------------------------------------------
+# Range-based volatility estimators and the high-low spread estimator
+# ---------------------------------------------------------------------
+
+# Literal double constants shared with the oracles: both engines parse
+# the same decimal string into the same IEEE double, so no engine's
+# ln(2)/sqrt(2) rounding enters the contract.
+_4LN2 = 2.772588722239781  # 4·ln 2   (Parkinson denominator)
+_2LN2M1 = 0.3862943611198906  # 2·ln 2 − 1  (Garman–Klass cross term)
+_CS_DEN = 0.1715728752538097  # 3 − 2·√2  (Corwin–Schultz α denominator)
+
+
+def _bucket_candles(
+    df: DataFrame,
+    timeframe: str,
+    symbol_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Full OHLC candle per (symbol, bucket): exact integer-cent
+    min/max picks plus deterministic first/last by (ts, tiebreak) —
+    the shared front half of range_vol / corwin_schultz.  Same
+    map-side-combinable aggregate shape as ``_bucket_closes`` (the
+    min_by/max_by partials combine per map partition, so the exchange
+    carries bars, not ticks)."""
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    okey = F.struct("__ts", "__tb")
+    return ticks.groupBy("symbol", "bucket").agg(
+        F.min_by("px_c", okey).alias("o"),
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+        F.max_by("px_c", okey).alias("c"),
+    )
+
+
+def range_vol(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-bar range-based variance estimators — Parkinson (1980),
+    Garman–Klass (1980), Rogers–Satchell (1991); all public, all built
+    from the OHLC candle the reference's candler serves:
+
+        park = ln(H/L)² / (4·ln2)
+        gk   = 0.5·ln(H/L)² − (2·ln2 − 1)·ln(C/O)²
+        rs   = ln(H/O)·(ln(H/O) − ln(C/O)) + ln(L/O)·(ln(L/O) − ln(C/O))
+
+    Emitted PER BAR, not averaged: a cross-row mean of doubles is
+    summation-order-dependent (the float-sum trap the numeric policy
+    bans), and the trailing-window average is the consumer's choice
+    anyway — exactly how ``atr`` emits per-bucket values.  Candle
+    O/H/L/C are exact integer-cent picks; each estimator is ONE
+    per-row double expression over them (division → ln → fused
+    polynomial, identical shape in the oracle) rounded to 6dp.  Bars
+    containing a non-positive price emit NULL estimators (log of a
+    non-positive ratio), keeping the candle row.
+
+    Shape: one candle shuffle (map-side partials), then a pure
+    projection — no window, no join; linear in symbols × buckets.
+    """
+    candles = _bucket_candles(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    od, hd, ld, cd = (F.col(x).cast("double") for x in ("o", "h", "l", "c"))
+    pos = (F.col("l") > 0) & (F.col("o") > 0) & (F.col("c") > 0)
+    hl = F.log(hd / ld)
+    co = F.log(cd / od)
+    ho = F.log(hd / od)
+    lo = F.log(ld / od)
+    park = hl * hl / F.lit(_4LN2)
+    gk = F.lit(0.5) * hl * hl - F.lit(_2LN2M1) * (co * co)
+    rs = ho * (ho - co) + lo * (lo - co)
+    return candles.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "o",
+        "h",
+        "l",
+        "c",
+        F.round(F.when(pos, park), 6).alias("park_var"),
+        F.round(F.when(pos, gk), 6).alias("gk_var"),
+        F.round(F.when(pos, rs), 6).alias("rs_var"),
+    )
+
+
+def corwin_schultz(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Corwin–Schultz (2012, public) high-low spread estimator per
+    (symbol, bar): bid-ask spread inferred from two ADJACENT bars'
+    high-low ranges — highs hit at the ask and lows at the bid, so the
+    one-bar range carries both variance and spread while the two-bar
+    range carries the same spread but twice the variance:
+
+        β = ln(H_t/L_t)² + ln(H_{t−1}/L_{t−1})²
+        γ = ln(max(H_t,H_{t−1}) / min(L_t,L_{t−1}))²
+        α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2))
+        S = 2·(e^α − 1)/(1 + e^α)
+
+    "Adjacent" means consecutive SERVED bars (a row-lag over the
+    symbol's bucket order — the atr/kaufman convention), matching the
+    paper's trading-day adjacency.  ``cs_spread`` is the raw estimate
+    (can be negative when γ dominates); ``cs_spread_pos`` floors it at
+    zero — the paper's recommended treatment for negative two-day
+    estimates.  Bars with a non-positive low (either day) emit NULLs.
+
+    Exactness: H/L are exact integer-cent candle picks; β/γ/α/S is one
+    per-row double chain (ln/sqrt/exp on identical inputs, constants
+    as shared decimal literals) mirrored token-for-token by the
+    oracle, rounded to 6dp.  Shape: one candle shuffle, ONE per-symbol
+    sort for the two lags, projection out — no joins.
+    """
+    candles = _bucket_candles(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    ).select("symbol", "bucket", "h", "l")
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    staged = candles.select(
+        "symbol",
+        "bucket",
+        "h",
+        "l",
+        F.lag("h").over(w).alias("ph"),
+        F.lag("l").over(w).alias("pl"),
+    ).filter(F.col("ph").isNotNull())
+    ok = (F.col("l") > 0) & (F.col("pl") > 0)
+    hd, ld = F.col("h").cast("double"), F.col("l").cast("double")
+    phd, pld = F.col("ph").cast("double"), F.col("pl").cast("double")
+    r1 = F.log(hd / ld)
+    r0 = F.log(phd / pld)
+    beta = r1 * r1 + r0 * r0
+    g2 = F.greatest(F.col("h"), F.col("ph")).cast("double")
+    l2 = F.least(F.col("l"), F.col("pl")).cast("double")
+    rg = F.log(g2 / l2)
+    gamma = rg * rg
+    alpha = (F.sqrt(F.lit(2.0) * beta) - F.sqrt(beta)) / F.lit(_CS_DEN) - F.sqrt(
+        gamma / F.lit(_CS_DEN)
+    )
+    ea = F.exp(alpha)
+    spread = F.lit(2.0) * (ea - F.lit(1.0)) / (F.lit(1.0) + ea)
+    s6 = F.round(F.when(ok, spread), 6)
+    return staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "h",
+        "l",
+        s6.alias("cs_spread"),
+        # greatest() skips NULLs in Spark (NULL → 0.0); undefined bars
+        # must stay NULL, so gate explicitly
+        F.when(s6.isNotNull(), F.greatest(s6, F.lit(0.0))).alias("cs_spread_pos"),
+    )
+
+
+def kaufman_er(
+    df: DataFrame,
+    n: int = 10,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Kaufman efficiency ratio (public: Kaufman, *Smarter Trading*,
+    1995) per (symbol, bar): net directional change over total path
+    length across the trailing ``n`` bars —
+
+        ER_t = |C_t − C_{t−n}| / Σ_{i=t−n+1..t} |C_i − C_{i−1}|
+
+    ER ≈ 1 is a clean trend, ER ≈ 0 is churn; the adaptive-moving-
+    average family keys its smoothing on exactly this.  Lags and the
+    trailing frame are ROW-based over the symbol's served buckets (the
+    atr warm-up convention): NULL for the first ``n`` bars.
+
+    Exactness: closes are exact integer cents, the numerator and the
+    window sum are LONGs, and ER is ONE double division (NULL on a
+    zero path — an n-bar flatline).  Shape: one bucket-close shuffle
+    (map-side max_by partials), ONE per-symbol sort shared by both
+    lags, the rolling sum, and the row counter.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    frame = w.rowsBetween(-(int(n) - 1), Window.currentRow)
+    # the |move| column must materialize before the frame sum (a window
+    # aggregate cannot nest another window function); both Window nodes
+    # share ONE spec, so the plan pays one sort, one exchange
+    moved = closes.select(
+        "symbol",
+        "bucket",
+        "close_c",
+        F.abs(F.col("close_c") - F.lag("close_c", 1).over(w)).alias("__mv"),
+        F.abs(F.col("close_c") - F.lag("close_c", int(n)).over(w)).alias("__chg"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    staged = moved.withColumn("__path", F.sum("__mv").over(frame))
+    er = F.when(
+        (F.col("__rn") > int(n)) & (F.col("__path") > 0),
+        F.col("__chg").cast("double") / F.col("__path").cast("double"),
+    )
+    return staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "close_c",
+        er.alias("er"),
+    )

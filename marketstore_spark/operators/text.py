@@ -648,3 +648,116 @@ def filter_funnel(
         cnt(g3).alias("n_digit"),
         cnt(g4).alias("n_word_len"),
     )
+
+
+def source_token_jaccard(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """EXACT Jaccard similarity of the distinct-token vocabularies of
+    every pair of corpus sources — the cross-source overlap matrix a
+    training-mix designer reads next to ``corpus_stats`` (high overlap
+    → the sources are near-redundant; the dedup families answer the
+    same question per-document, this answers it per-SOURCE).
+
+    ``J(a,b) = |Va ∩ Vb| / (|Va| + |Vb| − |Va ∩ Vb|)`` over lowercase
+    whitespace vocabularies; only overlapping pairs are emitted (a
+    zero-intersection pair contributes no row — the inner-join
+    convention of the dedup pair reports).  All three counts are exact
+    LONGs; J is ONE double division.
+
+    Shape (100 TB): explode → distinct(source, token) is a combiner-
+    friendly hash distinct (vocabulary-scale, not corpus-scale, after
+    the map side); the intersection self-join shuffles the vocabulary
+    table on token, and each token fans out to at most
+    C(#sources, 2) pairs — bounded by the DIMS-scale source count
+    squared, never by corpus size.  Per-source sizes are a tiny
+    aggregate broadcast onto the pair counts.
+    """
+    t = F.col(text_col)
+    vocab = (
+        df.filter(_nonempty(t))
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    joined = inter.join(sa, "src_a").join(sb, "src_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return joined.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.col("n_common").cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def source_token_stats(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source vocabulary profile: token count, vocabulary size,
+    hapax count, the dominant token, and the Simpson concentration
+    index ``Σc² / N²`` (a.k.a. Herfindahl over the unigram
+    distribution) with its inverse, the EFFECTIVE vocabulary size
+    ``N²/Σc²`` — the diversity screen read before weighting a source
+    in a training mix.  Simpson is chosen over Shannon entropy
+    DELIBERATELY: ``Σ c·ln c`` is a cross-row float sum whose value
+    depends on accumulation order (the numeric-policy trap), while
+    ``Σc²`` is exact integer arithmetic on both engines.
+
+    Exactness: token/vocab/hapax counts are LONGs; ``Σc²`` accumulates
+    in DECIMAL(38,0) (a 100 TB source's Σc² clears 2⁶³ — the
+    kyle_lambda policy); the two indices are single double expressions
+    over exact values, rounded 6dp.  The top token breaks count ties
+    on the lexicographically LARGEST token (max_by on the (count,
+    token) struct — deterministic on both engines).
+
+    Shape (100 TB): wordcount — explode → (source, token) hash count
+    with map-side partials, then a #sources-row aggregate.  Nothing
+    quadratic, no windows, no joins.
+    """
+    t = F.col(text_col)
+    counts = (
+        df.filter(_nonempty(t))
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cdec = F.col("c").cast("decimal(38,0)")
+    per = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count(F.when(F.col("c") == 1, F.lit(1))).alias("n_hapax"),
+        F.sum(cdec * cdec).alias("__c2"),
+        F.max_by("tok", F.struct("c", "tok")).alias("top_tok"),
+        F.max("c").alias("top_count"),
+    )
+    ntd = F.col("n_tokens").cast("double")
+    c2d = F.col("__c2").cast("double")
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n_hapax",
+        "top_tok",
+        "top_count",
+        F.round(c2d / (ntd * ntd), 6).alias("simpson"),
+        F.round(ntd * ntd / c2d, 6).alias("effective_vocab"),
+    )

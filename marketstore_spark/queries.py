@@ -5635,6 +5635,249 @@ def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-8 second wave: range-based volatility estimators, the high-low
+# spread estimator, the Kaufman efficiency ratio, and the per-source
+# vocabulary surfaces (overlap matrix + concentration profile)
+# =====================================================================
+
+
+@_register(
+    "range_vol",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cd AS (
+  SELECT symbol, bucket,
+         first(px_c ORDER BY ts, event_id) AS o,
+         max(px_c) AS h, min(px_c) AS l,
+         last(px_c ORDER BY ts, event_id) AS c
+  FROM t GROUP BY symbol, bucket
+),
+r AS (
+  SELECT symbol, bucket, o, h, l, c,
+         CASE WHEN l > 0 AND o > 0 AND c > 0
+              THEN ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) END AS hl,
+         CASE WHEN l > 0 AND o > 0 AND c > 0
+              THEN ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE)) END AS co,
+         CASE WHEN l > 0 AND o > 0 AND c > 0
+              THEN ln(CAST(h AS DOUBLE) / CAST(o AS DOUBLE)) END AS ho,
+         CASE WHEN l > 0 AND o > 0 AND c > 0
+              THEN ln(CAST(l AS DOUBLE) / CAST(o AS DOUBLE)) END AS lo
+  FROM cd
+)
+SELECT symbol, bucket AS epoch, o, h, l, c,
+       CAST(ROUND(CAST(CAST(
+         hl * hl / 2.772588722239781
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS park_var,
+       CAST(ROUND(CAST(CAST(
+         0.5 * hl * hl - 0.3862943611198906 * (co * co)
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS gk_var,
+       CAST(ROUND(CAST(CAST(
+         ho * (ho - co) + lo * (lo - co)
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS rs_var
+FROM r
+""",
+)
+def range_vol_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson / Garman–Klass / Rogers–Satchell per-bar variance
+    estimators from exact OHLC candle picks (operators/quant.
+    range_vol): one candle shuffle, pure projection out — the
+    constants are shared decimal literals so neither engine's ln(2)
+    enters the contract."""
+    from marketstore_spark.operators.quant import range_vol
+
+    return range_vol(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "corwin_schultz",
+    """
+WITH t AS (
+  SELECT user_id AS symbol,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cd AS (
+  SELECT symbol, bucket, max(px_c) AS h, min(px_c) AS l
+  FROM t GROUP BY symbol, bucket
+),
+s AS (
+  SELECT symbol, bucket, h, l,
+         LAG(h) OVER ws AS ph, LAG(l) OVER ws AS pl
+  FROM cd WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+r AS (
+  SELECT symbol, bucket, h, l,
+         CASE WHEN l > 0 AND pl > 0
+              THEN ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) END AS r1,
+         CASE WHEN l > 0 AND pl > 0
+              THEN ln(CAST(ph AS DOUBLE) / CAST(pl AS DOUBLE)) END AS r0,
+         CASE WHEN l > 0 AND pl > 0
+              THEN ln(CAST(GREATEST(h, ph) AS DOUBLE)
+                      / CAST(LEAST(l, pl) AS DOUBLE)) END AS rg
+  FROM s WHERE ph IS NOT NULL
+),
+a AS (
+  SELECT symbol, bucket, h, l,
+         (sqrt(2.0 * (r1 * r1 + r0 * r0)) - sqrt(r1 * r1 + r0 * r0))
+           / 0.1715728752538097
+           - sqrt((rg * rg) / 0.1715728752538097) AS alpha
+  FROM r
+),
+o AS (
+  SELECT symbol, bucket, h, l,
+         CAST(ROUND(CAST(CAST(
+           2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha))
+         AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS cs_spread
+  FROM a
+)
+SELECT symbol, bucket AS epoch, h, l, cs_spread,
+       CASE WHEN cs_spread IS NOT NULL
+            THEN GREATEST(cs_spread, 0.0) END AS cs_spread_pos
+FROM o
+""",
+)
+def corwin_schultz_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin–Schultz high-low spread estimate per adjacent served-bar
+    pair (operators/quant.corwin_schultz): candle shuffle + one
+    per-symbol sort for both lags, the β/γ/α/S chain mirrored
+    token-for-token."""
+    from marketstore_spark.operators.quant import corwin_schultz
+
+    return corwin_schultz(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "kaufman_er",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol, bucket, close_c,
+         abs(close_c - LAG(close_c, 1) OVER ws) AS mv,
+         abs(close_c - LAG(close_c, 10) OVER ws) AS chg,
+         row_number() OVER ws AS rn
+  FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+s AS (
+  SELECT symbol, bucket, close_c, chg, rn,
+         SUM(mv) OVER (PARTITION BY symbol ORDER BY bucket
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS path
+  FROM m
+)
+SELECT symbol, bucket AS epoch, close_c,
+       CASE WHEN rn > 10 AND path > 0
+            THEN CAST(chg AS DOUBLE) / CAST(path AS DOUBLE) END AS er
+FROM s
+""",
+)
+def kaufman_er_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio at n=10 bars (operators/quant.
+    kaufman_er): integer numerator and path sum over one shared
+    per-symbol sort, ONE double division — no rounding needed."""
+    from marketstore_spark.operators.quant import kaufman_er
+
+    return kaufman_er(load_table(spark, sf_dir, "events"), n=10)
+
+
+@_register(
+    "source_token_jaccard",
+    """
+WITH tk AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+v AS (SELECT DISTINCT source, tok FROM tk),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+pair AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+       CAST(p.n_common AS DOUBLE)
+         / CAST(sa.n + sb.n - p.n_common AS DOUBLE) AS jaccard
+FROM pair p
+JOIN sz sa ON p.src_a = sa.source
+JOIN sz sb ON p.src_b = sb.source
+""",
+)
+def source_token_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-source vocabulary Jaccard matrix (operators/text.
+    source_token_jaccard): hash-distinct vocabulary, token-keyed
+    intersection join bounded by sources², broadcast size lookup."""
+    from marketstore_spark.operators.text import source_token_jaccard
+
+    return source_token_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_token_stats",
+    """
+WITH tk AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY source, tok
+),
+g AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS c2
+  FROM c GROUP BY source
+),
+top AS (
+  SELECT source, tok AS top_tok, c AS top_count FROM (
+    SELECT source, tok, c,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+)
+SELECT g.source, g.n_tokens, g.vocab, g.n_hapax,
+       t.top_tok, CAST(t.top_count AS BIGINT) AS top_count,
+       CAST(ROUND(CAST(CAST(
+         CAST(g.c2 AS DOUBLE)
+           / (CAST(g.n_tokens AS DOUBLE) * CAST(g.n_tokens AS DOUBLE))
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS simpson,
+       CAST(ROUND(CAST(CAST(
+         CAST(g.n_tokens AS DOUBLE) * CAST(g.n_tokens AS DOUBLE)
+           / CAST(g.c2 AS DOUBLE)
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS effective_vocab
+FROM g JOIN top t ON g.source = t.source
+""",
+)
+def source_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration profile (operators/text.
+    source_token_stats): wordcount shape, Σc² in DECIMAL(38,0)/
+    HUGEINT, Simpson index + effective vocabulary as mirrored double
+    expressions."""
+    from marketstore_spark.operators.text import source_token_stats
+
+    return source_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# =====================================================================
 # Registration order
 # =====================================================================
 # The external correctness driver walks ``queries()`` in registration
@@ -5682,6 +5925,14 @@ _FRONT = [
     "effective_spread",
     "corpus_filter_funnel",
     "corpus_length_percentiles",
+    # Block B2 — round-8 second wave (range-based volatility, high-low
+    # spread, efficiency ratio, per-source vocabulary surfaces), same
+    # ship-with-evidence rule (sf0.001/0.01/0.1 parity-green locally).
+    "range_vol",
+    "corwin_schultz",
+    "kaufman_er",
+    "source_token_jaccard",
+    "source_token_stats",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -241,3 +241,25 @@ def test_round8_text_family_empty_input(empty_docs, spark):
     # the funnel is a global aggregate: one all-zero row, never empty
     r = filter_funnel(empty_docs).collect()
     assert len(r) == 1 and r[0]["n_total"] == 0 and r[0]["n_word_len"] == 0
+
+
+def test_round8_second_wave_empty_input(spark):
+    from marketstore_spark.operators.quant import (
+        corwin_schultz,
+        kaufman_er,
+        range_vol,
+    )
+    from marketstore_spark.operators.text import (
+        source_token_jaccard,
+        source_token_stats,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    for op in (range_vol, corwin_schultz, kaufman_er):
+        out = op(empty)
+        assert out.count() == 0 and "symbol" in out.columns
+    sourced = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert source_token_jaccard(sourced).count() == 0
+    assert source_token_stats(sourced).count() == 0

@@ -1728,3 +1728,183 @@ def test_length_percentiles_hand_computed(spark):
     # trailing space: "w " * n splits to n tokens after trim
     assert (r["lang"], r["source"], r["n_docs"]) == ("en", "s1", 5)
     assert (r["p10_tokens"], r["p50_tokens"], r["p90_tokens"]) == (1.4, 3.0, 4.6)
+
+
+# ---------------------------------------------------------------------
+# round 8 second wave: range volatility, Corwin-Schultz, Kaufman ER,
+# per-source vocabulary surfaces
+# ---------------------------------------------------------------------
+
+
+def test_range_vol_hand_computed(spark):
+    import math
+
+    from marketstore_spark.operators.quant import range_vol
+
+    rows = [
+        (1, _ts(2024, 1, 1, 12, 0), 1, 100.0),
+        (1, _ts(2024, 1, 1, 12, 1), 2, 110.0),
+        (1, _ts(2024, 1, 1, 12, 2), 3, 95.0),
+        (1, _ts(2024, 1, 1, 12, 3), 4, 105.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = range_vol(df).collect()[0]
+    assert (r["o"], r["h"], r["l"], r["c"]) == (10000, 11000, 9500, 10500)
+    hl = math.log(11000.0 / 9500.0)
+    co = math.log(10500.0 / 10000.0)
+    ho = math.log(11000.0 / 10000.0)
+    lo = math.log(9500.0 / 10000.0)
+    assert math.isclose(r["park_var"], hl * hl / 2.772588722239781, abs_tol=1e-6)
+    assert math.isclose(
+        r["gk_var"], 0.5 * hl * hl - 0.3862943611198906 * co * co, abs_tol=1e-6
+    )
+    assert math.isclose(
+        r["rs_var"], ho * (ho - co) + lo * (lo - co), abs_tol=1e-6
+    )
+
+
+def test_range_vol_nonpositive_price_nulls_estimators(spark):
+    from marketstore_spark.operators.quant import range_vol
+
+    rows = [
+        (1, _ts(2024, 1, 1, 12, 0), 1, 100.0),
+        (1, _ts(2024, 1, 1, 12, 1), 2, 0.0),  # zero low
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = range_vol(df).collect()[0]
+    assert r["l"] == 0
+    assert r["park_var"] is None and r["gk_var"] is None and r["rs_var"] is None
+
+
+def test_corwin_schultz_hand_computed(spark):
+    import math
+
+    from marketstore_spark.operators.quant import corwin_schultz
+
+    # day 1: H=102, L=98; day 2: H=103, L=99 (two ticks per day set H/L)
+    rows = [
+        (1, _ts(2024, 1, 1, 10), 1, 102.0),
+        (1, _ts(2024, 1, 1, 11), 2, 98.0),
+        (1, _ts(2024, 1, 2, 10), 3, 103.0),
+        (1, _ts(2024, 1, 2, 11), 4, 99.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = corwin_schultz(df).collect()
+    assert len(out) == 1  # first bar has no predecessor
+    r = out[0]
+    r1 = math.log(10300.0 / 9900.0)
+    r0 = math.log(10200.0 / 9800.0)
+    beta = r1 * r1 + r0 * r0
+    rg = math.log(10300.0 / 9800.0)
+    den = 0.1715728752538097
+    alpha = (math.sqrt(2.0 * beta) - math.sqrt(beta)) / den - math.sqrt(
+        rg * rg / den
+    )
+    spread = 2.0 * (math.exp(alpha) - 1.0) / (1.0 + math.exp(alpha))
+    assert math.isclose(r["cs_spread"], spread, abs_tol=1e-6)
+    # overlapping day ranges -> positive estimate, _pos passes through
+    assert r["cs_spread"] > 0
+    assert r["cs_spread_pos"] == r["cs_spread"]
+
+
+def test_corwin_schultz_trend_floors_negative(spark):
+    from marketstore_spark.operators.quant import corwin_schultz
+
+    # disjoint day ranges (a strong trend): the two-day range gamma
+    # dominates beta -> negative raw estimate, floored in _pos
+    rows = [
+        (1, _ts(2024, 1, 1, 10), 1, 102.0),
+        (1, _ts(2024, 1, 1, 11), 2, 98.0),
+        (1, _ts(2024, 1, 2, 10), 3, 112.0),
+        (1, _ts(2024, 1, 2, 11), 4, 108.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = corwin_schultz(df).collect()[0]
+    assert r["cs_spread"] < 0
+    assert r["cs_spread_pos"] == 0.0
+
+
+def test_corwin_schultz_flat_bars_zero_spread(spark):
+    from marketstore_spark.operators.quant import corwin_schultz
+
+    rows = [
+        (1, _ts(2024, 1, 1, 10), 1, 100.0),
+        (1, _ts(2024, 1, 2, 10), 2, 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = corwin_schultz(df).collect()[0]
+    # H=L both days: beta = gamma = alpha = 0 -> S = 0
+    assert r["cs_spread"] == 0.0 and r["cs_spread_pos"] == 0.0
+
+
+def test_kaufman_er_trend_vs_churn(spark):
+    from marketstore_spark.operators.quant import kaufman_er
+
+    # symbol 1: monotone +1.00/day -> ER = 1 once warm
+    # symbol 2: alternating +/-1.00 -> net change 0 over n=2 -> ER = 0
+    rows = [
+        (1, _ts(2024, 1, 1 + d, 12), d + 1, 100.0 + d) for d in range(4)
+    ] + [
+        (2, _ts(2024, 1, 1 + d, 12), d + 1, 100.0 + (d % 2)) for d in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {(r["symbol"], r["epoch"].day): r["er"] for r in kaufman_er(df, n=2).collect()}
+    assert out[(1, 1)] is None and out[(1, 2)] is None  # warm-up: rn <= n
+    assert out[(1, 3)] == 1.0 and out[(1, 4)] == 1.0
+    assert out[(2, 3)] == 0.0 and out[(2, 4)] == 0.0
+
+
+def test_kaufman_er_zero_path_null(spark):
+    from marketstore_spark.operators.quant import kaufman_er
+
+    rows = [(1, _ts(2024, 1, 1 + d, 12), d + 1, 100.0) for d in range(4)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = kaufman_er(df, n=2).collect()
+    assert all(r["er"] is None for r in out)  # flatline: path sum 0
+
+
+def test_kaufman_er_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.quant import kaufman_er
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long, value double")
+    with _pytest.raises(ValueError):
+        kaufman_er(df, n=0)
+
+
+def test_source_token_jaccard_hand_computed(spark):
+    from marketstore_spark.operators.text import source_token_jaccard
+
+    rows = [
+        (1, "a b c", "A"),
+        (2, "b c d", "B"),
+        (3, "x", "C"),
+        (4, "  ", "D"),  # blank doc: no vocabulary contribution
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r["src_a"], r["src_b"]): r for r in source_token_jaccard(df).collect()}
+    assert set(out) == {("A", "B")}  # zero-overlap pairs are absent
+    r = out[("A", "B")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard"] == 2.0 / 4.0
+
+
+def test_source_token_stats_hand_computed(spark):
+    from marketstore_spark.operators.text import source_token_stats
+
+    rows = [
+        (1, "a a b c", "A"),
+        (2, "p q p Q", "B"),  # lowercased: p=2 q=2 -> tie, top = 'q'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in source_token_stats(df).collect()}
+    a = out["A"]
+    assert (a["n_tokens"], a["vocab"], a["n_hapax"]) == (4, 3, 2)
+    assert (a["top_tok"], a["top_count"]) == ("a", 2)
+    assert a["simpson"] == 0.375  # (4+1+1)/16
+    assert a["effective_vocab"] == round(16.0 / 6.0, 6)
+    b = out["B"]
+    # count ties break on the lexicographically largest token
+    assert (b["top_tok"], b["top_count"]) == ("q", 2)
+    assert b["simpson"] == 0.5 and b["effective_vocab"] == 2.0

@@ -852,3 +852,57 @@ def test_filter_funnel_single_row_reduce(spark, sf_dir):
     assert "Join" not in plan and not re.search(r"\(\d+\) Window\b", plan), plan
     assert "SinglePartition" in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_range_vol_one_candle_exchange_projection_out(spark, sf_dir):
+    """Range-vol estimators: ONE exchange (the map-side-combinable
+    candle aggregate), then a pure projection — no window, no join;
+    at 100 TB the shuffle carries bars, not ticks."""
+    plan = explain_str(SPARK_QUERIES["range_vol"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "partial_max_by" in plan, plan
+
+
+def test_corwin_schultz_two_exchanges_one_window(spark, sf_dir):
+    """Corwin-Schultz: candle shuffle (h/l hash aggregate, map-side
+    partials) + one per-symbol Window for BOTH lags — two exchanges,
+    one window sort, no joins."""
+    plan = explain_str(SPARK_QUERIES["corwin_schultz"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_kaufman_er_shared_sort_two_window_passes(spark, sf_dir):
+    """Kaufman ER: the |move| column must materialize before the frame
+    sum (window-in-window is illegal), so the plan carries TWO Window
+    nodes — but they share one spec, so ONE window sort and two
+    exchanges total (close shuffle + symbol sort), no joins."""
+    plan = explain_str(SPARK_QUERIES["kaufman_er"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "partial_max_by" in plan, plan
+
+
+def test_source_token_jaccard_no_cartesian_bounded_fanout(spark, sf_dir):
+    """The vocabulary intersection is a keyed equi-join on token
+    (fan-out bounded by sources² per token) — never a cartesian /
+    nested-loop — and the per-source sizes broadcast onto the pair
+    counts."""
+    plan = explain_str(SPARK_QUERIES["source_token_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_token_stats_wordcount_shape(spark, sf_dir):
+    """Per-source vocabulary profile: wordcount — (source, token)
+    hash count with map-side partials, then a #sources-row aggregate.
+    Two exchanges, no joins, no windows."""
+    plan = explain_str(SPARK_QUERIES["source_token_stats"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "partial" in plan.lower(), plan
