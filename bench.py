@@ -152,6 +152,7 @@ HEADLINE = [
     "kaufman_er",
     "source_token_jaccard",
     "source_token_stats",
+    "corpus_vocab_growth",
 ]
 
 _ORACLE_TABLES = (

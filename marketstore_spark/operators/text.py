@@ -761,3 +761,88 @@ def source_token_stats(
         F.round(c2d / (ntd * ntd), 6).alias("simpson"),
         F.round(ntd * ntd / c2d, 6).alias("effective_vocab"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    bin_docs: int = 100,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source Heaps-law vocabulary-growth curve: reading a
+    source's documents in doc-id order, the cumulative token count and
+    cumulative DISTINCT-token count after each bin of ``bin_docs``
+    document ids — the sub-linear vocab-vs-tokens curve (Heaps' law,
+    public) that tells a corpus builder whether more data from a
+    source still buys new vocabulary or is saturating.
+
+    Exactness: a type's first occurrence is attributed to the MINIMUM
+    doc id containing it (exact integer aggregate — no ordering of
+    floats anywhere); both curves are integer window sums.  Blank
+    documents stay on the curve with zero tokens.
+
+    The doc axis is BINNED (``id DIV bin_docs``) deliberately: the
+    cumulative sums need a per-source sort, and per-doc granularity
+    would sort corpus-scale rows inside #sources partitions (a skew
+    cliff at 100 TB).  Binning caps the window input at
+    max_id/bin_docs rows per source — ``bin_docs`` is the scale lever,
+    and a curve with more points than a plot can show is noise anyway.
+
+    Shape: one explode → (source, token) min-id aggregate (wordcount,
+    map-side combinable), one doc-level bin aggregate off a narrow
+    projection, a (source, bin)-keyed join of the two bin tables, then
+    the shared per-source window — everything after the explode is
+    bin-scale.
+    """
+    from pyspark.sql import Window
+
+    if bin_docs <= 0:
+        raise ValueError("bin_docs must be positive")
+    t = F.col(text_col)
+    tok_n = F.when(_nonempty(t), F.size(F.split(F.lower(F.trim(t)), _WS))).otherwise(
+        F.lit(0)
+    )
+    bins = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.expr(f"{id_col} DIV {int(bin_docs)}").alias("bin"),
+            tok_n.alias("__nt"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+    firsts = (
+        df.filter(_nonempty(t))
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.min("__id").alias("first_doc"))
+        .groupBy("source", F.expr(f"first_doc DIV {int(bin_docs)}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    j = bins.join(firsts, ["source", "bin"], "left").select(
+        "source",
+        "bin",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("__new"), F.lit(0)).alias("new_types"),
+    )
+    w = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "source",
+        "bin",
+        "n_docs",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )

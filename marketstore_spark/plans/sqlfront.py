@@ -42,7 +42,8 @@ _CREATE_VIEW_RE = re.compile(
 _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
-    r"|rollspread|autocorr|varratio|kylelambda|vpin|markout)"
+    r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
+    r"|rangevol|corwinschultz|kaufmaner)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -320,12 +321,18 @@ class MarketSQL:
             "kylelambda",
             "vpin",
             "markout",
+            "rangevol",
+            "corwinschultz",
+            "kaufmaner",
         ):
-            # Round-8 serial-dependence family through the registry:
+            # Round-8 serial-dependence + range-estimator family
+            # through the registry:
             #   rollspread('1D', Price)      autocorr('1D', Price)
             #   varratio('5', '1D', Price)   kylelambda('1H', Price, Volume)
             #   vpin('2000', '10', Price, Volume)
             #   markout('3', '1H', Price)
+            #   rangevol('1D', Price)        corwinschultz('1D', Price)
+            #   kaufmaner('10', '1D', Price)
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
             parts = re.findall(
@@ -355,15 +362,32 @@ class MarketSQL:
                     "Volume), or a 'volume' column in the bucket"
                 )
 
-            if name in ("rollspread", "autocorr"):
+            if name in ("rollspread", "autocorr", "rangevol", "corwinschultz"):
                 from marketstore_spark.operators.quant import (
                     autocorr_returns,
+                    corwin_schultz,
+                    range_vol,
                     roll_spread,
                 )
 
                 tf = timeframe_to_duration(quoted[0]) if quoted else "1 day"
-                op = roll_spread if name == "rollspread" else autocorr_returns
+                op = {
+                    "rollspread": roll_spread,
+                    "autocorr": autocorr_returns,
+                    "rangevol": range_vol,
+                    "corwinschultz": corwin_schultz,
+                }[name]
                 out = op(keyed, timeframe=tf, **common)
+            elif name == "kaufmaner":
+                from marketstore_spark.operators.quant import kaufman_er
+
+                n_ = int(quoted[0]) if quoted else 10
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 day"
+                )
+                out = kaufman_er(keyed, n=n_, timeframe=tf, **common)
             elif name == "varratio":
                 from marketstore_spark.operators.quant import variance_ratio
 

@@ -5877,6 +5877,53 @@ def source_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_stats(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "corpus_vocab_growth",
+    """
+WITH d AS (
+  SELECT source, doc_id // 100 AS bin,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+         END AS n_tok
+  FROM documents
+),
+db AS (
+  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source, bin
+),
+tk AS (
+  SELECT source, doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+fo AS (
+  SELECT source, tok, min(doc_id) AS first_doc FROM tk GROUP BY source, tok
+),
+nt AS (
+  SELECT source, first_doc // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS nw
+  FROM fo GROUP BY 1, 2
+),
+j AS (
+  SELECT db.source, db.bin, db.n_docs, db.n_tokens,
+         CAST(COALESCE(nt.nw, 0) AS BIGINT) AS new_types
+  FROM db LEFT JOIN nt ON db.source = nt.source AND db.bin = nt.bin
+)
+SELECT source, bin, n_docs, n_tokens, new_types,
+       CAST(SUM(n_tokens) OVER ws AS BIGINT) AS cum_tokens,
+       CAST(SUM(new_types) OVER ws AS BIGINT) AS cum_types
+FROM j WINDOW ws AS (PARTITION BY source ORDER BY bin)
+""",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source over 100-doc-id bins
+    (operators/text.vocab_growth): first-occurrence min-id aggregate +
+    integer window cumsums — the bin width is the 100 TB skew lever."""
+    from marketstore_spark.operators.text import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"), bin_docs=100)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -5933,6 +5980,7 @@ _FRONT = [
     "kaufman_er",
     "source_token_jaccard",
     "source_token_stats",
+    "corpus_vocab_growth",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

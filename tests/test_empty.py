@@ -263,3 +263,10 @@ def test_round8_second_wave_empty_input(spark):
     sourced = spark.createDataFrame([], "doc_id long, text string, source string")
     assert source_token_jaccard(sourced).count() == 0
     assert source_token_stats(sourced).count() == 0
+
+
+def test_vocab_growth_empty_input(spark):
+    from marketstore_spark.operators.text import vocab_growth
+
+    sourced = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert vocab_growth(sourced).count() == 0

@@ -1908,3 +1908,34 @@ def test_source_token_stats_hand_computed(spark):
     # count ties break on the lexicographically largest token
     assert (b["top_tok"], b["top_count"]) == ("q", 2)
     assert b["simpson"] == 0.5 and b["effective_vocab"] == 2.0
+
+
+def test_vocab_growth_hand_computed(spark):
+    from marketstore_spark.operators.text import vocab_growth
+
+    rows = [
+        (0, "a b", "A"),   # bin 0: 2 tokens, new types a,b
+        (1, "b c", "A"),   # bin 0: +2 tokens, new type c
+        (2, "  ", "A"),    # blank: stays on the curve, 0 tokens
+        (3, "a d", "A"),   # bin 1: new type d
+        (0, "z", "B"),     # other source: independent curve
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r["source"], r["bin"]): r for r in vocab_growth(df, bin_docs=3).collect()}
+    a0, a1 = out[("A", 0)], out[("A", 1)]
+    assert (a0["n_docs"], a0["n_tokens"], a0["new_types"]) == (3, 4, 3)
+    assert (a0["cum_tokens"], a0["cum_types"]) == (4, 3)
+    assert (a1["n_docs"], a1["n_tokens"], a1["new_types"]) == (1, 2, 1)
+    assert (a1["cum_tokens"], a1["cum_types"]) == (6, 4)
+    b0 = out[("B", 0)]
+    assert (b0["cum_tokens"], b0["cum_types"]) == (1, 1)
+
+
+def test_vocab_growth_rejects_bad_bin(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame([], "doc_id long, text string, source string")
+    with _pytest.raises(ValueError):
+        vocab_growth(df, bin_docs=0)

@@ -906,3 +906,14 @@ def test_source_token_stats_wordcount_shape(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_vocab_growth_bin_scale_after_explode(spark, sf_dir):
+    """Heaps curve: the only corpus-scale stage is the explode into
+    the (source, token) min-id aggregate (map-side combinable); the
+    join and the cumulative window run on BIN-scale rows.  No
+    cartesian, one Window."""
+    plan = explain_str(SPARK_QUERIES["corpus_vocab_growth"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "partial_min" in plan or "partial" in plan.lower(), plan

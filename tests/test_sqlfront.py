@@ -358,3 +358,32 @@ def test_kylelambda_vpin_markout_udas(msql):
         msql.sql("SELECT vpin('500', '3', value) FROM `EV1/1Min/TICK`")
     with _pytest.raises(ValueError, match="volume"):
         msql.sql("SELECT kylelambda('1H', value) FROM `EV1/1Min/TICK`")
+
+
+def test_rangevol_corwinschultz_kaufmaner_udas(msql):
+    from marketstore_spark.operators.quant import (
+        corwin_schultz,
+        kaufman_er,
+        range_vol,
+    )
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql("SELECT rangevol('1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = range_vol(base, symbol_col="__symbol").collect()
+    got = {r["epoch"]: (r["park_var"], r["gk_var"], r["rs_var"]) for r in out}
+    want = {r["epoch"]: (r["park_var"], r["gk_var"], r["rs_var"]) for r in exp}
+    assert got == want and got
+    out = msql.sql(
+        "SELECT corwinschultz('1D', value) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = corwin_schultz(base, symbol_col="__symbol").collect()
+    got = {r["epoch"]: (r["cs_spread"], r["cs_spread_pos"]) for r in out}
+    want = {r["epoch"]: (r["cs_spread"], r["cs_spread_pos"]) for r in exp}
+    assert got == want and got
+    out = msql.sql(
+        "SELECT kaufmaner('2', '1D', value) FROM `EV1/1Min/TICK` LIMIT 5"
+    ).collect()
+    exp = kaufman_er(base, n=2, symbol_col="__symbol").collect()
+    want = {r["epoch"]: r["er"] for r in exp}
+    assert len(out) == 5
+    assert all(want[r["epoch"]] == r["er"] for r in out)
