@@ -1756,15 +1756,6 @@ def range_vol(
     candles = _bucket_candles(
         df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
     )
-    od, hd, ld, cd = (F.col(x).cast("double") for x in ("o", "h", "l", "c"))
-    pos = (F.col("l") > 0) & (F.col("o") > 0) & (F.col("c") > 0)
-    hl = F.log(hd / ld)
-    co = F.log(cd / od)
-    ho = F.log(hd / od)
-    lo = F.log(ld / od)
-    park = hl * hl / F.lit(_4LN2)
-    gk = F.lit(0.5) * hl * hl - F.lit(_2LN2M1) * (co * co)
-    rs = ho * (ho - co) + lo * (lo - co)
     return candles.select(
         "symbol",
         F.col("bucket").alias("epoch"),
@@ -1772,10 +1763,31 @@ def range_vol(
         "h",
         "l",
         "c",
+        *range_vol_estimators(),
+    )
+
+
+def range_vol_estimators(
+    o: str = "o", h: str = "h", l: str = "l", c: str = "c"  # noqa: E741
+) -> list[Column]:
+    """The shared Parkinson/GK/RS per-row estimator chain over
+    integer-cent OHLC columns — used by the batch operator AND the
+    streaming twin (streaming/ondiskagg.stream_range_vol) so a closed
+    streaming bucket emits the bitwise-identical batch row."""
+    od, hd, ld, cd = (F.col(x).cast("double") for x in (o, h, l, c))
+    pos = (F.col(l) > 0) & (F.col(o) > 0) & (F.col(c) > 0)
+    hl = F.log(hd / ld)
+    co = F.log(cd / od)
+    ho = F.log(hd / od)
+    lo = F.log(ld / od)
+    park = hl * hl / F.lit(_4LN2)
+    gk = F.lit(0.5) * hl * hl - F.lit(_2LN2M1) * (co * co)
+    rs = ho * (ho - co) + lo * (lo - co)
+    return [
         F.round(F.when(pos, park), 6).alias("park_var"),
         F.round(F.when(pos, gk), 6).alias("gk_var"),
         F.round(F.when(pos, rs), 6).alias("rs_var"),
-    )
+    ]
 
 
 def corwin_schultz(

@@ -118,3 +118,51 @@ def stream_vwap(
         )
     )
     return agg.select(*key_cols, F.col("__w.start").alias("epoch"), "vwap", "n")
+
+
+def stream_range_vol(
+    stream: DataFrame,
+    timeframe: str,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    price_col: str = "value",
+    watermark: str = "10 minutes",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Live Parkinson / Garman–Klass / Rogers–Satchell variance
+    estimators per (key, bucket): the ondiskagg candle aggregate on
+    INTEGER CENTS (the batch ``_cent_ticks`` cast) followed by the
+    batch operator's shared per-row estimator chain
+    (operators/quant.range_vol_estimators) — so a closed bucket's row
+    is bitwise the batch ``range_vol`` row over the same ticks
+    (pinned in tests).
+
+    State is one partial OHLC row per (key, open window), watermark-
+    evicted — the stream_candles bound; the estimator itself is a
+    stateless projection on top, so it adds NO state.
+    """
+    from marketstore_spark.operators.quant import range_vol_estimators
+
+    stream = with_instant_ts(stream, ts_col)
+    cents = (F.col(price_col).cast("decimal(8,2)") * 100).cast("long")
+    staged = stream.withColumn("__px_c", cents)
+    ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    agg = (
+        staged.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, _stream_bucket(ts_col, timeframe).alias("__w"))
+        .agg(
+            F.min_by("__px_c", ok).alias("o"),
+            F.max("__px_c").alias("h"),
+            F.min("__px_c").alias("l"),
+            F.max_by("__px_c", ok).alias("c"),
+        )
+    )
+    return agg.select(
+        *key_cols,
+        F.col("__w.start").alias("epoch"),
+        "o",
+        "h",
+        "l",
+        "c",
+        *range_vol_estimators(),
+    )

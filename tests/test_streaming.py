@@ -856,3 +856,41 @@ def test_stream_vpin_matches_batch_closed_buckets(spark, tmpdir):
         b = batch[bid]
         for c in ("buy_vol", "sell_vol", "total_vol", "n_ticks", "imbalance", "vpin"):
             assert r[c] == b[c], (bid, c, r[c], b[c])
+
+
+def test_stream_range_vol_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming 1D range-vol estimators == batch range_vol on the
+    same ticks, bitwise (shared estimator chain + identical cent-cast
+    candle picks)."""
+    from marketstore_spark.operators.quant import range_vol
+    from marketstore_spark.streaming.ondiskagg import stream_range_vol
+
+    ev, stream = _events_source(spark, sf_dir, tmpdir)
+    live = stream_range_vol(stream, "1 day", watermark="365 days")
+    q = (
+        live.writeStream.format("memory")
+        .queryName("range_vol_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("select * from range_vol_live")
+        .toPandas()
+        .sort_values(["user_id", "epoch"])
+        .reset_index(drop=True)
+    )
+    want = (
+        range_vol(ev)
+        .toPandas()
+        .sort_values(["symbol", "epoch"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("o", "h", "l", "c"):
+        assert (got[col].values == want[col].values).all(), col
+    for col in ("park_var", "gk_var", "rs_var"):
+        a, b = got[col], want[col]
+        assert ((a == b) | (a.isna() & b.isna())).all(), col
