@@ -153,6 +153,7 @@ HEADLINE = [
     "source_token_jaccard",
     "source_token_stats",
     "corpus_vocab_growth",
+    "embedding_kmeans_update",
 ]
 
 _ORACLE_TABLES = (

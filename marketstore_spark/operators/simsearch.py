@@ -555,6 +555,28 @@ def kmeans_assign(
     max_by — map-side combinable, no window sort.  Norms fold once per
     side before the join (the _scored_topk policy).
     """
+    scored = _kmeans_scored(df, k, centroids, id_col, vec_col)
+    return (
+        scored.groupBy("vec_id")
+        .agg(_kmeans_pick().alias("__p"))
+        .select(
+            "vec_id",
+            F.col("__p.cluster").alias("cluster"),
+            F.round("__p.cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def _kmeans_scored(
+    df: DataFrame,
+    k: int,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, qv, cluster, cos_raw) for every vector × centroid —
+    the shared E-step front half of kmeans_assign / kmeans_update.
+    The vector rides along unprojected; assign prunes it for free."""
     if centroids is None:
         centroids = df.orderBy(id_col).limit(k)
     c = centroids.select(
@@ -564,29 +586,99 @@ def kmeans_assign(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn", l2_norm(F.col("qv")))
     den = F.col("qn") * F.col("cn")
-    scored = v.crossJoin(F.broadcast(c)).select(
+    return v.crossJoin(F.broadcast(c)).select(
         "vec_id",
+        "qv",
         "cluster",
         (
             dot(F.col("qv"), F.col("cv"))
             / F.when(den == 0, F.lit(None)).otherwise(den)
         ).alias("cos_raw"),
     )
-    # argmax cosine, ties -> smallest cluster id (maximize (cos, -id));
-    # the comparison key is the 12-dp-rounded cosine (see docstring).
-    pick = F.max_by(
+
+
+def _kmeans_pick():
+    """argmax cosine, ties -> smallest cluster id (maximize
+    (cos, -id)); the comparison key is the 12-dp-rounded cosine
+    (see kmeans_assign docstring)."""
+    return F.max_by(
         F.struct(F.col("cluster"), F.col("cos_raw")),
         F.struct(
             F.round(F.col("cos_raw"), 12).alias("cos12"),
             (-F.col("cluster")).alias("nid"),
         ),
     )
-    return (
+
+
+def kmeans_update(
+    df: DataFrame,
+    k: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means M-STEP with engine-exact arithmetic: assign every
+    vector (the kmeans_assign E-step, same broadcast + 12-dp argmax),
+    then recompute each cluster's centroid as the component-wise mean
+    of its members — emitted FLAT as (cluster, dim, n_members,
+    centroid_comp) so the contract is a plain comparable table
+    (``kmeans_centroids`` reassembles arrays for the next iteration).
+
+    A float mean over corpus-scale rows is summation-order-dependent
+    (the numeric-policy trap), so components are FIXED-POINT
+    quantized first: ``floor(x·10⁶ + 0.5)`` — floor is correctly
+    rounded on identical double inputs on every engine, unlike
+    round-half-up on doubles — summed as exact DECIMAL(38,0) integers
+    (a 100 TB cluster's component sum clears 2⁶³), and the mean is
+    the one double chain ``(Σq/n)/10⁶``.  Quantization error is 5e-7
+    per component — far below any clustering-relevant signal.
+
+    Shape: the broadcast E-step (corpus never shuffles for the join),
+    the map-side-combinable argmax aggregate, a posexplode to
+    (cluster, dim) and ONE combiner-friendly hash aggregate whose
+    exchange carries k·d rows per map partition — nothing
+    corpus-scale crosses the wire after the argmax.
+    """
+    scored = _kmeans_scored(df, k, centroids, id_col, vec_col)
+    assigned = (
         scored.groupBy("vec_id")
-        .agg(pick.alias("__p"))
+        .agg(_kmeans_pick().alias("__p"), F.first("qv").alias("qv"))
+        .select(F.col("__p.cluster").alias("cluster"), "qv")
+    )
+    comp = assigned.select(
+        "cluster", F.posexplode("qv").alias("dim", "x")
+    )
+    q = F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    per = comp.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(q).alias("__sq"),
+    )
+    mean = (
+        F.col("__sq").cast("double") / F.col("n_members").cast("double")
+    ) / F.lit(1000000.0)
+    return per.select(
+        "cluster",
+        F.col("dim").cast("long").alias("dim"),
+        "n_members",
+        mean.alias("centroid_comp"),
+    )
+
+
+def kmeans_centroids(update: DataFrame) -> DataFrame:
+    """Reassemble kmeans_update's flat rows into (vec_id, embedding)
+    centroid frames consumable by kmeans_assign's ``centroids`` arg —
+    the glue that makes full Lloyd iterations a two-call loop."""
+    return (
+        update.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid_comp"))
+            ).alias("__s")
+        )
         .select(
-            "vec_id",
-            F.col("__p.cluster").alias("cluster"),
-            F.round("__p.cos_raw", 6).alias("cosine"),
+            F.col("cluster").alias("vec_id"),
+            F.transform(F.col("__s"), lambda s: s["centroid_comp"]).alias(
+                "embedding"
+            ),
         )
     )

@@ -5924,6 +5924,44 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(load_table(spark, sf_dir, "documents"), bin_docs=100)
 
 
+@_register(
+    "embedding_kmeans_update",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.cluster, list_cosine_similarity(e.v, c.cv) AS cos_raw
+  FROM e CROSS JOIN c
+),
+pick AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ROUND(cos_raw, 12) DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cluster, i AS dim,
+         CAST(floor(v[i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM (SELECT cluster, v, unnest(range(len(v))) AS i FROM pick)
+)
+SELECT cluster, CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+         AS centroid_comp
+FROM comp GROUP BY cluster, dim
+""",
+)
+def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd M-step at k=8 (operators/simsearch.kmeans_update): the
+    broadcast E-step assignment, then component-wise centroid means
+    over fixed-point-quantized members (floor(x·10⁶+0.5) — exact
+    integer sums, one mirrored double chain)."""
+    from marketstore_spark.operators.simsearch import kmeans_update
+
+    return kmeans_update(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -5981,6 +6019,7 @@ _FRONT = [
     "source_token_jaccard",
     "source_token_stats",
     "corpus_vocab_growth",
+    "embedding_kmeans_update",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -270,3 +270,10 @@ def test_vocab_growth_empty_input(spark):
 
     sourced = spark.createDataFrame([], "doc_id long, text string, source string")
     assert vocab_growth(sourced).count() == 0
+
+
+def test_kmeans_update_empty_input(spark):
+    from marketstore_spark.operators.simsearch import kmeans_update
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_update(empty).count() == 0

@@ -1939,3 +1939,33 @@ def test_vocab_growth_rejects_bad_bin(spark):
     df = spark.createDataFrame([], "doc_id long, text string, source string")
     with _pytest.raises(ValueError):
         vocab_growth(df, bin_docs=0)
+
+
+def test_kmeans_update_hand_computed_and_iterates(spark):
+    from marketstore_spark.operators.simsearch import (
+        kmeans_assign,
+        kmeans_centroids,
+        kmeans_update,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    up = kmeans_update(df, k=2)
+    got = {(r["cluster"], r["dim"]): r for r in up.collect()}
+    assert len(got) == 4  # 2 clusters x 2 dims
+    assert got[(0, 0)]["n_members"] == 2
+    assert got[(0, 0)]["centroid_comp"] == (1900000.0 / 2.0) / 1000000.0  # 0.95
+    assert got[(0, 1)]["centroid_comp"] == (100000.0 / 2.0) / 1000000.0  # 0.05
+    assert got[(1, 0)]["centroid_comp"] == 0.05
+    assert got[(1, 1)]["centroid_comp"] == 0.95
+
+    # full Lloyd iteration: reassembled centroids feed the E-step and
+    # the (already converged) assignment is stable
+    cents = kmeans_centroids(up)
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, centroids=cents).collect()}
+    assert a == {0: 0, 1: 1, 2: 0, 3: 1}

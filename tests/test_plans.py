@@ -917,3 +917,15 @@ def test_vocab_growth_bin_scale_after_explode(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+def test_kmeans_update_broadcast_combinable_mstep(spark, sf_dir):
+    """The M-step inherits the E-step's broadcast (corpus never
+    shuffles for the join, no window sort) and the (cluster, dim)
+    mean aggregate combines map-side — its exchange carries k·d rows
+    per partition, nothing corpus-scale."""
+    plan = explain_str(SPARK_QUERIES["embedding_kmeans_update"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
