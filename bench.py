@@ -154,6 +154,7 @@ HEADLINE = [
     "source_token_stats",
     "corpus_vocab_growth",
     "embedding_kmeans_update",
+    "realized_moments",
 ]
 
 _ORACLE_TABLES = (

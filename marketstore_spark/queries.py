@@ -5962,6 +5962,51 @@ def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_update(load_table(spark, sf_dir, "embeddings"), k=8)
 
 
+@_register(
+    "realized_moments",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+m AS (
+  SELECT symbol, bucket,
+         px_c - LAG(px_c) OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts, event_id) AS m
+  FROM t
+),
+g AS (
+  SELECT symbol, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_moves,
+         SUM(CAST(m AS HUGEINT) * m) AS s2,
+         SUM(CAST(m AS HUGEINT) * m * m) AS s3,
+         SUM(CAST(m AS HUGEINT) * m * m * m) AS s4
+  FROM m WHERE m IS NOT NULL GROUP BY symbol, bucket
+)
+SELECT symbol, bucket AS epoch, n_moves,
+       CASE WHEN n_moves >= 2 AND s2 > 0 THEN
+         sqrt(CAST(n_moves AS DOUBLE)) * CAST(s3 AS DOUBLE)
+           / (sqrt(CAST(s2 AS DOUBLE)) * CAST(s2 AS DOUBLE))
+       END AS rskew,
+       CASE WHEN n_moves >= 2 AND s2 > 0 THEN
+         CAST(n_moves AS DOUBLE) * CAST(s4 AS DOUBLE)
+           / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       END AS rkurt
+FROM g
+""",
+)
+def realized_moments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized skewness/kurtosis per (symbol, day) from intraday
+    integer-cent moves (operators/quant.realized_moments): exact
+    DECIMAL(38,0)/HUGEINT moment sums, sqrt-only normalization —
+    (Σm²)^{3/2} as √x·x, never libm pow."""
+    from marketstore_spark.operators.quant import realized_moments
+
+    return realized_moments(load_table(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6020,6 +6065,7 @@ _FRONT = [
     "source_token_stats",
     "corpus_vocab_growth",
     "embedding_kmeans_update",
+    "realized_moments",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -277,3 +277,12 @@ def test_kmeans_update_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kmeans_update(empty).count() == 0
+
+
+def test_realized_moments_empty_input(spark):
+    from marketstore_spark.operators.quant import realized_moments
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert realized_moments(empty).count() == 0

@@ -1969,3 +1969,44 @@ def test_kmeans_update_hand_computed_and_iterates(spark):
     cents = kmeans_centroids(up)
     a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, centroids=cents).collect()}
     assert a == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_realized_moments_hand_computed(spark):
+    import math
+
+    from marketstore_spark.operators.quant import realized_moments
+
+    # one day, 4 ticks -> moves +100, -200, +100 cents
+    rows = [
+        (1, _ts(2024, 1, 1, 10, 0), 1, 100.0),
+        (1, _ts(2024, 1, 1, 11, 0), 2, 101.0),
+        (1, _ts(2024, 1, 1, 12, 0), 3, 99.0),
+        (1, _ts(2024, 1, 1, 13, 0), 4, 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = realized_moments(df).collect()[0]
+    assert r["n_moves"] == 3
+    s2 = 100**2 + 200**2 + 100**2          # 60_000
+    s3 = 100**3 - 200**3 + 100**3          # -6_000_000
+    s4 = 100**4 + 200**4 + 100**4          # 1_800_000_000
+    assert r["rskew"] == math.sqrt(3.0) * float(s3) / (
+        math.sqrt(float(s2)) * float(s2)
+    )
+    assert r["rkurt"] == 3.0 * float(s4) / (float(s2) * float(s2))
+
+
+def test_realized_moments_degenerate_null(spark):
+    from marketstore_spark.operators.quant import realized_moments
+
+    # single move (n=1) and a flat bucket (s2=0): both NULL
+    rows = [
+        (1, _ts(2024, 1, 1, 10), 1, 100.0),
+        (1, _ts(2024, 1, 1, 11), 2, 101.0),
+        (2, _ts(2024, 1, 1, 10), 3, 50.0),
+        (2, _ts(2024, 1, 1, 11), 4, 50.0),
+        (2, _ts(2024, 1, 1, 12), 5, 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["symbol"]: r for r in realized_moments(df).collect()}
+    assert out[1]["rskew"] is None and out[1]["rkurt"] is None  # n_moves=1
+    assert out[2]["rskew"] is None and out[2]["rkurt"] is None  # zero variance

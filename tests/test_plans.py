@@ -929,3 +929,13 @@ def test_kmeans_update_broadcast_combinable_mstep(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_realized_moments_one_exchange(spark, sf_dir):
+    """The in-bucket move lag and the moment aggregate share ONE
+    (symbol, bucket) exchange — the window's partitioning satisfies
+    the groupBy; no joins."""
+    plan = explain_str(SPARK_QUERIES["realized_moments"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
