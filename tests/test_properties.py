@@ -723,3 +723,112 @@ def test_serial_dependence_family_matches_exact_models(spark, closes):
     )
     assert (vr["n1"], vr["nq"]) == (n1, nq)
     assert vr["vr"] == want_vr
+
+
+def _spark_round6(x):
+    """Spark's round(double, 6): HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf) — the exact Python emulation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None:
+        return None
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    closes=st.lists(st.integers(min_value=1, max_value=2000), min_size=3, max_size=25),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_kaufman_er_matches_exact_model(spark, closes, n):
+    """ER vs an unbounded-int model of the row-based lag/frame
+    semantics — bitwise, including warm-up NULLs and zero-path
+    flatlines."""
+    from marketstore_spark.operators.quant import kaufman_er
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(days=i), 1, float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    c = [v * 100 for v in closes]
+    got = {r["epoch"]: r["er"] for r in kaufman_er(df, n=n).collect()}
+    assert len(got) == len(c)
+    for i, (_, er) in enumerate(sorted(got.items())):
+        if i < n:
+            assert er is None
+            continue
+        chg = abs(c[i] - c[i - n])
+        path = sum(abs(c[j] - c[j - 1]) for j in range(max(1, i - n + 1), i + 1))
+        want = float(chg) / float(path) if path > 0 else None
+        assert er == want, (i, er, want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    prices=st.lists(st.integers(min_value=1, max_value=5000), min_size=2, max_size=30)
+)
+def test_realized_moments_matches_exact_model(spark, prices):
+    """rskew/rkurt vs unbounded-int moment sums evaluating the SAME
+    sqrt-only float chain — bitwise; constant runs force the
+    zero-variance NULL guard."""
+    import math
+
+    from marketstore_spark.operators.quant import realized_moments
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(minutes=i), 1, float(p))
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    m = [(prices[i] - prices[i - 1]) * 100 for i in range(1, len(prices))]
+    r = realized_moments(df).collect()[0]
+    nm = len(m)
+    s2 = sum(v * v for v in m)
+    s3 = sum(v * v * v for v in m)
+    s4 = sum(v * v * v * v for v in m)
+    assert r["n_moves"] == nm
+    if nm < 2 or s2 == 0:
+        assert r["rskew"] is None and r["rkurt"] is None
+    else:
+        assert r["rskew"] == math.sqrt(float(nm)) * float(s3) / (
+            math.sqrt(float(s2)) * float(s2)
+        )
+        assert r["rkurt"] == float(nm) * float(s4) / (float(s2) * float(s2))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "cc", "dd", "e"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_source_token_stats_matches_counter_model(spark, docs):
+    """Per-source vocabulary profile vs a Python Counter model —
+    exact counts and the 6dp-rounded Simpson / effective-vocab
+    doubles (Spark-rounding emulation)."""
+    from collections import Counter
+
+    from marketstore_spark.operators.text import source_token_stats
+
+    rows = [(i, " ".join(words), "S") for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    r = source_token_stats(df).collect()[0]
+    cnt = Counter(w for words in docs for w in words)
+    n = sum(cnt.values())
+    c2 = sum(c * c for c in cnt.values())
+    assert r["n_tokens"] == n
+    assert r["vocab"] == len(cnt)
+    assert r["n_hapax"] == sum(1 for c in cnt.values() if c == 1)
+    top = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+    assert (r["top_tok"], r["top_count"]) == top
+    assert r["simpson"] == _spark_round6(float(c2) / (float(n) * float(n)))
+    assert r["effective_vocab"] == _spark_round6(float(n) * float(n) / float(c2))
