@@ -155,6 +155,7 @@ HEADLINE = [
     "corpus_vocab_growth",
     "embedding_kmeans_update",
     "realized_moments",
+    "corpus_benchmark_coverage",
 ]
 
 _ORACLE_TABLES = (

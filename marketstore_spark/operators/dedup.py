@@ -934,3 +934,50 @@ def dup_size_histogram(
             (F.col("n_docs_total") - F.col("n_clusters")).alias("n_removable"),
         )
     )
+
+
+def benchmark_coverage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination from the BENCHMARK's side: for every eval
+    document, the fraction of its distinct word ``n``-grams that
+    appear ANYWHERE in the corpus — the "is my eval compromised"
+    summary read next to :func:`benchmark_overlap`'s per-corpus-doc
+    flags (the published convention reports both: corpus docs to drop
+    AND eval items considered burned, e.g. GPT-3 appendix C's "dirty"
+    eval splits).
+
+    Shape (100 TB): the benchmark shingle table (tiny) BROADCASTS into
+    the corpus shingle stream — the corpus side is built with
+    ``distinct=False`` so it never shuffles at all (multiplicity is
+    collapsed AFTER the join, where only MATCHED rows — contamination-
+    scale — reach the dedupe and count shuffles).  Zero-coverage eval
+    docs re-enter through the totals left-join, so the report is
+    always benchmark-complete.
+    """
+    b = word_shingles(benchmark, n, text_col, id_col, distinct=True).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    totals = b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    c = word_shingles(corpus, n, text_col, id_col, distinct=False).select("shingle")
+    matched = (
+        c.join(F.broadcast(b), "shingle")
+        .select("bench_id", "shingle")
+        .distinct()
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    # matched ⊆ totals keys and both are bench-scale; broadcast the
+    # smaller side so the outer stitch never sort-merges
+    joined = totals.join(F.broadcast(matched), "bench_id", "left")
+    nm = F.coalesce(F.col("n_matched"), F.lit(0))
+    return joined.select(
+        "bench_id",
+        "n_shingles",
+        nm.alias("n_matched"),
+        (nm.cast("double") / F.col("n_shingles").cast("double")).alias("coverage"),
+    )

@@ -6007,6 +6007,56 @@ def realized_moments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return realized_moments(load_table(spark, sf_dir, "events"))
 
 
+@_register(
+    "corpus_benchmark_coverage",
+    """
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(words[i+1:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, source, words, unnest(range(len(words) - 3)) AS i
+        FROM w WHERE len(words) >= 4)
+),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE source = 'src0'),
+tot AS (
+  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM bench GROUP BY 1
+),
+m AS (
+  SELECT DISTINCT b.bench_id, b.shingle
+  FROM bench b
+  JOIN (SELECT shingle FROM sh WHERE source <> 'src0') c
+    ON b.shingle = c.shingle
+),
+mc AS (
+  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_matched FROM m GROUP BY 1
+)
+SELECT t.bench_id, t.n_shingles,
+       CAST(COALESCE(mc.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(mc.n_matched, 0) AS DOUBLE)
+         / CAST(t.n_shingles AS DOUBLE) AS coverage
+FROM tot t LEFT JOIN mc ON t.bench_id = mc.bench_id
+""",
+)
+def corpus_benchmark_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report at 4-gram granularity (source
+    'src0' stands in for the eval suite): fraction of each benchmark
+    doc's distinct shingles present in the rest of the corpus
+    (operators/dedup.benchmark_coverage) — corpus shingles never
+    shuffle; only matches do."""
+    from marketstore_spark.operators.dedup import benchmark_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_coverage(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    )
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6066,6 +6116,7 @@ _FRONT = [
     "corpus_vocab_growth",
     "embedding_kmeans_update",
     "realized_moments",
+    "corpus_benchmark_coverage",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

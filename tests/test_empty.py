@@ -286,3 +286,14 @@ def test_realized_moments_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert realized_moments(empty).count() == 0
+
+
+def test_benchmark_coverage_empty_sides(spark, empty_docs):
+    from marketstore_spark.operators.dedup import benchmark_coverage
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    # empty corpus: every bench doc reports zero coverage
+    out = benchmark_coverage(empty_docs, docs, n=3).collect()
+    assert len(out) == 1 and out[0]["n_matched"] == 0 and out[0]["coverage"] == 0.0
+    # empty benchmark: empty report
+    assert benchmark_coverage(docs, empty_docs, n=3).count() == 0

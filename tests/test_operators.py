@@ -2010,3 +2010,22 @@ def test_realized_moments_degenerate_null(spark):
     out = {r["symbol"]: r for r in realized_moments(df).collect()}
     assert out[1]["rskew"] is None and out[1]["rkurt"] is None  # n_moves=1
     assert out[2]["rskew"] is None and out[2]["rkurt"] is None  # zero variance
+
+
+def test_benchmark_coverage_hand_computed(spark):
+    from marketstore_spark.operators.dedup import benchmark_coverage
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(10, "a b c q r s"), (11, "p q a b c")], ["doc_id", "text"]
+    )
+    out = {r["bench_id"]: r for r in benchmark_coverage(corpus, bench, n=3).collect()}
+    # bench doc 1: shingles {a b c, b c d}; corpus contains 'a b c'
+    # (twice, in both docs - still ONE matched shingle)
+    assert (out[1]["n_shingles"], out[1]["n_matched"]) == (2, 1)
+    assert out[1]["coverage"] == 0.5
+    # bench doc 2: no overlap -> present with zero coverage
+    assert (out[2]["n_shingles"], out[2]["n_matched"]) == (2, 0)
+    assert out[2]["coverage"] == 0.0

@@ -939,3 +939,14 @@ def test_realized_moments_one_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_benchmark_coverage_corpus_never_shuffles(spark, sf_dir):
+    """Eval-side coverage: the benchmark shingle table broadcasts into
+    the corpus shingle stream (corpus side distinct=False — no corpus
+    shuffle); only matched rows reach the dedupe/count exchanges.  No
+    sort-merge join anywhere."""
+    plan = explain_str(SPARK_QUERIES["corpus_benchmark_coverage"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
