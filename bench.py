@@ -156,6 +156,7 @@ HEADLINE = [
     "embedding_kmeans_update",
     "realized_moments",
     "corpus_benchmark_coverage",
+    "trimmed_mean",
 ]
 
 _ORACLE_TABLES = (

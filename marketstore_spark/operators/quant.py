@@ -1976,3 +1976,59 @@ def realized_moments(
         rskew.alias("rskew"),
         rkurt.alias("rkurt"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    trim_pct: int = 5,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Trimmed mean price per (symbol, bucket): drop the lowest and
+    highest ``trim_pct`` percent of ticks BY RANK, average the rest —
+    the classic robust location estimate, here the fat-finger/bad-prin
+    resistant bucket price a surveillance desk reads next to VWAP.
+
+    The trim count is exact integer arithmetic — ``k = n·pct DIV 100``
+    — never ``floor(n·0.05)`` (a float product), so both engines drop
+    identical rows; rank ties break on (price, ts, tiebreak), fully
+    deterministic.  The kept sum is an exact LONG and the mean is ONE
+    double division.  ``0 ≤ trim_pct < 50`` guarantees at least one
+    kept tick per non-empty bucket (k ≤ n·49/100 < n/2) — no NULL arm.
+
+    Shape: ONE (symbol, bucket) exchange shared by the rank window
+    (count rides the same partition) and the kept aggregate —
+    bar-scale output.
+    """
+    if not 0 <= int(trim_pct) < 50:
+        raise ValueError("trim_pct must be in [0, 50)")
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    w = Window.partitionBy("symbol", "bucket")
+    ranked = ticks.select(
+        "symbol",
+        "bucket",
+        "px_c",
+        F.row_number()
+        .over(w.orderBy("px_c", "__ts", "__tb"))
+        .alias("__rk"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    k = F.expr(f"__n * {int(trim_pct)} DIV 100")
+    kept = ranked.filter((F.col("__rk") > k) & (F.col("__rk") <= F.col("__n") - k))
+    agg = kept.groupBy("symbol", "bucket").agg(
+        F.max("__n").alias("n_ticks"),
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("px_c").alias("__s"),
+    )
+    return agg.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "n_ticks",
+        "n_used",
+        (F.col("__s").cast("double") / F.col("n_used").cast("double")).alias(
+            "trimmed_mean_c"
+        ),
+    )

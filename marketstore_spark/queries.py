@@ -6057,6 +6057,42 @@ def corpus_benchmark_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "trimmed_mean",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+r AS (
+  SELECT symbol, bucket, px_c,
+         row_number() OVER (PARTITION BY symbol, bucket
+                            ORDER BY px_c, ts, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY symbol, bucket) AS n
+  FROM t
+),
+kept AS (
+  SELECT symbol, bucket, px_c, n
+  FROM r WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100
+)
+SELECT symbol, bucket AS epoch,
+       CAST(MAX(n) AS BIGINT) AS n_ticks,
+       CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(px_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean_c
+FROM kept GROUP BY symbol, bucket
+""",
+)
+def trimmed_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed daily mean price per symbol (operators/quant.
+    trimmed_mean): integer trim count n·5 DIV 100, deterministic rank
+    ties, exact kept sum, one double division."""
+    from marketstore_spark.operators.quant import trimmed_mean
+
+    return trimmed_mean(load_table(spark, sf_dir, "events"), trim_pct=5)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6117,6 +6153,7 @@ _FRONT = [
     "embedding_kmeans_update",
     "realized_moments",
     "corpus_benchmark_coverage",
+    "trimmed_mean",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -297,3 +297,12 @@ def test_benchmark_coverage_empty_sides(spark, empty_docs):
     assert len(out) == 1 and out[0]["n_matched"] == 0 and out[0]["coverage"] == 0.0
     # empty benchmark: empty report
     assert benchmark_coverage(docs, empty_docs, n=3).count() == 0
+
+
+def test_trimmed_mean_empty_input(spark):
+    from marketstore_spark.operators.quant import trimmed_mean
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert trimmed_mean(empty).count() == 0

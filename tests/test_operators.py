@@ -2029,3 +2029,40 @@ def test_benchmark_coverage_hand_computed(spark):
     # bench doc 2: no overlap -> present with zero coverage
     assert (out[2]["n_shingles"], out[2]["n_matched"]) == (2, 0)
     assert out[2]["coverage"] == 0.0
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from marketstore_spark.operators.quant import trimmed_mean
+
+    # 20 ticks, one outlier low and one outlier high; trim 5% -> k=1,
+    # exactly the two outliers drop
+    prices = [1.0] + [100.0 + i for i in range(18)] + [10000.0]
+    rows = [
+        (1, _ts(2024, 1, 1, 9, i), i + 1, p) for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = trimmed_mean(df, trim_pct=5).collect()[0]
+    assert (r["n_ticks"], r["n_used"]) == (20, 18)
+    want = sum(int(p * 100) for p in prices[1:-1]) / 18.0
+    assert r["trimmed_mean_c"] == want
+
+
+def test_trimmed_mean_small_bucket_keeps_all(spark):
+    from marketstore_spark.operators.quant import trimmed_mean
+
+    # n=3: k = 15 DIV 100 = 0 -> nothing trimmed
+    rows = [(1, _ts(2024, 1, 1, 9, i), i + 1, p) for i, p in enumerate([1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = trimmed_mean(df, trim_pct=5).collect()[0]
+    assert (r["n_ticks"], r["n_used"]) == (3, 3)
+    assert r["trimmed_mean_c"] == 200.0
+
+
+def test_trimmed_mean_rejects_bad_pct(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.quant import trimmed_mean
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long, value double")
+    with _pytest.raises(ValueError):
+        trimmed_mean(df, trim_pct=50)

@@ -950,3 +950,11 @@ def test_benchmark_coverage_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_trimmed_mean_one_exchange(spark, sf_dir):
+    """Rank window, partition count, and the kept aggregate share ONE
+    (symbol, bucket) exchange; no joins."""
+    plan = explain_str(SPARK_QUERIES["trimmed_mean"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
