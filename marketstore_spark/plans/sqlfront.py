@@ -43,7 +43,7 @@ _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
-    r"|rangevol|corwinschultz|kaufmaner)"
+    r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -324,6 +324,8 @@ class MarketSQL:
             "rangevol",
             "corwinschultz",
             "kaufmaner",
+            "trimmedmean",
+            "realizedmoments",
         ):
             # Round-8 serial-dependence + range-estimator family
             # through the registry:
@@ -332,7 +334,8 @@ class MarketSQL:
             #   vpin('2000', '10', Price, Volume)
             #   markout('3', '1H', Price)
             #   rangevol('1D', Price)        corwinschultz('1D', Price)
-            #   kaufmaner('10', '1D', Price)
+            #   kaufmaner('10', '1D', Price) trimmedmean('5', '1D', Price)
+            #   realizedmoments('1D', Price)
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
             parts = re.findall(
@@ -362,11 +365,18 @@ class MarketSQL:
                     "Volume), or a 'volume' column in the bucket"
                 )
 
-            if name in ("rollspread", "autocorr", "rangevol", "corwinschultz"):
+            if name in (
+                "rollspread",
+                "autocorr",
+                "rangevol",
+                "corwinschultz",
+                "realizedmoments",
+            ):
                 from marketstore_spark.operators.quant import (
                     autocorr_returns,
                     corwin_schultz,
                     range_vol,
+                    realized_moments,
                     roll_spread,
                 )
 
@@ -376,6 +386,7 @@ class MarketSQL:
                     "autocorr": autocorr_returns,
                     "rangevol": range_vol,
                     "corwinschultz": corwin_schultz,
+                    "realizedmoments": realized_moments,
                 }[name]
                 out = op(keyed, timeframe=tf, **common)
             elif name == "kaufmaner":
@@ -388,6 +399,16 @@ class MarketSQL:
                     else "1 day"
                 )
                 out = kaufman_er(keyed, n=n_, timeframe=tf, **common)
+            elif name == "trimmedmean":
+                from marketstore_spark.operators.quant import trimmed_mean
+
+                pct = int(quoted[0]) if quoted else 5
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 day"
+                )
+                out = trimmed_mean(keyed, trim_pct=pct, timeframe=tf, **common)
             elif name == "varratio":
                 from marketstore_spark.operators.quant import variance_ratio
 

@@ -387,3 +387,23 @@ def test_rangevol_corwinschultz_kaufmaner_udas(msql):
     want = {r["epoch"]: r["er"] for r in exp}
     assert len(out) == 5
     assert all(want[r["epoch"]] == r["er"] for r in out)
+
+
+def test_trimmedmean_realizedmoments_udas(msql):
+    from marketstore_spark.operators.quant import realized_moments, trimmed_mean
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql(
+        "SELECT trimmedmean('5', '1D', value) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = trimmed_mean(base, trim_pct=5, symbol_col="__symbol").collect()
+    got = {r["epoch"]: (r["n_used"], r["trimmed_mean_c"]) for r in out}
+    want = {r["epoch"]: (r["n_used"], r["trimmed_mean_c"]) for r in exp}
+    assert got == want and got
+    out = msql.sql(
+        "SELECT realizedmoments('1D', value) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = realized_moments(base, symbol_col="__symbol").collect()
+    got = {r["epoch"]: (r["rskew"], r["rkurt"]) for r in out}
+    want = {r["epoch"]: (r["rskew"], r["rkurt"]) for r in exp}
+    assert got == want and got
