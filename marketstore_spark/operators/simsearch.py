@@ -633,18 +633,54 @@ def kmeans_update(
     the one double chain ``(Σq/n)/10⁶``.  Quantization error is 5e-7
     per component — far below any clustering-relevant signal.
 
-    Shape: the broadcast E-step (corpus never shuffles for the join),
-    the map-side-combinable argmax aggregate, a posexplode to
-    (cluster, dim) and ONE combiner-friendly hash aggregate whose
-    exchange carries k·d rows per map partition — nothing
-    corpus-scale crosses the wire after the argmax.
+    Shape — the corpus NEVER shuffles: kmeans_assign's crossJoin +
+    vec_id argmax aggregate would push one row PER VECTOR (carrying
+    its embedding) through an exchange — a full-table shuffle at
+    100 TB — so the M-step folds the argmax PER ROW instead, over the
+    centroid table collected into a single broadcast array row
+    (dims-scale, sorted by cluster id; strict-``>`` fold = smallest
+    cluster wins ties, exactly the max_by(cos12, −id) pick, asserted
+    equal to kmeans_assign in tests).  After the stateless pick, a
+    posexplode to (cluster, dim) feeds ONE combiner-friendly hash
+    aggregate whose exchange carries k·d rows per map partition.
     """
-    scored = _kmeans_scored(df, k, centroids, id_col, vec_col)
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(_kmeans_pick().alias("__p"), F.first("qv").alias("qv"))
-        .select(F.col("__p.cluster").alias("cluster"), "qv")
+    if centroids is None:
+        centroids = df.orderBy(id_col).limit(k)
+    c = centroids.select(
+        F.col(id_col).alias("cluster"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    carr = c.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cv", "cn"))).alias(
+            "__cents"
+        )
     )
+    v = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    joined = v.crossJoin(F.broadcast(carr))
+
+    def _step(acc, cent):
+        den = F.col("qn") * cent["cn"]
+        cos = dot(F.col("qv"), cent["cv"]) / F.when(
+            den == F.lit(0.0), F.lit(None)
+        ).otherwise(den)
+        c12 = F.round(cos, 12)
+        better = c12.isNotNull() & (acc["c12"].isNull() | (c12 > acc["c12"]))
+        return F.struct(
+            F.when(better, c12).otherwise(acc["c12"]).alias("c12"),
+            F.when(better, cent["cluster"]).otherwise(acc["cluster"]).alias(
+                "cluster"
+            ),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("c12"),
+        F.lit(None).cast("long").alias("cluster"),
+    )
+    pick = F.aggregate(F.col("__cents"), init, _step)
+    assigned = joined.select(
+        pick["cluster"].alias("cluster"), "qv"
+    ).filter(F.col("cluster").isNotNull())
     comp = assigned.select(
         "cluster", F.posexplode("qv").alias("dim", "x")
     )

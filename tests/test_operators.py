@@ -2066,3 +2066,18 @@ def test_trimmed_mean_rejects_bad_pct(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long, value double")
     with _pytest.raises(ValueError):
         trimmed_mean(df, trim_pct=50)
+
+
+def test_kmeans_update_pick_matches_assign(spark, sf_dir):
+    """The M-step's fold argmax (strict > over the cluster-sorted
+    centroid array) must pick exactly what the E-step's max_by picks —
+    cluster memberships agree on real data."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import kmeans_assign, kmeans_update
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign(emb, k=8).groupBy("cluster").count()
+    am = {r["cluster"]: r["count"] for r in a.collect()}
+    u = kmeans_update(emb, k=8).filter("dim = 0")
+    um = {r["cluster"]: r["n_members"] for r in u.collect()}
+    assert am == um and sum(am.values()) > 0

@@ -919,15 +919,19 @@ def test_vocab_growth_bin_scale_after_explode(spark, sf_dir):
     assert "partial_min" in plan or "partial" in plan.lower(), plan
 
 
-def test_kmeans_update_broadcast_combinable_mstep(spark, sf_dir):
-    """The M-step inherits the E-step's broadcast (corpus never
-    shuffles for the join, no window sort) and the (cluster, dim)
-    mean aggregate combines map-side — its exchange carries k·d rows
-    per partition, nothing corpus-scale."""
+def test_kmeans_update_corpus_never_shuffles(spark, sf_dir):
+    """The M-step's argmax is a PER-ROW fold over the broadcast
+    one-row centroid array — no vec_id aggregate, so no corpus-scale
+    exchange (the crossJoin+max_by formulation would shuffle one row
+    per vector WITH its embedding).  The only exchanges are the seed
+    limit, the centroid collect, and the k·d (cluster, dim) partial
+    aggregate — all dims-scale."""
     plan = explain_str(SPARK_QUERIES["embedding_kmeans_update"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "partial_max_by" not in plan, plan  # no per-vector argmax agg
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
