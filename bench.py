@@ -157,6 +157,7 @@ HEADLINE = [
     "realized_moments",
     "corpus_benchmark_coverage",
     "trimmed_mean",
+    "mfi",
 ]
 
 _ORACLE_TABLES = (

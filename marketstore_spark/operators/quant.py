@@ -2032,3 +2032,90 @@ def trimmed_mean(
             "trimmed_mean_c"
         ),
     )
+
+
+def mfi(
+    df: DataFrame,
+    n: int = 14,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Money Flow Index (volume-weighted RSI; public, standard TA) per
+    (symbol, bucket): raw money flow is typical price × volume, signed
+    by the typical-price direction; MFI over the trailing ``n`` buckets
+    is ``100·Σpos/(Σpos+Σneg)`` — algebraically the textbook
+    ``100 − 100/(1 + MFR)`` with ONE division instead of two.
+
+    Exactness: the typical price is kept as the INTEGER ``3·tp =
+    H+L+C`` (dividing by 3 first would leave integer cents — the flow
+    comparison and products are exact on the tripled value and the 3
+    cancels in the ratio); flows are LONG·LONG sums in DECIMAL(38,0)
+    (hot-symbol money flow clears 2⁶³ — the kyle_lambda policy);
+    unchanged typical price contributes to NEITHER side (the Wilder
+    convention).  NULL during warm-up or when no bucket in the window
+    moved.
+
+    Shape: one candle shuffle (map-side partials incl. the volume
+    sum), ONE per-symbol sort shared by the direction lag, both
+    rolling sums, and the row counter.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    ticks = _cent_ticks(
+        df,
+        timeframe,
+        symbol_col,
+        ts_col,
+        value_col,
+        tiebreak_col,
+        extras=(F.col(volume_col).cast("long").alias("__vol"),),
+    )
+    okey = F.struct("__ts", "__tb")
+    candles = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+        F.max_by("px_c", okey).alias("c"),
+        F.sum("__vol").alias("vol"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    tp3 = F.col("h") + F.col("l") + F.col("c")
+    staged = candles.select(
+        "symbol",
+        "bucket",
+        tp3.alias("__tp3"),
+        (tp3.cast("decimal(38,0)") * F.col("vol")).alias("__mf"),
+    )
+    prev = F.lag("__tp3").over(w)
+    pos = F.when(F.col("__tp3") > prev, F.col("__mf")).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    neg = F.when(F.col("__tp3") < prev, F.col("__mf")).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    flows = staged.select(
+        "symbol",
+        "bucket",
+        pos.alias("__pos"),
+        neg.alias("__neg"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    frame = w.rowsBetween(-(int(n) - 1), Window.currentRow)
+    sp = F.sum("__pos").over(frame)
+    sn = F.sum("__neg").over(frame)
+    out = flows.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        F.col("__rn").alias("__rn"),
+        sp.alias("__sp"),
+        sn.alias("__sn"),
+    )
+    tot = F.col("__sp") + F.col("__sn")
+    val = F.when(
+        (F.col("__rn") > int(n)) & (tot > 0),
+        F.lit(100.0) * F.col("__sp").cast("double") / tot.cast("double"),
+    )
+    return out.select("symbol", "epoch", val.alias("mfi"))

@@ -6093,6 +6093,64 @@ def trimmed_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_mean(load_table(spark, sf_dir, "events"), trim_pct=5)
 
 
+@_register(
+    "mfi",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(props->>'$.k' AS BIGINT) AS volume,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cd AS (
+  SELECT symbol, bucket,
+         max(px_c) AS h, min(px_c) AS l,
+         last(px_c ORDER BY ts, event_id) AS c,
+         CAST(SUM(volume) AS BIGINT) AS vol
+  FROM t GROUP BY symbol, bucket
+),
+s AS (
+  SELECT symbol, bucket, h + l + c AS tp3,
+         CAST(h + l + c AS HUGEINT) * vol AS mf,
+         LAG(h + l + c) OVER ws AS ptp,
+         row_number() OVER ws AS rn
+  FROM cd WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+f AS (
+  SELECT symbol, bucket, rn,
+         CASE WHEN tp3 > ptp THEN mf ELSE 0 END AS pos,
+         CASE WHEN tp3 < ptp THEN mf ELSE 0 END AS neg
+  FROM s
+),
+g AS (
+  SELECT symbol, bucket, rn,
+         SUM(pos) OVER (PARTITION BY symbol ORDER BY bucket
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sp,
+         SUM(neg) OVER (PARTITION BY symbol ORDER BY bucket
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sn
+  FROM f
+)
+SELECT symbol, bucket AS epoch,
+       CASE WHEN rn > 14 AND (sp + sn) > 0 THEN
+         100.0 * CAST(sp AS DOUBLE) / CAST(sp + sn AS DOUBLE)
+       END AS mfi
+FROM g
+""",
+)
+def mfi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index over daily candles (operators/quant.mfi):
+    integer tripled typical price, DECIMAL(38,0)/HUGEINT flow sums,
+    MFI as the single-division 100·Σpos/(Σpos+Σneg) form."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import mfi
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return mfi(ev, n=14)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6154,6 +6212,7 @@ _FRONT = [
     "realized_moments",
     "corpus_benchmark_coverage",
     "trimmed_mean",
+    "mfi",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -306,3 +306,12 @@ def test_trimmed_mean_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert trimmed_mean(empty).count() == 0
+
+
+def test_mfi_empty_input(spark):
+    from marketstore_spark.operators.quant import mfi
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double, volume long"
+    )
+    assert mfi(empty).count() == 0

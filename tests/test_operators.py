@@ -2081,3 +2081,38 @@ def test_kmeans_update_pick_matches_assign(spark, sf_dir):
     u = kmeans_update(emb, k=8).filter("dim = 0")
     um = {r["cluster"]: r["n_members"] for r in u.collect()}
     assert am == um and sum(am.values()) > 0
+
+
+def test_mfi_hand_computed(spark):
+    from marketstore_spark.operators.quant import mfi
+
+    # one tick/day: tp3 = 3*close; n=2; volumes vary
+    # closes: 100, 102, 101, 103 -> dirs: _, up, down, up
+    days = [(100.0, 10), (102.0, 20), (101.0, 30), (103.0, 40)]
+    rows = [
+        (1, _ts(2024, 1, 1 + i, 12), i + 1, px, vol)
+        for i, (px, vol) in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    out = {r["epoch"].day: r["mfi"] for r in mfi(df, n=2).collect()}
+    assert out[1] is None and out[2] is None  # warm-up (rn <= n)
+    # day 3 window = days 2,3: pos = 3*10200*20, neg = 3*10100*30
+    p, q = 3 * 10200 * 20, 3 * 10100 * 30
+    assert out[3] == 100.0 * float(p) / float(p + q)
+    # day 4 window = days 3,4: pos = 3*10300*40, neg = 3*10100*30
+    p2 = 3 * 10300 * 40
+    assert out[4] == 100.0 * float(p2) / float(p2 + q)
+
+
+def test_mfi_flat_window_null(spark):
+    from marketstore_spark.operators.quant import mfi
+
+    rows = [
+        (1, _ts(2024, 1, 1 + i, 12), i + 1, 100.0, 10) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    assert all(r["mfi"] is None for r in mfi(df, n=2).collect())

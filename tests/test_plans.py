@@ -962,3 +962,12 @@ def test_trimmed_mean_one_exchange(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["trimmed_mean"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_mfi_one_candle_shuffle_one_sort(spark, sf_dir):
+    """MFI: one candle exchange (map-side partials incl. volume), one
+    per-symbol window exchange; the direction lag, both rolling sums,
+    and the counter share the sort.  No joins."""
+    plan = explain_str(SPARK_QUERIES["mfi"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan

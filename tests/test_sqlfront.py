@@ -407,3 +407,21 @@ def test_trimmedmean_realizedmoments_udas(msql):
     got = {r["epoch"]: (r["rskew"], r["rkurt"]) for r in out}
     want = {r["epoch"]: (r["rskew"], r["rkurt"]) for r in exp}
     assert got == want and got
+
+
+def test_mfi_uda(msql):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.quant import mfi
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql(
+        "SELECT mfi('2', '1D', value, event_id) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = mfi(base, n=2, symbol_col="__symbol", volume_col="event_id").collect()
+    got = {r["epoch"]: r["mfi"] for r in out}
+    want = {r["epoch"]: r["mfi"] for r in exp}
+    assert got == want and got
+    # volume guard: refuse rather than silently price-weight
+    with _pytest.raises(ValueError):
+        msql.sql("SELECT mfi('2', '1D') FROM `EV1/1Min/TICK`").collect()
