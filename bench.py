@@ -158,6 +158,7 @@ HEADLINE = [
     "corpus_benchmark_coverage",
     "trimmed_mean",
     "mfi",
+    "corpus_sample_fixed_n",
 ]
 
 _ORACLE_TABLES = (

@@ -367,3 +367,35 @@ def length_percentiles(
             F.round(F.col("__p")[2], 6).alias("p90_tokens"),
         )
     )
+
+
+def fixed_n_sample(
+    df: DataFrame,
+    n: int = 100,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    salt: str = "fixedn",
+) -> DataFrame:
+    """Deterministic EXACTLY-``n`` sample: the ``n`` rows with the
+    smallest md5(salt|key) digests — the fixed-budget eval subset a
+    training pipeline carves out reproducibly.  ``hash_sample`` keeps
+    a RATE (its kept count is binomial); eval budgets need an exact
+    row count, and taking the n smallest hashes is the standard
+    order-statistic trick that gets one without a random stream.
+
+    The full digest is the sort key (ties impossible for distinct
+    keys), carried in the output as ``sample_key`` so a consumer can
+    re-verify membership without recomputing.
+
+    Shape (100 TB): ``orderBy(h).limit(n)`` plans as
+    TakeOrderedAndProject — each partition keeps its local top-n and
+    only n·partitions candidate rows reach the driver-side merge;
+    never a global sort (plan-tested).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    return (
+        df.withColumn("sample_key", F.md5(key))
+        .orderBy("sample_key")
+        .limit(int(n))
+    )

@@ -6151,6 +6151,27 @@ def mfi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mfi(ev, n=14)
 
 
+@_register(
+    "corpus_sample_fixed_n",
+    """
+SELECT doc_id, lang, source,
+       md5('fixedn|' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT 100
+""",
+)
+def corpus_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 deterministic sample: the 100 smallest
+    md5('fixedn'|doc_id) digests (operators/sampling.fixed_n_sample) —
+    the fixed-budget twin of the rate-based corpus_sample; plans as
+    TakeOrderedAndProject, never a global sort."""
+    from marketstore_spark.operators.sampling import fixed_n_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return fixed_n_sample(docs, n=100)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6213,6 +6234,7 @@ _FRONT = [
     "corpus_benchmark_coverage",
     "trimmed_mean",
     "mfi",
+    "corpus_sample_fixed_n",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -315,3 +315,10 @@ def test_mfi_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double, volume long"
     )
     assert mfi(empty).count() == 0
+
+
+def test_fixed_n_sample_empty_input(spark):
+    from marketstore_spark.operators.sampling import fixed_n_sample
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, source string")
+    assert fixed_n_sample(empty, n=5).count() == 0

@@ -2116,3 +2116,24 @@ def test_mfi_flat_window_null(spark):
         rows, "user_id long, ts timestamp, event_id long, value double, volume long"
     )
     assert all(r["mfi"] is None for r in mfi(df, n=2).collect())
+
+
+def test_fixed_n_sample_exact_count_and_determinism(spark):
+    import hashlib
+
+    from marketstore_spark.operators.sampling import fixed_n_sample
+
+    rows = [(i, "en", "s") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    out = fixed_n_sample(df, n=10).collect()
+    assert len(out) == 10
+    want = sorted(
+        range(50), key=lambda i: hashlib.md5(f"fixedn|{i}".encode()).hexdigest()
+    )[:10]
+    assert sorted(r["doc_id"] for r in out) == sorted(want)
+    # n > rows: whole table, no error
+    assert fixed_n_sample(df, n=100).count() == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fixed_n_sample(df, n=0)

@@ -971,3 +971,11 @@ def test_mfi_one_candle_shuffle_one_sort(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["mfi"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_fixed_n_sample_take_ordered_not_global_sort(spark, sf_dir):
+    """Exactly-n sampling must plan as TakeOrderedAndProject (local
+    top-n per partition + merge), never a global Sort."""
+    plan = explain_str(SPARK_QUERIES["corpus_sample_fixed_n"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan or "rangepartitioning" not in plan.lower(), plan
