@@ -159,6 +159,7 @@ HEADLINE = [
     "trimmed_mean",
     "mfi",
     "corpus_sample_fixed_n",
+    "cci",
 ]
 
 _ORACLE_TABLES = (

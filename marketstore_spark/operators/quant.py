@@ -2119,3 +2119,79 @@ def mfi(
         F.lit(100.0) * F.col("__sp").cast("double") / tot.cast("double"),
     )
     return out.select("symbol", "epoch", val.alias("mfi"))
+
+
+def cci(
+    df: DataFrame,
+    n: int = 14,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Commodity Channel Index (Lambert 1980, public TA standard) per
+    (symbol, bucket): ``(tp − SMA(tp)) / (0.015 · meandev(tp))`` over
+    the trailing ``n`` bars, where tp is the typical price and meandev
+    is the mean absolute deviation FROM THE WINDOW'S OWN MEAN.
+
+    The mean deviation is the textbook float trap — Σ|tp_i − sma_t|
+    sums floats whose value depends on association (and window sums of
+    floats use segment trees in some engines — different association
+    per row).  Scaling by ``3n`` clears every division out of the
+    absolute values: with the INTEGER ``3tp = H+L+C`` and the window
+    sum ``S = Σ3tp``,
+
+        CCI = n·(n·3tp_t − S) / (0.015 · Σ|n·3tp_i − S|)
+
+    — both the numerator and the deviation sum are EXACT LONGs, and
+    the only float arithmetic is the final mirrored expression.
+    Σ|n·3tp_i − S| depends on the row's own window (not a prefix sum),
+    so it folds over ``collect_list(3tp)`` of the frame — an n-element
+    integer array per bar, bounded by the parameter, never by data.
+    NULL during warm-up or a flat window (meandev 0).
+
+    Shape: one candle shuffle, ONE per-symbol sort shared by the
+    window sum, the array collect, and the row counter; the fold is a
+    per-row HOF over n ints.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    okey = F.struct("__ts", "__tb")
+    candles = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+        F.max_by("px_c", okey).alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    frame = w.rowsBetween(-(int(n) - 1), Window.currentRow)
+    tp3 = (F.col("h") + F.col("l") + F.col("c")).alias("__tp3")
+    staged = candles.select("symbol", "bucket", tp3).select(
+        "symbol",
+        "bucket",
+        "__tp3",
+        F.sum("__tp3").over(frame).alias("__s"),
+        F.collect_list("__tp3").over(frame).alias("__arr"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    nn = F.lit(int(n)).cast("long")
+    md = F.aggregate(
+        F.col("__arr"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.abs(nn * x - F.col("__s")),
+    )
+    num = nn * F.col("__tp3") - F.col("__s")
+    out = staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "__rn",
+        num.alias("__num"),
+        md.alias("__md"),
+    )
+    val = F.when(
+        (F.col("__rn") >= int(n)) & (F.col("__md") > 0),
+        (F.lit(float(n)) * F.col("__num").cast("double"))
+        / (F.lit(0.015) * F.col("__md").cast("double")),
+    )
+    return out.select("symbol", "epoch", val.alias("cci"))

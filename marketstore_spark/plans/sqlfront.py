@@ -43,7 +43,7 @@ _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
-    r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi)"
+    r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -327,6 +327,7 @@ class MarketSQL:
             "trimmedmean",
             "realizedmoments",
             "mfi",
+            "cci",
         ):
             # Round-8 serial-dependence + range-estimator family
             # through the registry:
@@ -337,6 +338,7 @@ class MarketSQL:
             #   rangevol('1D', Price)        corwinschultz('1D', Price)
             #   kaufmaner('10', '1D', Price) trimmedmean('5', '1D', Price)
             #   realizedmoments('1D', Price) mfi('14', '1D', Price, Volume)
+            #   cci('14', '1D', Price)
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
             parts = re.findall(
@@ -410,6 +412,16 @@ class MarketSQL:
                     else "1 day"
                 )
                 out = trimmed_mean(keyed, trim_pct=pct, timeframe=tf, **common)
+            elif name == "cci":
+                from marketstore_spark.operators.quant import cci as cci_op
+
+                nn = int(quoted[0]) if quoted else 14
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 day"
+                )
+                out = cci_op(keyed, n=nn, timeframe=tf, **common)
             elif name == "mfi":
                 from marketstore_spark.operators.quant import mfi as mfi_op
 

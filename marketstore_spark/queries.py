@@ -6172,6 +6172,52 @@ def corpus_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_n_sample(docs, n=100)
 
 
+@_register(
+    "cci",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cd AS (
+  SELECT symbol, bucket,
+         max(px_c) + min(px_c) + last(px_c ORDER BY ts, event_id) AS tp3
+  FROM t GROUP BY symbol, bucket
+),
+s AS (
+  SELECT symbol, bucket, tp3,
+         CAST(SUM(tp3) OVER fr AS BIGINT) AS sw,
+         list(tp3) OVER fr AS arr,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM cd WINDOW fr AS (PARTITION BY symbol ORDER BY bucket
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT symbol, bucket, rn,
+         14 * tp3 - sw AS num,
+         CAST(list_sum(list_transform(arr, x -> abs(14 * x - sw)))
+              AS BIGINT) AS md
+  FROM s
+)
+SELECT symbol, bucket AS epoch,
+       CASE WHEN rn >= 14 AND md > 0 THEN
+         14.0 * CAST(num AS DOUBLE) / (0.015 * CAST(md AS DOUBLE))
+       END AS cci
+FROM m
+""",
+)
+def cci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index at n=14 (operators/quant.cci): the
+    mean deviation stays in exact LONGs via the 3n-scaled identity
+    Σ|n·3tp_i − S| folded over the window's own integer array —
+    no float ever enters an accumulation."""
+    from marketstore_spark.operators.quant import cci
+
+    return cci(load_table(spark, sf_dir, "events"), n=14)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6235,6 +6281,7 @@ _FRONT = [
     "trimmed_mean",
     "mfi",
     "corpus_sample_fixed_n",
+    "cci",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

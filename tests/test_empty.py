@@ -322,3 +322,12 @@ def test_fixed_n_sample_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_id long, lang string, source string")
     assert fixed_n_sample(empty, n=5).count() == 0
+
+
+def test_cci_empty_input(spark):
+    from marketstore_spark.operators.quant import cci
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert cci(empty).count() == 0

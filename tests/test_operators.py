@@ -2137,3 +2137,35 @@ def test_fixed_n_sample_exact_count_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         fixed_n_sample(df, n=0)
+
+
+def test_cci_hand_computed(spark):
+    from marketstore_spark.operators.quant import cci
+
+    # one tick/day, n=3: closes 100, 104, 101, 106 -> tp3 = 3*close
+    closes = [100.0, 104.0, 101.0, 106.0]
+    rows = [
+        (1, _ts(2024, 1, 1 + i, 12), i + 1, c) for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["epoch"].day: r["cci"] for r in cci(df, n=3).collect()}
+    assert out[1] is None and out[2] is None  # warm-up
+    tp = [3 * int(c * 100) for c in closes]
+
+    def want(i):
+        wnd = tp[i - 2 : i + 1]
+        s = sum(wnd)
+        num = 3 * tp[i] - s
+        md = sum(abs(3 * x - s) for x in wnd)
+        return 3.0 * float(num) / (0.015 * float(md))
+
+    assert out[3] == want(2)
+    assert out[4] == want(3)
+
+
+def test_cci_flat_window_null(spark):
+    from marketstore_spark.operators.quant import cci
+
+    rows = [(1, _ts(2024, 1, 1 + i, 12), i + 1, 50.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    assert all(r["cci"] is None for r in cci(df, n=3).collect())

@@ -979,3 +979,12 @@ def test_fixed_n_sample_take_ordered_not_global_sort(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["corpus_sample_fixed_n"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan or "rangepartitioning" not in plan.lower(), plan
+
+
+def test_cci_one_candle_shuffle_shared_sort(spark, sf_dir):
+    """CCI: candle exchange + one per-symbol window exchange; the
+    window sum, the n-int array collect, and the counter share the
+    sort; the deviation fold is a per-row HOF.  No joins."""
+    plan = explain_str(SPARK_QUERIES["cci"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan

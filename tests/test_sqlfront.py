@@ -425,3 +425,14 @@ def test_mfi_uda(msql):
     # volume guard: refuse rather than silently price-weight
     with _pytest.raises(ValueError):
         msql.sql("SELECT mfi('2', '1D') FROM `EV1/1Min/TICK`").collect()
+
+
+def test_cci_uda(msql):
+    from marketstore_spark.operators.quant import cci
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql("SELECT cci('3', '1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = cci(base, n=3, symbol_col="__symbol").collect()
+    got = {r["epoch"]: r["cci"] for r in out}
+    want = {r["epoch"]: r["cci"] for r in exp}
+    assert got == want and got
