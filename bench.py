@@ -160,6 +160,7 @@ HEADLINE = [
     "mfi",
     "corpus_sample_fixed_n",
     "cci",
+    "aroon",
 ]
 
 _ORACLE_TABLES = (

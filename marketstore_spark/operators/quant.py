@@ -2195,3 +2195,59 @@ def cci(
         / (F.lit(0.015) * F.col("__md").cast("double")),
     )
     return out.select("symbol", "epoch", val.alias("cci"))
+
+
+def aroon(
+    df: DataFrame,
+    n: int = 25,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Aroon indicator (Chande 1995, public TA standard) per (symbol,
+    bucket): ``aroon_up = 100·(n − bars_since_n_bar_high)/n`` and the
+    ``aroon_down`` mirror on lows — the trend-age oscillator (a recent
+    extreme ⇒ near 100).
+
+    "Bars since the high" is a windowed ARGMAX: ``max(struct(h, pos))``
+    over the trailing frame picks the highest high and — on equal
+    highs — the MOST RECENT one (the struct tiebreak; the standard
+    convention, since a re-touched high restarts the clock).  Lows
+    mirror via ``min(struct(l, -pos))``… flipped sign so ties also
+    pick the most recent.  Everything is exact integers (candle picks,
+    row positions); each output is ONE double division by the literal
+    ``n``.  NULL during warm-up (fewer than ``n+1`` bars).
+
+    Shape: one candle shuffle, ONE per-symbol sort shared by the row
+    counter and both frame argmaxes — bar-scale, no joins.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    candles = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    # frame = current bar plus the n prior bars (the n-bar lookback
+    # INCLUDES the current bar at distance 0 — the standard definition)
+    frame = w.rowsBetween(-int(n), Window.currentRow)
+    staged = candles.select(
+        "symbol", "bucket", "h", "l", F.row_number().over(w).alias("__rn")
+    )
+    hi_pos = F.max(F.struct(F.col("h"), F.col("__rn"))).over(frame)["__rn"]
+    lo_pos = F.max(F.struct(-F.col("l"), F.col("__rn"))).over(frame)["__rn"]
+    since_hi = F.col("__rn") - hi_pos
+    since_lo = F.col("__rn") - lo_pos
+    nd = F.lit(float(n))
+    ready = F.col("__rn") > int(n)
+    up = F.when(ready, F.lit(100.0) * (nd - since_hi.cast("double")) / nd)
+    down = F.when(ready, F.lit(100.0) * (nd - since_lo.cast("double")) / nd)
+    return staged.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        up.alias("aroon_up"),
+        down.alias("aroon_down"),
+    )

@@ -43,7 +43,8 @@ _CANDLER_RE = re.compile(
     r"^\s*select\s+(tickcandler|candlecandler|gap|adjust|ema|macd|atr|donchian"
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
-    r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci)"
+    r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci"
+    r"|aroon)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -328,6 +329,7 @@ class MarketSQL:
             "realizedmoments",
             "mfi",
             "cci",
+            "aroon",
         ):
             # Round-8 serial-dependence + range-estimator family
             # through the registry:
@@ -338,7 +340,7 @@ class MarketSQL:
             #   rangevol('1D', Price)        corwinschultz('1D', Price)
             #   kaufmaner('10', '1D', Price) trimmedmean('5', '1D', Price)
             #   realizedmoments('1D', Price) mfi('14', '1D', Price, Volume)
-            #   cci('14', '1D', Price)
+            #   cci('14', '1D', Price)       aroon('25', '1D', Price)
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
             parts = re.findall(
@@ -412,16 +414,18 @@ class MarketSQL:
                     else "1 day"
                 )
                 out = trimmed_mean(keyed, trim_pct=pct, timeframe=tf, **common)
-            elif name == "cci":
+            elif name in ("cci", "aroon"):
+                from marketstore_spark.operators.quant import aroon as aroon_op
                 from marketstore_spark.operators.quant import cci as cci_op
 
-                nn = int(quoted[0]) if quoted else 14
+                op = cci_op if name == "cci" else aroon_op
+                nn = int(quoted[0]) if quoted else (14 if name == "cci" else 25)
                 tf = (
                     timeframe_to_duration(quoted[1])
                     if len(quoted) > 1
                     else "1 day"
                 )
-                out = cci_op(keyed, n=nn, timeframe=tf, **common)
+                out = op(keyed, n=nn, timeframe=tf, **common)
             elif name == "mfi":
                 from marketstore_spark.operators.quant import mfi as mfi_op
 

@@ -6218,6 +6218,51 @@ def cci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cci(load_table(spark, sf_dir, "events"), n=14)
 
 
+@_register(
+    "aroon",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cd AS (
+  SELECT symbol, bucket, max(px_c) AS h, min(px_c) AS l
+  FROM t GROUP BY symbol, bucket
+),
+r AS (
+  SELECT symbol, bucket, h, l,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM cd
+),
+s AS (
+  SELECT symbol, bucket, rn,
+         (max(struct_pack(h := h, rn := rn)) OVER fr).rn AS hi_pos,
+         (max(struct_pack(nl := -l, rn := rn)) OVER fr).rn AS lo_pos
+  FROM r
+  WINDOW fr AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket AS epoch,
+       CASE WHEN rn > 25 THEN
+         100.0 * (25.0 - CAST(rn - hi_pos AS DOUBLE)) / 25.0
+       END AS aroon_up,
+       CASE WHEN rn > 25 THEN
+         100.0 * (25.0 - CAST(rn - lo_pos AS DOUBLE)) / 25.0
+       END AS aroon_down
+FROM s
+""",
+)
+def aroon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon up/down at n=25 (operators/quant.aroon): windowed integer
+    ARGMAX via struct max (ties pick the most recent extreme — the
+    re-touched-high convention), one double division per output."""
+    from marketstore_spark.operators.quant import aroon
+
+    return aroon(load_table(spark, sf_dir, "events"), n=25)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6282,6 +6327,7 @@ _FRONT = [
     "mfi",
     "corpus_sample_fixed_n",
     "cci",
+    "aroon",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -331,3 +331,12 @@ def test_cci_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert cci(empty).count() == 0
+
+
+def test_aroon_empty_input(spark):
+    from marketstore_spark.operators.quant import aroon
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert aroon(empty).count() == 0

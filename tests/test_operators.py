@@ -2169,3 +2169,23 @@ def test_cci_flat_window_null(spark):
     rows = [(1, _ts(2024, 1, 1 + i, 12), i + 1, 50.0) for i in range(4)]
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
     assert all(r["cci"] is None for r in cci(df, n=3).collect())
+
+
+def test_aroon_hand_computed(spark):
+    from marketstore_spark.operators.quant import aroon
+
+    # one tick/day, n=2 (frame = current + 2 prior bars)
+    # closes double as H and L: 100, 105, 103, 105
+    closes = [100.0, 105.0, 103.0, 105.0]
+    rows = [
+        (1, _ts(2024, 1, 1 + i, 12), i + 1, c) for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["epoch"].day: r for r in aroon(df, n=2).collect()}
+    assert out[1]["aroon_up"] is None and out[2]["aroon_up"] is None
+    # day 3 (rn=3): window days 1-3; high at day 2 -> since=1 -> 50;
+    # low at day 1 -> since=2 -> 0
+    assert out[3]["aroon_up"] == 50.0 and out[3]["aroon_down"] == 0.0
+    # day 4 (rn=4): window days 2-4; highs 105,103,105 tie -> MOST
+    # RECENT (day 4) -> since=0 -> 100; low 103 at day 3 -> since=1
+    assert out[4]["aroon_up"] == 100.0 and out[4]["aroon_down"] == 50.0

@@ -988,3 +988,11 @@ def test_cci_one_candle_shuffle_shared_sort(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["cci"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_aroon_shared_sort_no_join(spark, sf_dir):
+    """Aroon: candle exchange + one per-symbol window exchange; the
+    counter and both frame argmaxes share the sort."""
+    plan = explain_str(SPARK_QUERIES["aroon"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan

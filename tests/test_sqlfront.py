@@ -436,3 +436,14 @@ def test_cci_uda(msql):
     got = {r["epoch"]: r["cci"] for r in out}
     want = {r["epoch"]: r["cci"] for r in exp}
     assert got == want and got
+
+
+def test_aroon_uda(msql):
+    from marketstore_spark.operators.quant import aroon
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql("SELECT aroon('2', '1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = aroon(base, n=2, symbol_col="__symbol").collect()
+    got = {r["epoch"]: (r["aroon_up"], r["aroon_down"]) for r in out}
+    want = {r["epoch"]: (r["aroon_up"], r["aroon_down"]) for r in exp}
+    assert got == want and got
