@@ -161,6 +161,9 @@ HEADLINE = [
     "corpus_sample_fixed_n",
     "cci",
     "aroon",
+    # the fourth recurrence-shape entry (ema/macd/heikin class):
+    # four coupled Wilder RMAs in one fold vs the recursive-CTE oracle
+    "adx",
 ]
 
 _ORACLE_TABLES = (

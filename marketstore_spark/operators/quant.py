@@ -2251,3 +2251,143 @@ def aroon(
         up.alias("aroon_up"),
         down.alias("aroon_down"),
     )
+
+
+def adx(
+    df: DataFrame,
+    n: int = 14,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ADX — Wilder's (1978, public) Average Directional Index per
+    (symbol, bucket), with ±DI and DX: directional movement
+    (+DM = high advance when it beats the low decline, −DM mirrored),
+    true range, each smoothed by the Wilder RMA ``α=1/n`` seeded at
+    the first value (the documented RMA convention — TradingView /
+    pandas-ta ``rma``; Wilder's original two-phase n-sum seed differs
+    only in warm-up), then
+
+        ±DI = 100·rma(±DM)/rma(TR)      (0 when rma(TR)=0)
+        DX  = 100·|+DI − −DI|/(+DI+−DI) (0 when both DI are 0)
+        ADX = rma(DX), seeded at the first DX
+
+    Four coupled recurrences — no window frame expresses them, so they
+    ride the sanctioned ewm.py partition-streaming fold (ONE shuffle):
+    candle aggregate → per-symbol sort shared by the three lags →
+    mapInPandas pass.  Every step is the LITERAL float64 chain
+    ``a·x + b·prev`` / ``(100·s)/t`` with a = 1/n built arithmetically
+    on both engines, so the recursive-CTE oracle replays it bitwise
+    (the ema/macd/heikin_ashi contract).  DM/TR inputs are exact
+    integer cents; the first bar (no predecessor) is excluded.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from marketstore_spark.operators.ewm import _partition_sorted
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
+    okey = F.struct("__ts", "__tb")
+    candles = ticks.groupBy("symbol", "bucket").agg(
+        F.max("px_c").alias("h"),
+        F.min("px_c").alias("l"),
+        F.max_by("px_c", okey).alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    lagged = candles.select(
+        "symbol",
+        "bucket",
+        "h",
+        "l",
+        "c",
+        F.lag("h").over(w).alias("ph"),
+        F.lag("l").over(w).alias("pl"),
+        F.lag("c").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    up = F.col("h") - F.col("ph")
+    dn = F.col("pl") - F.col("l")
+    staged = lagged.select(
+        "symbol",
+        "bucket",
+        F.when((up > dn) & (up > 0), up).otherwise(F.lit(0)).alias("dmp"),
+        F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0)).alias("dmm"),
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("pc")),
+            F.abs(F.col("l") - F.col("pc")),
+        ).alias("tr"),
+    )
+    sym_type = staged.schema["symbol"].dataType
+    bkt_type = staged.schema["bucket"].dataType
+    schema = StructType(
+        [
+            StructField("symbol", sym_type),
+            StructField("epoch", bkt_type),
+            StructField("dmp", LongType()),
+            StructField("dmm", LongType()),
+            StructField("tr", LongType()),
+            StructField("di_plus", DoubleType()),
+            StructField("di_minus", DoubleType()),
+            StructField("dx", DoubleType()),
+            StructField("adx", DoubleType()),
+        ]
+    )
+    a = 1.0 / float(n)
+    b = 1.0 - a
+
+    def fold(batches: "pd.DataFrame") -> "pd.DataFrame":
+        cur = None
+        sdp = sdm = st = sadx = 0.0
+        for pdf in batches:
+            m = len(pdf)
+            syms = pdf["symbol"].to_numpy()
+            dmp = pdf["dmp"].to_numpy(dtype=np.int64)
+            dmm = pdf["dmm"].to_numpy(dtype=np.int64)
+            tr = pdf["tr"].to_numpy(dtype=np.int64)
+            o_dip = np.empty(m)
+            o_dim = np.empty(m)
+            o_dx = np.empty(m)
+            o_adx = np.empty(m)
+            for i in range(m):
+                if syms[i] != cur:
+                    cur = syms[i]
+                    sdp, sdm, st = float(dmp[i]), float(dmm[i]), float(tr[i])
+                    first = True
+                else:
+                    sdp = a * float(dmp[i]) + b * sdp
+                    sdm = a * float(dmm[i]) + b * sdm
+                    st = a * float(tr[i]) + b * st
+                    first = False
+                dip = (100.0 * sdp) / st if st > 0.0 else 0.0
+                dim = (100.0 * sdm) / st if st > 0.0 else 0.0
+                s = dip + dim
+                dx = (100.0 * abs(dip - dim)) / s if s > 0.0 else 0.0
+                sadx = dx if first else a * dx + b * sadx
+                o_dip[i], o_dim[i], o_dx[i], o_adx[i] = dip, dim, dx, sadx
+            yield pd.DataFrame(
+                {
+                    "symbol": pdf["symbol"],
+                    "epoch": pdf["bucket"],
+                    "dmp": pdf["dmp"],
+                    "dmm": pdf["dmm"],
+                    "tr": pdf["tr"],
+                    "di_plus": o_dip,
+                    "di_minus": o_dim,
+                    "dx": o_dx,
+                    "adx": o_adx,
+                }
+            )
+
+    return _partition_sorted(staged, ["symbol"], ["bucket"]).mapInPandas(
+        fold, schema
+    )

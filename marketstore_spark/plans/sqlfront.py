@@ -44,7 +44,7 @@ _CANDLER_RE = re.compile(
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
     r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci"
-    r"|aroon)"
+    r"|aroon|adx)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -330,6 +330,7 @@ class MarketSQL:
             "mfi",
             "cci",
             "aroon",
+            "adx",
         ):
             # Round-8 serial-dependence + range-estimator family
             # through the registry:
@@ -341,6 +342,7 @@ class MarketSQL:
             #   kaufmaner('10', '1D', Price) trimmedmean('5', '1D', Price)
             #   realizedmoments('1D', Price) mfi('14', '1D', Price, Volume)
             #   cci('14', '1D', Price)       aroon('25', '1D', Price)
+            #   adx('14', '1D', Price)
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
             parts = re.findall(
@@ -414,12 +416,13 @@ class MarketSQL:
                     else "1 day"
                 )
                 out = trimmed_mean(keyed, trim_pct=pct, timeframe=tf, **common)
-            elif name in ("cci", "aroon"):
+            elif name in ("cci", "aroon", "adx"):
+                from marketstore_spark.operators.quant import adx as adx_op
                 from marketstore_spark.operators.quant import aroon as aroon_op
                 from marketstore_spark.operators.quant import cci as cci_op
 
-                op = cci_op if name == "cci" else aroon_op
-                nn = int(quoted[0]) if quoted else (14 if name == "cci" else 25)
+                op = {"cci": cci_op, "aroon": aroon_op, "adx": adx_op}[name]
+                nn = int(quoted[0]) if quoted else (25 if name == "aroon" else 14)
                 tf = (
                     timeframe_to_duration(quoted[1])
                     if len(quoted) > 1

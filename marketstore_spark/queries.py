@@ -6263,6 +6263,93 @@ def aroon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aroon(load_table(spark, sf_dir, "events"), n=25)
 
 
+def _adx_sql(n: int = 14) -> str:
+    """ADX as ONE recursive CTE carrying four accumulators (rma(+DM),
+    rma(−DM), rma(TR), ADX) — the _macd_sql coefficient policy
+    (arithmetic construction, never float literals); ±DI/DX are
+    recomputed from the carried state in the final select with the
+    SAME guarded expressions the engine's fold evaluates."""
+    a = f"(CAST(1 AS DOUBLE) / CAST({int(n)} AS DOUBLE))"
+    b = f"(CAST(1 AS DOUBLE) - {a})"
+
+    def dip(sdp: str, st: str) -> str:
+        return f"CASE WHEN {st} > 0 THEN (100.0 * {sdp}) / {st} ELSE 0.0 END"
+
+    def dx(dp: str, dm: str) -> str:
+        return (
+            f"CASE WHEN ({dp} + {dm}) > 0 THEN "
+            f"(100.0 * ABS({dp} - {dm})) / ({dp} + {dm}) ELSE 0.0 END"
+        )
+
+    # seed-state expressions (first DM/TR row)
+    s_dp, s_dm, s_t = "CAST(dmp AS DOUBLE)", "CAST(dmm AS DOUBLE)", "CAST(tr AS DOUBLE)"
+    seed_dx = dx(dip(s_dp, s_t), dip(s_dm, s_t))
+    # recursive-arm state expressions
+    r_dp = f"({a} * CAST(e.dmp AS DOUBLE) + {b} * r.sdp)"
+    r_dm = f"({a} * CAST(e.dmm AS DOUBLE) + {b} * r.sdm)"
+    r_t = f"({a} * CAST(e.tr AS DOUBLE) + {b} * r.st)"
+    r_dx = dx(dip(r_dp, r_t), dip(r_dm, r_t))
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+cd AS (
+  SELECT symbol, bucket, max(px_c) AS h, min(px_c) AS l,
+         last(px_c ORDER BY ts, event_id) AS c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol, bucket, h, l, c,
+         LAG(h) OVER ws AS ph, LAG(l) OVER ws AS pl, LAG(c) OVER ws AS pc
+  FROM cd WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+d AS (
+  SELECT symbol, bucket,
+         CASE WHEN (h - ph) > (pl - l) AND (h - ph) > 0
+              THEN h - ph ELSE 0 END AS dmp,
+         CASE WHEN (pl - l) > (h - ph) AND (pl - l) > 0
+              THEN pl - l ELSE 0 END AS dmm,
+         GREATEST(h - l, ABS(h - pc), ABS(l - pc)) AS tr,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM m WHERE ph IS NOT NULL
+),
+r(symbol, bucket, dmp, dmm, tr, rn, sdp, sdm, st, adx) AS (
+  SELECT symbol, bucket, dmp, dmm, tr, rn,
+         {s_dp}, {s_dm}, {s_t},
+         {seed_dx}
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT e.symbol, e.bucket, e.dmp, e.dmm, e.tr, e.rn,
+         {r_dp}, {r_dm}, {r_t},
+         {a} * {r_dx} + {b} * r.adx
+  FROM d e JOIN r ON e.symbol = r.symbol AND e.rn = r.rn + 1
+)
+SELECT symbol, bucket AS epoch,
+       CAST(dmp AS BIGINT) AS dmp, CAST(dmm AS BIGINT) AS dmm,
+       CAST(tr AS BIGINT) AS tr,
+       {dip("sdp", "st")} AS di_plus,
+       {dip("sdm", "st")} AS di_minus,
+       {dx(dip("sdp", "st"), dip("sdm", "st"))} AS dx,
+       adx
+FROM r
+"""
+
+
+@_register("adx", _adx_sql())
+def adx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX(14) with ±DI and DX (operators/quant.adx): four coupled
+    Wilder-RMA recurrences in one partition-streaming mapInPandas
+    pass; the oracle replays the identical float64 step chain in a
+    single recursive CTE (the ema/macd contract)."""
+    from marketstore_spark.operators.quant import adx
+
+    return adx(load_table(spark, sf_dir, "events"), n=14)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6328,6 +6415,7 @@ _FRONT = [
     "corpus_sample_fixed_n",
     "cci",
     "aroon",
+    "adx",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -340,3 +340,12 @@ def test_aroon_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert aroon(empty).count() == 0
+
+
+def test_adx_empty_input(spark):
+    from marketstore_spark.operators.quant import adx
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert adx(empty).count() == 0

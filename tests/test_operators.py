@@ -2189,3 +2189,40 @@ def test_aroon_hand_computed(spark):
     # day 4 (rn=4): window days 2-4; highs 105,103,105 tie -> MOST
     # RECENT (day 4) -> since=0 -> 100; low 103 at day 3 -> since=1
     assert out[4]["aroon_up"] == 100.0 and out[4]["aroon_down"] == 50.0
+
+
+def test_adx_hand_computed(spark):
+    from marketstore_spark.operators.quant import adx
+
+    # one tick/day -> H=L=C, so TR = |move| and DM is one-sided
+    closes = [100.0, 102.0, 101.0, 104.0]
+    rows = [
+        (1, _ts(2024, 1, 1 + i, 12), i + 1, c) for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["epoch"].day: r for r in adx(df, n=2).collect()}
+    assert set(out) == {2, 3, 4}  # first bar has no predecessor
+    a, b = 1.0 / 2.0, 1.0 - 1.0 / 2.0
+    # day 2: up-move 200 -> dmp=200 dmm=0 tr=200; seeds
+    assert (out[2]["dmp"], out[2]["dmm"], out[2]["tr"]) == (200, 0, 200)
+    assert out[2]["di_plus"] == 100.0 and out[2]["di_minus"] == 0.0
+    assert out[2]["dx"] == 100.0 and out[2]["adx"] == 100.0
+    # day 3: down-move 100 -> dmp=0 dmm=100 tr=100
+    sdp, sdm, st = a * 0 + b * 200.0, a * 100.0 + b * 0.0, a * 100.0 + b * 200.0
+    dip, dim = (100.0 * sdp) / st, (100.0 * sdm) / st
+    dx3 = (100.0 * abs(dip - dim)) / (dip + dim)
+    assert out[3]["di_plus"] == dip and out[3]["di_minus"] == dim
+    assert out[3]["adx"] == a * dx3 + b * 100.0
+
+
+def test_adx_flat_series_zero(spark):
+    from marketstore_spark.operators.quant import adx
+
+    rows = [(1, _ts(2024, 1, 1 + i, 12), i + 1, 100.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = adx(df, n=2).collect()
+    # flat: TR=0 -> DI=0 by the guard -> DX=0 -> ADX=0, never NaN
+    assert all(
+        r["di_plus"] == 0.0 and r["di_minus"] == 0.0 and r["adx"] == 0.0
+        for r in out
+    )

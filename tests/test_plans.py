@@ -996,3 +996,13 @@ def test_aroon_shared_sort_no_join(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["aroon"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_adx_single_fold_pass(spark, sf_dir):
+    """ADX: candle exchange + ONE symbol repartition feeding the
+    partition-streaming fold (the ema/macd shape) — a MapInPandas
+    node, two exchanges, no joins."""
+    plan = explain_str(SPARK_QUERIES["adx"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan

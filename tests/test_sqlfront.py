@@ -447,3 +447,14 @@ def test_aroon_uda(msql):
     got = {r["epoch"]: (r["aroon_up"], r["aroon_down"]) for r in out}
     want = {r["epoch"]: (r["aroon_up"], r["aroon_down"]) for r in exp}
     assert got == want and got
+
+
+def test_adx_uda(msql):
+    from marketstore_spark.operators.quant import adx
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql("SELECT adx('2', '1D', value) FROM `EV1/1Min/TICK`").collect()
+    exp = adx(base, n=2, symbol_col="__symbol").collect()
+    got = {r["epoch"]: (r["di_plus"], r["di_minus"], r["adx"]) for r in out}
+    want = {r["epoch"]: (r["di_plus"], r["di_minus"], r["adx"]) for r in exp}
+    assert got == want and got
