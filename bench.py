@@ -164,6 +164,7 @@ HEADLINE = [
     # the fourth recurrence-shape entry (ema/macd/heikin class):
     # four coupled Wilder RMAs in one fold vs the recursive-CTE oracle
     "adx",
+    "volume_profile",
 ]
 
 _ORACLE_TABLES = (

@@ -2391,3 +2391,78 @@ def adx(
     return _partition_sorted(staged, ["symbol"], ["bucket"]).mapInPandas(
         fold, schema
     )
+
+
+def volume_profile(
+    df: DataFrame,
+    bin_cents: int = 100,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Volume profile per (symbol, bucket): traded volume per PRICE
+    LEVEL (``bin_cents``-wide integer bins) plus each bucket's point
+    of control — the price level with the most volume (the
+    market-profile POC every execution desk charts).
+
+    Exactness: levels are exact integer division (``px_c DIV
+    bin_cents``), volumes are LONG sums, the POC is a max_by on the
+    (volume, level) struct — ties break on the HIGHEST level,
+    deterministic on both engines.  The level share is ONE double
+    division.
+
+    Shape (100 TB): one (symbol, bucket, level) hash aggregate with
+    map-side partials — wordcount over ticks — then the POC and total
+    come from a FULL-PARTITION WINDOW over the level-scale rows, NOT
+    a groupBy + self-join back (which plans the tick scan twice —
+    ReusedExchange does not fire across join branches, the markout
+    lesson; plan test pins ONE FileScan).  The second exchange
+    carries bar×levels rows only.
+    """
+    if bin_cents <= 0:
+        raise ValueError("bin_cents must be positive")
+    ticks = _cent_ticks(
+        df,
+        timeframe,
+        symbol_col,
+        ts_col,
+        value_col,
+        tiebreak_col=None,
+        extras=(F.col(volume_col).cast("long").alias("__vol"),),
+    )
+    levels = (
+        ticks.withColumn("level", F.expr(f"px_c DIV {int(bin_cents)}"))
+        .groupBy("symbol", "bucket", "level")
+        .agg(
+            F.sum("__vol").alias("level_volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    w = Window.partitionBy("symbol", "bucket")
+    joined = levels.select(
+        "symbol",
+        "bucket",
+        "level",
+        "level_volume",
+        "n_ticks",
+        F.max(F.struct(F.col("level_volume"), F.col("level")))
+        .over(w)["level"]
+        .alias("poc_level"),
+        F.sum("level_volume").over(w).alias("total_volume"),
+    )
+    share = F.when(
+        F.col("total_volume") > 0,
+        F.col("level_volume").cast("double") / F.col("total_volume").cast("double"),
+    )
+    return joined.select(
+        "symbol",
+        F.col("bucket").alias("epoch"),
+        "level",
+        "level_volume",
+        "n_ticks",
+        "poc_level",
+        share.alias("volume_share"),
+    )

@@ -6350,6 +6350,53 @@ def adx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adx(load_table(spark, sf_dir, "events"), n=14)
 
 
+@_register(
+    "volume_profile",
+    """
+WITH t AS (
+  SELECT user_id AS symbol,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+lv AS (
+  SELECT symbol, bucket, px_c // 100 AS level,
+         CAST(SUM(vol) AS BIGINT) AS level_volume,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks
+  FROM t GROUP BY symbol, bucket, level
+),
+pb AS (
+  SELECT symbol, bucket, level AS poc_level, total_volume FROM (
+    SELECT symbol, bucket, level,
+           CAST(SUM(level_volume) OVER (PARTITION BY symbol, bucket)
+                AS BIGINT) AS total_volume,
+           row_number() OVER (PARTITION BY symbol, bucket
+                              ORDER BY level_volume DESC, level DESC) AS rn
+    FROM lv
+  ) WHERE rn = 1
+)
+SELECT l.symbol, l.bucket AS epoch, l.level, l.level_volume, l.n_ticks,
+       p.poc_level,
+       CASE WHEN p.total_volume > 0 THEN
+         CAST(l.level_volume AS DOUBLE) / CAST(p.total_volume AS DOUBLE)
+       END AS volume_share
+FROM lv l JOIN pb p ON l.symbol = p.symbol AND l.bucket = p.bucket
+""",
+)
+def volume_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-at-price profile with point of control at $1 bins
+    (operators/quant.volume_profile): integer level bins, exact LONG
+    volumes, struct-max POC with highest-level ties."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import volume_profile
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return volume_profile(ev, bin_cents=100)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6416,6 +6463,7 @@ _FRONT = [
     "cci",
     "aroon",
     "adx",
+    "volume_profile",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

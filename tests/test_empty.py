@@ -349,3 +349,12 @@ def test_adx_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert adx(empty).count() == 0
+
+
+def test_volume_profile_empty_input(spark):
+    from marketstore_spark.operators.quant import volume_profile
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double, volume long"
+    )
+    assert volume_profile(empty).count() == 0

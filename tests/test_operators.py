@@ -2226,3 +2226,38 @@ def test_adx_flat_series_zero(spark):
         r["di_plus"] == 0.0 and r["di_minus"] == 0.0 and r["adx"] == 0.0
         for r in out
     )
+
+
+def test_volume_profile_hand_computed(spark):
+    from marketstore_spark.operators.quant import volume_profile
+
+    # one day: prices 100.50, 100.80 (level 100), 101.20 (level 101)
+    rows = [
+        (1, _ts(2024, 1, 1, 9), 1, 100.50, 10),
+        (1, _ts(2024, 1, 1, 10), 2, 100.80, 20),
+        (1, _ts(2024, 1, 1, 11), 3, 101.20, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    out = {r["level"]: r for r in volume_profile(df, bin_cents=100).collect()}
+    assert set(out) == {100, 101}
+    assert (out[100]["level_volume"], out[100]["n_ticks"]) == (30, 2)
+    assert (out[101]["level_volume"], out[101]["n_ticks"]) == (5, 1)
+    assert out[100]["poc_level"] == 100 and out[101]["poc_level"] == 100
+    assert out[100]["volume_share"] == 30.0 / 35.0
+    assert out[101]["volume_share"] == 5.0 / 35.0
+
+
+def test_volume_profile_poc_tie_highest_level(spark):
+    from marketstore_spark.operators.quant import volume_profile
+
+    rows = [
+        (1, _ts(2024, 1, 1, 9), 1, 100.0, 10),
+        (1, _ts(2024, 1, 1, 10), 2, 105.0, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    out = volume_profile(df, bin_cents=100).collect()
+    assert all(r["poc_level"] == 105 for r in out)  # tie -> highest level

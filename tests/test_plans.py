@@ -1006,3 +1006,15 @@ def test_adx_single_fold_pass(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_volume_profile_wordcount_then_level_scale(spark, sf_dir):
+    """Volume profile: the tick-scale work is ONE (symbol, bucket,
+    level) combiner-friendly aggregate; the POC rollup and the
+    profile join run on level-scale rows.  No cartesian, no window
+    on the fact."""
+    plan = explain_str(SPARK_QUERIES["volume_profile"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
+    ex = explain_str(SPARK_QUERIES["volume_profile"](spark, sf_dir))
+    assert ex.count("events.parquet") == 1, ex
