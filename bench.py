@@ -165,6 +165,7 @@ HEADLINE = [
     # four coupled Wilder RMAs in one fold vs the recursive-CTE oracle
     "adx",
     "volume_profile",
+    "corpus_unigram_nll",
 ]
 
 _ORACLE_TABLES = (

@@ -846,3 +846,51 @@ def vocab_growth(
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         F.sum("new_types").over(w).alias("cum_types"),
     )
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log-likelihood under the CORPUS'S OWN
+    unigram language model — the external-model-free version of the
+    CCNet/DSIR LM-quality signal: documents whose tokens are corpus-
+    typical score low, gibberish and off-distribution text score high.
+
+    The per-doc mean of float log-probs is a cross-row float sum
+    (order-dependent — banned), so each distinct token's log-prob is
+    FIXED-POINT quantized once — ``floor(ln(c/N)·10⁶ + 0.5)`` as a
+    LONG, floor being engine-identical on the same double where
+    round-half-up is not — and each document sums exact integers; the
+    NLL is one mirrored double chain ``−(Σq/n)/10⁶``.  (ln is the
+    bm25-precedent deliberate libm use: both engines see the identical
+    ``c/N`` double, and the quantization step absorbs the sub-ulp
+    difference except on exact boundaries — parity-tested at three
+    scales.)
+
+    Shape (100 TB): one explode feeding BOTH the token-count aggregate
+    (wordcount, map-side combined) and the per-doc join; the scalar N
+    is a one-row broadcast (bm25 pattern); the token join shuffles the
+    exploded corpus once on token (the doc_freq_score shape — there is
+    no per-token lookup without it), then a per-doc aggregate.
+    """
+    t = F.col(text_col)
+    toks = df.filter(_nonempty(t)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    q = F.floor(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    qtab = counts.crossJoin(F.broadcast(total)).select("tok", q.alias("q"))
+    per = toks.join(qtab, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("q").alias("__sq"),
+    )
+    nll = (
+        -(F.col("__sq").cast("double") / F.col("n_tokens").cast("double"))
+    ) / F.lit(1000000.0)
+    return per.select("doc_id", "n_tokens", nll.alias("nll"))

@@ -6397,6 +6397,42 @@ def volume_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_profile(ev, bin_cents=100)
 
 
+@_register(
+    "corpus_unigram_nll",
+    """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+q AS (
+  SELECT tok,
+         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM c, n
+),
+d AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(q.q) AS BIGINT) AS sq
+  FROM tk t JOIN q ON t.tok = q.tok GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       -(CAST(sq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000000.0 AS nll
+FROM d
+""",
+)
+def corpus_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NLL under the corpus's own unigram LM (operators/text.
+    unigram_nll): token log-probs fixed-point quantized once
+    (floor(ln(c/N)·10⁶+0.5) — no cross-row float sums), exact integer
+    doc sums, one mirrored double chain."""
+    from marketstore_spark.operators.text import unigram_nll
+
+    return unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6464,6 +6500,7 @@ _FRONT = [
     "aroon",
     "adx",
     "volume_profile",
+    "corpus_unigram_nll",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

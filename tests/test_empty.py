@@ -358,3 +358,9 @@ def test_volume_profile_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double, volume long"
     )
     assert volume_profile(empty).count() == 0
+
+
+def test_unigram_nll_empty_input(empty_docs):
+    from marketstore_spark.operators.text import unigram_nll
+
+    assert unigram_nll(empty_docs).count() == 0

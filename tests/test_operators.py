@@ -2261,3 +2261,26 @@ def test_volume_profile_poc_tie_highest_level(spark):
     )
     out = volume_profile(df, bin_cents=100).collect()
     assert all(r["poc_level"] == 105 for r in out)  # tie -> highest level
+
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    from marketstore_spark.operators.text import unigram_nll
+
+    # corpus: "a a b" + "a c" -> N=5; counts a=3 b=1 c=1
+    rows = [(1, "a a b"), (2, "a c"), (3, "  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert set(out) == {1, 2}  # blank doc contributes nothing
+
+    def q(c):
+        return math.floor(math.log(c / 5.0) * 1000000.0 + 0.5)
+
+    sq1 = q(3) + q(3) + q(1)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["nll"] == (-(float(sq1) / 3.0)) / 1000000.0
+    sq2 = q(3) + q(1)
+    assert out[2]["nll"] == (-(float(sq2) / 2.0)) / 1000000.0
+    # the common-token doc is more corpus-typical -> lower NLL
+    assert out[1]["nll"] < out[2]["nll"]

@@ -1018,3 +1018,13 @@ def test_volume_profile_wordcount_then_level_scale(spark, sf_dir):
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
     ex = explain_str(SPARK_QUERIES["volume_profile"](spark, sf_dir))
     assert ex.count("events.parquet") == 1, ex
+
+
+def test_unigram_nll_single_scalar_broadcast(spark, sf_dir):
+    """Unigram NLL: the token-total scalar joins as a one-row
+    broadcast (bm25 pattern), the vocabulary join is keyed on token —
+    no cartesian of anything fact-scale, no window."""
+    plan = explain_str(SPARK_QUERIES["corpus_unigram_nll"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the one-row scalar
+    assert "Window" not in plan, plan
