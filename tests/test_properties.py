@@ -832,3 +832,101 @@ def test_source_token_stats_matches_counter_model(spark, docs):
     assert (r["top_tok"], r["top_count"]) == top
     assert r["simpson"] == _spark_round6(float(c2) / (float(n) * float(n)))
     assert r["effective_vocab"] == _spark_round6(float(n) * float(n) / float(c2))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    closes=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=20),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_cci_matches_exact_model(spark, closes, n):
+    """CCI vs the unbounded-int 3n-scaled identity — bitwise; constant
+    runs force the flat-window NULL guard."""
+    from marketstore_spark.operators.quant import cci
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(days=i), 1, float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    tp = [3 * c * 100 for c in closes]
+    got = {r["epoch"]: r["cci"] for r in cci(df, n=n).collect()}
+    for i, (_, v) in enumerate(sorted(got.items())):
+        if i + 1 < n:
+            assert v is None
+            continue
+        wnd = tp[i - n + 1 : i + 1]
+        s = sum(wnd)
+        num = n * tp[i] - s
+        md = sum(abs(n * x - s) for x in wnd)
+        want = (
+            float(n) * float(num) / (0.015 * float(md)) if md > 0 else None
+        )
+        assert v == want, (i, v, want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    closes=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=20),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_aroon_matches_exact_model(spark, closes, n):
+    """Aroon vs an exact most-recent-extreme argmax model (H=L=C with
+    one tick per bar)."""
+    from marketstore_spark.operators.quant import aroon
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(days=i), 1, float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["epoch"]: (r["aroon_up"], r["aroon_down"]) for r in aroon(df, n=n).collect()}
+    for i, (_, (u, d)) in enumerate(sorted(got.items())):
+        if i < n:
+            assert u is None and d is None
+            continue
+        wnd = closes[i - n : i + 1]
+        hi = max(range(len(wnd)), key=lambda j: (wnd[j], j))
+        lo = max(range(len(wnd)), key=lambda j: (-wnd[j], j))
+        since_hi, since_lo = len(wnd) - 1 - hi, len(wnd) - 1 - lo
+        assert u == 100.0 * (float(n) - float(since_hi)) / float(n)
+        assert d == 100.0 * (float(n) - float(since_lo)) / float(n)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=300),   # price
+            st.integers(min_value=1, max_value=50),    # volume
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    pct=st.integers(min_value=0, max_value=49),
+)
+def test_trimmed_mean_matches_exact_model(spark, ticks, pct):
+    """Rank-trim vs a Python sort model — identical kept sets for any
+    trim percentage, including ties (deterministic rank keys)."""
+    from marketstore_spark.operators.quant import trimmed_mean
+
+    rows = [
+        (i, EPOCH0 + dt.timedelta(minutes=i), 1, float(p))
+        for i, (p, _) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    r = trimmed_mean(df, trim_pct=pct).collect()[0]
+    px = sorted(
+        (p * 100, i) for i, (p, _) in enumerate(ticks)
+    )  # rank by (price, arrival) — the operator's tie order
+    nt = len(px)
+    k = nt * pct // 100
+    kept = [p for p, _ in px[k : nt - k]]
+    assert (r["n_ticks"], r["n_used"]) == (nt, len(kept))
+    assert r["trimmed_mean_c"] == float(sum(kept)) / float(len(kept))
