@@ -718,3 +718,44 @@ def kmeans_centroids(update: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Full distributed Lloyd iterations: alternate the E-step
+    (:func:`kmeans_assign`) and M-step (:func:`kmeans_update`) from
+    the deterministic lowest-id seed, ``iters`` times.  Returns
+    ``(assignments, centroids)`` — both lazy DataFrames.
+
+    Each round's centroid frame is the M-step's flat output
+    reassembled by :func:`kmeans_centroids`; it is dims-scale (k rows)
+    and is CHECKPOINT-FREE on purpose: the lineage grows by one
+    broadcast fold per iteration, and ``iters`` is a small constant
+    (Lloyd converges in a handful of rounds for coarse quantizers) —
+    for long runs a caller can persist the k-row centroid frame
+    between rounds, which costs nothing at any corpus scale.
+
+    Deterministic end to end (seed, 12-dp argmax, fixed-point means),
+    so two runs — or two ENGINES — produce identical clusters; the
+    E/M building blocks are individually oracle-checked, making this
+    loop the documented iterative composition (no direct SQL oracle —
+    recursive CTEs cannot carry a k×d matrix through float updates).
+    """
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    centroids = None
+    for _ in range(int(iters)):
+        up = kmeans_update(df, k=k, centroids=centroids, id_col=id_col, vec_col=vec_col)
+        cents = kmeans_centroids(up)
+        # k rows: materialize eagerly so the next round's plan starts
+        # from data, not from a re-execution of every prior round
+        centroids = cents.localCheckpoint(eager=True)
+    assigned = kmeans_assign(
+        df, k=k, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
+    return assigned, centroids

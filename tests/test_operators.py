@@ -2284,3 +2284,33 @@ def test_unigram_nll_hand_computed(spark):
     assert out[2]["nll"] == (-(float(sq2) / 2.0)) / 1000000.0
     # the common-token doc is more corpus-typical -> lower NLL
     assert out[1]["nll"] < out[2]["nll"]
+
+
+def test_kmeans_iterate_converges_and_is_deterministic(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.simsearch import kmeans_iterate
+
+    # two tight groups around orthogonal directions: one Lloyd round
+    # already separates them; more rounds must not move anything
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+        (4, [0.95, 0.05]),
+        (5, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1, c1 = kmeans_iterate(df, k=2, iters=1)
+    a3, c3 = kmeans_iterate(df, k=2, iters=3)
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m3 = {r["vec_id"]: r["cluster"] for r in a3.collect()}
+    assert m1 == m3  # converged after one round
+    assert m1 == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+    # centroids are the exact fixed-point means of the members
+    cents = {r["vec_id"]: r["embedding"] for r in c3.collect()}
+    assert cents[0] == [(1000000 + 900000 + 950000) / 3.0 / 1000000.0,
+                       (0 + 100000 + 50000) / 3.0 / 1000000.0]
+    with _pytest.raises(ValueError):
+        kmeans_iterate(df, k=2, iters=0)
