@@ -1028,3 +1028,30 @@ def test_unigram_nll_single_scalar_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the one-row scalar
     assert "Window" not in plan, plan
+
+
+def test_registry_hygiene_window_and_oracles():
+    """Driver-window pins must reference real keys (a typo silently
+    drops the pin), carry no duplicates, and every registered query
+    must have an oracle unless it is in the documented rows-only
+    allowlist (approx sketches / LSH — each anchored by an exact
+    driver-green sibling)."""
+    from marketstore_spark.queries import (
+        ORACLE_SQL,
+        SPARK_QUERIES,
+        _BACK,
+        _FRONT,
+    )
+
+    pins = _FRONT + _BACK
+    missing = [k for k in pins if k not in SPARK_QUERIES]
+    assert not missing, f"pinned but unregistered: {missing}"
+    assert len(pins) == len(set(pins)), "duplicate pins"
+    no_oracle = set(SPARK_QUERIES) - set(ORACLE_SQL)
+    assert no_oracle == {
+        "ann_ivf",
+        "ann_lsh",
+        "dedup_embedding_lsh",
+        "distinct_users_approx",
+        "percentiles_approx",
+    }, f"undocumented no-oracle keys: {sorted(no_oracle)}"
