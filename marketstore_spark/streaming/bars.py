@@ -243,3 +243,127 @@ def stream_vpin(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_adx(
+    stream: DataFrame,
+    n: int = 14,
+    timeframe: str = "1 day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Live ADX (operators/quant.adx kept live): per symbol, carries
+    the OPEN wall-clock candle, the last CLOSED candle's H/L/C, and
+    the four Wilder-RMA accumulators — O(1) state.  A row emits each
+    time a candle closes (from the SECOND closed candle on — the first
+    has no predecessor, the batch rule), carrying that candle's exact
+    integer DM/TR and the ±DI/DX/ADX doubles, float64-for-float64 the
+    batch operator's values under any micro-batch slicing (pinned in
+    tests).  The still-open candle is never emitted (append
+    semantics).
+
+    Buckets are epoch-aligned fixed windows (``ts_us DIV duration`` —
+    exactly ``F.window``'s alignment), so a streaming row and its
+    batch backfill land in the same bucket.  Ticks must arrive
+    time-ordered across batches per key (the stream_ema_obv
+    contract); within a batch they are sorted before the fold.
+    """
+    from marketstore_spark.operators.gapfill import _duration_us
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    dur = _duration_us(timeframe)
+    a = 1.0 / float(n)
+    b = 1.0 - a
+    out_schema = (
+        f"{key_col} long, epoch timestamp, dmp long, dmm long, tr long, "
+        f"di_plus double, di_minus double, dx double, adx double"
+    )
+    state_schema = (
+        "ph long, pl long, pc long, has_prev boolean, "
+        "ob long, oh long, ol long, oc long, has_open boolean, "
+        "sdp double, sdm double, st double, sadx double, has_rma boolean"
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            (ph, pl, pc, has_prev, ob, oh, ol, oc, has_open,
+             sdp, sdm, st, sadx, has_rma) = state.get
+        else:
+            ph = pl = pc = ob = oh = ol = oc = 0
+            has_prev = has_open = has_rma = False
+            sdp = sdm = st = sadx = 0.0
+        done = []
+
+        def close_candle():
+            # the batch chain, literally: ints -> a*x + b*prev -> the
+            # guarded DI/DX expressions (operators/quant.adx's fold)
+            nonlocal ph, pl, pc, has_prev, sdp, sdm, st, sadx, has_rma
+            if has_prev:
+                up = oh - ph
+                dn = pl - ol
+                dmp = up if (up > dn and up > 0) else 0
+                dmm = dn if (dn > up and dn > 0) else 0
+                tr = max(oh - ol, abs(oh - pc), abs(ol - pc))
+                if not has_rma:
+                    sdp, sdm, st = float(dmp), float(dmm), float(tr)
+                    first = True
+                else:
+                    sdp = a * float(dmp) + b * sdp
+                    sdm = a * float(dmm) + b * sdm
+                    st = a * float(tr) + b * st
+                    first = False
+                dip = (100.0 * sdp) / st if st > 0.0 else 0.0
+                dim = (100.0 * sdm) / st if st > 0.0 else 0.0
+                s = dip + dim
+                dx = (100.0 * abs(dip - dim)) / s if s > 0.0 else 0.0
+                sadx = dx if first else a * dx + b * sadx
+                has_rma = True
+                done.append(
+                    (key[0], pd.Timestamp(ob, unit="us"), dmp, dmm, tr,
+                     dip, dim, dx, sadx)
+                )
+            ph, pl, pc, has_prev = oh, ol, oc, True
+
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
+            for ts, px in zip(pdf[ts_col], pdf[value_col]):
+                px_c = int(round(float(px) * 100))
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                bkt = (t_us // dur) * dur
+                if not has_open:
+                    ob, oh, ol, oc, has_open = bkt, px_c, px_c, px_c, True
+                elif bkt != ob:
+                    close_candle()
+                    ob, oh, ol, oc = bkt, px_c, px_c, px_c
+                else:
+                    oh, ol = max(oh, px_c), min(ol, px_c)
+                oc = px_c
+            state.update(
+                (ph, pl, pc, has_prev, ob, oh, ol, oc, has_open,
+                 sdp, sdm, st, sadx, has_rma)
+            )
+        if done:
+            yield pd.DataFrame(
+                done,
+                columns=[key_col, "epoch", "dmp", "dmm", "tr",
+                         "di_plus", "di_minus", "dx", "adx"],
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -894,3 +894,59 @@ def test_stream_range_vol_matches_batch(spark, sf_dir, tmpdir):
     for col in ("park_var", "gk_var", "rs_var"):
         a, b = got[col], want[col]
         assert ((a == b) | (a.isna() & b.isna())).all(), col
+
+
+def test_stream_adx_matches_batch_closed_candles(spark, tmpdir):
+    """Live ADX: a 2-batch replay must equal the batch operator
+    float64-for-float64 on every CLOSED daily candle — the previous
+    candle, the open candle, and all four RMA accumulators carry
+    across the batch boundary."""
+    from datetime import datetime
+
+    from marketstore_spark.operators.quant import adx
+    from marketstore_spark.streaming.bars import stream_adx
+
+    cols = ["user_id", "ts", "event_id", "value"]
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, 100.0),
+        (1, datetime(2024, 1, 1, 14), 2, 102.0),
+        (1, datetime(2024, 1, 2, 10), 3, 104.0),
+        (1, datetime(2024, 1, 2, 14), 4, 101.0),
+        # --- batch boundary mid-day-3 ---
+        (1, datetime(2024, 1, 3, 10), 5, 103.0),
+        (1, datetime(2024, 1, 3, 14), 6, 106.0),
+        (1, datetime(2024, 1, 4, 10), 7, 105.0),
+        (1, datetime(2024, 1, 4, 14), 8, 102.0),
+        (1, datetime(2024, 1, 5, 10), 9, 107.0),  # opens day 5: day 4 closes
+    ]
+    b0, b1 = rows[:4], rows[4:]
+    src = os.path.join(tmpdir, "adxticks")
+    df0 = spark.createDataFrame(b0, cols)
+    df0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, df0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_adx(stream, n=2, timeframe="1 day")
+        .writeStream.format("memory")
+        .queryName("live_adx")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["epoch"]: r for r in spark.sql("select * from live_adx").collect()}
+    # days 2-4 are closed AND have a predecessor; day 5 is open
+    batch = {
+        r["epoch"]: r
+        for r in adx(spark.createDataFrame(rows, cols), n=2).collect()
+        if r["epoch"].day <= 4
+    }
+    assert set(got) == set(batch) and len(got) == 3
+    for ep, want in batch.items():
+        r = got[ep]
+        for c in ("dmp", "dmm", "tr", "di_plus", "di_minus", "dx", "adx"):
+            assert r[c] == want[c], (ep, c, r[c], want[c])
