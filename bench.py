@@ -166,6 +166,8 @@ HEADLINE = [
     "adx",
     "volume_profile",
     "corpus_unigram_nll",
+    # operator-fusion datapoint: Roll + autocorr + VR in one plan
+    "liquidity_panel",
 ]
 
 _ORACLE_TABLES = (

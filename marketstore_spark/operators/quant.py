@@ -2466,3 +2466,87 @@ def volume_profile(
         "poc_level",
         share.alias("volume_share"),
     )
+
+
+def liquidity_panel(
+    df: DataFrame,
+    q: int = 5,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """The per-symbol liquidity PANEL — Roll implied spread, lag-1
+    move autocorrelation, and the Lo-MacKinlay VR(q) in ONE pass: a
+    desk reads these together, and running the three operators
+    separately costs three fact scans and six exchanges where the
+    fused panel costs one scan and two (the document_features
+    principle: compute sibling signals in one plan, never join
+    per-operator outputs).
+
+    Semantics are EXACTLY the standalone operators' (same lags off one
+    shared per-symbol sort, same exact LONG moment sums in one
+    conditional aggregate, same final double expressions) — pinned in
+    tests against roll_spread / autocorr_returns / variance_ratio
+    value-for-value.
+    """
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    # every lag in ONE Window node (never a lag-of-a-lag)
+    mv = closes.select(
+        "symbol",
+        (F.col("close_c") - F.lag("close_c", 1).over(w)).alias("x"),
+        (F.lag("close_c", 1).over(w) - F.lag("close_c", 2).over(w)).alias("y"),
+        (F.col("close_c") - F.lag("close_c", int(q)).over(w)).alias("mq"),
+    )
+    pair = F.col("x").isNotNull() & F.col("y").isNotNull()
+
+    def ps(c: Column) -> Column:
+        return F.sum(F.when(pair, c))
+
+    agg = mv.groupBy("symbol").agg(
+        F.count(F.when(pair, F.lit(1))).alias("n_pairs"),
+        F.coalesce(ps(F.col("x")), F.lit(0)).alias("sx"),
+        F.coalesce(ps(F.col("y")), F.lit(0)).alias("sy"),
+        F.coalesce(ps(F.col("x") * F.col("y")), F.lit(0)).alias("sxy"),
+        F.coalesce(ps(F.col("x") * F.col("x")), F.lit(0)).alias("sxx"),
+        F.coalesce(ps(F.col("y") * F.col("y")), F.lit(0)).alias("syy"),
+        F.count("x").alias("n1"),
+        F.coalesce(F.sum("x"), F.lit(0)).alias("sm"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).alias("smm"),
+        F.count("mq").alias("nq"),
+        F.coalesce(F.sum("mq"), F.lit(0)).alias("sq"),
+        F.coalesce(F.sum(F.col("mq") * F.col("mq")), F.lit(0)).alias("sqq"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    cov = F.when(n > 0, num.cast("double") / (n * n).cast("double"))
+    spread = F.when(
+        num < 0, F.lit(2.0) * F.sqrt((-num).cast("double")) / n.cast("double")
+    )
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ac = F.when(
+        (vx > 0) & (vy > 0), num.cast("double") / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    n1, nq = F.col("n1"), F.col("nq")
+    var1_num = (n1 * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
+    varq_num = (nq * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    vr = F.when(
+        (nq > 0) & (var1_num > 0),
+        (varq_num * (n1 * n1).cast("double"))
+        / (F.lit(float(q)) * (nq * nq).cast("double") * var1_num),
+    )
+    return agg.select(
+        "symbol",
+        "n_pairs",
+        F.col("n1"),
+        F.col("nq"),
+        cov.alias("move_autocov"),
+        spread.alias("roll_spread_c"),
+        ac.alias("autocorr"),
+        vr.alias("vr"),
+    )

@@ -6433,6 +6433,81 @@ def corpus_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "liquidity_panel",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol,
+         close_c - LAG(close_c, 1) OVER ws AS x,
+         LAG(close_c, 1) OVER ws - LAG(close_c, 2) OVER ws AS y,
+         close_c - LAG(close_c, 5) OVER ws AS mq
+  FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol,
+    CAST(COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+         AS BIGINT) AS n_pairs,
+    CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END),
+         0) AS BIGINT) AS sx,
+    CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END),
+         0) AS BIGINT) AS sy,
+    CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN x * y END), 0) AS BIGINT) AS sxy,
+    CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN x * x END), 0) AS BIGINT) AS sxx,
+    CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN y * y END), 0) AS BIGINT) AS syy,
+    CAST(COUNT(x) AS BIGINT) AS n1,
+    CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sm,
+    CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS smm,
+    CAST(COUNT(mq) AS BIGINT) AS nq,
+    CAST(COALESCE(SUM(mq), 0) AS BIGINT) AS sq,
+    CAST(COALESCE(SUM(mq * mq), 0) AS BIGINT) AS sqq
+  FROM m GROUP BY symbol
+)
+SELECT symbol, n_pairs, n1, nq,
+  CASE WHEN n_pairs > 0 THEN
+    CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      / CAST(n_pairs * n_pairs AS DOUBLE)
+  END AS move_autocov,
+  CASE WHEN (n_pairs * sxy - sx * sy) < 0 THEN
+    2.0 * sqrt(CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE))
+        / CAST(n_pairs AS DOUBLE)
+  END AS roll_spread_c,
+  CASE WHEN (n_pairs * sxx - sx * sx) > 0
+        AND (n_pairs * syy - sy * sy) > 0 THEN
+    CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+         * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+  END AS autocorr,
+  CASE WHEN nq > 0 AND (n1 * smm - sm * sm) > 0 THEN
+    (CAST(nq * sqq - sq * sq AS DOUBLE) * CAST(n1 * n1 AS DOUBLE))
+      / (5.0 * CAST(nq * nq AS DOUBLE)
+         * CAST(n1 * smm - sm * sm AS DOUBLE))
+  END AS vr
+FROM g
+""",
+)
+def liquidity_panel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll spread + lag-1 autocorrelation + VR(5) per symbol fused
+    into ONE scan / one window / one conditional aggregate
+    (operators/quant.liquidity_panel) — vs three scans and six
+    exchanges for the standalone operators."""
+    from marketstore_spark.operators.quant import liquidity_panel
+
+    return liquidity_panel(load_table(spark, sf_dir, "events"), q=5)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6501,6 +6576,7 @@ _FRONT = [
     "adx",
     "volume_profile",
     "corpus_unigram_nll",
+    "liquidity_panel",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -364,3 +364,12 @@ def test_unigram_nll_empty_input(empty_docs):
     from marketstore_spark.operators.text import unigram_nll
 
     assert unigram_nll(empty_docs).count() == 0
+
+
+def test_liquidity_panel_empty_input(spark):
+    from marketstore_spark.operators.quant import liquidity_panel
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert liquidity_panel(empty).count() == 0

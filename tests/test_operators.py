@@ -2314,3 +2314,30 @@ def test_kmeans_iterate_converges_and_is_deterministic(spark):
                        (0 + 100000 + 50000) / 3.0 / 1000000.0]
     with _pytest.raises(ValueError):
         kmeans_iterate(df, k=2, iters=0)
+
+
+def test_liquidity_panel_matches_standalone_operators(spark, sf_dir):
+    """The fused panel must equal roll_spread / autocorr_returns /
+    variance_ratio value-for-value on real data (same lags, same
+    sums, same final expressions)."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.quant import (
+        autocorr_returns,
+        liquidity_panel,
+        roll_spread,
+        variance_ratio,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    panel = {r["symbol"]: r for r in liquidity_panel(ev, q=5).collect()}
+    rs = {r["symbol"]: r for r in roll_spread(ev).collect()}
+    ac = {r["symbol"]: r for r in autocorr_returns(ev).collect()}
+    vr = {r["symbol"]: r for r in variance_ratio(ev, q=5).collect()}
+    assert set(rs) <= set(panel) and rs
+    for sym, want in rs.items():
+        assert panel[sym]["move_autocov"] == want["move_autocov"]
+        assert panel[sym]["roll_spread_c"] == want["roll_spread_c"]
+    for sym, want in ac.items():
+        assert panel[sym]["autocorr"] == want["autocorr"]
+    for sym, want in vr.items():
+        assert panel[sym]["vr"] == want["vr"]

@@ -1055,3 +1055,15 @@ def test_registry_hygiene_window_and_oracles():
         "distinct_users_approx",
         "percentiles_approx",
     }, f"undocumented no-oracle keys: {sorted(no_oracle)}"
+
+
+def test_liquidity_panel_one_scan_two_exchanges(spark, sf_dir):
+    """The fused panel: one fact scan, one Window node for all three
+    lags, one symbol aggregate reusing the sort's partitioning —
+    2 exchanges where the three standalone operators plan 6."""
+    df = SPARK_QUERIES["liquidity_panel"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert plan.count("events.parquet") == 1, plan
