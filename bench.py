@@ -168,6 +168,7 @@ HEADLINE = [
     "corpus_unigram_nll",
     # operator-fusion datapoint: Roll + autocorr + VR in one plan
     "liquidity_panel",
+    "gap_percentiles",
 ]
 
 _ORACLE_TABLES = (

@@ -2550,3 +2550,68 @@ def liquidity_panel(
         ac.alias("autocorr"),
         vr.alias("vr"),
     )
+
+
+def gap_percentiles(
+    df: DataFrame,
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-tick gap distribution per symbol — p50/p90/p99 of the
+    microsecond gaps between consecutive ticks plus the max and count:
+    the feed-health SLA percentiles a marketstore operator reads next
+    to the gap watcher's threshold alerts (streaming/gapwatch) and
+    uda_gap's detector — same signal, the DISTRIBUTION view.
+
+    Exactness — EXACT-RATIONAL interpolation, not the engine's float
+    percentile: at ~10¹¹-µs gap magnitudes a double's ulp (~2·10⁻⁵)
+    exceeds the 6dp rounding grid, so the length_percentiles rounding
+    contract cannot absorb the engines' differently-associated
+    ``lo + frac·(hi−lo)`` folds (found by hash parity here).  Instead
+    the rank ``p·(n−1)`` is kept as the rational ``(num·(n−1)) divmod
+    den``, the two bracketing order statistics are integer rank picks
+    off one per-gap sort, and the interpolated value is ONE double
+    division of the exact LONG ``lo·(den−rem) + hi·rem`` by the
+    literal ``den`` — bitwise on any engine, any magnitude.
+
+    At 100 TB the exact per-group percentile sorts each symbol's gaps
+    once (symbols are dims-scale; GK ``approx_percentile`` is the
+    documented swap-in, the percentiles_approx pattern).
+    """
+    from marketstore_spark.functions.timeutil import epoch_us
+
+    w = Window.partitionBy("symbol").orderBy("__ts", "__tb")
+    staged = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn("__t_us", epoch_us(F.col("__ts")))
+    gaps = staged.select(
+        "symbol",
+        (F.col("__t_us") - F.lag("__t_us").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gw = Window.partitionBy("symbol")
+    ranked = gaps.select(
+        "symbol",
+        "gap_us",
+        F.row_number().over(gw.orderBy("gap_us")).alias("__rk"),
+        F.count(F.lit(1)).over(gw).alias("__n"),
+    )
+
+    def pick(num: int, den: int, name: str) -> list[Column]:
+        idx = F.expr(f"{num} * (__n - 1) DIV {den}")
+        rem = F.expr(f"{num} * (__n - 1) % {den}")
+        lo = F.max(F.when(F.col("__rk") == idx + 1, F.col("gap_us")))
+        hi = F.max(F.when(F.col("__rk") == idx + 2, F.col("gap_us")))
+        num_c = lo * (F.lit(den) - F.max(rem)) + F.coalesce(hi, F.lit(0)) * F.max(rem)
+        return [(num_c.cast("double") / F.lit(float(den))).alias(name)]
+
+    agg = ranked.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        *pick(1, 2, "p50_gap_us"),
+        *pick(9, 10, "p90_gap_us"),
+        *pick(99, 100, "p99_gap_us"),
+    )
+    return agg

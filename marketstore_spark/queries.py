@@ -6508,6 +6508,54 @@ def liquidity_panel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return liquidity_panel(load_table(spark, sf_dir, "events"), q=5)
 
 
+@_register(
+    "gap_percentiles",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, epoch_us(ts) AS t_us, ts, event_id FROM events
+),
+g AS (
+  SELECT symbol,
+         t_us - LAG(t_us) OVER (PARTITION BY symbol
+                                ORDER BY ts, event_id) AS gap_us
+  FROM t
+),
+r AS (
+  SELECT symbol, gap_us,
+         row_number() OVER (PARTITION BY symbol ORDER BY gap_us) AS rk,
+         COUNT(*) OVER (PARTITION BY symbol) AS n
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(MAX(CASE WHEN rk = 1 * (n - 1) // 2 + 1 THEN gap_us END)
+              * (2 - MAX(1 * (n - 1) % 2))
+            + COALESCE(MAX(CASE WHEN rk = 1 * (n - 1) // 2 + 2
+                           THEN gap_us END), 0) * MAX(1 * (n - 1) % 2)
+         AS DOUBLE) / 2.0 AS p50_gap_us,
+       CAST(MAX(CASE WHEN rk = 9 * (n - 1) // 10 + 1 THEN gap_us END)
+              * (10 - MAX(9 * (n - 1) % 10))
+            + COALESCE(MAX(CASE WHEN rk = 9 * (n - 1) // 10 + 2
+                           THEN gap_us END), 0) * MAX(9 * (n - 1) % 10)
+         AS DOUBLE) / 10.0 AS p90_gap_us,
+       CAST(MAX(CASE WHEN rk = 99 * (n - 1) // 100 + 1 THEN gap_us END)
+              * (100 - MAX(99 * (n - 1) % 100))
+            + COALESCE(MAX(CASE WHEN rk = 99 * (n - 1) // 100 + 2
+                           THEN gap_us END), 0) * MAX(99 * (n - 1) % 100)
+         AS DOUBLE) / 100.0 AS p99_gap_us
+FROM r GROUP BY symbol
+""",
+)
+def gap_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol inter-tick gap p50/p90/p99 + max (operators/quant.
+    gap_percentiles): the feed-health distribution view next to
+    uda_gap's threshold detector, on the length_percentiles exact-
+    interpolation 6dp contract."""
+    from marketstore_spark.operators.quant import gap_percentiles
+
+    return gap_percentiles(load_table(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6577,6 +6625,7 @@ _FRONT = [
     "volume_profile",
     "corpus_unigram_nll",
     "liquidity_panel",
+    "gap_percentiles",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -373,3 +373,12 @@ def test_liquidity_panel_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert liquidity_panel(empty).count() == 0
+
+
+def test_gap_percentiles_empty_input(spark):
+    from marketstore_spark.operators.quant import gap_percentiles
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert gap_percentiles(empty).count() == 0

@@ -2341,3 +2341,37 @@ def test_liquidity_panel_matches_standalone_operators(spark, sf_dir):
         assert panel[sym]["autocorr"] == want["autocorr"]
     for sym, want in vr.items():
         assert panel[sym]["vr"] == want["vr"]
+
+
+def test_gap_percentiles_exact_interpolation(spark):
+    from marketstore_spark.operators.quant import gap_percentiles
+
+    # gaps between 5 ticks: 10, 30, 20, 40 seconds -> sorted s
+    # [10, 20, 30, 40]; n=4
+    import datetime as _dt
+
+    base = _ts(2024, 1, 1, 9, 0, 0)
+    secs = [0, 10, 40, 60, 100]
+    rows = [
+        (1, base + _dt.timedelta(seconds=s), i + 1) for i, s in enumerate(secs)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    r = gap_percentiles(df).collect()[0]
+    g = [10e6, 20e6, 30e6, 40e6]
+    assert (r["n_gaps"], r["max_gap_us"]) == (4, 40_000_000)
+    # p50: rank 1.5 -> (lo*1 + hi*1)/2 = (20M + 30M)/2
+    assert r["p50_gap_us"] == (int(g[1]) * 1 + int(g[2]) * 1) / 2.0
+    # p90: rank 2.7 -> idx 2 rem 7 -> (30M*3 + 40M*7)/10
+    assert r["p90_gap_us"] == (int(g[2]) * 3 + int(g[3]) * 7) / 10.0
+    # p99: rank 2.97 -> (30M*3 + 40M*97)/100
+    assert r["p99_gap_us"] == (int(g[2]) * 3 + int(g[3]) * 97) / 100.0
+
+
+def test_gap_percentiles_single_gap(spark):
+    from marketstore_spark.operators.quant import gap_percentiles
+
+    rows = [(1, _ts(2024, 1, 1, 9, 0, 0), 1), (1, _ts(2024, 1, 1, 9, 0, 7), 2)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    r = gap_percentiles(df).collect()[0]
+    # n=1: every percentile is the single gap (rem always 0)
+    assert r["p50_gap_us"] == r["p90_gap_us"] == r["p99_gap_us"] == 7_000_000.0

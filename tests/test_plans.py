@@ -1067,3 +1067,13 @@ def test_liquidity_panel_one_scan_two_exchanges(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_gap_percentiles_two_sorts_no_join(spark, sf_dir):
+    """Gap percentiles: the lag sort (symbol, ts) and the rank sort
+    (symbol, gap) are genuinely different orders — two window stacks,
+    one symbol-partitioned throughout, then one aggregate.  No joins,
+    no float percentile node."""
+    plan = explain_str(SPARK_QUERIES["gap_percentiles"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "percentile" not in plan.lower(), plan
