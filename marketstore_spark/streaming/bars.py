@@ -367,3 +367,107 @@ def stream_adx(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_mfi(
+    stream: DataFrame,
+    n: int = 14,
+    timeframe: str = "1 day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Live Money Flow Index (operators/quant.mfi kept live): per
+    symbol, carries the OPEN wall-clock candle (H/L/C + volume), the
+    last closed candle's tripled typical price, and the trailing ``n``
+    closed candles' (positive, negative) integer flows — O(n) state.
+    A row emits each time a candle closes, carrying that candle's MFI
+    (NULL during warm-up, exactly the batch rule ``rn > n``) —
+    float64-for-float64 the batch operator under any micro-batch
+    slicing (pinned in tests).  The open candle never emits.
+    """
+    from marketstore_spark.operators.gapfill import _duration_us
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    dur = _duration_us(timeframe)
+    win = int(n)
+    out_schema = f"{key_col} long, epoch timestamp, mfi double"
+    state_schema = (
+        "ptp long, has_prev boolean, rn long, "
+        "ob long, oh long, ol long, oc long, ovol long, has_open boolean, "
+        "tail_pos array<long>, tail_neg array<long>"
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            (ptp, has_prev, rn, ob, oh, ol, oc, ovol, has_open,
+             t_pos, t_neg) = state.get
+            t_pos, t_neg = list(t_pos), list(t_neg)
+        else:
+            ptp = rn = ob = oh = ol = oc = ovol = 0
+            has_prev = has_open = False
+            t_pos, t_neg = [], []
+        done = []
+
+        def close_candle():
+            # the batch chain: integer flows signed by the tripled
+            # typical price's direction, window = trailing n flows
+            nonlocal ptp, has_prev, rn
+            tp3 = oh + ol + oc
+            mf = tp3 * ovol
+            pos = mf if (has_prev and tp3 > ptp) else 0
+            neg = mf if (has_prev and tp3 < ptp) else 0
+            rn += 1
+            t_pos.append(pos)
+            t_neg.append(neg)
+            del t_pos[:-win], t_neg[:-win]
+            sp, sn = sum(t_pos), sum(t_neg)
+            val = (
+                100.0 * float(sp) / float(sp + sn)
+                if rn > win and (sp + sn) > 0
+                else None
+            )
+            done.append((key[0], pd.Timestamp(ob, unit="us"), val))
+            ptp, has_prev = tp3, True
+
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
+            for ts, px, v in zip(pdf[ts_col], pdf[value_col], pdf[volume_col]):
+                px_c = int(round(float(px) * 100))
+                v = int(v)
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                bkt = (t_us // dur) * dur
+                if not has_open:
+                    ob, oh, ol, oc, ovol, has_open = bkt, px_c, px_c, px_c, 0, True
+                elif bkt != ob:
+                    close_candle()
+                    ob, oh, ol, oc, ovol = bkt, px_c, px_c, px_c, 0
+                else:
+                    oh, ol = max(oh, px_c), min(ol, px_c)
+                oc = px_c
+                ovol += v
+            state.update(
+                (ptp, has_prev, rn, ob, oh, ol, oc, ovol, has_open,
+                 t_pos, t_neg)
+            )
+        if done:
+            yield pd.DataFrame(done, columns=[key_col, "epoch", "mfi"])
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

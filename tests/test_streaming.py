@@ -950,3 +950,53 @@ def test_stream_adx_matches_batch_closed_candles(spark, tmpdir):
         r = got[ep]
         for c in ("dmp", "dmm", "tr", "di_plus", "di_minus", "dx", "adx"):
             assert r[c] == want[c], (ep, c, r[c], want[c])
+
+
+def test_stream_mfi_matches_batch_closed_candles(spark, tmpdir):
+    """Live MFI: a 2-batch replay must equal the batch operator on
+    every CLOSED daily candle — open candle, previous typical price,
+    and the (pos, neg) flow window all carry across the boundary."""
+    from datetime import datetime
+
+    from marketstore_spark.operators.quant import mfi
+    from marketstore_spark.streaming.bars import stream_mfi
+
+    cols = ["user_id", "ts", "event_id", "value", "volume"]
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, 100.0, 10),
+        (1, datetime(2024, 1, 1, 14), 2, 102.0, 5),
+        (1, datetime(2024, 1, 2, 10), 3, 104.0, 20),
+        # --- batch boundary mid-day-2 ---
+        (1, datetime(2024, 1, 2, 14), 4, 101.0, 10),
+        (1, datetime(2024, 1, 3, 10), 5, 103.0, 30),
+        (1, datetime(2024, 1, 4, 10), 6, 99.0, 15),
+        (1, datetime(2024, 1, 5, 10), 7, 107.0, 5),  # opens day 5
+    ]
+    b0, b1 = rows[:3], rows[3:]
+    src = os.path.join(tmpdir, "mfiticks")
+    df0 = spark.createDataFrame(b0, cols)
+    df0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, df0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_mfi(stream, n=2, timeframe="1 day")
+        .writeStream.format("memory")
+        .queryName("live_mfi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["epoch"]: r["mfi"] for r in spark.sql("select * from live_mfi").collect()}
+    batch = {
+        r["epoch"]: r["mfi"]
+        for r in mfi(spark.createDataFrame(rows, cols), n=2).collect()
+        if r["epoch"].day <= 4  # day 5 is still open
+    }
+    assert set(got) == set(batch) and len(got) == 4
+    for ep, want in batch.items():
+        assert got[ep] == want, (ep, got[ep], want)
