@@ -1,9 +1,13 @@
-"""Quant idioms over tick streams: TWAP and cross-symbol correlation.
+"""Quant idioms over tick streams: TWAP, correlation, and the
+indicator/microstructure families.
 
-Both are marketstore use-case surface: the reference serves OHLCV and
-tick queries over TimeBucketKey series (uda/, catalog/) that clients
-then post-process; these two operators move the standard
-post-processing INTO the engine as declarative plans.
+All of it is marketstore use-case surface: the reference serves OHLCV
+and tick queries over TimeBucketKey series (uda/, catalog/,
+contrib/candler — the candle aggregates here replicate the candler's
+bucketing, see contrib/candler/candler.go and utils/functions) that
+clients then post-process with exactly these published indicators and
+estimators; every operator in this module moves that standard
+client-side post-processing INTO the engine as a declarative plan.
 
 Determinism policy (the repo-wide oracle-parity rule): no
 order-dependent double summation.  Every aggregate here sums exact
