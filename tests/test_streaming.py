@@ -1000,3 +1000,64 @@ def test_stream_mfi_matches_batch_closed_candles(spark, tmpdir):
     assert set(got) == set(batch) and len(got) == 4
     for ep, want in batch.items():
         assert got[ep] == want, (ep, got[ep], want)
+
+
+def test_stream_adx_state_survives_restart(spark, tmpdir):
+    """The four RMA accumulators, the previous candle, and the open
+    candle must round-trip through the checkpointed state store across
+    a full query STOP/RESTART: the pre-restart days seed the
+    recurrences, and the post-restart emissions must still be
+    float64-equal to the batch operator over the whole series."""
+    from datetime import datetime
+
+    from marketstore_spark.operators.quant import adx
+    from marketstore_spark.streaming.bars import stream_adx
+
+    cols = "user_id long, ts timestamp, event_id long, value double"
+    rows0 = [
+        (1, datetime(2024, 1, 1, 10), 1, 100.0),
+        (1, datetime(2024, 1, 2, 10), 2, 104.0),
+        (1, datetime(2024, 1, 3, 10), 3, 101.0),
+    ]
+    rows1 = [
+        (1, datetime(2024, 1, 4, 10), 4, 106.0),
+        (1, datetime(2024, 1, 5, 10), 5, 103.0),
+        (1, datetime(2024, 1, 6, 10), 6, 108.0),  # opens day 6
+    ]
+    src = os.path.join(tmpdir, "adxrestart")
+    ckpt = os.path.join(tmpdir, "adxckpt")
+    out = os.path.join(tmpdir, "adxout")
+    b0 = spark.createDataFrame(rows0, cols)
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    def run_once():
+        stream = read_stream(
+            spark, src, b0.schema, max_files_per_trigger=1, recursive=True
+        )
+        q = (
+            stream_adx(stream, n=2, timeframe="1 day")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows1, cols).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    run_once()
+
+    got = {r["epoch"]: r for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["epoch"]: r
+        for r in adx(spark.createDataFrame(rows0 + rows1, cols), n=2).collect()
+        if r["epoch"].day <= 5  # day 6 is still open
+    }
+    assert set(got) == set(batch) and len(got) == 4
+    for ep, want in batch.items():
+        for c in ("dmp", "dmm", "tr", "di_plus", "di_minus", "dx", "adx"):
+            assert got[ep][c] == want[c], (ep, c)
