@@ -169,6 +169,7 @@ HEADLINE = [
     # operator-fusion datapoint: Roll + autocorr + VR in one plan
     "liquidity_panel",
     "gap_percentiles",
+    "price_impact_curve",
 ]
 
 _ORACLE_TABLES = (

@@ -6556,6 +6556,53 @@ def gap_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_percentiles(load_table(spark, sf_dir, "events"))
 
 
+@_register(
+    "price_impact_curve",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         CAST(props->>'$.k' AS BIGINT) AS vol
+  FROM events
+),
+m AS (
+  SELECT symbol, vol,
+         abs(px_c - LAG(px_c) OVER (PARTITION BY symbol
+                                    ORDER BY ts, event_id)) AS absmove
+  FROM t
+),
+r AS (
+  SELECT symbol, vol, absmove,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY vol, absmove) AS rk,
+         COUNT(*) OVER (PARTITION BY symbol) AS n
+  FROM m WHERE absmove IS NOT NULL
+)
+SELECT symbol, CAST((rk - 1) * 10 // n AS BIGINT) AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_volume,
+       CAST(CAST(SUM(absmove) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_abs_move_c
+FROM r GROUP BY symbol, size_bucket
+""",
+)
+def price_impact_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average |tick move| by trade-size RANK decile per symbol — the
+    square-root-impact-law surface (operators/quant.
+    price_impact_curve): exact integer decile assignment, LONG sums,
+    two single-division averages; tie permutations cannot change
+    bucket totals because tied rows are identical in every aggregated
+    field."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import price_impact_curve
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return price_impact_curve(ev, n_buckets=10)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6626,6 +6673,7 @@ _FRONT = [
     "corpus_unigram_nll",
     "liquidity_panel",
     "gap_percentiles",
+    "price_impact_curve",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

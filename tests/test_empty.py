@@ -382,3 +382,12 @@ def test_gap_percentiles_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert gap_percentiles(empty).count() == 0
+
+
+def test_price_impact_curve_empty_input(spark):
+    from marketstore_spark.operators.quant import price_impact_curve
+
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    assert price_impact_curve(empty).count() == 0

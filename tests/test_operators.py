@@ -2375,3 +2375,38 @@ def test_gap_percentiles_single_gap(spark):
     r = gap_percentiles(df).collect()[0]
     # n=1: every percentile is the single gap (rem always 0)
     assert r["p50_gap_us"] == r["p90_gap_us"] == r["p99_gap_us"] == 7_000_000.0
+
+
+def test_price_impact_curve_hand_computed(spark):
+    from marketstore_spark.operators.quant import price_impact_curve
+
+    # 5 ticks -> 4 moves; rank deciles at n_buckets=2 (halves by size)
+    # moves and sizes: (|move|, vol) = (100, 1), (200, 2), (50, 3), (300, 4)
+    rows = [
+        (1, _ts(2024, 1, 1, 9, 0), 1, 100.0, 9),
+        (1, _ts(2024, 1, 1, 9, 1), 2, 101.0, 1),
+        (1, _ts(2024, 1, 1, 9, 2), 3, 99.0, 2),
+        (1, _ts(2024, 1, 1, 9, 3), 4, 99.5, 3),
+        (1, _ts(2024, 1, 1, 9, 4), 5, 102.5, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    out = {r["size_bucket"]: r for r in price_impact_curve(df, n_buckets=2).collect()}
+    # size order: vol 1 (move 100), vol 2 (move 200) | vol 3 (50), vol 4 (300)
+    assert (out[0]["n_trades"], out[1]["n_trades"]) == (2, 2)
+    assert out[0]["avg_volume"] == 1.5 and out[1]["avg_volume"] == 3.5
+    assert out[0]["avg_abs_move_c"] == 150.0
+    assert out[1]["avg_abs_move_c"] == 175.0
+
+
+def test_price_impact_curve_rejects_bad_buckets(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.quant import price_impact_curve
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    with _pytest.raises(ValueError):
+        price_impact_curve(df, n_buckets=0)

@@ -1077,3 +1077,12 @@ def test_gap_percentiles_two_sorts_no_join(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["gap_percentiles"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert "percentile" not in plan.lower(), plan
+
+
+def test_price_impact_curve_one_partitioning_two_sorts(spark, sf_dir):
+    """Impact curve: the time sort (move lag) and the volume-rank sort
+    are different orders over ONE symbol partitioning; then a (symbol,
+    bucket) aggregate.  No joins."""
+    plan = explain_str(SPARK_QUERIES["price_impact_curve"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
