@@ -170,6 +170,7 @@ HEADLINE = [
     "liquidity_panel",
     "gap_percentiles",
     "price_impact_curve",
+    "corpus_language_mix",
 ]
 
 _ORACLE_TABLES = (

@@ -894,3 +894,68 @@ def unigram_nll(
         -(F.col("__sq").cast("double") / F.col("n_tokens").cast("double"))
     ) / F.lit(1000000.0)
     return per.select("doc_id", "n_tokens", nll.alias("nll"))
+
+
+def language_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-(source, predicted language) composition report with the
+    metadata-agreement rate: how much of each source the langid
+    heuristic assigns to each language, what share of the source that
+    is, and how often the prediction agrees with the table's own
+    ``lang`` label — the QA table read before trusting EITHER signal
+    in a training mix (every corpus paper reports its language
+    composition; the agreement column localizes where heuristic and
+    metadata disagree).
+
+    Same marker-argmax as :func:`langid` (alphabetical tie-break),
+    inlined so source/label ride the one projection — composing
+    ``langid(df)`` would force a doc-keyed self-join.  Counts are
+    exact LONGs; the share is one double division against a
+    per-source window total over GROUP-scale rows (sources × five
+    languages — dims², never corpus-scale); agreement is one double
+    division.  One corpus scan, one hash aggregate.
+    """
+    from pyspark.sql import Window
+
+    low = F.lower(F.col(text_col))
+    neg = [
+        F.struct(
+            (
+                -F.regexp_count(
+                    low, F.lit(rf"\b(?:{'|'.join(LANG_MARKERS[lang])})\b")
+                )
+            ).alias("neg_score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.sort_array(F.array(*neg), asc=True)[0]
+    staged = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("__label"),
+        best["lang"].alias("predicted_lang"),
+    )
+    per = staged.groupBy("source", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(
+            F.when(F.col("__label") == F.col("predicted_lang"), F.lit(1))
+        ).alias("n_label_match"),
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "predicted_lang",
+        "n_docs",
+        "n_label_match",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("share"),
+        (
+            F.col("n_label_match").cast("double") / F.col("n_docs").cast("double")
+        ).alias("label_agreement"),
+    )

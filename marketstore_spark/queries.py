@@ -6603,6 +6603,61 @@ def price_impact_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return price_impact_curve(ev, n_buckets=10)
 
 
+def _language_mix_sql() -> str:
+    """The _langid_sql marker-argmax CASE with source/label carried,
+    rolled up per (source, predicted_lang) with the share and
+    label-agreement divisions."""
+    from marketstore_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '\\b(?:{'|'.join(LANG_MARKERS[lg])})\\b')) AS {lg}"
+        for lg in langs
+    )
+    case_lines = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lg} >= {other}" for other in langs[i + 1 :])
+        case_lines.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = "\n           ".join(case_lines)
+    return f"""
+WITH c AS (
+  SELECT source, lang,
+         {counts}
+  FROM documents
+),
+p AS (
+  SELECT source, lang,
+         CASE {case_sql}
+              ELSE '{langs[-1]}' END AS predicted_lang
+  FROM c
+),
+g AS (
+  SELECT source, predicted_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(CASE WHEN lang = predicted_lang THEN 1 END)
+              AS BIGINT) AS n_label_match
+  FROM p GROUP BY source, predicted_lang
+)
+SELECT source, predicted_lang, n_docs, n_label_match,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share,
+       CAST(n_label_match AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS label_agreement
+FROM g
+"""
+
+
+@_register("corpus_language_mix", _language_mix_sql())
+def corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source predicted-language composition + metadata agreement
+    (operators/text.language_mix): the langid marker-argmax inlined so
+    source/label ride one projection, exact counts, two single
+    divisions."""
+    from marketstore_spark.operators.text import language_mix
+
+    return language_mix(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6674,6 +6729,7 @@ _FRONT = [
     "liquidity_panel",
     "gap_percentiles",
     "price_impact_curve",
+    "corpus_language_mix",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -391,3 +391,12 @@ def test_price_impact_curve_empty_input(spark):
         [], "user_id long, ts timestamp, event_id long, value double, volume long"
     )
     assert price_impact_curve(empty).count() == 0
+
+
+def test_language_mix_empty_input(spark):
+    from marketstore_spark.operators.text import language_mix
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    assert language_mix(empty).count() == 0

@@ -2410,3 +2410,26 @@ def test_price_impact_curve_rejects_bad_buckets(spark):
     )
     with _pytest.raises(ValueError):
         price_impact_curve(df, n_buckets=0)
+
+
+def test_language_mix_hand_computed(spark):
+    from marketstore_spark.operators.text import language_mix
+
+    rows = [
+        (1, "the cat and the dog is here", "en", "A"),   # en markers win
+        (2, "el que la los es", "es", "A"),               # es markers win
+        (3, "the and is of to in", "es", "A"),            # mislabeled: pred en
+        (4, "der die das und ist", "de", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        (r["source"], r["predicted_lang"]): r for r in language_mix(df).collect()
+    }
+    a_en = out[("A", "en")]
+    assert (a_en["n_docs"], a_en["n_label_match"]) == (2, 1)  # doc 3 disagrees
+    assert a_en["share"] == 2.0 / 3.0
+    assert a_en["label_agreement"] == 0.5
+    a_es = out[("A", "es")]
+    assert (a_es["n_docs"], a_es["n_label_match"]) == (1, 1)
+    b_de = out[("B", "de")]
+    assert b_de["share"] == 1.0 and b_de["label_agreement"] == 1.0

@@ -1086,3 +1086,12 @@ def test_price_impact_curve_one_partitioning_two_sorts(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["price_impact_curve"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
+
+
+def test_language_mix_one_scan_group_scale_window(spark, sf_dir):
+    """Language mix: one corpus scan into one hash aggregate; the
+    share window runs over GROUP-scale rows (sources x languages).
+    No joins."""
+    plan = explain_str(SPARK_QUERIES["corpus_language_mix"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
