@@ -171,6 +171,7 @@ HEADLINE = [
     "gap_percentiles",
     "price_impact_curve",
     "corpus_language_mix",
+    "move_percentiles",
 ]
 
 _ORACLE_TABLES = (

@@ -2689,3 +2689,57 @@ def price_impact_curve(
             F.col("__sm").cast("double") / F.col("n_trades").cast("double")
         ).alias("avg_abs_move_c"),
     )
+
+
+def move_percentiles(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-symbol distribution of bucket-close moves — p01/p50/p99 of
+    the SIGNED integer-cent move plus min/max and count: the
+    historical-VaR surface (p01 of daily moves IS the 99% one-day VaR
+    in cents) read next to realized_moments' shape statistics.
+
+    Same EXACT-RATIONAL interpolation as gap_percentiles (rank
+    ``p·(n−1)`` as divmod, integer order-statistic picks, one division
+    of ``lo·(den−rem)+hi·rem``) — moves are signed, which changes
+    nothing: the rank sort and the integer interpolation are
+    sign-agnostic, and the bitwise-at-any-magnitude property is what
+    makes a VaR number auditable across engines.
+    """
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    moves = closes.select(
+        "symbol",
+        (F.col("close_c") - F.lag("close_c").over(w)).alias("move_c"),
+    ).filter(F.col("move_c").isNotNull())
+    gw = Window.partitionBy("symbol")
+    ranked = moves.select(
+        "symbol",
+        "move_c",
+        F.row_number().over(gw.orderBy("move_c")).alias("__rk"),
+        F.count(F.lit(1)).over(gw).alias("__n"),
+    )
+
+    def pick(num: int, den: int, name: str) -> Column:
+        idx = F.expr(f"{num} * (__n - 1) DIV {den}")
+        rem = F.expr(f"{num} * (__n - 1) % {den}")
+        lo = F.max(F.when(F.col("__rk") == idx + 1, F.col("move_c")))
+        hi = F.max(F.when(F.col("__rk") == idx + 2, F.col("move_c")))
+        num_c = lo * (F.lit(den) - F.max(rem)) + F.coalesce(hi, F.lit(0)) * F.max(rem)
+        return (num_c.cast("double") / F.lit(float(den))).alias(name)
+
+    return ranked.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.min("move_c").alias("min_move_c"),
+        F.max("move_c").alias("max_move_c"),
+        pick(1, 100, "p01_move_c"),
+        pick(1, 2, "p50_move_c"),
+        pick(99, 100, "p99_move_c"),
+    )

@@ -6658,6 +6658,61 @@ def corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_mix(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "move_percentiles",
+    """
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol,
+         close_c - LAG(close_c) OVER (PARTITION BY symbol
+                                      ORDER BY bucket) AS move_c
+  FROM c
+),
+r AS (
+  SELECT symbol, move_c,
+         row_number() OVER (PARTITION BY symbol ORDER BY move_c) AS rk,
+         COUNT(*) OVER (PARTITION BY symbol) AS n
+  FROM m WHERE move_c IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(MIN(move_c) AS BIGINT) AS min_move_c,
+       CAST(MAX(move_c) AS BIGINT) AS max_move_c,
+       CAST(MAX(CASE WHEN rk = 1 * (n - 1) // 100 + 1 THEN move_c END)
+              * (100 - MAX(1 * (n - 1) % 100))
+            + COALESCE(MAX(CASE WHEN rk = 1 * (n - 1) // 100 + 2
+                           THEN move_c END), 0) * MAX(1 * (n - 1) % 100)
+         AS DOUBLE) / 100.0 AS p01_move_c,
+       CAST(MAX(CASE WHEN rk = 1 * (n - 1) // 2 + 1 THEN move_c END)
+              * (2 - MAX(1 * (n - 1) % 2))
+            + COALESCE(MAX(CASE WHEN rk = 1 * (n - 1) // 2 + 2
+                           THEN move_c END), 0) * MAX(1 * (n - 1) % 2)
+         AS DOUBLE) / 2.0 AS p50_move_c,
+       CAST(MAX(CASE WHEN rk = 99 * (n - 1) // 100 + 1 THEN move_c END)
+              * (100 - MAX(99 * (n - 1) % 100))
+            + COALESCE(MAX(CASE WHEN rk = 99 * (n - 1) // 100 + 2
+                           THEN move_c END), 0) * MAX(99 * (n - 1) % 100)
+         AS DOUBLE) / 100.0 AS p99_move_c
+FROM r GROUP BY symbol
+""",
+)
+def move_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol signed daily-move p01/p50/p99 + min/max — the
+    historical-VaR surface on the gap_percentiles exact-rational
+    interpolation contract (operators/quant.move_percentiles)."""
+    from marketstore_spark.operators.quant import move_percentiles
+
+    return move_percentiles(load_table(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6730,6 +6785,7 @@ _FRONT = [
     "gap_percentiles",
     "price_impact_curve",
     "corpus_language_mix",
+    "move_percentiles",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -400,3 +400,12 @@ def test_language_mix_empty_input(spark):
         [], "doc_id long, text string, lang string, source string"
     )
     assert language_mix(empty).count() == 0
+
+
+def test_move_percentiles_empty_input(spark):
+    from marketstore_spark.operators.quant import move_percentiles
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert move_percentiles(empty).count() == 0

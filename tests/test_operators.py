@@ -2433,3 +2433,23 @@ def test_language_mix_hand_computed(spark):
     assert (a_es["n_docs"], a_es["n_label_match"]) == (1, 1)
     b_de = out[("B", "de")]
     assert b_de["share"] == 1.0 and b_de["label_agreement"] == 1.0
+
+
+def test_move_percentiles_signed_interpolation(spark):
+    from marketstore_spark.operators.quant import move_percentiles
+
+    # daily closes 100, 98, 101, 99, 103 -> moves -200, +300, -200, +400
+    # sorted: [-200, -200, 300, 400]; n=4
+    closes = [100.0, 98.0, 101.0, 99.0, 103.0]
+    rows = [
+        (1, _ts(2024, 1, 1 + i, 12), i + 1, c) for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = move_percentiles(df).collect()[0]
+    assert (r["n_moves"], r["min_move_c"], r["max_move_c"]) == (4, -200, 400)
+    # p01: rank 0.03 -> (-200*97 + -200*3)/100 = -200
+    assert r["p01_move_c"] == -200.0
+    # p50: rank 1.5 -> (-200*1 + 300*1)/2 = 50
+    assert r["p50_move_c"] == 50.0
+    # p99: rank 2.97 -> (300*3 + 400*97)/100
+    assert r["p99_move_c"] == (300 * 3 + 400 * 97) / 100.0
