@@ -172,6 +172,7 @@ HEADLINE = [
     "price_impact_curve",
     "corpus_language_mix",
     "move_percentiles",
+    "market_concentration",
 ]
 
 _ORACLE_TABLES = (

@@ -2743,3 +2743,69 @@ def move_percentiles(
         pick(1, 2, "p50_move_c"),
         pick(99, 100, "p99_move_c"),
     )
+
+
+def market_concentration(
+    df: DataFrame,
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Cross-sectional market concentration per bucket: how much of
+    the market's dollar volume the busiest symbols take — the
+    Herfindahl–Hirschman index over per-symbol dollar volume, its
+    inverse (the EFFECTIVE number of active symbols), and the single
+    largest symbol's share.  The market-structure health chart next
+    to the per-symbol activity views (top_symbols, xs_momentum).
+
+    A float Σshare² across symbols is accumulation-order-dependent —
+    banned — so HHI uses the source_token_stats identity applied
+    cross-sectionally: ``HHI = Σdv² / (Σdv)²`` with ``Σdv²`` exact in
+    DECIMAL(38,0) (a bucket's squared dollar volume clears 2⁶³ long
+    before 100 TB) and both divisions one mirrored double chain.  The
+    top share is an exact max over integers.
+
+    Shape: one (symbol, bucket) dollar-volume aggregate (map-side
+    partials over ticks), then ONE #buckets-row aggregate — nothing
+    corpus-scale after the first combine, no windows, no joins.
+    """
+    w = F.window(ts_col, timeframe)
+    ticks = df.select(
+        F.col(symbol_col).alias("symbol"),
+        w["start"].alias("bucket"),
+        (
+            (F.col(value_col).cast("decimal(8,2)") * 100).cast("long")
+            * F.col(volume_col).cast("long")
+        ).alias("__dv_c"),
+    )
+    per_sym = ticks.groupBy("symbol", "bucket").agg(
+        F.sum("__dv_c").alias("dv")
+    )
+    dvd = F.col("dv").cast("decimal(38,0)")
+    per_bucket = per_sym.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_symbols"),
+        F.sum("dv").alias("total_dv_c"),
+        F.sum(dvd * dvd).alias("__dv2"),
+        F.max("dv").alias("__top_dv"),
+    )
+    tot = F.col("total_dv_c").cast("double")
+    hhi = F.when(
+        F.col("total_dv_c") > 0,
+        F.col("__dv2").cast("double") / (tot * tot),
+    )
+    return per_bucket.select(
+        F.col("bucket").alias("epoch"),
+        "n_symbols",
+        "total_dv_c",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(
+            F.when(F.col("__dv2") > 0, (tot * tot) / F.col("__dv2").cast("double")),
+            6,
+        ).alias("effective_symbols"),
+        F.when(
+            F.col("total_dv_c") > 0,
+            F.col("__top_dv").cast("double") / tot,
+        ).alias("top_share"),
+    )

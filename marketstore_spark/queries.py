@@ -6713,6 +6713,60 @@ def move_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return move_percentiles(load_table(spark, sf_dir, "events"))
 
 
+@_register(
+    "market_concentration",
+    """
+WITH t AS (
+  SELECT user_id AS symbol,
+         time_bucket(INTERVAL '1 day', ts) AS bucket,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)
+           * CAST(props->>'$.k' AS BIGINT) AS dv_c
+  FROM events
+),
+s AS (
+  SELECT symbol, bucket, CAST(SUM(dv_c) AS BIGINT) AS dv
+  FROM t GROUP BY symbol, bucket
+),
+g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+         CAST(SUM(dv) AS BIGINT) AS total_dv_c,
+         SUM(CAST(dv AS HUGEINT) * dv) AS dv2,
+         CAST(MAX(dv) AS BIGINT) AS top_dv
+  FROM s GROUP BY bucket
+)
+SELECT bucket AS epoch, n_symbols, total_dv_c,
+       CAST(ROUND(CAST(CAST(
+         CASE WHEN total_dv_c > 0 THEN
+           CAST(dv2 AS DOUBLE)
+             / (CAST(total_dv_c AS DOUBLE) * CAST(total_dv_c AS DOUBLE))
+         END
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS hhi,
+       CAST(ROUND(CAST(CAST(
+         CASE WHEN dv2 > 0 THEN
+           (CAST(total_dv_c AS DOUBLE) * CAST(total_dv_c AS DOUBLE))
+             / CAST(dv2 AS DOUBLE)
+         END
+       AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS effective_symbols,
+       CASE WHEN total_dv_c > 0 THEN
+         CAST(top_dv AS DOUBLE) / CAST(total_dv_c AS DOUBLE)
+       END AS top_share
+FROM g
+""",
+)
+def market_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily market HHI over per-symbol dollar volume + effective
+    symbol count + top share (operators/quant.market_concentration):
+    the Simpson-identity exact-integer formulation applied
+    cross-sectionally."""
+    from marketstore_spark.models import typed_attrs
+    from marketstore_spark.operators.quant import market_concentration
+
+    ev = typed_attrs(load_table(spark, sf_dir, "events")).withColumn(
+        "volume", F.col("attrs.k").cast("long")
+    )
+    return market_concentration(ev)
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6786,6 +6840,7 @@ _FRONT = [
     "price_impact_curve",
     "corpus_language_mix",
     "move_percentiles",
+    "market_concentration",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -409,3 +409,12 @@ def test_move_percentiles_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert move_percentiles(empty).count() == 0
+
+
+def test_market_concentration_empty_input(spark):
+    from marketstore_spark.operators.quant import market_concentration
+
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    assert market_concentration(empty).count() == 0

@@ -2453,3 +2453,34 @@ def test_move_percentiles_signed_interpolation(spark):
     assert r["p50_move_c"] == 50.0
     # p99: rank 2.97 -> (300*3 + 400*97)/100
     assert r["p99_move_c"] == (300 * 3 + 400 * 97) / 100.0
+
+
+def test_market_concentration_hand_computed(spark):
+    from marketstore_spark.operators.quant import market_concentration
+
+    # one day, 2 symbols: dv = 100.00*10 = 100000c and 100.00*30 = 300000c
+    rows = [
+        (1, _ts(2024, 1, 1, 10), 1, 100.0, 10),
+        (2, _ts(2024, 1, 1, 11), 2, 100.0, 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    r = market_concentration(df).collect()[0]
+    assert (r["n_symbols"], r["total_dv_c"]) == (2, 400000)
+    dv2 = 100000**2 + 300000**2
+    assert r["hhi"] == round(dv2 / 400000.0**2, 6)  # 0.625
+    assert r["effective_symbols"] == round(400000.0**2 / dv2, 6)  # 1.6
+    assert r["top_share"] == 300000.0 / 400000.0
+
+
+def test_market_concentration_single_symbol(spark):
+    from marketstore_spark.operators.quant import market_concentration
+
+    rows = [(1, _ts(2024, 1, 1, 10), 1, 50.0, 7)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double, volume long"
+    )
+    r = market_concentration(df).collect()[0]
+    assert r["hhi"] == 1.0 and r["effective_symbols"] == 1.0
+    assert r["top_share"] == 1.0

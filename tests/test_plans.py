@@ -1095,3 +1095,13 @@ def test_language_mix_one_scan_group_scale_window(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["corpus_language_mix"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_market_concentration_two_combiner_aggs(spark, sf_dir):
+    """Market HHI: tick-scale work is ONE (symbol, bucket) aggregate
+    with map-side partials; the bucket rollup runs on symbol-scale
+    rows.  No joins, no windows."""
+    plan = explain_str(SPARK_QUERIES["market_concentration"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "partial" in plan.lower(), plan
