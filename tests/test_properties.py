@@ -930,3 +930,82 @@ def test_trimmed_mean_matches_exact_model(spark, ticks, pct):
     kept = [p for p, _ in px[k : nt - k]]
     assert (r["n_ticks"], r["n_used"]) == (nt, len(kept))
     assert r["trimmed_mean_c"] == float(sum(kept)) / float(len(kept))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=300),  # close (dollars)
+            st.integers(min_value=1, max_value=50),   # volume
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_mfi_matches_exact_model(spark, days, n):
+    """MFI vs an unbounded-int flow model — bitwise, including the
+    Wilder unchanged-price rule and the all-flat NULL guard."""
+    from marketstore_spark.operators.quant import mfi
+
+    rows = [
+        (1, EPOCH0 + dt.timedelta(days=i), i + 1, float(px), vol)
+        for i, (px, vol) in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, value double, volume long",
+    )
+    got = {r["epoch"]: r["mfi"] for r in mfi(df, n=n).collect()}
+    tp3 = [3 * px * 100 for px, _ in days]
+    flows = []
+    for i, (px, vol) in enumerate(days):
+        mf = tp3[i] * vol
+        pos = mf if i > 0 and tp3[i] > tp3[i - 1] else 0
+        neg = mf if i > 0 and tp3[i] < tp3[i - 1] else 0
+        flows.append((pos, neg))
+    for i, (_, v) in enumerate(sorted(got.items())):
+        wnd = flows[max(0, i - n + 1) : i + 1]
+        sp, sn = sum(p for p, _ in wnd), sum(q for _, q in wnd)
+        want = (
+            100.0 * float(sp) / float(sp + sn)
+            if i + 1 > n and (sp + sn) > 0
+            else None
+        )
+        assert v == want, (i, v, want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    syms=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),  # price
+            st.integers(min_value=1, max_value=99),   # volume
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_market_concentration_matches_exact_model(spark, syms):
+    """HHI/effective-count vs an unbounded-int Simpson model (one tick
+    per symbol, one bucket) — rounding via the Spark emulation."""
+    from marketstore_spark.operators.quant import market_concentration
+
+    rows = [
+        (i + 1, EPOCH0 + dt.timedelta(hours=i % 20), i + 1, float(px), vol)
+        for i, (px, vol) in enumerate(syms)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, value double, volume long",
+    )
+    r = market_concentration(df).collect()[0]
+    dv = [px * 100 * vol for px, vol in syms]
+    tot, dv2 = sum(dv), sum(v * v for v in dv)
+    assert (r["n_symbols"], r["total_dv_c"]) == (len(syms), tot)
+    assert r["hhi"] == _spark_round6(float(dv2) / (float(tot) * float(tot)))
+    assert r["effective_symbols"] == _spark_round6(
+        (float(tot) * float(tot)) / float(dv2)
+    )
+    assert r["top_share"] == float(max(dv)) / float(tot)
