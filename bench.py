@@ -173,6 +173,7 @@ HEADLINE = [
     "corpus_language_mix",
     "move_percentiles",
     "market_concentration",
+    "dedup_rate_by_source",
 ]
 
 _ORACLE_TABLES = (

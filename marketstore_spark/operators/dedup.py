@@ -981,3 +981,49 @@ def benchmark_coverage(
         nm.alias("n_matched"),
         (nm.cast("double") / F.col("n_shingles").cast("double")).alias("coverage"),
     )
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source exact-duplicate report: document count, distinct
+    contents, removable duplicates, and the duplicate RATE — WHICH
+    source ships the duplication (:func:`dup_size_histogram` answers
+    how big the clusters are; this answers where they come from, the
+    ledger a mix designer reads before down-weighting a feed).
+
+    Uses the exact_dedup_groups normalization contract (lowercase,
+    whitespace-collapsed md5) so "duplicate" means the same thing
+    across all three exact-dedup surfaces.  Distinct contents count
+    WITHIN the source — a document repeated across two sources counts
+    as distinct in each (cross-source overlap is
+    source_token_jaccard's axis).  All counts exact LONGs; the rate is
+    one double division.
+
+    Shape (100 TB): one (source, hash) hash aggregate with map-side
+    partials — wordcount over content hashes — then a #sources-row
+    rollup.  Nothing quadratic, no windows, no joins.
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    per_hash = (
+        df.select(F.col(source_col).alias("source"), F.md5(t).alias("__h"))
+        .groupBy("source", "__h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_source = per_hash.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") - 1).alias("n_removable"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        "n_removable",
+        (
+            F.col("n_removable").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -6767,6 +6767,35 @@ def market_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_concentration(ev)
 
 
+@_register(
+    "dedup_rate_by_source",
+    """
+WITH h AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+  FROM documents
+),
+c AS (
+  SELECT source, hh, CAST(COUNT(*) AS BIGINT) AS c
+  FROM h GROUP BY source, hh
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c - 1) AS BIGINT) AS n_removable,
+       CAST(SUM(c - 1) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_rate
+FROM c GROUP BY source
+""",
+)
+def dedup_rate_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate ledger (operators/dedup.
+    dedup_rate_by_source): the exact_dedup_groups normalization
+    contract rolled up per source — exact counts, one division."""
+    from marketstore_spark.operators.dedup import dedup_rate_by_source
+
+    return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6841,6 +6870,7 @@ _FRONT = [
     "corpus_language_mix",
     "move_percentiles",
     "market_concentration",
+    "dedup_rate_by_source",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

@@ -418,3 +418,10 @@ def test_market_concentration_empty_input(spark):
         [], "user_id long, ts timestamp, event_id long, value double, volume long"
     )
     assert market_concentration(empty).count() == 0
+
+
+def test_dedup_rate_by_source_empty_input(spark):
+    from marketstore_spark.operators.dedup import dedup_rate_by_source
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert dedup_rate_by_source(empty).count() == 0

@@ -2484,3 +2484,22 @@ def test_market_concentration_single_symbol(spark):
     r = market_concentration(df).collect()[0]
     assert r["hhi"] == 1.0 and r["effective_symbols"] == 1.0
     assert r["top_share"] == 1.0
+
+
+def test_dedup_rate_by_source_hand_computed(spark):
+    from marketstore_spark.operators.dedup import dedup_rate_by_source
+
+    rows = [
+        (1, "Hello  World", "A"),
+        (2, "hello world", "A"),   # normalized duplicate of doc 1
+        (3, "something else", "A"),
+        (4, "hello world", "B"),   # cross-source copy counts per-source
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in dedup_rate_by_source(df).collect()}
+    a = out["A"]
+    assert (a["n_docs"], a["n_distinct"], a["n_removable"]) == (3, 2, 1)
+    assert a["dup_rate"] == 1.0 / 3.0
+    b = out["B"]
+    assert (b["n_docs"], b["n_distinct"], b["n_removable"]) == (1, 1, 0)
+    assert b["dup_rate"] == 0.0

@@ -1105,3 +1105,11 @@ def test_market_concentration_two_combiner_aggs(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_dedup_rate_by_source_wordcount_shape(spark, sf_dir):
+    """Per-source dup ledger: one (source, hash) combiner aggregate,
+    then a #sources rollup — no joins, no windows."""
+    plan = explain_str(SPARK_QUERIES["dedup_rate_by_source"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
