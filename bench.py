@@ -174,6 +174,7 @@ HEADLINE = [
     "move_percentiles",
     "market_concentration",
     "dedup_rate_by_source",
+    "acf_spectrum",
 ]
 
 _ORACLE_TABLES = (

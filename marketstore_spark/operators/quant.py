@@ -2809,3 +2809,99 @@ def market_concentration(
             F.col("__top_dv").cast("double") / tot,
         ).alias("top_share"),
     )
+
+
+def acf_spectrum(
+    df: DataFrame,
+    lags: Sequence[int] = (1, 2, 3, 5, 10),
+    timeframe: str = "1 day",
+    symbol_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Autocorrelation SPECTRUM of bucket-close moves per symbol: the
+    Pearson ACF at each requested lag, long-form (symbol, lag, n_pairs,
+    acf).  autocorr_returns reads lag 1; the momentum/reversal
+    diagnostic is the SIGN PATTERN across lags (reversal at 1, drift
+    at 5–10 is the classic microstructure signature), and computing
+    the lags separately would pay one scan + sort PER LAG.
+
+    One pass: every close lag the spectrum needs (1, and k, k+1 for
+    each k) evaluates in a SINGLE Window node over one per-symbol
+    sort; each lag's five moment sums are conditional exact-LONG
+    aggregates in ONE groupBy; the long-form output unpivots the
+    aggregate row with ``stack`` (a pure projection).  The final
+    Pearson per lag is the autocorr_returns expression, NULL on zero
+    variance.  Output rows = symbols × lags — dims-scale.
+    """
+    lags = sorted(set(int(k) for k in lags))
+    if not lags or lags[0] < 1:
+        raise ValueError("lags must be positive integers")
+    closes = _bucket_closes(
+        df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    lag_of = {0: F.col("close_c")}
+    for k in {1, *(k for k in lags), *(k + 1 for k in lags)}:
+        lag_of[k] = F.lag("close_c", k).over(w)
+    mv = closes.select(
+        "symbol",
+        (lag_of[0] - lag_of[1]).alias("m0"),
+        *[
+            (lag_of[k] - lag_of[k + 1]).alias(f"m{k}")
+            for k in lags
+        ],
+    )
+    aggs = []
+    for k in lags:
+        x, y = F.col("m0"), F.col(f"m{k}")
+        both = x.isNotNull() & y.isNotNull()
+
+        def s(c, name, both=both):
+            return F.coalesce(F.sum(F.when(both, c)), F.lit(0)).alias(name)
+
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n_{k}"),
+            s(x, f"sx_{k}"),
+            s(y, f"sy_{k}"),
+            s(x * y, f"sxy_{k}"),
+            s(x * x, f"sxx_{k}"),
+            s(y * y, f"syy_{k}"),
+        ]
+    g = mv.groupBy("symbol").agg(*aggs)
+
+    def acf(k: int) -> Column:
+        n = F.col(f"n_{k}")
+        num = (n * F.col(f"sxy_{k}") - F.col(f"sx_{k}") * F.col(f"sy_{k}")).cast(
+            "double"
+        )
+        vx = (n * F.col(f"sxx_{k}") - F.col(f"sx_{k}") * F.col(f"sx_{k}")).cast(
+            "double"
+        )
+        vy = (n * F.col(f"syy_{k}") - F.col(f"sy_{k}") * F.col(f"sy_{k}")).cast(
+            "double"
+        )
+        return F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+
+    stacked = g.select(
+        "symbol",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"n_{k}").alias("n_pairs"),
+                        acf(k).alias("acf"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("__r"),
+    )
+    return stacked.select(
+        "symbol",
+        F.col("__r.lag").alias("lag"),
+        F.col("__r.n_pairs").alias("n_pairs"),
+        F.col("__r.acf").alias("acf"),
+    )

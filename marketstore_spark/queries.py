@@ -6796,6 +6796,86 @@ def dedup_rate_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
 
 
+def _acf_spectrum_sql(lags: tuple = (1, 2, 3, 5, 10)) -> str:
+    """ACF spectrum as one window + one conditional aggregate +
+    a per-lag UNION over the aggregate row — mirrors the engine's
+    stack unpivot; every sum is an exact LONG."""
+    move = {k: f"LAG(close_c, {k}) OVER ws - LAG(close_c, {k + 1}) OVER ws" for k in lags}
+    mcols = ",\n         ".join(
+        ["close_c - LAG(close_c, 1) OVER ws AS m0"]
+        + [f"{move[k]} AS m{k}" for k in lags]
+    )
+
+    def sums(k: int) -> str:
+        both = f"m0 IS NOT NULL AND m{k} IS NOT NULL"
+
+        def s(expr: str, name: str) -> str:
+            return (
+                f"CAST(COALESCE(SUM(CASE WHEN {both} THEN {expr} END), 0) "
+                f"AS BIGINT) AS {name}_{k}"
+            )
+
+        return ",\n         ".join(
+            [
+                f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n_{k}",
+                s("m0", "sx"),
+                s(f"m{k}", "sy"),
+                s(f"m0 * m{k}", "sxy"),
+                s("m0 * m0", "sxx"),
+                s(f"m{k} * m{k}", "syy"),
+            ]
+        )
+
+    gcols = ",\n         ".join(sums(k) for k in lags)
+
+    def arm(k: int) -> str:
+        return f"""
+  SELECT symbol, CAST({k} AS BIGINT) AS lag, n_{k} AS n_pairs,
+         CASE WHEN (n_{k} * sxx_{k} - sx_{k} * sx_{k}) > 0
+               AND (n_{k} * syy_{k} - sy_{k} * sy_{k}) > 0 THEN
+           CAST(n_{k} * sxy_{k} - sx_{k} * sy_{k} AS DOUBLE)
+             / (sqrt(CAST(n_{k} * sxx_{k} - sx_{k} * sx_{k} AS DOUBLE))
+                * sqrt(CAST(n_{k} * syy_{k} - sy_{k} * sy_{k} AS DOUBLE)))
+         END AS acf
+  FROM g"""
+
+    arms = "\n  UNION ALL".join(arm(k) for k in lags)
+    return f"""
+WITH t AS (
+  SELECT user_id AS symbol, ts, event_id,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS px_c,
+         time_bucket(INTERVAL '1 day', ts) AS bucket
+  FROM events
+),
+c AS (
+  SELECT symbol, bucket, last(px_c ORDER BY ts, event_id) AS close_c
+  FROM t GROUP BY symbol, bucket
+),
+m AS (
+  SELECT symbol,
+         {mcols}
+  FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol,
+         {gcols}
+  FROM m GROUP BY symbol
+)
+SELECT * FROM ({arms})
+"""
+
+
+@_register("acf_spectrum", _acf_spectrum_sql())
+def acf_spectrum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Move-autocorrelation spectrum at lags 1/2/3/5/10 per symbol —
+    the momentum/reversal sign pattern — in ONE window pass and one
+    conditional aggregate (operators/quant.acf_spectrum); computing
+    the lags separately pays a scan + sort per lag."""
+    from marketstore_spark.operators.quant import acf_spectrum
+
+    return acf_spectrum(load_table(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registration order
 # =====================================================================
@@ -6871,6 +6951,7 @@ _FRONT = [
     "move_percentiles",
     "market_concentration",
     "dedup_rate_by_source",
+    "acf_spectrum",
     # Block C — back-fill: every key whose last driver row is <= r4,
     # oldest-format first (the q3-q19 TPC-H r4 block, text family,
     # catalog surface, percentiles, sessionize, ema, drawdown,

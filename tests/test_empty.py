@@ -425,3 +425,12 @@ def test_dedup_rate_by_source_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string, source string")
     assert dedup_rate_by_source(empty).count() == 0
+
+
+def test_acf_spectrum_empty_input(spark):
+    from marketstore_spark.operators.quant import acf_spectrum
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert acf_spectrum(empty).count() == 0

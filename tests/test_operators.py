@@ -2503,3 +2503,34 @@ def test_dedup_rate_by_source_hand_computed(spark):
     b = out["B"]
     assert (b["n_docs"], b["n_distinct"], b["n_removable"]) == (1, 1, 0)
     assert b["dup_rate"] == 0.0
+
+
+def test_acf_spectrum_lag1_matches_autocorr_and_model(spark, sf_dir):
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.quant import acf_spectrum, autocorr_returns
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = {
+        (r["symbol"], r["lag"]): r for r in acf_spectrum(ev, lags=(1, 2)).collect()
+    }
+    ac = {r["symbol"]: r for r in autocorr_returns(ev).collect()}
+    assert ac
+    for sym, want in ac.items():
+        r = spec[(sym, 1)]
+        assert r["n_pairs"] == want["n_pairs"]
+        assert r["acf"] == want["autocorr"]
+    # every symbol carries one row per requested lag
+    syms = {s for s, _ in spec}
+    assert all((s, 2) in spec for s in syms)
+
+
+def test_acf_spectrum_rejects_bad_lags(spark):
+    import pytest as _pytest
+
+    from marketstore_spark.operators.quant import acf_spectrum
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, value double"
+    )
+    with _pytest.raises(ValueError):
+        acf_spectrum(df, lags=(0, 1))

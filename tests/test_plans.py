@@ -1113,3 +1113,14 @@ def test_dedup_rate_by_source_wordcount_shape(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["dedup_rate_by_source"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_acf_spectrum_single_window_single_agg(spark, sf_dir):
+    """The whole spectrum rides ONE Window node (all close lags) and
+    ONE aggregate; the unpivot is a pure projection.  Two exchanges,
+    no joins, one fact scan."""
+    plan = explain_str(SPARK_QUERIES["acf_spectrum"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert plan.count("events.parquet") == 1, plan
