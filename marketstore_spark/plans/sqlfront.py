@@ -44,7 +44,7 @@ _CANDLER_RE = re.compile(
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
     r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci"
-    r"|aroon|adx)"
+    r"|aroon|adx|liquiditypanel)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -331,6 +331,7 @@ class MarketSQL:
             "cci",
             "aroon",
             "adx",
+            "liquiditypanel",
         ):
             # Round-8 serial-dependence + range-estimator family
             # through the registry:
@@ -342,7 +343,7 @@ class MarketSQL:
             #   kaufmaner('10', '1D', Price) trimmedmean('5', '1D', Price)
             #   realizedmoments('1D', Price) mfi('14', '1D', Price, Volume)
             #   cci('14', '1D', Price)       aroon('25', '1D', Price)
-            #   adx('14', '1D', Price)
+            #   adx('14', '1D', Price)      liquiditypanel('5', '1D', Price)
             tiebreak = [c for c in ("event_id",) if c in base.columns]
             tb = tiebreak[0] if tiebreak else ts_col
             parts = re.findall(
@@ -396,6 +397,16 @@ class MarketSQL:
                     "realizedmoments": realized_moments,
                 }[name]
                 out = op(keyed, timeframe=tf, **common)
+            elif name == "liquiditypanel":
+                from marketstore_spark.operators.quant import liquidity_panel
+
+                q_ = int(quoted[0]) if quoted else 5
+                tf = (
+                    timeframe_to_duration(quoted[1])
+                    if len(quoted) > 1
+                    else "1 day"
+                )
+                out = liquidity_panel(keyed, q=q_, timeframe=tf, **common)
             elif name == "kaufmaner":
                 from marketstore_spark.operators.quant import kaufman_er
 

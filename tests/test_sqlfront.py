@@ -458,3 +458,16 @@ def test_adx_uda(msql):
     got = {r["epoch"]: (r["di_plus"], r["di_minus"], r["adx"]) for r in out}
     want = {r["epoch"]: (r["di_plus"], r["di_minus"], r["adx"]) for r in exp}
     assert got == want and got
+
+
+def test_liquiditypanel_uda(msql):
+    from marketstore_spark.operators.quant import liquidity_panel
+
+    base = msql.catalog.read("EV1/1Min/TICK").withColumn("__symbol", F.lit("_"))
+    out = msql.sql(
+        "SELECT liquiditypanel('2', '1D', value) FROM `EV1/1Min/TICK`"
+    ).collect()
+    exp = liquidity_panel(base, q=2, symbol_col="__symbol").collect()
+    assert len(out) == len(exp) == 1
+    for c in ("n_pairs", "move_autocov", "roll_spread_c", "autocorr", "vr"):
+        assert out[0][c] == exp[0][c], c
