@@ -259,11 +259,15 @@ def main() -> None:
     # line, so the per-query dicts go FIRST and the suite summary
     # fields (metric/value/ratio) go LAST — BENCH_r07.json was
     # `parsed: null` because the totals sat at the truncated front.
+    # Within the per-query dicts, oracle_secs goes FIRST and the Spark
+    # per-query map SECOND: BENCH_r08's tail truncation kept oracle
+    # times but dropped the Spark ones, making per-query Spark
+    # regressions invisible to the judge (VERDICT r08 nit #2).
     print(
         json.dumps(
             {
-                "queries": times,
                 "oracle_secs": oracle_secs,
+                "queries": times,
                 "sf": sf,
                 "unit": "sec",
                 "total_secs": total,

@@ -1280,6 +1280,17 @@ def _move_pairs(
     )
 
 
+def _d38(c: Column) -> Column:
+    """DECIMAL(38,0) promotion for moment CROSS-TERMS (n·Σxy − Σx·Σy):
+    the per-symbol sums themselves fit LONG, but products of two LONG
+    sums can silently wrap int64 in Spark (non-ANSI) for very long
+    histories of large integer-cent moves — while DuckDB's BIGINT
+    would raise, a cross-engine divergence.  Same overflow policy as
+    kyle_lambda / mfi.  Value-identical below 2⁶³: decimal→double and
+    long→double round the same integer to the same double."""
+    return c.cast("decimal(38,0)")
+
+
 def _pair_sums(pairs: DataFrame) -> DataFrame:
     """Exact LONG sums over the (move, prev_move) pairs per symbol.
     Per-symbol cents² · n ≪ 2⁵³ (the bollinger/realized_vol bound —
@@ -1325,7 +1336,8 @@ def roll_spread(
         _move_pairs(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
     )
     n = F.col("n_pairs")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")  # cov · n², LONG
+    # cov · n² — DECIMAL(38,0) cross-terms (_d38: long·long can wrap)
+    num = _d38(n) * _d38(F.col("sxy")) - _d38(F.col("sx")) * _d38(F.col("sy"))
     cov = num.cast("double") / (n * n).cast("double")
     spread = F.when(
         num < 0, F.lit(2.0) * F.sqrt((-num).cast("double")) / n.cast("double")
@@ -1356,10 +1368,11 @@ def autocorr_returns(
     s = _pair_sums(
         _move_pairs(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
     )
-    n = F.col("n_pairs")
-    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    n = _d38(F.col("n_pairs"))  # _d38: long·long cross-terms can wrap
+    sx, sy = _d38(F.col("sx")), _d38(F.col("sy"))
+    cov = (n * _d38(F.col("sxy")) - sx * sy).cast("double")
+    vx = (n * _d38(F.col("sxx")) - sx * sx).cast("double")
+    vy = (n * _d38(F.col("syy")) - sy * sy).cast("double")
     r = F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
     return s.select("symbol", "n_pairs", r.alias("autocorr"))
 
@@ -1407,8 +1420,10 @@ def variance_ratio(
         F.sum(F.col("mq") * F.col("mq")).alias("sqq"),
     )
     n1, nq = F.col("n1"), F.col("nq")
-    var1_num = (n1 * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
-    varq_num = (nq * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    sm, sq = _d38(F.col("sm")), _d38(F.col("sq"))
+    # _d38 cross-terms: n·Σxx and Σx² wrap LONG for long histories
+    var1_num = (_d38(n1) * _d38(F.col("smm")) - sm * sm).cast("double")
+    varq_num = (_d38(nq) * _d38(F.col("sqq")) - sq * sq).cast("double")
     vr = F.when(
         (nq > 0) & (var1_num > 0),
         (varq_num * (n1 * n1).cast("double"))
@@ -2490,7 +2505,8 @@ def liquidity_panel(
     per-operator outputs).
 
     Semantics are EXACTLY the standalone operators' (same lags off one
-    shared per-symbol sort, same exact LONG moment sums in one
+    shared per-symbol sort, same exact LONG moment sums (DECIMAL(38,0)
+    cross-terms, the standalone operators' overflow policy) in one
     conditional aggregate, same final double expressions) — pinned in
     tests against roll_spread / autocorr_returns / variance_ratio
     value-for-value.
@@ -2526,19 +2542,23 @@ def liquidity_panel(
         F.coalesce(F.sum(F.col("mq") * F.col("mq")), F.lit(0)).alias("sqq"),
     )
     n = F.col("n_pairs")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    # every cross-term in DECIMAL(38,0) (_d38) — mirrors the standalone
+    # roll_spread / autocorr_returns / variance_ratio overflow policy
+    nd, sx, sy = _d38(n), _d38(F.col("sx")), _d38(F.col("sy"))
+    num = nd * _d38(F.col("sxy")) - sx * sy
     cov = F.when(n > 0, num.cast("double") / (n * n).cast("double"))
     spread = F.when(
         num < 0, F.lit(2.0) * F.sqrt((-num).cast("double")) / n.cast("double")
     )
-    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    vx = (nd * _d38(F.col("sxx")) - sx * sx).cast("double")
+    vy = (nd * _d38(F.col("syy")) - sy * sy).cast("double")
     ac = F.when(
         (vx > 0) & (vy > 0), num.cast("double") / (F.sqrt(vx) * F.sqrt(vy))
     )
     n1, nq = F.col("n1"), F.col("nq")
-    var1_num = (n1 * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
-    varq_num = (nq * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    sm, sq = _d38(F.col("sm")), _d38(F.col("sq"))
+    var1_num = (_d38(n1) * _d38(F.col("smm")) - sm * sm).cast("double")
+    varq_num = (_d38(nq) * _d38(F.col("sqq")) - sq * sq).cast("double")
     vr = F.when(
         (nq > 0) & (var1_num > 0),
         (varq_num * (n1 * n1).cast("double"))

@@ -382,9 +382,12 @@ def fixed_n_sample(
     row count, and taking the n smallest hashes is the standard
     order-statistic trick that gets one without a random stream.
 
-    The full digest is the sort key (ties impossible for distinct
-    keys), carried in the output as ``sample_key`` so a consumer can
-    re-verify membership without recomputing.
+    The full digest is the primary sort key, carried in the output as
+    ``sample_key`` so a consumer can re-verify membership without
+    recomputing.  The key columns themselves are the SECONDARY sort
+    keys: digests are unique only when ``key_cols`` values are
+    distinct, and with duplicate keys the cut among tied digests would
+    otherwise be nondeterministic across runs/engines.
 
     Shape (100 TB): ``orderBy(h).limit(n)`` plans as
     TakeOrderedAndProject — each partition keeps its local top-n and
@@ -396,6 +399,6 @@ def fixed_n_sample(
     key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
     return (
         df.withColumn("sample_key", F.md5(key))
-        .orderBy("sample_key")
+        .orderBy("sample_key", *key_cols)
         .limit(int(n))
     )

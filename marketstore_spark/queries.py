@@ -6157,7 +6157,7 @@ def mfi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, lang, source,
        md5('fixedn|' || CAST(doc_id AS VARCHAR)) AS sample_key
 FROM documents
-ORDER BY sample_key
+ORDER BY sample_key, doc_id
 LIMIT 100
 """,
 )
@@ -6888,119 +6888,51 @@ def acf_spectrum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round-8 rotation (driver checks the first ~50 keys).  Mechanical
-    # per-round policy (VERDICT r07 "What's wrong" #1): lead with keys
-    # that have NEVER had a driver row, then this round's new keys,
-    # then back-fill with the oldest-evidence keys.
+    # Round-9 rotation (driver checks the first ~50 keys).  Mechanical
+    # per-round policy (VERDICT r07/r08): every key whose latest driver
+    # row predates round 5 goes first (31 keys: the r3 rows-only ANN
+    # trio + the r4 block), then the oldest remaining evidence (the r5
+    # block) back-fills the window.  All other keys are r7/r8-green on
+    # code untouched this round.
     # ------------------------------------------------------------------
-    # Block A — the 11 round-7 keys that shipped without driver
-    # evidence (the r07 window was a byte-identical repeat of r06's):
-    # with these green, union coverage is 134/134.  text_bigram_lift,
-    # rolling_corr_market, and embedding_kmeans_assign were ALSO
-    # re-planned this round (vocab-broadcast prune / DECIMAL y-side
-    # moments / 12-dp argmax key) — fresh rows doubly required.
-    "volume_bars",
-    "dollar_bars",
-    "heikin_ashi",
-    "amihud",
-    "ichimoku",
-    "ofi",
-    "cusum_filter",
-    "rolling_corr_market",
-    "corpus_length_buckets",
-    "text_bigram_lift",
-    "embedding_kmeans_assign",
-    # Block B — new round-8 keys ship WITH driver evidence (each is
-    # sf0.001- and sf0.01-parity-green locally before entering).
-    "roll_spread",
-    "autocorr_returns",
-    "variance_ratio",
-    "kyle_lambda",
-    "vpin",
-    "text_lexical_diversity",
-    "markout_returns",
-    "intraday_seasonality",
-    "corpus_dup_size_histogram",
-    "effective_spread",
-    "corpus_filter_funnel",
-    "corpus_length_percentiles",
-    # Block B2 — round-8 second wave (range-based volatility, high-low
-    # spread, efficiency ratio, per-source vocabulary surfaces), same
-    # ship-with-evidence rule (sf0.001/0.01/0.1 parity-green locally).
-    "range_vol",
-    "corwin_schultz",
-    "kaufman_er",
-    "source_token_jaccard",
-    "source_token_stats",
-    "corpus_vocab_growth",
-    "embedding_kmeans_update",
-    "realized_moments",
-    "corpus_benchmark_coverage",
-    "trimmed_mean",
-    "mfi",
-    "corpus_sample_fixed_n",
-    "cci",
-    "aroon",
-    "adx",
-    "volume_profile",
-    "corpus_unigram_nll",
-    "liquidity_panel",
-    "gap_percentiles",
-    "price_impact_curve",
-    "corpus_language_mix",
-    "move_percentiles",
-    "market_concentration",
-    "dedup_rate_by_source",
-    "acf_spectrum",
-    # Block C — back-fill: every key whose last driver row is <= r4,
-    # oldest-format first (the q3-q19 TPC-H r4 block, text family,
-    # catalog surface, percentiles, sessionize, ema, drawdown,
-    # range_join, query_limit_head, anchors), then the r3 rows-only
-    # ANN trio (anchors are driver-green; the rows-only rows refresh).
-    "q3_shipping_priority",
-    "q4_late_orders",
+    # Block A - last driver row r3 (rows-only refresh; their exhaustive
+    # anchors are in Block B).
+    "dedup_embedding_lsh",
+    "ann_lsh",
+    "ann_ivf",
+    # Block B - last driver row r4.
+    "query_limit_head",
+    "list_symbols",
+    "list_symbols_tbk",
+    "get_info",
+    "multi_query",
+    "drawdown",
+    "sessionize",
+    "ema",
+    "range_join",
+    "percentiles",
+    "percentiles_approx",
+    "percentiles_approx_exhaustive",
+    "text_termfreq",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "corpus_filter_pipeline",
+    "dedup_minhash_keep",
+    "dedup_clusters",
+    "ann_ivf_exhaustive",
+    "top_symbols",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q12_priority_lines",
     "q14_promo_revenue",
     "q19_discounted_revenue",
-    "top_symbols",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_termfreq",
-    "percentiles",
-    "percentiles_approx",
-    "percentiles_approx_exhaustive",
-    "sessionize",
-    "ema",
-    "drawdown",
-    "range_join",
-    "query_limit_head",
-    "get_info",
-    "list_symbols",
-    "list_symbols_tbk",
-    "multi_query",
-    "corpus_filter_pipeline",
-    "dedup_minhash_keep",
-    "dedup_clusters",
-    "ann_ivf_exhaustive",
-    "ann_ivf",
-    "ann_lsh",
-    "dedup_embedding_lsh",
-    # 44 keys + block B = the 50-key driver window.  Everything left
-    # out is r5/r7-green on code untouched this round.
-]
-
-
-# Immediately after the window: the 40 keys whose last driver row is
-# r5 (oldest remaining evidence) — if the driver's budget stretches
-# past 50 they get refreshed a round early; then everything else
-# (r7-green) in source order.
-_BACK = [
-    "q1_pricing_summary",
+    # Block C - last driver row r5, oldest remaining evidence; the
+    # first ~19 land inside a 50-key window, the rest refresh when the
+    # driver's budget stretches.  UDA/rollup/candler keys lead because
+    # they share helper code with the r8 bar-family additions.
     "uda_min",
     "uda_max",
     "uda_avg",
@@ -7013,7 +6945,28 @@ _BACK = [
     "rollup_1w",
     "rollup_1mo",
     "vwap",
+    "q1_pricing_summary",
+    "gapfill",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding",
     "skew_salted_agg",
+    "corpus_stats",
+    "corpus_sample",
+]
+
+
+# Immediately after the window: the remaining r5-evidence keys - if
+# the driver's budget stretches past 50 they get refreshed too; then
+# everything else (r7/r8-green) in source order.
+_BACK = [
+    "dedup_embedding_lsh_exhaustive",
+    "ann_cosine_topk",
+    "ann_filtered",
+    "ann_lsh_exhaustive",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_video_decode",
     "q18_large_volume_customer",
     "q7_volume_shipping",
     "q8_market_share",
@@ -7027,19 +6980,6 @@ _BACK = [
     "q16_parts_supplier",
     "q20_potential_promotion",
     "q22_sales_opportunity",
-    "corpus_stats",
-    "corpus_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_embedding_lsh_exhaustive",
-    "ann_cosine_topk",
-    "ann_filtered",
-    "ann_lsh_exhaustive",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_video_decode",
-    "gapfill",
 ]
 
 

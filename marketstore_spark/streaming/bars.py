@@ -25,10 +25,25 @@ the fold.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _EMPTY = (0, -1, 0, 0, 0, 0, 0, 0, 0, 0, 0)  # cum + no open bar
+
+_CENT = Decimal("0.01")
+
+
+def _cents(px) -> int:
+    """Integer cents, HALF_UP — bitwise the batch operators'
+    ``cast(decimal(8,2))``.  Python's ``round()`` is banker's rounding
+    and diverges on exact half-cents (1.005 -> 100 vs the engines'
+    101); Spark's double->decimal cast goes through the double's
+    SHORTEST decimal repr (``BigDecimal.valueOf``/``Double.toString``)
+    then rounds HALF_UP, which ``Decimal(str(px))`` replicates exactly
+    (CPython ``str`` is the same shortest-repr algorithm)."""
+    return int(Decimal(str(float(px))).quantize(_CENT, rounding=ROUND_HALF_UP).scaleb(2))
 
 
 def stream_event_bars(
@@ -43,8 +58,8 @@ def stream_event_bars(
 ) -> DataFrame:
     """Live volume/dollar bars per symbol: emits each bar ONCE, when a
     later tick's running activity crosses into the next bar.  Prices
-    are folded as integer cents (``round(value·100)`` — identical to
-    the batch DECIMAL(8,2) cast for 2-dp feeds, the tick contract)."""
+    are folded as integer cents via HALF_UP (``_cents`` — bitwise the
+    batch DECIMAL(8,2) cast for ANY float feed, not just 2-dp)."""
     if measure not in ("volume", "dollar"):
         raise ValueError(f"measure must be 'volume' or 'dollar', got {measure!r}")
     if threshold <= 0:
@@ -96,7 +111,7 @@ def stream_event_bars(
             )
             pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
             for ts, px, v in zip(pdf[ts_col], pdf[value_col], pdf[volume_col]):
-                px_c = int(round(float(px) * 100))
+                px_c = _cents(px)
                 v = int(v)
                 act = px_c * v if dollar else v
                 b = cum // thr  # pre-tick total, the batch rule
@@ -207,7 +222,7 @@ def stream_vpin(
             )
             pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
             for px, v in zip(pdf[value_col], pdf[volume_col]):
-                px_c = int(round(float(px) * 100))
+                px_c = _cents(px)
                 v = int(v)
                 if last_px is not None and px_c != last_px:
                     side = 1 if px_c > last_px else -1
@@ -338,7 +353,7 @@ def stream_adx(
             )
             pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
             for ts, px in zip(pdf[ts_col], pdf[value_col]):
-                px_c = int(round(float(px) * 100))
+                px_c = _cents(px)
                 t_us = int(pd.Timestamp(ts).value // 1000)
                 bkt = (t_us // dur) * dur
                 if not has_open:
@@ -382,7 +397,9 @@ def stream_mfi(
     """Live Money Flow Index (operators/quant.mfi kept live): per
     symbol, carries the OPEN wall-clock candle (H/L/C + volume), the
     last closed candle's tripled typical price, and the trailing ``n``
-    closed candles' (positive, negative) integer flows — O(n) state.
+    closed candles' (positive, negative) integer flows — O(n) state,
+    serialized as decimal strings (arbitrary-precision: the batch
+    operator sums flows in DECIMAL(38,0); long state would overflow).
     A row emits each time a candle closes, carrying that candle's MFI
     (NULL during warm-up, exactly the batch rule ``rn > n``) —
     float64-for-float64 the batch operator under any micro-batch
@@ -395,10 +412,16 @@ def stream_mfi(
     dur = _duration_us(timeframe)
     win = int(n)
     out_schema = f"{key_col} long, epoch timestamp, mfi double"
+    # Flows live in state as DECIMAL-STRING arrays, not array<long>:
+    # a single candle's flow is tp3*volume and the batch operator
+    # deliberately sums flows in DECIMAL(38,0) because hot-symbol
+    # money flow clears 2^63 — long state would overflow where batch
+    # is guarded.  Python ints are arbitrary-precision, so the fold's
+    # arithmetic is exact; only the serialized form changes.
     state_schema = (
         "ptp long, has_prev boolean, rn long, "
         "ob long, oh long, ol long, oc long, ovol long, has_open boolean, "
-        "tail_pos array<long>, tail_neg array<long>"
+        "tail_pos array<string>, tail_neg array<string>"
     )
 
     def fold(key, pdf_iter, state: GroupState):
@@ -407,7 +430,7 @@ def stream_mfi(
         if state.exists:
             (ptp, has_prev, rn, ob, oh, ol, oc, ovol, has_open,
              t_pos, t_neg) = state.get
-            t_pos, t_neg = list(t_pos), list(t_neg)
+            t_pos, t_neg = [int(x) for x in t_pos], [int(x) for x in t_neg]
         else:
             ptp = rn = ob = oh = ol = oc = ovol = 0
             has_prev = has_open = False
@@ -444,7 +467,7 @@ def stream_mfi(
             )
             pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
             for ts, px, v in zip(pdf[ts_col], pdf[value_col], pdf[volume_col]):
-                px_c = int(round(float(px) * 100))
+                px_c = _cents(px)
                 v = int(v)
                 t_us = int(pd.Timestamp(ts).value // 1000)
                 bkt = (t_us // dur) * dur
@@ -459,7 +482,7 @@ def stream_mfi(
                 ovol += v
             state.update(
                 (ptp, has_prev, rn, ob, oh, ol, oc, ovol, has_open,
-                 t_pos, t_neg)
+                 [str(x) for x in t_pos], [str(x) for x in t_neg])
             )
         if done:
             yield pd.DataFrame(done, columns=[key_col, "epoch", "mfi"])
