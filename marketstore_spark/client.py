@@ -168,11 +168,12 @@ class Client:
 
 
 class HttpClient:
-    """Wire client for the JSON-RPC frontend (server.py) — the
+    """Wire client for the RPC frontend (server.py) — the
     pymarketstore-over-HTTP shape: the reference's client speaks
     msgpack-RPC to ``/rpc``; this one speaks the same request shapes
-    in JSON (server.py's documented codec substitution), plus the
-    long-poll ``GET /stream`` subscription.
+    in either codec (``codec='msgpack'`` sends the reference's
+    ``application/x-msgpack`` frames via msgpacklite; default JSON),
+    plus the long-poll ``GET /stream`` subscription.
 
     Results come back as the wire's ColumnSeries dicts (name→values,
     timestamps as epoch NANOSECONDS like the reference's Epoch index);
@@ -181,9 +182,14 @@ class HttpClient:
     wire client.
     """
 
-    def __init__(self, base_url: str, timeout: float = 120.0):
+    def __init__(
+        self, base_url: str, timeout: float = 120.0, codec: str = "json"
+    ):
+        if codec not in ("json", "msgpack"):
+            raise ValueError(f"codec must be 'json' or 'msgpack', got {codec!r}")
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.codec = codec
         self._rid = 0
 
     def _rpc(self, method: str, params: dict) -> dict:
@@ -191,16 +197,28 @@ class HttpClient:
         import urllib.request as _rq
 
         self._rid += 1
-        body = _json.dumps(
-            {"jsonrpc": "2.0", "id": self._rid, "method": method, "params": params}
-        ).encode()
+        envelope = {
+            "jsonrpc": "2.0", "id": self._rid, "method": method, "params": params
+        }
+        if self.codec == "msgpack":
+            from marketstore_spark import msgpacklite
+
+            body = msgpacklite.packb(envelope)
+            ctype = "application/x-msgpack"
+        else:
+            body = _json.dumps(envelope).encode()
+            ctype = "application/json"
         req = _rq.Request(
-            f"{self.base_url}/rpc",
-            data=body,
-            headers={"Content-Type": "application/json"},
+            f"{self.base_url}/rpc", data=body, headers={"Content-Type": ctype}
         )
         with _rq.urlopen(req, timeout=self.timeout) as resp:
-            out = _json.loads(resp.read())
+            raw = resp.read()
+        if self.codec == "msgpack":
+            from marketstore_spark import msgpacklite
+
+            out = msgpacklite.unpackb(raw)
+        else:
+            out = _json.loads(raw)
         if "error" in out:
             raise RuntimeError(f"{method}: {out['error']}")
         return out["result"]

@@ -6,10 +6,16 @@ frontend/query.go:264 ListSymbols).
 
 Spark-first substitutions, stated plainly:
 
-- **JSON codec, not msgpack** — msgpack is not in this container, and
-  the codec is an encoding detail of the same RPC shapes; request and
-  response field names mirror the reference's msgpack tags
-  (``destination``, ``epoch_start``, ``limit_record_count``, ...).
+- **Dual codec: JSON and msgpack** — the reference registers its
+  msgpack codec for ``application/x-msgpack`` (frontend/server.go:74)
+  over gorilla JSON-RPC-2.0 envelopes; this server negotiates on the
+  request Content-Type and serves BOTH, the msgpack frames via the
+  pure-stdlib codec in :mod:`marketstore_spark.msgpacklite` (no
+  dependency needed — the format spec is public and small).  Request
+  and response field names mirror the reference's msgpack tags
+  (``destination``, ``epoch_start``, ``limit_record_count``, ...), so
+  a reference-shaped msgpack-RPC client interoperates at the envelope
+  level.
 - **No gRPC transport** — the reference also serves DataService over
   gRPC (proto/marketstore.proto:163, frontend/grpc.go); grpcio is not
   installable in this container, so that second transport of the SAME
@@ -44,6 +50,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pandas as pd
 
+from marketstore_spark import msgpacklite
 from marketstore_spark.catalog import Catalog
 from marketstore_spark.client import Client, Params
 
@@ -338,9 +345,16 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/rpc":
             self.send_error(404)
             return
+        # Content negotiation (frontend/server.go:74 registers the
+        # msgpack codec for application/x-msgpack alongside JSON):
+        # the reply is encoded in the REQUEST's codec, so a
+        # reference-shaped msgpack-RPC client and the JSON path share
+        # one dispatch.
+        ctype = (self.headers.get("Content-Type") or "").lower()
+        self._msgpack = "msgpack" in ctype
         try:
             body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
-            req = json.loads(body)
+            req = msgpacklite.unpackb(bytes(body)) if self._msgpack else json.loads(body)
         except (ValueError, TypeError):
             self._reply(None, error={"code": _PARSE_ERROR, "message": "parse error"})
             return
@@ -384,14 +398,23 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._reply(rid, result=result)
 
+    #: reply codec flag; do_POST flips it per request, GET paths
+    #: (long-poll /stream, /metrics) always speak JSON/text.
+    _msgpack = False
+
     def _reply(self, rid, result=None, error=None) -> None:
         payload = {"jsonrpc": "2.0", "id": rid}
         payload["error" if error is not None else "result"] = (
             error if error is not None else result
         )
-        data = json.dumps(payload, default=str).encode()
+        if self._msgpack:
+            data = msgpacklite.packb(payload, default=str)
+            ctype = "application/x-msgpack"
+        else:
+            data = json.dumps(payload, default=str).encode()
+            ctype = "application/json"
         self.send_response(200)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)
