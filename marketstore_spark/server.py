@@ -21,8 +21,11 @@ Spark-first substitutions, stated plainly:
   installable in this container, so that second transport of the SAME
   method surface is excluded like msgpack.  Every RPC it would carry
   (Query/Write/Create/Destroy/GetInfo/ListSymbols/ServerVersion) is
-  served here, and the ``GET /stream`` long-poll endpoint covers the
-  websocket push analogue (frontend/stream/stream.go).
+  served here, and the reference's websocket push interface is served
+  natively at ``GET /ws`` (frontend/stream/stream.go message shapes
+  over the pure-stdlib RFC 6455 layer in
+  :mod:`marketstore_spark.websocket`), with ``GET /stream`` kept as
+  the long-poll fallback for clients without sockets.
 - **Control plane only.**  The reference streams bulk data through its
   custom NumpyMultiDataset wire format; our bulk path is Arrow via
   ``client.DataSet.arrays()/df()`` in-process.  The RPC server returns
@@ -256,6 +259,9 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        if parsed.path == "/ws":
+            self._do_ws()
+            return
         if parsed.path != "/stream":
             self.send_error(404)
             return
@@ -300,35 +306,10 @@ class _Handler(BaseHTTPRequestHandler):
                 error={"code": _INVALID_PARAMS, "message": "cursor must be >= 0"},
             )
             return
-        # one durable subscriber per distinct glob, shared by every
-        # poller of that glob (delivery directories are append-only, so
-        # concurrent pollers just read at different cursors); the lock
-        # closes the check-then-subscribe race between two first pollers
-        # of the same glob (a duplicate subscriber would double-deliver
-        # every matched row forever)
-        name = "http-" + hashlib.md5(pattern.encode()).hexdigest()[:10]
-        with _SUBSCRIBE_LOCK:
-            if not any(s.name == name for s in self.hub.subscribers):
-                # Every distinct glob creates a DURABLE subscriber whose
-                # delivery directory receives a copy of each matching
-                # row from then on; cap the count so enumerated or
-                # typo'd globs can't grow delivery disk without bound
-                # (the reference's stream server likewise bounds its
-                # per-connection subscription list).
-                http_subs = sum(
-                    1 for s in self.hub.subscribers if s.name.startswith("http-")
-                )
-                if http_subs >= _MAX_HTTP_SUBSCRIBERS:
-                    self._reply(
-                        None,
-                        error={
-                            "code": _SERVER_ERROR,
-                            "message": "subscriber limit reached "
-                            f"({_MAX_HTTP_SUBSCRIBERS} distinct globs)",
-                        },
-                    )
-                    return
-                self.hub.subscribe(name, pattern)
+        name, sub_err = self._ensure_subscriber(pattern)
+        if sub_err:
+            self._reply(None, error={"code": _SERVER_ERROR, "message": sub_err})
+            return
         # wait on the footer-metadata row count (O(#files) per tick);
         # materialize rows only once, after the wait resolves
         deadline = time.monotonic() + timeout
@@ -340,6 +321,155 @@ class _Handler(BaseHTTPRequestHandler):
         rows = self.hub.delivered(name)
         rows.sort(key=lambda r: r.get("__batch_id", 0))
         self._reply(None, result={"cursor": len(rows), "payloads": rows[cursor:]})
+
+    def _ensure_subscriber(self, pattern: str) -> tuple[str, str | None]:
+        """One durable hub subscriber per distinct glob, shared by every
+        poller/socket of that glob (delivery directories are
+        append-only, so concurrent consumers just read at different
+        cursors); the lock closes the check-then-subscribe race between
+        two first consumers of the same glob (a duplicate subscriber
+        would double-deliver every matched row forever).  Returns
+        (name, error): error is set when the distinct-glob cap is hit —
+        every distinct glob creates a DURABLE delivery directory, so an
+        enumerated or typo'd glob stream must not grow disk without
+        bound (the reference's stream server likewise bounds its
+        per-connection subscription list)."""
+        import hashlib
+
+        name = "http-" + hashlib.md5(pattern.encode()).hexdigest()[:10]
+        with _SUBSCRIBE_LOCK:
+            if not any(s.name == name for s in self.hub.subscribers):
+                http_subs = sum(
+                    1 for s in self.hub.subscribers if s.name.startswith("http-")
+                )
+                if http_subs >= _MAX_HTTP_SUBSCRIBERS:
+                    return name, (
+                        "subscriber limit reached "
+                        f"({_MAX_HTTP_SUBSCRIBERS} distinct globs)"
+                    )
+                self.hub.subscribe(name, pattern)
+        return name, None
+
+    #: server→client keepalive ping period (stream.go's pingPeriod is
+    #: 54s; class attribute so tests can shrink it on the bound handler)
+    ws_ping_interval = 45.0
+
+    def _do_ws(self):
+        """Websocket push endpoint — ``GET /ws``, the reference's
+        streaming interface (cmd/start/main.go:129 →
+        frontend/stream/stream.go): after the RFC 6455 upgrade the
+        client sends a msgpack ``{"streams": [globs]}`` subscribe
+        (validated against the 3-element TBK shape, stream.go:141
+        validStream); the server acks by echoing the subscribe frame
+        (or a msgpack ``{"error": ...}``, stream.go:180) and from then
+        on PUSHES every matching written row as a msgpack ``{"key":
+        tbk, "data": row}`` binary frame (stream.go:236 Payload).  A
+        later subscribe REPLACES the stream set (stream.go:136).
+
+        The push source is the same executor-side hub fan-out the
+        long-poll uses — this handler only tails per-subscriber
+        delivery directories and frames new rows; no batch row ever
+        transits the driver because of a socket."""
+        import select
+        import time
+
+        from marketstore_spark import websocket as ws
+
+        wskey = self.headers.get("Sec-WebSocket-Key")
+        if (self.headers.get("Upgrade", "") or "").lower() != "websocket" or not wskey:
+            self.send_error(400, "websocket upgrade required")
+            return
+        if self.hub is None:
+            self.send_error(503, "no stream hub attached")
+            return
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", ws.accept_key(wskey))
+        self.end_headers()
+        self.wfile.flush()
+        self.close_connection = True
+        self.metrics.inc("ws_connections_total")
+        sock = self.connection
+        conn = ws.Conn(sock)
+        # glob -> [subscriber name, cursor]; cursor starts at the
+        # CURRENT delivered count so only rows written after the
+        # subscribe are pushed (the reference pushes on write, never
+        # history)
+        active: dict[str, list] = {}
+        last_ping = time.monotonic()
+        try:
+            while True:
+                readable, _, _ = select.select([sock], [], [], 0.2)
+                if not readable:
+                    self._ws_push(conn, active)
+                    if time.monotonic() - last_ping > self.ws_ping_interval:
+                        conn.ping()
+                        last_ping = time.monotonic()
+                    continue
+                sock.settimeout(10.0)
+                try:
+                    op, payload = conn.read_message()
+                except (ConnectionError, ValueError, OSError):
+                    return
+                if op == ws.OP_CLOSE:
+                    conn.close()
+                    return
+                if op == ws.OP_PONG:
+                    continue
+                self._ws_subscribe(conn, payload, active)
+        except OSError:
+            return
+
+    def _ws_subscribe(self, conn, payload: bytes, active: dict) -> None:
+        """Handle one inbound subscribe frame (msgpack SubscribeMessage,
+        stream.go:103): validate, swap the stream set, ack by echo."""
+        try:
+            msg = msgpacklite.unpackb(payload)
+            streams = [str(s) for s in (msg.get("streams") or [])]
+        except (ValueError, AttributeError, TypeError):
+            conn.send(msgpacklite.packb({"error": "malformed subscribe message"}))
+            return
+        err = None
+        for s in streams:
+            parts = s.split("/")
+            if len(parts) != 3 or not all(parts):
+                err = f"{s} is an invalid stream"
+                break
+        if err is None and streams:
+            fresh: dict[str, list] = {}
+            for s in streams:
+                name, sub_err = self._ensure_subscriber(s)
+                if sub_err:
+                    err = sub_err
+                    break
+                fresh[s] = active.get(s) or [name, self.hub.delivered_count(name)]
+            if err is None:
+                active.clear()
+                active.update(fresh)
+        if err is not None:
+            conn.send(msgpacklite.packb({"error": err}))
+        else:
+            conn.send(payload)
+
+    def _ws_push(self, conn, active: dict) -> None:
+        """Frame and send rows delivered past each glob's cursor.  The
+        cheap footer-metadata count gates materialization (the
+        long-poll's O(#files) probe); rows are read only when new ones
+        exist."""
+        for _glob, state in active.items():
+            name, cursor = state
+            if self.hub.delivered_count(name) <= cursor:
+                continue
+            rows = self.hub.delivered(name)
+            rows.sort(key=lambda r: r.get("__batch_id", 0))
+            for row in rows[cursor:]:
+                key = row.get(self.hub.key_col)
+                conn.send(
+                    msgpacklite.packb({"key": key, "data": row}, default=str)
+                )
+                self.metrics.inc("ws_pushed_total")
+            state[1] = len(rows)
 
     def do_POST(self):  # noqa: N802  (http.server API)
         if self.path != "/rpc":
