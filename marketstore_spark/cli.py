@@ -230,12 +230,20 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
 
     s = sub.add_parser(
         "serve",
-        help="start the JSON-RPC wire frontend on the store "
-        "(marketstore.go `start` analogue; GET /metrics and the "
-        "/stream long-poll ride the same listener)",
+        help="start the RPC wire frontend on the store "
+        "(marketstore.go `start` analogue; GET /metrics, the /ws "
+        "websocket push, and the /stream long-poll ride the same "
+        "listener)",
     )
-    s.add_argument("--host", default="127.0.0.1")
-    s.add_argument("--port", type=int, default=5993)  # reference default
+    s.add_argument(
+        "--config",
+        default=None,
+        help="mkts.yml-analogue server config (utils/config.go shape: "
+        "root_directory, listen_host/port, stream_*, triggers, "
+        "bgworkers); explicit flags override config values",
+    )
+    s.add_argument("--host", default=None)
+    s.add_argument("--port", type=int, default=None)  # default 5993 (reference)
     s.add_argument(
         "--max-seconds",
         type=float,
@@ -267,6 +275,13 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
 
     from marketstore_spark.catalog import Catalog
 
+    server_cfg = None
+    if args.cmd == "serve" and args.config:
+        from marketstore_spark.config import load_config
+
+        server_cfg = load_config(args.config)
+        if not args.root:
+            args.root = server_cfg.root_directory
     if not args.root:
         p.error(f"--root is required for {args.cmd}")
     cat = Catalog(spark or _get_session(), args.root)
@@ -341,15 +356,32 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
 
         from marketstore_spark.server import serve_background
 
+        # config supplies defaults; explicit flags override (cmd/start
+        # precedence: CLI flags > mkts.yml > built-ins)
+        host = args.host or (server_cfg.listen_host if server_cfg else "127.0.0.1")
+        port = args.port if args.port is not None else (
+            server_cfg.listen_port if server_cfg else 5993
+        )
+        delivery_root = args.stream_delivery_root or (
+            server_cfg.stream_delivery_root if server_cfg else None
+        )
+        key_col = (
+            args.stream_key_col
+            if args.stream_key_col != "tbk"
+            else (server_cfg.stream_key_col if server_cfg else "tbk")
+        )
         hub = None
-        if args.stream_delivery_root:
+        if delivery_root:
             from marketstore_spark.streaming.pubsub import StreamHub
 
-            hub = StreamHub(
-                key_col=args.stream_key_col,
-                delivery_root=args.stream_delivery_root,
-            )
-        srv, thread = serve_background(cat, host=args.host, port=args.port, hub=hub)
+            hub = StreamHub(key_col=key_col, delivery_root=delivery_root)
+        workers = None
+        if server_cfg is not None:
+            from marketstore_spark.config import wire_bgworkers, wire_triggers
+
+            wire_triggers(server_cfg, cat)  # load errors raise pre-bind
+            workers = wire_bgworkers(server_cfg)
+        srv, thread = serve_background(cat, host=host, port=port, hub=hub)
         print(
             json.dumps({"listening": list(srv.server_address)}),
             file=out,
@@ -362,6 +394,8 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
                 _time.sleep(args.max_seconds)
         finally:
             srv.shutdown()
+            if workers is not None:
+                workers.stop()
     return 0
 
 

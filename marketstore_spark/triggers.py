@@ -153,3 +153,18 @@ class OnDiskAggTrigger:
                     ts_col="epoch",
                 )
             self.catalog.write(dest_key, out)
+
+
+def new_trigger(config: dict, catalog) -> OnDiskAggTrigger:
+    """Config-file trigger factory (the plugin-loader convention used
+    by ``serve --config``; see marketstore_spark.config): a
+    ``triggers:`` entry with ``module: marketstore_spark.triggers``
+    builds the ondiskagg rollup trigger from ``config:
+    {destinations: [...], ts_col: ...}`` — the analogue of loading
+    contrib/ondiskagg via mkts.yml."""
+    destinations = list(config.get("destinations") or [])
+    if not destinations:
+        raise ValueError("ondiskagg trigger config needs destinations: [...]")
+    return OnDiskAggTrigger(
+        catalog, destinations, ts_col=str(config.get("ts_col", "ts"))
+    )

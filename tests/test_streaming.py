@@ -1002,6 +1002,62 @@ def test_stream_mfi_matches_batch_closed_candles(spark, tmpdir):
         assert got[ep] == want, (ep, got[ep], want)
 
 
+def test_stream_mfi_flows_past_int64_match_batch(spark, tmpdir):
+    """Hot-symbol money flow past 2^63: a candle's tp3·volume here is
+    ~3·10¹⁹ (> int64), so array<long> state would overflow where the
+    batch operator's DECIMAL(38,0) sums are guarded — the flow tails
+    must round-trip through state as decimal strings, exactly
+    (ADVICE r08, the batch-equality contract at 100 TB volumes)."""
+    from datetime import datetime
+
+    from marketstore_spark.operators.quant import mfi
+    from marketstore_spark.streaming.bars import stream_mfi
+
+    cols = ["user_id", "ts", "event_id", "value", "volume"]
+    vol = 10**13  # tp3≈2.7·10^7 cents → mf ≈ 2.7·10^20 per candle
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, 90_000.0, vol),
+        (1, datetime(2024, 1, 2, 10), 2, 91_000.0, vol),
+        # --- batch boundary: giant flows must survive state ---
+        (1, datetime(2024, 1, 3, 10), 3, 90_500.0, vol),
+        (1, datetime(2024, 1, 4, 10), 4, 92_000.0, vol),
+        (1, datetime(2024, 1, 5, 10), 5, 90_000.0, vol),  # opens d5
+    ]
+    b0, b1 = rows[:2], rows[2:]
+    src = os.path.join(tmpdir, "mfibig")
+    df0 = spark.createDataFrame(b0, cols)
+    df0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, df0.schema, max_files_per_trigger=1, recursive=True
+    )
+    q = (
+        stream_mfi(stream, n=2, timeframe="1 day")
+        .writeStream.format("memory")
+        .queryName("live_mfi_big")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["epoch"]: r["mfi"]
+        for r in spark.sql("select * from live_mfi_big").collect()
+    }
+    batch = {
+        r["epoch"]: r["mfi"]
+        for r in mfi(spark.createDataFrame(rows, cols), n=2).collect()
+        if r["epoch"].day <= 4  # day 5 is still open
+    }
+    assert set(got) == set(batch) and len(got) == 4
+    # the warmed-up values are real (non-null) and float64-identical
+    assert any(v is not None for v in got.values())
+    for ep, want in batch.items():
+        assert got[ep] == want, (ep, got[ep], want)
+
+
 def test_stream_adx_state_survives_restart(spark, tmpdir):
     """The four RMA accumulators, the previous candle, and the open
     candle must round-trip through the checkpointed state store across
