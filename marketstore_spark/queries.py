@@ -4877,9 +4877,9 @@ g AS (
 SELECT symbol, bucket AS epoch, x AS close_c, y AS mkt_c,
        CASE WHEN rn >= 24 AND (24 * sxx - sx * sx) > 0
                           AND (24 * syy - sy * sy) > 0
-            THEN CAST(24 * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(24 * syy - sy * sy AS DOUBLE)))
+            THEN CAST(CAST(24 * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / (sqrt(CAST(CAST(24 * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                    * sqrt(CAST(CAST(24 * syy - sy * sy AS VARCHAR) AS DOUBLE)))
        END AS corr
 FROM g
 """,
@@ -5050,15 +5050,15 @@ p AS (
 ),
 g AS (
   SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
   FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY symbol
 )
 SELECT symbol, n AS n_pairs,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE)
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) / CAST(n * n AS DOUBLE)
          AS move_autocov,
        CASE WHEN (n * sxy - sx * sy) < 0 THEN
-         2.0 * sqrt(CAST(-(n * sxy - sx * sy) AS DOUBLE))
+         2.0 * sqrt(CAST(CAST(-(n * sxy - sx * sy) AS VARCHAR) AS DOUBLE))
              / CAST(n AS DOUBLE)
        END AS roll_spread_c
 FROM g
@@ -5097,17 +5097,17 @@ p AS (
 ),
 g AS (
   SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
   FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY symbol
 )
 SELECT symbol, n AS n_pairs,
        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
        END AS autocorr
 FROM g
 """,
@@ -5143,18 +5143,18 @@ m AS (
 g AS (
   SELECT symbol,
          CAST(COUNT(m1) AS BIGINT) AS n1,
-         CAST(SUM(m1) AS BIGINT) AS sm,
-         CAST(SUM(m1 * m1) AS BIGINT) AS smm,
+         CAST(SUM(m1) AS HUGEINT) AS sm,
+         CAST(SUM(m1 * m1) AS HUGEINT) AS smm,
          CAST(COUNT(mq) AS BIGINT) AS nq,
-         CAST(SUM(mq) AS BIGINT) AS sq,
-         CAST(SUM(mq * mq) AS BIGINT) AS sqq
+         CAST(SUM(mq) AS HUGEINT) AS sq,
+         CAST(SUM(mq * mq) AS HUGEINT) AS sqq
   FROM m GROUP BY symbol
 )
 SELECT symbol, n1, nq,
        CASE WHEN nq > 0 AND (n1 * smm - sm * sm) > 0 THEN
-         (CAST(nq * sqq - sq * sq AS DOUBLE) * CAST(n1 * n1 AS DOUBLE))
+         (CAST(CAST(nq * sqq - sq * sq AS VARCHAR) AS DOUBLE) * CAST(n1 * n1 AS DOUBLE))
          / (5.0 * CAST(nq * nq AS DOUBLE)
-            * CAST(n1 * smm - sm * sm AS DOUBLE))
+            * CAST(CAST(n1 * smm - sm * sm AS VARCHAR) AS DOUBLE))
        END AS vr
 FROM g
 """,
@@ -5220,8 +5220,8 @@ g AS (
 )
 SELECT symbol, n,
        CASE WHEN (n * sxx - sx * sx) > 0 THEN
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE)
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
        END AS kyle_lambda
 FROM g
 """,
@@ -5857,12 +5857,12 @@ top AS (
 SELECT g.source, g.n_tokens, g.vocab, g.n_hapax,
        t.top_tok, CAST(t.top_count AS BIGINT) AS top_count,
        CAST(ROUND(CAST(CAST(
-         CAST(g.c2 AS DOUBLE)
+         CAST(CAST(g.c2 AS VARCHAR) AS DOUBLE)
            / (CAST(g.n_tokens AS DOUBLE) * CAST(g.n_tokens AS DOUBLE))
        AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS simpson,
        CAST(ROUND(CAST(CAST(
          CAST(g.n_tokens AS DOUBLE) * CAST(g.n_tokens AS DOUBLE)
-           / CAST(g.c2 AS DOUBLE)
+           / CAST(CAST(g.c2 AS VARCHAR) AS DOUBLE)
        AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS effective_vocab
 FROM g JOIN top t ON g.source = t.source
 """,
@@ -5987,12 +5987,12 @@ g AS (
 )
 SELECT symbol, bucket AS epoch, n_moves,
        CASE WHEN n_moves >= 2 AND s2 > 0 THEN
-         sqrt(CAST(n_moves AS DOUBLE)) * CAST(s3 AS DOUBLE)
-           / (sqrt(CAST(s2 AS DOUBLE)) * CAST(s2 AS DOUBLE))
+         sqrt(CAST(n_moves AS DOUBLE)) * CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+           / (sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
        END AS rskew,
        CASE WHEN n_moves >= 2 AND s2 > 0 THEN
-         CAST(n_moves AS DOUBLE) * CAST(s4 AS DOUBLE)
-           / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+         CAST(n_moves AS DOUBLE) * CAST(CAST(s4 AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
        END AS rkurt
 FROM g
 """,
@@ -6133,7 +6133,7 @@ g AS (
 )
 SELECT symbol, bucket AS epoch,
        CASE WHEN rn > 14 AND (sp + sn) > 0 THEN
-         100.0 * CAST(sp AS DOUBLE) / CAST(sp + sn AS DOUBLE)
+         100.0 * CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(CAST(sp + sn AS VARCHAR) AS DOUBLE)
        END AS mfi
 FROM g
 """,
@@ -6458,42 +6458,42 @@ g AS (
     CAST(COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
          AS BIGINT) AS n_pairs,
     CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END),
-         0) AS BIGINT) AS sx,
+         0) AS HUGEINT) AS sx,
     CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END),
-         0) AS BIGINT) AS sy,
+         0) AS HUGEINT) AS sy,
     CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                  THEN x * y END), 0) AS BIGINT) AS sxy,
+                  THEN x * y END), 0) AS HUGEINT) AS sxy,
     CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                  THEN x * x END), 0) AS BIGINT) AS sxx,
+                  THEN x * x END), 0) AS HUGEINT) AS sxx,
     CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                  THEN y * y END), 0) AS BIGINT) AS syy,
+                  THEN y * y END), 0) AS HUGEINT) AS syy,
     CAST(COUNT(x) AS BIGINT) AS n1,
-    CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sm,
-    CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS smm,
+    CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sm,
+    CAST(COALESCE(SUM(x * x), 0) AS HUGEINT) AS smm,
     CAST(COUNT(mq) AS BIGINT) AS nq,
-    CAST(COALESCE(SUM(mq), 0) AS BIGINT) AS sq,
-    CAST(COALESCE(SUM(mq * mq), 0) AS BIGINT) AS sqq
+    CAST(COALESCE(SUM(mq), 0) AS HUGEINT) AS sq,
+    CAST(COALESCE(SUM(mq * mq), 0) AS HUGEINT) AS sqq
   FROM m GROUP BY symbol
 )
 SELECT symbol, n_pairs, n1, nq,
   CASE WHEN n_pairs > 0 THEN
-    CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+    CAST(CAST(n_pairs * sxy - sx * sy AS VARCHAR) AS DOUBLE)
       / CAST(n_pairs * n_pairs AS DOUBLE)
   END AS move_autocov,
   CASE WHEN (n_pairs * sxy - sx * sy) < 0 THEN
-    2.0 * sqrt(CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE))
+    2.0 * sqrt(CAST(CAST(-(n_pairs * sxy - sx * sy) AS VARCHAR) AS DOUBLE))
         / CAST(n_pairs AS DOUBLE)
   END AS roll_spread_c,
   CASE WHEN (n_pairs * sxx - sx * sx) > 0
         AND (n_pairs * syy - sy * sy) > 0 THEN
-    CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-         * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+    CAST(CAST(n_pairs * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      / (sqrt(CAST(CAST(n_pairs * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+         * sqrt(CAST(CAST(n_pairs * syy - sy * sy AS VARCHAR) AS DOUBLE)))
   END AS autocorr,
   CASE WHEN nq > 0 AND (n1 * smm - sm * sm) > 0 THEN
-    (CAST(nq * sqq - sq * sq AS DOUBLE) * CAST(n1 * n1 AS DOUBLE))
+    (CAST(CAST(nq * sqq - sq * sq AS VARCHAR) AS DOUBLE) * CAST(n1 * n1 AS DOUBLE))
       / (5.0 * CAST(nq * nq AS DOUBLE)
-         * CAST(n1 * smm - sm * sm AS DOUBLE))
+         * CAST(CAST(n1 * smm - sm * sm AS VARCHAR) AS DOUBLE))
   END AS vr
 FROM g
 """,
@@ -6737,14 +6737,14 @@ g AS (
 SELECT bucket AS epoch, n_symbols, total_dv_c,
        CAST(ROUND(CAST(CAST(
          CASE WHEN total_dv_c > 0 THEN
-           CAST(dv2 AS DOUBLE)
+           CAST(CAST(dv2 AS VARCHAR) AS DOUBLE)
              / (CAST(total_dv_c AS DOUBLE) * CAST(total_dv_c AS DOUBLE))
          END
        AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS hhi,
        CAST(ROUND(CAST(CAST(
          CASE WHEN dv2 > 0 THEN
            (CAST(total_dv_c AS DOUBLE) * CAST(total_dv_c AS DOUBLE))
-             / CAST(dv2 AS DOUBLE)
+             / CAST(CAST(dv2 AS VARCHAR) AS DOUBLE)
          END
        AS VARCHAR) AS DECIMAL(35,16)), 6) AS DOUBLE) AS effective_symbols,
        CASE WHEN total_dv_c > 0 THEN
