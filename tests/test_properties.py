@@ -1009,3 +1009,73 @@ def test_market_concentration_matches_exact_model(spark, syms):
         (float(tot) * float(tot)) / float(dv2)
     )
     assert r["top_share"] == float(max(dv)) / float(tot)
+
+
+def test_ema_macd_diagonal_kernel_bitwise_vs_direct_loop(spark):
+    """Many short per-key runs inside one Arrow batch routes the fold
+    through the diagonal (across-runs vectorized) kernel; the trailing
+    short batch routes through the per-run loop; a run spanning the
+    batch boundary exercises the carry.  Every path must equal the
+    literal per-row float64 recurrence bit for bit."""
+    import random
+
+    from marketstore_spark.operators.ewm import ema, macd
+
+    rng = random.Random(99)
+    rows = []
+    i = 0
+    # 1000 keys of 3-5 rows hash into ~500-row per-partition batches
+    # (8 test shuffle partitions): max run 5 → 5·32 ≤ 500 routes the
+    # full batches through the diagonal kernel, while sub-160-row
+    # trailing batches fall back to the per-run loop — both covered.
+    for uid in range(1000):
+        for _ in range(rng.randint(3, 5)):
+            rows.append(
+                (
+                    i,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                    uid,
+                    rng.uniform(-1000.0, 1000.0),
+                )
+            )
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        got_e = {r["event_id"]: r["ema"] for r in ema(df, span=20).collect()}
+        got_m = {
+            r["event_id"]: (r["macd"], r["signal"], r["histogram"])
+            for r in macd(df).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    a, b = 2.0 / 21.0, 1.0 - 2.0 / 21.0
+    af, bf = 2.0 / 13.0, 1.0 - 2.0 / 13.0
+    as_, bs = 2.0 / 27.0, 1.0 - 2.0 / 27.0
+    ag, bg = 2.0 / 10.0, 1.0 - 2.0 / 10.0
+    per_key = defaultdict(list)
+    for eid, _, uid, v in rows:
+        per_key[uid].append((eid, float(v)))
+    for uid, kvs in per_key.items():
+        acc = ef = es = sig = None
+        for eid, x in kvs:  # already time-ordered by construction
+            if acc is None:
+                acc, ef, es = x, x, x
+                line = ef - es
+                sig = line
+            else:
+                acc = a * x + b * acc
+                ef = af * x + bf * ef
+                es = as_ * x + bs * es
+                line = ef - es
+                sig = ag * line + bg * sig
+            assert got_e[eid] == acc  # bitwise
+            gm, gs, gh = got_m[eid]
+            assert gm == line and gs == sig and gh == line - sig
