@@ -175,6 +175,14 @@ HEADLINE = [
     "market_concentration",
     "dedup_rate_by_source",
     "acf_spectrum",
+    # round-9 additions: overlapping-gram substring dedup (one hash
+    # aggregate + sort-merge attach + run-merge window), the chained
+    # window-min funnel (one exchange), the distinct-first cohort
+    # matrix, and the lead-window transition matrix
+    "dedup_substring",
+    "event_funnel",
+    "retention_cohorts",
+    "event_transitions",
 ]
 
 _ORACLE_TABLES = (

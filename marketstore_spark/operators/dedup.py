@@ -142,6 +142,76 @@ def span_dedup_groups(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_sites: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup at word granularity: maximal duplicated
+    spans per document, the distributed analogue of suffix-array
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better").
+
+    Every OVERLAPPING ``k``-word window is content-hashed (one hash per
+    word position — unlike :func:`span_dedup_groups`'s non-overlapping
+    windows, this catches boilerplate at ANY offset).  A position is
+    "duplicated" when its ``k``-gram occurs at ≥ ``min_sites`` sites
+    corpus-wide (across documents or repeated within one).  Runs of
+    consecutive duplicated positions merge into maximal spans: a run
+    ``[p..q]`` means words ``[p, q+k)`` appear verbatim elsewhere.
+    Returns (doc_id, start_word, end_word, width_words) with
+    ``end_word`` exclusive.
+
+    Scale shape: shingling is a narrow projection (split → slice per
+    index → posexplode, O(n·k) work per doc); duplicated hashes come
+    from ONE hash aggregate on the 32-byte gram hash (combiner-friendly
+    wordcount shape — deliberately NOT collect_list, so a boilerplate
+    gram occurring 10⁶ times never materializes a posting list on one
+    reducer); survivors attach via a sort-merge join whose small side
+    is one row per duplicated hash; the span merge is one window + one
+    aggregate keyed by doc.  No pair generation anywhere.
+    """
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    n_pos = F.size(words) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_pos),  # slice() is 1-indexed
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+    )
+    df = spread_for_narrow_work(df, id_col, heavy=True)
+    sites = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(n_pos >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h"))
+    )
+    dup_hashes = (
+        sites.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_sites)
+        .select("h")
+    )
+    dup_sites = sites.join(dup_hashes, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_sites.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + k).alias("end_word"),
+            (F.max("pos") + k - F.min("pos")).alias("width_words"),
+        )
+        .select(
+            "doc_id",
+            F.col("start_word").cast("long").alias("start_word"),
+            F.col("end_word").cast("long").alias("end_word"),
+            F.col("width_words").cast("long").alias("width_words"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------

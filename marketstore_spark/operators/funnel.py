@@ -1,0 +1,189 @@
+"""Event-sequence analytics over the tick/event stream: ordered
+funnels, cohort retention, and type-transition matrices.
+
+These are the product-analytics idioms every event-warehouse query
+layer ships (ClickHouse ``windowFunnel``/``retention``, the classic
+cohort matrix) re-expressed as declarative DataFrame plans.  The
+reference engine's query surface stops at bucket aggregation
+(reference: ``sqlparser`` SELECT over TBK buckets); these extend the
+same event table the repo's sessionize/gap operators already serve.
+
+Determinism policy: event time is compared as epoch MICROSECONDS
+(int64, via functions/timeutil.epoch_us — identical to DuckDB's
+``epoch_us`` on the naive value) and ties break on ``event_id``;
+shares are a single exact-int division ``CAST(n AS DOUBLE) / m``
+evaluated with the same association on both engines.
+
+Scale shape (each operator, at 100 TB):
+
+- ``event_funnel``: ONE shuffle (hash by user for the window sort);
+  the three chained window columns share one Window spec so Catalyst
+  plans one sort; the final aggregate is a global count over one row
+  per user (rn = 1).  No self-joins, no fact rescan.
+- ``retention_cohorts``: the fact table reduces to distinct
+  (user, week) FIRST (combiner-friendly), the cohort week attaches as
+  a window min over that already-tiny set, and cohort size attaches
+  as a window max over the AGGREGATED (cohort, offset) rows — the
+  volume_profile pattern; the fact table is scanned once.
+- ``event_transitions``: one window lead per user + one hash
+  aggregate on (from, to) — bounded by |event types|² output rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from marketstore_spark.functions.timeutil import epoch_us
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_us: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel: how many users reach step 1, 2, … of ``steps``.
+
+    Semantics (greedy earliest chain, the deterministic windowFunnel
+    variant): a user's chain anchors at their EARLIEST step-1 event;
+    each later step is the earliest event of that type STRICTLY after
+    the previous step's time, and — when ``window_us`` is set — no
+    later than ``window_us`` microseconds after the anchor.  Greedy
+    extension is optimal for the unwindowed funnel and is the defined
+    contract for the windowed one (matching its SQL oracle exactly).
+
+    Returns one row per step: (step, step_name, users), where ``users``
+    counts users whose chain reaches that step.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        epoch_us(F.col(ts_col)).alias("t"),
+        F.col(type_col).alias("et"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w = Window.partitionBy("u")
+    # Chain the step times as window mins; each select materializes the
+    # previous step's column first (a window expression cannot nest
+    # another window function), and every window shares one spec so the
+    # plan carries ONE exchange + ONE sort.
+    cur = ev
+    prev_t = None
+    for i, step in enumerate(steps):
+        cond = F.col("et") == step
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() & (F.col("t") > F.col(prev_t))
+            if window_us is not None:
+                cond = cond & (F.col("t") <= F.col("t0") + F.lit(int(window_us)))
+        col = f"t{i}"
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col("t"))).over(w))
+        prev_t = col
+    wo = Window.partitionBy("u").orderBy("t", "tb")
+    one = cur.withColumn("rn", F.row_number().over(wo)).filter(F.col("rn") == 1)
+    counts = one.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("long").alias(f"c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"c{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.inline(tiers))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the ISO week of
+    their first event; for each later week, how many came back.
+
+    Returns (cohort_week DATE, week_offset, users, cohort_size,
+    retained_frac) — ``retained_frac = users / cohort_size`` as one
+    exact int64 division.
+    """
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("u")
+    cohorted = active.withColumn("cohort", F.min("wk").over(wu))
+    agg = (
+        cohorted.groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    return agg.select(
+        "cohort_week",
+        "week_offset",
+        "users",
+        F.max(F.when(F.col("week_offset") == 0, F.col("users")))
+        .over(wc)
+        .alias("cohort_size"),
+        (
+            F.col("users").cast("double")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("users"))).over(wc)
+        ).alias("retained_frac"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix between consecutive event types
+    within each user's timeline (the Sankey/Markov-chain source data).
+
+    Returns (from_type, to_type, transitions, from_share) where
+    ``from_share`` is the row-normalized probability of the
+    transition among all transitions leaving ``from_type``.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        epoch_us(F.col(ts_col)), F.col(tiebreak_col)
+    )
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        (
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(wf)
+        ).alias("from_share"),
+    )

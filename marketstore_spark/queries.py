@@ -1093,6 +1093,92 @@ def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+_FUNNEL_WINDOW_US = 86400 * 1_000_000  # 1 day
+
+
+@_register(
+    "event_funnel",
+    f"""
+WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et FROM events),
+u0 AS (SELECT u, MIN(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+u1 AS (SELECT e.u, MIN(t) AS t1 FROM e JOIN u0 USING (u)
+       WHERE et = 'click' AND t > t0 AND t <= t0 + {_FUNNEL_WINDOW_US} GROUP BY 1),
+u2 AS (SELECT e.u, MIN(t) AS t2 FROM e JOIN u1 USING (u) JOIN u0 USING (u)
+       WHERE et = 'purchase' AND t > t1 AND t <= t0 + {_FUNNEL_WINDOW_US} GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u0) AS users
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM u1)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM u2)
+""",
+)
+def event_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel inside a 1-day window
+    (greedy earliest chain — the deterministic windowFunnel contract;
+    operators/funnel.event_funnel).  One shuffle: the chained step
+    times are window mins sharing a single per-user Window spec."""
+    from marketstore_spark.operators.funnel import event_funnel
+
+    return event_funnel(
+        load_table(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        window_us=_FUNNEL_WINDOW_US,
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+WITH a AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+c AS (SELECT u, wk, MIN(wk) OVER (PARTITION BY u) AS cohort FROM a),
+g AS (SELECT cohort AS cohort_week,
+             CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS users
+      FROM c GROUP BY 1, 2)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset, users,
+       MAX(CASE WHEN week_offset = 0 THEN users END)
+         OVER (PARTITION BY cohort_week) AS cohort_size,
+       CAST(users AS DOUBLE) / MAX(CASE WHEN week_offset = 0 THEN users END)
+         OVER (PARTITION BY cohort_week) AS retained_frac
+FROM g
+""",
+)
+def retention_cohorts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/funnel.retention_cohorts):
+    the fact table reduces to distinct (user, week) first; cohort size
+    attaches as a window max over the aggregated rows — one fact scan.
+    The cohort week serializes as an ISO date string (DATE columns
+    round-trip differently through the two engines' pandas paths)."""
+    from marketstore_spark.operators.funnel import retention_cohorts
+
+    out = retention_cohorts(load_table(spark, sf_dir, "events"))
+    return out.withColumn("cohort_week", F.col("cohort_week").cast("string"))
+
+
+@_register(
+    "event_transitions",
+    """
+WITH o AS (SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id) AS to_type
+           FROM events),
+g AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS transitions
+      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, transitions,
+       CAST(transitions AS DOUBLE) / SUM(transitions) OVER (PARTITION BY from_type)
+         AS from_share
+FROM g
+""",
+)
+def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user timeline
+    (operators/funnel.event_transitions): one window lead + one hash
+    aggregate, output bounded by |event types|²."""
+    from marketstore_spark.operators.funnel import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
 @_register(
     "text_termfreq",
     """
@@ -2883,6 +2969,45 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstore_spark.operators.dedup import span_dedup_groups
 
     return span_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_substring",
+    r"""
+WITH w AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ws) - 7)) - 1 AS pos,
+         unnest([md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+                 FOR i IN generate_series(1, len(ws) - 7)]) AS h
+  FROM w WHERE len(ws) >= 8
+),
+d AS (SELECT h FROM s GROUP BY h HAVING COUNT(*) >= 2),
+m AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (h)),
+r AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_word,
+       CAST(MAX(pos) + 8 AS BIGINT) AS end_word,
+       CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS width_words
+FROM r GROUP BY doc_id, grp
+""",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substrings per document via OVERLAPPING
+    8-word gram hashes — the distributed ExactSubstr dedup stage
+    (Lee et al. 2022); catches boilerplate at any word offset that
+    dedup_span's fixed non-overlapping windows straddle
+    (operators/dedup.substring_dup_spans)."""
+    from marketstore_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(load_table(spark, sf_dir, "documents"), k=8, min_sites=2)
 
 
 @_register(
@@ -6895,6 +7020,11 @@ _FRONT = [
     # block) back-fills the window.  All other keys are r7/r8-green on
     # code untouched this round.
     # ------------------------------------------------------------------
+    # Block 0 - NEW this round (zero driver evidence yet).
+    "dedup_substring",
+    "event_funnel",
+    "retention_cohorts",
+    "event_transitions",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

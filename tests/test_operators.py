@@ -2534,3 +2534,133 @@ def test_acf_spectrum_rejects_bad_lags(spark):
     )
     with _pytest.raises(ValueError):
         acf_spectrum(df, lags=(0, 1))
+
+
+def test_substring_dup_spans_offset_and_merge(spark):
+    from marketstore_spark.operators.dedup import substring_dup_spans
+
+    # Docs 1 and 2 share an 6-word boilerplate at DIFFERENT offsets —
+    # the non-overlapping span dedup can straddle it, the overlapping
+    # k-gram detector must not.  k=3: positions whose 3-gram repeats
+    # corpus-wide merge into one maximal span covering the shared text.
+    shared = "one two three four five six"
+    rows = [
+        (1, f"{shared} tail1 tail2 tail3"),
+        (2, f"head1 {shared} tail4 tail5"),          # shifted by 1 word
+        (3, "alpha beta gamma delta epsilon zeta"),  # unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["start_word"], r["end_word"], r["width_words"])
+        for r in substring_dup_spans(df, k=3).collect()
+    }
+    # doc 1: words [0, 6) shared → positions 0..3 duplicated → span [0, 6)
+    assert out[1] == (0, 6, 6)
+    # doc 2: words [1, 7) shared → positions 1..4 duplicated → span [1, 7)
+    assert out[2] == (1, 7, 6)
+    assert 3 not in out
+
+
+def test_substring_dup_spans_within_doc_and_split_runs(spark):
+    from marketstore_spark.operators.dedup import substring_dup_spans
+
+    # A 3-gram repeated WITHIN one doc counts as duplicated (Lee et al.
+    # semantics), and two separated repeats yield two maximal spans.
+    rows = [(1, "a b c x y z q a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        (r["start_word"], r["end_word"]) for r in substring_dup_spans(df, k=3).collect()
+    )
+    assert out == [(0, 3), (7, 10)]
+
+
+def test_event_funnel_window_and_order_semantics(spark):
+    from marketstore_spark.operators.funnel import event_funnel
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, 0, 0) if sec == 0 else datetime.fromtimestamp(
+            t0.timestamp() + sec
+        )
+
+    rows = [
+        # user 10: full chain inside the window
+        (1, at(0), 10, "view"),
+        (2, at(10), 10, "click"),
+        (3, at(20), 10, "purchase"),
+        # user 20: click BEFORE view — order violated, depth 1
+        (4, at(5), 20, "click"),
+        (5, at(6), 20, "view"),
+        # user 30: click lands past the window anchor → depth 1
+        (6, at(0), 30, "view"),
+        (7, at(200), 30, "click"),
+        # user 40: never does step 1
+        (8, at(0), 40, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        r["step_name"]: r["users"]
+        for r in event_funnel(
+            df, ["view", "click", "purchase"], window_us=100 * 1_000_000
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+    # unwindowed: user 30's late click now counts
+    out2 = {
+        r["step_name"]: r["users"]
+        for r in event_funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out2 == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from marketstore_spark.operators.funnel import retention_cohorts
+
+    # Weeks of 2024-01: Mon 2024-01-01, 2024-01-08, 2024-01-15.
+    rows = [
+        (1, datetime(2024, 1, 2), 100),   # cohort wk0
+        (2, datetime(2024, 1, 9), 100),   # active wk1
+        (3, datetime(2024, 1, 16), 100),  # active wk2
+        (4, datetime(2024, 1, 3), 200),   # cohort wk0, never returns
+        (5, datetime(2024, 1, 10), 300),  # cohort wk1
+        (6, datetime(2024, 1, 17), 300),  # active wk2
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["users"],
+            r["cohort_size"],
+            r["retained_frac"],
+        )
+        for r in retention_cohorts(df).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert len(out) == 5
+
+
+def test_event_transitions_counts_and_shares(spark):
+    from marketstore_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10, "view"),
+        (2, datetime(2024, 1, 1, 0, 0, 1), 10, "click"),
+        (3, datetime(2024, 1, 1, 0, 0, 2), 10, "view"),
+        (4, datetime(2024, 1, 1, 0, 0, 3), 10, "click"),
+        # same timestamp → event_id tie-break decides the order
+        (5, datetime(2024, 1, 1, 0, 0, 0), 20, "view"),
+        (6, datetime(2024, 1, 1, 0, 0, 0), 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        (r["from_type"], r["to_type"]): (r["transitions"], r["from_share"])
+        for r in event_transitions(df).collect()
+    }
+    assert out[("view", "click")] == (2, 2.0 / 3.0)
+    assert out[("view", "purchase")] == (1, 1.0 / 3.0)
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3
