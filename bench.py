@@ -180,6 +180,7 @@ HEADLINE = [
     # window-min funnel (one exchange), the distinct-first cohort
     # matrix, and the lead-window transition matrix
     "dedup_substring",
+    "dedup_substring_rate",
     "event_funnel",
     "retention_cohorts",
     "event_transitions",

@@ -1097,3 +1097,65 @@ def dedup_rate_by_source(
             F.col("n_removable").cast("double") / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+def substring_dup_rate_by_source(
+    df: DataFrame,
+    k: int = 8,
+    min_sites: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source SUB-document duplication ledger: what fraction of
+    each source's words sits inside a duplicated substring
+    (:func:`substring_dup_spans` spans).  dedup_rate_by_source answers
+    "which source ships copied documents"; this answers "which source
+    ships copied PASSAGES" — the number a mix designer reads when a
+    feed's pages are distinct but their content is boilerplate.
+
+    Returns (source, n_docs, total_words, dup_span_words,
+    dup_word_rate): maximal duplicated spans are disjoint within a
+    doc, so ``dup_span_words`` is an exact word count and the rate is
+    one double division.
+
+    Shape (100 TB): the span pipeline (see substring_dup_spans) plus
+    one narrow word-count aggregate per source and one doc-keyed join
+    of the (already tiny) span rollup — nothing quadratic.
+    """
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    totals = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+            .otherwise(F.size(words))
+            .cast("long")
+            .alias("n_words"),
+        )
+    )
+    spans = substring_dup_spans(
+        df, k=k, min_sites=min_sites, text_col=text_col, id_col=id_col
+    )
+    per_doc_dup = spans.groupBy("doc_id").agg(
+        F.sum("width_words").alias("dup_words")
+    )
+    joined = totals.join(per_doc_dup, "doc_id", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum(F.coalesce(F.col("dup_words"), F.lit(0))).alias("dup_span_words"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_words",
+            "dup_span_words",
+            (
+                F.col("dup_span_words").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("dup_word_rate"),
+        )
+    )

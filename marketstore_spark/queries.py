@@ -3011,6 +3011,56 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_substring_rate",
+    r"""
+WITH w AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+tot AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(ws[1]) = '' AND len(ws) = 1 THEN 0 ELSE len(ws) END AS n_words
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ws) - 7)) - 1 AS pos,
+         unnest([md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+                 FOR i IN generate_series(1, len(ws) - 7)]) AS h
+  FROM w WHERE len(ws) >= 8
+),
+d AS (SELECT h FROM s GROUP BY h HAVING COUNT(*) >= 2),
+m AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (h)),
+r AS (SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m),
+sp AS (SELECT doc_id, MAX(pos) + 8 - MIN(pos) AS width FROM r GROUP BY doc_id, grp),
+pd AS (SELECT doc_id, CAST(SUM(width) AS BIGINT) AS dup_words FROM sp GROUP BY 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(COALESCE(dup_words, 0)) AS BIGINT) AS dup_span_words,
+       CAST(SUM(COALESCE(dup_words, 0)) AS DOUBLE)
+         / CAST(SUM(n_words) AS DOUBLE) AS dup_word_rate
+FROM tot LEFT JOIN pd USING (doc_id)
+GROUP BY source
+""",
+)
+def dedup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-PASSAGE ledger: fraction of each source's
+    words inside a duplicated substring span.  dedup_rate_by_source
+    counts copied documents; this counts copied passages — the signal
+    for a feed whose pages are distinct but boilerplate-heavy
+    (operators/dedup.substring_dup_rate_by_source)."""
+    from marketstore_spark.operators.dedup import substring_dup_rate_by_source
+
+    return substring_dup_rate_by_source(
+        load_table(spark, sf_dir, "documents"), k=8, min_sites=2
+    )
+
+
+@_register(
     "dedup_ngram_jaccard",
     f"""
 WITH {_SHINGLE_CTE},
@@ -7022,6 +7072,7 @@ _FRONT = [
     # ------------------------------------------------------------------
     # Block 0 - NEW this round (zero driver evidence yet).
     "dedup_substring",
+    "dedup_substring_rate",
     "event_funnel",
     "retention_cohorts",
     "event_transitions",

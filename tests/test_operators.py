@@ -2664,3 +2664,22 @@ def test_event_transitions_counts_and_shares(spark):
     assert out[("view", "purchase")] == (1, 1.0 / 3.0)
     assert out[("click", "view")] == (1, 1.0)
     assert len(out) == 3
+
+
+def test_substring_dup_rate_by_source_hand_computed(spark):
+    from marketstore_spark.operators.dedup import substring_dup_rate_by_source
+
+    shared = "one two three four five six"  # 6 words, k=3 → full cover
+    rows = [
+        (1, f"{shared} tailA tailB", "A"),    # 8 words, 6 duplicated
+        (2, f"headX {shared}", "B"),          # 7 words, 6 duplicated
+        (3, "alpha beta gamma delta", "B"),   # 4 words, none duplicated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in substring_dup_rate_by_source(df, k=3).collect()}
+    a = out["A"]
+    assert (a["n_docs"], a["total_words"], a["dup_span_words"]) == (1, 8, 6)
+    assert a["dup_word_rate"] == 6.0 / 8.0
+    b = out["B"]
+    assert (b["n_docs"], b["total_words"], b["dup_span_words"]) == (2, 11, 6)
+    assert b["dup_word_rate"] == 6.0 / 11.0

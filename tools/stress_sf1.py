@@ -54,6 +54,15 @@ TARGET_KEYS = [
     "source_token_stats",
     "source_token_jaccard",
     "corpus_vocab_growth",
+    # round-9 additions: the overlapping-gram substring dedup family
+    # (the injected boilerplate produces a gram with ~5k sites — the
+    # shape the count-only duplicated-set aggregate exists for) and
+    # the event-sequence analytics over the 2.2M-row event stream
+    "dedup_substring",
+    "dedup_substring_rate",
+    "event_funnel",
+    "retention_cohorts",
+    "event_transitions",
 ]
 
 N_SYMBOLS = 100
@@ -123,8 +132,19 @@ def gen_documents(out_dir: str) -> None:
     zipf_p = 1.0 / np.arange(1, VOCAB + 1)
     zipf_p /= zipf_p.sum()
     lens = rng.integers(20, 300, size=N_DOCS)
-    for ln in lens:
-        texts.append(" ".join(rng.choice(words, size=ln, p=zipf_p)))
+    # 40-word boilerplate injected into ~10% of docs at a random word
+    # offset: gives dedup_substring a gram with ~5k corpus-wide sites
+    # (stressing the count-only duplicated-set aggregate — the design
+    # exists so a hot gram never builds a posting list) while the rest
+    # of each doc stays unique zipf noise.
+    boiler = " ".join(f"b{i:03d}" for i in range(40))
+    inject = rng.random(N_DOCS) < 0.10
+    for di, ln in enumerate(lens):
+        toks = list(rng.choice(words, size=ln, p=zipf_p))
+        if inject[di]:
+            at = int(rng.integers(0, ln))
+            toks[at:at] = boiler.split()
+        texts.append(" ".join(toks))
     table = pa.table(
         {
             "doc_id": pa.array(np.arange(N_DOCS), pa.int64()),
