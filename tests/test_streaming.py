@@ -1117,3 +1117,62 @@ def test_stream_adx_state_survives_restart(spark, tmpdir):
     for ep, want in batch.items():
         for c in ("dmp", "dmm", "tr", "di_plus", "di_minus", "dx", "adx"):
             assert got[ep][c] == want[c], (ep, c)
+
+
+def test_stream_funnel_matches_batch_across_microbatches(spark, sf_dir, tmpdir):
+    """Live per-user funnel chains == the batch event_funnel on the
+    union of the micro-batches: the carried chain must continue across
+    the batch boundary (a user whose 'view' landed in batch 0 and
+    'click' in batch 1 still advances), and the step counts derived
+    from the final per-user depths must equal the batch operator's."""
+    from marketstore_spark.operators.funnel import event_funnel
+    from marketstore_spark.streaming.funnel import stream_funnel
+
+    W = 86400 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = os.path.join(tmpdir, "funnel_feed")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).orderBy("ts").coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    ev.filter(F.col("event_id") > mid).orderBy("ts").coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, ev.schema, max_files_per_trigger=1, recursive=True
+    )
+    live = stream_funnel(stream, ["view", "click", "purchase"], window_us=W)
+    q = (
+        live.writeStream.format("memory")
+        .queryName("live_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from live_funnel").toPandas()
+    # ≥2 micro-batches ran: at least one user must have emitted twice
+    assert rows.groupby("user_id").size().max() >= 2
+    # final state per user = the last emitted row (monotone depth)
+    final = rows.groupby("user_id")["depth"].max()
+    got = {
+        d + 1: int((final >= d + 1).sum()) for d in range(3)
+    }
+    want = {
+        int(r["step"]): int(r["users"])
+        for r in event_funnel(
+            ev, ["view", "click", "purchase"], window_us=W
+        ).collect()
+    }
+    assert got == want
+    # chains respect the window anchor: every set step-k time is within
+    # W of the user's anchor and strictly increasing along the chain
+    for ch in rows["chain_us"]:
+        ts = [t for t in ch if t != -1]
+        assert ts == sorted(ts) and len(set(ts)) == len(ts)
+        if len(ch) > 1 and ch[0] != -1:
+            for t in ch[1:]:
+                if t != -1:
+                    assert t <= ch[0] + W
