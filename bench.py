@@ -184,6 +184,7 @@ HEADLINE = [
     "event_funnel",
     "retention_cohorts",
     "event_transitions",
+    "active_users_window",
 ]
 
 _ORACLE_TABLES = (

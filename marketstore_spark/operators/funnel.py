@@ -187,3 +187,60 @@ def event_transitions(
             / F.sum("transitions").over(wf)
         ).alias("from_share"),
     )
+
+
+def active_users_window(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily / trailing-window active users (DAU / WAU) and
+    stickiness per observed activity day.
+
+    ``window_users(day)`` counts users active in
+    ``[day − window_days + 1, day]``; ``stickiness = dau /
+    window_users`` (the DAU/WAU engagement ratio) as one exact int64
+    division.  Only days with observed activity are reported.
+
+    Scale shape: the fact table reduces to distinct (user, day) FIRST;
+    the trailing window is NOT a sliding distinct-count — each
+    activity day explodes to the ``window_days`` days it covers
+    (bounded ×W row growth on the already-tiny distinct set) and the
+    window count becomes a plain count-distinct aggregate, wordcount
+    shape.  The final DAU↔WAU attach joins two day-grain tables
+    (broadcast-sized at any corpus scale).
+    """
+    if window_days <= 0:
+        raise ValueError("window_days must be positive")
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("d"),
+        )
+        .distinct()
+    )
+    cov = active.select(
+        "u",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda i: F.date_add(F.col("d"), i),
+            )
+        ).alias("day"),
+    )
+    wau = cov.groupBy("day").agg(
+        F.count_distinct("u").cast("long").alias("window_users")
+    )
+    dau = active.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "window_users",
+            (F.col("dau").cast("double") / F.col("window_users")).alias("stickiness"),
+        )
+    )

@@ -1180,6 +1180,34 @@ def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "active_users_window",
+    """
+WITH a AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events),
+cov AS (
+  SELECT u, unnest([d + CAST(i AS INTEGER) FOR i IN generate_series(0, 6)]) AS wday
+  FROM a
+),
+wau AS (SELECT wday AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS window_users
+        FROM cov GROUP BY 1),
+dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM a GROUP BY 1)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.window_users,
+       CAST(d.dau AS DOUBLE) / w.window_users AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+""",
+)
+def active_users_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per observed day
+    (operators/funnel.active_users_window).  The trailing window is
+    NOT a sliding distinct-count: each distinct (user, day) explodes
+    to the 7 days it covers (bounded ×7 on the already-tiny distinct
+    set) and the window count becomes a wordcount-shape aggregate."""
+    from marketstore_spark.operators.funnel import active_users_window
+
+    return active_users_window(load_table(spark, sf_dir, "events"), window_days=7)
+
+
+@_register(
     "text_termfreq",
     """
 WITH toks AS (
@@ -7076,6 +7104,7 @@ _FRONT = [
     "event_funnel",
     "retention_cohorts",
     "event_transitions",
+    "active_users_window",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

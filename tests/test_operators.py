@@ -2683,3 +2683,27 @@ def test_substring_dup_rate_by_source_hand_computed(spark):
     b = out["B"]
     assert (b["n_docs"], b["total_words"], b["dup_span_words"]) == (2, 11, 6)
     assert b["dup_word_rate"] == 6.0 / 11.0
+
+
+def test_active_users_window_hand_computed(spark):
+    from marketstore_spark.operators.funnel import active_users_window
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5), 100),
+        (2, datetime(2024, 1, 1, 9), 200),
+        (3, datetime(2024, 1, 2, 5), 100),   # user 100 active both days
+        (4, datetime(2024, 1, 5, 5), 300),   # gap day; 1/1 still in 1/5's window
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {
+        r["day"]: (r["dau"], r["window_users"], r["stickiness"])
+        for r in active_users_window(df, window_days=3).collect()
+    }
+    # day 1/1: dau 2, window {100,200}; 1/2: dau 1, window {100,200};
+    # 1/5: dau 1, window = users active in [1/3..1/5] = {300} only
+    assert out == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-02": (1, 2, 0.5),
+        "2024-01-05": (1, 1, 1.0),
+    }
+    assert len(out) == 3  # only observed activity days reported

@@ -63,6 +63,7 @@ TARGET_KEYS = [
     "event_funnel",
     "retention_cohorts",
     "event_transitions",
+    "active_users_window",
 ]
 
 N_SYMBOLS = 100
