@@ -185,6 +185,9 @@ HEADLINE = [
     "retention_cohorts",
     "event_transitions",
     "active_users_window",
+    # PQ/ADC compressed-domain ANN at the exhaustive anchor config
+    # (drives the full encode/gather/prune/re-rank pipeline)
+    "ann_pq_exhaustive",
 ]
 
 _ORACLE_TABLES = (

@@ -759,3 +759,194 @@ def kmeans_iterate(
         df, k=k, centroids=centroids, id_col=id_col, vec_col=vec_col
     )
     return assigned, centroids
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-domain scale path
+# ---------------------------------------------------------------------
+
+
+def _subspace_kmeans(sub: np.ndarray, ksub: int, iters: int = 10) -> np.ndarray:
+    """Deterministic plain (L2) k-means for one PQ subspace: init takes
+    ``ksub`` evenly-spaced rows of the id-ordered sample (no RNG, so the
+    codebook reproduces across runs); Lloyd assigns by min squared
+    distance; an emptied cell keeps its previous centroid."""
+    n = sub.shape[0]
+    if n <= ksub:
+        return sub.copy()
+    cent = sub[np.linspace(0, n - 1, ksub).astype(int)].copy()
+    for _ in range(iters):
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(ksub):
+            members = sub[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """PQ codebook training (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): the L2-normalized deterministic
+    sample (first ``sample_cap`` rows by id — the train_ivf_centroids
+    recipe) splits into ``m`` contiguous subspaces, each quantized by
+    its own ``ksub``-cell k-means.  Returns an (m, ksub, dim/m) array.
+    At 100 TB the sample suffices — codebook quality needs O(ksub·~100)
+    training points per subspace, not the corpus."""
+    rows = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .sort(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _subspace_kmeans(x[:, s * dsub : (s + 1) * dsub], ksub)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k — the COMPRESSED-domain ANN scale path
+    next to lsh_topk (bucketing) and ivf_topk (coarse pruning).
+
+    Index: each L2-normalized corpus vector encodes to ``m`` codebook
+    cells (``m·log2(ksub)`` bits ≈ 32× smaller than the float vector at
+    the defaults on a 64-dim embedding).  Search (asymmetric distance
+    computation): each query precomputes an m×ksub table of subspace
+    dot products; a corpus row's approximate cosine is ``m`` table
+    lookups — no float-vector arithmetic in the scan.  The top
+    ``rerank·k`` ADC candidates per query re-rank by EXACT cosine.
+
+    Scale shape: codebooks + query tables broadcast (closure-captured
+    constants, dims-scale); the scan is ONE mapInPandas over the corpus
+    that encodes, gathers, and emits only each partition's per-query
+    local top-``rerank·k`` (map-side prune — candidates crossing the
+    wire are partitions·queries·rerank·k, independent of corpus size);
+    one window keeps the global candidates; the exact re-rank joins the
+    (queries·rerank·k)-row candidate set back to the corpus by id.
+    Recall vs brute force is pinned in pytest; raise ``rerank`` or
+    ``ksub`` for recall, lower ``m`` for speed.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    m_eff, _, dsub = codebooks.shape
+    qrows = (
+        queries.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .sort(id_col)
+        .collect()
+    )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # luts[s]: (nq, ksub) — query-subspace dot products with codebook s
+    luts = np.stack(
+        [
+            qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T
+            for s in range(m_eff)
+        ]
+    )
+    n_cand = int(rerank) * int(k)
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["nid"].to_numpy(dtype=np.int64)
+            x = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            # encode: per subspace, nearest codebook cell by L2
+            scores = np.zeros((len(ids), len(q_ids)))
+            for s in range(m_eff):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ codebooks[s].T)
+                    + (codebooks[s] ** 2).sum(axis=1)[None, :]
+                )
+                codes = np.argmin(d2, axis=1)
+                scores += luts[s][:, codes].T  # (rows, nq)
+            top = min(n_cand, len(ids))
+            # local per-query top prune: only rows*queries shrinking to
+            # top·nq leave the partition
+            order = np.argsort(-scores, kind="stable", axis=0)[:top]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                sel = order[:, qi]
+                out_q.extend([int(q_ids[qi])] * len(sel))
+                out_n.extend(ids[sel].tolist())
+                out_s.extend(scores[sel, qi].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_s}
+            )
+
+    enc_src = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(vec_col).alias("cv")
+    )
+    local = enc_src.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the tiny candidate set
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    # RAW query vectors for the exact re-rank so the reported cosine is
+    # bitwise the brute_force_topk value for any overlapping pair
+    qv = corpus.sparkSession.createDataFrame(
+        [(int(r[id_col]), [float(v) for v in r["v"]]) for r in qrows],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

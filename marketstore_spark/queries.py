@@ -3507,6 +3507,50 @@ def ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register("ann_pq")  # approximate: rows-only check; recall vs brute in pytest
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC compressed-domain ANN (Jégou et al. 2011): corpus vectors
+    encode to m·log2(ksub) bits, the scan is table lookups, only the
+    rerank·k ADC survivors see exact float math
+    (operators/simsearch.pq_topk)."""
+    from marketstore_spark.operators.simsearch import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=8, ksub=16, rerank=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_pq_exhaustive",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM q, e c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ machinery driven exhaustively (rerank·k ≥ corpus): every
+    row survives the ADC prune, so the exact re-rank EQUALS brute force
+    — hash-verifying the encode/gather/prune/re-rank pipeline against
+    the O(n·q) oracle (the ann_lsh_exhaustive contract)."""
+    from marketstore_spark.operators.simsearch import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=8, ksub=16, rerank=500
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _IVF_CENTROIDS: dict = {}
 
 
@@ -7105,6 +7149,8 @@ _FRONT = [
     "retention_cohorts",
     "event_transitions",
     "active_users_window",
+    "ann_pq",
+    "ann_pq_exhaustive",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

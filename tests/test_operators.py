@@ -2707,3 +2707,37 @@ def test_active_users_window_hand_computed(spark):
         "2024-01-05": (1, 1, 1.0),
     }
     assert len(out) == 3  # only observed activity days reported
+
+
+def test_pq_recall_vs_brute_force_and_exhaustive_invariant(spark, sf_dir):
+    """ann_pq: the 8×16 codebook ADC prune at rerank=4 must recover a
+    solid share of the true top-5, and with rerank·k ≥ corpus (every
+    row survives the prune) the exact re-rank must EQUAL brute force —
+    the PQ analogue of IVF's nprobe == nlist invariant."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import brute_force_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, q, k=5, m=8, ksub=16, rerank=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    # the test embeddings are near-random (no cluster structure — the
+    # hardest PQ case); 0.4 matches the IVF pin at the same k
+    assert recall >= 0.4, f"PQ recall too low: {recall:.2f}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in pq_topk(emb, q, k=5, m=8, ksub=16, rerank=500).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    assert full == exact

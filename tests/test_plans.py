@@ -1051,6 +1051,7 @@ def test_registry_hygiene_window_and_oracles():
     assert no_oracle == {
         "ann_ivf",
         "ann_lsh",
+        "ann_pq",
         "dedup_embedding_lsh",
         "distinct_users_approx",
         "percentiles_approx",
