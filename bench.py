@@ -185,9 +185,15 @@ HEADLINE = [
     "retention_cohorts",
     "event_transitions",
     "active_users_window",
-    # PQ/ADC compressed-domain ANN at the exhaustive anchor config
-    # (drives the full encode/gather/prune/re-rank pipeline)
-    "ann_pq_exhaustive",
+    # ann_pq / ann_pq_exhaustive stay correctness-only keys (the
+    # corpus_pack exclusion logic, mirrored): at sf0.1 the corpus is
+    # 2000 vectors, so the 4-stage PQ plan (train-sample collect,
+    # query collect, ADC scan, candidate re-rank join) measures ~1.5s
+    # of fixed per-stage latency against an 11 ms brute-force oracle —
+    # a toy-scale overhead ratio that says nothing about the
+    # compressed-domain scan the operator exists for.  Recall and the
+    # exhaustive==brute-force invariant are pinned in pytest; the
+    # driver hash-checks ann_pq_exhaustive.
 ]
 
 _ORACLE_TABLES = (
