@@ -1079,3 +1079,72 @@ def test_ema_macd_diagonal_kernel_bitwise_vs_direct_loop(spark):
             assert got_e[eid] == acc  # bitwise
             gm, gs, gh = got_m[eid]
             assert gm == line and gs == sig and gh == line - sig
+
+
+# ---------------------------------------------------------------------
+# event-funnel greedy-chain property
+# ---------------------------------------------------------------------
+
+_STEPS = ["view", "click", "purchase"]
+_event = st.tuples(
+    st.integers(min_value=0, max_value=40),   # user (forces collisions)
+    st.integers(min_value=0, max_value=500),  # offset seconds
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+_eventset = st.lists(_event, min_size=1, max_size=60)
+
+
+def _greedy_chain(evts, window_us):
+    """Direct Python model of the greedy-earliest windowed chain over
+    one user's (epoch_us, tiebreak, type) events."""
+    chain = [None] * len(_STEPS)
+    idx = {s: i for i, s in enumerate(_STEPS)}
+    for t, _tb, et in sorted(evts):
+        i = idx.get(et)
+        if i is None or chain[i] is not None:
+            continue
+        if i == 0:
+            chain[0] = t
+        elif (
+            chain[i - 1] is not None
+            and t > chain[i - 1]
+            and (window_us is None or t <= chain[0] + window_us)
+        ):
+            chain[i] = t
+    d = 0
+    for t in chain:
+        if t is None:
+            break
+        d += 1
+    return d
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evts=_eventset, winsec=st.sampled_from([None, 30, 120, 1000]))
+def test_event_funnel_matches_greedy_model(spark, evts, winsec):
+    from marketstore_spark.operators.funnel import event_funnel
+
+    rows = [
+        (
+            i,
+            EPOCH0 + dt.timedelta(seconds=off),
+            uid,
+            et,
+        )
+        for i, (uid, off, et) in enumerate(evts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    window_us = None if winsec is None else winsec * 1_000_000
+    got = {
+        r["step"]: r["users"]
+        for r in event_funnel(df, _STEPS, window_us=window_us).collect()
+    }
+    per_user = defaultdict(list)
+    base = int(EPOCH0.timestamp()) * 1_000_000
+    for i, (uid, off, et) in enumerate(evts):
+        per_user[uid].append((base + off * 1_000_000, i, et))
+    depths = [_greedy_chain(v, window_us) for v in per_user.values()]
+    want = {s + 1: sum(1 for d in depths if d >= s + 1) for s in range(len(_STEPS))}
+    assert got == want
