@@ -181,6 +181,7 @@ HEADLINE = [
     # matrix, and the lead-window transition matrix
     "dedup_substring",
     "dedup_substring_rate",
+    "dedup_containment",
     "event_funnel",
     "retention_cohorts",
     "event_transitions",

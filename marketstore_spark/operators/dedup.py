@@ -297,6 +297,69 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT: inter /
+    min(|A|, |B|) — the quote/subset detector Jaccard misses.  A short
+    document fully embedded in a long one scores containment 1.0 while
+    its Jaccard stays near |A|/|B| (tiny), so Jaccard-threshold dedup
+    keeps the quote pair; mix designers and decontamination pipelines
+    want it surfaced.
+
+    Same machinery and scale posture as :func:`ngram_jaccard_pairs`
+    (one posting-list shuffle, hot-shingle cap pruning candidates, the
+    cap applied to both sides identically so the score is
+    deterministic) — only the final scoring expression differs.
+    Output: doc_a, doc_b, inter, size_a, size_b, containment.
+    """
+    sh = word_shingles(df, n, text_col, id_col, distinct=False)
+    grouped = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
+    )
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("docs") <= max_doc_freq)
+    combined = grouped.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  transform(docs, d ->
+                    struct(d AS doc_a, CAST(NULL AS BIGINT) AS doc_b)),
+                  flatten(transform(docs, (x, i) ->
+                    transform(slice(docs, i + 2, size(docs)),
+                              y -> struct(x AS doc_a, y AS doc_b))))
+                )
+                """
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b")
+    agg = combined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("cnt"))
+    sizes = agg.filter(F.col("doc_b").isNull()).select(
+        F.col("doc_a").alias("doc_id"), F.col("cnt").alias("set_size")
+    )
+    inter = agg.filter(F.col("doc_b").isNotNull()).select(
+        "doc_a", "doc_b", F.col("cnt").alias("inter")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("size_a", "size_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------

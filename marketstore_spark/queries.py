@@ -3118,6 +3118,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_containment",
+    f"""
+WITH {_SHINGLE_CTE},
+capped AS (
+  SELECT doc_id, sh FROM ds
+  WHERE sh IN (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= 1000)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id AS doc_a, b_id AS doc_b, inter,
+       sa.n AS size_a, sb.n AS size_b,
+       CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+FROM pairs
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs — the quote/subset detector: a
+    short doc embedded in a long one scores 1.0 where Jaccard stays
+    near |A|/|B| and slips under the near-dup threshold
+    (operators/dedup.ngram_containment_pairs)."""
+    from marketstore_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.9, max_doc_freq=1000
+    )
+
+
 _MH_K = 32
 _MH_BANDS = 8
 
@@ -7180,6 +7215,7 @@ _FRONT = [
     "active_users_window",
     "ann_pq",
     "ann_pq_exhaustive",
+    "dedup_containment",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

@@ -97,3 +97,61 @@ def stream_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_transitions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Live event-type transition counts — the streaming twin of
+    operators/funnel.event_transitions.  State per user is O(1): the
+    last seen event type.  Each micro-batch folds its events in
+    (ts, tiebreak) order and emits the batch's (from_type, to_type,
+    transitions) partial counts for the user, INCLUDING the
+    batch-boundary transition from the carried state, so summing the
+    emitted rows over any micro-batch slicing equals the batch
+    operator's counts exactly (pinned in tests/test_streaming.py).
+    A consumer keeps the running matrix with a trivial rollup."""
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, from_type string, to_type string, transitions long"
+    )
+    state_schema = "last_type string"
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update((last,))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values([ts_col, tiebreak_col], ignore_index=True)
+        counts: dict[tuple[str, str], int] = {}
+        for et in pdf[type_col].tolist():
+            if last is not None:
+                pair = (last, et)
+                counts[pair] = counts.get(pair, 0) + 1
+            last = et
+        state.update((last,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(counts),
+                    "from_type": [a for a, _ in counts],
+                    "to_type": [b for _, b in counts],
+                    "transitions": list(counts.values()),
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2741,3 +2741,33 @@ def test_pq_recall_vs_brute_force_and_exhaustive_invariant(spark, sf_dir):
         for r in brute_force_topk(emb, q, k=5).collect()
     }
     assert full == exact
+
+
+def test_ngram_containment_detects_embedded_quote(spark):
+    from marketstore_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "to be or not to be that is the question"
+    host = (
+        "the prince ponders aloud saying "
+        + quote
+        + " while the court watches in silence from the gallery above"
+    )
+    rows = [
+        (1, quote),
+        (2, host),
+        (3, "completely unrelated text about market data engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    # every 3-gram of the quote appears in the host → containment 1.0
+    assert (1, 2) in got and got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 2)]["inter"] == got[(1, 2)]["size_a"]
+    assert len(got) == 1
+    # ...while Jaccard at the near-dup threshold misses the pair
+    assert not ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()

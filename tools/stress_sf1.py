@@ -60,6 +60,7 @@ TARGET_KEYS = [
     # the event-sequence analytics over the 2.2M-row event stream
     "dedup_substring",
     "dedup_substring_rate",
+    "dedup_containment",
     "event_funnel",
     "retention_cohorts",
     "event_transitions",
