@@ -186,6 +186,8 @@ HEADLINE = [
     "retention_cohorts",
     "event_transitions",
     "active_users_window",
+    "event_anomaly",
+    "source_novelty",
     # ann_pq / ann_pq_exhaustive stay correctness-only keys (the
     # corpus_pack exclusion logic, mirrored): at sf0.1 the corpus is
     # 2000 vectors, so the 4-stage PQ plan (train-sample collect,

@@ -1222,3 +1222,56 @@ def substring_dup_rate_by_source(
             ).alias("dup_word_rate"),
         )
     )
+
+
+def ngram_novelty_by_source(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source n-gram NOVELTY ledger: what fraction of a source's
+    distinct n-grams appear there FIRST (first occurrence = minimum
+    doc id — the deterministic ingestion-order convention used by the
+    exact-dedup keep rules).  A feed that mostly re-states n-grams
+    already in the corpus adds little new text even when its documents
+    hash as distinct — the novelty complement to the duplication
+    ledgers (dedup_rate_by_source counts copied docs,
+    dedup_substring_rate copied passages, this one re-stated phrasing).
+
+    Scale shape: distinct (doc, gram) → ONE min-aggregate on the gram
+    key, and the novelty credit needs NO join-back — the min doc id IS
+    the credited doc, so per-doc novel counts are a plain count on
+    ``first_doc``.  Per-doc totals are a second count; both doc-grain
+    tables then join (tiny) and roll up per source.  No posting lists,
+    nothing quadratic.
+    """
+    sh = word_shingles(df, n, text_col, id_col, distinct=True)
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("grams"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("novel"))
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+    per_doc = totals.join(novel, "doc_id", "left").join(src, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("grams").alias("total_grams"),
+            F.sum(F.coalesce(F.col("novel"), F.lit(0))).alias("novel_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_grams",
+            "novel_grams",
+            (
+                F.col("novel_grams").cast("double")
+                / F.col("total_grams").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

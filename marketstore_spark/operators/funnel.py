@@ -244,3 +244,61 @@ def active_users_window(
             (F.col("dau").cast("double") / F.col("window_users")).alias("stickiness"),
         )
     )
+
+
+def event_anomaly(
+    df: DataFrame,
+    threshold: float = 2.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily event-volume anomalies: days whose per-type event count
+    sits ≥ ``threshold`` population z-scores from that type's mean —
+    the ops-dashboard outlier feed (error spikes, traffic cliffs).
+
+    Numeric policy: the z-score is formed from EXACT integer moments —
+    ``z = (n·x − S) / √(n·Sxx − S²)`` (the algebraic identity that
+    clears both divisions), numerator in int64 (n·x ≤ days·count —
+    safe through ~1e14 daily events), Sxx and the cross-term in
+    DECIMAL(38,0) (the house moment policy: a hot type's squared
+    counts clear 2⁶³), one int→double conversion each side of a single
+    IEEE sqrt+divide — engine-identical bitwise.
+
+    Scale shape: one (type, day) hash aggregate (combiner-friendly,
+    output ≤ types·days rows), then per-type moment windows sharing
+    one tiny exchange.  The fact table is scanned once.
+    """
+    c = (
+        df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cnt").over(w)
+    sxx = F.sum(d38(F.col("cnt")) * F.col("cnt")).over(w)
+    st = c.select(
+        "event_type",
+        "day",
+        "cnt",
+        n.alias("n"),
+        s.alias("s"),
+        sxx.alias("sxx"),
+    )
+    num = F.col("n") * F.col("cnt") - F.col("s")
+    den = d38(F.col("n")) * F.col("sxx") - d38(F.col("s")) * d38(F.col("s"))
+    z = num.cast("double") / F.sqrt(den.cast("double"))
+    return (
+        st.filter((F.col("n") > 1) & (den > 0))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "cnt",
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= threshold)
+    )

@@ -1180,6 +1180,40 @@ def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_anomaly",
+    """
+WITH c AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, day, cnt,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(cnt AS HUGEINT) * cnt) OVER w AS DECIMAL(38,0)) AS sxx
+  FROM c WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+       CAST(n * cnt - s AS DOUBLE)
+         / sqrt(CAST(n * sxx - CAST(s AS HUGEINT) * s AS DOUBLE)) AS zscore
+FROM st
+WHERE n > 1 AND n * sxx - CAST(s AS HUGEINT) * s > 0
+  AND abs(CAST(n * cnt - s AS DOUBLE)
+          / sqrt(CAST(n * sxx - CAST(s AS HUGEINT) * s AS DOUBLE))) >= 2.0
+""",
+)
+def event_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event-volume outliers at ≥2 population z-scores,
+    formed from exact integer moments with one int→double conversion
+    per side of a single IEEE sqrt+divide
+    (operators/funnel.event_anomaly)."""
+    from marketstore_spark.operators.funnel import event_anomaly
+
+    return event_anomaly(load_table(spark, sf_dir, "events"), threshold=2.0)
+
+
+@_register(
     "active_users_window",
     """
 WITH a AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
@@ -3151,6 +3185,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.9, max_doc_freq=1000
     )
+
+
+@_register(
+    "source_novelty",
+    f"""
+WITH {_SHINGLE_CTE},
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM ds GROUP BY 1),
+novel AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS novel
+          FROM first GROUP BY 1),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS grams FROM ds GROUP BY 1),
+per_doc AS (
+  SELECT t.doc_id, t.grams, COALESCE(n.novel, 0) AS novel
+  FROM totals t LEFT JOIN novel n USING (doc_id)
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.grams) AS BIGINT) AS total_grams,
+       CAST(SUM(p.novel) AS BIGINT) AS novel_grams,
+       CAST(SUM(p.novel) AS DOUBLE) / CAST(SUM(p.grams) AS DOUBLE) AS novelty_rate
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY 1
+""",
+)
+def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the share of a source's distinct
+    3-grams appearing there FIRST (min doc id) — re-stated phrasing
+    shows up here even when whole documents hash distinct
+    (operators/dedup.ngram_novelty_by_source)."""
+    from marketstore_spark.operators.dedup import ngram_novelty_by_source
+
+    return ngram_novelty_by_source(load_table(spark, sf_dir, "documents"), n=3)
 
 
 _MH_K = 32
@@ -7216,6 +7280,8 @@ _FRONT = [
     "ann_pq",
     "ann_pq_exhaustive",
     "dedup_containment",
+    "event_anomaly",
+    "source_novelty",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

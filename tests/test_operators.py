@@ -2771,3 +2771,43 @@ def test_ngram_containment_detects_embedded_quote(spark):
     assert len(got) == 1
     # ...while Jaccard at the near-dup threshold misses the pair
     assert not ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()
+
+
+def test_event_anomaly_hand_computed(spark):
+    from marketstore_spark.operators.funnel import event_anomaly
+
+    # 5 days of 'error': 10,10,10,10,30 → mean 14, pop σ = 8 → z(30)=2.0
+    rows = []
+    eid = 0
+    for d, cnt in zip(range(1, 6), [10, 10, 10, 10, 30]):
+        for _ in range(cnt):
+            rows.append((eid, datetime(2024, 1, d, 12), 1, "error"))
+            eid += 1
+    # 'view' flat at 5/day — never anomalous
+    for d in range(1, 6):
+        for _ in range(5):
+            rows.append((eid, datetime(2024, 1, d, 12), 1, "view"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {(r["event_type"], r["day"]): r for r in event_anomaly(df, 2.0).collect()}
+    assert list(out) == [("error", "2024-01-05")]
+    r = out[("error", "2024-01-05")]
+    assert r["cnt"] == 30
+    assert r["zscore"] == 2.0  # exact: (5*30-70)/sqrt(5*1500-70^2) = 80/40
+
+
+def test_ngram_novelty_by_source_hand_computed(spark):
+    from marketstore_spark.operators.dedup import ngram_novelty_by_source
+
+    rows = [
+        (1, "a b c d", "A"),        # grams: abc, bcd — both first here
+        (2, "a b c e", "B"),        # grams: abc (seen), bce (novel)
+        (3, "a b c d", "B"),        # exact copy: zero novel
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in ngram_novelty_by_source(df, n=3).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_docs"], a["total_grams"], a["novel_grams"]) == (1, 2, 2)
+    assert a["novelty_rate"] == 1.0
+    assert (b["n_docs"], b["total_grams"], b["novel_grams"]) == (2, 4, 1)
+    assert b["novelty_rate"] == 0.25

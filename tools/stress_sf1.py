@@ -65,6 +65,8 @@ TARGET_KEYS = [
     "retention_cohorts",
     "event_transitions",
     "active_users_window",
+    "event_anomaly",
+    "source_novelty",
 ]
 
 N_SYMBOLS = 100
