@@ -434,3 +434,50 @@ def test_acf_spectrum_empty_input(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert acf_spectrum(empty).count() == 0
+
+
+def test_event_analytics_empty_input(empty_events):
+    from marketstore_spark.operators.funnel import (
+        active_users_window,
+        event_anomaly,
+        event_funnel,
+        event_transitions,
+        retention_cohorts,
+    )
+
+    # funnel: a global aggregate always yields one row → 3 step rows
+    # with zero users, never an exception
+    steps = {r["step_name"]: r["users"] for r in event_funnel(
+        empty_events, ["view", "click", "purchase"]
+    ).collect()}
+    assert steps == {"view": 0, "click": 0, "purchase": 0}
+    assert retention_cohorts(empty_events).count() == 0
+    assert event_transitions(empty_events).count() == 0
+    assert active_users_window(empty_events).count() == 0
+    assert event_anomaly(empty_events).count() == 0
+
+
+def test_substring_and_novelty_empty_and_degenerate_docs(spark):
+    from marketstore_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_novelty_by_source,
+        substring_dup_rate_by_source,
+        substring_dup_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert substring_dup_spans(empty).count() == 0
+    assert substring_dup_rate_by_source(empty).count() == 0
+    assert ngram_containment_pairs(empty).count() == 0
+    assert ngram_novelty_by_source(empty).count() == 0
+
+    # degenerate docs: empty text and docs shorter than the gram width
+    # must flow through (zero words counted for '' — not one)
+    short = spark.createDataFrame(
+        [(1, "", "A"), (2, "one two", "A"), (3, "a b c d e f g h i", "B")],
+        ["doc_id", "text", "source"],
+    )
+    assert substring_dup_spans(short, k=8).count() == 0
+    rates = {r["source"]: r for r in substring_dup_rate_by_source(short, k=8).collect()}
+    assert (rates["A"]["total_words"], rates["A"]["dup_span_words"]) == (2, 0)
+    assert rates["B"]["total_words"] == 9
