@@ -1240,23 +1240,43 @@ def ngram_novelty_by_source(
     ledgers (dedup_rate_by_source counts copied docs,
     dedup_substring_rate copied passages, this one re-stated phrasing).
 
-    Scale shape: distinct (doc, gram) → ONE min-aggregate on the gram
-    key, and the novelty credit needs NO join-back — the min doc id IS
-    the credited doc, so per-doc novel counts are a plain count on
-    ``first_doc``.  Per-doc totals are a second count; both doc-grain
-    tables then join (tiny) and roll up per source.  No posting lists,
-    nothing quadratic.
+    Scale shape: the raw (not pre-distincted) gram stream feeds two
+    aggregates — per-doc distinct-gram totals (source rides the
+    grouping key: one fact scan per branch, no doc→source join-back
+    rescanning the corpus) and the gram-keyed min (duplicates are
+    harmless to MIN, so the distinct shuffle is skipped entirely).
+    The novelty credit needs NO join-back — the min doc id IS the
+    credited doc, so per-doc novel counts are a plain count on
+    ``first_doc``.  The two doc-grain results join (tiny) and roll up
+    per source.  Two passes over the text are inherent (the aggregates
+    key differently); no posting lists, nothing quadratic.
     """
-    sh = word_shingles(df, n, text_col, id_col, distinct=True)
-    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("grams"))
+    # word_shingles keeps only (doc_id, shingle); rebuild the same
+    # projection with source attached so no join-back rescans the fact
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    base = spread_for_narrow_work(df, id_col, heavy=True)
+    sh = (
+        base.filter(F.trim(F.col(text_col)) != "")
+        .filter(k >= 1)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(grams).alias("shingle"),
+        )
+    )
+    totals = sh.groupBy("doc_id", "source").agg(
+        F.count_distinct("shingle").alias("grams")
+    )
     novel = (
         sh.groupBy("shingle")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("novel"))
     )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
-    per_doc = totals.join(novel, "doc_id", "left").join(src, "doc_id")
+    per_doc = totals.join(novel, "doc_id", "left")
     return (
         per_doc.groupBy("source")
         .agg(

@@ -208,8 +208,13 @@ def active_users_window(
     activity day explodes to the ``window_days`` days it covers
     (bounded ×W row growth on the already-tiny distinct set) and the
     window count becomes a plain count-distinct aggregate, wordcount
-    shape.  The final DAU↔WAU attach joins two day-grain tables
-    (broadcast-sized at any corpus scale).
+    shape.  DAU rides the SAME aggregate — the posexplode offset marks
+    which covered row is the activity day itself, so the plan is ONE
+    fact scan and two exchanges, no join (a dau-vs-wau join would
+    rescan the fact: ReusedExchange doesn't cross join branches).
+    The one-distinct-plus-one-plain aggregate mix plans an Expand
+    (2× the already-tiny covered set) — the right trade against a
+    second 100 TB scan.
     """
     if window_days <= 0:
         raise ValueError("window_days must be positive")
@@ -222,21 +227,19 @@ def active_users_window(
     )
     cov = active.select(
         "u",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(window_days - 1)),
                 lambda i: F.date_add(F.col("d"), i),
             )
-        ).alias("day"),
+        ).alias("pos", "day"),
     )
-    wau = cov.groupBy("day").agg(
-        F.count_distinct("u").cast("long").alias("window_users")
-    )
-    dau = active.groupBy(F.col("d").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("dau")
+    agg = cov.groupBy("day").agg(
+        F.count_distinct("u").cast("long").alias("window_users"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).cast("long").alias("dau"),
     )
     return (
-        dau.join(wau, "day")
+        agg.filter(F.col("dau") > 0)
         .select(
             F.col("day").cast("string").alias("day"),
             "dau",
