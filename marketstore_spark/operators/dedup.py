@@ -165,12 +165,16 @@ def substring_dup_spans(
     ``end_word`` exclusive.
 
     Scale shape: shingling is a narrow projection (split → slice per
-    index → posexplode, O(n·k) work per doc); duplicated hashes come
-    from ONE hash aggregate on the 32-byte gram hash (combiner-friendly
-    wordcount shape — deliberately NOT collect_list, so a boilerplate
-    gram occurring 10⁶ times never materializes a posting list on one
-    reducer); survivors attach via a sort-merge join whose small side
-    is one row per duplicated hash; the span merge is one window + one
+    index → posexplode, O(n·k) work per doc); site survival is ONE
+    window count over the 32-byte gram hash — one scan, one shuffle,
+    zero joins (the aggregate-then-join-back formulation was measured
+    at 2 fact scans with no runtime exchange reuse: the aggregate's
+    exchange carries partials, the join's carries raw sites, so AQE
+    cannot dedup them).  A boilerplate gram's sites land in one window
+    partition, but the join formulation hash-partitioned the SAME rows
+    to the same single reducer — identical skew, one less pass; the
+    window buffer spills, never OOMs, and no posting list is ever an
+    aggregation VALUE.  The span merge is one more window + one
     aggregate keyed by doc.  No pair generation anywhere.
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
@@ -185,13 +189,12 @@ def substring_dup_spans(
         .filter(n_pos >= 1)
         .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h"))
     )
-    dup_hashes = (
-        sites.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    wh = Window.partitionBy("h")
+    dup_sites = (
+        sites.withColumn("occ", F.count(F.lit(1)).over(wh))
         .filter(F.col("occ") >= min_sites)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    dup_sites = sites.join(dup_hashes, "h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = dup_sites.select(
         "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
