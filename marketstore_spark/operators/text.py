@@ -869,9 +869,12 @@ def unigram_nll(
 
     Shape (100 TB): one explode feeding BOTH the token-count aggregate
     (wordcount, map-side combined) and the per-doc join; the scalar N
-    is a one-row broadcast (bm25 pattern); the token join shuffles the
-    exploded corpus once on token (the doc_freq_score shape — there is
-    no per-token lookup without it), then a per-doc aggregate.
+    is a one-row broadcast (bm25 pattern) derived from the COUNTS
+    table (Σc — a vocab-scale rollup; summing the raw token stream
+    again was a third full-corpus pass, caught by the round-9
+    repeated-scan audit); the token join shuffles the exploded corpus
+    once on token (the doc_freq_score shape — there is no per-token
+    lookup without it), then a per-doc aggregate.
     """
     t = F.col(text_col)
     toks = df.filter(_nonempty(t)).select(
@@ -879,7 +882,7 @@ def unigram_nll(
         F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("c").alias("n"))
     q = F.floor(
         F.log(F.col("c").cast("double") / F.col("n").cast("double"))
         * F.lit(1000000.0)
