@@ -1125,3 +1125,23 @@ def test_acf_spectrum_single_window_single_agg(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_round9_event_ops_single_scan_no_join(spark, sf_dir):
+    """The round-9 repeated-scan audit's fixes, pinned: the event
+    analytics ops and the substring-span detector each read their fact
+    table ONCE and plan no joins (the rejected formulations — dau↔wau
+    join, duplicated-set join-back — each cost a second full scan)."""
+    for key, n_joins in [
+        ("event_funnel", 0),
+        ("retention_cohorts", 0),
+        ("event_transitions", 0),
+        ("active_users_window", 0),
+        ("event_anomaly", 0),
+        ("dedup_substring", 0),
+    ]:
+        plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        joins = len(re.findall(r"\(\d+\) \w*Join", plan))
+        assert scans == 1, f"{key}: {scans} fact scans"
+        assert joins == n_joins, f"{key}: {joins} joins"
