@@ -305,3 +305,96 @@ def event_anomaly(
         )
         .filter(F.abs(F.col("zscore")) >= threshold)
     )
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Market-basket lift between event types at SESSION grain: for
+    each unordered type pair, ``lift = N·n_ab / (n_a·n_b)`` where N is
+    the session count and n_x counts sessions containing the type —
+    the association signal behind "users who X in a session also Y"
+    (transition matrices capture adjacency; this captures co-presence
+    at any distance within the session).
+
+    Sessions are the 30-minute-gap contract shared with the
+    sessionize operator (integer-µs break flags — engine-exact).
+
+    Scale shape: one user-keyed window assigns session ids, ONE
+    (user, session) aggregate collects the distinct type set
+    (``collect_set`` bounded by the event-type cardinality — dozens,
+    the nbbo-venue argument, never a posting list), and a single
+    combined explode emits session-marker + per-type + i<j pair rows
+    so N, n_x, and n_ab all come from ONE hash aggregate whose three
+    consumers share the shuffle through AQE's ReusedExchange (the
+    ngram_jaccard precedent).  Final stitches are type-cardinality
+    broadcasts.  Lift is one exact int64 product ratio per side.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    base = df.select(
+        F.col(user_col).alias("u"),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(type_col).alias("et"),
+    )
+    w = Window.partitionBy("u").orderBy("__t", "__tb")
+    prev = F.lag("__t").over(w)
+    brk = F.when(prev.isNull() | ((F.col("__t") - prev) > gap_us), 1).otherwise(0)
+    sid = F.sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        base.withColumn("__brk", brk)
+        .withColumn("sid", sid)
+        .groupBy("u", "sid")
+        .agg(F.array_sort(F.collect_set("et")).alias("types"))
+    )
+    tagged = sess.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  array(struct('__SESSION__' AS a, '' AS b)),
+                  transform(types, x -> struct(x AS a, '' AS b)),
+                  flatten(transform(types, (x, i) ->
+                    transform(slice(types, i + 2, size(types)),
+                              y -> struct(x AS a, y AS b))))
+                )
+                """
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    agg = tagged.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ns = agg.filter(F.col("a") == "__SESSION__").select(
+        F.col("cnt").alias("n_sessions")
+    )
+    ta = agg.filter((F.col("b") == "") & (F.col("a") != "__SESSION__")).select(
+        F.col("a").alias("et"), F.col("cnt").alias("n")
+    )
+    pairs = agg.filter(F.col("b") != "").select(
+        F.col("a").alias("type_a"), F.col("b").alias("type_b"),
+        F.col("cnt").alias("n_ab"),
+    )
+    na = ta.select(F.col("et").alias("type_a"), F.col("n").alias("n_a"))
+    nb = ta.select(F.col("et").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_sessions") * F.col("n_ab")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -1214,6 +1214,53 @@ def event_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_cooccurrence",
+    """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS tb, event_type AS et
+  FROM events
+),
+g AS (
+  SELECT u, t, tb, et,
+         CASE WHEN LAG(t) OVER (PARTITION BY u ORDER BY t, tb) IS NULL
+              OR t - LAG(t) OVER (PARTITION BY u ORDER BY t, tb) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT u, et,
+         SUM(brk) OVER (PARTITION BY u ORDER BY t, tb
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+st AS (SELECT DISTINCT u, sid, et FROM s),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+       FROM (SELECT DISTINCT u, sid FROM st)),
+ta AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.et AS type_a, b.et AS type_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM st a JOIN st b ON a.u = b.u AND a.sid = b.sid AND a.et < b.et
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab, ta.n AS n_a, tb.n AS n_b,
+       CAST(ns.n_sessions * p.n_ab AS DOUBLE) / CAST(ta.n * tb.n AS DOUBLE) AS lift
+FROM pairs p
+CROSS JOIN ns
+JOIN ta ON ta.et = p.type_a
+JOIN ta tb ON tb.et = p.type_b
+""",
+)
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain market-basket lift between event types (30-min
+    sessions, the sessionize contract): lift = N·n_ab/(n_a·n_b) —
+    co-presence at any in-session distance, where the transition
+    matrix only sees adjacency (operators/funnel.session_cooccurrence)."""
+    from marketstore_spark.operators.funnel import session_cooccurrence
+
+    return session_cooccurrence(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "active_users_window",
     """
 WITH a AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
@@ -7282,6 +7329,7 @@ _FRONT = [
     "dedup_containment",
     "event_anomaly",
     "source_novelty",
+    "event_cooccurrence",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

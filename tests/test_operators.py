@@ -2811,3 +2811,34 @@ def test_ngram_novelty_by_source_hand_computed(spark):
     assert a["novelty_rate"] == 1.0
     assert (b["n_docs"], b["total_grams"], b["novel_grams"]) == (2, 4, 1)
     assert b["novelty_rate"] == 0.25
+
+
+def test_session_cooccurrence_hand_computed(spark):
+    from marketstore_spark.operators.funnel import session_cooccurrence
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, 0, 0) + __import__("datetime").timedelta(
+            seconds=sec
+        )
+
+    rows = [
+        # user 1, session A: view+click; session B (gap > 30min): view only
+        (1, at(0), 1, "view"),
+        (2, at(10), 1, "click"),
+        (3, at(10_000), 1, "view"),
+        # user 2, one session: view+click+view (duplicate type collapses)
+        (4, at(0), 2, "view"),
+        (5, at(5), 2, "click"),
+        (6, at(9), 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        (r["type_a"], r["type_b"]): r for r in session_cooccurrence(df).collect()
+    }
+    # 3 sessions; view in 3, click in 2, co-present in 2
+    r = out[("click", "view")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 2, 3)
+    assert r["lift"] == (3 * 2) / (2 * 3)  # exactly 1.0
+    assert len(out) == 1

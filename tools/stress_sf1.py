@@ -67,6 +67,7 @@ TARGET_KEYS = [
     "active_users_window",
     "event_anomaly",
     "source_novelty",
+    "event_cooccurrence",
 ]
 
 N_SYMBOLS = 100
