@@ -189,6 +189,7 @@ HEADLINE = [
     "event_anomaly",
     "source_novelty",
     "event_cooccurrence",
+    "text_zipf_fit",
     # ann_pq / ann_pq_exhaustive stay correctness-only keys (the
     # corpus_pack exclusion logic, mirrored): at sf0.1 the corpus is
     # 2000 vectors, so the 4-stage PQ plan (train-sample collect,

@@ -962,3 +962,67 @@ def language_mix(
             F.col("n_label_match").cast("double") / F.col("n_docs").cast("double")
         ).alias("label_agreement"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Zipf-law fit per source: the least-squares slope of
+    log-frequency vs log-rank over the top ``top_k`` terms — natural
+    text sits near −1; templated/boilerplate feeds and synthetic spam
+    flatten or steepen, so the slope is a cheap distribution-level
+    quality signal next to the per-doc filters (Gopher's repetition
+    rules look inside documents; this looks at the source's whole
+    frequency curve).
+
+    Numeric policy (the unigram_nll/bm25 precedent): both engines see
+    the IDENTICAL integer rank/count doubles, ln is the sanctioned
+    libm use, and each log is FIXED-POINT quantized once
+    (``floor(ln·10⁶ + 0.5)`` as LONG) so all regression moments are
+    exact integers (cross-terms DECIMAL(38,0) per the house moment
+    policy); the slope is one double division of two exact decimals.
+    Rank ties break on the term itself — deterministic.
+
+    Shape (100 TB): one wordcount aggregate, a per-source top-k rank
+    window over the (vocab-scale) counts, and a per-source moment
+    aggregate over ≤ top_k rows.  The corpus shuffles once, as tokens.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    counts = (
+        df.filter(_nonempty(t))
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("term"))
+    ranked = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )
+    def _q(col):
+        return F.floor(
+            F.log(col.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long")
+    q = ranked.select("source", _q(F.col("rk")).alias("x"), _q(F.col("c")).alias("y"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(d38(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    num = d38(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = d38(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )

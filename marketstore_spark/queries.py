@@ -3264,6 +3264,48 @@ def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_by_source(load_table(spark, sf_dir, "documents"), n=3)
 
 
+@_register(
+    "text_zipf_fit",
+    r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+  FROM counts
+),
+q AS (
+  SELECT source,
+         CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked WHERE rk <= 1000
+),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx, CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+  FROM q GROUP BY 1
+)
+SELECT source, n AS n_terms,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS zipf_slope
+FROM m
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of each source's term-frequency curve (top-1000
+    terms, fixed-point quantized logs, exact integer regression
+    moments) — natural text sits near −1; templated feeds flatten
+    (operators/text.zipf_fit)."""
+    from marketstore_spark.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), top_k=1000)
+
+
 _MH_K = 32
 _MH_BANDS = 8
 
@@ -7330,6 +7372,7 @@ _FRONT = [
     "event_anomaly",
     "source_novelty",
     "event_cooccurrence",
+    "text_zipf_fit",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

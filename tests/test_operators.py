@@ -2842,3 +2842,18 @@ def test_session_cooccurrence_hand_computed(spark):
     assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 2, 3)
     assert r["lift"] == (3 * 2) / (2 * 3)  # exactly 1.0
     assert len(out) == 1
+
+
+def test_zipf_fit_perfect_zipf_slope(spark):
+    from marketstore_spark.operators.text import zipf_fit
+
+    # a perfect Zipf-1 corpus: term t_r appears floor(120/r) times →
+    # log-log regression over the 6-term head must slope ≈ −1
+    words = []
+    for r, term in enumerate(["t1", "t2", "t3", "t4", "t5", "t6"], start=1):
+        words += [term] * (120 // r)
+    df = spark.createDataFrame([(1, " ".join(words), "Z")],
+                               ["doc_id", "text", "source"])
+    r = zipf_fit(df, top_k=1000).collect()[0]
+    assert r["source"] == "Z" and r["n_terms"] == 6
+    assert -1.05 < r["zipf_slope"] < -0.95

@@ -68,6 +68,7 @@ TARGET_KEYS = [
     "event_anomaly",
     "source_novelty",
     "event_cooccurrence",
+    "text_zipf_fit",
 ]
 
 N_SYMBOLS = 100
