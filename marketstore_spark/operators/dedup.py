@@ -1298,3 +1298,119 @@ def ngram_novelty_by_source(
             ).alias("novelty_rate"),
         )
     )
+
+
+def dedup_funnel(
+    df: DataFrame,
+    k: int = 8,
+    span_rate: float = 0.3,
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup-family CAPSTONE: one attrition table showing how many
+    documents (and words) each dedup stage would remove, cumulatively —
+    the report a mix designer reads before choosing which stages to
+    run (published pipelines lead with exactly this table).
+
+    Stage membership is computed on the FULL corpus and removal
+    credits the FIRST applicable stage (exact → substring-heavy →
+    near-dup), so the stages sum to a well-defined partition:
+
+    1. ``exact`` — not the minimum doc id of its normalized content
+       hash (the exact_dedup_groups keep rule);
+    2. ``substring`` — ≥ ``span_rate`` of the doc's words sit inside a
+       duplicated substring span (:func:`substring_dup_spans`);
+    3. ``neardup`` — the larger-id member of any n-gram Jaccard pair
+       at ≥ ``jaccard_threshold`` (:func:`ngram_jaccard_pairs`).
+
+    Shape (100 TB): the three flags reuse the component operators'
+    scale shapes verbatim; the stitches are doc-grain left joins of
+    the (small) flag tables onto one base projection, then a SINGLE
+    one-row aggregate inlined to three stage rows (the filter_funnel
+    contract — always well-formed, even on an empty corpus).
+    """
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), _WS))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.md5(norm).alias("__h"),
+    )
+    wh = Window.partitionBy("__h")
+    flagged = base.withColumn(
+        "__exact", F.col("doc_id") != F.min("doc_id").over(wh)
+    ).drop("__h")
+    dupw = (
+        substring_dup_spans(df, k=k, text_col=text_col, id_col=id_col)
+        .groupBy("doc_id")
+        .agg(F.sum("width_words").alias("__dup_words"))
+    )
+    near = (
+        ngram_jaccard_pairs(
+            df,
+            n=jaccard_n,
+            threshold=jaccard_threshold,
+            max_doc_freq=max_doc_freq,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(1))
+    )
+    nz = F.when(F.col("n_words") == 0, F.lit(None)).otherwise(F.col("n_words"))
+    staged = (
+        flagged.join(dupw, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "n_words",
+            F.when(F.col("__exact"), F.lit(1))
+            .when(
+                F.coalesce(F.col("__dup_words").cast("double") / nz, F.lit(0.0))
+                >= float(span_rate),
+                F.lit(2),
+            )
+            .when(F.col("__nd").isNotNull(), F.lit(3))
+            .otherwise(F.lit(0))
+            .alias("__stage"),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("total_words"),
+    ]
+    for i in (1, 2, 3):
+        aggs.append(
+            F.count(F.when(F.col("__stage") == i, F.lit(1)))
+            .cast("long")
+            .alias(f"d{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("__stage") == i, F.col("n_words"))), F.lit(0))
+            .cast("long")
+            .alias(f"w{i}")
+        )
+    one = staged.agg(*aggs)
+    names = {1: "exact", 2: "substring", 3: "neardup"}
+    rows = []
+    dsum = F.lit(0)
+    wsum = F.lit(0)
+    for i in (1, 2, 3):
+        dsum = dsum + F.col(f"d{i}")
+        wsum = wsum + F.col(f"w{i}")
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(names[i]).alias("stage_name"),
+                F.col(f"d{i}").alias("docs_removed"),
+                (F.col("total_docs") - dsum).cast("long").alias("docs_remaining"),
+                (F.col("total_words") - wsum).cast("long").alias("words_remaining"),
+            )
+        )
+    return one.select(F.inline(F.array(*rows)))

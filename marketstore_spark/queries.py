@@ -3265,6 +3265,95 @@ def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_dedup_funnel",
+    r"""
+WITH base AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, n_words,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY h) AS removed_exact
+  FROM base
+),
+w AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+s AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) - 1 AS pos,
+         unnest([md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+                 FOR i IN generate_series(1, len(ws) - 7)]) AS h
+  FROM w WHERE len(ws) >= 8
+),
+d AS (SELECT h FROM s GROUP BY h HAVING COUNT(*) >= 2),
+m AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (h)),
+r AS (SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m),
+sp AS (SELECT doc_id, MAX(pos) + 8 - MIN(pos) AS width FROM r GROUP BY doc_id, grp),
+dupw AS (SELECT doc_id, CAST(SUM(width) AS BIGINT) AS dup_words FROM sp GROUP BY 1),
+dd AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS wj
+       FROM documents),
+raw AS (
+  SELECT doc_id, wj[i+1] || ' ' || wj[i+2] || ' ' || wj[i+3] AS sh
+  FROM (SELECT doc_id, wj, unnest(range(len(wj) - 2)) AS i FROM dd WHERE len(wj) >= 3)
+),
+ds AS (SELECT DISTINCT doc_id, sh FROM raw),
+capped AS (
+  SELECT doc_id, sh FROM ds
+  WHERE sh IN (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= 1000)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT b_id AS doc_id FROM pairs
+  JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+),
+staged AS (
+  SELECT e.n_words,
+         CASE WHEN e.removed_exact THEN 1
+              WHEN COALESCE(CAST(du.dup_words AS DOUBLE) / NULLIF(e.n_words, 0), 0)
+                   >= 0.3 THEN 2
+              WHEN n.doc_id IS NOT NULL THEN 3 ELSE 0 END AS removed_at
+  FROM ex e LEFT JOIN dupw du USING (doc_id) LEFT JOIN near n USING (doc_id)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS n_words FROM staged),
+per AS (
+  SELECT removed_at, CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(n_words) AS BIGINT) AS words
+  FROM staged WHERE removed_at > 0 GROUP BY 1
+)
+SELECT s.stage,
+       CASE s.stage WHEN 1 THEN 'exact' WHEN 2 THEN 'substring'
+            ELSE 'neardup' END AS stage_name,
+       COALESCE(p.docs, 0) AS docs_removed,
+       tot.n_docs - CAST(SUM(COALESCE(p.docs, 0)) OVER (ORDER BY s.stage) AS BIGINT)
+         AS docs_remaining,
+       tot.n_words - CAST(SUM(COALESCE(p.words, 0)) OVER (ORDER BY s.stage) AS BIGINT)
+         AS words_remaining
+FROM (SELECT unnest([1, 2, 3]) AS stage) s
+LEFT JOIN per p ON p.removed_at = s.stage
+CROSS JOIN tot
+""",
+)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-family capstone: cumulative attrition across exact →
+    substring-heavy (≥30% duplicated words) → near-dup (3-gram Jaccard
+    ≥0.8) removal, in docs and words — the table a mix designer reads
+    before choosing stages (operators/dedup.dedup_funnel)."""
+    from marketstore_spark.operators.dedup import dedup_funnel
+
+    return dedup_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "text_zipf_fit",
     r"""
 WITH toks AS (
@@ -7373,6 +7462,7 @@ _FRONT = [
     "source_novelty",
     "event_cooccurrence",
     "text_zipf_fit",
+    "corpus_dedup_funnel",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

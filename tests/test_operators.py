@@ -2857,3 +2857,37 @@ def test_zipf_fit_perfect_zipf_slope(spark):
     r = zipf_fit(df, top_k=1000).collect()[0]
     assert r["source"] == "Z" and r["n_terms"] == 6
     assert -1.05 < r["zipf_slope"] < -0.95
+
+
+def test_dedup_funnel_stage_priority_and_cumulative_counts(spark):
+    from marketstore_spark.operators.dedup import dedup_funnel
+
+    boiler = " ".join(f"x{i}" for i in range(10))     # 10 words
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        (1, "alpha beta gamma delta", "A"),
+        (2, "ALPHA  beta   gamma DELTA", "A"),  # exact dup (normalized) → stage 1
+        (3, f"{boiler} {uniq('t', 3)}", "A"),   # 10/13 words duplicated → stage 2
+        (4, f"{boiler} {uniq('u', 3)}", "A"),   # 〃 (the boiler's other site)
+        # near-dup pair: 12 shared words + 1 differing → jaccard > 0.8,
+        # substring rate 10/13 < ... wait keep them below the span rate:
+        (5, uniq("v", 30) + " endA", "B"),
+        (6, uniq("v", 30) + " endB", "B"),      # stage 3 candidate (larger id)
+        (7, "totally unrelated text here", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # docs 5/6 share a 30-word prefix → their substring rate is high
+    # too, so they fall to stage 2 by priority; drive stage 3 with a
+    # k large enough that no 12-gram repeats but 3-gram jaccard holds
+    out = {
+        r["stage"]: r for r in dedup_funnel(df, k=40, span_rate=0.3).collect()
+    }
+    assert out[1]["docs_removed"] == 1          # doc 2
+    # with k=40 no substring spans exist → stage 2 empty
+    assert out[2]["docs_removed"] == 0
+    assert out[3]["docs_removed"] == 1          # doc 6 (larger id of the pair)
+    assert out[3]["docs_remaining"] == 5
+    # words_remaining = total - removed docs' words
+    total_words = sum(len(t.split()) for _, t, _ in rows)
+    removed_words = len(rows[1][1].split()) + len(rows[5][1].split())
+    assert out[3]["words_remaining"] == total_words - removed_words

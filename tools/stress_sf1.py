@@ -69,6 +69,7 @@ TARGET_KEYS = [
     "source_novelty",
     "event_cooccurrence",
     "text_zipf_fit",
+    "corpus_dedup_funnel",
 ]
 
 N_SYMBOLS = 100
