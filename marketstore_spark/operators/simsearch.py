@@ -950,3 +950,152 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF+PQ approximate top-k — the canonical billion-scale index
+    composition (coarse inverted lists prune WHICH rows are scored;
+    PQ/ADC codes make scoring them cheap), completing the ANN family
+    next to lsh_topk / ivf_topk / pq_topk.
+
+    Index: each corpus vector lands in ONE inverted list (nearest
+    coarse centroid) carrying its ``m``-cell PQ code — the global
+    (non-residual) codebook variant, so one LUT per query serves every
+    probed list and the codebooks stay deterministic and list-
+    independent.  Search: a query probes its ``nprobe`` nearest lists;
+    candidates are scored by ``m`` table lookups (no float-vector math
+    on the candidate stream); the top ``rerank·k`` ADC survivors
+    re-rank by EXACT cosine.
+
+    Scale shape: centroids + codebooks + query LUTs broadcast
+    (dims-scale, closure-captured); the corpus is encoded in one
+    mapInPandas pass whose output carries only (id, list, m small
+    codes); the single shuffle is the list-id join (candidate volume
+    ~nprobe/nlist of the corpus per query, each row m bytes of code,
+    not d·8 of floats); ADC scoring is one vectorized gather on the
+    joined stream; the exact re-rank touches queries·rerank·k rows.
+    With ``nprobe = nlist`` and ``rerank·k ≥ corpus`` both prunes are
+    vacuous and the result EQUALS brute force — the hash anchor.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    m_eff, _, dsub = codebooks.shape
+    qrows = (
+        queries.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .sort(id_col)
+        .collect()
+    )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    luts = np.stack(
+        [qn[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T for s in range(m_eff)]
+    )
+    qlists = np.argsort(-(qn @ centroids.T), kind="stable", axis=1)[:, :nprobe]
+    # per coarse list: which query indexes probe it (dims-scale dict)
+    probers: dict[int, list[int]] = {}
+    for qi, row in enumerate(qlists):
+        for li in row:
+            probers.setdefault(int(li), []).append(qi)
+    n_cand = int(rerank) * int(k)
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["nid"].to_numpy(dtype=np.int64)
+            x = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(x @ centroids.T, axis=1)
+            codes = np.empty((len(ids), m_eff), dtype=np.int64)
+            for s in range(m_eff):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ codebooks[s].T)
+                    + (codebooks[s] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for li, qidx in probers.items():
+                mask = lists == li
+                if not mask.any():
+                    continue
+                cids = ids[mask]
+                ccodes = codes[mask]
+                # ADC: scores[c, j] for candidates in this list × its probers
+                scores = np.zeros((len(cids), len(qidx)))
+                for s in range(m_eff):
+                    scores += luts[s][np.ix_(qidx, ccodes[:, s])].T
+                top = min(n_cand, len(cids))
+                order = np.argsort(-scores, kind="stable", axis=0)[:top]
+                for j, qi in enumerate(qidx):
+                    sel = order[:, j]
+                    out_q.extend([int(q_ids[qi])] * len(sel))
+                    out_n.extend(cids[sel].tolist())
+                    out_s.extend(scores[sel, j].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adc": out_s}
+                )
+
+    enc_src = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(vec_col).alias("cv")
+    )
+    local = enc_src.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    # RAW query vectors: the exact re-rank cosine is bitwise the
+    # brute_force_topk value for any overlapping pair
+    qv = corpus.sparkSession.createDataFrame(
+        [(int(r[id_col]), [float(v) for v in r["v"]]) for r in qrows],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -3820,6 +3820,76 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register("ann_ivfpq")  # approximate: rows-only check; recall vs brute in pytest
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale composition (coarse lists
+    prune WHICH rows are scored, PQ codes make scoring them cheap);
+    both index artifacts cached per corpus like the IVF centroids
+    (operators/simsearch.ivfpq_topk)."""
+    from marketstore_spark.operators.simsearch import ivfpq_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 16)
+    if ckey not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[ckey] = train_ivf_centroids(emb, nlist=16)
+    out = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nlist=16,
+        nprobe=4,
+        m=8,
+        ksub=16,
+        rerank=4,
+        centroids=_IVF_CENTROIDS[ckey],
+        codebooks=_pq_books(emb, sf_dir),
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_ivfpq_exhaustive",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM q, e c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with BOTH prunes vacuous (nprobe = nlist, rerank·k ≥
+    corpus): the exact re-rank sees every row, so the output EQUALS
+    brute force — hash-anchoring the coarse-assign / encode / ADC /
+    re-rank pipeline end to end."""
+    from marketstore_spark.operators.simsearch import ivfpq_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 16)
+    if ckey not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[ckey] = train_ivf_centroids(emb, nlist=16)
+    out = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nlist=16,
+        nprobe=16,
+        m=8,
+        ksub=16,
+        rerank=500,
+        centroids=_IVF_CENTROIDS[ckey],
+        codebooks=_pq_books(emb, sf_dir),
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "ann_pq_exhaustive",
     """
@@ -7463,6 +7533,8 @@ _FRONT = [
     "event_cooccurrence",
     "text_zipf_fit",
     "corpus_dedup_funnel",
+    "ann_ivfpq",
+    "ann_ivfpq_exhaustive",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

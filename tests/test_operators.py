@@ -2891,3 +2891,38 @@ def test_dedup_funnel_stage_priority_and_cumulative_counts(spark):
     total_words = sum(len(t.split()) for _, t, _ in rows)
     removed_words = len(rows[1][1].split()) + len(rows[5][1].split())
     assert out[3]["words_remaining"] == total_words - removed_words
+
+
+def test_ivfpq_recall_and_double_vacuous_invariant(spark, sf_dir):
+    """ann_ivfpq: coarse pruning (4/16 lists) stacked on ADC pruning
+    must still recover a solid share of the true top-5, and with BOTH
+    prunes vacuous (nprobe == nlist, rerank·k ≥ corpus) the result must
+    EQUAL brute force — the composed analogue of the IVF and PQ
+    invariants."""
+    from marketstore_spark.catalog import load_table
+    from marketstore_spark.operators.simsearch import brute_force_topk, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, q, k=5, nlist=16, nprobe=4, rerank=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"IVF+PQ recall too low: {recall:.2f}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ivfpq_topk(
+            emb, q, k=5, nlist=16, nprobe=16, rerank=500
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    assert full == exact

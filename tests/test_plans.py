@@ -1050,6 +1050,7 @@ def test_registry_hygiene_window_and_oracles():
     no_oracle = set(SPARK_QUERIES) - set(ORACLE_SQL)
     assert no_oracle == {
         "ann_ivf",
+        "ann_ivfpq",
         "ann_lsh",
         "ann_pq",
         "dedup_embedding_lsh",
