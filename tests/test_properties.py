@@ -1148,3 +1148,57 @@ def test_event_funnel_matches_greedy_model(spark, evts, winsec):
     depths = [_greedy_chain(v, window_us) for v in per_user.values()]
     want = {s + 1: sum(1 for d in depths if d >= s + 1) for s in range(len(_STEPS))}
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# exact-substring span property
+# ---------------------------------------------------------------------
+
+_doc = st.lists(
+    st.integers(min_value=0, max_value=7).map(lambda i: f"w{i}"),
+    min_size=0,
+    max_size=30,
+)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _model_spans(texts, k):
+    """Direct Python model of substring_dup_spans: count every
+    overlapping k-gram corpus-wide, mark positions whose gram occurs
+    at >= 2 sites, merge consecutive positions into maximal spans."""
+    from collections import Counter
+
+    grams = Counter()
+    sites = []
+    for doc_id, words in enumerate(texts):
+        pos = [tuple(words[p : p + k]) for p in range(len(words) - k + 1)]
+        sites.append(pos)
+        grams.update(pos)
+    out = set()
+    for doc_id, pos in enumerate(sites):
+        run = None
+        for p, g in enumerate(pos):
+            if grams[g] >= 2:
+                run = p if run is None else run
+            else:
+                if run is not None:
+                    out.add((doc_id, run, p - 1 + k))
+                run = None
+        if run is not None:
+            out.add((doc_id, run, len(pos) - 1 + k))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, k=st.sampled_from([2, 3, 5]))
+def test_substring_dup_spans_matches_python_model(spark, texts, k):
+    from marketstore_spark.operators.dedup import substring_dup_spans
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start_word"], r["end_word"])
+        for r in substring_dup_spans(df, k=k).collect()
+    }
+    want = _model_spans(texts, k)
+    assert got == want
