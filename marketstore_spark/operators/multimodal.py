@@ -157,50 +157,28 @@ def encode_png(pixels: "np.ndarray") -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> "np.ndarray":
-    """PNG bytes → H×W×3 uint8 (RGB).  Pure stdlib: chunk walk, zlib
-    inflate, then the spec's per-scanline unfilter (None/Sub/Up/
-    Average/Paeth — RFC 2083 §6).  Supports 8-bit truecolor with or
-    without alpha (color types 2/6), non-interlaced — the overwhelming
-    majority of real corpus PNGs; anything else raises so the caller
-    records decoded_ok=0.  The unfilter is a per-byte recurrence
-    (Sub/Average/Paeth feed back reconstructed bytes), so rows loop in
-    Python — fine for thumbnail-scale payloads; a hot 100 TB image
-    pipeline would swap in a compiled codec behind the same
-    ``decoder=`` seam."""
-    import zlib
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, hdr = 8, bytearray(), None
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # len + type + data + crc
-        if typ == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if hdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced RGB(A) PNG (depth={depth}, "
-            f"color_type={ctype}, interlace={interlace})"
-        )
-    ch = 3 if ctype == 2 else 4
-    stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+
+def _png_unfilter(raw: bytes, p: int, w_px: int, h_px: int, ch: int):
+    """Reconstruct ``h_px`` filtered scanlines of ``w_px`` pixels
+    starting at offset ``p`` (RFC 2083 §6 None/Sub/Up/Average/Paeth).
+    Returns (h×(w·ch) uint8 array, offset after the last scanline)."""
+    stride = w_px * ch
+    if len(raw) < p + h_px * (stride + 1):
         raise ValueError("PNG scanline data truncated")
-    out = np.zeros((h, stride), np.uint8)
+    out = np.zeros((h_px, stride), np.uint8)
     prev = bytearray(stride)
-    p = 0
-    for y in range(h):
+    for y in range(h_px):
         ftype = raw[p]
         line = bytearray(raw[p + 1 : p + 1 + stride])
         p += 1 + stride
@@ -227,7 +205,65 @@ def decode_png(payload: bytes) -> "np.ndarray":
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = np.frombuffer(bytes(line), np.uint8)
         prev = line
-    return out.reshape(h, w, ch)[:, :, :3].copy()
+    return out, p
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """PNG bytes → H×W×3 uint8 (RGB).  Pure stdlib: chunk walk, zlib
+    inflate, then the spec's per-scanline unfilter (None/Sub/Up/
+    Average/Paeth — RFC 2083 §6).  Supports 8-bit truecolor with or
+    without alpha (color types 2/6), BOTH non-interlaced and Adam7
+    interlaced (round 9 — each of the 7 passes is an independently
+    filtered sub-image scattered onto the (x0+i·dx, y0+j·dy) grid);
+    anything else raises so the caller records decoded_ok=0.  The
+    unfilter is a per-byte recurrence (Sub/Average/Paeth feed back
+    reconstructed bytes), so rows loop in Python — fine for
+    thumbnail-scale payloads; a hot 100 TB image pipeline would swap
+    in a compiled codec behind the same ``decoder=`` seam."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or ctype not in (2, 6) or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"only 8-bit RGB(A) PNG, interlace 0/1 (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace})"
+        )
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out, p = _png_unfilter(raw, 0, w, h, ch)
+        if p != len(raw):
+            raise ValueError("PNG trailing scanline data")
+        return out.reshape(h, w, ch)[:, :, :3].copy()
+    # Adam7: 7 independently-filtered sub-images scattered onto the grid
+    img = np.zeros((h, w, ch), np.uint8)
+    p = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, p = _png_unfilter(raw, p, pw, ph, ch)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if p != len(raw):
+        raise ValueError("PNG trailing scanline data")
+    return img[:, :, :3].copy()
 
 
 def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:

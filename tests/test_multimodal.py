@@ -285,3 +285,61 @@ def test_audio_features_known_clip_and_corrupt_payload(spark):
     r3 = out[3]
     assert r3["peak"] == (123 % 8 + 1) * 1000
     assert r3["zero_crossings"] == (123 % 400 + 100 - 1) // (123 % 5 + 2)
+
+
+def test_png_adam7_interlaced_decode():
+    """An Adam7-interlaced PNG (7 independently-filtered sub-images,
+    built per spec §8.2 with a mix of None/Up filters) must decode to
+    the exact pixels of its non-interlaced twin — including edge
+    geometries where late passes are empty (1×1) or partial."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def interlaced_png(px):
+        h, w, ch = px.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if pw == 0 or ph == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch).astype(np.int32)
+            for y in range(ph):
+                if y % 2:  # Up filter within the pass
+                    prev = flat[y - 1]
+                    raw += b"\x02" + ((flat[y] - prev) & 0xFF).astype(
+                        np.uint8
+                    ).tobytes()
+                else:
+                    raw += b"\x00" + flat[y].astype(np.uint8).tobytes()
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16), (9, 5), (1, 1), (3, 10), (8, 1)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        got = decode_png(interlaced_png(px))
+        assert (got == px).all(), shape
+        # twin check: same pixels through the non-interlaced path
+        assert (decode_png(encode_png(px)) == px).all()
