@@ -230,8 +230,7 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         ox, oy, fw, fh = struct.unpack_from("<HHHH", payload, pos)
         lflags = payload[pos + 8]
         pos += 9
-        if lflags & 0x40:
-            raise NotImplementedError("interlaced GIF")
+        interlaced = bool(lflags & 0x40)
         ltable = gct
         if lflags & 0x80:
             size = 2 << (lflags & 0x07)
@@ -251,6 +250,16 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         if len(idx) != fw * fh:
             raise ValueError("GIF frame pixel count mismatch")
         idx = idx.reshape(fh, fw)
+        if interlaced:
+            # GIF89a interlace (appendix E): rows arrive in four passes
+            # (0::8, 4::8, 2::4, 1::2) — scatter them back in place
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                n_rows = len(range(start, fh, step))
+                deinter[start::step] = idx[src : src + n_rows]
+                src += n_rows
+            idx = deinter
         region = canvas[oy:oy + fh, ox:ox + fw]
         if transparent is not None:
             mask = idx != transparent

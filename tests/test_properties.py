@@ -1202,3 +1202,53 @@ def test_substring_dup_spans_matches_python_model(spark, texts, k):
     }
     want = _model_spans(texts, k)
     assert got == want
+
+
+def test_gif_interlaced_frame_decodes_row_exact():
+    """An interlaced GIF frame (GIF89a appendix E four-pass row order,
+    interlace flag set in the image descriptor) must decode to the
+    same pixels as its sequential twin — including heights where late
+    passes are empty."""
+    import struct
+
+    import numpy as np
+
+    from marketstore_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    for h, w in [(16, 4), (9, 3), (1, 5), (3, 2), (8, 8)]:
+        palette = np.array(
+            [[i * 16, 255 - i * 16, (i * 37) % 256] for i in range(16)], np.uint8
+        )
+        px = palette[rng.integers(0, 16, size=(h, w))]
+        plain = encode_gif(px)
+        # rewrite the single image block into interlaced row order:
+        # set the interlace bit and re-encode rows in pass order
+        body = bytearray(plain)
+        # find the image descriptor (0x2C) — encode_gif writes one frame
+        at = body.index(0x2C, 13)
+        ox, oy, fw, fh = struct.unpack_from("<HHHH", bytes(body), at + 1)
+        assert (fw, fh) == (w, h)
+        body[at + 9] |= 0x40  # interlace flag (no local table → bit 6)
+        # reorder pixel rows into the 4-pass layout and re-LZW
+        from marketstore_spark.operators.gif import _sub_blocks, lzw_encode_flat
+
+        colors = np.unique(px.reshape(-1, 3), axis=0)
+        lut = {tuple(c): i for i, c in enumerate(colors)}
+        idx = np.array(
+            [lut[tuple(p)] for p in px.reshape(-1, 3)], np.int32
+        ).reshape(h, w)
+        passes = np.concatenate(
+            [idx[s::st] for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        bits = max(2, int(len(colors) - 1).bit_length())
+        mcs = max(2, bits)
+        new_data = bytes([mcs]) + _sub_blocks(
+            lzw_encode_flat(passes.reshape(-1), mcs)
+        )
+        # splice: descriptor (10 bytes incl. 0x2C..flags) + old data runs
+        # to the trailer (single-frame file encode_gif produced)
+        inter = bytes(body[: at + 10]) + new_data + b"\x3b"
+        got = decode_gif(inter)
+        want = decode_gif(plain)
+        assert (got == want).all(), (h, w)
