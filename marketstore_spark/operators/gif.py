@@ -8,10 +8,10 @@ the standard LZW variant with growing code width (max 12 bits), CLEAR
 and END codes.
 
 Decode composes animated frames onto the logical-screen canvas
-honoring frame offsets and the transparency index (disposal methods
-"unspecified"/"do not dispose" — the overwhelmingly common cases;
-restore-to-background/previous raise, an honest boundary like the
-other codecs').  Encode emits valid LZW without dictionary growth by
+honoring frame offsets, the transparency index, four-pass interlace,
+and ALL FOUR disposal methods (unspecified / do-not-dispose /
+restore-to-background / restore-to-previous — round 9 closed the
+restore pair).  Encode emits valid LZW without dictionary growth by
 interleaving CLEAR codes (the classic "uncompressed GIF" stream) —
 simple, spec-conformant, and exactly round-trippable, which is what
 the property tests need.
@@ -141,11 +141,13 @@ def encode_gif(
     frames: "np.ndarray",
     offsets: list[tuple[int, int]] | None = None,
     transparent: int | None = None,
+    disposals: list[int] | None = None,
 ) -> bytes:
     """RGB frames (n, h, w, 3 uint8; ≤ 255 distinct colors total) →
     animated GIF89a.  ``offsets`` places frame f at (left, top) on a
     canvas sized to contain every frame; ``transparent`` marks one
-    palette index as transparent in frames > 0."""
+    palette index as transparent in frames > 0; ``disposals`` sets the
+    per-frame disposal method (0–3) in a graphics-control block."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim == 3:
         frames = frames[None]
@@ -167,8 +169,11 @@ def encode_gif(
     out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg, aspect
     out += table.tobytes()
     for f in range(n):
-        if transparent is not None and f > 0:
-            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        disp = disposals[f] if disposals else 0
+        if (transparent is not None and f > 0) or disp:
+            tflag = 0x01 if (transparent is not None and f > 0) else 0
+            tidx = transparent if tflag else 0
+            out += bytes([0x21, 0xF9, 4, (disp << 2) | tflag, 0, 0, tidx, 0])
         ox, oy = offsets[f]
         out += bytes([0x2C]) + struct.pack("<HHHH", ox, oy, w, h) + bytes([0])
         idx = np.array(
@@ -201,8 +206,10 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         # index: some encoders write bg past a truncated palette, in
         # which case entry 0 is the conventional fallback.
         canvas[:] = gct[_bg if _bg < len(gct) else 0]
+    bg_rgb = canvas[0, 0].copy()
     frames = []
     transparent = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -215,10 +222,6 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 blen = payload[pos]
                 gc_flags = payload[pos + 1]
                 disposal = (gc_flags >> 2) & 0x07
-                if disposal >= 2:
-                    raise NotImplementedError(
-                        "GIF disposal restore-to-background/previous"
-                    )
                 transparent = payload[pos + 4] if gc_flags & 1 else None
                 pos += blen + 1
             while payload[pos] != 0:  # remaining sub-blocks
@@ -260,6 +263,8 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 deinter[start::step] = idx[src : src + n_rows]
                 src += n_rows
             idx = deinter
+        # restore-to-previous (disposal 3) needs the pre-compose canvas
+        before = canvas.copy() if disposal == 3 else None
         region = canvas[oy:oy + fh, ox:ox + fw]
         if transparent is not None:
             mask = idx != transparent
@@ -267,5 +272,13 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         else:
             region[:] = ltable[idx]
         frames.append(canvas.copy())
+        # disposal applies AFTER display, before the next frame
+        # (spec 89a §23): 2 = restore the frame rect to the background
+        # color; 3 = restore the pre-frame canvas content
+        if disposal == 2:
+            canvas[oy:oy + fh, ox:ox + fw] = bg_rgb
+        elif disposal == 3:
+            canvas = before
         transparent = None
+        disposal = 0
     return np.stack(frames) if frames else np.zeros((0, ch, cw, 3), np.uint8)

@@ -1252,3 +1252,37 @@ def test_gif_interlaced_frame_decodes_row_exact():
         got = decode_gif(inter)
         want = decode_gif(plain)
         assert (got == want).all(), (h, w)
+
+
+def test_gif_restore_disposal_modes():
+    """Disposal 2 (restore-to-background) clears the frame rect to the
+    background color before the next frame; disposal 3 (restore-to-
+    previous) puts back the pre-frame canvas.  Built with encode_gif's
+    per-frame disposal parameter, checked frame-for-frame."""
+    import numpy as np
+
+    from marketstore_spark.operators.gif import decode_gif, encode_gif
+
+    red = np.full((2, 2, 3), [200, 10, 10], np.uint8)
+    blue = np.full((2, 2, 3), [10, 10, 200], np.uint8)
+    green = np.full((2, 2, 3), [10, 200, 10], np.uint8)
+
+    # canvas 4x4; frame rects at different offsets
+    gif = encode_gif(
+        np.stack([red, blue, green]),
+        offsets=[(0, 0), (2, 2), (0, 2)],
+        disposals=[2, 3, 0],
+    )
+    frames = decode_gif(gif)
+    assert frames.shape == (3, 4, 4, 3)
+    bg = frames[0][3, 3].copy()  # untouched corner = background color
+    # frame 0: red block at (0,0)
+    assert (frames[0][0:2, 0:2] == red).all()
+    # frame 1: red was disposed to background, blue drawn at (2,2)
+    assert (frames[1][0:2, 0:2] == bg).all()
+    assert (frames[1][2:4, 2:4] == blue).all()
+    # frame 2: blue was restore-to-PREVIOUS → its rect reverts to what
+    # the canvas held before frame 1 (background), green drawn at (0,2)
+    assert (frames[2][2:4, 2:4] == bg).all()
+    assert (frames[2][2:4, 0:2] == green).all()
+    # and frame 2's own disposal (0) leaves everything in place
