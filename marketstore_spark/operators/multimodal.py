@@ -278,13 +278,43 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """PCM WAV bytes → (sample_rate, int16 samples of first channel)."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError("only PCM16 WAV")
-        rate = wf.getframerate()
-        frames = np.frombuffer(wf.readframes(wf.getnframes()), "<i2")
-        return rate, frames[:: wf.getnchannels()].copy()
+    """WAV bytes → (sample_rate, int16 samples of first channel).
+
+    PCM16 goes through the stdlib ``wave`` module; IEEE-float32 WAVs
+    (format tag 3 — which ``wave`` rejects outright) are parsed from
+    the RIFF chunks directly (round 9) and converted deterministically:
+    clip to [−1, 1], then ``floor(x·32767 + 0.5)`` — engine- and
+    platform-identical for any input.  Other formats (ADPCM, µ-law)
+    still raise so the caller records decoded_ok=0."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise NotImplementedError("only PCM16 WAV via stdlib wave")
+            rate = wf.getframerate()
+            frames = np.frombuffer(wf.readframes(wf.getnframes()), "<i2")
+            return rate, frames[:: wf.getnchannels()].copy()
+    except wave.Error:
+        pass  # non-PCM format tag: parse the RIFF chunks ourselves
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, "<f4")[::nch].astype(np.float64)
+        x = np.clip(x, -1.0, 1.0)
+        return int(rate), np.floor(x * 32767.0 + 0.5).astype(np.int16)
+    raise NotImplementedError(f"WAV format tag {tag} ({bits}-bit)")
 
 
 def _real_decode(payload: bytes, fmt: str) -> bytes:

@@ -343,3 +343,50 @@ def test_png_adam7_interlaced_decode():
         assert (got == px).all(), shape
         # twin check: same pixels through the non-interlaced path
         assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_wav_ieee_float_decode():
+    """An IEEE-float32 WAV (format tag 3 — stdlib wave rejects it)
+    decodes through the manual RIFF path with the deterministic
+    clip + floor(x*32767 + 0.5) conversion; stereo keeps channel 0."""
+    import struct
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import decode_wav
+
+    def float_wav(samples, rate=8000, nch=1):
+        data = samples.astype("<f4").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, nch, rate, rate * 4 * nch, 4 * nch, 32)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    x = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0, 1e-4], np.float32)
+    rate, got = decode_wav(float_wav(x))
+    assert rate == 8000
+    want = np.floor(np.clip(x.astype(np.float64), -1, 1) * 32767.0 + 0.5).astype(
+        np.int16
+    )
+    assert (got == want).all()
+    # out-of-range values clip, tiny values round to 3 (1e-4*32767≈3.3)
+    assert got[3] == 32767 and got[4] == -32767 and got[5] == 32767
+    assert got[7] == 3
+
+    # stereo: channel 0 only
+    stereo = np.empty(8, np.float32)
+    stereo[0::2] = x[:4]
+    stereo[1::2] = 9.9  # garbage on channel 1
+    rate2, got2 = decode_wav(float_wav(stereo, nch=2))
+    assert (got2 == want[:4]).all()
+
+    # unsupported tags still raise
+    import pytest as _pytest
+
+    bad = float_wav(x)
+    bad = bad.replace(struct.pack("<HH", 3, 1), struct.pack("<HH", 7, 1), 1)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bad)
