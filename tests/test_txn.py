@@ -361,3 +361,52 @@ def test_append_schema_mismatch_rejected(cat, spark):
     # same schema still appends fine
     cat.write(KEY, _mkdf(spark, 2, base=50))
     assert cat.read(KEY).count() == 7
+
+
+def test_tpch_refresh_stream_scenario(spark, tmp_path, sf_dir):
+    """The TPC-H maintenance pattern (RF1 insert / RF2 delete) through
+    the commit protocol: a lineitem bucket takes an insert batch, then
+    a range delete, and (a) every aggregate equals the equivalent
+    filter over the source data, (b) each refresh is one atomic
+    version, (c) time travel reproduces every historical state."""
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.catalog import load_table
+
+    cat = Catalog(spark, str(tmp_path))
+    key = "LINEITEM/1D/REFRESH"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_orderkey").alias("user_id"),
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    mid = li.approxQuantile("user_id", [0.8], 0.0)[0]
+    base = li.filter(F.col("user_id") <= mid)
+    rf1 = li.filter(F.col("user_id") > mid)
+
+    def total(df):
+        return df.agg(F.sum("value")).collect()[0][0]
+
+    cat.write(key, base)
+    v0_total = total(cat.read(key))
+    assert v0_total == total(base)
+
+    # RF1: insert batch = one atomic append version
+    cat.write(key, rf1)
+    path = cat.root + "/" + key
+    assert txn.current_version(path) == 1
+    assert total(cat.read(key)) == total(li)
+
+    # RF2: delete a shipdate window = one atomic replace version
+    bounds = cat.read(key).agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    cut = lo + (hi - lo) / 4
+    removed = cat.delete_range(key, lo, cut, ts_col="ts")
+    assert removed > 0
+    assert txn.current_version(path) == 2
+    want = total(li.filter(~((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(cut)))))
+    assert total(cat.read(key)) == want
+
+    # time travel reproduces both historical states exactly
+    assert total(txn.read_bucket(spark, path, version=0)) == v0_total
+    assert total(txn.read_bucket(spark, path, version=1)) == total(li)
