@@ -191,6 +191,7 @@ HEADLINE = [
     "event_cooccurrence",
     "text_zipf_fit",
     "corpus_dedup_funnel",
+    "event_rfm",
     # ann_pq / ann_pq_exhaustive stay correctness-only keys (the
     # corpus_pack exclusion logic, mirrored): at sf0.1 the corpus is
     # 2000 vectors, so the 4-stage PQ plan (train-sample collect,

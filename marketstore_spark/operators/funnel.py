@@ -398,3 +398,51 @@ def session_cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation — the classic recency / frequency / monetary
+    quintile grid: each user scores 1–5 on each axis (1 = most recent
+    / most active / highest spend) and the output counts users and
+    exact monetary cents per (r, f, m) segment (≤125 rows).
+
+    Determinism: recency anchors on the corpus's own max activity day
+    (data-derived, no wall clock); quintiles are ntile(5) over a TOTAL
+    order (metric, then user id) so ties split identically on any
+    engine; money sums are exact integer cents.
+
+    Scale shape: the event fact reduces to ONE compact row per user
+    first (hash aggregate, map-side combined); the anchor is a one-row
+    broadcast; the three ntile windows sort USER-GRAIN rows — orders
+    of magnitude below the event stream (a 10⁹-user extreme would
+    swap in broadcast quintile boundaries from the exact-rational
+    order-statistic machinery; the window form is the exact,
+    tie-stable default).  Final segment rollup is ≤125 groups.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    u = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.to_date(F.date_trunc("day", F.max(ts_col))).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("cents"),
+    )
+    anchor = u.agg(F.max("last_day").alias("a"))
+    scored = u.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("a"), F.col("last_day")).cast("long")
+    )
+    wr = Window.orderBy("recency_days", "u")
+    wf = Window.orderBy(F.col("n_events").desc(), "u")
+    wm = Window.orderBy(F.col("cents").desc(), "u")
+    scored = (
+        scored.withColumn("r_score", F.ntile(5).over(wr).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(wf).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(wm).cast("long"))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("segment_cents"),
+    )

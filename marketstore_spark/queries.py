@@ -1214,6 +1214,41 @@ def event_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_rfm",
+    """
+WITH u AS (
+  SELECT user_id AS u,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+anchor AS (SELECT MAX(last_day) AS a FROM u),
+scored AS (
+  SELECT u, n_events, cents,
+         ntile(5) OVER (ORDER BY date_diff('day', last_day, a), u) AS r_score,
+         ntile(5) OVER (ORDER BY n_events DESC, u) AS f_score,
+         ntile(5) OVER (ORDER BY cents DESC, u) AS m_score
+  FROM u CROSS JOIN anchor
+)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (1 = most recent / most active /
+    highest spend), anchored on the corpus's own max activity day —
+    tie-stable ntile over (metric, user), exact integer cents
+    (operators/funnel.rfm_segments)."""
+    from marketstore_spark.operators.funnel import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "event_cooccurrence",
     """
 WITH e AS (
@@ -7535,6 +7570,7 @@ _FRONT = [
     "corpus_dedup_funnel",
     "ann_ivfpq",
     "ann_ivfpq_exhaustive",
+    "event_rfm",
     # Block A - last driver row r3 (rows-only refresh; their exhaustive
     # anchors are in Block B).
     "dedup_embedding_lsh",

@@ -2926,3 +2926,30 @@ def test_ivfpq_recall_and_double_vacuous_invariant(spark, sf_dir):
         for r in brute_force_topk(emb, q, k=5).collect()
     }
     assert full == exact
+
+
+def test_rfm_segments_hand_computed(spark):
+    from marketstore_spark.operators.funnel import rfm_segments
+
+    # 5 users with strictly ordered metrics → each lands in its own
+    # quintile on every axis; user u's last day = Jan u, count = u,
+    # per-event value = u dollars
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for i in range(u):
+            rows.append((eid, datetime(2024, 1, u, 12), u, float(u)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in rfm_segments(df).collect()
+    }
+    # user 5: most recent (r=1), most events (f=1), highest spend (m=1)
+    assert out[(1, 1, 1)]["n_users"] == 1
+    assert out[(1, 1, 1)]["segment_cents"] == 5 * 500  # 5 events × $5
+    # user 1: oldest, fewest, lowest → (5, 5, 5)
+    assert out[(5, 5, 5)]["n_users"] == 1
+    assert out[(5, 5, 5)]["segment_cents"] == 100
+    assert len(out) == 5  # perfectly anti-diagonal grid
+    assert all(r == f == m for (r, f, m) in out)

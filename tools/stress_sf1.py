@@ -70,6 +70,7 @@ TARGET_KEYS = [
     "event_cooccurrence",
     "text_zipf_fit",
     "corpus_dedup_funnel",
+    "event_rfm",
 ]
 
 N_SYMBOLS = 100
