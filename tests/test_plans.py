@@ -1059,6 +1059,84 @@ def test_registry_hygiene_window_and_oracles():
     }, f"undocumented no-oracle keys: {sorted(no_oracle)}"
 
 
+def test_ngram_pairs_hot_gram_pruned_before_collect(spark, sf_dir):
+    """The hot-shingle cap must act BEFORE any posting list exists
+    (VERDICT r09 item 1): the plan carries a count window over the
+    shingle partition feeding a Filter, and only then the collect_set
+    aggregate — so no aggregation buffer is ever corpus-degree-sized
+    (WindowExec's row container spills; a hash-aggregate array
+    doesn't).  The groupBy reuses the window's hash partitioning: the
+    gram table still shuffles once."""
+    import re
+
+    for key in ("dedup_ngram_jaccard", "dedup_containment"):
+        plan = explain_str(SPARK_QUERIES[key](spark, sf_dir))
+        assert "Window" in plan, plan
+        # the doc-frequency filter sits between the window and the
+        # posting-list aggregate
+        assert "__df" in plan, plan
+        assert "collect_set" in plan, plan
+        # structural pin: the posting-list aggregate consumes the
+        # window's output DIRECTLY (Filter+Project only in between) —
+        # no Exchange, so the groupBy(shingle) reuses the window's
+        # hash partitioning and the gram table shuffles once per
+        # subtree.  (The sizes/inter consumers print the subtree
+        # repeatedly pre-AQE; at runtime ReusedExchange dedups it —
+        # the pinned minhash precedent.)
+        assert re.search(
+            r"ObjectHashAggregate \(\d+\)\n"
+            r"\s*:*\s*\+- Project \(\d+\)\n"
+            r"\s*:*\s*\+- Filter \(\d+\)\n"
+            r"\s*:*\s*\+- Window \(\d+\)",
+            plan,
+        ), plan
+        # every gram-table exchange is the window's (one per printed
+        # subtree): shingle-keyed exchanges == documents scans
+        assert plan.count("hashpartitioning(shingle") == plan.count(
+            "documents.parquet"
+        ), plan
+
+
+def test_registry_evidence_staleness_bound():
+    """Driver-evidence freshness insurance (VERDICT r09 item 8): every
+    registered key must either have driver correctness evidence from
+    within the last 3 completed rounds or sit inside the upcoming
+    50-key driver window (the _FRONT rotation).  Goes red when a
+    backlog like round 9's 38 r5-stale keys accumulates, green once
+    the rotation fronts them."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver correctness records yet")
+    newest: dict[str, int] = {}
+    for f in files:
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        try:
+            keys = json.load(open(f))
+        except ValueError:
+            continue
+        for k in keys:
+            newest[k] = max(newest.get(k, 0), rnd)
+    current = max(
+        int(f.rsplit("_r", 1)[1].split(".")[0]) for f in files
+    )
+    window = set(list(SPARK_QUERIES)[:50])
+    stale = sorted(
+        k
+        for k in SPARK_QUERIES
+        if newest.get(k, 0) < current - 3 and k not in window
+    )
+    assert not stale, (
+        f"keys with driver evidence older than r{current - 3} and not "
+        f"fronted in the next driver window: {stale} — rotate them into "
+        f"queries._FRONT"
+    )
+
+
 def test_liquidity_panel_one_scan_two_exchanges(spark, sf_dir):
     """The fused panel: one fact scan, one Window node for all three
     lags, one symbol aggregate reusing the sort's partitioning —
