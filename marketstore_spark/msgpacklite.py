@@ -159,9 +159,18 @@ def _pack_ext(e: Ext, out: bytearray) -> None:
 # ---------------------------------------------------------------------
 
 
+#: Container-nesting bound for ``unpackb``: a ~1 KB body of repeated
+#: fixarray bytes (0x91…) would otherwise recurse past Python's stack
+#: and escape the servers' ``except (ValueError, TypeError)`` with a
+#: RecursionError — a cheap remote annoyance on a network-facing
+#: parser.  128 is far above any real RPC payload.
+MAX_DEPTH = 128
+
+
 def unpackb(data: bytes) -> Any:
     """Deserialize one msgpack object; raises ``ValueError`` on a
-    truncated or malformed frame or trailing bytes."""
+    truncated or malformed frame, trailing bytes, or nesting deeper
+    than ``MAX_DEPTH``."""
     obj, pos = _unpack(memoryview(data), 0)
     if pos != len(data):
         raise ValueError(f"msgpack: {len(data) - pos} trailing bytes")
@@ -173,7 +182,9 @@ def _need(data, pos: int, n: int) -> None:
         raise ValueError("msgpack: truncated input")
 
 
-def _unpack(data, pos: int):
+def _unpack(data, pos: int, depth: int = 0):
+    if depth > MAX_DEPTH:
+        raise ValueError("msgpack: nesting exceeds MAX_DEPTH")
     _need(data, pos, 1)
     b = data[pos]
     pos += 1
@@ -182,9 +193,9 @@ def _unpack(data, pos: int):
     if b >= 0xE0:  # negative fixint
         return b - 0x100, pos
     if 0x80 <= b < 0x90:  # fixmap
-        return _unpack_map(data, pos, b & 0x0F)
+        return _unpack_map(data, pos, b & 0x0F, depth)
     if 0x90 <= b < 0xA0:  # fixarray
-        return _unpack_array(data, pos, b & 0x0F)
+        return _unpack_array(data, pos, b & 0x0F, depth)
     if 0xA0 <= b < 0xC0:  # fixstr
         return _unpack_str(data, pos, b & 0x1F)
     if b == 0xC0:
@@ -229,16 +240,16 @@ def _unpack(data, pos: int):
         return _unpack_str(data, pos, n)
     if b == 0xDC:
         n, pos = _unpack_len(data, pos, 1)
-        return _unpack_array(data, pos, n)
+        return _unpack_array(data, pos, n, depth)
     if b == 0xDD:
         n, pos = _unpack_len(data, pos, 2)
-        return _unpack_array(data, pos, n)
+        return _unpack_array(data, pos, n, depth)
     if b == 0xDE:
         n, pos = _unpack_len(data, pos, 1)
-        return _unpack_map(data, pos, n)
+        return _unpack_map(data, pos, n, depth)
     if b == 0xDF:
         n, pos = _unpack_len(data, pos, 2)
-        return _unpack_map(data, pos, n)
+        return _unpack_map(data, pos, n, depth)
     raise ValueError(f"msgpack: reserved type byte 0x{b:02x}")
 
 
@@ -253,21 +264,21 @@ def _unpack_str(data, pos: int, n: int):
     return bytes(data[pos : pos + n]).decode("utf-8"), pos + n
 
 
-def _unpack_array(data, pos: int, n: int):
+def _unpack_array(data, pos: int, n: int, depth: int = 0):
     out = []
     for _ in range(n):
-        v, pos = _unpack(data, pos)
+        v, pos = _unpack(data, pos, depth + 1)
         out.append(v)
     return out, pos
 
 
-def _unpack_map(data, pos: int, n: int):
+def _unpack_map(data, pos: int, n: int, depth: int = 0):
     out = {}
     for _ in range(n):
-        k, pos = _unpack(data, pos)
+        k, pos = _unpack(data, pos, depth + 1)
         if isinstance(k, (dict, list)):
             raise ValueError("msgpack: unhashable map key")
-        v, pos = _unpack(data, pos)
+        v, pos = _unpack(data, pos, depth + 1)
         out[k] = v
     return out, pos
 

@@ -242,6 +242,10 @@ class _Handler(BaseHTTPRequestHandler):
         join; this handler only tails the (already per-subscriber)
         delivery directory — the client-visible analogue of a
         subscription socket, without the driver touching batch rows."""
+        # GET paths always speak JSON/text — reset the per-request codec
+        # flag a prior msgpack POST on this keep-alive connection left
+        # set on the handler instance.
+        self._msgpack = False
         import hashlib
         import time
         import urllib.parse as up
@@ -255,6 +259,31 @@ class _Handler(BaseHTTPRequestHandler):
             body = self.metrics.render_prometheus().encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if parsed.path == "/debug/timings":
+            # pprof-analogue profiling surface (frontend/profile.go
+            # registers net/http/pprof on the same mux): per-RPC
+            # latency histograms + counters the registry already
+            # collects, as JSON for ad-hoc inspection — the JVM/Python
+            # runtimes' own profilers cover the CPU-sampling half of
+            # pprof, which doesn't translate to a Spark driver.
+            snap = self.metrics.snapshot()
+            body = json.dumps(
+                {
+                    "rpc": {
+                        k: v
+                        for k, v in snap["histograms"].items()
+                        if k.startswith("rpc_request_seconds")
+                    },
+                    "counters": snap["counters"],
+                },
+                default=str,
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -391,7 +420,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.close_connection = True
         self.metrics.inc("ws_connections_total")
         sock = self.connection
-        conn = ws.Conn(sock)
+        # Drain any bytes a client pipelined behind its handshake out
+        # of the handler's buffered rfile — the frame reader works on
+        # the raw socket, so bytes stranded in rfile's buffer would be
+        # silently lost and corrupt framing.  read1 returns buffered
+        # bytes without a syscall; on an empty buffer the non-blocking
+        # raw read raises and we carry on with none.
+        pending = b""
+        try:
+            sock.settimeout(0.0)
+            pending = self.rfile.read1(65536) or b""
+        except (BlockingIOError, OSError, ValueError):
+            pending = b""
+        finally:
+            sock.settimeout(None)
+        # require_masked: RFC 6455 §5.1 — a server must fail the
+        # connection on an unmasked client frame.
+        conn = ws.Conn(sock, initial=pending, require_masked=True)
         # glob -> [subscriber name, cursor]; cursor starts at the
         # CURRENT delivered count so only rows written after the
         # subscribe are pushed (the reference pushes on write, never
@@ -401,7 +446,7 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             while True:
                 readable, _, _ = select.select([sock], [], [], 0.2)
-                if not readable:
+                if not readable and not conn.pending:
                     self._ws_push(conn, active)
                     if time.monotonic() - last_ping > self.ws_ping_interval:
                         conn.ping()

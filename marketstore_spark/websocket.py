@@ -53,6 +53,11 @@ def write_frame(sock, opcode: int, payload: bytes, mask: bool = False) -> None:
     """Send one frame (FIN always set — callers don't fragment).
     ``mask=True`` is the CLIENT side: the RFC requires every
     client-to-server frame to carry a 4-byte masking key."""
+    if opcode >= 0x8 and len(payload) > 125:
+        # RFC 6455 §5.5: control-frame payloads are capped at 125
+        # bytes; emitting more is a protocol violation strict peers
+        # close on (e.g. a PONG echoing an oversized PING).
+        raise ValueError("websocket: control frame payload exceeds 125 bytes")
     head = bytearray([0x80 | (opcode & 0x0F)])
     n = len(payload)
     mask_bit = 0x80 if mask else 0
@@ -81,16 +86,20 @@ def _recv_exact(sock, n: int) -> bytes:
     return buf
 
 
-def read_frame(sock) -> tuple[bool, int, bytes]:
+def read_frame(sock, require_masked: bool = False) -> tuple[bool, int, bytes]:
     """Read one frame → (fin, opcode, unmasked payload).  Raises
     ``ConnectionError`` on EOF, ``ValueError`` on protocol violations
-    (oversized length, reserved bits)."""
+    (oversized length, reserved bits, or — when ``require_masked`` is
+    set, the server side per RFC 6455 §5.1 — an unmasked client
+    frame)."""
     b1, b2 = _recv_exact(sock, 2)
     fin = bool(b1 & 0x80)
     if b1 & 0x70:
         raise ValueError("websocket: reserved bits set (no extensions negotiated)")
     opcode = b1 & 0x0F
     masked = bool(b2 & 0x80)
+    if require_masked and not masked:
+        raise ValueError("websocket: client frame not masked (RFC 6455 §5.1)")
     n = b2 & 0x7F
     if n == 126:
         n = struct.unpack(">H", _recv_exact(sock, 2))[0]
@@ -107,6 +116,25 @@ def read_frame(sock) -> tuple[bool, int, bytes]:
     return fin, opcode, payload
 
 
+class _BufferedSock:
+    """``recv()`` facade serving pre-read bytes before the raw socket —
+    bytes a client pipelined behind its upgrade request land in the
+    HTTP handler's buffered ``rfile``; dropping them would corrupt
+    framing, so the server drains them here (RFC-compliant clients
+    wait for the 101, but the frame reader must not depend on that)."""
+
+    def __init__(self, sock: socket.socket, initial: bytes):
+        self.sock = sock
+        self.buf = bytearray(initial)
+
+    def recv(self, n: int) -> bytes:
+        if self.buf:
+            out = bytes(self.buf[:n])
+            del self.buf[:n]
+            return out
+        return self.sock.recv(n)
+
+
 class Conn:
     """One websocket connection after the upgrade (either side).
 
@@ -114,11 +142,30 @@ class Conn:
     answers PING with PONG, and returns ``(opcode, payload)`` where
     opcode is TEXT/BINARY/CLOSE/PONG.  Raises ``socket.timeout``
     through — the server's push loop uses a short socket timeout to
-    interleave reads with pushes."""
+    interleave reads with pushes.
 
-    def __init__(self, sock: socket.socket, mask_outgoing: bool = False):
+    ``require_masked=True`` is the server side: RFC 6455 §5.1 requires
+    a server to fail the connection on an unmasked client frame.
+    ``initial`` is any already-buffered post-handshake bytes (see
+    ``_BufferedSock``); ``pending`` tells a select()-based caller that
+    a read may succeed without socket readability."""
+
+    def __init__(
+        self,
+        sock: socket.socket,
+        mask_outgoing: bool = False,
+        initial: bytes = b"",
+        require_masked: bool = False,
+    ):
         self.sock = sock
         self.mask_outgoing = mask_outgoing
+        self.require_masked = require_masked
+        self._rsock = _BufferedSock(sock, initial) if initial else sock
+
+    @property
+    def pending(self) -> bool:
+        """True when pre-read bytes await the frame reader."""
+        return bool(getattr(self._rsock, "buf", b""))
 
     def send(self, payload: bytes, opcode: int = OP_BINARY) -> None:
         write_frame(self.sock, opcode, payload, mask=self.mask_outgoing)
@@ -138,11 +185,22 @@ class Conn:
         buf = b""
         first_op = None
         while True:
-            fin, op, payload = read_frame(self.sock)
+            fin, op, payload = read_frame(
+                self._rsock, require_masked=self.require_masked
+            )
             if op == OP_PING:  # control frames may interleave fragments
                 write_frame(self.sock, OP_PONG, payload, mask=self.mask_outgoing)
                 continue
-            if op in (OP_CLOSE, OP_PONG):
+            if op == OP_PONG:
+                # RFC 6455 §5.4: control frames may interleave a
+                # fragmented message without disrupting it — surface a
+                # pong only when no fragment is pending (returning
+                # mid-assembly would orphan buf and make the next
+                # OP_CONT a bogus 'continuation with no message').
+                if first_op is None:
+                    return op, payload
+                continue
+            if op == OP_CLOSE:
                 return op, payload
             if op == OP_CONT:
                 if first_op is None:

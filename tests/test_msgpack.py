@@ -255,3 +255,24 @@ def test_http_client_msgpack_codec(msrv):
 def test_http_client_rejects_unknown_codec():
     with pytest.raises(ValueError):
         HttpClient("http://x", codec="protobuf")
+
+
+def test_unpackb_depth_bound_is_valueerror_not_recursionerror():
+    """A ~1 KB body of repeated fixarray bytes must be a clean parse
+    error: RecursionError would escape the server's
+    except (ValueError, TypeError) and kill the request with an
+    unhandled traceback."""
+    from marketstore_spark import msgpacklite
+
+    with pytest.raises(ValueError):
+        msgpacklite.unpackb(b"\x91" * 1000 + b"\xc0")
+    # maps recurse too
+    with pytest.raises(ValueError):
+        msgpacklite.unpackb(b"\x81\xa1k" * 1000 + b"\xc0")
+    # depth *at* the bound still parses
+    ok = b"\x91" * 100 + b"\xc0"
+    v = msgpacklite.unpackb(ok)
+    for _ in range(100):
+        assert isinstance(v, list) and len(v) == 1
+        v = v[0]
+    assert v is None

@@ -365,6 +365,24 @@ def test_metrics_endpoint_counts_rpcs(rpc):
     assert "rpc_request_seconds" in text  # histogram present
 
 
+def test_debug_timings_endpoint(rpc):
+    """GET /debug/timings: the pprof-analogue profiling surface
+    (frontend/profile.go mounts net/http/pprof on the serving mux) —
+    per-RPC latency histograms as JSON, fed by the same registry
+    /metrics renders."""
+    rpc("DataService.ServerVersion", {})
+    url = f"http://127.0.0.1:{rpc.port}/debug/timings"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("application/json")
+        body = json.loads(resp.read())
+    hists = body["rpc"]
+    key = 'rpc_request_seconds{method="ServerVersion"}'
+    assert key in hists
+    assert hists[key]["count"] >= 1
+    assert "buckets" in hists[key]
+    assert body["counters"]['rpc_requests_total{method="ServerVersion"}'] >= 1
+
+
 def test_http_client_end_to_end(rpc):
     """The stdlib wire client (client.HttpClient) drives the live
     server: version, symbol listing, a ranged query lifted to pandas,

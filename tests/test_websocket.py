@@ -66,6 +66,75 @@ def test_read_message_answers_ping_and_assembles_fragments():
         b.close()
 
 
+def test_read_message_pong_mid_fragment_does_not_orphan_buffer():
+    """RFC 6455 §5.4: a PONG interleaved with a fragmented message must
+    not disrupt assembly — the server pings every 45s, so a client
+    fragmenting a subscribe while a pong is in flight hits this."""
+    a, b = socket.socketpair()
+    try:
+        frames = bytearray()
+        frames += bytes([0x01, 2]) + b"he"          # TEXT, no FIN
+        frames += bytes([0x8A, 4]) + b"pong"        # PONG (control, FIN)
+        frames += bytes([0x80, 3]) + b"llo"         # CONT, FIN
+        a.sendall(bytes(frames))
+        conn = ws.Conn(b)
+        op, payload = conn.read_message()
+        assert op == ws.OP_TEXT and payload == b"hello"
+        # with no fragment pending, a pong IS surfaced
+        a.sendall(bytes([0x8A, 2]) + b"hi")
+        op, payload = conn.read_message()
+        assert op == ws.OP_PONG and payload == b"hi"
+    finally:
+        a.close()
+        b.close()
+
+
+def test_write_frame_rejects_oversized_control_payload():
+    # RFC 6455 §5.5: control payloads cap at 125 bytes
+    a, b = socket.socketpair()
+    try:
+        with pytest.raises(ValueError):
+            ws.write_frame(a, ws.OP_PING, b"x" * 126)
+        ws.write_frame(a, ws.OP_PING, b"x" * 125)  # at the cap: fine
+        fin, op, got = ws.read_frame(b)
+        assert op == ws.OP_PING and len(got) == 125
+    finally:
+        a.close()
+        b.close()
+
+
+def test_server_side_rejects_unmasked_client_frame():
+    # RFC 6455 §5.1: a server must fail the connection on an unmasked
+    # client frame
+    a, b = socket.socketpair()
+    try:
+        a.sendall(bytes([0x82, 0x02]) + b"ok")  # BINARY, unmasked
+        conn = ws.Conn(b, require_masked=True)
+        with pytest.raises(ValueError):
+            conn.read_message()
+    finally:
+        a.close()
+        b.close()
+
+
+def test_conn_initial_bytes_feed_frame_reader():
+    """Bytes pipelined behind the handshake (drained from the HTTP
+    handler's rfile buffer) must reach the frame reader first."""
+    a, b = socket.socketpair()
+    try:
+        whole = bytes([0x81, 0x03]) + b"abc"
+        head, tail = whole[:3], whole[3:]
+        a.sendall(tail)
+        conn = ws.Conn(b, initial=head)
+        assert conn.pending
+        op, payload = conn.read_message()
+        assert op == ws.OP_TEXT and payload == b"abc"
+        assert not conn.pending
+    finally:
+        a.close()
+        b.close()
+
+
 def test_frame_protocol_violations():
     for raw in (
         bytes([0xF1, 0x00]),                          # reserved bits
