@@ -20,6 +20,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is the driver-evidence rotation: queries.py pins the
+    # first ~50 keys (_FRONT) to whatever needs fresh driver evidence
+    # this round — oldest-evidence keys plus any whose implementation
+    # changed.
     return dict(SPARK_QUERIES)
 
 

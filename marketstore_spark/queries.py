@@ -7546,116 +7546,96 @@ def acf_spectrum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round-9 rotation (driver checks the first ~50 keys).  Mechanical
-    # per-round policy (VERDICT r07/r08): every key whose latest driver
-    # row predates round 5 goes first (31 keys: the r3 rows-only ANN
-    # trio + the r4 block), then the oldest remaining evidence (the r5
-    # block) back-fills the window.  All other keys are r7/r8-green on
-    # code untouched this round.
+    # Round-10 rotation (driver checks the first ~50 keys).  Mechanical
+    # per-round policy (VERDICT r07-r09): every key whose latest driver
+    # row predates round 6 goes first — the 38-key r5 backlog VERDICT
+    # r09 item 3 lists — then every key whose implementation changed
+    # this round (the shingle-path rework: row-side array_distinct +
+    # pre-aggregation hot-gram prune; the cooccurrence kind-tag), then
+    # three core-engine r7 keys fill the window.
     # ------------------------------------------------------------------
-    # Block 0 - NEW this round (zero driver evidence yet).
-    "dedup_substring",
-    "dedup_substring_rate",
-    "event_funnel",
-    "retention_cohorts",
-    "event_transitions",
-    "active_users_window",
-    "ann_pq",
-    "ann_pq_exhaustive",
-    "dedup_containment",
-    "event_anomaly",
-    "source_novelty",
-    "event_cooccurrence",
-    "text_zipf_fit",
-    "corpus_dedup_funnel",
-    "ann_ivfpq",
-    "ann_ivfpq_exhaustive",
-    "event_rfm",
-    # Block A - last driver row r3 (rows-only refresh; their exhaustive
-    # anchors are in Block B).
-    "dedup_embedding_lsh",
-    "ann_lsh",
-    "ann_ivf",
-    # Block B - last driver row r4.
-    "query_limit_head",
-    "list_symbols",
-    "list_symbols_tbk",
-    "get_info",
-    "multi_query",
-    "drawdown",
-    "sessionize",
-    "ema",
-    "range_join",
-    "percentiles",
-    "percentiles_approx",
-    "percentiles_approx_exhaustive",
-    "text_termfreq",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "corpus_filter_pipeline",
-    "dedup_minhash_keep",
-    "dedup_clusters",
-    "ann_ivf_exhaustive",
-    "top_symbols",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    # Block C - last driver row r5, oldest remaining evidence; the
-    # first ~19 land inside a 50-key window, the rest refresh when the
-    # driver's budget stretches.  UDA/rollup/candler keys lead because
-    # they share helper code with the r8 bar-family additions.
-    "uda_min",
-    "uda_max",
-    "uda_avg",
-    "uda_count",
-    "tickcandler",
-    "candlecandler",
+    # Block A - last driver row r5 (the full backlog; TPC-H shapes
+    # first, then rollup/candler/UDA, then dedup/ANN/corpus/multimodal).
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_orders_waiting",
+    "q22_sales_opportunity",
     "rollup_5min",
     "rollup_1h",
     "rollup_1d",
     "rollup_1w",
     "rollup_1mo",
+    "tickcandler",
+    "candlecandler",
     "vwap",
-    "q1_pricing_summary",
     "gapfill",
+    "uda_avg",
+    "uda_count",
+    "skew_salted_agg",
     "dedup_exact",
     "dedup_simhash",
     "dedup_embedding",
-    "skew_salted_agg",
-    "corpus_stats",
-    "corpus_sample",
-]
-
-
-# Immediately after the window: the remaining r5-evidence keys - if
-# the driver's budget stretches past 50 they get refreshed too; then
-# everything else (r7/r8-green) in source order.
-_BACK = [
     "dedup_embedding_lsh_exhaustive",
     "ann_cosine_topk",
     "ann_filtered",
     "ann_lsh_exhaustive",
+    "corpus_sample",
+    "corpus_stats",
     "multimodal_meta",
     "multimodal_frame_sample",
     "multimodal_video_decode",
-    "q18_large_volume_customer",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q15_top_supplier",
-    "q21_suppliers_who_kept_orders_waiting",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_potential_promotion",
-    "q22_sales_opportunity",
+    # Block B - implementation changed in round 10 (shingle dedup
+    # rework flows through these; event_cooccurrence got the kind-tag).
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_minhash_keep",
+    "dedup_clusters",
+    "corpus_decontaminate",
+    "corpus_benchmark_coverage",
+    "event_cooccurrence",
+    "corpus_dedup_funnel",
+    # Block C - core-engine r7 keys topping the window to 50.
+    "query_range",
+    "query_limit_tail",
+    "asof_join",
+]
+
+
+# Immediately after the window: the rest of the r7-evidence block - if
+# the driver's budget stretches past 50 they get refreshed too; then
+# everything else (r8/r9-green) in source order.
+_BACK = [
+    "asof_join_tolerance",
+    "sql_select",
+    "uda_adjust",
+    "uda_adjust_ca",
+    "uda_gap",
+    "uda_gap_zscore",
+    "corporate_actions",
+    "returns",
+    "sma",
+    "rsi",
+    "bollinger",
+    "macd",
+    "gapfill_interp",
+    "rollup_cascade",
+    "dedup_span",
+    "dedup_simhash_pairs",
+    "dedup_semantic",
+    "dedup_semantic_keep",
+    "multimodal_audio_decode",
+    "multimodal_gif_decode",
 ]
 
 
