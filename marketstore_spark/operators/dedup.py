@@ -1273,23 +1273,26 @@ def ngram_novelty_by_source(
     ledgers (dedup_rate_by_source counts copied docs,
     dedup_substring_rate copied passages, this one re-stated phrasing).
 
-    Scale shape: the raw (not pre-distincted) gram stream feeds two
-    aggregates — per-doc distinct-gram totals (source rides the
-    grouping key: one fact scan per branch, no doc→source join-back
-    rescanning the corpus) and the gram-keyed min (duplicates are
-    harmless to MIN, so the distinct shuffle is skipped entirely).
-    The novelty credit needs NO join-back — the min doc id IS the
-    credited doc, so per-doc novel counts are a plain count on
-    ``first_doc``.  The two doc-grain results join (tiny) and roll up
-    per source.  Two passes over the text are inherent (the aggregates
-    key differently); no posting lists, nothing quadratic.
+    Scale shape: ONE fact scan (r10 re-plan; the old two-aggregate
+    form scanned the corpus twice — column pruning makes the branches'
+    exchanges differ, so ReusedExchange never fires across a join,
+    runtime-audited).  Grams dedup row-side (``array_distinct`` over
+    one document's gram array), the gram stream shuffles once on
+    shingle where a ``min(doc_id)`` window attaches each gram's first
+    occurrence (the window's row container spills for hot grams — the
+    posting-list rule), and ONE (doc, source) aggregate then counts
+    totals and min-credited novel grams together; the source rollup is
+    a second tiny exchange.  No join-back, no posting lists, nothing
+    quadratic.
     """
     # word_shingles keeps only (doc_id, shingle); rebuild the same
     # projection with source attached so no join-back rescans the fact
     words = F.split(F.trim(F.col(text_col)), _WS)
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(1), k)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
     base = spread_for_narrow_work(df, id_col, heavy=True)
     sh = (
         base.filter(F.trim(F.col(text_col)) != "")
@@ -1300,22 +1303,23 @@ def ngram_novelty_by_source(
             F.explode(grams).alias("shingle"),
         )
     )
-    totals = sh.groupBy("doc_id", "source").agg(
-        F.count_distinct("shingle").alias("grams")
+    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
+    per_doc = (
+        sh.withColumn("first_doc", first_doc)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("grams"),
+            F.count(F.when(F.col("doc_id") == F.col("first_doc"), 1)).alias(
+                "novel"
+            ),
+        )
     )
-    novel = (
-        sh.groupBy("shingle")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("novel"))
-    )
-    per_doc = totals.join(novel, "doc_id", "left")
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("grams").alias("total_grams"),
-            F.sum(F.coalesce(F.col("novel"), F.lit(0))).alias("novel_grams"),
+            F.sum("novel").alias("novel_grams"),
         )
         .select(
             "source",

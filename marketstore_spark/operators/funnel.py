@@ -422,12 +422,18 @@ def rfm_segments(
     engine; money sums are exact integer cents.
 
     Scale shape: the event fact reduces to ONE compact row per user
-    first (hash aggregate, map-side combined); the anchor is a one-row
-    broadcast; the three ntile windows sort USER-GRAIN rows — orders
-    of magnitude below the event stream (a 10⁹-user extreme would
-    swap in broadcast quintile boundaries from the exact-rational
-    order-statistic machinery; the window form is the exact,
-    tie-stable default).  Final segment rollup is ≤125 groups.
+    first (hash aggregate, map-side combined — the fact scans ONCE);
+    the recency anchor is a window max over the already-aggregated
+    user-grain rows, which is free: the ntile quintiles need a total
+    order anyway, so those rows already pass through one
+    SinglePartition exchange (the agg-of-agg crossJoin alternative
+    re-scans the fact — column pruning makes the two branches'
+    exchanges differ, so ReusedExchange never fires across them;
+    runtime-audited r10).  The three ntile windows sort USER-GRAIN
+    rows — orders of magnitude below the event stream (a 10⁹-user
+    extreme would swap in broadcast quintile boundaries from the
+    exact-rational order-statistic machinery; the window form is the
+    exact, tie-stable default).  Final segment rollup is ≤125 groups.
     """
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     u = df.groupBy(F.col(user_col).alias("u")).agg(
@@ -435,9 +441,10 @@ def rfm_segments(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents).alias("cents"),
     )
-    anchor = u.agg(F.max("last_day").alias("a"))
-    scored = u.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days", F.datediff(F.col("a"), F.col("last_day")).cast("long")
+    wa = Window.partitionBy()
+    scored = u.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_day").over(wa), F.col("last_day")).cast("long"),
     )
     wr = Window.orderBy("recency_days", "u")
     wf = Window.orderBy(F.col("n_events").desc(), "u")

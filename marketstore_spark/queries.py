@@ -7605,10 +7605,11 @@ _FRONT = [
     "corpus_benchmark_coverage",
     "event_cooccurrence",
     "corpus_dedup_funnel",
-    # Block C - core-engine r7 keys topping the window to 50.
+    # -- also re-planned in round 10 (single-scan window forms) --
+    "source_novelty",
+    "event_rfm",
+    # Block C - a core-engine r7 key topping the window to 50.
     "query_range",
-    "query_limit_tail",
-    "asof_join",
 ]
 
 
@@ -7616,6 +7617,8 @@ _FRONT = [
 # the driver's budget stretches past 50 they get refreshed too; then
 # everything else (r8/r9-green) in source order.
 _BACK = [
+    "query_limit_tail",
+    "asof_join",
     "asof_join_tolerance",
     "sql_select",
     "uda_adjust",

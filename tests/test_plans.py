@@ -1097,6 +1097,22 @@ def test_ngram_pairs_hot_gram_pruned_before_collect(spark, sf_dir):
         ), plan
 
 
+def test_source_novelty_and_rfm_single_scan(spark, sf_dir):
+    """r10 re-plans: source_novelty's first-occurrence credit rides a
+    shingle-partition window (not a second gram aggregate), and
+    event_rfm's recency anchor is a window max over the user-grain
+    rows (not an agg-of-agg crossJoin) — each plan scans its fact
+    exactly once.  The old two-branch forms never got ReusedExchange
+    (column pruning differentiates the branches), i.e. two full fact
+    reads at 100 TB."""
+    plan = explain_str(SPARK_QUERIES["source_novelty"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    plan = explain_str(SPARK_QUERIES["event_rfm"](spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_registry_evidence_staleness_bound():
     """Driver-evidence freshness insurance (VERDICT r09 item 8): every
     registered key must either have driver correctness evidence from
