@@ -457,75 +457,104 @@ def bigram_lift(
     the mirrored literal expression
     ``(c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni))`` in float64.
 
-    The global top-k window sort ranks only the min_count-filtered
-    pair table (collocation-scale, not corpus-scale).
+    Plan (r10 re-plan — the old two-granularity form planned SIX
+    corpus scans at runtime: separate unigram/bigram aggregates fed
+    five join branches and ReusedExchange never crossed them): ONE
+    corpus scan emits a combined explode — unigrams as (w, '') and
+    adjacent pairs as (w1, w2) — into ONE ``groupBy(a, b)`` aggregate
+    with CONDITIONAL counts (c_uni, c_bi).  Every downstream consumer
+    filters on those aggregate OUTPUTS (``c_uni > 0`` marks unigram
+    rows, ``c_bi >= min_count`` the kept pairs), which Catalyst cannot
+    push below the exchange — unlike a grouping-KEY filter, which
+    pushdown would clone into per-branch scans — so the kept-pair
+    table, the kept-word set, the pruned vocabulary, and the corpus
+    totals all share the single exchange via AQE's ReusedExchange
+    (runtime-audited: 1 documents scan in the final plan).  The ''
+    marker cannot collide: split on \\s+ of trimmed text never yields
+    an empty token, so no real bigram has b = ''.
 
-    Plan: one explode→count shuffle per granularity (unigrams,
-    bigrams).  The unigram table is VOCABULARY-scale (10^8–10^9
-    distinct words at corpus scale) — broadcasting it unfiltered is
-    an executor OOM at 100 TB, so it is first semi-join-PRUNED to the
-    word set of the min_count-kept bigram table (collocation-scale by
-    construction: ≤ 2·|kept pairs| words).  Only then is the pruned
-    slice broadcast onto the bigram counts twice (left word, right
-    word).  Pruning drops rows, never rewrites counts — c_a/c_b stay
+    The unigram table is VOCABULARY-scale (10⁸–10⁹ distinct words at
+    corpus scale) — broadcasting it unfiltered is an executor OOM at
+    100 TB, so it is first semi-join-PRUNED to the word set of the
+    kept bigram table (collocation-scale by construction: ≤ 2·|kept
+    pairs|).  Pruning drops rows, never rewrites counts — c_a/c_b stay
     the full-corpus unigram totals, so lift values are unchanged.
-    The corpus totals are single-row aggregates crossJoined
-    broadcast.  Final top-k is one k-row global sort.
-    sequence(1, size-1) DESCENDS for one-word docs — the size >= 2
-    filter guards it.
+    N_bi counts ALL adjacent pairs (the sample space), not just kept
+    ones; both totals come from ONE unfiltered single-row aggregate
+    over the shared exchange.  Final top-k is one k-row global sort
+    over the kept-pair table.  sequence(1, size-1) DESCENDS for
+    one-word docs — bigram entries are emitted only when the doc has
+    ≥ 2 tokens.
     """
     t = F.col(text_col)
     toks = df.select(
         F.split(F.lower(F.trim(t)), _WS).alias("__toks")
     ).filter(_nonempty(t))
-    uni = (
-        toks.select(F.explode("__toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_w"))
-    )
-    big = (
-        toks.filter(F.size("__toks") >= 2)
-        .select(
+    tagged = (
+        toks.select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - 1),
-                    lambda i: F.struct(
-                        F.element_at("__toks", i).alias("w1"),
-                        F.element_at("__toks", i + 1).alias("w2"),
+                F.concat(
+                    F.transform(
+                        "__toks",
+                        lambda w: F.struct(w.alias("a"), F.lit("").alias("b")),
                     ),
+                    F.when(
+                        F.size("__toks") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("__toks") - 1),
+                            lambda i: F.struct(
+                                F.element_at("__toks", i).alias("a"),
+                                F.element_at("__toks", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array()),
                 )
-            ).alias("bg")
+            ).alias("e")
         )
-        .select("bg.w1", "bg.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
+        .select("e.a", "e.b")
+        # explicit in the SHARED subtree so the not-null predicates the
+        # downstream joins push down are already present and every
+        # consumer's child stays byte-identical (reuse prerequisite);
+        # semantically neutral — explode never yields NULL fields here
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     )
-    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
-    n_bi = big.agg(F.sum("c_ab").alias("n_bi_kept"))
-    # N_bi must count ALL bigrams (the sample space), not just the
-    # kept ones — recompute from doc lengths: sum(max(len-1, 0)).
-    n_bi_all = toks.agg(
-        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("n_bi")
+    counts = tagged.groupBy("a", "b").agg(
+        F.count(F.when(F.col("b") == "", 1)).alias("c_uni"),
+        F.count(F.when(F.col("b") != "", 1)).alias("c_bi"),
     )
-    _ = n_bi  # (kept-total intentionally unused; documents the trap)
+    # Every consumer's filter references BOTH counts (the `>= 0` arm is
+    # a tautology for a count, but the optimizer doesn't know value
+    # ranges so it survives): per-branch column pruning would otherwise
+    # drop the unused aggregate function, making each branch's partial
+    # aggregate — and therefore its exchange — unique, and ReusedExchange
+    # only dedups identical subtrees (runtime-audited: with the anchor,
+    # the final plan scans documents ONCE).
+    uni = counts.filter((F.col("c_uni") > 0) & (F.col("c_bi") >= 0)).select(
+        F.col("a").alias("w"), F.col("c_uni").alias("c_w")
+    )
+    kept = counts.filter(
+        (F.col("c_bi") >= min_count) & (F.col("c_uni") >= 0)
+    ).select(
+        F.col("a").alias("w1"), F.col("b").alias("w2"),
+        F.col("c_bi").alias("c_ab"),
+    )
+    totals = counts.agg(
+        F.sum("c_uni").alias("n_uni"), F.sum("c_bi").alias("n_bi")
+    )
     # Prune the vocabulary to the kept-pair word set BEFORE the
     # broadcast (see docstring — the unfiltered table is a
-    # scale-killer).  The kept word set is itself tiny, so it drives
-    # the semi join as the broadcast side.
-    kept_w = (
-        big.select(F.col("w1").alias("w"))
-        .union(big.select(F.col("w2").alias("w")))
-        .distinct()
-    )
+    # scale-killer).  One explode over the kept pairs yields the word
+    # set in a single consumption of the pair table.
+    kept_w = kept.select(
+        F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w")
+    ).distinct()
     uni_kept = uni.join(F.broadcast(kept_w), "w", "left_semi")
     j = (
-        big.join(F.broadcast(uni_kept.withColumnRenamed("w", "w1")
-                             .withColumnRenamed("c_w", "c_a")), "w1")
+        kept.join(F.broadcast(uni_kept.withColumnRenamed("w", "w1")
+                              .withColumnRenamed("c_w", "c_a")), "w1")
         .join(F.broadcast(uni_kept.withColumnRenamed("w", "w2")
                           .withColumnRenamed("c_w", "c_b")), "w2")
-        .crossJoin(F.broadcast(n_uni))
-        .crossJoin(F.broadcast(n_bi_all))
+        .crossJoin(F.broadcast(totals))
     )
     lift = (
         (F.col("c_ab").cast("double") / F.col("n_bi"))

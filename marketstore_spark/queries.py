@@ -7605,11 +7605,10 @@ _FRONT = [
     "corpus_benchmark_coverage",
     "event_cooccurrence",
     "corpus_dedup_funnel",
-    # -- also re-planned in round 10 (single-scan window forms) --
+    # -- also re-planned in round 10 (single-scan forms) --
     "source_novelty",
     "event_rfm",
-    # Block C - a core-engine r7 key topping the window to 50.
-    "query_range",
+    "text_bigram_lift",
 ]
 
 
@@ -7617,6 +7616,7 @@ _FRONT = [
 # the driver's budget stretches past 50 they get refreshed too; then
 # everything else (r8/r9-green) in source order.
 _BACK = [
+    "query_range",
     "query_limit_tail",
     "asof_join",
     "asof_join_tolerance",

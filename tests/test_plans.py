@@ -741,8 +741,11 @@ def test_bigram_lift_broadcast_pruned_unigrams(spark, sf_dir):
     # semi prune or a filter/aggregate — i.e. the raw unigram count
     # aggregate may not feed a BroadcastExchange directly.  The
     # LeftSemi assertions above plus join count pin this; also assert
-    # the pruned lineage exists at all (union of w1/w2 words).
-    assert "Union" in plan, plan
+    # the pruned lineage exists at all (the kept-pair word set is one
+    # explode over array(w1, w2) — r10 replaced the two-branch Union,
+    # which consumed the pair table twice).
+    assert re.search(r"explode\(array\(w1", plan), plan
+    assert "Union" not in plan, plan
 
 
 def test_length_buckets_projection_only(spark, sf_dir):
@@ -1111,6 +1114,26 @@ def test_source_novelty_and_rfm_single_scan(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["event_rfm"](spark, sf_dir))
     assert plan.count("events.parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bigram_lift_single_scan_runtime(spark, sf_dir):
+    """r10 re-plan: unigram and bigram counts come from ONE combined
+    explode into ONE (a, b) conditional-count aggregate; every
+    consumer (kept pairs, kept-word set, pruned vocabulary, corpus
+    totals) shares that exchange via ReusedExchange.  Runtime check —
+    the printed pre-AQE plan shows the subtree repeatedly, so this
+    test EXECUTES and asserts the final adaptive plan reads documents
+    once (the old form read it six times)."""
+    df = SPARK_QUERIES["text_bigram_lift"](spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("documents.parquet") == 1, final
+    assert final.count("ReusedExchange") >= 3, final
 
 
 def test_registry_evidence_staleness_bound():
