@@ -1190,43 +1190,57 @@ def rolling_corr_vs_market(
     the already-dims-scale closes table — not a groupBy + self-join,
     which would re-scan and re-shuffle the 100 TB fact for the second
     lineage branch (ReusedExchange does not fire across the join's
-    two branches).  Then ONE shared per-symbol sort drives all five
-    rolling sums and the row counter.
+    two branches).  Then ONE shared per-symbol sort drives everything:
+    the five rolling sums are PREFIX-SUM differences
+    (``run_i − run_{i−n}``) rather than sliding frames — Spark has no
+    retractable window aggregates, so a ``rowsBetween(-(n-1), 0)``
+    frame re-aggregates all n rows per output row (n× the Int128 work
+    of the DECIMAL moments), while the running frame is incremental
+    O(1)/row; exact integer arithmetic makes the difference
+    value-identical (r10 re-plan, bitwise-checked vs the unchanged
+    oracle).  The lag-of-running columns need a second Window node,
+    but it shares the first one's partitioning and sort — no new
+    exchange, no new sort (the kaufman_er precedent).
     """
     closes = _bucket_closes(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
     j = closes.withColumn(
         "mkt_c", F.sum("close_c").over(Window.partitionBy("bucket"))
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
-    fr = ws.rowsBetween(-(n - 1), Window.currentRow)
+    run = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.col("close_c")
     y = F.col("mkt_c")
     # y-side moments in DECIMAL(38,0): see docstring — the market
-    # aggregate overflows LONG at a realistic symbol universe.
+    # aggregate overflows LONG at a realistic symbol universe.  The
+    # running totals are cast BEFORE summation: the LONG running total
+    # itself is the first thing to overflow at scale, not just sy².
     y_d = y.cast("decimal(38,0)")
     staged = j.select(
         "symbol",
         "bucket",
         x.alias("x"),
         y.alias("y"),
-        (x * y_d).alias("xy"),
-        (x * x).alias("xx"),
-        (y_d * y_d).alias("yy"),
+        F.sum(x).over(run).alias("rx"),
+        F.sum(y_d).over(run).alias("ry"),
+        F.sum(x * y_d).over(run).alias("rxy"),
+        F.sum(x * x).over(run).alias("rxx"),
+        F.sum(y_d * y_d).over(run).alias("ryy"),
+        F.row_number().over(ws).alias("rown"),
     )
-    sx = F.sum("x").over(fr)
-    # cast BEFORE the sum: the LONG running total itself is the first
-    # thing to overflow at scale, not just sy².
-    sy = F.sum(F.col("y").cast("decimal(38,0)")).over(fr)
-    sxy = F.sum("xy").over(fr)
-    sxx = F.sum("xx").over(fr)
-    syy = F.sum("yy").over(fr)
+
+    def slide(c: str) -> Column:
+        prev = F.lag(F.col(c), int(n)).over(ws)
+        return F.col(c) - F.coalesce(prev, F.lit(0))
+
+    sx, sy, sxy, sxx, syy = (
+        slide("rx"), slide("ry"), slide("rxy"), slide("rxx"), slide("ryy")
+    )
     nn = F.lit(int(n))
     cov = (nn * sxy - sx * sy).cast("double")
     vx = (nn * sxx - sx * sx).cast("double")
     vy = (nn * syy - sy * sy).cast("double")
-    rown = F.row_number().over(ws)
     corr = F.when(
-        (rown >= n) & (vx > 0) & (vy > 0),
+        (F.col("rown") >= n) & (vx > 0) & (vy > 0),
         cov / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return staged.select(
