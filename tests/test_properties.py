@@ -1286,3 +1286,113 @@ def test_gif_restore_disposal_modes():
     assert (frames[2][2:4, 2:4] == bg).all()
     assert (frames[2][2:4, 0:2] == green).all()
     # and frame 2's own disposal (0) leaves everything in place
+
+
+# ---------------------------------------------------------------------
+# round-10 re-plans: capped posting lists and prefix-sum rolling moments
+# ---------------------------------------------------------------------
+
+_doctexts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=0, max_size=8,
+    ).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doctexts, cap=st.integers(min_value=1, max_value=6))
+def test_ngram_jaccard_matches_python_model_with_cap(spark, texts, cap):
+    """The window-pruned posting-list pipeline must equal a direct
+    Python model of the documented semantics: drop shingles whose
+    doc frequency exceeds the cap, Jaccard over the CAPPED sets for
+    both sides identically."""
+    from marketstore_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, n=n, threshold=0.0, max_doc_freq=cap
+        ).collect()
+    }
+
+    # python model
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: grams(t) for i, t in rows if t.strip() and len(t.split()) >= n}
+    freq = defaultdict(int)
+    for s in sets.values():
+        for g in s:
+            freq[g] += 1
+    capped = {i: {g for g in s if freq[g] <= cap} for i, s in sets.items()}
+    want = {}
+    ids = sorted(capped)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(capped[a] & capped[b])
+            if inter == 0:
+                continue
+            union = len(capped[a]) + len(capped[b]) - inter
+            want[(a, b)] = inter / union
+    assert got == pytest.approx(want)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    closes=st.lists(
+        st.integers(min_value=1, max_value=99_999_99), min_size=1, max_size=40
+    ),
+    n=st.integers(min_value=2, max_value=8),
+)
+def test_rolling_corr_prefix_sums_equal_direct_frames(spark, closes, n):
+    """run_i − run_{i−n} must equal the direct sliding-frame sum
+    BITWISE: all moments are exact integers (LONG / DECIMAL(38,0)),
+    so the final double conversion sees identical values.  The model
+    computes every moment in unbounded Python ints and converts once
+    — exactly the engine's documented arithmetic."""
+    import math
+
+    from marketstore_spark.operators.quant import rolling_corr_vs_market
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, c in enumerate(closes):
+        # two symbols so the market index differs from each close
+        rows.append((i * 2, base + dt.timedelta(days=i), 1, c / 100.0))
+        rows.append((i * 2 + 1, base + dt.timedelta(days=i), 2, (c + 7) / 100.0))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {
+        (r["symbol"], r["epoch"]): r["corr"]
+        for r in rolling_corr_vs_market(df, n=n).collect()
+    }
+
+    # python model in exact ints
+    xs = {1: [c for c in closes], 2: [c + 7 for c in closes]}
+    mkt = [xs[1][i] + xs[2][i] for i in range(len(closes))]
+    for sym in (1, 2):
+        for i in range(len(closes)):
+            key = (sym, base + dt.timedelta(days=i))
+            if i + 1 < n:
+                assert got[key] is None
+                continue
+            w = range(i - n + 1, i + 1)
+            sx = sum(xs[sym][j] for j in w)
+            sy = sum(mkt[j] for j in w)
+            sxy = sum(xs[sym][j] * mkt[j] for j in w)
+            sxx = sum(xs[sym][j] ** 2 for j in w)
+            syy = sum(mkt[j] ** 2 for j in w)
+            cov = float(n * sxy - sx * sy)
+            vx = float(n * sxx - sx * sx)
+            vy = float(n * syy - sy * sy)
+            if vx > 0 and vy > 0:
+                want = cov / (math.sqrt(vx) * math.sqrt(vy))
+                assert got[key] == want  # bitwise
+            else:
+                assert got[key] is None
