@@ -44,7 +44,7 @@ _CANDLER_RE = re.compile(
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
     r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci"
-    r"|aroon|adx|liquiditypanel)"
+    r"|aroon|adx|liquiditypanel|sessions|funnel|rfm)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -113,7 +113,9 @@ class MarketSQL:
 
         fname, rawargs, view, where, limit = m.groups()
         args = [a.strip() for a in rawargs.split(",") if a.strip()]
-        timeframe = args[0].strip("'\"")
+        # zero-arg calls (rfm(), or a funnel() the arm rejects loudly)
+        # have no positional timeframe
+        timeframe = args[0].strip("'\"") if args else ""
         cols = args[1:]
         plain = [c for c in cols if "::" not in c]
         sums = [c.split("::", 1)[1] for c in cols if c.lower().startswith("sum::")]
@@ -581,6 +583,70 @@ class MarketSQL:
                 order_col = "epoch"
             if limit:
                 out = out.orderBy(order_col).limit(int(limit))
+            return out
+        if fname.lower() in ("sessions", "funnel", "rfm"):
+            # Event-analytics UDAs through the registry (round 10) —
+            # the reference resolves aggregators by NAME from a
+            # pluggable registry (sqlparser/registry.go), so the
+            # event-sequence operators mount the same way over an
+            # events-shaped bucket (user_id + ts [+ event_type/value]):
+            #   sessions(1800)            — gap-based sessionization
+            #   funnel('view,click,buy')  — ordered funnel counts
+            #   funnel('a,b', 86400000000)  — optional chain window µs
+            #   rfm(value)                — RFM quintile segments
+            parts = re.findall(
+                r"'([^']*)'|\"([^\"]*)\"|(\d[\w.]*)|([A-Za-z_]\w*)", rawargs
+            )
+            quoted = [a or b or n for a, b, n, _ in parts if (a or b or n)]
+            colargs = [c for _, _, _, c in parts if c]
+            name = fname.lower()
+            if "user_id" not in base.columns:
+                # fail loud — a synthetic single-user default would
+                # return plausible-looking wrong counts (the tickrule
+                # volume-guard treatment)
+                raise ValueError(f"{name} needs a user_id column in the bucket")
+            tiebreak = [c for c in ("event_id",) if c in base.columns]
+            tb = tiebreak[0] if tiebreak else ts_col
+            if name == "sessions":
+                from marketstore_spark.operators.sessionize import sessionize
+
+                gap = int(float(quoted[0])) if quoted else 1800
+                out = sessionize(
+                    base,
+                    gap_seconds=gap,
+                    key_cols=("user_id",),
+                    ts_col=ts_col,
+                    tiebreak=tuple(tiebreak) or (ts_col,),
+                )
+                order_cols = ["user_id", "session_id"]
+            elif name == "funnel":
+                from marketstore_spark.operators.funnel import event_funnel
+
+                if "event_type" not in base.columns:
+                    raise ValueError("funnel needs an event_type column")
+                if not quoted:
+                    raise ValueError("funnel needs a step list: funnel('a,b,c')")
+                steps = [s.strip() for s in quoted[0].split(",") if s.strip()]
+                window_us = int(float(quoted[1])) if len(quoted) > 1 else None
+                out = event_funnel(
+                    base,
+                    steps,
+                    window_us=window_us,
+                    user_col="user_id",
+                    ts_col=ts_col,
+                    tiebreak_col=tb,
+                )
+                order_cols = ["step"]
+            else:  # rfm
+                from marketstore_spark.operators.funnel import rfm_segments
+
+                val = colargs[0] if colargs else "value"
+                out = rfm_segments(
+                    base, user_col="user_id", ts_col=ts_col, value_col=val
+                )
+                order_cols = ["r_score", "f_score", "m_score"]
+            if limit:
+                out = out.orderBy(*order_cols).limit(int(limit))
             return out
         if fname.lower() == "tickcandler":
             # tickcandler('5Min', Price, Sum::Volume) — one price column

@@ -471,3 +471,66 @@ def test_liquiditypanel_uda(msql):
     assert len(out) == len(exp) == 1
     for c in ("n_pairs", "move_autocov", "roll_spread_c", "autocorr", "vr"):
         assert out[0][c] == exp[0][c], c
+
+
+@pytest.fixture(scope="module")
+def msql_events(spark, sf_dir, tmp_path_factory):
+    """Multi-user events bucket for the event-analytics UDAs."""
+    root = str(tmp_path_factory.mktemp("sqlev"))
+    cat = Catalog(spark, root)
+    ev = load_table(spark, sf_dir, "events")
+    cat.write("EVALL/1Min/EVENT", ev.filter(F.col("user_id") <= 20))
+    return MarketSQL(cat)
+
+
+def test_sessions_uda_matches_operator(msql_events):
+    from marketstore_spark.operators.sessionize import sessionize
+
+    out = msql_events.sql("SELECT sessions(900) FROM `EVALL/1Min/EVENT`")
+    base = msql_events.catalog.read("EVALL/1Min/EVENT")
+    exp = sessionize(base, gap_seconds=900)
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    want = {(r["user_id"], r["session_id"]): r["n_events"] for r in exp.collect()}
+    assert got == want and got
+
+
+def test_funnel_uda_matches_operator(msql_events):
+    from marketstore_spark.operators.funnel import event_funnel
+
+    base = msql_events.catalog.read("EVALL/1Min/EVENT")
+    steps = [
+        r["event_type"]
+        for r in base.groupBy("event_type").count()
+        .orderBy(F.col("count").desc()).limit(2).collect()
+    ]
+    q = f"SELECT funnel('{','.join(steps)}') FROM `EVALL/1Min/EVENT`"
+    out = msql_events.sql(q)
+    exp = event_funnel(base, steps)
+    got = {r["step"]: r["users"] for r in out.collect()}
+    want = {r["step"]: r["users"] for r in exp.collect()}
+    assert got == want and got
+
+
+def test_rfm_uda_matches_operator(msql_events):
+    from marketstore_spark.operators.funnel import rfm_segments
+
+    out = msql_events.sql("SELECT rfm(value) FROM `EVALL/1Min/EVENT` LIMIT 500")
+    base = msql_events.catalog.read("EVALL/1Min/EVENT")
+    exp = rfm_segments(base)
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (r["n_users"], r["segment_cents"])
+        for r in out.collect()
+    }
+    want = {
+        (r["r_score"], r["f_score"], r["m_score"]): (r["n_users"], r["segment_cents"])
+        for r in exp.collect()
+    }
+    assert got == want and got
+
+
+def test_event_uda_guards(msql):
+    """Buckets without the required event columns fail LOUD (the
+    tickrule volume-guard treatment), and funnel requires a step
+    list."""
+    with pytest.raises(ValueError, match="step list"):
+        msql.sql("SELECT funnel() FROM `EV1/1Min/TICK`")
