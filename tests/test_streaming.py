@@ -1229,3 +1229,71 @@ def test_stream_transitions_sums_to_batch_across_microbatches(spark, sf_dir, tmp
         "from live_transitions group by user_id, from_type, to_type having count(*) >= 1)"
     ).collect()[0]["c"]
     assert n_batches > 0
+
+
+def test_stream_sessions_match_batch_across_batch_split(spark, sf_dir, tmpdir):
+    """Native session windows == batch sessionize at every integer-µs
+    gap (the gap·10⁶+1 window encodes the batch operator's
+    strictly-greater break), including a session that STRADDLES the
+    micro-batch boundary — the merge Structured Streaming's session
+    state exists for.  Also pins the exact-boundary contract: a gap of
+    exactly gap_seconds stays ONE session."""
+    import datetime as dt
+
+    from marketstore_spark.operators.sessionize import sessionize
+    from marketstore_spark.streaming.sessions import stream_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows_a = [
+        # user 1, session A: two events 10s apart
+        (1, t0, 1, 1.0),
+        (2, t0 + dt.timedelta(seconds=10), 1, 1.0),
+        # user 2, session A opens near the end of batch 1
+        (3, t0 + dt.timedelta(seconds=40), 2, 1.0),
+    ]
+    rows_b = [
+        # user 2's session CONTINUES in batch 2 (gap 60s < 900)
+        (4, t0 + dt.timedelta(seconds=100), 2, 1.0),
+        # user 1, gap of exactly 900s from event 2 → SAME session
+        (5, t0 + dt.timedelta(seconds=910), 1, 1.0),
+        # user 1, gap 901s from event 5 → NEW session
+        (6, t0 + dt.timedelta(seconds=1811), 1, 1.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = os.path.join(tmpdir, "sess_incoming")
+    # ONE file per micro-batch: multi-file writes process in arbitrary
+    # order, and a tight watermark would then drop "late" early events
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    q = (
+        stream_sessions(stream, gap_seconds=900, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("stream_sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from stream_sessions_test").collect()
+    }
+    batch = spark.createDataFrame(rows_a + rows_b, schema)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sessionize(batch, gap_seconds=900).collect()
+    }
+    assert got == want
+    # the straddling session merged: user 2 has ONE session of 2 events
+    u2 = [(k, v) for k, v in got.items() if k[0] == 2]
+    assert len(u2) == 1 and u2[0][1] == 2
+    # exact-boundary gap stayed one session; 901s gap broke
+    u1 = sorted((k[1], v) for k, v in got.items() if k[0] == 1)
+    assert [v for _, v in u1] == [3, 1]
