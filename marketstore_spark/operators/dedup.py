@@ -470,6 +470,18 @@ def minhash_lsh_pairs(
         .agg(F.collect_set("shingle").alias("shset"), *_minhash_cols(num_hashes))
         .withColumn("set_size", F.size("shset"))
     )
+    # Runtime census note (r10, tools/audit_scans.py): per-branch
+    # column pruning splits this aggregate — banding keeps the mh
+    # minima, the verify sides keep shset — so the subtrees are not
+    # canonically equal and the gram stream aggregates once per
+    # branch, each computing only its own columns.  The bigram_lift
+    # anchor trick was tried and REJECTED here: referencing all
+    # columns in every branch made each branch do the union of the
+    # work without unifying the exchanges.  The cost is bounded by
+    # design instead: the query layer persists the finished pair
+    # table per (session, corpus) (queries._minhash_pairs_cached, the
+    # IVF-centroid pattern), so the two-branch build runs once per
+    # corpus, not per query.
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),

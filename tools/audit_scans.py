@@ -19,9 +19,16 @@ Two-scan shapes that are CORRECT and stay: the broadcast-stats text
 scores (bm25, doc_freq, unigram_nll, vocab_growth — scanning the
 corpus twice with no shuffle beats shuffling it once through a
 token-keyed exchange at 100 TB), the quote/trade composites
-(lee_ready, effective_spread — semantically two tables), and the
+(lee_ready, effective_spread — semantically two tables), the
 ANN/kmeans keys whose second scan is the QUERY/seed side of the same
-embeddings table.
+embeddings table, and the decontamination keys whose second side is
+the benchmark table (both derive from documents in the test harness).
+The minhash family's two-branch build (banding keeps the mh minima,
+verify keeps the shingle sets — per-branch column pruning makes the
+subtrees canonically unequal, so no exchange reuse; the anchor trick
+was tried and rejected: it forces each branch to do the union of the
+work) is bounded by the query layer persisting the finished pair
+table per (session, corpus) — the build runs once per corpus.
 
 Usage:  python tools/audit_scans.py [--sf /root/testdata/sf0.01] [keys...]
 """
