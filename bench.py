@@ -257,10 +257,14 @@ def main() -> None:
     # dominates (measured r10: 32→8/16 partitions is −13% suite total
     # on identical plans; on a cluster the submitter sizes this to the
     # real SF exactly the same way).  Env still overrides.
+    try:
+        ncpu = int(cpus)  # SPARK_GRAFT_CPUS may be "*" (all cores)
+    except ValueError:
+        ncpu = os.cpu_count() or 8
     if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
         sp = int(os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"])
     else:
-        sp = max(8, min(int(cpus), _input_bytes(sf_dir) // (8 << 20)))
+        sp = max(8, min(ncpu, _input_bytes(sf_dir) // (8 << 20)))
     spark = get_session(
         "marketstore-spark-bench",
         master=f"local[{cpus}]",
