@@ -1210,20 +1210,24 @@ def rolling_corr_vs_market(
     run = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.col("close_c")
     y = F.col("mkt_c")
-    # y-side moments in DECIMAL(38,0): see docstring — the market
-    # aggregate overflows LONG at a realistic symbol universe.  The
-    # running totals are cast BEFORE summation: the LONG running total
-    # itself is the first thing to overflow at scale, not just sy².
+    # EVERY running total is DECIMAL(38,0): prefix sums accumulate
+    # over the whole per-symbol HISTORY, not the n-row window, so the
+    # x-side bound weakens from cents²·n to cents²·history — a
+    # century of minute bars at $99,999.99 closes wraps a LONG running
+    # Σx² where the old sliding frame didn't.  The per-row products
+    # (x·x fits LONG at cents²; x·y and y·y carry the y-side market
+    # aggregate, decimal per the docstring) promote BEFORE the window
+    # sum; sliding differences of exact decimals stay exact.
     y_d = y.cast("decimal(38,0)")
     staged = j.select(
         "symbol",
         "bucket",
         x.alias("x"),
         y.alias("y"),
-        F.sum(x).over(run).alias("rx"),
+        F.sum(x.cast("decimal(38,0)")).over(run).alias("rx"),
         F.sum(y_d).over(run).alias("ry"),
         F.sum(x * y_d).over(run).alias("rxy"),
-        F.sum(x * x).over(run).alias("rxx"),
+        F.sum((x * x).cast("decimal(38,0)")).over(run).alias("rxx"),
         F.sum(y_d * y_d).over(run).alias("ryy"),
         F.row_number().over(ws).alias("rown"),
     )
