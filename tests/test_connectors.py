@@ -1,0 +1,244 @@
+"""Concrete exchange connectors (streaming/connectors.py) — the
+contrib/binancefeeder, contrib/polygon and contrib/iex payload→bucket
+mappings, exercised against fixture payloads shaped exactly like the
+public APIs (the live fetch is injected, per the feeder contract)."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from marketstore_spark.catalog import Catalog
+from marketstore_spark.streaming.connectors import (
+    binance_interval,
+    connector_fetch,
+    normalize_binance_klines,
+    normalize_iex_chart,
+    normalize_polygon_aggs,
+    normalize_polygon_quotes,
+    normalize_polygon_trades,
+)
+from marketstore_spark.streaming.feeder import ConfiguredFeeder, FeederSpec
+
+
+def _raw(spark, payload, symbol=None):
+    s = payload if isinstance(payload, str) else json.dumps(payload)
+    if symbol is not None:
+        return spark.createDataFrame([(symbol, s)], ["symbol", "payload"])
+    return spark.createDataFrame([(s,)], ["payload"])
+
+
+# ---------------------------------------------------------------------
+# binance (contrib/binancefeeder/binancefeeder.go)
+# ---------------------------------------------------------------------
+
+# public /api/v3/klines shape: 12-element arrays, prices as strings
+BINANCE_KLINES = [
+    [1499040000000, "0.01634790", "0.80000000", "0.01575800", "0.01577100",
+     "148976.11427815", 1499644799999, "2434.19055334", 308,
+     "1756.87402397", "28.46694368", "17928899.62484339"],
+    # openTime == 0 → dropped (binancefeeder.go:336)
+    [0, "1.0", "2.0", "0.5", "1.5", "10.0", 1, "1", 1, "1", "1", "0"],
+    # empty price string → dropped (binancefeeder.go:336-338)
+    [1499040060000, "", "2.0", "0.5", "1.5", "10.0", 1499040119999,
+     "1", 1, "1", "1", "0"],
+    [1499040060000, "0.016", "0.017", "0.015", "0.0165", "99.5",
+     1499040119999, "1", 1, "1", "1", "0"],
+]
+
+
+def test_binance_interval_mapping():
+    assert binance_interval("1Min") == "1m"
+    assert binance_interval("5Min") == "5m"
+    assert binance_interval("4H") == "4h"
+    assert binance_interval("1D") == "1d"
+    assert binance_interval("1W") == "1w"
+    with pytest.raises(ValueError):
+        binance_interval("1Sec")
+    with pytest.raises(ValueError):
+        binance_interval("Min")
+
+
+def test_binance_klines_normalize(spark):
+    out = normalize_binance_klines(_raw(spark, BINANCE_KLINES, "ETHBTC"))
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert len(rows) == 2  # zero-openTime and empty-price bars dropped
+    r0 = rows[0]
+    assert r0["symbol"] == "ETHBTC"
+    assert r0["ts"] == dt.datetime(2017, 7, 3, 0, 0)  # 1499040000000 ms UTC
+    assert r0["open"] == pytest.approx(0.01634790)
+    assert r0["high"] == pytest.approx(0.80)
+    assert r0["low"] == pytest.approx(0.015758)
+    assert r0["close"] == pytest.approx(0.015771)
+    assert r0["volume"] == pytest.approx(148976.11427815)
+    assert rows[1]["ts"] == dt.datetime(2017, 7, 3, 0, 1)
+
+
+# ---------------------------------------------------------------------
+# polygon (contrib/polygon/api/schema.go, handlers/handlers.go)
+# ---------------------------------------------------------------------
+
+POLYGON_AGGS = {
+    "ticker": "AAPL",
+    "status": "OK",
+    "adjusted": True,
+    "queryCount": 2,
+    "resultCount": 2,
+    "results": [
+        {"v": 135647456.0, "o": 74.06, "c": 75.0875, "h": 75.15,
+         "l": 73.7975, "t": 1577941200000, "n": 1},
+        {"v": 146535512.0, "o": 74.2875, "c": 74.3575, "h": 75.145,
+         "l": 74.125, "t": 1578027600000, "n": 2},
+    ],
+}
+
+POLYGON_EVENTS = [
+    {"ev": "T", "sym": "MSFT", "p": 114.125, "s": 100,
+     "t": 1536036818784, "c": [0, 12]},
+    # official-closing condition 17 → dropped (handlers.go:29-31,54)
+    {"ev": "T", "sym": "MSFT", "p": 114.50, "s": 200,
+     "t": 1536036818800, "c": [17]},
+    # non-positive size / price → dropped (handlers.go:54)
+    {"ev": "T", "sym": "MSFT", "p": 114.50, "s": 0, "t": 1536036818900},
+    {"ev": "T", "sym": "MSFT", "p": 0.0, "s": 50, "t": 1536036818950},
+    {"ev": "Q", "sym": "MSFT", "bp": 114.12, "bs": 100, "ap": 114.13,
+     "as": 200, "t": 1536036818784},
+]
+
+
+def test_polygon_aggs_normalize(spark):
+    rows = sorted(
+        normalize_polygon_aggs(_raw(spark, POLYGON_AGGS)).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert [r["symbol"] for r in rows] == ["AAPL", "AAPL"]
+    assert rows[0]["ts"] == dt.datetime(2020, 1, 2, 5, 0)  # t ms → UTC
+    assert rows[0]["open"] == pytest.approx(74.06)
+    assert rows[0]["close"] == pytest.approx(75.0875)
+    assert rows[0]["volume"] == pytest.approx(135647456.0)
+    assert rows[0]["trade_count"] == 1
+    assert rows[1]["high"] == pytest.approx(75.145)
+
+
+def test_polygon_trades_condition_filter(spark):
+    rows = normalize_polygon_trades(_raw(spark, POLYGON_EVENTS)).collect()
+    # one valid print survives: conditions [0,12] are fine, 17 is not,
+    # zero size / zero price are not, the quote event is not a trade
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["symbol"] == "MSFT"
+    assert r["price"] == pytest.approx(114.125)
+    assert r["size"] == 100
+    # millisecond precision survives (reference keeps Epoch+Nanoseconds)
+    assert r["ts"].microsecond == 784000
+
+
+def test_polygon_quotes_normalize(spark):
+    rows = normalize_polygon_quotes(_raw(spark, POLYGON_EVENTS)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bid_price"], r["bid_size"]) == (pytest.approx(114.12), 100)
+    assert (r["ask_price"], r["ask_size"]) == (pytest.approx(114.13), 200)
+
+
+# ---------------------------------------------------------------------
+# iex (contrib/iex/api/api.go, contrib/iex/iex.go)
+# ---------------------------------------------------------------------
+
+IEX_BATCH = {
+    "AAPL": {
+        "chart": [
+            # intraday bar: 2017-04-03 is EDT (UTC-4) → 13:30 UTC
+            {"date": "2017-04-03", "minute": "09:30", "open": 143.7,
+             "high": 143.75, "low": 143.66, "close": 143.7,
+             "volume": 3457, "numberOfTrades": 30, "average": 143.7,
+             "notional": 496789.0},
+            # zero-volume bar → skipped (iex.go:244)
+            {"date": "2017-04-03", "minute": "09:31", "open": 0.0,
+             "high": 0.0, "low": 0.0, "close": 0.0, "volume": 0,
+             "numberOfTrades": 0, "average": 0.0, "notional": 0.0},
+        ]
+    },
+    "MSFT": {
+        # intraday pulls land under intraday-prices (api.go:199-206)
+        "intraday-prices": [
+            {"date": "2019-12-02", "minute": "10:00", "open": 150.0,
+             "high": 150.5, "low": 149.9, "close": 150.2,
+             "volume": 1200, "numberOfTrades": 10, "average": 150.1,
+             "notional": 180120.0},
+        ]
+    },
+    "IBM": {
+        "chart": [
+            # daily bar: empty minute → NY midnight (api.go:74-76);
+            # 2021-01-15 is EST (UTC-5) → 05:00 UTC
+            {"date": "2021-01-15", "minute": "", "open": 128.0,
+             "high": 129.5, "low": 127.4, "close": 128.6,
+             "volume": 5400000, "numberOfTrades": 0, "average": 128.5,
+             "notional": 0.0},
+        ]
+    },
+}
+
+
+def test_iex_chart_normalize(spark):
+    rows = {
+        r["symbol"]: r
+        for r in normalize_iex_chart(_raw(spark, IEX_BATCH)).collect()
+    }
+    assert set(rows) == {"AAPL", "MSFT", "IBM"}  # zero-volume bar gone
+    # EDT intraday: 09:30 NY == 13:30 UTC
+    assert rows["AAPL"]["ts"] == dt.datetime(2017, 4, 3, 13, 30)
+    assert rows["AAPL"]["close"] == pytest.approx(143.7)
+    # intraday-prices fallback
+    assert rows["MSFT"]["ts"] == dt.datetime(2019, 12, 2, 15, 0)
+    assert rows["MSFT"]["volume"] == 1200
+    # EST daily: NY midnight == 05:00 UTC
+    assert rows["IBM"]["ts"] == dt.datetime(2021, 1, 15, 5, 0)
+    assert rows["IBM"]["open"] == pytest.approx(128.0)
+
+
+# ---------------------------------------------------------------------
+# end-to-end: connector → ConfiguredFeeder → catalog bucket
+# ---------------------------------------------------------------------
+
+
+def test_connector_fetch_unknown_kind(spark):
+    with pytest.raises(ValueError, match="unknown connector"):
+        connector_fetch(spark, "nasdaq_itch", lambda *a: [])
+
+
+def test_binance_feeder_end_to_end(spark, tmp_path):
+    calls = []
+
+    def provider(symbols, timeframe, since):
+        calls.append((tuple(symbols), timeframe, since))
+        return [("ETHBTC", json.dumps(BINANCE_KLINES))]
+
+    fetch = connector_fetch(spark, "binance_klines", provider)
+    spec = FeederSpec.from_dict(
+        {
+            "symbols": ["ETHBTC"],
+            "timeframe": "1Min",
+            "interval_seconds": 60,
+            # market-hours gate irrelevant for crypto: poll every minute
+            "off_hours_schedule": list(range(60)),
+        }
+    )
+    cat = Catalog(spark, os.fspath(tmp_path / "cat"))
+    clock = iter(
+        dt.datetime(2024, 1, 6, 3, m, tzinfo=dt.timezone.utc)  # a Saturday
+        for m in (0, 1)
+    )
+    feeder = ConfiguredFeeder(spec, cat, fetch, clock=lambda: next(clock))
+    assert feeder.tick()
+    assert feeder.rows_appended == 2
+    # second tick refetches the same klines; the HWM append adds nothing
+    assert feeder.tick()
+    assert feeder.rows_appended == 2
+    assert len(calls) == 2
+
+    stored = cat.read("ETHBTC/1Min/OHLCV")
+    got = sorted(stored.collect(), key=lambda r: r["ts"])
+    assert [r["close"] for r in got] == pytest.approx([0.015771, 0.0165])
