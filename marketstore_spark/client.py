@@ -144,6 +144,13 @@ class Client:
             for call in params.functions:
                 name, args = parse_function_call(call)
                 df = REGISTRY[name](df.withColumn("__symbol", F.lit(key.split("/")[0])), qp, args)
+            if params.limit is None and self.ts_col in df.columns:
+                # the reference's storage is time-indexed, so Query
+                # always returns Epoch order (executor/reader.go); a
+                # parquet bucket scans in file order, so order here.
+                # The sort is bounded by the result the caller is
+                # about to collect — never wider than the query range.
+                df = df.orderBy(F.col(self.ts_col).asc())
             out.append(DataSet(key, df))
         return QueryReply(out)
 

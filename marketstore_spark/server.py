@@ -16,12 +16,13 @@ Spark-first substitutions, stated plainly:
   (``destination``, ``epoch_start``, ``limit_record_count``, ...), so
   a reference-shaped msgpack-RPC client interoperates at the envelope
   level.
-- **No gRPC transport** — the reference also serves DataService over
+- **gRPC transport** — the reference also serves DataService over
   gRPC (proto/marketstore.proto:163, frontend/grpc.go); grpcio is not
-  installable in this container, so that second transport of the SAME
-  method surface is excluded like msgpack.  Every RPC it would carry
-  (Query/Write/Create/Destroy/GetInfo/ListSymbols/ServerVersion) is
-  served here, and the reference's websocket push interface is served
+  installable in this container, so :mod:`marketstore_spark.grpcfront`
+  serves the same proto service over a pure-stdlib HTTP/2 + HPACK +
+  protobuf-wire stack (http2lite/hpacklite/protowire), dispatching
+  into the SAME DataService instance this module hosts.  The
+  reference's websocket push interface is served
   natively at ``GET /ws`` (frontend/stream/stream.go message shapes
   over the pure-stdlib RFC 6455 layer in
   :mod:`marketstore_spark.websocket`), with ``GET /stream`` kept as

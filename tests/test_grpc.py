@@ -1,0 +1,435 @@
+"""gRPC front end (grpcfront.py + http2lite.py + hpacklite.py +
+protowire.py) — the frontend/grpc.go twin: protobuf wire golden
+vectors, HPACK RFC 7541 Appendix C stories, HTTP/2 flow control, and
+live-socket unary RPCs against a DataService."""
+
+import datetime as dt
+from fractions import Fraction
+
+import pandas as pd
+import pytest
+
+from marketstore_spark import protowire
+from marketstore_spark.hpacklite import (
+    Decoder,
+    Encoder,
+    HUFFMAN_TABLE,
+    huffman_decode,
+    huffman_encode,
+)
+
+
+# ---------------------------------------------------------------------
+# protobuf wire format
+# ---------------------------------------------------------------------
+
+
+def test_protowire_varint_golden():
+    # protobuf encoding docs: field 1 varint 150 == 08 96 01; here
+    # field 5 (epoch_start) == tag 0x28
+    assert protowire.encode("QueryRequest", {"epoch_start": 150}).hex() == "289601"
+
+
+def test_protowire_string_golden():
+    # docs example: field 1 string "testing" == 0a 07 "testing"
+    assert (
+        protowire.encode("ListSymbolsResponse", {"results": ["testing"]}).hex()
+        == "0a0774657374696e67"
+    )
+
+
+def test_protowire_negative_ints():
+    b = protowire.encode("QueryRequest", {"epoch_start": -5})
+    # negative varints are 64-bit two's complement: always 10 bytes
+    assert len(b) == 1 + 10
+    assert protowire.decode("QueryRequest", b)["epoch_start"] == -5
+    b = protowire.encode("QueryRequest", {"limit_record_count": -1})
+    assert protowire.decode("QueryRequest", b)["limit_record_count"] == -1
+
+
+def test_protowire_map_and_nested_roundtrip():
+    req = {
+        "requests": [
+            {
+                "data": {
+                    "data": {
+                        "column_types": ["i8", "f8"],
+                        "column_names": ["ts", "close"],
+                        "column_data": [b"\x00" * 16, b"\x01" * 16],
+                        "length": 2,
+                        "data_shapes": [{"name": "close", "type": "f8"}],
+                    },
+                    "start_index": {"X/1Min/OHLCV": 0, "Y/1Min/OHLCV": 2},
+                    "lengths": {"X/1Min/OHLCV": 2},
+                },
+                "is_variable_length": True,
+            }
+        ]
+    }
+    d = protowire.decode("MultiWriteRequest", protowire.encode("MultiWriteRequest", req))
+    w = d["requests"][0]
+    assert w["is_variable_length"] is True
+    assert w["data"]["start_index"] == {"X/1Min/OHLCV": 0, "Y/1Min/OHLCV": 2}
+    assert w["data"]["data"]["column_data"][1] == b"\x01" * 16
+    assert w["data"]["data"]["data_shapes"] == [{"name": "close", "type": "f8"}]
+
+
+def test_protowire_unknown_field_skipped_and_defaults_filled():
+    blob = protowire.encode("ServerVersionResponse", {"version": "1.0"})
+    blob += bytes([15 << 3 | 0, 42])  # unknown field 15, varint 42
+    assert protowire.decode("ServerVersionResponse", blob)["version"] == "1.0"
+    d = protowire.decode("QueryRequest", b"")
+    assert d["columns"] == [] and d["destination"] == ""
+    assert d["is_sql_statement"] is False and d["epoch_start"] == 0
+
+
+def test_protowire_truncated_raises():
+    with pytest.raises(ValueError):
+        protowire.decode("ServerVersionResponse", b"\x0a\x10abc")
+
+
+# ---------------------------------------------------------------------
+# HPACK — huffman table structure + RFC 7541 vectors
+# ---------------------------------------------------------------------
+
+
+def test_huffman_table_is_complete_prefix_code():
+    # Kraft equality == the 257-symbol code tree is exactly full
+    assert sum(Fraction(1, 2 ** n) for _, n in HUFFMAN_TABLE) == 1
+    for i, (ca, la) in enumerate(HUFFMAN_TABLE):
+        for j, (cb, lb) in enumerate(HUFFMAN_TABLE):
+            if i != j and lb > la:
+                assert (cb >> (lb - la)) != ca, (i, j)
+
+
+@pytest.mark.parametrize(
+    ("text", "hexs"),
+    [
+        ("www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),  # C.4.1
+        ("no-cache", "a8eb10649cbf"),  # C.4.2
+        ("custom-key", "25a849e95ba97d7f"),  # C.4.3
+        ("custom-value", "25a849e95bb8e8b4bf"),  # C.4.3
+        ("302", "6402"),  # C.6.1
+        ("private", "aec3771a4b"),  # C.6.1
+        ("Mon, 21 Oct 2013 20:13:21 GMT",
+         "d07abe941054d444a8200595040b8166e082a62d1bff"),  # C.6.1
+        ("https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),
+        ("307", "640eff"),  # C.6.2
+        ("gzip", "9bd9ab"),  # C.6.3
+        ("foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+         "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5"
+         "291f9587316065c003ed4ee5b1063d5007"),  # C.6.3
+    ],
+)
+def test_huffman_rfc7541_vectors(text, hexs):
+    assert huffman_encode(text.encode()).hex() == hexs
+    assert huffman_decode(bytes.fromhex(hexs)) == text.encode()
+
+
+def test_huffman_all_bytes_roundtrip():
+    blob = bytes(range(256)) * 3
+    assert huffman_decode(huffman_encode(blob)) == blob
+
+
+def test_huffman_bad_padding_rejected():
+    # 'a' = 00011 + pad must be all-ones; pad a zero bit instead
+    with pytest.raises(ValueError):
+        huffman_decode(bytes([0b00011_010]))
+
+
+def test_hpack_c3_c4_request_stories():
+    plain = [
+        "828684410f7777772e6578616d706c652e636f6d",
+        "828684be58086e6f2d6361636865",
+        "828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565",
+    ]
+    huff = [
+        "828684418cf1e3c2e5f23a6ba0ab90f4ff",
+        "828684be5886a8eb10649cbf",
+        "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf",
+    ]
+    want_last = [
+        (":method", "GET"),
+        (":scheme", "https"),
+        (":path", "/index.html"),
+        (":authority", "www.example.com"),
+        ("custom-key", "custom-value"),
+    ]
+    for blocks in (plain, huff):
+        d = Decoder()
+        out = [d.decode(bytes.fromhex(b)) for b in blocks]
+        assert out[0][0] == (":method", "GET")
+        assert out[1][-1] == ("cache-control", "no-cache")
+        assert out[2] == want_last
+        assert d.size == 164  # dynamic table state per C.3.3/C.4.3
+
+
+def test_hpack_c5_c6_response_stories_with_eviction():
+    plain = [
+        "4803333032580770726976617465611d4d6f6e2c203231204f63742032"
+        "3031332032303a31333a323120474d546e1768747470733a2f2f777777"
+        "2e6578616d706c652e636f6d",
+        "4803333037c1c0bf",
+        "88c1611d4d6f6e2c203231204f637420323031332032303a31333a3232"
+        "20474d54c05a04677a69707738666f6f3d4153444a4b48514b425a584f"
+        "5157454f50495541585157454f49553b206d61782d6167653d33363030"
+        "3b2076657273696f6e3d31",
+    ]
+    huff = [
+        "488264025885aec3771a4b6196d07abe941054d444a8200595040b8166"
+        "e082a62d1bff6e919d29ad171863c78f0b97c8e9ae82ae43d3",
+        "4883640effc1c0bf",
+        "88c16196d07abe941054d444a8200595040b8166e084a62d1bffc05a83"
+        "9bd9ab77ad94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1"
+        "ab270fb5291f9587316065c003ed4ee5b1063d5007",
+    ]
+    for blocks in (plain, huff):
+        d = Decoder(max_table_size=256)
+        r1 = d.decode(bytes.fromhex(blocks[0]))
+        assert r1[0] == (":status", "302") and d.size == 222
+        r2 = d.decode(bytes.fromhex(blocks[1]))
+        # :status 302 was evicted; the rest re-resolve from the table
+        assert r2[0] == (":status", "307") and r2[1:] == r1[1:]
+        assert d.size == 222
+        r3 = d.decode(bytes.fromhex(blocks[2]))
+        assert r3[0] == (":status", "200")
+        assert r3[-1][0] == "set-cookie" and d.size == 215
+
+
+def test_hpack_encoder_decoder_roundtrip():
+    headers = [
+        (":status", "200"),
+        ("content-type", "application/grpc"),
+        ("grpc-status", "0"),
+        ("x-custom-header", "Value With CAPS and :colons:"),
+    ]
+    for huffman in (False, True):
+        out = Decoder().decode(Encoder(huffman=huffman).encode(headers))
+        assert out == [(n.lower(), v) for n, v in headers]
+
+
+def test_hpack_rejects_bad_index():
+    with pytest.raises(ValueError):
+        Decoder().decode(bytes([0x80 | 127, 200]))  # far beyond table
+
+
+# ---------------------------------------------------------------------
+# live gRPC service
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def grpc_stack(spark, tmp_path_factory):
+    from marketstore_spark.catalog import Catalog
+    from marketstore_spark.grpcfront import GrpcClient, serve_grpc_background
+    from marketstore_spark.server import DataService
+
+    root = tmp_path_factory.mktemp("grpc_catalog")
+    svc = DataService(Catalog(spark, str(root)))
+    srv, _thread = serve_grpc_background(svc)
+    cli = GrpcClient(port=srv.port)
+    yield cli, svc
+    cli.close()
+    srv.shutdown()
+
+
+UTC = dt.timezone.utc
+
+
+def _bars(n=3, start="2024-01-02 09:30"):
+    ts = pd.date_range(start, periods=n, freq="1min")
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "open": [float(i + 1) for i in range(n)],
+            "close": [float(i + 1) + 0.5 for i in range(n)],
+            "volume": list(range(10, 10 + 10 * n, 10)),
+        }
+    )
+
+
+def test_grpc_server_version(grpc_stack):
+    cli, _ = grpc_stack
+    from marketstore_spark import __version__
+
+    assert cli.server_version() == __version__
+
+
+def test_grpc_write_query_roundtrip(grpc_stack):
+    cli, _ = grpc_stack
+    cli.write(_bars(3), "GAAPL/1Min/OHLCV")
+    frames = cli.query("GAAPL/1Min/OHLCV")
+    assert list(frames) == ["GAAPL/1Min/OHLCV"]
+    f = frames["GAAPL/1Min/OHLCV"]
+    assert f["close"].tolist() == [1.5, 2.5, 3.5]  # Epoch order
+    # ts arrives as epoch-ns int64 (the engine wire convention)
+    assert int(f["ts"].iloc[0]) == int(
+        dt.datetime(2024, 1, 2, 9, 30, tzinfo=UTC).timestamp() * 1_000_000_000
+    )
+
+
+def test_grpc_query_returns_epoch_order_across_commits(grpc_stack):
+    """Multiple appends land in multiple parquet files; Query must
+    still return time order (the reference's storage is time-indexed,
+    executor/reader.go)."""
+    cli, _ = grpc_stack
+    cli.write(_bars(2, start="2024-01-02 10:00"), "GORD/1Min/OHLCV")
+    cli.write(_bars(2, start="2024-01-02 09:00"), "GORD/1Min/OHLCV")
+    cli.write(_bars(2, start="2024-01-02 09:30"), "GORD/1Min/OHLCV")
+    f = cli.query("GORD/1Min/OHLCV")["GORD/1Min/OHLCV"]
+    assert f["ts"].tolist() == sorted(f["ts"].tolist())
+    assert len(f) == 6
+
+
+def test_grpc_query_range_and_limit(grpc_stack):
+    cli, _ = grpc_stack
+    cli.write(_bars(5), "GRNG/1Min/OHLCV")
+    start = int(dt.datetime(2024, 1, 2, 9, 31, tzinfo=UTC).timestamp())
+    f = cli.query(
+        "GRNG/1Min/OHLCV",
+        epoch_start=start,
+        limit_record_count=2,
+        limit_from_start=True,
+    )["GRNG/1Min/OHLCV"]
+    assert f["close"].tolist() == [2.5, 3.5]
+    # tail limit: last 2 of the range
+    f = cli.query("GRNG/1Min/OHLCV", limit_record_count=2)["GRNG/1Min/OHLCV"]
+    assert f["close"].tolist() == [4.5, 5.5]
+    # column projection
+    f = cli.query("GRNG/1Min/OHLCV", columns=["ts", "close"])["GRNG/1Min/OHLCV"]
+    assert list(f.columns) == ["ts", "close"]
+
+
+def test_grpc_epoch_nanos_write_convention(grpc_stack):
+    """frontend/grpc.go accepts the reference's Epoch(+Nanoseconds)
+    columns; they fold into ts on ingest."""
+    cli, _ = grpc_stack
+    epoch = int(dt.datetime(2024, 3, 1, 12, 0, tzinfo=UTC).timestamp())
+    pdf = pd.DataFrame(
+        {
+            "Epoch": [epoch, epoch + 60],
+            # 500 µs: Spark timestamps are µs-precision, so the wire's
+            # nanosecond field survives down to the microsecond
+            "Nanoseconds": [0, 500_000],
+            "price": [10.0, 11.0],
+        }
+    )
+    cli.write(pdf, "GEPO/1Min/TICK")
+    f = cli.query("GEPO/1Min/TICK")["GEPO/1Min/TICK"]
+    assert int(f["ts"].iloc[1]) == (epoch + 60) * 1_000_000_000 + 500_000
+    assert f["price"].tolist() == [10.0, 11.0]
+
+
+def test_grpc_query_functions_pipeline(grpc_stack):
+    """QueryRequest.functions (proto field 12) runs the UDA registry —
+    the grpc twin of frontend Query's function chain."""
+    cli, _ = grpc_stack
+    ticks = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-02 09:00", periods=60, freq="1min"),
+            "value": [float(i + 1) for i in range(60)],
+            # open/close tie-break column (tickcandler's deterministic
+            # first/last-by-(ts, event_id) ordering)
+            "event_id": list(range(60)),
+        }
+    )
+    cli.write(ticks, "GFUN/1Min/TICK")
+    f = cli.query(
+        "GFUN/1Min/TICK", functions=["tickcandler('1H',value)"]
+    )["GFUN/1Min/TICK"]
+    assert len(f) == 1  # 60 one-minute ticks → one hourly candle
+    row = f.iloc[0]
+    assert row["open"] == 1.0 and row["close"] == 60.0
+    assert row["high"] == 60.0 and row["low"] == 1.0
+    cli.destroy("GFUN/1Min/TICK")
+
+
+def test_grpc_sql_statement(grpc_stack):
+    cli, _ = grpc_stack
+    cli.write(_bars(4), "GSQL/1Min/OHLCV")
+    frames = cli.sql("SELECT COUNT(*) AS n, SUM(volume) AS v FROM `GSQL/1Min/OHLCV`")
+    f = next(iter(frames.values()))
+    assert f.to_dict("records") == [{"n": 4, "v": 100}]
+
+
+def test_grpc_list_symbols_and_destroy(grpc_stack):
+    cli, _ = grpc_stack
+    cli.write(_bars(1), "GLST/1Min/OHLCV")
+    assert "GLST" in cli.list_symbols()
+    assert "GLST/1Min/OHLCV" in cli.list_symbols("tbk")
+    resp = cli.destroy("GLST/1Min/OHLCV")
+    assert resp["responses"][0]["error"] == ""
+    assert "GLST" not in cli.list_symbols()
+
+
+def test_grpc_create_from_data_shapes(grpc_stack):
+    cli, _ = grpc_stack
+    resp = cli.call(
+        "Create",
+        {
+            "requests": [
+                {
+                    "key": "GNEW/1Min/OHLCV",
+                    "data_shapes": [
+                        {"name": "Epoch", "type": "i8"},
+                        {"name": "close", "type": "f8"},
+                        {"name": "volume", "type": "i8"},
+                    ],
+                    "row_type": "fixed",
+                }
+            ]
+        },
+    )
+    assert resp["responses"][0]["error"] == ""
+    assert "GNEW/1Min/OHLCV" in cli.list_symbols("tbk")
+    cli.destroy("GNEW/1Min/OHLCV")
+
+
+def test_grpc_error_paths(grpc_stack):
+    cli, _ = grpc_stack
+    from marketstore_spark.grpcfront import GrpcError, UNIMPLEMENTED
+
+    with pytest.raises(KeyError):
+        cli.call("Bogus")  # not in the client method table
+    # unknown method at the server → UNIMPLEMENTED in the trailers
+    _h, _b, trailers = cli.conn.request(
+        [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", "/proto.Marketstore/Nope"),
+            (":authority", "x"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ],
+        b"\x00\x00\x00\x00\x00",
+    )
+    assert dict(trailers)["grpc-status"] == str(UNIMPLEMENTED)
+    # missing bucket → non-zero status via the client helper
+    with pytest.raises(GrpcError):
+        cli.query("GNOPE/1Min/OHLCV")
+    # compressed-flag messages are refused
+    _h, _b, trailers = cli.conn.request(
+        [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", "/proto.Marketstore/ServerVersion"),
+            (":authority", "x"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ],
+        b"\x01\x00\x00\x00\x00",
+    )
+    assert dict(trailers)["grpc-status"] == str(UNIMPLEMENTED)
+
+
+def test_grpc_flow_control_large_response(grpc_stack):
+    """A response body well past the 65535-byte default connection
+    window forces WINDOW_UPDATE-driven chunked sends on the server and
+    replenishment from the client."""
+    cli, _ = grpc_stack
+    cli.write(_bars(4000, start="2024-02-01 00:00"), "GBIG/1Min/OHLCV")
+    f = cli.query("GBIG/1Min/OHLCV")["GBIG/1Min/OHLCV"]
+    assert len(f) == 4000
+    # 4 columns × 8 bytes × 4000 rows ≈ 128 KiB of column buffers
+    assert f["ts"].tolist() == sorted(f["ts"].tolist())
+    cli.destroy("GBIG/1Min/OHLCV")
