@@ -242,3 +242,51 @@ def test_binance_feeder_end_to_end(spark, tmp_path):
     stored = cat.read("ETHBTC/1Min/OHLCV")
     got = sorted(stored.collect(), key=lambda r: r["ts"])
     assert [r["close"] for r in got] == pytest.approx([0.015771, 0.0165])
+
+
+# ---------------------------------------------------------------------
+# landing-zone path: raw payload files → readStream → normalizer → sink
+# ---------------------------------------------------------------------
+
+
+def test_polygon_landing_zone_stream(spark, tmp_path):
+    """The 100 TB ingest shape: raw websocket frames land as text files,
+    Structured Streaming reads them, the SAME normalizer used by the
+    poll path parses distributively, and the exactly-once sink appends
+    the bucket — no Python in the parse loop."""
+    import pyspark.sql.functions as F
+    from marketstore_spark.streaming.writer import append_sink
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "frame-001.json").write_text(json.dumps(POLYGON_EVENTS))
+    (landing / "frame-002.json").write_text(
+        json.dumps(
+            [
+                {"ev": "T", "sym": "MSFT", "p": 115.0, "s": 300,
+                 "t": 1536036900000, "c": []},
+            ]
+        )
+    )
+
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(os.fspath(landing))
+        .withColumnRenamed("value", "payload")
+    )
+    trades = normalize_polygon_trades(raw)
+    dest = tmp_path / "buckets" / "MSFT" / "1Min" / "TICK"
+    q = append_sink(
+        trades.withColumn("ingest_date", F.to_date("ts")),
+        os.fspath(dest),
+        checkpoint_dir=os.fspath(tmp_path / "ckpt"),
+        partition_by=["ingest_date"],
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        spark.read.parquet(os.fspath(dest)).collect(), key=lambda r: r["ts"]
+    )
+    # frame-001 contributes its single valid print, frame-002 one more
+    assert [(r["price"], r["size"]) for r in got] == [(114.125, 100), (115.0, 300)]

@@ -433,3 +433,92 @@ def test_grpc_flow_control_large_response(grpc_stack):
     # 4 columns × 8 bytes × 4000 rows ≈ 128 KiB of column buffers
     assert f["ts"].tolist() == sorted(f["ts"].tolist())
     cli.destroy("GBIG/1Min/OHLCV")
+
+
+# ---------------------------------------------------------------------
+# property tests (hypothesis): wire codecs must roundtrip arbitrary data
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_huffman_roundtrip_property(blob):
+    assert huffman_decode(huffman_encode(blob)) == blob
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x21, max_codepoint=0x7E
+                ),
+                min_size=1,
+                max_size=20,
+            ).map(str.lower),
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20, max_codepoint=0xFF,
+                    exclude_characters="\r\n",
+                ),
+                max_size=40,
+            ),
+        ),
+        max_size=10,
+    ),
+    st.booleans(),
+)
+def test_hpack_roundtrip_property(headers, huffman):
+    got = Decoder().decode(Encoder(huffman=huffman).encode(headers))
+    assert got == headers
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.builds(
+        dict,
+        is_sql_statement=st.booleans(),
+        sql_statement=st.text(max_size=30),
+        destination=st.text(max_size=30),
+        epoch_start=st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        epoch_end=st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        epoch_start_nanos=st.integers(min_value=0, max_value=999_999_999),
+        limit_record_count=st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1),
+        limit_from_start=st.booleans(),
+        columns=st.lists(st.text(max_size=10), max_size=5),
+        functions=st.lists(st.text(max_size=10), max_size=3),
+    )
+)
+def test_protowire_query_request_roundtrip_property(req):
+    got = protowire.decode(
+        "QueryRequest", protowire.encode("QueryRequest", req)
+    )
+    for k, v in req.items():
+        assert got[k] == v, k
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(st.text(min_size=1, max_size=20), st.integers(0, 2 ** 31 - 1),
+                    max_size=8),
+    st.lists(st.binary(max_size=64), max_size=4),
+)
+def test_protowire_nmds_roundtrip_property(index, buffers):
+    msg = {
+        "data": {
+            "column_types": ["i8"] * len(buffers),
+            "column_names": [f"c{i}" for i in range(len(buffers))],
+            "column_data": buffers,
+            "length": 7,
+        },
+        "start_index": index,
+        "lengths": index,
+    }
+    got = protowire.decode(
+        "NumpyMultiDataset", protowire.encode("NumpyMultiDataset", msg)
+    )
+    assert got["start_index"] == index and got["lengths"] == index
+    assert got["data"]["column_data"] == buffers
