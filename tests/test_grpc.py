@@ -522,3 +522,55 @@ def test_protowire_nmds_roundtrip_property(index, buffers):
     )
     assert got["start_index"] == index and got["lengths"] == index
     assert got["data"]["column_data"] == buffers
+
+
+def test_grpc_interleaved_concurrent_streams(grpc_stack):
+    """A multiplexing client interleaves two unary calls on one
+    connection (HEADERS 1, HEADERS 3, DATA 1, DATA 3); the server's
+    per-stream state must keep both exchanges intact."""
+    from marketstore_spark.grpcfront import (
+        GrpcClient, _METHODS, _unwrap_unary, _wrap,
+    )
+    from marketstore_spark.http2lite import H2ClientConnection, _Stream
+
+    cli, _ = grpc_stack
+    conn = H2ClientConnection("127.0.0.1", cli.port)
+
+    def headers_for(method):
+        return [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", "/proto.Marketstore/" + method),
+            (":authority", "x"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ]
+
+    body1 = _wrap(protowire.encode("ServerVersionRequest", {}))
+    body3 = _wrap(protowire.encode("ListSymbolsRequest", {"format": 1}))
+    conn.streams[1] = _Stream(conn.peer_initial_window)
+    conn.streams[3] = _Stream(conn.peer_initial_window)
+    conn.send_headers(1, headers_for("ServerVersion"))
+    conn.send_headers(3, headers_for("ListSymbols"))
+    conn.send_data(1, body1, end_stream=True)
+    conn.send_data(3, body3, end_stream=True)
+
+    results = {}
+    from marketstore_spark.http2lite import read_frame
+
+    while len(results) < 2:
+        done = conn._handle_frame(*read_frame(conn.rfile, conn.peer_max_frame))
+        if done is not None:
+            st = conn.streams.pop(done)
+            results[done] = st
+    v = protowire.decode("ServerVersionResponse", _unwrap_unary(bytes(results[1].body)))
+    from marketstore_spark import __version__
+
+    assert v["version"] == __version__
+    syms = protowire.decode(
+        "ListSymbolsResponse", _unwrap_unary(bytes(results[3].body))
+    )
+    assert all("/" in s for s in syms["results"])  # tbk format
+    assert dict(results[1].blocks[1])["grpc-status"] == "0"
+    assert dict(results[3].blocks[1])["grpc-status"] == "0"
+    conn.close()
