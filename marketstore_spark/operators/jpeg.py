@@ -1,17 +1,30 @@
-"""Baseline JPEG codec — pure stdlib + numpy (no PIL/libjpeg).
+"""JPEG codec — pure stdlib + numpy (no PIL/libjpeg).
 
 Implements the subset that covers the overwhelming majority of corpus
-JPEGs: baseline sequential DCT (SOF0), 8-bit samples, YCbCr (3
-component) or grayscale (1 component), 4:4:4 or 4:2:0 chroma
-subsampling, with Huffman tables read from the file.  Progressive
-(SOF2), arithmetic coding, and 12-bit variants raise
-NotImplementedError — callers record decoded_ok=0 (data, not a bug).
+JPEGs: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, ITU-T T.81 G.1/G.2:
+interleaved DC scans with refinement passes, per-component AC band
+scans with EOB-run coding and the correction-bit refinement
+algorithm), 8-bit samples, YCbCr (3 component) or grayscale (1
+component), 4:4:4 / 4:2:0 / 4:2:2-style sampling factors, restart
+markers, with Huffman tables read from the file.  Both frame types
+share one decode path: every scan accumulates into per-component
+coefficient stores; dequantization + IDCT happen once at the end —
+exactly the structure T.81 prescribes, which is why a baseline scan
+is just the degenerate single full-band scan.  Arithmetic coding and
+12-bit variants raise NotImplementedError — callers record
+decoded_ok=0 (data, not a bug).
 
-The encoder emits 4:4:4 baseline JFIF with the spec's example tables
+The encoder emits baseline JFIF with the spec's example tables
 (ITU-T T.81 Annex K: quantization tables scaled by quality, typical
 luma/chroma Huffman tables), so decode(encode(x)) round-trips within
 normal quantization error and any standards-conforming decoder can
-read the output.
+read the output.  ``progressive=True`` emits an SOF2 scan script
+(libjpeg's default shape: shifted DC, split AC bands at Al=2, two AC
+refinement passes, DC refinement) whose decode is pixel-identical to
+the baseline encoding at the same quality — the coefficient arrays
+are the same, only the entropy layering differs; tests pin that
+equality.
 
 Everything is vectorized numpy except the entropy-coded segment, which
 is inherently serial bit I/O — fine for thumbnail-scale payloads
@@ -263,6 +276,18 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).astype(np.int32)
 
 
+#: fixed prefix codes for progressive scans — compression-neutral but
+#: complete: progressive needs EOBn symbols (r<<4, r≤14) that the
+#: Annex K baseline tables don't define.  DC: all 12 size categories
+#: at 4 bits; AC: every possible RS byte, 254 at 8 bits + 2 at 9
+#: (Kraft < 1, so the all-ones code stays unused per C.2).
+FLAT_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
 def _encode_block(bw, block, q, dct_codes, act_codes, prev_dc):
     coef = np.round(_fdct(block - 128.0) / q).astype(np.int32).ravel()
     zz = coef[ZIGZAG]
@@ -294,18 +319,9 @@ def _encode_block(bw, block, q, dct_codes, act_codes, prev_dc):
     return int(zz[0])
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """H×W×3 uint8 RGB → baseline JFIF bytes (Annex-K tables).
-    ``subsampling='420'`` downsamples chroma 2×2 (the camera-default
-    layout); ``'444'`` keeps full-resolution chroma.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
-    every that many MCUs (DC predictors reset) — what cameras write
-    for error resilience."""
+def _prepare_planes(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared encode front half: RGB → padded YCbCr component planes
+    plus quantization tables and MCU grid."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, w, _ = pixels.shape
@@ -316,10 +332,6 @@ def encode_jpeg(
 
     qy = _quality_scale(QUANT_LUMA, quality).reshape(8, 8)
     qc = _quality_scale(QUANT_CHROMA, quality).reshape(8, 8)
-    dc_l = _build_huffman_codes(*HUFF_DC_LUMA)
-    ac_l = _build_huffman_codes(*HUFF_AC_LUMA)
-    dc_c = _build_huffman_codes(*HUFF_DC_CHROMA)
-    ac_c = _build_huffman_codes(*HUFF_AC_CHROMA)
 
     if subsampling == "420":
         # pad to even, then 2×2 mean-pool the chroma planes
@@ -336,9 +348,8 @@ def encode_jpeg(
     vmax = max(f[1] for f in factors)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    comps = [(y, qy, dc_l, ac_l), (cb, qc, dc_c, ac_c), (cr, qc, dc_c, ac_c)]
     planes = []
-    for (plane, *_), (fh, fv) in zip(comps, factors):
+    for plane, (fh, fv) in zip((y, cb, cr), factors):
         th, tw = mcus_y * fv * 8, mcus_x * fh * 8
         planes.append(
             np.pad(
@@ -347,6 +358,62 @@ def encode_jpeg(
                 mode="edge",
             )
         )
+    return h, w, factors, planes, qy, qc, mcus_x, mcus_y
+
+
+def _jfif_headers(h, w, qy, qc, factors, sof_marker):
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(q.ravel()[ZIGZAG].astype(np.uint8)))
+
+    sof = seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes(
+            [
+                1, (factors[0][0] << 4) | factors[0][1], 0,
+                2, (factors[1][0] << 4) | factors[1][1], 1,
+                3, (factors[2][0] << 4) | factors[2][1], 1,
+            ]
+        ),
+    )
+    jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + jfif + dqt(0, qy) + dqt(1, qc) + sof
+
+
+def _dht_segment(cls: int, tid: int, table) -> bytes:
+    counts, symbols = table
+    payload = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
+    return struct.pack(">HH", 0xFFC4, len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
+) -> bytes:
+    """H×W×3 uint8 RGB → JFIF bytes (Annex-K tables).
+    ``subsampling='420'`` downsamples chroma 2×2 (the camera-default
+    layout); ``'444'`` keeps full-resolution chroma.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset) — what cameras write
+    for error resilience.  ``progressive=True`` emits an SOF2 scan
+    script instead (see :func:`_encode_progressive`); decode is
+    pixel-identical to the baseline encoding at the same settings."""
+    if progressive:
+        return _encode_progressive(pixels, quality, subsampling)
+    h, w, factors, planes, qy, qc, mcus_x, mcus_y = _prepare_planes(
+        pixels, quality, subsampling
+    )
+    dc_l = _build_huffman_codes(*HUFF_DC_LUMA)
+    ac_l = _build_huffman_codes(*HUFF_AC_LUMA)
+    dc_c = _build_huffman_codes(*HUFF_DC_CHROMA)
+    ac_c = _build_huffman_codes(*HUFF_AC_CHROMA)
+    comps = [(None, qy, dc_l, ac_l), (None, qc, dc_c, ac_c), (None, qc, dc_c, ac_c)]
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
@@ -406,18 +473,223 @@ def encode_jpeg(
     )
 
 
+# -- progressive encoder (T.81 Annex G) -------------------------------
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan.  Mirrors the decode
+    algorithms exactly: EOB-run accumulation across blocks, buffered
+    correction bits (the BE/BR discipline of G.1.2.3 — corrections
+    crossed before a symbol are emitted right after that symbol and
+    its sign bit; corrections inside an EOB run ride with the EOBn)."""
+
+    def __init__(self, dc_codes, ac_codes):
+        self.bw = _BitWriter()
+        self.dc = dc_codes
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits owned by the EOB run
+
+    def _sym(self, s):
+        code, length = self.ac[s]
+        self.bw.write(code, length)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            n = self.eobrun
+            nbits = n.bit_length() - 1
+            self._sym(nbits << 4)
+            if nbits:
+                self.bw.write(n & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.be:
+                self.bw.write(b, 1)
+            self.be = []
+
+    # -- DC scans (G.1.2.1) -------------------------------------------
+    def dc_first_block(self, zz, prev: int, al: int) -> int:
+        v = int(zz[0]) >> al  # point transform: arithmetic shift
+        diff = v - prev
+        size, bits = _magnitude(diff)
+        code, length = self.dc[size]
+        self.bw.write(code, length)
+        self.bw.write(bits, size)
+        return v
+
+    def dc_refine_block(self, zz, al: int) -> None:
+        self.bw.write((int(zz[0]) >> al) & 1, 1)
+
+    # -- AC scans (G.1.2.2 / G.1.2.3) ---------------------------------
+    def ac_first_block(self, zz, ss: int, se: int, al: int) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al  # magnitude point transform (toward zero)
+            if t == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                self._sym(0xF0)
+                r -= 16
+            size, bits = _magnitude(t if v >= 0 else -t)
+            self._sym((r << 4) | size)
+            self.bw.write(bits, size)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def ac_refine_block(self, zz, ss: int, se: int, al: int) -> None:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = 0  # last newly-significant position; 0 = none
+        for k in range(ss, se + 1):
+            if absv[k - ss] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []  # this block's pending correction bits
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.emit_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if t > 1:  # history-nonzero: one correction bit, no run
+                br.append(t & 1)
+                continue
+            self.emit_eobrun()
+            self._sym((r << 4) | 1)
+            self.bw.write(0 if int(zz[k]) < 0 else 1, 1)
+            r = 0
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        return self.bw.flush()
+
+
+def _encode_progressive(pixels: np.ndarray, quality: int, subsampling: str) -> bytes:
+    """SOF2 encoding with libjpeg's default scan-script shape: shifted
+    interleaved DC (Al=1), split AC first scans at Al=2 (bands 1–5 and
+    6–63), two AC refinement passes (2→1, 1→0) and a DC refinement —
+    every progressive decode path in this module has an encode twin, so
+    decode(progressive) ≡ decode(baseline) is testable bit-for-bit."""
+    h, w, factors, planes, qy, qc, mcus_x, mcus_y = _prepare_planes(
+        pixels, quality, subsampling
+    )
+    qs = [qy, qc, qc]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    # quantized coefficients per component, zigzag order
+    stores = []
+    for ci, ((fh, fv), plane) in enumerate(zip(factors, planes)):
+        bh, bwid = mcus_y * fv, mcus_x * fh
+        store = np.zeros((bh, bwid, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bwid):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.round(_fdct(block - 128.0) / qs[ci])
+                store[by, bx] = coef.astype(np.int32).ravel()[ZIGZAG]
+        stores.append(store)
+
+    # non-interleaved block grids (true component dims, §A.2.2)
+    true_dims = []
+    for fh, fv in factors:
+        cw = (w * fh + hmax - 1) // hmax
+        chh = (h * fv + vmax - 1) // vmax
+        true_dims.append(((chh + 7) // 8, (cw + 7) // 8))
+
+    dc_codes = _build_huffman_codes(*FLAT_DC)
+    ac_codes = _build_huffman_codes(*FLAT_AC)
+
+    def sos(scomps, ss, se, ah, al):
+        body = bytes([len(scomps)])
+        for cid in scomps:
+            body += bytes([cid, 0x00])  # dc table 0, ac table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+
+    def dc_scan(ah, al):
+        wtr = _ProgScanWriter(dc_codes, ac_codes)
+        prev = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (fh, fv) in enumerate(factors):
+                    for by in range(fv):
+                        for bx in range(fh):
+                            zz = stores[ci][my * fv + by, mx * fh + bx]
+                            if ah == 0:
+                                prev[ci] = wtr.dc_first_block(zz, prev[ci], al)
+                            else:
+                                wtr.dc_refine_block(zz, al)
+        return sos([1, 2, 3], 0, 0, ah, al) + wtr.finish()
+
+    def ac_scan(ci, ss, se, ah, al):
+        wtr = _ProgScanWriter(dc_codes, ac_codes)
+        bh, bwid = true_dims[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                if ah == 0:
+                    wtr.ac_first_block(stores[ci][by, bx], ss, se, al)
+                else:
+                    wtr.ac_refine_block(stores[ci][by, bx], ss, se, al)
+        return sos([ci + 1], ss, se, ah, al) + wtr.finish()
+
+    scans = [dc_scan(0, 1)]
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(3):
+            scans.append(ac_scan(ci, ss, se, 0, 2))
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(3):
+            scans.append(ac_scan(ci, 1, 63, ah, al))
+    scans.append(dc_scan(1, 0))
+
+    return (
+        _jfif_headers(h, w, qy, qc, factors, 0xFFC2)
+        + _dht_segment(0, 0, FLAT_DC)
+        + _dht_segment(1, 0, FLAT_AC)
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 # -- decoder ----------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → H×W×3 uint8 RGB (grayscale replicates)."""
+    """JFIF bytes (baseline SOF0/1 or progressive SOF2) → H×W×3 uint8
+    RGB (grayscale replicates).
+
+    One architecture for both frame types (T.81 §E/G): each SOS scan
+    entropy-decodes into persistent per-component coefficient stores —
+    a baseline file is simply the single full-band scan — and the
+    image reconstructs once from the final coefficients.
+    """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    coefs = None
+    got_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -448,110 +720,272 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(cls, tid)] = _build_huffman_lut(counts, list(d[17 : 17 + n]))
                 d = d[17 + n :]
-        elif marker == 0xFFC0 or marker == 0xFFC1:
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
+            progressive = marker == 0xFFC2
             comps = []
             for i in range(nc):
                 cid, samp, qid = data[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (h, w, comps)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0/1)")
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG"
+            )
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", data, 0)[0]
         elif marker == 0xFFDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
-            scan = []
+            scomps = []
             for i in range(ns):
                 cid, tids = data[1 + 2 * i : 3 + 2 * i]
-                scan.append((cid, tids >> 4, tids & 0xF))
-            entropy_start = pos + ln
-            return _decode_scan(
-                payload, entropy_start, frame, scan, quant, huff, restart_interval
+                scomps.append((cid, tids >> 4, tids & 0xF))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            a = data[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not progressive:
+                # baseline SOS always covers the full band unshifted
+                ss, se, ah, al = 0, 63, 0, 0
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_entropy(
+                payload, pos + ln, frame, scomps, ss, se, ah, al,
+                coefs, huff, restart_interval,
             )
+            got_scan = True
+            continue
         pos += ln
-    raise ValueError("no scan data found")
+    if not got_scan:
+        raise ValueError("no scan data found")
+    return _reconstruct(frame, coefs, quant)
 
 
-def _decode_scan(payload, start, frame, scan, quant, huff, restart_interval):
+def _alloc_coefs(frame):
+    """Per-component coefficient stores sized to the padded MCU grid
+    (natural order, (block_rows, block_cols, 64))."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)
+        for _cid, ch, cv, _qid in comps
+    ]
+
+
+def _component_block_dims(frame, ci):
+    """True (non-interleaved) block grid of one component (T.81 §A.2.2:
+    ceil of the scaled sample dimensions over 8)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _cid, ch, cv, _qid = comps[ci]
+    cw = (w * ch + hmax - 1) // hmax
+    chh = (h * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _sync_restart(reader: _BitReader) -> None:
+    """Drop partial bits and skip past the next RSTn marker."""
+    reader.nbits = 0
+    reader.acc = 0
+    d = reader.data
+    p = reader.pos
+    while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+        p += 1
+    reader.pos = p + 2
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Position of the first real marker after an entropy segment
+    (skipping stuffed 0xFF00 and RSTn, which belong to the segment)."""
+    p = start
+    n = len(payload)
+    while p + 1 < n:
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return n
+
+
+# -- per-block entropy decoders (T.81 F.2.2 / G.2) --------------------
+
+
+def _dec_dc_first(reader, block, dc_lut, prev_dc, cid, al):
+    size = _read_code(reader, dc_lut)
+    diff = _extend(reader.read(size), size)
+    prev_dc[cid] += diff
+    block[0] = prev_dc[cid] << al
+
+
+def _dec_dc_refine(reader, block, al):
+    if reader.read(1):
+        block[0] |= 1 << al
+
+
+def _dec_ac_first(reader, block, ac_lut, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_code(reader, ac_lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            break  # tolerate corrupt run like the baseline path
+        block[ZIGZAG[k]] = _extend(reader.read(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(reader, block, ac_lut, ss, se, al, state):
+    """Successive-approximation AC refinement (T.81 G.2.2): one
+    correction bit per already-nonzero coefficient crossed, new
+    coefficients appear as ±1<<Al after their zero run."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_code(reader, ac_lut)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read(r)
+                    break  # the tail below consumes this block
+                # r == 15: ZRL — cross 16 zero-history positions
+            else:
+                val = p1 if reader.read(1) else -p1
+            while k <= se:
+                z = ZIGZAG[k]
+                if block[z] != 0:
+                    if reader.read(1) and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[ZIGZAG[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if block[z] != 0:
+                if reader.read(1) and (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] >= 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_entropy(
+    payload, start, frame, scomps, ss, se, ah, al, coefs, huff, restart_interval
+):
+    """Decode one scan's entropy segment into the coefficient stores;
+    returns the payload position just past the segment."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
         raise NotImplementedError("only 1x1/2x2 sampling factors")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
+    ci_by_cid = {cid: i for i, (cid, *_rest) in enumerate(comps)}
     reader = _BitReader(payload[start:])
-    planes = []
-    for cid, ch, cv, qid in comps:
-        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
-        planes.append(np.zeros((ph, pw), np.float64))
-    scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan}
-    prev_dc = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
+    prev_dc = {cid: 0 for cid, _dc, _ac in scomps}
+    state = {"eobrun": 0}
+    unit = 0  # MCU (interleaved) / block (single-component) counter
 
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # realign to the RSTn marker: drop partial bits, skip marker
-                reader.nbits = 0
-                reader.acc = 0
-                d = reader.data
-                p = reader.pos
-                while p + 1 < len(d) and not (
-                    d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
-                ):
-                    p += 1
-                reader.pos = p + 2
-                for cid in prev_dc:
-                    prev_dc[cid] = 0
-            for ci, (cid, ch, cv, qid) in enumerate(comps):
-                dc_lut = huff[(0, scan_by_cid[cid][0])]
-                ac_lut = huff[(1, scan_by_cid[cid][1])]
-                q = quant[qid]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, np.int32)
-                        size = _read_code(reader, dc_lut)
-                        diff = _extend(reader.read(size), size)
-                        prev_dc[cid] += diff
-                        zz[0] = prev_dc[cid]
-                        i = 1
-                        while i < 64:
-                            rs = _read_code(reader, ac_lut)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    i += 16
-                                    continue
-                                break  # EOB
-                            i += run
-                            if i > 63:
-                                break
-                            zz[i] = _extend(reader.read(size), size)
-                            i += 1
-                        coef = np.zeros(64, np.int32)
-                        coef[ZIGZAG] = zz
-                        block = _idct(coef.reshape(8, 8) * q) + 128.0
-                        py = (my * cv + by) * 8
-                        px = (mx * ch + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = block
-            mcu_count += 1
+    def maybe_restart():
+        nonlocal unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            _sync_restart(reader)
+            for cid in prev_dc:
+                prev_dc[cid] = 0
+            state["eobrun"] = 0
+        unit += 1
 
-    # upsample each component to full size and color-convert
+    def decode_block(block, cid, dc_tid, ac_tid):
+        if ss == 0:
+            if ah == 0:
+                _dec_dc_first(reader, block, huff[(0, dc_tid)], prev_dc, cid, al)
+            else:
+                _dec_dc_refine(reader, block, al)
+        if se > 0:
+            lut = huff[(1, ac_tid)]
+            lo = max(ss, 1)
+            if ah == 0:
+                _dec_ac_first(reader, block, lut, lo, se, al, state)
+            else:
+                _dec_ac_refine(reader, block, lut, lo, se, al, state)
+
+    if len(scomps) > 1:  # interleaved MCU order (baseline, or DC scans)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for cid, dc_tid, ac_tid in scomps:
+                    ci = ci_by_cid[cid]
+                    _c, ch, cv, _q = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            decode_block(
+                                coefs[ci][my * cv + by, mx * ch + bx],
+                                cid, dc_tid, ac_tid,
+                            )
+    else:  # non-interleaved: the component's own block grid
+        cid, dc_tid, ac_tid = scomps[0]
+        ci = ci_by_cid[cid]
+        bh, bw = _component_block_dims(frame, ci)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                decode_block(coefs[ci][by, bx], cid, dc_tid, ac_tid)
+
+    return _entropy_end(payload, start)
+
+
+def _reconstruct(frame, coefs, quant):
+    """Final coefficients → dequantize, IDCT, upsample, color-convert."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for ci, (cid, ch, cv, qid) in enumerate(comps):
-        p = planes[ci]
+        store = coefs[ci]
+        q = quant[qid]
+        bh, bw = store.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct(store[by, bx].reshape(8, 8) * q) + 128.0
+                )
         if ch != hmax or cv != vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
         return np.dstack([g, g, g])

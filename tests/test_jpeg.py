@@ -58,11 +58,17 @@ def test_marker_layout_and_rejections():
     with pytest.raises(ValueError):
         decode_jpeg(b"notajpeg")
 
-    # progressive (SOF2) must raise NotImplementedError, not garble
+    # a baseline stream relabeled SOF2 is a degenerate one-scan
+    # progressive file: the unified coefficient-store path decodes it
+    # pixel-identically (same scan, same coefficients)
     sof0_at = data.find(b"\xff\xc0")
     prog = data[:sof0_at] + b"\xff\xc2" + data[sof0_at + 2 :]
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(data))
+
+    # arithmetic-coded (SOF9) stays out of scope
+    arith = data[:sof0_at] + b"\xff\xc9" + data[sof0_at + 2 :]
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(arith)
 
 
 def test_sof_subsampling_factors_written():
@@ -119,3 +125,61 @@ def test_restart_markers_roundtrip():
     # DRI segment present only when requested
     assert b"\xff\xdd" in encode_jpeg(px, restart_interval=2)
     assert b"\xff\xdd" not in encode_jpeg(px)
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2) — T.81 Annex G
+# ---------------------------------------------------------------------
+
+import os
+
+_REAL_PROGRESSIVE = (
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/f3.jpg"
+)
+
+
+def test_progressive_decode_equals_baseline():
+    """The scan script re-layers the SAME quantized coefficients, so
+    progressive decode must be pixel-identical to baseline decode —
+    this exercises every scan kind: shifted DC + refinement, split AC
+    first scans at Al=2, two AC refinement passes with EOB runs and
+    correction bits."""
+    rng = np.random.default_rng(7)
+    images = [
+        _gradient(33, 21),  # odd dims: MCU padding + true-dims AC grids
+        rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8),  # dense AC
+        np.full((17, 9, 3), 130, np.uint8),  # EOB-run heavy
+    ]
+    for img in images:
+        for sub in ("444", "420"):
+            base = encode_jpeg(img, quality=85, subsampling=sub)
+            prog = encode_jpeg(img, quality=85, subsampling=sub, progressive=True)
+            assert np.array_equal(decode_jpeg(prog), decode_jpeg(base)), sub
+
+
+def test_progressive_marker_structure():
+    data = encode_jpeg(_gradient(16, 16), progressive=True)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # SOF2, no SOF0
+    # libjpeg-shaped script: DC + 6 AC-first + 6 AC-refine + DC-refine
+    assert data.count(b"\xff\xda") == 14
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REAL_PROGRESSIVE),
+    reason="third-party progressive fixture not on this machine",
+)
+def test_progressive_real_world_conformance():
+    """A real libjpeg-produced progressive photo (public Rust
+    embedded-book asset, 10 scans, 2x1 sampling, successive
+    approximation): all scans must decode without entropy desync and
+    produce photo statistics — a derailed bitstream yields noise
+    (neighbor MAD ≈ 85 for uniform random) or raises."""
+    img = decode_jpeg(open(_REAL_PROGRESSIVE, "rb").read())
+    assert img.shape == (477, 720, 3)
+    assert 40 < img.mean() < 220  # sane exposure
+    mad_h = np.abs(np.diff(img.astype(int), axis=1)).mean()
+    mad_v = np.abs(np.diff(img.astype(int), axis=0)).mean()
+    assert mad_h < 30 and mad_v < 30  # strongly correlated neighbors
+    assert img.std() > 20  # and not a flat smear
