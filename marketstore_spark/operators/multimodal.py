@@ -108,25 +108,41 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 
 
 def decode_bmp(payload: bytes) -> "np.ndarray":
-    """24-bit uncompressed BMP bytes → H×W×3 uint8 (RGB)."""
+    """Uncompressed BMP bytes → H×W×3 uint8 (RGB).
+
+    Covers the uncompressed variants seen in real corpora: 24-bit BGR,
+    32-bit BGRX/BGRA (alpha dropped) and 8-bit paletted (BGRX palette
+    after the info header, ``biClrUsed`` entries or 256).  RLE and
+    bitfield compression raise so the caller records decoded_ok=0."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
-    row = w * 3
+    if bpp not in (8, 24, 32) or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 8/24/32-bit BMP (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    nch = bpp // 8
+    row = w * nch
     stride = row + (4 - row % 4) % 4
     rows = [
         np.frombuffer(payload, np.uint8, count=row, offset=offset + y * stride)
         for y in range(abs(h))
     ]
-    arr = np.stack(rows).reshape(abs(h), w, 3)
+    arr = np.stack(rows).reshape(abs(h), w, nch)
     if h > 0:
         arr = arr[::-1]  # bottom-up → top-down
-    return arr[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 8:
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, np.uint8, count=clr_used * 4, offset=14 + hdr_size
+        ).reshape(clr_used, 4)[:, :3]  # BGRX entries
+        return pal[arr[:, :, 0]][:, :, ::-1].copy()  # index → BGR → RGB
+    return arr[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -224,7 +240,7 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, hdr = 8, bytearray(), None
+    pos, idat, hdr, plte = 8, bytearray(), None, None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
@@ -232,6 +248,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
             hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -239,30 +257,40 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if hdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or ctype not in (2, 6) or interlace not in (0, 1):
+    #: channels per color type: gray, truecolor, palette index,
+    #: gray+alpha, truecolor+alpha (PNG spec §6.1)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    if depth != 8 or ctype not in channels or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only 8-bit RGB(A) PNG, interlace 0/1 (depth={depth}, "
-            f"color_type={ctype}, interlace={interlace})"
+            f"only 8-bit PNG color types 0/2/3/4/6, interlace 0/1 "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
         )
-    ch = 3 if ctype == 2 else 4
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    ch = channels[ctype]
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         out, p = _png_unfilter(raw, 0, w, h, ch)
         if p != len(raw):
             raise ValueError("PNG trailing scanline data")
-        return out.reshape(h, w, ch)[:, :, :3].copy()
-    # Adam7: 7 independently-filtered sub-images scattered onto the grid
-    img = np.zeros((h, w, ch), np.uint8)
-    p = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (w - x0 + dx - 1) // dx
-        ph = (h - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue
-        sub, p = _png_unfilter(raw, p, pw, ph, ch)
-        img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
-    if p != len(raw):
-        raise ValueError("PNG trailing scanline data")
+        img = out.reshape(h, w, ch)
+    else:
+        # Adam7: 7 independently-filtered sub-images scattered on grid
+        img = np.zeros((h, w, ch), np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = _png_unfilter(raw, p, pw, ph, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if p != len(raw):
+            raise ValueError("PNG trailing scanline data")
+    if ctype == 3:
+        return plte[img[:, :, 0]].copy()  # palette lookup → RGB
+    if ctype in (0, 4):  # grayscale (alpha dropped) replicates
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
     return img[:, :, :3].copy()
 
 
@@ -280,19 +308,37 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """WAV bytes → (sample_rate, int16 samples of first channel).
 
-    PCM16 goes through the stdlib ``wave`` module; IEEE-float32 WAVs
-    (format tag 3 — which ``wave`` rejects outright) are parsed from
-    the RIFF chunks directly (round 9) and converted deterministically:
-    clip to [−1, 1], then ``floor(x·32767 + 0.5)`` — engine- and
-    platform-identical for any input.  Other formats (ADPCM, µ-law)
-    still raise so the caller records decoded_ok=0."""
+    PCM goes through the stdlib ``wave`` module — 8-bit unsigned,
+    16-bit, 24-bit and 32-bit widths all normalize to int16 with
+    deterministic integer conversions (u8: ``(x−128)·256``; 24/32-bit:
+    keep the high 16 bits).  IEEE-float32 WAVs (format tag 3 — which
+    ``wave`` rejects outright) are parsed from the RIFF chunks
+    directly (round 9) and converted deterministically: clip to
+    [−1, 1], then ``floor(x·32767 + 0.5)`` — engine- and
+    platform-identical for any input.  Compressed formats (ADPCM,
+    µ-law) still raise so the caller records decoded_ok=0."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
-            if wf.getsampwidth() != 2:
-                raise NotImplementedError("only PCM16 WAV via stdlib wave")
+            width = wf.getsampwidth()
             rate = wf.getframerate()
-            frames = np.frombuffer(wf.readframes(wf.getnframes()), "<i2")
-            return rate, frames[:: wf.getnchannels()].copy()
+            nch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+            if width == 1:  # PCM8 is unsigned
+                u = np.frombuffer(raw, np.uint8).astype(np.int16)
+                frames = (u - 128) * 256
+            elif width == 2:
+                frames = np.frombuffer(raw, "<i2")
+            elif width == 3:  # packed little-endian 24-bit
+                b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                frames = (
+                    (b[:, 2].astype(np.int8).astype(np.int32) << 8)
+                    | b[:, 1].astype(np.int32)
+                ).astype(np.int16)
+            elif width == 4:
+                frames = (np.frombuffer(raw, "<i4") >> 16).astype(np.int16)
+            else:
+                raise NotImplementedError(f"PCM sample width {width}")
+            return rate, frames[::nch].copy()
     except wave.Error:
         pass  # non-PCM format tag: parse the RIFF chunks ourselves
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":

@@ -227,9 +227,10 @@ def test_png_roundtrip_and_filters():
 
     import pytest as _pytest
 
-    pal = _PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+    # 16-bit depth stays out of scope (palette decode landed round 10)
+    deep = _PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
     with _pytest.raises(NotImplementedError):
-        decode_png(pal)
+        decode_png(deep)
 
 
 def test_png_decode_resize_in_spark(spark):
@@ -390,3 +391,128 @@ def test_wav_ieee_float_decode():
     bad = bad.replace(struct.pack("<HH", 3, 1), struct.pack("<HH", 7, 1), 1)
     with _pytest.raises(NotImplementedError):
         decode_wav(bad)
+
+
+# ---------------------------------------------------------------------
+# round 10: remaining common uncompressed variants — paletted/32-bit
+# BMP, gray/palette PNG color types, PCM8/24/32 WAV widths
+# ---------------------------------------------------------------------
+
+
+def _png_chunks(ihdr_fields, extra_chunks, raw):
+    import struct as _s
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    from marketstore_spark.operators.multimodal import _PNG_SIG
+
+    out = _PNG_SIG + chunk(b"IHDR", _s.pack(">IIBBBBB", *ihdr_fields))
+    for typ, data in extra_chunks:
+        out += chunk(typ, data)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_bmp_palette_and_32bit_decode():
+    import struct as _s
+
+    from marketstore_spark.operators.multimodal import decode_bmp
+
+    # 8-bit paletted, 3x2, bottom-up, 4 palette entries (BGRX)
+    pal = bytes([255, 0, 0, 0,    # index 0 → blue-? stored BGR: B=255 → RGB (0,0,255)
+                 0, 255, 0, 0,    # index 1 → green
+                 0, 0, 255, 0,    # index 2 → red
+                 7, 8, 9, 0])     # index 3 → RGB (9,8,7)
+    rows = bytes([0, 1, 2, 0]) + bytes([3, 3, 0, 0])  # 3px + 1 pad each
+    offset = 14 + 40 + len(pal)
+    header = _s.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+    info = _s.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(rows), 0, 0, 4, 0)
+    img = decode_bmp(header + info + pal + rows)
+    assert img.shape == (2, 3, 3)
+    # bottom-up: file row 0 is image row 1
+    assert img[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+    assert img[0].tolist() == [[9, 8, 7], [9, 8, 7], [0, 0, 255]]
+
+    # 32-bit BGRA, 1x2 top-down (negative height), alpha dropped
+    body = bytes([10, 20, 30, 99]) + bytes([40, 50, 60, 99])
+    header = _s.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, 1, -2, 1, 32, 0, len(body), 0, 0, 0, 0)
+    img = decode_bmp(header + info + body)
+    assert img.shape == (2, 1, 3)
+    assert img[0, 0].tolist() == [30, 20, 10]  # BGR → RGB
+    assert img[1, 0].tolist() == [60, 50, 40]
+
+    # RLE compression stays fenced
+    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 1, 4, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(_s.pack("<2sIHHI", b"BM", 58, 0, 0, 54) + info + b"\x00" * 4)
+
+
+def test_png_gray_palette_grayalpha_decode():
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import decode_png
+
+    # color type 0 (grayscale): 3x2, filter 0 rows
+    raw = b"\x00" + bytes([0, 128, 255]) + b"\x00" + bytes([10, 20, 30])
+    img = decode_png(_png_chunks((3, 2, 8, 0, 0, 0, 0), [], raw))
+    assert img.shape == (2, 3, 3)
+    assert img[0, 1].tolist() == [128, 128, 128]  # replicated channels
+    assert img[1, 2].tolist() == [30, 30, 30]
+
+    # color type 3 (palette): PLTE lookup
+    plte = bytes([255, 0, 0, 0, 255, 0, 1, 2, 3])
+    raw = b"\x00" + bytes([2, 1, 0])
+    img = decode_png(_png_chunks((3, 1, 8, 3, 0, 0, 0), [(b"PLTE", plte)], raw))
+    assert img[0].tolist() == [[1, 2, 3], [0, 255, 0], [255, 0, 0]]
+
+    # color type 4 (gray+alpha): alpha dropped, Sub filter exercised
+    # row: filter 1 (Sub, ch=2): raw deltas reconstruct to 50,70 / 90,110
+    raw = b"\x01" + bytes([50, 200, 40, 166])
+    img = decode_png(_png_chunks((2, 1, 8, 4, 0, 0, 0), [], raw))
+    assert img[0, 0].tolist() == [50, 50, 50]
+    assert img[0, 1].tolist() == [90, 90, 90]
+
+    # paletted without PLTE is loud
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_png_chunks((1, 1, 8, 3, 0, 0, 0), [], b"\x00\x00"))
+
+
+def test_wav_pcm_8_24_32_widths():
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import decode_wav
+
+    def make(width, frames_bytes, nch=1, rate=8000):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            wf.writeframes(frames_bytes)
+        return buf.getvalue()
+
+    # PCM8 (unsigned): 128 → 0, 0 → -32768, 255 → 32512
+    rate, s = decode_wav(make(1, bytes([128, 0, 255])))
+    assert rate == 8000 and s.tolist() == [0, -32768, 32512]
+
+    # PCM24: little-endian; high 16 bits kept
+    frames = (
+        (0x123456).to_bytes(3, "little")
+        + (0x800000).to_bytes(3, "little")   # most negative → -32768
+        + (0xFFFFFF).to_bytes(3, "little")   # -1 → -1>>8 == -1 → int16 -1
+    )
+    _rate, s = decode_wav(make(3, frames))
+    assert s.tolist() == [0x1234, -32768, -1]
+
+    # PCM32: high 16 bits kept; stereo keeps channel 0
+    a = np.array([0x7FFF0000, -0x80000000, 11 << 16, 22 << 16], dtype="<i4")
+    _rate, s = decode_wav(make(4, a.tobytes(), nch=2))
+    assert s.tolist() == [0x7FFF, 11]
