@@ -53,6 +53,11 @@ __all__ = [
     "normalize_polygon_trades",
     "normalize_polygon_quotes",
     "normalize_iex_chart",
+    "normalize_gdax_candles",
+    "normalize_bitmex_bucketed",
+    "normalize_alpaca_trades",
+    "normalize_alpaca_quotes",
+    "normalize_alpaca_aggregates",
     "connector_fetch",
 ]
 
@@ -354,6 +359,155 @@ def normalize_iex_chart(raw: DataFrame, payload_col: str = "payload") -> DataFra
 
 
 # ---------------------------------------------------------------------
+# GDAX / Coinbase Pro — /products/<id>/candles
+# (contrib/gdaxfeeder/gdaxfeeder.go)
+# ---------------------------------------------------------------------
+
+#: A candles response is an array of 6-number arrays:
+#: ``[time_sec, low, high, open, close, volume]`` (the gdax
+#: HistoricRate field order).  Epoch seconds fit a double exactly.
+GDAX_CANDLES_SCHEMA = T.ArrayType(T.ArrayType(T.DoubleType()))
+
+
+def normalize_gdax_candles(
+    raw: DataFrame,
+    payload_col: str = "payload",
+    symbol_col: str = "symbol",
+) -> DataFrame:
+    """Candles payloads → (symbol, ts, open, high, low, close,
+    volume).  gdaxfeeder.go:222-235 maps rate.Time.Unix() +
+    Open/High/Low/Close/Volume onto the OHLCV bucket; like binance,
+    the response body carries no symbol, so it rides alongside."""
+    c = F.col("_c")
+    return (
+        raw.withColumn("_cs", F.from_json(F.col(payload_col), GDAX_CANDLES_SCHEMA))
+        .select(F.col(symbol_col).alias("symbol"), F.explode("_cs").alias("_c"))
+        .select(
+            "symbol",
+            F.timestamp_seconds(c.getItem(0).try_cast("long")).alias("ts"),
+            c.getItem(3).alias("open"),
+            c.getItem(2).alias("high"),
+            c.getItem(1).alias("low"),
+            c.getItem(4).alias("close"),
+            c.getItem(5).alias("volume"),
+        )
+        .filter(F.col("ts").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------
+# BitMEX — /api/v1/trade/bucketed (contrib/bitmexfeeder/api/api.go)
+# ---------------------------------------------------------------------
+
+BITMEX_BUCKETED_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("trades", T.DoubleType()),
+            T.StructField("volume", T.DoubleType()),
+            T.StructField("vwap", T.DoubleType()),
+        ]
+    )
+)
+
+
+def normalize_bitmex_bucketed(
+    raw: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """TradeBucketed responses → (symbol, ts, open, high, low, close,
+    volume, trades, vwap).  Timestamps are RFC3339 strings
+    (bitmexfeeder.go:227 time.Parse(time.RFC3339)); try_cast drops a
+    malformed row instead of failing the batch."""
+    b = F.col("_b")
+    return (
+        raw.withColumn("_bs", F.from_json(F.col(payload_col), BITMEX_BUCKETED_SCHEMA))
+        .select(F.explode("_bs").alias("_b"))
+        .select(
+            b.getField("symbol").alias("symbol"),
+            b.getField("timestamp").try_cast("timestamp").alias("ts"),
+            b.getField("open").alias("open"),
+            b.getField("high").alias("high"),
+            b.getField("low").alias("low"),
+            b.getField("close").alias("close"),
+            b.getField("volume").alias("volume"),
+            b.getField("trades").alias("trades"),
+            b.getField("vwap").alias("vwap"),
+        )
+        .filter(F.col("ts").isNotNull() & F.col("symbol").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------
+# Alpaca — websocket envelopes {ev, data} (contrib/alpaca/api/schema.go)
+# contrib/polyiex speaks the same trade shape with split sec/nanos.
+# ---------------------------------------------------------------------
+
+#: Alpaca's wire reuses one letter in both cases with different
+#: meanings per event type: trades carry data.T (symbol) AND data.t
+#: (epoch ns); quotes carry p/P and s/S for bid/ask.  Catalyst's
+#: default case-INSENSITIVE field resolution makes a from_json struct
+#: with those pairs unreferencable (AMBIGUOUS_REFERENCE_TO_FIELDS), so
+#: these normalizers extract with ``get_json_object`` — JSONPath is
+#: case-sensitive — still entirely JVM-side.
+
+
+def _gjo(payload_col: str, path: str, typ: str):
+    return F.get_json_object(F.col(payload_col), path).try_cast(typ)
+
+
+def _alpaca_ev(raw: DataFrame, payload_col: str, ev: str) -> DataFrame:
+    return raw.filter(
+        F.get_json_object(F.col(payload_col), "$.ev") == ev
+    )
+
+
+def _ns_to_ts(col):
+    # Spark timestamps are µs precision; alpaca stamps are epoch ns
+    # (handlers/writer.go:20 time.Unix(0, t.Timestamp))
+    return F.timestamp_micros(F.floor(col / 1000).cast("long"))
+
+
+def normalize_alpaca_trades(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    return _alpaca_ev(raw, payload_col, "T").select(
+        _gjo(payload_col, "$.data.T", "string").alias("symbol"),
+        _ns_to_ts(_gjo(payload_col, "$.data.t", "long")).alias("ts"),
+        _gjo(payload_col, "$.data.p", "double").alias("price"),
+        _gjo(payload_col, "$.data.s", "long").alias("size"),
+    ).filter((F.col("price") > 0) & (F.col("size") > 0))
+
+
+def normalize_alpaca_quotes(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    return _alpaca_ev(raw, payload_col, "Q").select(
+        _gjo(payload_col, "$.data.T", "string").alias("symbol"),
+        _ns_to_ts(_gjo(payload_col, "$.data.t", "long")).alias("ts"),
+        _gjo(payload_col, "$.data.p", "double").alias("bid_price"),
+        _gjo(payload_col, "$.data.s", "long").alias("bid_size"),
+        _gjo(payload_col, "$.data.P", "double").alias("ask_price"),
+        _gjo(payload_col, "$.data.S", "long").alias("ask_size"),
+    )
+
+
+def normalize_alpaca_aggregates(
+    raw: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    return _alpaca_ev(raw, payload_col, "AM").select(
+        _gjo(payload_col, "$.data.T", "string").alias("symbol"),
+        F.timestamp_millis(_gjo(payload_col, "$.data.s", "long")).alias("ts"),
+        _gjo(payload_col, "$.data.o", "double").alias("open"),
+        _gjo(payload_col, "$.data.h", "double").alias("high"),
+        _gjo(payload_col, "$.data.l", "double").alias("low"),
+        _gjo(payload_col, "$.data.c", "double").alias("close"),
+        _gjo(payload_col, "$.data.v", "long").alias("volume"),
+        _gjo(payload_col, "$.data.vw", "double").alias("vwap"),
+    ).filter(F.col("ts").isNotNull())
+
+
+# ---------------------------------------------------------------------
 # Feeder integration
 # ---------------------------------------------------------------------
 
@@ -363,7 +517,17 @@ _NORMALIZERS = {
     "polygon_trades": normalize_polygon_trades,
     "polygon_quotes": normalize_polygon_quotes,
     "iex_chart": normalize_iex_chart,
+    "gdax_candles": normalize_gdax_candles,
+    "bitmex_bucketed": normalize_bitmex_bucketed,
+    "alpaca_trades": normalize_alpaca_trades,
+    "alpaca_quotes": normalize_alpaca_quotes,
+    "alpaca_aggregates": normalize_alpaca_aggregates,
 }
+
+#: connectors whose payloads carry no symbol: the provider returns
+#: (symbol, payload) pairs (their reference feeders track the symbol
+#: in the request loop)
+_SYMBOL_PAIRED = {"binance_klines", "gdax_candles"}
 
 
 def connector_fetch(spark: SparkSession, kind: str, provider):
@@ -371,9 +535,10 @@ def connector_fetch(spark: SparkSession, kind: str, provider):
 
     ``provider(symbols, timeframe, since)`` performs the exchange I/O
     (live HTTP in production, canned fixtures in tests) and returns
-    payloads: for ``binance_klines`` a list of ``(symbol, payload)``
-    pairs (the klines body has no symbol — binancefeeder.go tracks it
-    in its request loop); for the others a list of payload strings.
+    payloads: for ``binance_klines`` and ``gdax_candles`` a list of
+    ``(symbol, payload)`` pairs (those bodies carry no symbol — their
+    feeders track it in the request loop); for the others a list of
+    payload strings.
     Returns ``fetch(symbols, timeframe, since) -> DataFrame`` in the
     feeder's normalized (symbol, ts, ...) shape, or None when the
     provider produced nothing this tick.
@@ -389,7 +554,7 @@ def connector_fetch(spark: SparkSession, kind: str, provider):
         payloads = provider(symbols, timeframe, since)
         if not payloads:
             return None
-        if kind == "binance_klines":
+        if kind in _SYMBOL_PAIRED:
             rows = [
                 (str(sym), p if isinstance(p, str) else json.dumps(p))
                 for sym, p in payloads

@@ -290,3 +290,130 @@ def test_polygon_landing_zone_stream(spark, tmp_path):
     )
     # frame-001 contributes its single valid print, frame-002 one more
     assert [(r["price"], r["size"]) for r in got] == [(114.125, 100), (115.0, 300)]
+
+
+# ---------------------------------------------------------------------
+# gdax / bitmex / alpaca (contrib/gdaxfeeder, contrib/bitmexfeeder,
+# contrib/alpaca — the remaining exchange payload shapes)
+# ---------------------------------------------------------------------
+
+from marketstore_spark.streaming.connectors import (  # noqa: E402
+    normalize_alpaca_aggregates,
+    normalize_alpaca_quotes,
+    normalize_alpaca_trades,
+    normalize_bitmex_bucketed,
+    normalize_gdax_candles,
+)
+
+# public /products/<id>/candles shape: [time, low, high, open, close, volume]
+GDAX_CANDLES = [
+    [1415398768, 0.32, 4.2, 0.35, 4.2, 12.3],
+    [1415398828, 0.30, 4.1, 4.2, 0.35, 9.0],
+]
+
+
+def test_gdax_candles_normalize(spark):
+    rows = sorted(
+        normalize_gdax_candles(_raw(spark, GDAX_CANDLES, "BTC-USD")).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert len(rows) == 2
+    r0 = rows[0]
+    assert r0["symbol"] == "BTC-USD"
+    assert r0["ts"] == dt.datetime(2014, 11, 7, 22, 19, 28)
+    # HistoricRate field order: [time, LOW, HIGH, OPEN, close, volume]
+    assert (r0["open"], r0["high"], r0["low"], r0["close"]) == (
+        pytest.approx(0.35), pytest.approx(4.2),
+        pytest.approx(0.32), pytest.approx(4.2),
+    )
+    assert r0["volume"] == pytest.approx(12.3)
+
+
+BITMEX_BUCKETED = [
+    {"timestamp": "2018-06-01T00:01:00.000Z", "symbol": "XBTUSD",
+     "open": 7487.5, "high": 7492.0, "low": 7482.5, "close": 7490.0,
+     "trades": 119.0, "volume": 970278.0, "vwap": 7489.2089},
+    # malformed timestamp → dropped, not fatal
+    {"timestamp": "not-a-time", "symbol": "XBTUSD",
+     "open": 1.0, "high": 1.0, "low": 1.0, "close": 1.0,
+     "trades": 0.0, "volume": 0.0, "vwap": 0.0},
+]
+
+
+def test_bitmex_bucketed_normalize(spark):
+    rows = normalize_bitmex_bucketed(_raw(spark, BITMEX_BUCKETED)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["symbol"] == "XBTUSD"
+    assert r["ts"] == dt.datetime(2018, 6, 1, 0, 1)
+    assert r["close"] == pytest.approx(7490.0)
+    assert r["trades"] == pytest.approx(119.0)
+    assert r["vwap"] == pytest.approx(7489.2089)
+
+
+# alpaca ws envelopes; trade/quote stamps are epoch NANOS
+# (contrib/alpaca/handlers/writer.go:20 time.Unix(0, t.Timestamp))
+_NS = 1_000_000_000
+_T0 = 1_536_036_818 * _NS + 784_123_456
+
+ALPACA_TRADE = {"ev": "T", "data": {"T": "SPY", "x": 4, "p": 286.42,
+                                    "s": 100, "t": _T0, "c": [14], "z": 3}}
+ALPACA_QUOTE = {"ev": "Q", "data": {"T": "SPY", "x": 17, "p": 286.40,
+                                    "s": 1, "X": 2, "P": 286.45, "S": 5,
+                                    "t": _T0 + 500}}
+ALPACA_AGG = {"ev": "AM", "data": {"T": "SPY", "v": 48526, "o": 286.4,
+                                   "h": 286.65, "l": 286.3, "c": 286.6,
+                                   "a": 286.5, "vw": 286.55,
+                                   "s": 1536036780000, "e": 1536036840000}}
+
+
+def _alpaca_raw(spark):
+    import json as _json
+
+    rows = [( _json.dumps(m),) for m in (ALPACA_TRADE, ALPACA_QUOTE, ALPACA_AGG)]
+    return spark.createDataFrame(rows, ["payload"])
+
+
+def test_alpaca_trades_normalize(spark):
+    rows = normalize_alpaca_trades(_alpaca_raw(spark)).collect()
+    assert len(rows) == 1  # quote and aggregate envelopes routed away
+    r = rows[0]
+    assert r["symbol"] == "SPY" and r["size"] == 100
+    assert r["price"] == pytest.approx(286.42)
+    # ns → µs truncation (Spark timestamp precision)
+    assert r["ts"].microsecond == 784123
+
+
+def test_alpaca_quotes_normalize(spark):
+    rows = normalize_alpaca_quotes(_alpaca_raw(spark)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bid_price"], r["bid_size"]) == (pytest.approx(286.40), 1)
+    assert (r["ask_price"], r["ask_size"]) == (pytest.approx(286.45), 5)
+
+
+def test_alpaca_aggregates_normalize(spark):
+    rows = normalize_alpaca_aggregates(_alpaca_raw(spark)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # window-start ms; the conflicting data.c (close) parses as double
+    assert r["ts"] == dt.datetime(2018, 9, 4, 4, 53)
+    assert r["close"] == pytest.approx(286.6)
+    assert r["volume"] == 48526 and r["vwap"] == pytest.approx(286.55)
+
+
+def test_gdax_feeder_end_to_end(spark, tmp_path):
+    fetch = connector_fetch(
+        spark, "gdax_candles",
+        lambda symbols, tf, since: [("BTC-USD", json.dumps(GDAX_CANDLES))],
+    )
+    spec = FeederSpec.from_dict(
+        {"symbols": ["BTC-USD"], "timeframe": "1Min",
+         "off_hours_schedule": list(range(60))}
+    )
+    cat = Catalog(spark, os.fspath(tmp_path / "cat"))
+    clock = iter([dt.datetime(2024, 1, 6, 3, 0, tzinfo=dt.timezone.utc)])
+    feeder = ConfiguredFeeder(spec, cat, fetch, clock=lambda: next(clock))
+    assert feeder.tick() and feeder.rows_appended == 2
+    got = cat.read("BTC-USD/1Min/OHLCV")
+    assert got.count() == 2
