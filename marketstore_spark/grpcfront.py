@@ -98,6 +98,13 @@ def _column_array(values: list) -> np.ndarray:
     NumpyDataset wire has fixed-width buffers with no null mask, the
     same constraint the reference's fixed record format imposes."""
     arr = np.asarray(values)
+    if arr.ndim != 1:
+        # array-typed bucket columns have no NumpyDataset buffer form
+        # (the reference's fixed records can't carry them either) —
+        # query them over the JSON/msgpack wire instead
+        raise GrpcError(
+            UNIMPLEMENTED, "nested array columns are not wire-encodable"
+        )
     if arr.dtype == object:
         arr = np.array([np.nan if v is None else v for v in values], dtype="f8")
     if arr.dtype.kind in "iu":

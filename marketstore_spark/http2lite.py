@@ -153,7 +153,9 @@ class _ConnectionCore:
         self.peer_window = DEFAULT_WINDOW  # connection-level send credit
         self.peer_initial_window = DEFAULT_WINDOW
         self.peer_max_frame = DEFAULT_MAX_FRAME
-        self.recv_deficit: dict[int, int] = {}
+        #: streams that completed while we were draining frames inside
+        #: a flow-blocked send — the serve loop dispatches them next
+        self.pending_complete: list[int] = []
 
     # -- settings -------------------------------------------------------
     def _apply_settings(self, payload: bytes) -> None:
@@ -272,8 +274,14 @@ class _ConnectionCore:
                 self.peer_max_frame,
             )
             if budget <= 0 and len(view):
-                # wait for credit; the peer owes us WINDOW_UPDATE
-                self._handle_frame(*read_frame(self.rfile, self.peer_max_frame))
+                # wait for credit; the peer owes us WINDOW_UPDATE.  A
+                # multiplexing peer may complete ANOTHER stream while
+                # we drain — queue it rather than dropping it.
+                done = self._handle_frame(
+                    *read_frame(self.rfile, self.peer_max_frame)
+                )
+                if done is not None:
+                    self.pending_complete.append(done)
                 continue
             chunk = view[off : off + max(budget, 0)]
             off += len(chunk)
@@ -331,6 +339,8 @@ class H2Server(_ConnectionCore):
                 done = self._handle_frame(*read_frame(self.rfile, self.peer_max_frame))
                 if done is not None:
                     self._dispatch(done)
+                while self.pending_complete:
+                    self._dispatch(self.pending_complete.pop(0))
         except (ConnectionError, OSError):
             pass
         except H2Error as exc:
@@ -390,7 +400,16 @@ class H2ClientConnection(_ConnectionCore):
         if body:
             self.send_data(stream_id, body, end_stream=True)
         while True:
-            done = self._handle_frame(*read_frame(self.rfile, self.peer_max_frame))
+            # a server may answer before fully consuming the body
+            # (e.g. a trailers-only rejection) — the completion then
+            # lands in pending_complete during the flow-blocked send
+            if stream_id in self.pending_complete:
+                self.pending_complete.remove(stream_id)
+                done = stream_id
+            else:
+                done = self._handle_frame(
+                    *read_frame(self.rfile, self.peer_max_frame)
+                )
             if done == stream_id:
                 st = self.streams.pop(stream_id)
                 head = st.blocks[0] if st.blocks else []

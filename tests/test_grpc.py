@@ -574,3 +574,27 @@ def test_grpc_interleaved_concurrent_streams(grpc_stack):
     assert dict(results[1].blocks[1])["grpc-status"] == "0"
     assert dict(results[3].blocks[1])["grpc-status"] == "0"
     conn.close()
+
+
+def test_grpc_flow_control_large_request_body(grpc_stack):
+    """A write body well past the 65535-byte connection window forces
+    the CLIENT through flow-blocked sends and the server through
+    receive-window replenishment (WINDOW_UPDATE both levels)."""
+    import numpy as np
+
+    cli, _ = grpc_stack
+    n = 12_000  # 4 col × 8 B × 12k rows ≈ 384 KiB of column buffers
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-03-01", periods=n, freq="1min"),
+            "open": np.arange(n, dtype="f8"),
+            "close": np.arange(n, dtype="f8") + 0.5,
+            "volume": np.arange(n, dtype="i8"),
+        }
+    )
+    resp = cli.write(pdf, "GUPL/1Min/OHLCV")
+    assert resp["responses"][0]["error"] == ""
+    f = cli.query("GUPL/1Min/OHLCV", limit_record_count=3)["GUPL/1Min/OHLCV"]
+    assert f["close"].tolist() == [n - 3 + 0.5, n - 2 + 0.5, n - 1 + 0.5]
+    cli.destroy("GUPL/1Min/OHLCV")
+
