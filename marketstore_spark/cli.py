@@ -245,6 +245,14 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
     s.add_argument("--host", default=None)
     s.add_argument("--port", type=int, default=None)  # default 5993 (reference)
     s.add_argument(
+        "--grpc-port",
+        type=int,
+        default=None,
+        help="also serve the gRPC DataService twin on this port "
+        "(proto/marketstore.proto service; mkts.yml grpc_listen_port "
+        "analogue — the reference's dual-listener start)",
+    )
+    s.add_argument(
         "--max-seconds",
         type=float,
         default=None,
@@ -382,11 +390,21 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
             wire_triggers(server_cfg, cat)  # load errors raise pre-bind
             workers = wire_bgworkers(server_cfg)
         srv, thread = serve_background(cat, host=host, port=port, hub=hub)
-        print(
-            json.dumps({"listening": list(srv.server_address)}),
-            file=out,
-            flush=True,
+        gsrv = None
+        grpc_port = args.grpc_port if args.grpc_port is not None else (
+            server_cfg.grpc_listen_port if server_cfg else None
         )
+        if grpc_port is not None:
+            from marketstore_spark.grpcfront import serve_grpc_background
+            from marketstore_spark.server import DataService
+
+            gsrv, _gthread = serve_grpc_background(
+                DataService(cat), host=host, port=grpc_port
+            )
+        status = {"listening": list(srv.server_address)}
+        if gsrv is not None:
+            status["grpc"] = [host, gsrv.port]
+        print(json.dumps(status), file=out, flush=True)
         try:
             if args.max_seconds is None:
                 thread.join()
@@ -394,6 +412,8 @@ def main(argv: list[str] | None = None, spark=None, out=None, stdin=None) -> int
                 _time.sleep(args.max_seconds)
         finally:
             srv.shutdown()
+            if gsrv is not None:
+                gsrv.shutdown()
             if workers is not None:
                 workers.stop()
     return 0

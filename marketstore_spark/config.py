@@ -45,6 +45,7 @@ _KNOWN_KEYS = {
     "root_directory",
     "listen_host",
     "listen_port",
+    "grpc_listen_port",
     "log_level",
     "timezone",
     "stream_delivery_root",
@@ -61,6 +62,9 @@ class ServerConfig:
     root_directory: str
     listen_host: str = "127.0.0.1"
     listen_port: int = 5993
+    #: reference mkts.yml grpc_listen_port (utils/config.go:112);
+    #: None keeps the gRPC listener off
+    grpc_listen_port: int | None = None
     log_level: str = "info"
     timezone: str = "UTC"
     stream_delivery_root: str | None = None
@@ -106,6 +110,9 @@ def load_config(path: str) -> ServerConfig:
         root_directory=str(root),
         listen_host=str(raw.get("listen_host", "127.0.0.1")),
         listen_port=int(raw.get("listen_port", 5993)),
+        grpc_listen_port=(
+            int(raw["grpc_listen_port"]) if raw.get("grpc_listen_port") else None
+        ),
         log_level=str(raw.get("log_level", "info")),
         timezone=str(raw.get("timezone", "UTC")),
         stream_delivery_root=(

@@ -255,3 +255,38 @@ def test_cli_connect_session_commands(spark, store, tmp_path):
     # \o redirected the bucket list to the file, not stdout
     redirected = outfile.read_text()
     assert "NEW/1Min/TICK" in redirected and "TSLA/1Min/TICK" in redirected
+
+
+def test_cli_serve_dual_listener_grpc(spark, store):
+    """--grpc-port boots the gRPC DataService twin alongside the JSON
+    listener (the reference's marketstore.go dual-listener start)."""
+    import re
+    import threading
+    import time
+
+    from marketstore_spark.grpcfront import GrpcClient
+
+    root, _cat = store
+    buf = io.StringIO()
+    t = threading.Thread(
+        target=main,
+        args=(
+            ["--root", root, "serve", "--port", "0", "--grpc-port", "0",
+             "--max-seconds", "15"],
+        ),
+        kwargs={"spark": spark, "out": buf},
+        daemon=True,
+    )
+    t.start()
+    gport = None
+    for _ in range(100):
+        m = re.search(r'"grpc": \["[^"]*", (\d+)\]', buf.getvalue())
+        if m:
+            gport = int(m.group(1))
+            break
+        time.sleep(0.1)
+    assert gport, buf.getvalue()
+    c = GrpcClient(port=gport)
+    assert sorted(c.list_symbols()) == ["AAPL", "TSLA"]
+    assert c.server_version()
+    c.close()
