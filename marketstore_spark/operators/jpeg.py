@@ -705,13 +705,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xFFDB:
             d = data
             while d:
-                tid = d[0]
-                if tid >> 4:
-                    raise NotImplementedError("16-bit quant tables")
+                prec16 = d[0] >> 4  # Pq=1: 16-bit table entries (B.2.4.1)
                 tab = np.zeros(64, np.int32)
-                tab[ZIGZAG] = np.frombuffer(d[1:65], np.uint8)
-                quant[tid & 0xF] = tab.reshape(8, 8)
-                d = d[65:]
+                if prec16:
+                    tab[ZIGZAG] = np.frombuffer(d[1:129], ">u2").astype(np.int32)
+                    step = 129
+                else:
+                    tab[ZIGZAG] = np.frombuffer(d[1:65], np.uint8)
+                    step = 65
+                quant[d[0] & 0xF] = tab.reshape(8, 8)
+                d = d[step:]
         elif marker == 0xFFC4:
             d = data
             while d:

@@ -183,3 +183,31 @@ def test_progressive_real_world_conformance():
     mad_v = np.abs(np.diff(img.astype(int), axis=0)).mean()
     assert mad_h < 30 and mad_v < 30  # strongly correlated neighbors
     assert img.std() > 20  # and not a flat smear
+
+
+def test_16bit_quant_tables_decode():
+    """DQT with Pq=1 (16-bit entries, T.81 B.2.4.1): rewrite a
+    baseline file's 8-bit tables as big-endian 16-bit with the same
+    values — decode must be pixel-identical."""
+    data = encode_jpeg(_gradient(16, 16), quality=90)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos] == 0xFF and pos + 4 <= len(data) and data[pos + 1] == 0xDB:
+            (ln,) = struct.unpack_from(">H", data, pos + 2)
+            body = data[pos + 4 : pos + 2 + ln]
+            new = bytearray()
+            while body:
+                tid, entries = body[0], body[1:65]
+                new += bytes([0x10 | tid])  # Pq=1
+                for v in entries:
+                    new += struct.pack(">H", v)
+                body = body[65:]
+            out += b"\xff\xdb" + struct.pack(">H", len(new) + 2) + new
+            pos += 2 + ln
+        else:
+            out.append(data[pos])
+            pos += 1
+    wide = bytes(out)
+    assert wide != data and b"\xff\xdb" in wide
+    assert np.array_equal(decode_jpeg(wide), decode_jpeg(data))
