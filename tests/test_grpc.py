@@ -598,3 +598,24 @@ def test_grpc_flow_control_large_request_body(grpc_stack):
     assert f["close"].tolist() == [n - 3 + 0.5, n - 2 + 0.5, n - 1 + 0.5]
     cli.destroy("GUPL/1Min/OHLCV")
 
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=80))
+def test_wire_decoders_fail_clean_on_garbage(blob):
+    """Network-facing parsers must reject arbitrary bytes with a clean
+    ValueError — never an IndexError/struct.error/hang (the msgpack
+    nesting-bound lesson, applied to the whole wire stack)."""
+    for msg in ("QueryRequest", "NumpyMultiDataset", "MultiWriteRequest"):
+        try:
+            protowire.decode(msg, blob)
+        except ValueError:
+            pass
+    try:
+        Decoder().decode(blob)
+    except ValueError:
+        pass
+    try:
+        huffman_decode(blob)
+    except ValueError:
+        pass
