@@ -290,9 +290,13 @@ class _MethodTable:
         return {"responses": responses}
 
     # -- Create ---------------------------------------------------------
+    #: DataShape type strings → numpy dtypes (proto DataType enum set;
+    #: unsigned widths ride pandas→Spark inference onto the next wider
+    #: signed type, BOOL onto BooleanType)
     _TYPE_MAP = {
-        "i2": "int16", "i4": "int32", "i8": "int64",
-        "u1": "uint8", "f4": "float32", "f8": "float64",
+        "i1": "int8", "i2": "int16", "i4": "int32", "i8": "int64",
+        "u1": "uint8", "u2": "uint16", "u4": "uint32",
+        "f4": "float32", "f8": "float64", "b1": "bool",
     }
 
     def Create(self, req: dict) -> dict:
