@@ -619,3 +619,42 @@ def test_wire_decoders_fail_clean_on_garbage(blob):
         huffman_decode(blob)
     except ValueError:
         pass
+
+
+def test_hpack_table_size_update_and_never_indexed():
+    # §6.3 size update to 0 evicts everything; a later indexed ref to
+    # the dynamic table must fail
+    d = Decoder()
+    d.decode(bytes.fromhex("828684410f7777772e6578616d706c652e636f6d"))
+    assert d.size == 57  # :authority entry in the dynamic table
+    d.decode(bytes([0x20]))  # size update: max 0
+    assert d.size == 0 and d.dynamic == []
+    with pytest.raises(ValueError):
+        d.decode(bytes([0x80 | 62]))  # first dynamic slot is gone
+    # update above the SETTINGS maximum is a decode error (§6.3)
+    with pytest.raises(ValueError):
+        Decoder(max_table_size=256).decode(bytes([0x3F, 0xE1, 0x1F]))  # 4096
+
+    # §6.2.3 never-indexed literal (0x10 prefix): decoded like a
+    # plain literal, never enters the table
+    d = Decoder()
+    block = bytes([0x10, 0x08]) + b"password" + bytes([0x06]) + b"hunter"
+    assert d.decode(block) == [("password", "hunter")]
+    assert d.size == 0
+
+
+def test_h2_rejects_bad_preface(grpc_stack):
+    """A non-HTTP/2 client gets a clean close, not a hang."""
+    import socket
+
+    cli, _ = grpc_stack
+    s = socket.create_connection(("127.0.0.1", cli.port), timeout=10)
+    s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+    s.settimeout(10)
+    try:
+        data = s.recv(4096)  # server may GOAWAY or just close
+        assert data == b"" or data[3:4] in (b"\x04", b"\x07")
+    except (ConnectionResetError, TimeoutError):
+        pass  # immediate close is also a clean rejection
+    finally:
+        s.close()
