@@ -7546,76 +7546,16 @@ def acf_spectrum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round-10 rotation (driver checks the first ~50 keys).  Mechanical
-    # per-round policy (VERDICT r07-r09): every key whose latest driver
-    # row predates round 6 goes first — the 38-key r5 backlog VERDICT
-    # r09 item 3 lists — then every key whose implementation changed
-    # this round (the shingle-path rework: row-side array_distinct +
-    # pre-aggregation hot-gram prune; the cooccurrence kind-tag), then
-    # three core-engine r7 keys fill the window.
+    # Round-11 rotation (driver checks the first ~50 keys).  Mechanical
+    # per-round policy (VERDICT r07-r10): every key whose latest driver
+    # row is oldest goes first — after r10 that is the 47-key r7-
+    # evidence block — plus the one key whose shipping plan postdates
+    # its newest driver hash (rolling_corr_market: the r10 prefix-sum
+    # re-plan landed after the r10 window was fixed; VERDICT r10
+    # "What's wrong" #1), plus the two oldest r8 TPC-H shapes to fill
+    # the window to exactly 50.
     # ------------------------------------------------------------------
-    # Block A - last driver row r5 (the full backlog; TPC-H shapes
-    # first, then rollup/candler/UDA, then dedup/ANN/corpus/multimodal).
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_orders_waiting",
-    "q22_sales_opportunity",
-    "rollup_5min",
-    "rollup_1h",
-    "rollup_1d",
-    "rollup_1w",
-    "rollup_1mo",
-    "tickcandler",
-    "candlecandler",
-    "vwap",
-    "gapfill",
-    "uda_avg",
-    "uda_count",
-    "skew_salted_agg",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_embedding_lsh_exhaustive",
-    "ann_cosine_topk",
-    "ann_filtered",
-    "ann_lsh_exhaustive",
-    "corpus_sample",
-    "corpus_stats",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_video_decode",
-    # Block B - implementation changed in round 10 (shingle dedup
-    # rework flows through these; event_cooccurrence got the kind-tag).
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_minhash_lsh",
-    "dedup_minhash_keep",
-    "dedup_clusters",
-    "corpus_decontaminate",
-    "corpus_benchmark_coverage",
-    "event_cooccurrence",
-    "corpus_dedup_funnel",
-    # -- also re-planned in round 10 (single-scan forms) --
-    "source_novelty",
-    "event_rfm",
-    "text_bigram_lift",
-]
-
-
-# Immediately after the window: the rest of the r7-evidence block - if
-# the driver's budget stretches past 50 they get refreshed too; then
-# everything else (r8/r9-green) in source order.
-_BACK = [
+    # Block A - last driver row r7 (core engine + UDA + indicators).
     "query_range",
     "query_limit_tail",
     "asof_join",
@@ -7633,12 +7573,95 @@ _BACK = [
     "macd",
     "gapfill_interp",
     "rollup_cascade",
+    "twap",
+    "pairwise_corr",
+    "obv",
+    "stochastic_k",
+    "beta",
+    "realized_vol",
+    "atr",
+    "donchian",
+    "xs_momentum",
+    "tick_rule",
+    "nbbo",
+    "lee_ready",
+    # Block A cont. - r7-evidence dedup/text/corpus/multimodal keys.
     "dedup_span",
     "dedup_simhash_pairs",
     "dedup_semantic",
     "dedup_semantic_keep",
+    "distinct_users",
+    "distinct_users_approx",
+    "knn_label_eval",
+    "text_bm25",
+    "text_doc_freq_score",
+    "text_heavy_hitters",
+    "text_repetition",
+    "corpus_chunk",
+    "corpus_pack",
+    "corpus_sample_stratified",
+    "corpus_shuffle",
+    "corpus_training_mix",
     "multimodal_audio_decode",
     "multimodal_gif_decode",
+    # Block B - shipping plan newer than its newest driver hash.
+    "rolling_corr_market",
+    # Block C - window fill: the two r8-evidence TPC-H shapes.
+    "q3_shipping_priority",
+    "q4_late_orders",
+]
+
+
+# Immediately after the window: the rest of the r8-evidence block - if
+# the driver's budget stretches past 50 they get refreshed too, and
+# they are first in line for the r12 rotation; then everything else
+# (r9/r10-green) in source order.
+_BACK = [
+    "volume_bars",
+    "dollar_bars",
+    "heikin_ashi",
+    "amihud",
+    "ichimoku",
+    "ofi",
+    "cusum_filter",
+    "corpus_length_buckets",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_update",
+    "roll_spread",
+    "autocorr_returns",
+    "variance_ratio",
+    "kyle_lambda",
+    "vpin",
+    "text_lexical_diversity",
+    "markout_returns",
+    "intraday_seasonality",
+    "corpus_dup_size_histogram",
+    "effective_spread",
+    "corpus_filter_funnel",
+    "corpus_length_percentiles",
+    "range_vol",
+    "corwin_schultz",
+    "kaufman_er",
+    "source_token_jaccard",
+    "source_token_stats",
+    "corpus_vocab_growth",
+    "realized_moments",
+    "trimmed_mean",
+    "mfi",
+    "corpus_sample_fixed_n",
+    "cci",
+    "aroon",
+    "adx",
+    "volume_profile",
+    "corpus_unigram_nll",
+    "liquidity_panel",
+    "gap_percentiles",
+    "price_impact_curve",
+    "corpus_language_mix",
+    "move_percentiles",
+    "market_concentration",
+    "dedup_rate_by_source",
+    "acf_spectrum",
 ]
 
 
