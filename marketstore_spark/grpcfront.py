@@ -128,29 +128,45 @@ def _column_series_to_nmds(results: dict[str, dict[str, list]]) -> dict:
     start_index/lengths)."""
     start_index: dict[str, int] = {}
     lengths: dict[str, int] = {}
-    names: list[str] | None = None
+    names: list[str] = []
     per_key_arrays: list[dict[str, np.ndarray]] = []
+    per_key_rows: list[int] = []
     total = 0
     for key, cols in results.items():
         n = len(next(iter(cols.values()))) if cols else 0
         start_index[key] = total
         lengths[key] = n
         total += n
+        per_key_rows.append(n)
         arrays = {c: _column_array(v) for c, v in cols.items()}
         per_key_arrays.append(arrays)
-        if names is None:
-            names = list(cols.keys())
-    if names is None:
-        names = []
+        # union of column names across ALL TBKs in first-seen order —
+        # a column present only in a later bucket must still occupy a
+        # full-length buffer or the flat start_index/lengths offsets
+        # silently misalign on the wire (ToProtoNumpyMultiDataSet
+        # builds from a uniform CSM; heterogeneous results must pad)
+        for c in cols:
+            if c not in names:
+                names.append(c)
     column_types, column_data = [], []
     for c in names:
         parts = [a[c] for a in per_key_arrays if c in a]
         # unify dtypes across tbks (e.g. differing string widths)
-        if parts:
-            widest = max(parts, key=lambda a: a.dtype.itemsize).dtype
-            buf = np.concatenate([p.astype(widest) for p in parts])
-        else:
-            buf = np.array([], dtype="f8")
+        widest = max(parts, key=lambda a: a.dtype.itemsize).dtype
+        segs: list[np.ndarray] = []
+        for arrays, n in zip(per_key_arrays, per_key_rows):
+            if c in arrays:
+                segs.append(arrays[c].astype(widest))
+            else:
+                # pad a TBK missing this column so every buffer is
+                # exactly `total` rows: NaN for floats, zero otherwise
+                fill = np.zeros(n, dtype=widest)
+                if np.issubdtype(widest, np.floating):
+                    fill[:] = np.nan
+                segs.append(fill)
+        buf = (
+            np.concatenate(segs) if segs else np.array([], dtype=widest)
+        )
         column_types.append(buf.dtype.str.lstrip("<>=|"))
         column_data.append(buf.tobytes())
     return {

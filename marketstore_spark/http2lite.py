@@ -89,11 +89,15 @@ def _read_exact(rfile, n: int) -> bytes:
 
 
 def read_frame(rfile, max_frame: int = DEFAULT_MAX_FRAME):
+    """Read one frame, bounding its length by OUR advertised
+    SETTINGS_MAX_FRAME_SIZE (RFC 7540 §4.2: the peer's setting governs
+    frames we SEND, not frames we receive).  This endpoint never
+    advertises a larger size, so callers pass the default."""
     head = _read_exact(rfile, 9)
     length = int.from_bytes(head[:3], "big")
     ftype, flags = head[3], head[4]
     stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
-    if length > max(max_frame, DEFAULT_MAX_FRAME):
+    if length > max_frame:
         raise H2Error(FRAME_SIZE_ERROR, f"frame of {length} bytes")
     return ftype, flags, stream_id, _read_exact(rfile, length)
 
@@ -278,7 +282,7 @@ class _ConnectionCore:
                 # multiplexing peer may complete ANOTHER stream while
                 # we drain — queue it rather than dropping it.
                 done = self._handle_frame(
-                    *read_frame(self.rfile, self.peer_max_frame)
+                    *read_frame(self.rfile)
                 )
                 if done is not None:
                     self.pending_complete.append(done)
@@ -336,7 +340,7 @@ class H2Server(_ConnectionCore):
                 struct.pack("!HI", SETTINGS_ENABLE_PUSH, 0),
             )
             while True:
-                done = self._handle_frame(*read_frame(self.rfile, self.peer_max_frame))
+                done = self._handle_frame(*read_frame(self.rfile))
                 if done is not None:
                     self._dispatch(done)
                 while self.pending_complete:
@@ -408,7 +412,7 @@ class H2ClientConnection(_ConnectionCore):
                 done = stream_id
             else:
                 done = self._handle_frame(
-                    *read_frame(self.rfile, self.peer_max_frame)
+                    *read_frame(self.rfile)
                 )
             if done == stream_id:
                 st = self.streams.pop(stream_id)

@@ -694,6 +694,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker — skip them so the fill isn't read as marker 0xFFFF
+        # (which would then consume bogus "segment length" bytes)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = struct.unpack_from(">H", payload, pos)[0]
         pos += 2
         if marker in (0xFFD8, 0xFF01) or 0xFFD0 <= marker <= 0xFFD7:

@@ -248,18 +248,25 @@ def encode(msg_name: str, obj: dict | None) -> bytes:
 
 
 def _skip(buf: bytes, pos: int, wire_type: int) -> int:
-    """Skip an unknown field (forward compatibility)."""
+    """Skip an unknown field (forward compatibility).  Bounds every
+    advance against the buffer end so a truncated or corrupt message
+    raises like the known-field paths do instead of silently
+    terminating the decode loop."""
     if wire_type == _WT_VARINT:
         _, pos = _decode_varint(buf, pos)
         return pos
     if wire_type == _WT_I64:
-        return pos + 8
-    if wire_type == _WT_LEN:
+        pos += 8
+    elif wire_type == _WT_LEN:
         ln, pos = _decode_varint(buf, pos)
-        return pos + ln
-    if wire_type == _WT_I32:
-        return pos + 4
-    raise ValueError(f"protowire: unsupported wire type {wire_type}")
+        pos += ln
+    elif wire_type == _WT_I32:
+        pos += 4
+    else:
+        raise ValueError(f"protowire: unsupported wire type {wire_type}")
+    if pos > len(buf):
+        raise ValueError("protowire: truncated unknown field")
+    return pos
 
 
 def _decode_scalar(kind: str, wire_type: int, buf: bytes, pos: int):
@@ -314,6 +321,8 @@ def _decode_into(fields, buf: bytes) -> dict:
             if wire_type != _WT_LEN:
                 raise ValueError("protowire: map field with bad wire type")
             ln, pos = _decode_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("protowire: truncated map entry")
             entry = _decode_into(_MAP_ENTRY, buf[pos : pos + ln])
             pos += ln
             out[name][entry["key"]] = entry["value"]

@@ -58,6 +58,12 @@ __all__ = [
     "normalize_alpaca_trades",
     "normalize_alpaca_quotes",
     "normalize_alpaca_aggregates",
+    "XIGNITE_QUOTES_SCHEMA",
+    "XIGNITE_BARS_SCHEMA",
+    "XIGNITE_QUOTES_RANGE_SCHEMA",
+    "normalize_xignite_quotes",
+    "normalize_xignite_bars",
+    "normalize_xignite_quotes_range",
     "connector_fetch",
 ]
 
@@ -468,8 +474,12 @@ def _alpaca_ev(raw: DataFrame, payload_col: str, ev: str) -> DataFrame:
 
 def _ns_to_ts(col):
     # Spark timestamps are µs precision; alpaca stamps are epoch ns
-    # (handlers/writer.go:20 time.Unix(0, t.Timestamp))
-    return F.timestamp_micros(F.floor(col / 1000).cast("long"))
+    # (handlers/writer.go:20 time.Unix(0, t.Timestamp)).  Epoch-ns
+    # longs (~1.7e18) exceed double's 2^53 exact range, so `col / 1000`
+    # in double precision can floor to the wrong microsecond; DECIMAL
+    # division is exact at this width.
+    micros = F.floor(col.cast("decimal(20,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def normalize_alpaca_trades(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -508,6 +518,294 @@ def normalize_alpaca_aggregates(
 
 
 # ---------------------------------------------------------------------
+# Xignite — QUICKEquityRealTime GetQuotes / QUICKEquityHistorical
+# GetBars + GetQuotesRange (contrib/xignitefeeder/api/model.go,
+# writer/quotes_writer.go, writer/bar_writer.go,
+# writer/quotes_range_writer.go)
+# ---------------------------------------------------------------------
+
+#: Xignite datetimes are strings in ``yyyy/MM/dd HH:mm:ss`` local
+#: exchange time with a per-record ``UTCOffSet`` hour count
+#: (api/model.go XigniteDateTimeLayout); dates are ``yyyy/MM/dd``.
+_XIG_DT_FMT = "yyyy/MM/dd HH:mm:ss"
+_XIG_DAY_FMT = "yyyy/MM/dd"
+
+_XIG_QUOTE_FIELDS = T.StructType(
+    [
+        T.StructField("DateTime", T.StringType()),
+        T.StructField("Ask", T.DoubleType()),
+        T.StructField("AskSize", T.DoubleType()),
+        T.StructField("AskDateTime", T.StringType()),
+        T.StructField("Bid", T.DoubleType()),
+        T.StructField("BidSize", T.DoubleType()),
+        T.StructField("BidDateTime", T.StringType()),
+        T.StructField("LastMarketDate", T.StringType()),
+        T.StructField("Last", T.DoubleType()),
+        T.StructField("LastSize", T.DoubleType()),
+        T.StructField("Open", T.DoubleType()),
+        T.StructField("High", T.DoubleType()),
+        T.StructField("Low", T.DoubleType()),
+        T.StructField("Close", T.DoubleType()),
+        T.StructField("PreviousClose", T.DoubleType()),
+        T.StructField("Volume", T.LongType()),
+        T.StructField("ExchangeOfficialClose", T.DoubleType()),
+        T.StructField("PreviousExchangeOfficialClose", T.DoubleType()),
+        T.StructField("ChangeFromPreviousClose", T.DoubleType()),
+        T.StructField("PercentChangeFromPreviousClose", T.DoubleType()),
+        T.StructField("UTCOffSet", T.IntegerType()),
+    ]
+)
+
+XIGNITE_QUOTES_SCHEMA = T.StructType(
+    [
+        T.StructField("Delay", T.DoubleType()),
+        T.StructField("Message", T.StringType()),
+        T.StructField(
+            "ArrayOfEquityQuote",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("Outcome", T.StringType()),
+                        T.StructField("Message", T.StringType()),
+                        T.StructField(
+                            "Security",
+                            T.StructType(
+                                [T.StructField("Symbol", T.StringType())]
+                            ),
+                        ),
+                        T.StructField("Quote", _XIG_QUOTE_FIELDS),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_XIG_BAR_FIELDS = T.StructType(
+    [
+        T.StructField("StartDateTime", T.StringType()),
+        T.StructField("EndDateTime", T.StringType()),
+        T.StructField("UTCOffSet", T.IntegerType()),
+        T.StructField("Open", T.DoubleType()),
+        T.StructField("High", T.DoubleType()),
+        T.StructField("Low", T.DoubleType()),
+        T.StructField("Close", T.DoubleType()),
+        T.StructField("Volume", T.DoubleType()),  # float in GetBars
+    ]
+)
+
+XIGNITE_BARS_SCHEMA = T.StructType(
+    [
+        T.StructField("Outcome", T.StringType()),
+        T.StructField("Delay", T.DoubleType()),
+        T.StructField("Message", T.StringType()),
+        T.StructField(
+            "Security", T.StructType([T.StructField("Symbol", T.StringType())])
+        ),
+        # GetIndexBars spells the security field IndexAndGroup
+        T.StructField(
+            "IndexAndGroup",
+            T.StructType([T.StructField("Symbol", T.StringType())]),
+        ),
+        T.StructField("ArrayOfBar", T.ArrayType(_XIG_BAR_FIELDS)),
+    ]
+)
+
+XIGNITE_QUOTES_RANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("Outcome", T.StringType()),
+        T.StructField("Message", T.StringType()),
+        T.StructField(
+            "Security", T.StructType([T.StructField("Symbol", T.StringType())])
+        ),
+        T.StructField(
+            "IndexAndGroup",
+            T.StructType([T.StructField("Symbol", T.StringType())]),
+        ),
+        T.StructField(
+            "ArrayOfEndOfDayQuote",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("Date", T.StringType()),
+                        T.StructField("Open", T.DoubleType()),
+                        T.StructField("High", T.DoubleType()),
+                        T.StructField("Low", T.DoubleType()),
+                        T.StructField("Close", T.DoubleType()),
+                        T.StructField(
+                            "ExchangeOfficialClose", T.DoubleType()
+                        ),
+                        T.StructField("PreviousClose", T.DoubleType()),
+                        T.StructField("Volume", T.LongType()),
+                        T.StructField(
+                            "PreviousExchangeOfficialClose", T.DoubleType()
+                        ),
+                        T.StructField(
+                            "ChangeFromPreviousClose", T.DoubleType()
+                        ),
+                        T.StructField(
+                            "PercentChangeFromPreviousClose", T.DoubleType()
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _xig_ts(local_str, offset_hours):
+    """Local exchange time string + UTCOffSet → UTC timestamp
+    (quotes_writer.go:58 ``Add(-UTCOffSet hours)``).  Parse, shift by
+    whole hours in integer seconds — exact, no double math."""
+    local = F.to_timestamp(local_str, _XIG_DT_FMT)
+    return F.timestamp_seconds(
+        local.cast("long") - F.coalesce(offset_hours, F.lit(0)) * 3600
+    )
+
+
+def normalize_xignite_quotes(
+    raw: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """GetQuotes response → realtime TICK rows (quotes_writer.go
+    convertToCSM): keep Outcome=Success quotes with a non-empty
+    LastMarketDate (listed symbols only), stamp each row with the
+    LATEST of DateTime/AskDateTime/BidDateTime shifted to UTC."""
+    eq = raw.select(
+        F.explode(
+            F.from_json(F.col(payload_col), XIGNITE_QUOTES_SCHEMA)[
+                "ArrayOfEquityQuote"
+            ]
+        ).alias("eq")
+    ).select("eq.*")
+    q = F.col("Quote")
+    # greatest() skips NULLs — same selection as getLatestTime, where
+    # an absent datetime (zero time.Time) can never win
+    latest = F.greatest(
+        F.to_timestamp(q["DateTime"], _XIG_DT_FMT),
+        F.to_timestamp(q["AskDateTime"], _XIG_DT_FMT),
+        F.to_timestamp(q["BidDateTime"], _XIG_DT_FMT),
+    )
+    return (
+        eq.filter(
+            (F.col("Outcome") == "Success")
+            & (F.col("Quote").isNotNull())
+            & (F.length(F.coalesce(q["LastMarketDate"], F.lit(""))) > 0)
+        )
+        .select(
+            F.col("Security")["Symbol"].alias("symbol"),
+            F.timestamp_seconds(
+                latest.cast("long")
+                - F.coalesce(q["UTCOffSet"], F.lit(0)) * 3600
+            ).alias("ts"),
+            q["Ask"].alias("ask"),
+            q["AskSize"].alias("ask_size"),
+            q["Bid"].alias("bid"),
+            q["BidSize"].alias("bid_size"),
+            q["Last"].alias("last"),
+            q["LastSize"].alias("last_size"),
+            F.to_timestamp(q["DateTime"], _XIG_DT_FMT)
+            .cast("long")
+            .alias("quote_datetime_epoch"),
+            q["Open"].alias("open"),
+            q["High"].alias("high"),
+            q["Low"].alias("low"),
+            q["Close"].alias("close"),
+            q["Volume"].alias("volume"),
+            q["PreviousClose"].alias("previous_close"),
+            q["ExchangeOfficialClose"].alias("exchange_official_close"),
+            q["PreviousExchangeOfficialClose"].alias(
+                "previous_exchange_official_close"
+            ),
+            q["ChangeFromPreviousClose"].alias("change_from_previous_close"),
+            q["PercentChangeFromPreviousClose"].alias(
+                "percent_change_from_previous_close"
+            ),
+        )
+        .filter(F.col("ts").isNotNull() & F.col("symbol").isNotNull())
+    )
+
+
+def normalize_xignite_bars(
+    raw: DataFrame, payload_col: str = "payload", is_index: bool = False
+) -> DataFrame:
+    """GetBars / GetIndexBars response → OHLCV rows (bar_writer.go
+    convertToCSM): bar epoch is StartDateTime shifted to UTC; bars
+    missing either boundary datetime are skipped, and zero-volume bars
+    are skipped unless the symbol is an index (index volume is always
+    0)."""
+    parsed = raw.select(
+        F.from_json(F.col(payload_col), XIGNITE_BARS_SCHEMA).alias("r")
+    ).filter(F.col("r")["Outcome"] == "Success")
+    bars = parsed.select(
+        F.coalesce(
+            F.col("r")["Security"]["Symbol"],
+            F.col("r")["IndexAndGroup"]["Symbol"],
+        ).alias("symbol"),
+        F.explode(F.col("r")["ArrayOfBar"]).alias("b"),
+    )
+    b = F.col("b")
+    out = bars.filter(
+        (F.length(F.coalesce(b["StartDateTime"], F.lit(""))) > 0)
+        & (F.length(F.coalesce(b["EndDateTime"], F.lit(""))) > 0)
+    )
+    if not is_index:
+        out = out.filter(b["Volume"] != 0)
+    return out.select(
+        "symbol",
+        _xig_ts(b["StartDateTime"], b["UTCOffSet"]).alias("ts"),
+        b["Open"].alias("open"),
+        b["High"].alias("high"),
+        b["Low"].alias("low"),
+        b["Close"].alias("close"),
+        b["Volume"].alias("volume"),
+    ).filter(F.col("ts").isNotNull() & F.col("symbol").isNotNull())
+
+
+def normalize_xignite_quotes_range(
+    raw: DataFrame, payload_col: str = "payload", is_index: bool = False
+) -> DataFrame:
+    """GetQuotesRange response → daily OHLCV rows
+    (quotes_range_writer.go convertToCSMForQuotesRange): epoch is the
+    quote Date at UTC midnight; empty dates skipped; zero-volume days
+    skipped unless index."""
+    parsed = raw.select(
+        F.from_json(
+            F.col(payload_col), XIGNITE_QUOTES_RANGE_SCHEMA
+        ).alias("r")
+    ).filter(F.col("r")["Outcome"] == "Success")
+    days = parsed.select(
+        F.coalesce(
+            F.col("r")["Security"]["Symbol"],
+            F.col("r")["IndexAndGroup"]["Symbol"],
+        ).alias("symbol"),
+        F.explode(F.col("r")["ArrayOfEndOfDayQuote"]).alias("d"),
+    )
+    d = F.col("d")
+    out = days.filter(F.length(F.coalesce(d["Date"], F.lit(""))) > 0)
+    if not is_index:
+        out = out.filter(d["Volume"] != 0)
+    return out.select(
+        "symbol",
+        F.to_timestamp(d["Date"], _XIG_DAY_FMT).alias("ts"),
+        d["Open"].alias("open"),
+        d["High"].alias("high"),
+        d["Low"].alias("low"),
+        d["Close"].alias("close"),
+        d["ExchangeOfficialClose"].alias("exchange_official_close"),
+        d["PreviousClose"].alias("previous_close"),
+        d["Volume"].alias("volume"),
+        d["PreviousExchangeOfficialClose"].alias(
+            "previous_exchange_official_close"
+        ),
+        d["ChangeFromPreviousClose"].alias("change_from_previous_close"),
+        d["PercentChangeFromPreviousClose"].alias(
+            "percent_change_from_previous_close"
+        ),
+    ).filter(F.col("ts").isNotNull() & F.col("symbol").isNotNull())
+
+
+# ---------------------------------------------------------------------
 # Feeder integration
 # ---------------------------------------------------------------------
 
@@ -522,6 +820,9 @@ _NORMALIZERS = {
     "alpaca_trades": normalize_alpaca_trades,
     "alpaca_quotes": normalize_alpaca_quotes,
     "alpaca_aggregates": normalize_alpaca_aggregates,
+    "xignite_quotes": normalize_xignite_quotes,
+    "xignite_bars": normalize_xignite_bars,
+    "xignite_quotes_range": normalize_xignite_quotes_range,
 }
 
 #: connectors whose payloads carry no symbol: the provider returns

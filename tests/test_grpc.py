@@ -658,3 +658,110 @@ def test_h2_rejects_bad_preface(grpc_stack):
         pass  # immediate close is also a clean rejection
     finally:
         s.close()
+
+
+def test_protowire_truncated_unknown_field_raises():
+    """_skip must bound every advance (ADVICE r10): an unknown field
+    whose declared length runs past the buffer end is corruption, not
+    clean end-of-message."""
+    blob = protowire.encode("ServerVersionResponse", {"version": "1.0"})
+    # unknown field 15 LEN claiming 16 bytes with only 3 present
+    with pytest.raises(ValueError):
+        protowire.decode(
+            "ServerVersionResponse", blob + bytes([15 << 3 | 2, 16]) + b"abc"
+        )
+    # unknown I64 with only 4 bytes left
+    with pytest.raises(ValueError):
+        protowire.decode(
+            "ServerVersionResponse", blob + bytes([15 << 3 | 1]) + b"\x00" * 4
+        )
+    # unknown I32 at the very end
+    with pytest.raises(ValueError):
+        protowire.decode("ServerVersionResponse", blob + bytes([15 << 3 | 5]))
+
+
+def test_nmds_heterogeneous_tbk_columns_padded():
+    """A Query spanning buckets with differing schemas must produce
+    full-length buffers for the UNION of columns (ADVICE r10) — the
+    flat start_index/lengths offsets only line up when every column
+    buffer is exactly `length` rows."""
+    import math
+
+    import numpy as np
+
+    from marketstore_spark.grpcfront import (
+        _column_series_to_nmds,
+        _nmds_to_frames,
+    )
+
+    nmds = _column_series_to_nmds(
+        {
+            "X/1Min/OHLCV": {"Epoch": [1, 2], "close": [1.0, 2.0]},
+            "Y/1Min/TICK": {"Epoch": [3], "bid": [9.5]},
+        }
+    )
+    ds = nmds["data"]
+    assert ds["column_names"] == ["Epoch", "close", "bid"]
+    assert ds["length"] == 3
+    for t, raw in zip(ds["column_types"], ds["column_data"]):
+        assert len(np.frombuffer(raw, dtype=np.dtype(t))) == 3
+    frames = _nmds_to_frames(nmds)
+    x, y = frames["X/1Min/OHLCV"], frames["Y/1Min/TICK"]
+    assert list(x["close"]) == [1.0, 2.0] and list(y["Epoch"]) == [3]
+    assert y["bid"].iloc[0] == 9.5
+    assert math.isnan(y["close"].iloc[0])  # Y never wrote close
+    assert x["bid"].isna().all()  # X never wrote bid
+
+
+def test_h2_inbound_frame_bounded_by_own_max_not_peers(grpc_stack):
+    """RFC 7540 §4.2 (ADVICE r10): the peer's SETTINGS_MAX_FRAME_SIZE
+    governs frames we SEND; inbound frames are bounded by OUR
+    advertised size (the 16384 default, never raised).  A client that
+    advertises 64 KiB and then sends a 20000-byte frame must draw
+    FRAME_SIZE_ERROR, not acceptance."""
+    import socket
+    import struct as _struct
+
+    from marketstore_spark import http2lite as h2
+
+    cli, _ = grpc_stack
+    s = socket.create_connection(("127.0.0.1", cli.port), timeout=10)
+    try:
+        settings = _struct.pack("!HI", h2.SETTINGS_MAX_FRAME_SIZE, 65536)
+        s.sendall(
+            h2.PREFACE
+            + len(settings).to_bytes(3, "big")
+            + bytes([h2.SETTINGS, 0])
+            + (0).to_bytes(4, "big")
+            + settings
+        )
+        # DATA frame header declaring 20000 bytes on stream 1
+        s.sendall(
+            (20000).to_bytes(3, "big") + bytes([h2.DATA, 0]) + (1).to_bytes(4, "big")
+        )
+        try:
+            s.sendall(b"\x00" * 20000)
+        except OSError:
+            pass  # server may close before draining the body
+        s.settimeout(10)
+        buf = b""
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except (ConnectionResetError, TimeoutError):
+                break
+            if not chunk:
+                break
+            buf += chunk
+        goaway_code = None
+        pos = 0
+        while pos + 9 <= len(buf):
+            ln = int.from_bytes(buf[pos : pos + 3], "big")
+            ftype = buf[pos + 3]
+            body = buf[pos + 9 : pos + 9 + ln]
+            if ftype == h2.GOAWAY and len(body) >= 8:
+                goaway_code = int.from_bytes(body[4:8], "big")
+            pos += 9 + ln
+        assert goaway_code == h2.FRAME_SIZE_ERROR
+    finally:
+        s.close()

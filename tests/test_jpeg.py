@@ -211,3 +211,18 @@ def test_16bit_quant_tables_decode():
     wide = bytes(out)
     assert wide != data and b"\xff\xdb" in wide
     assert np.array_equal(decode_jpeg(wide), decode_jpeg(data))
+
+
+def test_fill_bytes_before_markers_skipped():
+    """T.81 §B.1.1.2: any run of 0xFF fill bytes may pad before a
+    marker.  The scanner must not read the fill as marker 0xFFFF and
+    then consume bogus 'segment length' bytes (ADVICE r10)."""
+    px = _gradient(16, 16)
+    data = encode_jpeg(px, quality=85)
+    # pad before DQT (first marker after SOI/APP0) and before EOI —
+    # both sit outside entropy-coded data, where fill bytes are legal
+    dqt = data.index(b"\xff\xdb")
+    padded = data[:dqt] + b"\xff" * 3 + data[dqt:]
+    eoi = padded.rindex(b"\xff\xd9")
+    padded = padded[:eoi] + b"\xff" * 2 + padded[eoi:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
