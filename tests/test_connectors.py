@@ -417,3 +417,176 @@ def test_gdax_feeder_end_to_end(spark, tmp_path):
     assert feeder.tick() and feeder.rows_appended == 2
     got = cat.read("BTC-USD/1Min/OHLCV")
     assert got.count() == 2
+
+
+def test_alpaca_ns_to_us_exact_above_double_range(spark):
+    """Epoch-ns longs (~1.6e18) exceed double's 2^53 exact-integer
+    range, so a double division can floor to the wrong microsecond
+    (ADVICE r10).  1617234567123456880 ns is a witness: double math
+    yields ...457 µs, the true truncation is ...456 µs — matching the
+    reference's time.Unix(0, t)."""
+    import json as _json
+
+    ns = 1617234567123456880
+    assert int(ns / 1000) != ns // 1000  # the witness really misfloors
+    msg = {"ev": "T", "data": {"T": "SPY", "p": 1.0, "s": 1, "t": ns}}
+    raw = spark.createDataFrame([(_json.dumps(msg),)], ["payload"])
+    r = normalize_alpaca_trades(raw).collect()[0]
+    assert r["ts"].microsecond == 123456
+
+
+# xignite GetQuotes / GetBars / GetQuotesRange responses
+# (contrib/xignitefeeder/api/model.go; writer/{quotes,bar,quotes_range}
+# _writer.go field mappings — the last contrib feeder payload twin)
+
+from marketstore_spark.streaming.connectors import (
+    normalize_xignite_bars,
+    normalize_xignite_quotes,
+    normalize_xignite_quotes_range,
+)
+
+XIGNITE_QUOTES = {
+    "Delay": 0.5,
+    "Message": "",
+    "ArrayOfEquityQuote": [
+        {  # UTC+9 (JST) quote: latest of the three datetimes wins
+            "Outcome": "Success",
+            "Security": {"Symbol": "7203"},
+            "Quote": {
+                "DateTime": "2019/05/01 11:29:00",
+                "Ask": 6672.0, "AskSize": 500.0,
+                "AskDateTime": "2019/05/01 11:30:00",
+                "Bid": 6670.0, "BidSize": 1200.0,
+                "BidDateTime": "2019/05/01 11:28:30",
+                "LastMarketDate": "2019/05/01",
+                "Last": 6671.0, "LastSize": 100.0,
+                "Open": 6650.0, "High": 6680.0, "Low": 6640.0,
+                "Close": 6671.0, "PreviousClose": 6648.0,
+                "Volume": 1234567,
+                "ExchangeOfficialClose": 6671.0,
+                "PreviousExchangeOfficialClose": 6648.0,
+                "ChangeFromPreviousClose": 23.0,
+                "PercentChangeFromPreviousClose": 0.346,
+                "UTCOffSet": 9,
+            },
+        },
+        {  # unlisted symbol: empty LastMarketDate → skipped
+            "Outcome": "Success",
+            "Security": {"Symbol": "9999"},
+            "Quote": {"DateTime": "2019/05/01 11:29:00",
+                      "LastMarketDate": "", "UTCOffSet": 9},
+        },
+        {  # error outcome → skipped
+            "Outcome": "RequestError",
+            "Security": {"Symbol": "0000"},
+            "Quote": None,
+        },
+    ],
+}
+
+XIGNITE_BARS = {
+    "Outcome": "Success",
+    "Delay": 0.0,
+    "Message": "",
+    "Security": {"Symbol": "7203"},
+    "ArrayOfBar": [
+        {"StartDateTime": "2019/05/01 11:25:00",
+         "EndDateTime": "2019/05/01 11:30:00", "UTCOffSet": 9,
+         "Open": 6650.0, "High": 6660.0, "Low": 6645.0, "Close": 6655.0,
+         "Volume": 3200.0},
+        {"StartDateTime": "", "EndDateTime": "2019/05/01 11:35:00",
+         "UTCOffSet": 9, "Open": 1.0, "High": 1.0, "Low": 1.0,
+         "Close": 1.0, "Volume": 10.0},  # empty start → skipped
+        {"StartDateTime": "2019/05/01 11:30:00",
+         "EndDateTime": "2019/05/01 11:35:00", "UTCOffSet": 9,
+         "Open": 0.0, "High": 0.0, "Low": 0.0, "Close": 0.0,
+         "Volume": 0.0},  # zero volume → skipped unless index
+    ],
+}
+
+XIGNITE_INDEX_BARS = {
+    "Outcome": "Success",
+    "Message": "",
+    "IndexAndGroup": {"Symbol": "N225"},  # GetIndexBars field spelling
+    "ArrayOfBar": [
+        {"StartDateTime": "2019/05/01 11:25:00",
+         "EndDateTime": "2019/05/01 11:30:00", "UTCOffSet": 9,
+         "Open": 22200.0, "High": 22250.0, "Low": 22190.0,
+         "Close": 22240.0, "Volume": 0.0},  # index volume always 0
+    ],
+}
+
+XIGNITE_RANGE = {
+    "Outcome": "Success",
+    "Message": "",
+    "Security": {"Symbol": "7203"},
+    "ArrayOfEndOfDayQuote": [
+        {"Date": "2019/04/26", "Open": 6600.0, "High": 6650.0,
+         "Low": 6580.0, "Close": 6620.0, "ExchangeOfficialClose": 6620.0,
+         "PreviousClose": 6590.0, "Volume": 9876543,
+         "PreviousExchangeOfficialClose": 6590.0,
+         "ChangeFromPreviousClose": 30.0,
+         "PercentChangeFromPreviousClose": 0.455},
+        {"Date": "", "Open": 1.0, "Volume": 5},  # empty date → skipped
+        {"Date": "2019/04/27", "Volume": 0},  # zero volume → skipped
+    ],
+}
+
+
+def test_xignite_quotes_normalize(spark):
+    rows = normalize_xignite_quotes(_raw(spark, XIGNITE_QUOTES)).collect()
+    assert len(rows) == 1  # unlisted + error quotes routed away
+    r = rows[0]
+    assert r["symbol"] == "7203"
+    # latest of the three datetimes (AskDateTime 11:30) minus UTC+9
+    assert r["ts"] == dt.datetime(2019, 5, 1, 2, 30)
+    assert r["ask"] == pytest.approx(6672.0)
+    assert (r["bid_size"], r["last_size"]) == (1200.0, 100.0)
+    assert r["volume"] == 1234567
+    # DateTime column stored as epoch seconds of the *local* stamp
+    # (quotes_writer.go:82 stores DateTime.Unix() unshifted)
+    assert r["quote_datetime_epoch"] == int(
+        dt.datetime(2019, 5, 1, 11, 29, tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert r["percent_change_from_previous_close"] == pytest.approx(0.346)
+
+
+def test_xignite_bars_normalize(spark):
+    rows = normalize_xignite_bars(_raw(spark, XIGNITE_BARS)).collect()
+    assert len(rows) == 1  # empty-start and zero-volume bars skipped
+    r = rows[0]
+    assert r["symbol"] == "7203"
+    # StartDateTime 11:25 JST → 02:25 UTC (bar_writer.go:72)
+    assert r["ts"] == dt.datetime(2019, 5, 1, 2, 25)
+    assert r["close"] == pytest.approx(6655.0)
+    assert r["volume"] == pytest.approx(3200.0)
+
+
+def test_xignite_index_bars_keep_zero_volume(spark):
+    rows = normalize_xignite_bars(
+        _raw(spark, XIGNITE_INDEX_BARS), is_index=True
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["symbol"] == "N225"  # IndexAndGroup spelling honored
+    assert rows[0]["volume"] == 0.0
+
+
+def test_xignite_quotes_range_normalize(spark):
+    rows = normalize_xignite_quotes_range(_raw(spark, XIGNITE_RANGE)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["symbol"] == "7203"
+    assert r["ts"] == dt.datetime(2019, 4, 26)  # UTC midnight epoch
+    assert r["exchange_official_close"] == pytest.approx(6620.0)
+    assert r["change_from_previous_close"] == pytest.approx(30.0)
+
+
+def test_xignite_through_connector_fetch(spark):
+    """xignite wired through the FeederSpec fetch contract like the
+    other seven connectors."""
+    fetch = connector_fetch(
+        spark, "xignite_bars", lambda syms, tf, since: [XIGNITE_BARS]
+    )
+    df = fetch(["7203"], "5Min", None)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["symbol"] == "7203"
