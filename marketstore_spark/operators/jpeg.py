@@ -11,9 +11,11 @@ markers, with Huffman tables read from the file.  Both frame types
 share one decode path: every scan accumulates into per-component
 coefficient stores; dequantization + IDCT happen once at the end —
 exactly the structure T.81 prescribes, which is why a baseline scan
-is just the degenerate single full-band scan.  Arithmetic coding and
-12-bit variants raise NotImplementedError — callers record
-decoded_ok=0 (data, not a bug).
+is just the degenerate single full-band scan.  12-bit sample
+precision decodes on the same path (16-bit quant tables, extended DC
+categories) with samples reconstructed in the 12-bit domain and
+down-shifted to the 8-bit output (s >> 4).  Arithmetic coding raises
+NotImplementedError — callers record decoded_ok=0 (data, not a bug).
 
 The encoder emits baseline JFIF with the spec's example tables
 (ITU-T T.81 Annex K: quantization tables scaled by quality, typical
@@ -687,6 +689,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    precision = 8
     restart_interval = 0
     coefs = None
     got_scan = False
@@ -732,8 +735,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 d = d[17 + n :]
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG")
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8-bit and 12-bit JPEG")
+            precision = prec
             progressive = marker == 0xFFC2
             comps = []
             for i in range(nc):
@@ -772,7 +776,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += ln
     if not got_scan:
         raise ValueError("no scan data found")
-    return _reconstruct(frame, coefs, quant)
+    return _reconstruct(frame, coefs, quant, precision)
 
 
 def _alloc_coefs(frame):
@@ -975,9 +979,17 @@ def _decode_entropy(
     return _entropy_end(payload, start)
 
 
-def _reconstruct(frame, coefs, quant):
-    """Final coefficients → dequantize, IDCT, upsample, color-convert."""
+def _reconstruct(frame, coefs, quant, precision=8):
+    """Final coefficients → dequantize, IDCT, upsample, color-convert.
+
+    12-bit frames (T.81 sample precision P=12) reconstruct in the
+    full 12-bit domain — level shift 2^(P-1)=2048, clip to 4095 — and
+    the output samples are down-shifted to 8 bits (s >> 4), the
+    documented convention for the uint8 pipeline downstream."""
     h, w, comps = frame
+    half = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    shift = precision - 8
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     full = []
@@ -989,7 +1001,7 @@ def _reconstruct(frame, coefs, quant):
         for by in range(bh):
             for bx in range(bw):
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _idct(store[by, bx].reshape(8, 8) * q) + 128.0
+                    _idct(store[by, bx].reshape(8, 8) * q) + half
                 )
         if ch != hmax or cv != vmax:
             plane = np.repeat(
@@ -997,10 +1009,12 @@ def _reconstruct(frame, coefs, quant):
             )
         full.append(plane[:h, :w])
     if len(full) == 1:
-        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        g = np.clip(full[0], 0, maxval)
+        g = (g.astype(np.uint16) >> shift).astype(np.uint8)
         return np.dstack([g, g, g])
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - half, full[2] - half
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+    rgb = np.clip(np.dstack([r, g, b]), 0, maxval)
+    return (rgb.astype(np.uint16) >> shift).astype(np.uint8)

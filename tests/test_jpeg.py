@@ -226,3 +226,57 @@ def test_fill_bytes_before_markers_skipped():
     eoi = padded.rindex(b"\xff\xd9")
     padded = padded[:eoi] + b"\xff" * 2 + padded[eoi:]
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
+def _twelve_bit_flat_jpeg(value=3000):
+    """Minimal conformant 12-bit grayscale baseline JPEG: one flat
+    8x8 block, unit 16-bit quant table (Pq=1), one-code DC/AC Huffman
+    tables.  Flat sample v level-shifts to v-2048, so the lone DC
+    coefficient is 8*(v-2048) — for v=3000 that's 7616, size category
+    13: a category only the extended 12-bit DC range reaches."""
+    dc = 8 * (value - 2048)
+    size = dc.bit_length()  # positive → appended bits are the value
+    assert size == 13
+    out = bytearray(b"\xff\xd8")
+    # DQT, Pq=1 (16-bit entries), all ones
+    out += b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + b"\x10"
+    out += b"".join((1).to_bytes(2, "big") for _ in range(64))
+    # SOF0: precision 12, 8x8, 1 component 1x1
+    out += b"\xff\xc0" + (11).to_bytes(2, "big")
+    out += struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: single symbol `size` with the 1-bit code '0'
+    counts = [0] * 16
+    counts[0] = 1
+    out += b"\xff\xc4" + (2 + 1 + 16 + 1).to_bytes(2, "big")
+    out += bytes([0x00] + counts + [size])
+    # AC table: single symbol 0x00 (EOB) with the 1-bit code '0'
+    out += b"\xff\xc4" + (2 + 1 + 16 + 1).to_bytes(2, "big")
+    out += bytes([0x10] + counts + [0x00])
+    # SOS
+    out += b"\xff\xda" + (8).to_bytes(2, "big")
+    out += bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy: DC code '0' + 13 magnitude bits + AC EOB '0', 1-padded
+    bits = "0" + format(dc, f"0{size}b") + "0"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_12bit_precision_decodes_with_downshift():
+    """T.81 12-bit sample precision rides the unified path: 16-bit
+    quant tables, extended DC categories, 2048 level shift — output
+    down-shifted to 8 bits (3000 >> 4 == 187)."""
+    px = decode_jpeg(_twelve_bit_flat_jpeg(3000))
+    assert px.shape == (8, 8, 3)
+    assert (px == 187).all()
+    # and a second value to pin the shift isn't a fluke
+    assert (decode_jpeg(_twelve_bit_flat_jpeg(2560)) == 160).all()
+
+
+def test_unsupported_precision_still_fenced():
+    bad = bytearray(_twelve_bit_flat_jpeg())
+    sof = bad.index(b"\xff\xc0")
+    bad[sof + 4] = 16  # precision byte inside SOF0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
