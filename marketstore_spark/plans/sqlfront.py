@@ -44,7 +44,7 @@ _CANDLER_RE = re.compile(
     r"|tickrule|nbbo|heikinashi|ichimoku|amihud"
     r"|rollspread|autocorr|varratio|kylelambda|vpin|markout"
     r"|rangevol|corwinschultz|kaufmaner|trimmedmean|realizedmoments|mfi|cci"
-    r"|aroon|adx|liquiditypanel|sessions|funnel|rfm)"
+    r"|aroon|adx|liquiditypanel|session_window|sessions|funnel|rfm)"
     r"\s*\((.*?)\)\s+from\s+(\S+)"
     r"(?:\s+where\s+(.*?))?(?:\s+limit\s+(\d+))?\s*$",
     re.I | re.S,
@@ -584,7 +584,7 @@ class MarketSQL:
             if limit:
                 out = out.orderBy(order_col).limit(int(limit))
             return out
-        if fname.lower() in ("sessions", "funnel", "rfm"):
+        if fname.lower() in ("sessions", "session_window", "funnel", "rfm"):
             # Event-analytics UDAs through the registry (round 10) —
             # the reference resolves aggregators by NAME from a
             # pluggable registry (sqlparser/registry.go), so the
@@ -619,6 +619,21 @@ class MarketSQL:
                     tiebreak=tuple(tiebreak) or (ts_col,),
                 )
                 order_cols = ["user_id", "session_id"]
+            elif name == "session_window":
+                # session_window(1800) — the NATIVE F.session_window
+                # grouping (21g's engine form): identical session
+                # boundaries to sessions(), but the same query text
+                # runs unchanged (plus a watermark) on the live feed
+                # via streaming.sessions.stream_sessions
+                from marketstore_spark.streaming.sessions import (
+                    session_window_agg,
+                )
+
+                gap = int(float(quoted[0])) if quoted else 1800
+                out = session_window_agg(
+                    base, gap_seconds=gap, key_col="user_id", ts_col=ts_col
+                )
+                order_cols = ["user_id", "session_start"]
             elif name == "funnel":
                 from marketstore_spark.operators.funnel import event_funnel
 

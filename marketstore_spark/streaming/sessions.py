@@ -62,3 +62,31 @@ def stream_sessions(
         )
         .select(key_col, "n_events", "session_start", "session_end")
     )
+
+
+def session_window_agg(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The same native ``F.session_window`` grouping applied in BATCH
+    (no watermark) — one definition of a session for both execution
+    modes, which is the point of exposing it through the MarketSQL
+    registry: a query validated here runs unchanged (plus a
+    watermark) on the live feed via :func:`stream_sessions`."""
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    s = with_instant_ts(df, ts_col)
+    return (
+        s.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(key_col, "n_events", "session_start", "session_end")
+    )

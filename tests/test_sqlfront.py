@@ -534,3 +534,27 @@ def test_event_uda_guards(msql):
     list."""
     with pytest.raises(ValueError, match="step list"):
         msql.sql("SELECT funnel() FROM `EV1/1Min/TICK`")
+
+
+def test_session_window_uda_matches_sessionize(msql_events):
+    """session_window(gap) — the native F.session_window form of 21g —
+    through the MarketSQL registry: per-(user, session) boundaries and
+    counts equal the batch sessionize operator's session summary (the
+    two gap contracts agree at every integer-µs gap)."""
+    from marketstore_spark.operators.sessionize import sessionize
+
+    out = msql_events.sql("SELECT session_window(900) FROM `EVALL/1Min/EVENT`")
+    assert set(out.columns) == {
+        "user_id", "n_events", "session_start", "session_end"
+    }
+    base = msql_events.catalog.read("EVALL/1Min/EVENT")
+    exp = sessionize(base, gap_seconds=900)  # already session-grain
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in out.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in exp.collect()
+    }
+    assert got == want and got
