@@ -64,6 +64,7 @@ __all__ = [
     "normalize_xignite_quotes",
     "normalize_xignite_bars",
     "normalize_xignite_quotes_range",
+    "xignite_list_symbols",
     "connector_fetch",
 ]
 
@@ -803,6 +804,37 @@ def normalize_xignite_quotes_range(
             "percent_change_from_previous_close"
         ),
     ).filter(F.col("ts").isNotNull() & F.col("symbol").isNotNull())
+
+
+def xignite_list_symbols(
+    payload, exchange: str, not_quote=(), index: bool = False
+):
+    """ListSymbols / ListIndexSymbols response → identifier list
+    (symbols/manager.go UpdateSymbols / UpdateIndexSymbols).
+
+    Driver-side pure Python by design: the symbol universe is
+    config-scale (thousands of rows refreshed daily), the same posture
+    as the reference's in-process manager — no reason to spin a Spark
+    job for it.  Returns ``None`` when Outcome isn't Success (the
+    reference keeps the previous universe rather than wiping it).
+    Rules mirrored: skip 5-plus-digit stock codes (equities only),
+    skip the not_quote_stock_list, skip empty symbols; identifiers are
+    ``{symbol}.{exchange}``.
+    """
+    doc = json.loads(payload) if isinstance(payload, str) else payload
+    if doc.get("Outcome") != "Success":
+        return None
+    arr_key = "ArrayOfIndex" if index else "ArrayOfSecurityDescription"
+    blocked = set(not_quote)
+    out = []
+    for entry in doc.get(arr_key) or []:
+        sym = (entry or {}).get("Symbol") or ""
+        if not sym or sym in blocked:
+            continue
+        if not index and len(sym) >= 5:
+            continue  # manager.go:91 ignores 5-digit stock codes
+        out.append(f"{sym}.{exchange}")
+    return out
 
 
 # ---------------------------------------------------------------------

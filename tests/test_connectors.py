@@ -590,3 +590,29 @@ def test_xignite_through_connector_fetch(spark):
     df = fetch(["7203"], "5Min", None)
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["symbol"] == "7203"
+
+
+def test_xignite_list_symbols_rules():
+    """symbols/manager.go filtering: Success gate (None = keep the
+    previous universe), 5-digit stock skip (equities only),
+    not_quote_stock_list skip, {symbol}.{exchange} identifiers."""
+    from marketstore_spark.streaming.connectors import xignite_list_symbols
+
+    resp = {
+        "Outcome": "Success",
+        "ArrayOfSecurityDescription": [
+            {"Symbol": "7203"}, {"Symbol": "13010"},  # 5-digit → skipped
+            {"Symbol": "9984"}, {"Symbol": ""}, {"Symbol": "8306"},
+        ],
+    }
+    assert xignite_list_symbols(resp, "XTKS", not_quote=["8306"]) == [
+        "7203.XTKS", "9984.XTKS",
+    ]
+    # error outcome → None (reference keeps the previous universe)
+    assert xignite_list_symbols({"Outcome": "SystemError"}, "XTKS") is None
+    # index universes use ArrayOfIndex and keep long symbols
+    idx = {"Outcome": "Success",
+           "ArrayOfIndex": [{"Symbol": "151"}, {"Symbol": "INDEX00001"}]}
+    assert xignite_list_symbols(idx, "INDXJPX", index=True) == [
+        "151.INDXJPX", "INDEX00001.INDXJPX",
+    ]

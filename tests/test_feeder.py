@@ -157,3 +157,87 @@ def test_backfill_disabled_is_noop(spark, tmp_path):
         spec, cat, lambda *a: pytest.fail("fetch must not run")
     )
     assert feeder.run_backfill() == 0
+
+
+def test_connector_feeder_trigger_end_to_end(spark, tmp_path):
+    """The full reference ingest story in one test: a declarative
+    FeederSpec + a concrete connector payload (xignite GetBars) +
+    calendar gating + the backfill high-water mark, landing in a
+    1Min bucket with an ondiskagg rollup trigger attached — feeder →
+    write → ondiskagg, the contrib/xignitefeeder + contrib/ondiskagg
+    composition."""
+    import json
+
+    from marketstore_spark.streaming.connectors import connector_fetch
+    from marketstore_spark.triggers import OnDiskAggTrigger, TriggerRegistry
+
+    cat = Catalog(spark, os.path.join(str(tmp_path), "root"))
+    reg = TriggerRegistry()
+    reg.register("*/1Min/OHLCV", OnDiskAggTrigger(cat, destinations=["5Min"]))
+    cat.triggers = reg
+
+    def bars_payload(minutes):
+        return json.dumps(
+            {
+                "Outcome": "Success",
+                "Security": {"Symbol": "AAPL"},
+                "ArrayOfBar": [
+                    {
+                        "StartDateTime": f"2024/01/03 15:{m:02d}:00",
+                        "EndDateTime": f"2024/01/03 15:{m + 1:02d}:00",
+                        "UTCOffSet": 0,
+                        "Open": 100.0 + m,
+                        "High": 101.0 + m,
+                        "Low": 99.0 + m,
+                        "Close": 100.5 + m,
+                        "Volume": 1000.0,
+                    }
+                    for m in minutes
+                ],
+            }
+        )
+
+    # backfill serves history; the live poll re-serves an overlapping
+    # window (the HWM must drop the duplicate bar)
+    calls = []
+
+    def provider(symbols, timeframe, since):
+        calls.append(since)
+        return [bars_payload([0, 1] if since else [1, 2])]
+
+    spec = FeederSpec.from_dict(
+        {
+            "symbols": ["AAPL"],
+            "interval_seconds": 60,
+            "backfill": {"enabled": True, "since": "2024-01-02"},
+        }
+    )
+    t_open = dt.datetime(2024, 1, 3, 15, 3, tzinfo=UTC)  # Wed 10:03 ET
+    t_closed = dt.datetime(2024, 1, 4, 2, 0, tzinfo=UTC)
+    times = iter([t_open, t_closed])
+    feeder = ConfiguredFeeder(
+        spec,
+        cat,
+        connector_fetch(spark, "xignite_bars", provider),
+        clock=lambda: next(times),
+    )
+
+    assert feeder.run_backfill() == 2  # bars 15:00, 15:01
+    assert calls == ["2024-01-02"]
+    assert feeder.tick() is True  # open market: polls, HWM keeps 15:02
+    assert feeder.tick() is False  # closed market: gated, no fetch
+    assert len(calls) == 2 and calls[1] is None
+    assert feeder.rows_appended == 3
+
+    fine = cat.read("AAPL/1Min/OHLCV")
+    assert fine.count() == 3  # the overlap bar appended once
+
+    # the rollup trigger maintained the 5Min bucket on BOTH commits:
+    # one 15:00-15:05 candle aggregating all three bars
+    coarse = cat.read("AAPL/5Min/OHLCV").collect()
+    assert len(coarse) == 1
+    r = coarse[0]
+    assert r["epoch"] == dt.datetime(2024, 1, 3, 15, 0)
+    assert (r["open"], r["close"]) == (100.0, 102.5)  # first open, last close
+    assert (r["high"], r["low"]) == (103.0, 99.0)
+    assert r["volume_sum"] == pytest.approx(3000.0)
