@@ -318,19 +318,26 @@ def main() -> None:
     paired = [n for n in times if n in oracle_secs]
     spark_paired = round(sum(times[n] for n in paired), 3)
     ratio = round(spark_paired / oracle_total, 3) if oracle_total else None
+    # Per-query paired ratio (spark/oracle) — the judge's regression
+    # diff in one map, robust to tail truncation (VERDICT r10 item 7).
+    ratios = {
+        n: round(times[n] / oracle_secs[n], 2) if oracle_secs[n] else None
+        for n in paired
+    }
     # Key order matters: the driver records the TAIL of this (long)
     # line, so the per-query dicts go FIRST and the suite summary
     # fields (metric/value/ratio) go LAST — BENCH_r07.json was
     # `parsed: null` because the totals sat at the truncated front.
-    # Within the per-query dicts, oracle_secs goes FIRST and the Spark
-    # per-query map SECOND: BENCH_r08's tail truncation kept oracle
-    # times but dropped the Spark ones, making per-query Spark
-    # regressions invisible to the judge (VERDICT r08 nit #2).
+    # Within the per-query dicts: oracle map → spark map → ratio map,
+    # so whatever the tail keeps always includes the ratio map (the
+    # one the regression diff actually needs; BENCH_r08's truncation
+    # kept oracle times but dropped the Spark ones — VERDICT r08 #2).
     print(
         json.dumps(
             {
                 "oracle_secs": oracle_secs,
                 "queries": times,
+                "query_ratios": ratios,
                 "sf": sf,
                 "unit": "sec",
                 "shuffle_partitions": sp,
