@@ -616,3 +616,28 @@ def test_xignite_list_symbols_rules():
     assert xignite_list_symbols(idx, "INDXJPX", index=True) == [
         "151.INDXJPX", "INDEX00001.INDXJPX",
     ]
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        "not json at all",
+        "{}",
+        '{"Outcome": "Success"}',
+        '{"Outcome": "Success", "ArrayOfBar": [{}]}',
+        '{"ArrayOfEquityQuote": [{"Outcome": "Success"}]}',
+    ],
+)
+def test_xignite_normalizers_tolerate_garbage(spark, payload):
+    """A malformed or empty response produces zero rows, never a
+    crashed batch — the from_json NULL path end to end."""
+    from marketstore_spark.streaming.connectors import (
+        normalize_xignite_bars,
+        normalize_xignite_quotes,
+        normalize_xignite_quotes_range,
+    )
+
+    raw = _raw(spark, payload)
+    assert normalize_xignite_quotes(raw).count() == 0
+    assert normalize_xignite_bars(raw).count() == 0
+    assert normalize_xignite_quotes_range(raw).count() == 0
