@@ -183,6 +183,7 @@ HEADLINE = [
     "dedup_substring_rate",
     "dedup_containment",
     "event_funnel",
+    "session_window",
     "retention_cohorts",
     "event_transitions",
     "active_users_window",

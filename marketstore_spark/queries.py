@@ -1093,6 +1093,50 @@ def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+@_register(
+    "session_window",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+GROUP BY user_id, sid
+""",
+)
+def session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``F.session_window`` grouping (21g's engine
+    form, streaming/sessions.py) run in batch — per-(user, session)
+    count and bounds.  The two gap contracts agree at every integer-µs
+    gap (both break only when gap > window), so the islands-and-gaps
+    oracle matches exactly; this upgrades 21g from pytest-only to
+    hash-verified driver evidence.  Outputs cast back to the table's
+    TIMESTAMP_NTZ convention (value-preserving under the UTC container
+    TZ) so the compare sees identical dtypes."""
+    from marketstore_spark.streaming.sessions import session_window_agg
+
+    out = session_window_agg(
+        load_table(spark, sf_dir, "events"), gap_seconds=1800
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+    )
+
+
 _FUNNEL_WINDOW_US = 86400 * 1_000_000  # 1 day
 
 
@@ -7606,9 +7650,11 @@ _FRONT = [
     "multimodal_gif_decode",
     # Block B - shipping plan newer than its newest driver hash.
     "rolling_corr_market",
-    # Block C - window fill: the two r8-evidence TPC-H shapes.
+    # Block C - NEW key this round (no driver evidence yet): the
+    # native-session-window form of 21g, now oracle-backed.
+    "session_window",
+    # Block D - window fill: the oldest r8-evidence TPC-H shape.
     "q3_shipping_priority",
-    "q4_late_orders",
 ]
 
 
@@ -7617,6 +7663,7 @@ _FRONT = [
 # they are first in line for the r12 rotation; then everything else
 # (r9/r10-green) in source order.
 _BACK = [
+    "q4_late_orders",
     "volume_bars",
     "dollar_bars",
     "heikin_ashi",

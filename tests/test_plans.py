@@ -1263,3 +1263,19 @@ def test_round9_event_ops_single_scan_no_join(spark, sf_dir):
         joins = len(re.findall(r"\(\d+\) \w*Join", plan))
         assert scans == 1, f"{key}: {scans} fact scans"
         assert joins == n_joins, f"{key}: {joins} joins"
+
+
+def test_session_window_single_exchange_merging_sessions(spark, sf_dir):
+    """The native-session-window key (21g's oracle-backed batch form):
+    one pruned scan, map-side partial aggregate, ONE exchange on
+    user_id, then Spark's MergingSessions — no second shuffle, no
+    window-function sort of the raw events.  The shape that holds at
+    100 TB: per-user state merges locally after a single fact
+    exchange."""
+    plan = explain_str(SPARK_QUERIES["session_window"](spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "MergingSessions" in plan, plan
+    assert "Join" not in plan and "Window" not in plan.replace(
+        "session_window", ""
+    ), plan
