@@ -184,6 +184,9 @@ HEADLINE = [
     "dedup_containment",
     "event_funnel",
     "session_window",
+    "corpus_dsir_weights",
+    "corpus_gopher_rules",
+    "corpus_c4_clean",
     "retention_cohorts",
     "event_transitions",
     "active_users_window",

@@ -928,6 +928,241 @@ def unigram_nll(
     return per.select("doc_id", "n_tokens", nll.alias("nll"))
 
 
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 line/page cleaning recipe (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2) as a TRANSFORM: returns the cleaned text
+    plus the page-level keep decision, so the actual corpus rewrite is
+    one filter + select downstream.
+
+    Line rules (a line survives iff ALL hold): ends in terminal
+    punctuation (``. ! ? "``), carries ≥ 3 whitespace words, doesn't
+    mention ``javascript`` (boilerplate warning lines).  Page rules:
+    drop on ``lorem ipsum``, any ``{`` (code), or < 5 sentences after
+    line cleaning.  (C4's three-sentence-span dedup is the separate
+    ``dedup_span`` operator; the bad-words list is site-specific and
+    injected by the caller as a pre-filter.)
+
+    Scale shape: entirely row-local — split/filter/join HOFs, one
+    scan, zero shuffles, like :func:`gopher_rules`.  The cleaned text
+    is rebuilt with ``array_join`` so both engines produce the
+    identical byte string (hash-parity on the transform output, not
+    just the counts).
+    """
+    t0 = F.col(text_col)
+    lines = F.split(t0, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.substring(F.rtrim(x), -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(F.trim(x), _WS)) >= 3)
+        & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
+    has_lorem = F.lower(t0).contains("lorem ipsum")
+    has_brace = t0.contains("{")
+    keep = (~has_lorem) & (~has_brace) & (n_sent >= 5)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem_ipsum"),
+        has_brace.cast("int").alias("has_brace"),
+        keep.cast("int").alias("keep_doc"),
+    )
+
+
+#: Gopher rule 7's minimal English stop set (Rae 2021 Table A1).
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) — the LINE-level and word-shape filters
+    that `quality_features` (char-ratio) doesn't cover: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipses) ≤ 0.1, ≤90% of lines bullet-started, ≤30% of
+    lines ellipsis-ended, ≥80% of words containing a letter, ≥2 hits
+    from a small stop set — plus the duplicate-line fraction signal.
+
+    Scale shape: ENTIRELY row-local — split/filter/aggregate HOFs over
+    per-doc arrays, no explode, no shuffle; the whole battery is one
+    scan and one projection (the cheapest possible 100 TB plan).
+    Parity discipline: every fraction is a single division of two
+    exact integers, and every pass/fail flag compares INTEGERS
+    (3·W ≤ Σlen ≤ 10·W, 10·symbols ≤ W, …) so no threshold can flip
+    on a float boundary cross-engine.
+    """
+    t0 = F.lower(F.col(text_col))
+    # split then drop empty tokens: trim() strips only spaces in both
+    # engines, so trim-then-split would count phantom "" words on
+    # newline-only docs
+    words = F.filter(F.split(t0, _WS), lambda x: x != "")
+    lines = F.filter(F.split(t0, "\n"), lambda x: F.trim(x) != "")
+    w = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    hashes = F.regexp_count(t0, F.lit("#")).cast("long")
+    ells = (
+        F.regexp_count(t0, F.lit(r"\.\.\.")) + F.regexp_count(t0, F.lit("…"))
+    ).cast("long")
+    alpha_w = F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    ).cast("long")
+    nl = F.size(lines).cast("long")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: (F.substring(F.rtrim(x), -3, 3) == "...")
+            | (F.substring(F.rtrim(x), -1, 1) == "…"),
+        )
+    ).cast("long")
+    dlines = F.size(F.array_distinct(lines)).cast("long")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("n_words"),
+        sum_len.alias("__sl"),
+        hashes.alias("__h"),
+        ells.alias("__e"),
+        alpha_w.alias("__aw"),
+        stop_hits.alias("stopword_hits"),
+        nl.alias("n_lines"),
+        bullets.alias("__b"),
+        ell_lines.alias("__el"),
+        dlines.alias("__dl"),
+    )
+    W = F.col("n_words")
+    L = F.col("n_lines")
+    nzw = F.when(W > 0, W.cast("double"))
+    nzl = F.when(L > 0, L.cast("double"))
+    syms = F.col("__h") + F.col("__e")
+    flags = {
+        "pass_word_count": (W >= 50) & (W <= 100000),
+        "pass_mean_word_len": (W > 0)
+        & (3 * W <= F.col("__sl"))
+        & (F.col("__sl") <= 10 * W),
+        "pass_symbol_ratio": (W > 0) & (10 * syms <= W),
+        "pass_bullet_lines": (L == 0) | (10 * F.col("__b") <= 9 * L),
+        "pass_ellipsis_lines": (L == 0) | (10 * F.col("__el") <= 3 * L),
+        "pass_alpha_words": (W > 0) & (5 * F.col("__aw") >= 4 * W),
+        "pass_stopwords": F.col("stopword_hits") >= 2,
+    }
+    all_pass = None
+    for c in flags.values():
+        all_pass = c if all_pass is None else (all_pass & c)
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        (F.col("__sl").cast("double") / nzw).alias("mean_word_len"),
+        (syms.cast("double") / nzw).alias("symbol_word_ratio"),
+        (F.col("__b").cast("double") / nzl).alias("bullet_line_frac"),
+        (F.col("__el").cast("double") / nzl).alias("ellipsis_line_frac"),
+        ((L - F.col("__dl")).cast("double") / nzl).alias("dup_line_frac"),
+        (F.col("__aw").cast("double") / nzw).alias("alpha_word_frac"),
+        "stopword_hits",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        all_pass.cast("int").alias("gopher_pass"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance weights for DOMAIN-TARGETED data
+    selection (the DSIR recipe, Xie et al. 2023, arXiv:2302.03169):
+    score each document by how much more likely its tokens are under
+    the target domain's unigram LM than under the raw corpus's —
+    ``log w(d) = Σ_tok [ln p_tgt(tok) − ln p_raw(tok)]`` with add-one
+    smoothing over the shared vocabulary on both sides.  Positive
+    ``log_w`` = target-like; sample/select by weight downstream
+    (corpus_sample_stratified / corpus_sample_fixed_n compose).
+
+    ``target`` is a boolean Column marking the in-domain documents
+    (e.g. ``F.col("source") == "wiki"``); both LMs come from ONE
+    conditional aggregate over one exploded token stream — the target
+    model is a filtered projection of the same counts, not a second
+    corpus pass.
+
+    Parity discipline (the unigram_nll idiom): each distinct token's
+    log-ratio is fixed-point quantized once —
+    ``floor(ln((c+1)/(N+V))·10⁶ + 0.5)`` per side as LONG — documents
+    sum exact integers, and the weight is one mirrored double chain.
+
+    Shape (100 TB): explode feeds the token-count aggregate (map-side
+    combined, vocab-scale result) and the per-doc join; scalars
+    (N_raw, N_tgt, V) are a one-row broadcast derived from the counts
+    table; the token join shuffles the exploded corpus once on token
+    (the doc_freq_score shape), then a per-doc aggregate.  The hashed
+    variant at extreme vocab (bucket tokens with F.hash % B before
+    counting, the paper's actual estimator) drops in before the
+    groupBy without changing the plan shape.
+    """
+    t = F.col(text_col)
+    toks = (
+        df.filter(_nonempty(t))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            target.cast("boolean").alias("__tgt"),
+            F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")  # newline-only docs split to [""]
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("c_t"),
+    )
+    scalars = counts.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    def _q(c, n):
+        return F.floor(
+            F.log(c.cast("double") / n.cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    qtab = counts.crossJoin(F.broadcast(scalars)).select(
+        "tok",
+        (
+            _q(F.col("c_t") + 1, F.col("n_t") + F.col("v"))
+            - _q(F.col("c_r") + 1, F.col("n_r") + F.col("v"))
+        ).alias("qd"),
+    )
+    per = toks.join(qtab, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("qd").alias("__s"),
+    )
+    lw = F.col("__s").cast("double") / F.lit(1000000.0)
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        lw.alias("log_w"),
+        (lw / F.col("n_tokens").cast("double")).alias("avg_log_w"),
+    )
+
+
 def language_mix(
     df: DataFrame,
     text_col: str = "text",

@@ -7136,6 +7136,178 @@ def corpus_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_c4_clean",
+    """
+WITH f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           x -> right(rtrim(x),1) IN ('.','!','?','"')
+                AND len(string_split_regex(trim(x), '\\s+')) >= 3
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+         -- array_join: normalize to the empty string
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         CAST(len(regexp_extract_all(
+              coalesce(array_to_string(kept, chr(10)), ''),
+              '[.!?]')) AS BIGINT) AS n_sentences,
+         CAST(contains(lower(text), 'lorem ipsum') AS INT)
+           AS has_lorem_ipsum,
+         CAST(contains(text, '{') AS INT) AS has_brace
+  FROM f
+)
+SELECT doc_id, clean_text, n_lines, n_lines_kept, n_sentences,
+       has_lorem_ipsum, has_brace,
+       CAST(has_lorem_ipsum = 0 AND has_brace = 0 AND n_sentences >= 5
+            AS INT) AS keep_doc
+FROM g
+""",
+)
+def corpus_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe as a transform (operators/text.c4_clean,
+    Raffel 2020 §2.2): line-level terminal-punctuation/3-word/
+    javascript filters rebuilt into the cleaned text, page-level
+    lorem-ipsum/brace/5-sentence keep decision — hash parity covers
+    the rebuilt STRING, not just counts."""
+    from marketstore_spark.operators.text import c4_clean
+
+    return c4_clean(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_gopher_rules",
+    """
+WITH f AS (
+  SELECT doc_id,
+         lower(text) AS t0,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words,
+         list_filter(string_split(lower(text), chr(10)),
+                     l -> trim(l) <> '') AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS w,
+    CAST(coalesce(list_sum(list_transform(words,
+           x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS sl,
+    CAST(len(regexp_extract_all(t0, '#')) AS BIGINT)
+      + CAST(len(regexp_extract_all(t0, '\\.\\.\\.')) AS BIGINT)
+      + CAST(len(regexp_extract_all(t0, '…')) AS BIGINT) AS syms,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+         AS BIGINT) AS aw,
+    CAST(len(list_intersect(list_distinct(words),
+         ['the','be','to','of','and','that','have','with']))
+         AS BIGINT) AS stop_hits,
+    CAST(len(lines) AS BIGINT) AS l,
+    CAST(len(list_filter(lines,
+         x -> substr(ltrim(x),1,1) IN ('-','*','•'))) AS BIGINT) AS b,
+    CAST(len(list_filter(lines,
+         x -> right(rtrim(x),3) = '...' OR right(rtrim(x),1) = '…'))
+         AS BIGINT) AS el,
+    CAST(len(list_distinct(lines)) AS BIGINT) AS dl
+  FROM f
+)
+SELECT doc_id,
+  w AS n_words, l AS n_lines,
+  CASE WHEN w > 0 THEN CAST(sl AS DOUBLE) / CAST(w AS DOUBLE) END
+    AS mean_word_len,
+  CASE WHEN w > 0 THEN CAST(syms AS DOUBLE) / CAST(w AS DOUBLE) END
+    AS symbol_word_ratio,
+  CASE WHEN l > 0 THEN CAST(b AS DOUBLE) / CAST(l AS DOUBLE) END
+    AS bullet_line_frac,
+  CASE WHEN l > 0 THEN CAST(el AS DOUBLE) / CAST(l AS DOUBLE) END
+    AS ellipsis_line_frac,
+  CASE WHEN l > 0 THEN CAST(l - dl AS DOUBLE) / CAST(l AS DOUBLE) END
+    AS dup_line_frac,
+  CASE WHEN w > 0 THEN CAST(aw AS DOUBLE) / CAST(w AS DOUBLE) END
+    AS alpha_word_frac,
+  stop_hits AS stopword_hits,
+  CAST(w >= 50 AND w <= 100000 AS INT) AS pass_word_count,
+  CAST(w > 0 AND 3*w <= sl AND sl <= 10*w AS INT) AS pass_mean_word_len,
+  CAST(w > 0 AND 10*syms <= w AS INT) AS pass_symbol_ratio,
+  CAST(l = 0 OR 10*b <= 9*l AS INT) AS pass_bullet_lines,
+  CAST(l = 0 OR 10*el <= 3*l AS INT) AS pass_ellipsis_lines,
+  CAST(w > 0 AND 5*aw >= 4*w AS INT) AS pass_alpha_words,
+  CAST(stop_hits >= 2 AS INT) AS pass_stopwords,
+  CAST((w >= 50 AND w <= 100000)
+   AND (w > 0 AND 3*w <= sl AND sl <= 10*w)
+   AND (w > 0 AND 10*syms <= w)
+   AND (l = 0 OR 10*b <= 9*l)
+   AND (l = 0 OR 10*el <= 3*l)
+   AND (w > 0 AND 5*aw >= 4*w)
+   AND stop_hits >= 2 AS INT) AS gopher_pass
+FROM g
+""",
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (operators/text.gopher_rules,
+    Rae 2021 Table A1): line-level and word-shape pass/fail flags plus
+    the raw signals, computed entirely row-locally — one scan, zero
+    shuffles; all thresholds compared in exact integers."""
+    from marketstore_spark.operators.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_dsir_weights",
+    """
+WITH tk0 AS (
+  SELECT doc_id, (source = 'src0') AS tgt,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+tk AS (SELECT * FROM tk0 WHERE tok <> ''),
+c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(COUNT(CASE WHEN tgt THEN 1 END) AS BIGINT) AS c_t
+  FROM tk GROUP BY tok
+),
+s AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM c
+),
+q AS (
+  SELECT tok,
+    CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / CAST(s.n_t + s.v AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)
+    - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE) / CAST(s.n_r + s.v AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS qd
+  FROM c, s
+),
+d AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(q.qd) AS BIGINT) AS sq
+  FROM tk t JOIN q ON t.tok = q.tok GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sq AS DOUBLE) / 1000000.0 AS log_w,
+       (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)
+         AS avg_log_w
+FROM d
+""",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the src0 domain (operators/text.
+    dsir_weights, Xie 2023): smoothed target-vs-raw unigram log-ratio
+    per token, fixed-point quantized once, exact integer doc sums —
+    the data-selection score a targeted pretraining mix samples by."""
+    from marketstore_spark.operators.text import dsir_weights
+
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
+@_register(
     "liquidity_panel",
     """
 WITH t AS (
@@ -7635,7 +7807,6 @@ _FRONT = [
     "dedup_semantic",
     "dedup_semantic_keep",
     "distinct_users",
-    "distinct_users_approx",
     "knn_label_eval",
     "text_bm25",
     "text_doc_freq_score",
@@ -7644,17 +7815,18 @@ _FRONT = [
     "corpus_chunk",
     "corpus_pack",
     "corpus_sample_stratified",
-    "corpus_shuffle",
     "corpus_training_mix",
     "multimodal_audio_decode",
     "multimodal_gif_decode",
     # Block B - shipping plan newer than its newest driver hash.
     "rolling_corr_market",
-    # Block C - NEW key this round (no driver evidence yet): the
-    # native-session-window form of 21g, now oracle-backed.
+    # Block C - NEW keys this round (no driver evidence yet): the
+    # native-session-window form of 21g, now oracle-backed, the DSIR
+    # importance-weight selection score, and the Gopher rule battery.
     "session_window",
-    # Block D - window fill: the oldest r8-evidence TPC-H shape.
-    "q3_shipping_priority",
+    "corpus_dsir_weights",
+    "corpus_gopher_rules",
+    "corpus_c4_clean",
 ]
 
 
@@ -7663,6 +7835,13 @@ _FRONT = [
 # they are first in line for the r12 rotation; then everything else
 # (r9/r10-green) in source order.
 _BACK = [
+    # first past the window: the two r7 keys the four new round-11
+    # keys displaced (the rows-only approx twin and the deterministic
+    # shuffle — lowest change risk of the block; the r12 rotation must
+    # front them if the r11 driver budget stops at 50)
+    "distinct_users_approx",
+    "corpus_shuffle",
+    "q3_shipping_priority",
     "q4_late_orders",
     "volume_bars",
     "dollar_bars",

@@ -481,3 +481,22 @@ def test_substring_and_novelty_empty_and_degenerate_docs(spark):
     rates = {r["source"]: r for r in substring_dup_rate_by_source(short, k=8).collect()}
     assert (rates["A"]["total_words"], rates["A"]["dup_span_words"]) == (2, 0)
     assert rates["B"]["total_words"] == 9
+
+
+def test_round11_text_operators_empty_input(spark, empty_docs):
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.operators.text import (
+        c4_clean,
+        dsir_weights,
+        gopher_rules,
+    )
+
+    assert gopher_rules(empty_docs).count() == 0
+    assert c4_clean(empty_docs).count() == 0
+    assert dsir_weights(empty_docs, F.lit(False)).count() == 0
+    # whitespace-only docs survive the battery with zero counts
+    ws = spark.createDataFrame([(1, "   \n  ")], ["doc_id", "text"])
+    r = gopher_rules(ws).collect()[0]
+    assert r["n_words"] == 0 and r["gopher_pass"] == 0
+    assert c4_clean(ws).collect()[0]["keep_doc"] == 0

@@ -3010,3 +3010,90 @@ def test_rfm_segments_hand_computed(spark):
     assert out[(5, 5, 5)]["segment_cents"] == 100
     assert len(out) == 5  # perfectly anti-diagonal grid
     assert all(r == f == m for (r, f, m) in out)
+
+
+def test_dsir_weights_rank_target_domain_higher(spark):
+    """DSIR behavioral contract (Xie 2023): documents drawn from the
+    target domain's vocabulary island must carry higher importance
+    weights than documents from a disjoint island, and an unseen-vocab
+    doc sits between (pure smoothing mass on the target side vs real
+    probability mass on the raw side)."""
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.operators.text import dsir_weights
+
+    rows = (
+        [(i, "alpha beta gamma beta alpha", "tgt") for i in range(5)]
+        + [(10 + i, "delta epsilon zeta epsilon", "other") for i in range(5)]
+        + [(20, "alpha beta gamma", "other")]  # target-vocab doc, other source
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_weights(df, F.col("source") == "tgt").collect()
+    }
+    # target-island docs: positive weight; disjoint island: negative
+    assert out[0] > 0 > out[10]
+    # a doc written in the target's vocabulary scores target-like even
+    # though its own source label isn't the target
+    assert out[20] > 0
+    # per-token normalization exists and is finite everywhere
+    assert all(abs(v) < 100 for v in out.values())
+
+
+def test_gopher_rules_flag_semantics(spark):
+    """Rule battery behavioral pins: a clean prose doc passes, a
+    symbol-heavy doc fails the symbol rule, a bullet-list doc fails
+    the bullet rule, and the duplicate-line fraction sees repeats."""
+    from marketstore_spark.operators.text import gopher_rules
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "runs off to be with the pack that have gone ahead ") * 3
+    bullets = "intro line\n" + "\n".join(f"- item {i}" for i in range(20))
+    symbols = "#### ## # word " * 10
+    dups = "same line\nsame line\nsame line\nother line"
+    df = spark.createDataFrame(
+        [(1, prose), (2, bullets), (3, symbols), (4, dups), (5, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["gopher_pass"] == 1
+    assert out[1]["pass_stopwords"] == 1 and out[1]["pass_alpha_words"] == 1
+    assert out[2]["pass_bullet_lines"] == 0  # 20/21 lines bullet-started
+    assert out[3]["pass_symbol_ratio"] == 0
+    assert out[4]["dup_line_frac"] == pytest.approx(0.5)  # 2 dup of 4
+    assert out[5]["n_words"] == 0 and out[5]["gopher_pass"] == 0
+    assert out[5]["mean_word_len"] is None  # guarded division
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 recipe pins (Raffel 2020 s2.2): terminal-punctuation lines
+    with >=3 words survive, javascript/short/unpunctuated lines drop,
+    lorem-ipsum and brace pages are rejected, and the cleaned text is
+    the surviving lines rejoined in order."""
+    from marketstore_spark.operators.text import c4_clean
+
+    good = ("This is the first real sentence of prose.\n"
+            "short line\n"
+            "Please enable javascript to view this page.\n"
+            "Another proper sentence follows right here!\n"
+            "no punctuation at the end\n"
+            "Is this a question with enough words?\n"
+            "More sentences. Even more. And more. Sure thing.")
+    lorem = "Lorem ipsum dolor sit amet. " * 10
+    brace = "A sentence with code { inside it. " * 10
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem), (3, brace)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    r = out[1]
+    assert r["clean_text"].split("\n") == [
+        "This is the first real sentence of prose.",
+        "Another proper sentence follows right here!",
+        "Is this a question with enough words?",
+        "More sentences. Even more. And more. Sure thing.",
+    ]
+    assert (r["n_lines"], r["n_lines_kept"]) == (7, 4)
+    assert r["keep_doc"] == 1 and r["n_sentences"] >= 5
+    assert out[2]["has_lorem_ipsum"] == 1 and out[2]["keep_doc"] == 0
+    assert out[3]["has_brace"] == 1 and out[3]["keep_doc"] == 0

@@ -1279,3 +1279,21 @@ def test_session_window_single_exchange_merging_sessions(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan.replace(
         "session_window", ""
     ), plan
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The Gopher battery is row-local by construction: one documents
+    scan, HOFs only, NO exchange anywhere — the plan an
+    embarrassingly-parallel 100 TB filter must have."""
+    plan = explain_str(SPARK_QUERIES["corpus_gopher_rules"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_c4_clean_zero_shuffle(spark, sf_dir):
+    """The C4 transform is row-local like the Gopher battery: one
+    scan, no exchange, no join."""
+    plan = explain_str(SPARK_QUERIES["corpus_c4_clean"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Exchange" not in plan and "Join" not in plan, plan

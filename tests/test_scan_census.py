@@ -33,6 +33,9 @@ _PINNED_SCANS = {
     "active_users_window": {"events": 1},
     "dedup_substring": {"documents": 1},
     "corpus_unigram_nll": {"documents": 2},
+    "corpus_dsir_weights": {"documents": 2},
+    "corpus_gopher_rules": {"documents": 1},
+    "corpus_c4_clean": {"documents": 1},
     "markout_returns": {"events": 1},
     "volume_profile": {"events": 1},
     "rolling_corr_market": {"events": 1},

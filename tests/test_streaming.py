@@ -1297,3 +1297,49 @@ def test_stream_sessions_match_batch_across_batch_split(spark, sf_dir, tmpdir):
     # exact-boundary gap stayed one session; 901s gap broke
     u1 = sorted((k[1], v) for k, v in got.items() if k[0] == 1)
     assert [v for _, v in u1] == [3, 1]
+
+
+def test_quality_transforms_are_streamable(spark, tmpdir):
+    """gopher_rules and c4_clean are row-local (no shuffle, no
+    aggregation), so the SAME operator runs unchanged on a streaming
+    corpus feed — the landing-zone ingest shape: raw docs land, the
+    quality battery annotates them in-flight, downstream sinks filter
+    on keep_doc/gopher_pass.  Batch-equality pinned per doc."""
+    import json as _json
+    import os
+
+    from marketstore_spark.operators.text import c4_clean, gopher_rules
+
+    src = os.path.join(tmpdir, "docs_src")
+    os.makedirs(src)
+    docs = [
+        {"doc_id": 1, "text": "A proper sentence with many words here.\n- bullet"},
+        {"doc_id": 2, "text": "short"},
+        {"doc_id": 3, "text": "Lorem ipsum dolor sit amet. " * 10},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(d) for d in docs))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    for name, op in (("gopher_stream", gopher_rules), ("c4_stream", c4_clean)):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}")
+            )
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], ["doc_id", "text"]
+    )
+    for name, op in (("gopher_stream", gopher_rules), ("c4_stream", c4_clean)):
+        got = {
+            r["doc_id"]: r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {r["doc_id"]: r.asDict() for r in op(batch_df).collect()}
+        assert got == want and len(got) == 3, name
