@@ -952,10 +952,13 @@ def c4_clean(
     """
     t0 = F.col(text_col)
     lines = F.split(t0, "\n")
+    # regex predicates so tabs behave like spaces (trim/rtrim are
+    # space-only in both engines) and leading whitespace can't create
+    # a phantom empty token in the word count
     kept = F.filter(
         lines,
-        lambda x: F.substring(F.rtrim(x), -1, 1).isin(".", "!", "?", '"')
-        & (F.size(F.split(F.trim(x), _WS)) >= 3)
+        lambda x: x.rlike(r'[.!?"]\s*$')
+        & (F.regexp_count(x, F.lit(r"\S+")) >= 3)
         & ~F.lower(x).contains("javascript"),
     )
     clean = F.array_join(kept, "\n")
@@ -1001,9 +1004,11 @@ def gopher_rules(
     t0 = F.lower(F.col(text_col))
     # split then drop empty tokens: trim() strips only spaces in both
     # engines, so trim-then-split would count phantom "" words on
-    # newline-only docs
+    # newline-only docs; likewise a line is blank iff it has no
+    # non-whitespace char (space-only trim would count a tab-only
+    # line as content)
     words = F.filter(F.split(t0, _WS), lambda x: x != "")
-    lines = F.filter(F.split(t0, "\n"), lambda x: F.trim(x) != "")
+    lines = F.filter(F.split(t0, "\n"), lambda x: x.rlike(r"\S"))
     w = F.size(words).cast("long")
     sum_len = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -1019,18 +1024,17 @@ def gopher_rules(
         )
     ).cast("long")
     nl = F.size(lines).cast("long")
+    # first non-whitespace char / ellipsis-before-trailing-whitespace:
+    # regex forms so tabs behave like spaces (ltrim/rtrim are
+    # space-only in both engines)
     bullets = F.size(
         F.filter(
             lines,
-            lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+            lambda x: F.regexp_extract(x, r"\S", 0).isin("-", "*", "•"),
         )
     ).cast("long")
     ell_lines = F.size(
-        F.filter(
-            lines,
-            lambda x: (F.substring(F.rtrim(x), -3, 3) == "...")
-            | (F.substring(F.rtrim(x), -1, 1) == "…"),
-        )
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
     ).cast("long")
     dlines = F.size(F.array_distinct(lines)).cast("long")
 

@@ -7142,8 +7142,8 @@ WITH f AS (
   SELECT doc_id, text,
          string_split(text, chr(10)) AS lines,
          list_filter(string_split(text, chr(10)),
-           x -> right(rtrim(x),1) IN ('.','!','?','"')
-                AND len(string_split_regex(trim(x), '\\s+')) >= 3
+           x -> regexp_matches(x, '[.!?"]\\s*$')
+                AND len(regexp_extract_all(x, '\\S+')) >= 3
                 AND NOT contains(lower(x), 'javascript')) AS kept
   FROM documents
 ),
@@ -7189,7 +7189,7 @@ WITH f AS (
          list_filter(string_split_regex(lower(text), '\\s+'),
                      x -> x <> '') AS words,
          list_filter(string_split(lower(text), chr(10)),
-                     l -> trim(l) <> '') AS lines
+                     l -> regexp_matches(l, '\\S')) AS lines
   FROM documents
 ),
 g AS (
@@ -7207,9 +7207,9 @@ g AS (
          AS BIGINT) AS stop_hits,
     CAST(len(lines) AS BIGINT) AS l,
     CAST(len(list_filter(lines,
-         x -> substr(ltrim(x),1,1) IN ('-','*','•'))) AS BIGINT) AS b,
+         x -> regexp_extract(x, '\\S') IN ('-','*','•'))) AS BIGINT) AS b,
     CAST(len(list_filter(lines,
-         x -> right(rtrim(x),3) = '...' OR right(rtrim(x),1) = '…'))
+         x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
          AS BIGINT) AS el,
     CAST(len(list_distinct(lines)) AS BIGINT) AS dl
   FROM f

@@ -1396,3 +1396,101 @@ def test_rolling_corr_prefix_sums_equal_direct_frames(spark, closes, n):
                 assert got[key] == want  # bitwise
             else:
                 assert got[key] is None
+
+
+# ---------------------------------------------------------------------
+# Gopher / C4 quality transforms vs an independent pure-Python model
+# (three-way with the DuckDB oracle: HOF semantics pinned exactly)
+# ---------------------------------------------------------------------
+
+_doc_line = st.text(
+    alphabet="ab .!?#…{-*•\t", min_size=0, max_size=24
+)
+_doc_text = st.lists(_doc_line, min_size=0, max_size=6).map("\n".join)
+
+
+def _py_gopher(text):
+    import re as _re
+
+    t0 = text.lower()
+    words = [w for w in _re.split(r"\s+", t0) if w != ""]
+    lines = [l for l in t0.split("\n") if _re.search(r"\S", l)]
+    w, l = len(words), len(lines)
+    sl = sum(len(x) for x in words)
+    syms = t0.count("#") + len(_re.findall(r"\.\.\.", t0)) + t0.count("…")
+    aw = sum(1 for x in words if _re.search("[a-z]", x))
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    sh = len(set(words) & stops)
+    b = sum(
+        1 for x in lines if _re.search(r"\S", x).group(0) in ("-", "*", "•")
+    )
+    el = sum(1 for x in lines if _re.search(r"(\.\.\.|…)\s*$", x))
+    dl = len(set(lines))
+    return dict(
+        n_words=w, n_lines=l,
+        stopword_hits=sh,
+        pass_word_count=int(50 <= w <= 100000),
+        pass_mean_word_len=int(w > 0 and 3 * w <= sl <= 10 * w),
+        pass_symbol_ratio=int(w > 0 and 10 * syms <= w),
+        pass_bullet_lines=int(l == 0 or 10 * b <= 9 * l),
+        pass_ellipsis_lines=int(l == 0 or 10 * el <= 3 * l),
+        pass_alpha_words=int(w > 0 and 5 * aw >= 4 * w),
+        pass_stopwords=int(sh >= 2),
+        dup=(l - dl, l),
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_gopher_rules_match_python_model(spark, texts):
+    from marketstore_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert len(got) == len(texts)
+    for i, text in enumerate(texts):
+        want = _py_gopher(text)
+        r = got[i]
+        for k, v in want.items():
+            if k == "dup":
+                dups, l = v
+                if l:
+                    assert r["dup_line_frac"] == pytest.approx(dups / l), text
+                else:
+                    assert r["dup_line_frac"] is None, text
+            else:
+                assert r[k] == v, (k, repr(text))
+
+
+def _py_c4(text):
+    import re as _re
+
+    kept = [
+        x
+        for x in text.split("\n")
+        if _re.search(r'[.!?"]\s*$', x)
+        and len(_re.findall(r"\S+", x)) >= 3
+        and "javascript" not in x.lower()
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(_re.findall(r"[.!?]", clean))
+    keep = (
+        "lorem ipsum" not in text.lower()
+        and "{" not in text
+        and n_sent >= 5
+    )
+    return clean, len(kept), n_sent, int(keep)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_c4_clean_matches_python_model(spark, texts):
+    from marketstore_spark.operators.text import c4_clean
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    for i, text in enumerate(texts):
+        clean, nk, ns, keep = _py_c4(text)
+        r = got[i]
+        assert (r["clean_text"], r["n_lines_kept"]) == (clean, nk), repr(text)
+        assert (r["n_sentences"], r["keep_doc"]) == (ns, keep), repr(text)
