@@ -111,9 +111,11 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     """Uncompressed BMP bytes → H×W×3 uint8 (RGB).
 
     Covers the uncompressed variants seen in real corpora: 24-bit BGR,
-    32-bit BGRX/BGRA (alpha dropped) and 8-bit paletted (BGRX palette
-    after the info header, ``biClrUsed`` entries or 256).  RLE and
-    bitfield compression raise so the caller records decoded_ok=0."""
+    32-bit BGRX/BGRA (alpha dropped), 8-bit paletted (BGRX palette
+    after the info header, ``biClrUsed`` entries or 256), and
+    BI_BITFIELDS (compression=3) 16/32-bit with arbitrary channel
+    masks — the form most 32-bit Windows screenshots and icons use.
+    RLE compression raises so the caller records decoded_ok=0."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
@@ -121,6 +123,31 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression == 3 and bpp in (16, 32):
+        # BI_BITFIELDS: R/G/B DWORD masks follow the 40-byte info
+        # header (V4/V5 headers keep them at the same offset 54);
+        # extract each channel and rescale its span to 8 bits exactly
+        rmask, gmask, bmask = struct.unpack_from("<III", payload, 54)
+        nbytes = bpp // 8
+        rowb = w * nbytes
+        stride = rowb + (4 - rowb % 4) % 4
+        dt = np.dtype("<u4") if bpp == 32 else np.dtype("<u2")
+        px = np.stack(
+            [
+                np.frombuffer(payload, dt, count=w, offset=offset + y * stride)
+                for y in range(abs(h))
+            ]
+        ).astype(np.uint32)
+        if h > 0:
+            px = px[::-1]
+        out = np.zeros((abs(h), w, 3), np.uint8)
+        for i, m in enumerate((rmask, gmask, bmask)):
+            if not m:
+                continue
+            shift = (m & -m).bit_length() - 1
+            span = m >> shift
+            out[:, :, i] = ((px >> shift) & span) * 255 // span
+        return out
     if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
             f"only uncompressed 8/24/32-bit BMP (bpp={bpp}, "
