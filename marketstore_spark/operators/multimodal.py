@@ -390,6 +390,110 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     raise NotImplementedError(f"WAV format tag {tag} ({bits}-bit)")
 
 
+def _ulaw_to_int16(b: "np.ndarray") -> "np.ndarray":
+    """G.711 µ-law bytes → int16 (ITU-T G.711 decode formula — the
+    closed form, no table: complement, split exponent/mantissa,
+    ``((mant<<3)+0x84)<<exp − 0x84`` with the sign bit).  Matches the
+    CPython ``audioop.ulaw2lin`` table for all 256 codes (pinned in
+    tests)."""
+    u = (~b.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    t -= 0x84
+    return np.where(u & 0x80, -t, t).astype(np.int16)
+
+
+def _pcm_be_to_int16(raw: bytes, width: int, nch: int) -> "np.ndarray":
+    """Big-endian signed PCM frames → int16 of the first channel,
+    using the SAME normalization as the WAV path (8-bit: <<8;
+    24/32-bit: keep the high 16 bits) so the identical clip stored in
+    different containers decodes to identical samples."""
+    if width == 1:
+        frames = np.frombuffer(raw, np.int8).astype(np.int16) << 8
+    elif width == 2:
+        frames = np.frombuffer(raw, ">i2").astype(np.int16)
+    elif width == 3:
+        b = np.frombuffer(raw, np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+        frames = (
+            (b[:, 0].astype(np.int8).astype(np.int32) << 8)
+            | b[:, 1].astype(np.int32)
+        ).astype(np.int16)
+    elif width == 4:
+        frames = (np.frombuffer(raw, ">i4") >> 16).astype(np.int16)
+    else:
+        raise NotImplementedError(f"PCM sample width {width}")
+    return frames[::nch].copy()
+
+
+def decode_au(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Sun/NeXT .au bytes → (sample_rate, int16 samples of the first
+    channel).  The header is six big-endian u32s (magic ``.snd``,
+    data offset, data size, encoding, rate, channels); encodings 1
+    (G.711 µ-law) and 2-5 (signed PCM 8/16/24/32) cover the format's
+    real-world use.  Same int16 normalization as decode_wav, so one
+    clip in either container yields identical samples."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, nch = struct.unpack_from(">IIIII", payload, 4)
+    end = len(payload) if size == 0xFFFFFFFF else min(len(payload), off + size)
+    raw = payload[off:end]
+    if enc == 1:
+        s = _ulaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
+    elif enc in (2, 3, 4, 5):
+        s = _pcm_be_to_int16(raw, enc - 1, nch)
+    else:
+        raise NotImplementedError(f"AU encoding {enc}")
+    return int(rate), s
+
+
+def _f80_to_int(b: bytes) -> int:
+    """80-bit IEEE 754 extended float (AIFF sample rate field) → int."""
+    exp = struct.unpack_from(">H", b, 0)[0] & 0x7FFF
+    mant = struct.unpack_from(">Q", b, 2)[0]
+    if exp == 0 and mant == 0:
+        return 0
+    return int(round(mant * 2.0 ** (exp - 16383 - 63)))
+
+
+def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """AIFF / AIFC bytes → (sample_rate, int16 samples of the first
+    channel).  IFF chunk walk: COMM carries channels/width/80-bit
+    extended rate (+ a compression fourcc in AIFC — ``NONE``/``sowt``
+    PCM and ``ulaw`` handled), SSND carries offset/blocksize + the
+    big-endian frames.  Same int16 normalization as decode_wav/
+    decode_au."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch, _nframes = struct.unpack_from(">HI", comm, 0)
+    bits = struct.unpack_from(">H", comm, 6)[0]
+    rate = _f80_to_int(comm[8:18])
+    ctype = comm[18:22] if is_aifc and len(comm) >= 22 else b"NONE"
+    data_off = struct.unpack_from(">I", ssnd, 0)[0]
+    raw = ssnd[8 + data_off :]
+    if ctype in (b"NONE", b"\x00\x00\x00\x00"):
+        s = _pcm_be_to_int16(raw, (bits + 7) // 8, nch)
+    elif ctype == b"sowt":  # little-endian PCM16 (QuickTime)
+        s = np.frombuffer(raw, "<i2")[::nch].astype(np.int16).copy()
+    elif ctype in (b"ulaw", b"ULAW"):
+        s = _ulaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
+    else:
+        raise NotImplementedError(f"AIFC compression {ctype!r}")
+    return rate, s
+
+
 def _real_decode(payload: bytes, fmt: str) -> bytes:
     """Decode a payload into a deterministic fixed-layout feature block.
 
@@ -417,16 +521,21 @@ def _real_decode(payload: bytes, fmt: str) -> bytes:
         stats = [int(px[..., c].mean() * 1000) for c in range(3)]
         stats += [int(px[..., c].std() * 1000) for c in range(3)]
         return struct.pack("<8I", px.shape[1], px.shape[0], *stats)
-    if fmt == "wav":
-        rate, s = decode_wav(payload)
+    if fmt in ("wav", "au", "aiff", "aifc"):
+        if fmt == "wav":
+            rate, s = decode_wav(payload)
+        elif fmt == "au":
+            rate, s = decode_au(payload)
+        else:
+            rate, s = decode_aiff(payload)
         x = s.astype(np.float64)
         rms = int(np.sqrt((x**2).mean()) * 1000) if len(x) else 0
         zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
         return struct.pack("<4I", rate, len(s), rms, zc)
     raise NotImplementedError(
         f"codec for {fmt!r} (ffmpeg/librosa) is not available in this "
-        "environment; bmp/png/jpeg/wav decode natively, or pass "
-        "decoder=fake_decode to exercise the pipeline"
+        "environment; bmp/png/jpeg/wav/au/aiff decode natively, or "
+        "pass decoder=fake_decode to exercise the pipeline"
     )
 
 

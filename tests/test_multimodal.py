@@ -594,3 +594,88 @@ def test_wild_png_gif_wav_sweep():
             assert arr.size > 0, f
             checked += 1
     assert checked >= 10  # the sweep actually ran over real files
+
+
+def test_ulaw_matches_audioop_table():
+    """The closed-form G.711 µ-law decode must reproduce CPython's
+    audioop table for all 256 codes (audioop is the stdlib's
+    C implementation of the same spec — an independent oracle)."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from marketstore_spark.operators.multimodal import _ulaw_to_int16
+
+    mine = _ulaw_to_int16(np.arange(256, dtype=np.uint8))
+    ref = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), "<i2")
+    assert np.array_equal(mine, ref)
+
+
+_AUDIODATA = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/audiodata"
+
+
+def test_au_aiff_cross_container_conformance():
+    """One clip shipped by the stdlib in three containers: AU and AIFF
+    decode with the same int16 normalization as WAV.  The 24/32-bit
+    fixtures are bit-identical across containers (pinned exact); the
+    8/16-bit and ulaw masters were made with independent ±1 code
+    rounding, so those pin to one quantization step instead."""
+    import os
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_wav,
+    )
+
+    if not os.path.isdir(_AUDIODATA):
+        pytest.skip("stdlib audiodata fixtures not on this machine")
+
+    def load(name):
+        return open(os.path.join(_AUDIODATA, name), "rb").read()
+
+    for width in ("24", "32"):
+        rw, sw = decode_wav(load(f"pluck-pcm{width}.wav"))
+        ra, sa = decode_au(load(f"pluck-pcm{width}.au"))
+        rf, sf = decode_aiff(load(f"pluck-pcm{width}.aiff"))
+        assert rw == ra == rf == 11025
+        assert np.array_equal(sw, sa) and np.array_equal(sw, sf), width
+    # the 8- and 16-bit masters were made with independent ±1 code
+    # rounding, so those pin to one quantization step instead
+    for width, step in (("8", 256), ("16", 16)):
+        rw, sw = decode_wav(load(f"pluck-pcm{width}.wav"))
+        _, sa = decode_au(load(f"pluck-pcm{width}.au"))
+        _, sf = decode_aiff(load(f"pluck-pcm{width}.aiff"))
+        assert np.abs(sw.astype(int) - sa.astype(int)).max() <= step, width
+        assert np.abs(sw.astype(int) - sf.astype(int)).max() <= step, width
+    # µ-law in both containers, decoded through one table
+    ru, su = decode_au(load("pluck-ulaw.au"))
+    rc, sc = decode_aiff(load("pluck-ulaw.aifc"))
+    assert ru == rc == 11025 and len(su) == len(sc) == len(sw)
+    assert np.abs(su.astype(int) - sc.astype(int)).max() <= 1024  # ±1 code
+    # companded 8-bit stream still tracks the 16-bit master closely
+    corr = np.corrcoef(su.astype(float), sw.astype(float))[0, 1]
+    assert corr > 0.999
+
+
+def test_au_aiff_through_feature_pipeline(spark):
+    """au/aiff formats flow through extract_features' real decoder."""
+    import os
+
+    from marketstore_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    if not os.path.isdir(_AUDIODATA):
+        pytest.skip("stdlib audiodata fixtures not on this machine")
+    rows = []
+    for i, name in enumerate(["pluck-pcm16.au", "pluck-pcm16.aiff",
+                              "pluck-ulaw.aifc"]):
+        payload = open(os.path.join(_AUDIODATA, name), "rb").read()
+        fmt = name.rsplit(".", 1)[1]
+        rows.append((i, "audio", fmt, 0, 0, len(payload), bytearray(payload)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media).collect()
+    assert len(out) == 3 and all(r["decoded_ok"] == 1 for r in out)
