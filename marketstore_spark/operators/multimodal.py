@@ -148,6 +148,43 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
             span = m >> shift
             out[:, :, i] = ((px >> shift) & span) * 255 // span
         return out
+    if compression == 1 and bpp == 8:
+        # BI_RLE8 (Windows run-length): (count, index) pairs; count=0
+        # escapes to EOL / EOB / delta(dx,dy) / absolute run (padded
+        # to word).  Decode the index plane then palette-lookup below.
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, np.uint8, count=clr_used * 4, offset=14 + hdr_size
+        ).reshape(clr_used, 4)[:, :3]
+        idx = np.zeros((abs(h), w), np.uint8)
+        x = y = 0
+        p = offset
+        while p + 1 < len(payload):
+            n, v = payload[p], payload[p + 1]
+            p += 2
+            if n:
+                end = min(x + n, w)
+                idx[y, x:end] = v
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= abs(h):
+                    break
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                x += payload[p]
+                y += payload[p + 1]
+                p += 2
+            else:  # absolute run of v indexes, word-aligned
+                end = min(x + v, w)
+                run = np.frombuffer(payload, np.uint8, count=v, offset=p)
+                idx[y, x:end] = run[: end - x]
+                x += v
+                p += v + (v & 1)
+        if h > 0:
+            idx = idx[::-1]  # bottom-up → top-down
+        return pal[idx][:, :, ::-1].copy()  # index → BGR → RGB
     if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
             f"only uncompressed 8/24/32-bit BMP (bpp={bpp}, "

@@ -446,8 +446,8 @@ def test_bmp_palette_and_32bit_decode():
     assert img[0, 0].tolist() == [30, 20, 10]  # BGR → RGB
     assert img[1, 0].tolist() == [60, 50, 40]
 
-    # RLE compression stays fenced
-    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 1, 4, 0, 0, 0, 0)
+    # RLE4 compression stays fenced (RLE8 decodes since round 11)
+    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 4, 2, 4, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError):
         decode_bmp(_s.pack("<2sIHHI", b"BM", 58, 0, 0, 54) + info + b"\x00" * 4)
 
@@ -679,3 +679,38 @@ def test_au_aiff_through_feature_pipeline(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_features(media).collect()
     assert len(out) == 3 and all(r["decoded_ok"] == 1 for r in out)
+
+
+def test_bmp_rle8_decode():
+    """BI_RLE8: runs, absolute mode (word-aligned), delta jumps, EOL
+    and EOB escapes — hand-assembled fixture vs the expected index
+    plane rendered through the same palette as the uncompressed path."""
+    import struct
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import decode_bmp
+
+    w, h = 6, 3
+    # palette: index i → gray i*40 (BGRX entries)
+    pal = b"".join(bytes([i * 40, i * 40, i * 40, 0]) for i in range(4))
+    # bottom row: run 3×idx1, absolute [2,3,2] (odd → pad), EOL
+    # middle row: run 2×idx3, delta (+2,0), run 2×idx1, EOL
+    # top row: run 6×idx2, EOB
+    rle = bytes(
+        [3, 1, 0, 3, 2, 3, 2, 0, 0, 0]
+        + [2, 3, 0, 2, 2, 0, 2, 1, 0, 0]
+        + [6, 2, 0, 1]
+    )
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 2835, 2835, 4, 0
+    )
+    out = decode_bmp(hdr + info + pal + rle)
+    assert out.shape == (h, w, 3)
+    g = out[:, :, 0]  # grayscale palette → any channel
+    assert list(g[2]) == [40, 40, 40, 80, 120, 80]  # bottom (stored 1st)
+    assert list(g[1]) == [120, 120, 0, 0, 40, 40]  # delta leaves zeros
+    assert list(g[0]) == [80] * 6
+    assert (out[:, :, 0] == out[:, :, 1]).all()  # gray palette
