@@ -148,11 +148,16 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
             span = m >> shift
             out[:, :, i] = ((px >> shift) & span) * 255 // span
         return out
-    if compression == 1 and bpp == 8:
-        # BI_RLE8 (Windows run-length): (count, index) pairs; count=0
-        # escapes to EOL / EOB / delta(dx,dy) / absolute run (padded
-        # to word).  Decode the index plane then palette-lookup below.
-        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+    if (compression == 1 and bpp == 8) or (compression == 2 and bpp == 4):
+        # BI_RLE8 / BI_RLE4 (Windows run-length): (count, value) pairs
+        # where count=0 escapes to EOL / EOB / delta(dx,dy) / absolute
+        # run (padded to word).  RLE4 runs alternate the value byte's
+        # two nibbles and absolute mode packs nibbles.  Decode the
+        # index plane then palette-lookup below.
+        rle4 = compression == 2
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or (
+            16 if rle4 else 256
+        )
         pal = np.frombuffer(
             payload, np.uint8, count=clr_used * 4, offset=14 + hdr_size
         ).reshape(clr_used, 4)[:, :3]
@@ -164,7 +169,13 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
             p += 2
             if n:
                 end = min(x + n, w)
-                idx[y, x:end] = v
+                if rle4:
+                    pair = np.tile(
+                        np.array([v >> 4, v & 0xF], np.uint8), (n + 1) // 2
+                    )
+                    idx[y, x:end] = pair[: end - x]
+                else:
+                    idx[y, x:end] = v
                 x += n
             elif v == 0:  # end of line
                 x, y = 0, y + 1
@@ -178,10 +189,19 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
                 p += 2
             else:  # absolute run of v indexes, word-aligned
                 end = min(x + v, w)
-                run = np.frombuffer(payload, np.uint8, count=v, offset=p)
-                idx[y, x:end] = run[: end - x]
+                if rle4:
+                    nb = (v + 1) // 2
+                    packed = np.frombuffer(payload, np.uint8, count=nb, offset=p)
+                    run = np.empty(nb * 2, np.uint8)
+                    run[0::2] = packed >> 4
+                    run[1::2] = packed & 0xF
+                    idx[y, x:end] = run[: end - x]
+                    p += nb + (nb & 1)
+                else:
+                    run = np.frombuffer(payload, np.uint8, count=v, offset=p)
+                    idx[y, x:end] = run[: end - x]
+                    p += v + (v & 1)
                 x += v
-                p += v + (v & 1)
         if h > 0:
             idx = idx[::-1]  # bottom-up → top-down
         return pal[idx][:, :, ::-1].copy()  # index → BGR → RGB

@@ -446,8 +446,8 @@ def test_bmp_palette_and_32bit_decode():
     assert img[0, 0].tolist() == [30, 20, 10]  # BGR → RGB
     assert img[1, 0].tolist() == [60, 50, 40]
 
-    # RLE4 compression stays fenced (RLE8 decodes since round 11)
-    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 4, 2, 4, 0, 0, 0, 0)
+    # a 1-bit monochrome BMP stays fenced (bpp outside 8/16/24/32)
+    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 1, 0, 4, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError):
         decode_bmp(_s.pack("<2sIHHI", b"BM", 58, 0, 0, 54) + info + b"\x00" * 4)
 
@@ -714,3 +714,30 @@ def test_bmp_rle8_decode():
     assert list(g[1]) == [120, 120, 0, 0, 40, 40]  # delta leaves zeros
     assert list(g[0]) == [80] * 6
     assert (out[:, :, 0] == out[:, :, 1]).all()  # gray palette
+
+
+def test_bmp_rle4_decode():
+    """BI_RLE4: runs alternate the value byte's nibbles; absolute mode
+    packs nibbles word-aligned."""
+    import struct
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import decode_bmp
+
+    w, h = 5, 2
+    pal = b"".join(bytes([i * 60, i * 60, i * 60, 0]) for i in range(4))
+    # bottom row: run of 5 alternating idx 1,2 → [1,2,1,2,1], EOL
+    # top row: absolute 3 nibbles [3,0,3] (2 packed bytes + pad), then
+    # run 2×idx2, EOB
+    rle = bytes([5, 0x12, 0, 0]
+                + [0, 3, 0x30, 0x30, 2, 0x22, 0, 1])
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(rle), 2835, 2835, 4, 0
+    )
+    out = decode_bmp(hdr + info + pal + rle)
+    g = out[:, :, 0]
+    assert list(g[1]) == [60, 120, 60, 120, 60]  # bottom (stored first)
+    assert list(g[0]) == [180, 0, 180, 120, 120]
