@@ -1167,6 +1167,104 @@ def dsir_weights(
     )
 
 
+def dsir_weights_hashed(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """The HASHED-feature DSIR estimator — the form Xie et al. 2023
+    (arXiv:2302.03169, §3 "hashed n-gram features") actually run at
+    pretraining scale: tokens are bucketed by ``hash(tok) % B`` before
+    the LM counts, so both unigram models live in a FIXED ``B``-cell
+    table regardless of vocabulary size, and add-one smoothing runs
+    over the ``B`` buckets (denominator ``N + B``) instead of the
+    observed vocabulary.  :func:`dsir_weights` (the plain-vocab
+    variant) documents this as its 100 TB drop-in; this is that
+    drop-in, registered first-class.
+
+    Why it matters at 100 TB: the plain estimator's count table is
+    vocabulary-sized (open-ended — web corpora exceed 10⁹ distinct
+    tokens), so the token-keyed shuffle and the broadcast q-table both
+    grow with the data.  Here both are capped at ``B`` rows: the
+    groupBy state is a fixed array, the q-table broadcast is ~``B``×16
+    bytes, and the per-doc join keys draw from ``B`` values — hash
+    collisions trade a bounded bias (the paper's analysis) for a
+    bounded plan.
+
+    The bucket hash is the repo's cross-engine idiom (dedup.py:654):
+    the top 15 hex digits of md5 as a non-negative LONG, mod ``B`` —
+    bit-identical in Spark (``conv(substring(md5(tok),1,15),16,10)``)
+    and DuckDB (``CAST('0x' || substr(md5(tok),1,15) AS BIGINT)``), so
+    the oracle pins hash parity, not just shape.  Quantization and the
+    exact-integer doc sums mirror :func:`dsir_weights`.
+
+    Plan shape (pinned in test_scan_census): identical to the plain
+    variant — one explode feeding one map-side-combined aggregate
+    (now B-row), a one-row broadcast of the two totals, one token-
+    bucket join, one per-doc aggregate.  2 scans of ``documents``.
+    """
+    t = F.col(text_col)
+    toks = (
+        df.filter(_nonempty(t))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            target.cast("boolean").alias("__tgt"),
+            F.explode(F.split(F.lower(F.trim(t)), _WS)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "__tgt",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+                .cast("long")
+                % F.lit(num_buckets)
+            ).alias("bk"),
+        )
+        # bk is never null, but the per-doc join below INFERS
+        # isnotnull(bk) into only its own counts branch; carrying the
+        # filter here keeps both counts subtrees byte-identical so the
+        # bucket exchange is reused (2 scans, not 3 — pinned in
+        # test_scan_census).
+        .filter(F.col("bk").isNotNull())
+    )
+    counts = toks.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("c_t"),
+    )
+    scalars = counts.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+
+    def _q(c, n):
+        return F.floor(
+            F.log(c.cast("double") / n.cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    v = F.lit(num_buckets).cast("long")
+    qtab = counts.crossJoin(F.broadcast(scalars)).select(
+        "bk",
+        (
+            _q(F.col("c_t") + 1, F.col("n_t") + v)
+            - _q(F.col("c_r") + 1, F.col("n_r") + v)
+        ).alias("qd"),
+    )
+    per = toks.join(qtab, "bk").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("qd").alias("__s"),
+    )
+    lw = F.col("__s").cast("double") / F.lit(1000000.0)
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        lw.alias("log_w"),
+        (lw / F.col("n_tokens").cast("double")).alias("avg_log_w"),
+    )
+
+
 def language_mix(
     df: DataFrame,
     text_col: str = "text",

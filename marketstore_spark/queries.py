@@ -7308,6 +7308,62 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_dsir_weights_hashed",
+    """
+WITH tk0 AS (
+  SELECT doc_id, (source = 'src0') AS tgt,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+tk AS (
+  SELECT doc_id, tgt,
+         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS bk
+  FROM tk0 WHERE tok <> ''
+),
+c AS (
+  SELECT bk, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(COUNT(CASE WHEN tgt THEN 1 END) AS BIGINT) AS c_t
+  FROM tk GROUP BY bk
+),
+s AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM c
+),
+q AS (
+  SELECT bk,
+    CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / CAST(s.n_t + 4096 AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)
+    - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE) / CAST(s.n_r + 4096 AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS qd
+  FROM c, s
+),
+d AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(q.qd) AS BIGINT) AS sq
+  FROM tk t JOIN q ON t.bk = q.bk GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sq AS DOUBLE) / 1000000.0 AS log_w,
+       (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)
+         AS avg_log_w
+FROM d
+""",
+)
+def corpus_dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-bucket DSIR estimator (operators/text.
+    dsir_weights_hashed, Xie 2023 §3) — tokens bucketed md5 % 4096
+    before the LM counts, so both unigram models and the broadcast
+    q-table are FIXED 4096-cell tables at any corpus size; smoothing
+    runs over the buckets (N + B).  The oracle shares the md5 bucket
+    hash bit-for-bit, so parity covers the hashing, not just shape."""
+    from marketstore_spark.operators.text import dsir_weights_hashed
+
+    return dsir_weights_hashed(
+        load_table(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
+@_register(
     "liquidity_panel",
     """
 WITH t AS (
@@ -7762,16 +7818,174 @@ def acf_spectrum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round-11 rotation (driver checks the first ~50 keys).  Mechanical
-    # per-round policy (VERDICT r07-r10): every key whose latest driver
-    # row is oldest goes first — after r10 that is the 47-key r7-
-    # evidence block — plus the one key whose shipping plan postdates
-    # its newest driver hash (rolling_corr_market: the r10 prefix-sum
-    # re-plan landed after the r10 window was fixed; VERDICT r10
-    # "What's wrong" #1), plus the two oldest r8 TPC-H shapes to fill
-    # the window to exactly 50.
+    # Round-12 rotation (driver checks the first ~50 keys).  Mechanical
+    # per-round policy (VERDICT r07-r11): every key whose latest driver
+    # row is oldest goes first.  After r11 that is the two r7-evidence
+    # keys the round-11 window squeezed out (corpus_shuffle and
+    # distinct_users_approx — the pair tripping the staleness guard,
+    # VERDICT r11 "What's wrong" #1) plus the full 47-key r8-evidence
+    # block, with the one remaining slot taken by the round's one NEW
+    # key (corpus_dsir_weights_hashed, no driver evidence yet) — 50
+    # exactly.
     # ------------------------------------------------------------------
-    # Block A - last driver row r7 (core engine + UDA + indicators).
+    # Block A - last driver row r7.
+    "corpus_shuffle",
+    "distinct_users_approx",
+    # Block B - last driver row r8 (all 47).
+    "acf_spectrum",
+    "adx",
+    "amihud",
+    "aroon",
+    "autocorr_returns",
+    "cci",
+    "corpus_dup_size_histogram",
+    "corpus_filter_funnel",
+    "corpus_language_mix",
+    "corpus_length_buckets",
+    "corpus_length_percentiles",
+    "corpus_sample_fixed_n",
+    "corpus_unigram_nll",
+    "corpus_vocab_growth",
+    "corwin_schultz",
+    "cusum_filter",
+    "dedup_rate_by_source",
+    "dollar_bars",
+    "effective_spread",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_update",
+    "gap_percentiles",
+    "heikin_ashi",
+    "ichimoku",
+    "intraday_seasonality",
+    "kaufman_er",
+    "kyle_lambda",
+    "liquidity_panel",
+    "market_concentration",
+    "markout_returns",
+    "mfi",
+    "move_percentiles",
+    "ofi",
+    "price_impact_curve",
+    "q3_shipping_priority",
+    "q4_late_orders",
+    "range_vol",
+    "realized_moments",
+    "roll_spread",
+    "source_token_jaccard",
+    "source_token_stats",
+    "text_lexical_diversity",
+    "trimmed_mean",
+    "variance_ratio",
+    "volume_bars",
+    "volume_profile",
+    "vpin",
+    # Block C - NEW key this round (no driver evidence yet): the
+    # hashed-bucket DSIR estimator — the paper's actual 100 TB form.
+    "corpus_dsir_weights_hashed",
+]
+
+
+# Immediately after the window: the 43-key r9-evidence block — if the
+# driver's budget stretches past 50 they get refreshed too, and they
+# are first in line for the r13 rotation; then the r10 block, then the
+# r11 block (freshest last).
+_BACK = [
+    # last driver row r9 (43 keys) - the r13 rotation fronts these.
+    "active_users_window",
+    "ann_ivf",
+    "ann_ivf_exhaustive",
+    "ann_ivfpq",
+    "ann_ivfpq_exhaustive",
+    "ann_lsh",
+    "ann_pq",
+    "ann_pq_exhaustive",
+    "corpus_filter_pipeline",
+    "dedup_embedding_lsh",
+    "dedup_substring",
+    "dedup_substring_rate",
+    "drawdown",
+    "ema",
+    "event_anomaly",
+    "event_funnel",
+    "event_transitions",
+    "get_info",
+    "list_symbols",
+    "list_symbols_tbk",
+    "multi_query",
+    "percentiles",
+    "percentiles_approx",
+    "percentiles_approx_exhaustive",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "query_limit_head",
+    "range_join",
+    "retention_cohorts",
+    "sessionize",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_termfreq",
+    "text_tokens",
+    "text_zipf_fit",
+    "top_symbols",
+    "uda_max",
+    "uda_min",
+    # last driver row r10 (50 keys).
+    "ann_cosine_topk",
+    "ann_filtered",
+    "ann_lsh_exhaustive",
+    "candlecandler",
+    "corpus_benchmark_coverage",
+    "corpus_decontaminate",
+    "corpus_dedup_funnel",
+    "corpus_sample",
+    "corpus_stats",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_embedding_lsh_exhaustive",
+    "dedup_exact",
+    "dedup_minhash_keep",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "event_cooccurrence",
+    "event_rfm",
+    "gapfill",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_video_decode",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_orders_waiting",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "rollup_1d",
+    "rollup_1h",
+    "rollup_1mo",
+    "rollup_1w",
+    "rollup_5min",
+    "skew_salted_agg",
+    "source_novelty",
+    "text_bigram_lift",
+    "tickcandler",
+    "uda_avg",
+    "uda_count",
+    "vwap",
+    # last driver row r11 (50 keys, freshest - the r11 window).
     "query_range",
     "query_limit_tail",
     "asof_join",
@@ -7801,7 +8015,6 @@ _FRONT = [
     "tick_rule",
     "nbbo",
     "lee_ready",
-    # Block A cont. - r7-evidence dedup/text/corpus/multimodal keys.
     "dedup_span",
     "dedup_simhash_pairs",
     "dedup_semantic",
@@ -7818,76 +8031,11 @@ _FRONT = [
     "corpus_training_mix",
     "multimodal_audio_decode",
     "multimodal_gif_decode",
-    # Block B - shipping plan newer than its newest driver hash.
     "rolling_corr_market",
-    # Block C - NEW keys this round (no driver evidence yet): the
-    # native-session-window form of 21g, now oracle-backed, the DSIR
-    # importance-weight selection score, and the Gopher rule battery.
     "session_window",
     "corpus_dsir_weights",
     "corpus_gopher_rules",
     "corpus_c4_clean",
-]
-
-
-# Immediately after the window: the rest of the r8-evidence block - if
-# the driver's budget stretches past 50 they get refreshed too, and
-# they are first in line for the r12 rotation; then everything else
-# (r9/r10-green) in source order.
-_BACK = [
-    # first past the window: the two r7 keys the four new round-11
-    # keys displaced (the rows-only approx twin and the deterministic
-    # shuffle — lowest change risk of the block; the r12 rotation must
-    # front them if the r11 driver budget stops at 50)
-    "distinct_users_approx",
-    "corpus_shuffle",
-    "q3_shipping_priority",
-    "q4_late_orders",
-    "volume_bars",
-    "dollar_bars",
-    "heikin_ashi",
-    "amihud",
-    "ichimoku",
-    "ofi",
-    "cusum_filter",
-    "corpus_length_buckets",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_update",
-    "roll_spread",
-    "autocorr_returns",
-    "variance_ratio",
-    "kyle_lambda",
-    "vpin",
-    "text_lexical_diversity",
-    "markout_returns",
-    "intraday_seasonality",
-    "corpus_dup_size_histogram",
-    "effective_spread",
-    "corpus_filter_funnel",
-    "corpus_length_percentiles",
-    "range_vol",
-    "corwin_schultz",
-    "kaufman_er",
-    "source_token_jaccard",
-    "source_token_stats",
-    "corpus_vocab_growth",
-    "realized_moments",
-    "trimmed_mean",
-    "mfi",
-    "corpus_sample_fixed_n",
-    "cci",
-    "aroon",
-    "adx",
-    "volume_profile",
-    "corpus_unigram_nll",
-    "liquidity_panel",
-    "gap_percentiles",
-    "price_impact_curve",
-    "corpus_language_mix",
-    "move_percentiles",
-    "market_concentration",
-    "dedup_rate_by_source",
-    "acf_spectrum",
 ]
 
 

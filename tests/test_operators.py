@@ -3041,6 +3041,53 @@ def test_dsir_weights_rank_target_domain_higher(spark):
     assert all(abs(v) < 100 for v in out.values())
 
 
+def test_dsir_weights_hashed_matches_contract_and_bounded_state(spark):
+    """The hashed estimator keeps the plain variant's ORDERING
+    contract (target island above target-vocab doc above disjoint
+    island) while its count state is capped at B buckets; with
+    vocab << B and no md5-bucket collisions the two variants differ
+    ONLY in the smoothing denominator (N+V vs N+B), which preserves
+    per-token rank but NOT absolute sign at toy scale (B=4096 >> N
+    deflates every smoothed target probability), so the pins below
+    are ordering pins."""
+    from pyspark.sql import functions as F
+
+    from marketstore_spark.operators.text import (
+        dsir_weights,
+        dsir_weights_hashed,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma beta alpha", "tgt") for i in range(5)]
+        + [(10 + i, "delta epsilon zeta epsilon", "other") for i in range(5)]
+        + [(20, "alpha beta gamma", "other")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    tgt = F.col("source") == "tgt"
+    hashed = {
+        r["doc_id"]: r for r in dsir_weights_hashed(df, tgt).collect()
+    }
+    # ordering contract per token: target island > target-vocab doc
+    # from another source > disjoint island
+    assert hashed[0]["avg_log_w"] > hashed[10]["avg_log_w"]
+    assert hashed[20]["avg_log_w"] > hashed[10]["avg_log_w"]
+    # token counts ride through the bucketing unchanged
+    plain = {r["doc_id"]: r for r in dsir_weights(df, tgt).collect()}
+    assert all(
+        hashed[d]["n_tokens"] == plain[d]["n_tokens"] for d in hashed
+    )
+    # rank extremes over the islands are preserved under hashing
+    rank = sorted(hashed, key=lambda d: hashed[d]["avg_log_w"])
+    assert rank[0] in range(10, 15) and rank[-1] in range(5)
+    # collision behavior is deterministic, not an error: B=1 folds the
+    # whole vocabulary into one bucket -> both LMs identical -> all 0
+    one = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_weights_hashed(df, tgt, num_buckets=1).collect()
+    }
+    assert all(v == 0.0 for v in one.values())
+
+
 def test_gopher_rules_flag_semantics(spark):
     """Rule battery behavioral pins: a clean prose doc passes, a
     symbol-heavy doc fails the symbol rule, a bullet-list doc fails

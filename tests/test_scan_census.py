@@ -34,6 +34,7 @@ _PINNED_SCANS = {
     "dedup_substring": {"documents": 1},
     "corpus_unigram_nll": {"documents": 2},
     "corpus_dsir_weights": {"documents": 2},
+    "corpus_dsir_weights_hashed": {"documents": 2},
     "corpus_gopher_rules": {"documents": 1},
     "corpus_c4_clean": {"documents": 1},
     "markout_returns": {"events": 1},
