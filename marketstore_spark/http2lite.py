@@ -368,7 +368,21 @@ class H2Server(_ConnectionCore):
         try:
             req_headers = [h for block in st.blocks for h in block]
             headers, body, trailers = self.handler(req_headers, bytes(st.body))
-            if trailers is None:
+            if callable(getattr(body, "__next__", None)):
+                # server-streaming response (gRPC `stream` RPCs): the
+                # handler's body is an ITERATOR of DATA chunks; each is
+                # written (and flushed) as it is produced, so a
+                # long-lived stream delivers messages as they happen.
+                # trailers may be a callable evaluated AFTER the
+                # iterator ends (e.g. to report a mid-stream error as
+                # a grpc-status trailer).
+                self.send_headers(stream_id, headers)
+                for chunk in body:
+                    if chunk:
+                        self.send_data(stream_id, chunk, end_stream=False)
+                final = trailers() if callable(trailers) else trailers
+                self.send_headers(stream_id, final, end_stream=True)
+            elif trailers is None:
                 self.send_headers(stream_id, headers, end_stream=not body)
                 if body:
                     self.send_data(stream_id, body, end_stream=True)
@@ -419,3 +433,32 @@ class H2ClientConnection(_ConnectionCore):
                 head = st.blocks[0] if st.blocks else []
                 trailers = st.blocks[1] if len(st.blocks) > 1 else []
                 return head, bytes(st.body), trailers
+
+    def request_stream(self, headers, body: bytes = b""):
+        """Send one request and return ``(chunks, state)`` for a
+        server-streaming response: ``chunks`` is a generator yielding
+        DATA payload bytes AS THEY ARRIVE (no end-of-stream wait —
+        this is how a long-lived gRPC ``stream`` RPC is consumed);
+        ``state`` is the stream object whose ``.blocks`` holds the
+        response headers and, once the generator is exhausted, the
+        trailers."""
+        stream_id = self._next_stream
+        self._next_stream += 2
+        st = _Stream(self.peer_initial_window)
+        self.streams[stream_id] = st
+        self.send_headers(stream_id, headers, end_stream=not body)
+        if body:
+            self.send_data(stream_id, body, end_stream=True)
+
+        def chunks():
+            while True:
+                done = self._handle_frame(*read_frame(self.rfile))
+                if st.body:
+                    data = bytes(st.body)
+                    st.body.clear()
+                    yield data
+                if done == stream_id:
+                    self.streams.pop(stream_id, None)
+                    return
+
+        return chunks(), st

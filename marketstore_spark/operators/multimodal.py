@@ -110,12 +110,14 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 def decode_bmp(payload: bytes) -> "np.ndarray":
     """Uncompressed BMP bytes → H×W×3 uint8 (RGB).
 
-    Covers the uncompressed variants seen in real corpora: 24-bit BGR,
-    32-bit BGRX/BGRA (alpha dropped), 8-bit paletted (BGRX palette
-    after the info header, ``biClrUsed`` entries or 256), and
-    BI_BITFIELDS (compression=3) 16/32-bit with arbitrary channel
-    masks — the form most 32-bit Windows screenshots and icons use.
-    RLE compression raises so the caller records decoded_ok=0."""
+    Covers every BMP variant short of the exotic ones: 24-bit BGR,
+    32-bit BGRX/BGRA (alpha dropped), 8/4/1-bit paletted (BGRX palette
+    after the info header, ``biClrUsed`` entries or 2^bpp; 4/1-bit
+    rows nibble-/bit-packed MSB-first), BI_BITFIELDS (compression=3)
+    16/32-bit with arbitrary CONTIGUOUS channel masks — the form most
+    32-bit Windows screenshots and icons use — and BI_RLE8/BI_RLE4.
+    Non-contiguous bitfield masks and corrupt RLE streams raise
+    ValueError so the caller records decoded_ok=0."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
@@ -146,6 +148,13 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
                 continue
             shift = (m & -m).bit_length() - 1
             span = m >> shift
+            if span & (span + 1):
+                # a non-contiguous mask would silently rescale wrong;
+                # raise like every other unsupported-variant path so
+                # the caller records decoded_ok=0
+                raise ValueError(
+                    f"non-contiguous BI_BITFIELDS mask 0x{m:08x}"
+                )
             out[:, :, i] = ((px >> shift) & span) * 255 // span
         return out
     if (compression == 1 and bpp == 8) or (compression == 2 and bpp == 4):
@@ -184,9 +193,15 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
             elif v == 1:  # end of bitmap
                 break
             elif v == 2:  # delta
+                # corrupt payloads must stay inside the ValueError
+                # contract (decoded_ok=0), not escape as IndexError
+                if p + 1 >= len(payload):
+                    raise ValueError("truncated RLE delta escape")
                 x += payload[p]
                 y += payload[p + 1]
                 p += 2
+                if y >= abs(h) or x > w:
+                    raise ValueError("RLE delta moves outside the bitmap")
             else:  # absolute run of v indexes, word-aligned
                 end = min(x + v, w)
                 if rle4:
@@ -205,9 +220,37 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
         if h > 0:
             idx = idx[::-1]  # bottom-up → top-down
         return pal[idx][:, :, ::-1].copy()  # index → BGR → RGB
+    if compression == 0 and bpp in (1, 4):
+        # 1-bit monochrome / 4-bit paletted (the last uncompressed BMP
+        # variants): bit- or nibble-packed index rows, MSB-first, each
+        # row padded to a DWORD; palette lookup as in the 8-bit path.
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(
+            payload, np.uint8, count=clr_used * 4, offset=14 + hdr_size
+        ).reshape(clr_used, 4)[:, :3]
+        rowb = (w * bpp + 7) // 8
+        stride = (rowb + 3) & ~3
+        packed = np.stack(
+            [
+                np.frombuffer(
+                    payload, np.uint8, count=rowb, offset=offset + y * stride
+                )
+                for y in range(abs(h))
+            ]
+        )
+        if bpp == 1:
+            idx = np.unpackbits(packed, axis=1)[:, :w]
+        else:
+            nib = np.empty((abs(h), rowb * 2), np.uint8)
+            nib[:, 0::2] = packed >> 4
+            nib[:, 1::2] = packed & 0xF
+            idx = nib[:, :w]
+        if h > 0:
+            idx = idx[::-1]  # bottom-up → top-down
+        return pal[idx][:, :, ::-1].copy()  # index → BGR → RGB
     if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 8/24/32-bit BMP (bpp={bpp}, "
+            f"only uncompressed 1/4/8/24/32-bit BMP (bpp={bpp}, "
             f"compression={compression})"
         )
     nch = bpp // 8
@@ -399,8 +442,10 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     ``wave`` rejects outright) are parsed from the RIFF chunks
     directly (round 9) and converted deterministically: clip to
     [−1, 1], then ``floor(x·32767 + 0.5)`` — engine- and
-    platform-identical for any input.  Compressed formats (ADPCM,
-    µ-law) still raise so the caller records decoded_ok=0."""
+    platform-identical for any input; float64 (tag 3, 64-bit) and the
+    G.711 telephony pair (tags 6 A-law / 7 µ-law, round 12) decode the
+    same way.  ADPCM still raises so the caller records
+    decoded_ok=0."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             width = wf.getsampwidth()
@@ -441,9 +486,15 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         raise ValueError("WAV missing fmt/data chunk")
     tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag == 3 and bits == 32:  # IEEE float
-        x = np.frombuffer(data, "<f4")[::nch].astype(np.float64)
-        x = np.clip(x, -1.0, 1.0)
-        return int(rate), np.floor(x * 32767.0 + 0.5).astype(np.int16)
+        return int(rate), _float_to_int16(np.frombuffer(data, "<f4")[::nch])
+    if tag == 3 and bits == 64:
+        return int(rate), _float_to_int16(np.frombuffer(data, "<f8")[::nch])
+    if tag == 6 and bits == 8:  # G.711 A-law (WAVE_FORMAT_ALAW)
+        s = _alaw_to_int16(np.frombuffer(data, np.uint8))[::nch].copy()
+        return int(rate), s
+    if tag == 7 and bits == 8:  # G.711 µ-law (WAVE_FORMAT_MULAW)
+        s = _ulaw_to_int16(np.frombuffer(data, np.uint8))[::nch].copy()
+        return int(rate), s
     raise NotImplementedError(f"WAV format tag {tag} ({bits}-bit)")
 
 
@@ -457,6 +508,31 @@ def _ulaw_to_int16(b: "np.ndarray") -> "np.ndarray":
     t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
     t -= 0x84
     return np.where(u & 0x80, -t, t).astype(np.int16)
+
+
+def _alaw_to_int16(b: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law bytes → int16 (ITU-T G.711 decode, closed form —
+    the other half of the standard next to µ-law): XOR 0x55 to undo
+    the even-bit inversion, then segment/mantissa expansion; segment 0
+    is linear (``(mant<<4)+8``), higher segments shift
+    ``(mant<<4)+0x108``.  Sign bit 0x80 = positive.  Matches the
+    CPython ``audioop.alaw2lin`` table for all 256 codes (pinned in
+    tests)."""
+    a = b.astype(np.int32) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _float_to_int16(x: "np.ndarray") -> "np.ndarray":
+    """IEEE-float samples → int16 with the repo's deterministic
+    convention (decode_wav round 9): clip to [−1, 1], then
+    ``floor(x·32767 + 0.5)`` — engine- and platform-identical."""
+    x = np.clip(x.astype(np.float64), -1.0, 1.0)
+    return np.floor(x * 32767.0 + 0.5).astype(np.int16)
 
 
 def _pcm_be_to_int16(raw: bytes, width: int, nch: int) -> "np.ndarray":
@@ -486,9 +562,10 @@ def decode_au(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Sun/NeXT .au bytes → (sample_rate, int16 samples of the first
     channel).  The header is six big-endian u32s (magic ``.snd``,
     data offset, data size, encoding, rate, channels); encodings 1
-    (G.711 µ-law) and 2-5 (signed PCM 8/16/24/32) cover the format's
-    real-world use.  Same int16 normalization as decode_wav, so one
-    clip in either container yields identical samples."""
+    (G.711 µ-law), 2-5 (signed PCM 8/16/24/32), 6/7 (IEEE float
+    32/64) and 27 (G.711 A-law) cover the format's real-world use.
+    Same int16 normalization as decode_wav, so one clip in either
+    container yields identical samples."""
     if payload[:4] != b".snd":
         raise ValueError("not an AU payload")
     off, size, enc, rate, nch = struct.unpack_from(">IIIII", payload, 4)
@@ -498,6 +575,12 @@ def decode_au(payload: bytes) -> tuple[int, "np.ndarray"]:
         s = _ulaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
     elif enc in (2, 3, 4, 5):
         s = _pcm_be_to_int16(raw, enc - 1, nch)
+    elif enc == 6:  # 32-bit IEEE float (big-endian)
+        s = _float_to_int16(np.frombuffer(raw, ">f4")[::nch])
+    elif enc == 7:  # 64-bit IEEE float (big-endian)
+        s = _float_to_int16(np.frombuffer(raw, ">f8")[::nch])
+    elif enc == 27:  # G.711 A-law
+        s = _alaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
     else:
         raise NotImplementedError(f"AU encoding {enc}")
     return int(rate), s
@@ -516,9 +599,9 @@ def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
     """AIFF / AIFC bytes → (sample_rate, int16 samples of the first
     channel).  IFF chunk walk: COMM carries channels/width/80-bit
     extended rate (+ a compression fourcc in AIFC — ``NONE``/``sowt``
-    PCM and ``ulaw`` handled), SSND carries offset/blocksize + the
-    big-endian frames.  Same int16 normalization as decode_wav/
-    decode_au."""
+    PCM, ``ulaw``/``alaw`` G.711, and ``fl32``/``fl64`` IEEE float
+    handled), SSND carries offset/blocksize + the big-endian frames.
+    Same int16 normalization as decode_wav/decode_au."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
     is_aifc = payload[8:12] == b"AIFC"
@@ -546,6 +629,12 @@ def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
         s = np.frombuffer(raw, "<i2")[::nch].astype(np.int16).copy()
     elif ctype in (b"ulaw", b"ULAW"):
         s = _ulaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
+    elif ctype in (b"alaw", b"ALAW"):
+        s = _alaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
+    elif ctype in (b"fl32", b"FL32"):  # big-endian IEEE float32
+        s = _float_to_int16(np.frombuffer(raw, ">f4")[::nch])
+    elif ctype in (b"fl64", b"FL64"):  # big-endian IEEE float64
+        s = _float_to_int16(np.frombuffer(raw, ">f8")[::nch])
     else:
         raise NotImplementedError(f"AIFC compression {ctype!r}")
     return rate, s

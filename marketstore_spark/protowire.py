@@ -149,6 +149,28 @@ MESSAGES: dict[str, dict[int, tuple[str, str]]] = {
     "ListSymbolsResponse": {1: ("results", "repeated string")},
     "ServerVersionRequest": {},
     "ServerVersionResponse": {1: ("version", "string")},
+    # -- replication service (proto/replication.proto:120) --------------
+    # GetWALStreamRequest is EMPTY in the reference (replicas bootstrap
+    # by snapshot copy and the offline gap is a known TODO,
+    # replication/replay.go:41 "replay ordered by transactionGroupID");
+    # field 1 here is a forward-compatible extension carrying the
+    # replica's durable resume cursors, which is what makes the twin's
+    # replay exactly-once across disconnects.  A reference server
+    # would skip the unknown field; a reference client sends none and
+    # gets the full log.
+    "BucketCursor": {1: ("key", "string"), 2: ("next_version", "int64")},
+    "GetWALStreamRequest": {1: ("cursors", "repeated msg:BucketCursor")},
+    "GetWALStreamResponse": {1: ("transaction_group", "bytes")},
+    # the transaction-group payload (opaque bytes on the wire, like the
+    # reference's serialized WAL TG): one manifest commit + the data
+    # files it added
+    "WALDataFile": {1: ("rel_path", "string"), 2: ("payload", "bytes")},
+    "TransactionGroup": {
+        1: ("key", "string"),
+        2: ("version", "int64"),
+        3: ("manifest_json", "string"),
+        4: ("files", "repeated msg:WALDataFile"),
+    },
 }
 
 _MAP_ENTRY = {1: ("key", "string"), 2: ("value", "int32")}

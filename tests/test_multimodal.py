@@ -446,9 +446,10 @@ def test_bmp_palette_and_32bit_decode():
     assert img[0, 0].tolist() == [30, 20, 10]  # BGR → RGB
     assert img[1, 0].tolist() == [60, 50, 40]
 
-    # a 1-bit monochrome BMP stays fenced (bpp outside 8/16/24/32)
+    # 1-bit is now decoded (round 12); a truncated 1-bit payload with
+    # no palette bytes stays inside the ValueError contract
     info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 1, 0, 4, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_bmp(_s.pack("<2sIHHI", b"BM", 58, 0, 0, 54) + info + b"\x00" * 4)
 
 
@@ -596,6 +597,54 @@ def test_wild_png_gif_wav_sweep():
     assert checked >= 10  # the sweep actually ran over real files
 
 
+def test_wild_bmp_au_aiff_sweep():
+    """Round-12 extension of the wild sweep (VERDICT r11 next #3):
+    every real BMP / Sun AU / AIFF / AIFC in ANY stdlib tree on this
+    machine decodes cleanly — files from multiple CPython eras and
+    independent producers (dedup by (size, name) across trees)."""
+    import glob
+    import os
+
+    from marketstore_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_bmp,
+    )
+
+    pats = (
+        ("/root/.pyenv/versions/*/lib/python*/test/imghdrdata/*.bmp",
+         decode_bmp),
+        ("/root/.pyenv/versions/*/lib/python*/test/test_email/data/*.bmp",
+         decode_bmp),
+        ("/root/.pyenv/versions/*/lib/python*/test/sndhdrdata/sndhdr.au",
+         decode_au),
+        ("/root/.pyenv/versions/*/lib/python*/test/*.au", decode_au),
+        ("/root/.pyenv/versions/*/lib/python*/test/audiodata/*.au",
+         decode_au),
+        ("/root/.pyenv/versions/*/lib/python*/test/sndhdrdata/sndhdr.aif*",
+         decode_aiff),
+        ("/root/.pyenv/versions/*/lib/python*/test/audiodata/*.aiff",
+         decode_aiff),
+        ("/root/.pyenv/versions/*/lib/python*/test/audiodata/*.aifc",
+         decode_aiff),
+    )
+    seen = set()
+    checked = 0
+    for pat, fn in pats:
+        for f in glob.glob(pat):
+            ident = (os.path.getsize(f), os.path.basename(f))
+            if ident in seen:
+                continue
+            seen.add(ident)
+            r = fn(open(f, "rb").read())
+            arr = r[1] if isinstance(r, tuple) else r
+            assert arr.size > 0, f
+            checked += 1
+    if checked == 0:
+        pytest.skip("no stdlib BMP/AU/AIFF fixtures on this machine")
+    assert checked >= 5
+
+
 def test_ulaw_matches_audioop_table():
     """The closed-form G.711 µ-law decode must reproduce CPython's
     audioop table for all 256 codes (audioop is the stdlib's
@@ -608,6 +657,91 @@ def test_ulaw_matches_audioop_table():
     mine = _ulaw_to_int16(np.arange(256, dtype=np.uint8))
     ref = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), "<i2")
     assert np.array_equal(mine, ref)
+
+
+def test_alaw_matches_audioop_table():
+    """The closed-form G.711 A-law decode must reproduce CPython's
+    audioop table for all 256 codes."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from marketstore_spark.operators.multimodal import _alaw_to_int16
+
+    mine = _alaw_to_int16(np.arange(256, dtype=np.uint8))
+    ref = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), "<i2")
+    assert np.array_equal(mine, ref)
+
+
+def test_g711_wav_tags_and_float_containers():
+    """Round-12 audio closures, pinned by synthetic round-trips:
+    G.711 WAV tags 6/7 decode through the same tables as AU/AIFC, and
+    fl32/fl64 AIFC + AU float encodings share decode_wav's
+    deterministic float→int16 convention."""
+    import struct
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from marketstore_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_wav,
+    )
+
+    lin = (np.arange(-100, 100, dtype=np.int16) * 300).astype("<i2")
+
+    def wav(tag, bits, data, nch=1, rate=8000):
+        fmt = struct.pack("<HHIIHH", tag, nch, rate, 0, 0, bits)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # tag 6 (A-law) / tag 7 (µ-law): wav path == audioop round decode
+    for tag, enc, dec in (
+        (6, audioop.lin2alaw, audioop.alaw2lin),
+        (7, audioop.lin2ulaw, audioop.ulaw2lin),
+    ):
+        coded = enc(lin.tobytes(), 2)
+        r, s = decode_wav(wav(tag, 8, coded))
+        assert r == 8000
+        assert np.array_equal(s, np.frombuffer(dec(coded, 2), "<i2"))
+
+    # fl32 AIFC == float32 WAV (tag 3) == AU encoding 6, same samples
+    x = (np.linspace(-1.2, 1.2, 64)).astype(np.float32)  # incl. clip range
+    rw, sw = decode_wav(wav(3, 32, x.astype("<f4").tobytes()))
+
+    def aifc(ctype, raw, bits):
+        comm = (
+            struct.pack(">HIH", 1, len(raw), bits)
+            + b"\x40\x0b\xfa\x00\x00\x00\x00\x00\x00\x00"  # 8000.0 f80
+            + ctype + b"\x00\x00"  # pstring pad
+        )
+        ssnd = struct.pack(">II", 0, 0) + raw
+        body = (
+            b"AIFC"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        )
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    rf, sf = decode_aiff(aifc(b"fl32", x.astype(">f4").tobytes(), 32))
+    assert rf == 8000 and np.array_equal(sw, sf)
+    rf64, sf64 = decode_aiff(aifc(b"fl64", x.astype(">f8").tobytes(), 64))
+    assert np.array_equal(sw, sf64)
+
+    au = b".snd" + struct.pack(">IIIII", 24, len(x) * 4, 6, 8000, 1)
+    ra, sa = decode_au(au + x.astype(">f4").tobytes())
+    assert ra == 8000 and np.array_equal(sw, sa)
+    # AU encoding 27 (A-law) through the pinned table
+    coded = audioop.lin2alaw(lin.tobytes(), 2)
+    au27 = b".snd" + struct.pack(">IIIII", 24, len(coded), 27, 8000, 1)
+    _, s27 = decode_au(au27 + coded)
+    assert np.array_equal(s27, np.frombuffer(audioop.alaw2lin(coded, 2), "<i2"))
+    # float64 WAV (tag 3, 64-bit)
+    rw64, sw64 = decode_wav(wav(3, 64, x.astype("<f8").tobytes()))
+    assert np.array_equal(sw, sw64)
 
 
 _AUDIODATA = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/audiodata"
@@ -657,6 +791,13 @@ def test_au_aiff_cross_container_conformance():
     # companded 8-bit stream still tracks the 16-bit master closely
     corr = np.corrcoef(su.astype(float), sw.astype(float))[0, 1]
     assert corr > 0.999
+    # A-law (round 12): the other G.711 half, wild stdlib fixture —
+    # coarsest A-law segment step is 1024, masters made with ±1 code
+    ra, sa = decode_aiff(load("pluck-alaw.aifc"))
+    assert ra == 11025 and len(sa) == len(sw)
+    assert np.abs(sa.astype(int) - sw.astype(int)).max() <= 2048
+    corr_a = np.corrcoef(sa.astype(float), sw.astype(float))[0, 1]
+    assert corr_a > 0.999
 
 
 def test_au_aiff_through_feature_pipeline(spark):
@@ -741,3 +882,94 @@ def test_bmp_rle4_decode():
     g = out[:, :, 0]
     assert list(g[1]) == [60, 120, 60, 120, 60]  # bottom (stored first)
     assert list(g[0]) == [180, 0, 180, 120, 120]
+
+
+def _bmp_rle8(w, h, rle, npal=4):
+    import struct
+
+    pal = b"".join(bytes([i * 40, i * 40, i * 40, 0]) for i in range(npal))
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 2835, 2835, npal, 0
+    )
+    return hdr + info + pal + rle
+
+
+def test_bmp_rle_corrupt_stays_valueerror():
+    """Corrupt RLE payloads must raise ValueError (the decoded_ok=0
+    contract resize_images catches), never IndexError: a delta that
+    jumps outside the bitmap, and a stream truncated mid-delta."""
+    import pytest
+
+    from marketstore_spark.operators.multimodal import decode_bmp
+
+    # delta jumps y past the bitmap height then writes a run
+    bad_y = bytes([0, 2, 0, 9] + [3, 1, 0, 1])
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp_rle8(6, 3, bad_y))
+    # delta jumps x past the row width
+    bad_x = bytes([0, 2, 200, 0] + [3, 1, 0, 1])
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp_rle8(6, 3, bad_x))
+    # stream ends immediately after the delta escape marker
+    trunc = bytes([3, 1, 0, 2])
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp_rle8(6, 3, trunc))
+
+
+def test_bmp_bitfields_noncontiguous_mask_raises():
+    """A non-contiguous BI_BITFIELDS channel mask cannot be rescaled
+    by the span formula — it must raise (decoded_ok=0), not silently
+    produce wrong channel values."""
+    import struct
+
+    import pytest
+
+    from marketstore_spark.operators.multimodal import decode_bmp
+
+    w, h = 2, 1
+    masks = struct.pack("<III", 0x00F000F0, 0x0000FF00, 0x0000000F)
+    body = struct.pack("<II", 0xFFFFFFFF, 0)
+    off = 14 + 40 + 12
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(body), 2835, 2835, 0, 0
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(hdr + info + masks + body)
+
+
+def test_bmp_1bit_and_4bit_uncompressed():
+    """The last uncompressed BMP variants: 1-bit bit-packed MSB-first
+    rows and 4-bit nibble-packed rows, DWORD-padded, bottom-up, via
+    the palette."""
+    import struct
+
+    from marketstore_spark.operators.multimodal import decode_bmp
+
+    # 1-bit, 10×2: bottom row 1010101010, top row all ones
+    pal = bytes([0, 0, 0, 0, 255, 255, 255, 0])  # idx0 black, idx1 white
+    rows = [0b10101010_10 << 6, 0b11111111_11 << 6]  # bottom stored 1st
+    body = b"".join(
+        struct.pack(">H", r) + b"\x00\x00" for r in rows
+    )  # 2 data bytes + 2 pad = DWORD stride
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 10, 2, 1, 1, 0, len(body), 2835, 2835, 2, 0
+    )
+    out = decode_bmp(hdr + info + pal + body)
+    assert out.shape == (2, 10, 3)
+    assert list(out[1, :, 0]) == [255, 0] * 5  # bottom row → last
+    assert list(out[0, :, 0]) == [255] * 10
+    # 4-bit, 3×1: nibbles [1, 2, 3], padded to DWORD
+    pal4 = b"".join(bytes([i * 50, i * 50, i * 50, 0]) for i in range(4))
+    body4 = bytes([0x12, 0x30, 0, 0])
+    off4 = 14 + 40 + len(pal4)
+    hdr4 = b"BM" + struct.pack("<IHHI", off4 + len(body4), 0, 0, off4)
+    info4 = struct.pack(
+        "<IiiHHIIiiII", 40, 3, 1, 1, 4, 0, len(body4), 2835, 2835, 4, 0
+    )
+    out4 = decode_bmp(hdr4 + info4 + pal4 + body4)
+    assert list(out4[0, :, 0]) == [50, 100, 150]
