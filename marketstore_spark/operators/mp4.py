@@ -1,0 +1,430 @@
+"""MP4 / ISO-BMFF container codec — pure stdlib + numpy.
+
+The MP4 family (ISO/IEC 14496-12: .mp4/.m4v/.mov) is the container
+real multimodal corpora actually ship, so the video path needs a real
+probe and — where the essence is intra-frame — a real decode.  This
+module implements the box grammar and the part that is genuinely
+subtle: the sample-table walk (stts/stsc/stsz/stco|co64 → absolute
+per-sample byte ranges), which is where naive parsers break on
+multi-sample chunks and stsc runs.
+
+Two essence kinds decode end-to-end with no native libs:
+
+- ``'jpeg'`` — Photo JPEG (each sample a standalone JFIF), via the
+  repo's own pure-numpy operators/jpeg.py: genuinely COMPRESSED video;
+- ``'raw '`` — uncompressed packed 24-bit RGB, top-down rows (the
+  QuickTime raw-video entry at depth 24).
+
+Inter-frame codecs (avc1/hev1/vp09/av01/mp4v) probe fine — width,
+height, fps, frame count, codec all report — but decode raises
+NotImplementedError: the honest fence is the same one video.py draws
+for AVI ('inter-frame essence', not 'video').  Reference parity:
+marketstore itself has no video path at all; this extends the repo's
+multimodal family (SURVEY §2 rows 62–66).
+
+Parser robustness beyond what the encoder emits, all spec-mandated
+shapes: 64-bit ``largesize`` boxes, size-0 ("to end of file") boxes,
+version-1 mvhd/tkhd/mdhd (64-bit times), co64 chunk offsets, uniform
+stsz (sample_size != 0), and multi-run stts.  Corrupt structures raise
+ValueError so mapInPandas callers keep the decoded_ok=0 contract.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+
+# top-level fourccs that identify an ISO-BMFF stream (sniff set)
+TOPLEVEL_BOXES = {
+    b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide",
+    b"moof", b"mfra", b"meta", b"pdin", b"sidx",
+}
+
+_INTRA_CODECS = ("jpeg", "raw")  # decodable essence (fourcc, space-stripped)
+
+
+# ---------------------------------------------------------------------
+# box-grammar primitives
+# ---------------------------------------------------------------------
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def _iter_boxes(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_end); handles largesize
+    (size==1) and to-end-of-enclosure (size==0) boxes.  Raises
+    ValueError on truncation / nonsense sizes."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("ISO-BMFF box header truncated")
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("largesize truncated")
+            (size,) = struct.unpack_from(">Q", data, body)
+            body += 8
+            if size < 16:
+                raise ValueError("largesize smaller than its header")
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        elif size < 8:
+            raise ValueError(f"box size {size} smaller than its header")
+        if pos + size > end:
+            raise ValueError("box overruns its enclosure")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _children(data: bytes, start: int, end: int) -> dict[bytes, tuple[int, int]]:
+    """First child of each fourcc in a container box."""
+    out: dict[bytes, tuple[int, int]] = {}
+    for fourcc, s, e in _iter_boxes(data, start, end):
+        out.setdefault(fourcc, (s, e))
+    return out
+
+
+def _fullbox_header(data: bytes, start: int) -> tuple[int, int]:
+    """(version, payload_pos_after_version_and_flags)."""
+    return data[start], start + 4
+
+
+# ---------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------
+
+def encode_mp4(
+    frames: np.ndarray,
+    fps: int = 25,
+    codec: str = "jpeg",
+    quality: int = 85,
+    samples_per_chunk: int = 3,
+    use_co64: bool = False,
+    version1: bool = False,
+) -> bytes:
+    """(n, H, W, 3) uint8 RGB frames → ISO-BMFF bytes.
+
+    ``codec='jpeg'`` writes Photo-JPEG samples (operators/jpeg.py at
+    ``quality``); ``codec='raw'`` writes packed top-down RGB24.
+    Samples are grouped ``samples_per_chunk`` per chunk so the emitted
+    stsc has real runs (a trailing short chunk gets its own run) —
+    deliberately NOT the one-sample-per-chunk degenerate layout, so
+    round-trip tests exercise the same chunk math wild files need.
+    ``use_co64`` / ``version1`` switch to the 64-bit offset / time
+    boxes for parser-breadth tests."""
+    if codec not in ("jpeg", "raw"):
+        raise ValueError("codec must be 'jpeg' or 'raw'")
+    if samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
+    n, h, w, _ = frames.shape
+
+    if codec == "jpeg":
+        from marketstore_spark.operators.jpeg import encode_jpeg
+
+        samples = [encode_jpeg(f, quality=quality) for f in frames]
+        fourcc, compressor = b"jpeg", b"Photo JPEG"
+    else:
+        samples = [f.tobytes() for f in frames]
+        fourcc, compressor = b"raw ", b"raw RGB24"
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+
+    # mdat with chunked layout; absolute chunk offsets known up front
+    # because ftyp and the mdat header have fixed sizes.
+    chunk_offsets: list[int] = []
+    mdat_body = bytearray()
+    base = len(ftyp) + 8
+    for i in range(0, n, samples_per_chunk):
+        chunk_offsets.append(base + len(mdat_body))
+        for p in samples[i : i + samples_per_chunk]:
+            mdat_body += p
+    mdat = _box(b"mdat", bytes(mdat_body))
+
+    # ---- sample tables -------------------------------------------------
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    runs = [(1, min(samples_per_chunk, n), 1)]
+    if n > samples_per_chunk and n % samples_per_chunk:
+        runs.append((n // samples_per_chunk + 1, n % samples_per_chunk, 1))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    sizes = [len(p) for p in samples]
+    if codec == "raw":  # uniform: exercise the sample_size != 0 form
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", sizes[0] if n else 0, n))
+    else:
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+        )
+    if use_co64:
+        stco = _full(
+            b"co64", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + struct.pack(f">{len(chunk_offsets)}Q", *chunk_offsets),
+        )
+    else:
+        stco = _full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+        )
+
+    name32 = bytes([len(compressor)]) + compressor
+    entry = _box(
+        fourcc,
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_index
+        + b"\x00" * 16                                # pre_defined/reserved block
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                        # frame_count per sample
+        + name32 + b"\x00" * (32 - len(name32))
+        + struct.pack(">Hh", 24, -1),                 # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    # ---- movie/track headers (timescale = fps, delta = 1) --------------
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    if version1:
+        mvhd = _full(
+            b"mvhd", 1, 0,
+            struct.pack(">QQIQ", 0, 0, fps, n)
+            + struct.pack(">iHH8x", 0x10000, 0x100, 0) + matrix
+            + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = _full(
+            b"tkhd", 1, 7,
+            struct.pack(">QQI4xQ", 0, 0, 1, n)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full(
+            b"mdhd", 1, 0,
+            struct.pack(">QQIQHH", 0, 0, fps, n, 0x55C4, 0),
+        )
+    else:
+        mvhd = _full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, fps, n)
+            + struct.pack(">iHH8x", 0x10000, 0x100, 0) + matrix
+            + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = _full(
+            b"tkhd", 0, 7,
+            struct.pack(">III4xI", 0, 0, 1, n)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0))
+
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"Video\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------
+# probe
+# ---------------------------------------------------------------------
+
+def _video_stbl(data: bytes) -> tuple[dict, dict[bytes, tuple[int, int]]]:
+    """Locate the first 'vide' track; return (header info, stbl children)."""
+    top = _children(data, 0, len(data))
+    if b"moov" not in top:
+        raise ValueError("ISO-BMFF stream has no moov box")
+    moov_s, moov_e = top[b"moov"]
+    handlers_seen: list[bytes] = []
+    for fourcc, s, e in _iter_boxes(data, moov_s, moov_e):
+        if fourcc != b"trak":
+            continue
+        kids = _children(data, s, e)
+        if b"tkhd" not in kids or b"mdia" not in kids:
+            continue
+        mkids = _children(data, *kids[b"mdia"])
+        if b"hdlr" not in mkids or b"mdhd" not in mkids:
+            continue
+        hs, _he = mkids[b"hdlr"]
+        handler = data[hs + 8 : hs + 12]
+        handlers_seen.append(handler)
+        if handler != b"vide":
+            continue
+        ts, _te = kids[b"tkhd"]
+        tver, tp = _fullbox_header(data, ts)
+        # tkhd: skip times+id+reserved+duration, then 8 reserved,
+        # 2+2+2+2 layer/group/volume/reserved, 36 matrix → width/height
+        tp += (32 if tver else 20) + 8 + 8 + 36
+        width, height = struct.unpack_from(">II", data, tp)
+        ms, _me = mkids[b"mdhd"]
+        mver, mp = _fullbox_header(data, ms)
+        if mver:
+            (timescale,) = struct.unpack_from(">I", data, mp + 16)
+            (duration,) = struct.unpack_from(">Q", data, mp + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", data, mp + 8)
+        minf = _children(data, *mkids[b"minf"]) if b"minf" in mkids else {}
+        if b"stbl" not in minf:
+            raise ValueError("video track missing stbl")
+        stbl = _children(data, *minf[b"stbl"])
+        return (
+            {
+                "width": width >> 16,
+                "height": height >> 16,
+                "timescale": timescale,
+                "duration": duration,
+            },
+            stbl,
+        )
+    if handlers_seen and b"vide" not in handlers_seen:
+        raise NotImplementedError(
+            "ISO-BMFF stream has no video track (audio-only mp4a/AAC needs a codec)"
+        )
+    raise ValueError("moov contains no parseable track")
+
+
+def _stsd_codec(data: bytes, stbl: dict) -> str:
+    if b"stsd" not in stbl:
+        raise ValueError("stbl missing stsd")
+    s, e = stbl[b"stsd"]
+    (count,) = struct.unpack_from(">I", data, s + 4)
+    if count < 1 or s + 8 + 8 > e:
+        raise ValueError("empty stsd")
+    return data[s + 12 : s + 16].decode("ascii", "replace").strip()
+
+
+def _sample_count(data: bytes, stbl: dict) -> int:
+    if b"stsz" not in stbl:
+        raise ValueError("stbl missing stsz")
+    s, _ = stbl[b"stsz"]
+    _, count = struct.unpack_from(">II", data, s + 4)
+    return count
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Container metadata without decoding frames: {width, height,
+    fps, n_frames, codec, duration_s} — same shape as probe_avi plus
+    the media-timescale duration."""
+    if len(payload) < 12 or payload[4:8] not in TOPLEVEL_BOXES:
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    hdr, stbl = _video_stbl(payload)
+    n = _sample_count(payload, stbl)
+    fps = 0
+    if b"stts" in stbl:
+        s, _ = stbl[b"stts"]
+        (entries,) = struct.unpack_from(">I", payload, s + 4)
+        if entries:
+            _, delta = struct.unpack_from(">II", payload, s + 8)
+            if delta:
+                fps = round(hdr["timescale"] / delta)
+    return {
+        "width": hdr["width"],
+        "height": hdr["height"],
+        "n_frames": n,
+        "fps": fps,
+        "codec": _stsd_codec(payload, stbl),
+        "duration_s": (hdr["duration"] / hdr["timescale"]) if hdr["timescale"] else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------
+# sample-table walk + decode
+# ---------------------------------------------------------------------
+
+def _sample_ranges(data: bytes, stbl: dict) -> list[tuple[int, int]]:
+    """Expand stsz + stsc + stco/co64 into absolute (offset, size) per
+    sample — the part of ISO-BMFF that one-sample-per-chunk test files
+    never exercise."""
+    s, e = stbl[b"stsz"]
+    uniform, n = struct.unpack_from(">II", data, s + 4)
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        if s + 12 + 4 * n > e:
+            raise ValueError("stsz table truncated")
+        sizes = list(struct.unpack_from(f">{n}I", data, s + 12))
+
+    if b"stco" in stbl:
+        s, e = stbl[b"stco"]
+        (nc,) = struct.unpack_from(">I", data, s + 4)
+        if s + 8 + 4 * nc > e:
+            raise ValueError("stco table truncated")
+        chunks = list(struct.unpack_from(f">{nc}I", data, s + 8))
+    elif b"co64" in stbl:
+        s, e = stbl[b"co64"]
+        (nc,) = struct.unpack_from(">I", data, s + 4)
+        if s + 8 + 8 * nc > e:
+            raise ValueError("co64 table truncated")
+        chunks = list(struct.unpack_from(f">{nc}Q", data, s + 8))
+    else:
+        raise ValueError("stbl missing stco/co64")
+
+    if b"stsc" not in stbl:
+        raise ValueError("stbl missing stsc")
+    s, e = stbl[b"stsc"]
+    (nr,) = struct.unpack_from(">I", data, s + 4)
+    runs = [struct.unpack_from(">III", data, s + 8 + 12 * i) for i in range(nr)]
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+
+    out: list[tuple[int, int]] = []
+    run_i, si = 0, 0
+    for ci, coff in enumerate(chunks, start=1):
+        while run_i + 1 < len(runs) and runs[run_i + 1][0] <= ci:
+            run_i += 1
+        spc = runs[run_i][1]
+        off = coff
+        for _ in range(spc):
+            if si >= n:
+                break
+            if off + sizes[si] > len(data):
+                raise ValueError("sample overruns mdat")
+            out.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    if si < n:
+        raise ValueError(f"chunk tables cover {si} of {n} samples")
+    return out
+
+
+def decode_mp4_frames(
+    payload: bytes, every_n: int = 1
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (frame_idx, H×W×3 uint8 RGB) for every ``every_n``-th
+    sample.  Photo-JPEG ('jpeg') and uncompressed RGB24 ('raw ')
+    decode; inter-frame essence (avc1/hev1/...) raises
+    NotImplementedError."""
+    if len(payload) < 12 or payload[4:8] not in TOPLEVEL_BOXES:
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    hdr, stbl = _video_stbl(payload)
+    codec = _stsd_codec(payload, stbl)
+    if codec not in _INTRA_CODECS:
+        raise NotImplementedError(
+            f"inter-frame MP4 essence {codec!r} needs ffmpeg"
+        )
+    if codec == "jpeg":
+        from marketstore_spark.operators.jpeg import decode_jpeg
+    w, h = hdr["width"], hdr["height"]
+    for idx, (off, size) in enumerate(_sample_ranges(payload, stbl)):
+        if idx % every_n:
+            continue
+        sample = bytes(payload[off : off + size])
+        if codec == "jpeg":
+            yield idx, decode_jpeg(sample)
+        else:
+            if size != w * h * 3:
+                raise ValueError("raw sample size does not match w*h*3")
+            yield idx, np.frombuffer(sample, np.uint8).reshape(h, w, 3).copy()

@@ -812,19 +812,21 @@ FRAME_META_SCHEMA = StructType(
 
 
 def frame_sample_avi(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """REAL frame sampling over AVI payloads: probe the container
-    header for the frame count (no frame decode, so the per-row cost
-    is a few struct unpacks) and emit (media_id, frame_idx, width,
-    height, fps) per sampled frame.  Non-AVI / corrupt payloads
-    contribute no rows — data, not bugs."""
-    from marketstore_spark.operators.video import probe_avi
+    """REAL frame sampling over AVI and MP4/ISO-BMFF payloads: probe
+    the container tables for the frame count (no frame decode, so the
+    per-row cost is a few struct unpacks) and emit (media_id,
+    frame_idx, width, height, fps) per sampled frame.  Probing works
+    for EVERY codec incl. inter-frame avc1/hev1 — only decode is
+    fenced.  Unrecognized / corrupt payloads contribute no rows —
+    data, not bugs."""
+    from marketstore_spark.operators.video import probe_video
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    info = probe_avi(bytes(payload))
+                    info = probe_video(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
                 for i in range(0, info["n_frames"], every_n):
@@ -853,18 +855,19 @@ FRAME_SCHEMA = StructType(
 
 def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Explode video media into image rows: every ``every_n``-th frame
-    of each uncompressed-AVI payload, re-encoded as BMP so the frames
-    flow straight into the image operators (resize_images,
-    extract_features).  Arrow-batched mapInPandas; frames never land
-    on the driver.  Compressed essence is skipped (needs ffmpeg)."""
-    from marketstore_spark.operators.video import decode_avi_frames
+    of each AVI (DIB/MJPG) or MP4 (Photo-JPEG/raw) payload, re-encoded
+    as BMP so the frames flow straight into the image operators
+    (resize_images, extract_features).  Arrow-batched mapInPandas;
+    frames never land on the driver.  Inter-frame essence is skipped
+    (needs ffmpeg)."""
+    from marketstore_spark.operators.video import decode_video_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    for idx, frame in decode_avi_frames(bytes(payload), every_n):
+                    for idx, frame in decode_video_frames(bytes(payload), every_n):
                         rows.append(
                             (
                                 mid,

@@ -141,6 +141,34 @@ def probe_avi(payload: bytes) -> dict:
     return info
 
 
+def probe_video(payload: bytes) -> dict:
+    """Container-sniffing probe: RIFF magic → AVI, ISO-BMFF top-level
+    box → MP4 (operators/mp4.py).  Anything else raises ValueError so
+    mapInPandas callers keep their skip-corrupt contract."""
+    if payload[:4] == b"RIFF":
+        return probe_avi(payload)
+    from marketstore_spark.operators.mp4 import TOPLEVEL_BOXES, probe_mp4
+
+    if len(payload) >= 12 and payload[4:8] in TOPLEVEL_BOXES:
+        return probe_mp4(payload)
+    raise ValueError("unrecognized video container")
+
+
+def decode_video_frames(
+    payload: bytes, every_n: int = 1
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Container-sniffing frame decode over AVI (DIB/MJPG) and MP4
+    (Photo-JPEG / raw RGB24); inter-frame essence raises
+    NotImplementedError from the per-container decoder."""
+    if payload[:4] == b"RIFF":
+        return decode_avi_frames(payload, every_n)
+    from marketstore_spark.operators.mp4 import TOPLEVEL_BOXES, decode_mp4_frames
+
+    if len(payload) >= 12 and payload[4:8] in TOPLEVEL_BOXES:
+        return decode_mp4_frames(payload, every_n)
+    raise ValueError("unrecognized video container")
+
+
 def decode_avi_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, np.ndarray]]:
