@@ -244,6 +244,12 @@ def encode_mp4(
 
 def _video_stbl(data: bytes) -> tuple[dict, dict[bytes, tuple[int, int]]]:
     """Locate the first 'vide' track; return (header info, stbl children)."""
+    return _track_stbl(data, b"vide")
+
+
+def _track_stbl(
+    data: bytes, handler: bytes
+) -> tuple[dict, dict[bytes, tuple[int, int]]]:
     top = _children(data, 0, len(data))
     if b"moov" not in top:
         raise ValueError("ISO-BMFF stream has no moov box")
@@ -259,9 +265,9 @@ def _video_stbl(data: bytes) -> tuple[dict, dict[bytes, tuple[int, int]]]:
         if b"hdlr" not in mkids or b"mdhd" not in mkids:
             continue
         hs, _he = mkids[b"hdlr"]
-        handler = data[hs + 8 : hs + 12]
-        handlers_seen.append(handler)
-        if handler != b"vide":
+        got = data[hs + 8 : hs + 12]
+        handlers_seen.append(got)
+        if got != handler:
             continue
         ts, _te = kids[b"tkhd"]
         tver, tp = _fullbox_header(data, ts)
@@ -289,11 +295,11 @@ def _video_stbl(data: bytes) -> tuple[dict, dict[bytes, tuple[int, int]]]:
             },
             stbl,
         )
-    if handlers_seen and b"vide" not in handlers_seen:
+    if handler == b"vide" and handlers_seen and b"soun" in handlers_seen:
         raise NotImplementedError(
             "ISO-BMFF stream has no video track (audio-only mp4a/AAC needs a codec)"
         )
-    raise ValueError("moov contains no parseable track")
+    raise ValueError(f"moov contains no parseable {handler.decode()!r} track")
 
 
 def _stsd_codec(data: bytes, stbl: dict) -> str:
@@ -428,3 +434,183 @@ def decode_mp4_frames(
             if size != w * h * 3:
                 raise ValueError("raw sample size does not match w*h*3")
             yield idx, np.frombuffer(sample, np.uint8).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------
+# audio tracks (QuickTime/.m4a uncompressed + G.711 essence)
+# ---------------------------------------------------------------------
+
+# fourcc → bytes per sample point (None: derived from the entry's
+# samplesize field, the 'twos' convention)
+_AUDIO_WIDTHS = {
+    b"twos": None, b"sowt": 2, b"raw ": 1, b"in24": 3, b"in32": 4,
+    b"ulaw": 1, b"alaw": 1, b"fl32": 4, b"fl64": 8,
+}
+
+
+def encode_mp4_audio(
+    samples: np.ndarray,
+    rate: int = 16000,
+    codec: str = "twos",
+    frames_per_chunk: int = 4096,
+) -> bytes:
+    """Audio samples → ISO-BMFF bytes with a QuickTime 'soun' track.
+
+    ``samples`` is int16, shaped (n,) mono or (n, nch) interleaved —
+    except G.711 ('ulaw'/'alaw'), which takes the uint8 code stream
+    verbatim (the repo decodes G.711 but does not re-encode it).
+    Uniform stsz (bytes per PCM frame) + multi-frame chunks — the
+    layout QuickTime itself writes for uncompressed audio."""
+    codec_b = codec.encode("ascii").ljust(4)[:4]
+    if codec_b not in _AUDIO_WIDTHS:
+        raise ValueError(f"unsupported audio codec {codec!r}")
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    if codec_b in (b"ulaw", b"alaw"):
+        if arr.dtype != np.uint8:
+            raise ValueError("G.711 essence takes uint8 codes")
+        body, width, bits = arr.reshape(-1).tobytes(), 1, 16
+    elif codec_b == b"twos":
+        body, width, bits = arr.astype(">i2").tobytes(), 2, 16
+    elif codec_b == b"sowt":
+        body, width, bits = arr.astype("<i2").tobytes(), 2, 16
+    elif codec_b == b"raw ":  # 8-bit unsigned (offset binary)
+        body = ((arr.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+        width, bits = 1, 8
+    elif codec_b == b"in24":  # BE 24-bit: high byte, mid byte, 0
+        x = arr.astype(np.int32)
+        b3 = np.zeros((n, nch, 3), np.uint8)
+        b3[..., 0] = (x >> 8) & 0xFF
+        b3[..., 1] = x & 0xFF
+        body, width, bits = b3.tobytes(), 3, 24
+    elif codec_b == b"in32":
+        body = (arr.astype(np.int32) << 16).astype(">i4").tobytes()
+        width, bits = 4, 32
+    elif codec_b == b"fl32":
+        body = (arr.astype(np.float64) / 32767.0).astype(">f4").tobytes()
+        width, bits = 4, 32
+    else:  # fl64
+        body = (arr.astype(np.float64) / 32767.0).astype(">f8").tobytes()
+        width, bits = 8, 64
+
+    ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0x200) + b"qt  ")
+    frame_bytes = width * nch
+    chunk_offsets = []
+    base = len(ftyp) + 8
+    for i in range(0, n, frames_per_chunk):
+        chunk_offsets.append(base + i * frame_bytes)
+    mdat = _box(b"mdat", body)
+
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    runs = [(1, min(frames_per_chunk, n), 1)]
+    if n > frames_per_chunk and n % frames_per_chunk:
+        runs.append((n // frames_per_chunk + 1, n % frames_per_chunk, 1))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", frame_bytes, n))
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+    )
+    entry = _box(
+        codec_b,
+        b"\x00" * 6 + struct.pack(">H", 1)                 # data_ref_index
+        + struct.pack(">HH4x", 0, 0)                        # version/revision/vendor
+        + struct.pack(">HHHH", nch, bits, 0, 0)             # chans/size/cid/packet
+        + struct.pack(">I", rate << 16),                    # 16.16 rate
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, rate, n)
+        + struct.pack(">iHH8x", 0x10000, 0x100, 0) + matrix
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">III4xI", 0, 0, 1, n)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x100, 0) + matrix
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"Sound\x00")
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """ISO-BMFF audio track → (sample_rate, int16 samples of the first
+    channel) with the SAME int16 normalization as the WAV/AU/AIFF
+    decoders (multimodal.py), so one clip in any container yields
+    identical samples.  Uncompressed PCM ('twos'/'sowt'/'raw '/
+    'in24'/'in32'), IEEE float ('fl32'/'fl64') and G.711
+    ('ulaw'/'alaw') decode; compressed essence ('mp4a' AAC, 'lpcm' v2
+    descriptors) raises NotImplementedError."""
+    from marketstore_spark.operators.multimodal import (
+        _alaw_to_int16,
+        _float_to_int16,
+        _pcm_be_to_int16,
+        _ulaw_to_int16,
+    )
+
+    if len(payload) < 12 or payload[4:8] not in TOPLEVEL_BOXES:
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    hdr, stbl = _track_stbl(payload, b"soun")
+    if b"stsd" not in stbl:
+        raise ValueError("stbl missing stsd")
+    s, e = stbl[b"stsd"]
+    (count,) = struct.unpack_from(">I", payload, s + 4)
+    if count < 1 or s + 8 + 36 > e:
+        raise ValueError("empty/truncated audio stsd")
+    fourcc = payload[s + 12 : s + 16]
+    if fourcc not in _AUDIO_WIDTHS:
+        raise NotImplementedError(
+            f"compressed MP4 audio essence {fourcc.decode('ascii', 'replace').strip()!r}"
+            " (AAC/…) needs a codec library"
+        )
+    # AudioSampleEntry v0 after the 8-byte entry-box header (s+8):
+    # 6 reserved + dref(2) → s+24, ver/rev/vendor(8) → s+32,
+    # channelcount(2) samplesize(2) → s+36, cid(2) packet(2) → s+40,
+    # samplerate(4, 16.16) → s+44
+    nch, bits = struct.unpack_from(">HH", payload, s + 32)
+    (rate_fx,) = struct.unpack_from(">I", payload, s + 40)
+    rate = (rate_fx >> 16) or hdr["timescale"]
+    nch = max(nch, 1)
+
+    raw = b"".join(
+        payload[off : off + size] for off, size in _sample_ranges(payload, stbl)
+    )
+    if fourcc == b"twos":
+        s16 = _pcm_be_to_int16(raw, 2 if bits == 16 else 1, nch)
+    elif fourcc == b"sowt":
+        s16 = np.frombuffer(raw, "<i2")[::nch].astype(np.int16).copy()
+    elif fourcc == b"raw ":  # 8-bit unsigned, offset binary
+        u = np.frombuffer(raw, np.uint8).astype(np.int16)
+        s16 = ((u - 128) * 256)[::nch].copy()
+    elif fourcc == b"in24":
+        s16 = _pcm_be_to_int16(raw, 3, nch)
+    elif fourcc == b"in32":
+        s16 = _pcm_be_to_int16(raw, 4, nch)
+    elif fourcc == b"ulaw":
+        s16 = _ulaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
+    elif fourcc == b"alaw":
+        s16 = _alaw_to_int16(np.frombuffer(raw, np.uint8))[::nch].copy()
+    elif fourcc == b"fl32":
+        s16 = _float_to_int16(np.frombuffer(raw, ">f4")[::nch])
+    else:  # fl64
+        s16 = _float_to_int16(np.frombuffer(raw, ">f8")[::nch])
+    return int(rate), s16

@@ -640,6 +640,26 @@ def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
     return rate, s
 
 
+def decode_audio_any(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Container-sniffing audio decode: RIFF/WAVE → WAV, ``.snd`` →
+    Sun AU, FORM/AIFF|AIFC → AIFF, ISO-BMFF top-level box → MP4/
+    QuickTime audio track (operators/mp4.decode_mp4_audio).  All four
+    normalize to the same int16 convention, so one clip in any
+    container yields identical samples.  Unrecognized payloads raise
+    ValueError (callers record decoded_ok=0)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b".snd":
+        return decode_au(payload)
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    from marketstore_spark.operators.mp4 import TOPLEVEL_BOXES, decode_mp4_audio
+
+    if len(payload) >= 12 and payload[4:8] in TOPLEVEL_BOXES:
+        return decode_mp4_audio(payload)
+    raise ValueError("unrecognized audio container")
+
+
 def _real_decode(payload: bytes, fmt: str) -> bytes:
     """Decode a payload into a deterministic fixed-layout feature block.
 
@@ -667,13 +687,8 @@ def _real_decode(payload: bytes, fmt: str) -> bytes:
         stats = [int(px[..., c].mean() * 1000) for c in range(3)]
         stats += [int(px[..., c].std() * 1000) for c in range(3)]
         return struct.pack("<8I", px.shape[1], px.shape[0], *stats)
-    if fmt in ("wav", "au", "aiff", "aifc"):
-        if fmt == "wav":
-            rate, s = decode_wav(payload)
-        elif fmt == "au":
-            rate, s = decode_au(payload)
-        else:
-            rate, s = decode_aiff(payload)
+    if fmt in ("wav", "au", "aiff", "aifc", "m4a", "mov"):
+        rate, s = decode_audio_any(payload)
         x = s.astype(np.float64)
         rms = int(np.sqrt((x**2).mean()) * 1000) if len(x) else 0
         zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
@@ -911,11 +926,12 @@ def audio_features(
     fits float64/int64 exactly for any clip with Σx² < 2⁶³.
 
     Arrow-batched ``mapInPandas`` over the binary column — the same
-    single-Python-hop shape as ``extract_features``; a payload that is
-    not decodable PCM16 WAV yields a decoded_ok=0 row (corrupt payload
-    is data, not a bug).  Reference parity: none (the reference serves
-    bytes); this is the LLM-pipeline audio pillar beyond SURVEY §2 #41
-    decode.
+    single-Python-hop shape as ``extract_features``; payloads are
+    container-sniffed (WAV / Sun AU / AIFF-AIFC / MP4-QuickTime audio
+    via :func:`decode_audio_any`); anything not decodable yields a
+    decoded_ok=0 row (corrupt payload is data, not a bug).  Reference
+    parity: none (the reference serves bytes); this is the
+    LLM-pipeline audio pillar beyond SURVEY §2 #41 decode.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -923,7 +939,7 @@ def audio_features(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    rate, s = decode_wav(bytes(payload))
+                    rate, s = decode_audio_any(bytes(payload))
                     x = s.astype(np.int64)
                     nz = np.nonzero(x)[0]
                     trail = len(x) - 1 - nz[-1] if len(nz) else len(x)

@@ -128,6 +128,107 @@ def test_container_sniffing_dispatch():
         probe_video(b"\x89PNG\r\n\x1a\nnot-a-video")
 
 
+def _clip(n=500, seed=9):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, size=n, dtype=np.int16)
+
+
+def test_mp4_audio_pcm_codecs_roundtrip():
+    from marketstore_spark.operators.mp4 import decode_mp4_audio, encode_mp4_audio
+
+    x = _clip()
+    for codec in ("twos", "sowt", "in24", "in32", "fl32", "fl64"):
+        rate, s = decode_mp4_audio(encode_mp4_audio(x, rate=22050, codec=codec))
+        assert rate == 22050
+        assert np.array_equal(s, x), codec  # all these widths are exact
+    # 8-bit unsigned keeps the high byte only (same loss as WAV u8)
+    rate, s = decode_mp4_audio(encode_mp4_audio(x, rate=8000, codec="raw"))
+    assert np.array_equal(s, ((x.astype(np.int32) >> 8) * 256).astype(np.int16))
+
+
+def test_mp4_audio_stereo_and_chunking():
+    """Interleaved stereo decodes to the first channel, and a clip
+    spanning several chunks exercises the multi-run stsc just like the
+    video path."""
+    from marketstore_spark.operators.mp4 import decode_mp4_audio, encode_mp4_audio
+
+    left, right = _clip(1000, seed=1), _clip(1000, seed=2)
+    stereo = np.stack([left, right], axis=1)
+    blob = encode_mp4_audio(stereo, rate=16000, codec="twos", frames_per_chunk=300)
+    rate, s = decode_mp4_audio(blob)
+    assert rate == 16000 and np.array_equal(s, left)
+
+
+def test_mp4_audio_g711_matches_closed_form():
+    from marketstore_spark.operators.mp4 import decode_mp4_audio, encode_mp4_audio
+    from marketstore_spark.operators.multimodal import _alaw_to_int16, _ulaw_to_int16
+
+    codes = np.arange(256, dtype=np.uint8)
+    for codec, ref in (("ulaw", _ulaw_to_int16), ("alaw", _alaw_to_int16)):
+        rate, s = decode_mp4_audio(encode_mp4_audio(codes, rate=8000, codec=codec))
+        assert rate == 8000 and np.array_equal(s, ref(codes)), codec
+
+
+def test_mp4_audio_cross_container_identity():
+    """The same clip stored as WAV and as an MP4 'twos' track decodes
+    to identical samples through the sniffing dispatch."""
+    from marketstore_spark.operators.mp4 import encode_mp4_audio
+    from marketstore_spark.operators.multimodal import (
+        decode_audio_any,
+        encode_wav_pcm16,
+    )
+
+    x = _clip(300, seed=4)
+    rw, sw = decode_audio_any(encode_wav_pcm16(x, rate=16000))
+    rm, sm = decode_audio_any(encode_mp4_audio(x, rate=16000, codec="sowt"))
+    assert rw == rm == 16000
+    assert np.array_equal(sw, sm)
+    with pytest.raises(ValueError):
+        decode_audio_any(b"\x00" * 40)
+
+
+def test_mp4_audio_aac_fence():
+    from marketstore_spark.operators.mp4 import decode_mp4_audio, encode_mp4_audio
+
+    blob = encode_mp4_audio(_clip(50), codec="twos")
+    aac = blob.replace(b"twos", b"mp4a")
+    with pytest.raises(NotImplementedError):
+        decode_mp4_audio(aac)
+
+
+def test_audio_features_mixed_containers(spark):
+    """audio_features container-sniffs: the same closed-form square
+    wave in WAV and MP4 yields identical feature rows; corrupt and
+    video payloads stay decoded_ok=0."""
+    from marketstore_spark.operators.mp4 import encode_mp4_audio
+    from marketstore_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav,
+        synth_square_wav,
+    )
+
+    wav = synth_square_wav(17)
+    _, samples = decode_wav(wav)
+    m4a = encode_mp4_audio(samples, rate=8000 + (17 % 4) * 4000, codec="in24")
+    rows = [
+        (1, "audio", "wav", 0, 0, len(wav), bytearray(wav)),
+        (2, "audio", "m4a", 0, 0, len(m4a), bytearray(m4a)),
+        (3, "audio", "wav", 0, 0, 5, bytearray(b"xxxxx")),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in audio_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["decoded_ok"] == 1 and out[2]["decoded_ok"] == 1
+    for field in ("rate", "n_samples", "peak", "energy", "zero_crossings",
+                  "trailing_silence"):
+        assert out[1][field] == out[2][field], field
+    assert out[3]["decoded_ok"] == 0
+
+
 def test_mp4_through_spark_frame_ops(spark):
     """MP4 media rows flow through the same mapInPandas operators as
     AVI — probe-only sampling AND full decode-to-BMP — alongside an
