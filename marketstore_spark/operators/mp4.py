@@ -109,6 +109,7 @@ def encode_mp4(
     samples_per_chunk: int = 3,
     use_co64: bool = False,
     version1: bool = False,
+    fragmented: bool = False,
 ) -> bytes:
     """(n, H, W, 3) uint8 RGB frames → ISO-BMFF bytes.
 
@@ -119,7 +120,11 @@ def encode_mp4(
     deliberately NOT the one-sample-per-chunk degenerate layout, so
     round-trip tests exercise the same chunk math wild files need.
     ``use_co64`` / ``version1`` switch to the 64-bit offset / time
-    boxes for parser-breadth tests."""
+    boxes for parser-breadth tests.  ``fragmented=True`` writes the
+    DASH/CMAF layout instead: empty stbl tables + mvex/trex in moov,
+    then one moof(mfhd/tfhd/tfdt/trun)+mdat pair per
+    ``samples_per_chunk`` frames — default-base-is-moof addressing,
+    per-sample trun sizes, tfhd default duration."""
     if codec not in ("jpeg", "raw"):
         raise ValueError("codec must be 'jpeg' or 'raw'")
     if samples_per_chunk < 1:
@@ -134,50 +139,84 @@ def encode_mp4(
     else:
         samples = [f.tobytes() for f in frames]
         fourcc, compressor = b"raw ", b"raw RGB24"
+    return mux_mp4_samples(
+        samples, w, h, fps=fps, fourcc=fourcc, compressor=compressor,
+        uniform=(codec == "raw"), samples_per_chunk=samples_per_chunk,
+        use_co64=use_co64, version1=version1, fragmented=fragmented,
+    )
+
+
+def mux_mp4_samples(
+    samples: list[bytes],
+    w: int,
+    h: int,
+    fps: int = 25,
+    fourcc: bytes = b"jpeg",
+    compressor: bytes = b"Photo JPEG",
+    uniform: bool = False,
+    samples_per_chunk: int = 3,
+    use_co64: bool = False,
+    version1: bool = False,
+    fragmented: bool = False,
+) -> bytes:
+    """Mux already-encoded video samples (one bytes payload per frame)
+    into an ISO-BMFF file — the container math separated from the
+    essence encode, so conformance tests can feed REAL wild payloads
+    (arbitrary producers, heterogeneous sizes) through the exact
+    sample-table/fragment writer the codec path uses."""
+    n = len(samples)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
 
-    # mdat with chunked layout; absolute chunk offsets known up front
-    # because ftyp and the mdat header have fixed sizes.
-    chunk_offsets: list[int] = []
-    mdat_body = bytearray()
-    base = len(ftyp) + 8
-    for i in range(0, n, samples_per_chunk):
-        chunk_offsets.append(base + len(mdat_body))
-        for p in samples[i : i + samples_per_chunk]:
-            mdat_body += p
-    mdat = _box(b"mdat", bytes(mdat_body))
+    if fragmented:
+        # empty stbl tables: all samples live in moof/traf/trun
+        mdat = b""
+        stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    else:
+        # mdat with chunked layout; absolute chunk offsets known up
+        # front because ftyp and the mdat header have fixed sizes.
+        chunk_offsets: list[int] = []
+        mdat_body = bytearray()
+        base = len(ftyp) + 8
+        for i in range(0, n, samples_per_chunk):
+            chunk_offsets.append(base + len(mdat_body))
+            for p in samples[i : i + samples_per_chunk]:
+                mdat_body += p
+        mdat = _box(b"mdat", bytes(mdat_body))
 
-    # ---- sample tables -------------------------------------------------
-    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
-    runs = [(1, min(samples_per_chunk, n), 1)]
-    if n > samples_per_chunk and n % samples_per_chunk:
-        runs.append((n // samples_per_chunk + 1, n % samples_per_chunk, 1))
-    stsc = _full(
-        b"stsc", 0, 0,
-        struct.pack(">I", len(runs))
-        + b"".join(struct.pack(">III", *r) for r in runs),
-    )
-    sizes = [len(p) for p in samples]
-    if codec == "raw":  # uniform: exercise the sample_size != 0 form
-        stsz = _full(b"stsz", 0, 0, struct.pack(">II", sizes[0] if n else 0, n))
-    else:
-        stsz = _full(
-            b"stsz", 0, 0,
-            struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+        # ---- sample tables ---------------------------------------------
+        stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+        runs = [(1, min(samples_per_chunk, n), 1)]
+        if n > samples_per_chunk and n % samples_per_chunk:
+            runs.append((n // samples_per_chunk + 1, n % samples_per_chunk, 1))
+        stsc = _full(
+            b"stsc", 0, 0,
+            struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">III", *r) for r in runs),
         )
-    if use_co64:
-        stco = _full(
-            b"co64", 0, 0,
-            struct.pack(">I", len(chunk_offsets))
-            + struct.pack(f">{len(chunk_offsets)}Q", *chunk_offsets),
-        )
-    else:
-        stco = _full(
-            b"stco", 0, 0,
-            struct.pack(">I", len(chunk_offsets))
-            + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
-        )
+        sizes = [len(p) for p in samples]
+        if uniform:  # exercise the sample_size != 0 form
+            stsz = _full(b"stsz", 0, 0, struct.pack(">II", sizes[0] if n else 0, n))
+        else:
+            stsz = _full(
+                b"stsz", 0, 0,
+                struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+            )
+        if use_co64:
+            stco = _full(
+                b"co64", 0, 0,
+                struct.pack(">I", len(chunk_offsets))
+                + struct.pack(f">{len(chunk_offsets)}Q", *chunk_offsets),
+            )
+        else:
+            stco = _full(
+                b"stco", 0, 0,
+                struct.pack(">I", len(chunk_offsets))
+                + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+            )
 
     name32 = bytes([len(compressor)]) + compressor
     entry = _box(
@@ -234,8 +273,35 @@ def encode_mp4(
     minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    if not fragmented:
+        # chunk offsets were computed for mdat directly after ftyp
+        return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+    trex = _full(b"trex", 0, 0, struct.pack(">5I", 1, 1, 1, 0, 0))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    out = bytearray(ftyp + moov)
+    t = 0
+    for gi in range(0, n, samples_per_chunk):
+        group = samples[gi : gi + samples_per_chunk]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", gi // samples_per_chunk + 1))
+        # default-base-is-moof (0x020000) + default-sample-duration (0x08)
+        tfhd = _full(b"tfhd", 0, 0x020008, struct.pack(">II", 1, 1))
+        tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", t))
+        size_tbl = b"".join(struct.pack(">I", len(p)) for p in group)
+
+        def _moof(data_offset: int) -> bytes:
+            trun = _full(
+                b"trun", 0, 0x000201,  # data-offset + sample-size present
+                struct.pack(">Ii", len(group), data_offset) + size_tbl,
+            )
+            return _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+
+        # the data offset is the moof's own size + the mdat header; the
+        # moof size doesn't depend on the offset value, so two passes pin it
+        moof = _moof(len(_moof(0)) + 8)
+        out += moof + _box(b"mdat", b"".join(group))
+        t += len(group)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------
@@ -271,6 +337,7 @@ def _track_stbl(
             continue
         ts, _te = kids[b"tkhd"]
         tver, tp = _fullbox_header(data, ts)
+        (track_id,) = struct.unpack_from(">I", data, tp + (16 if tver else 8))
         # tkhd: skip times+id+reserved+duration, then 8 reserved,
         # 2+2+2+2 layer/group/volume/reserved, 36 matrix → width/height
         tp += (32 if tver else 20) + 8 + 8 + 36
@@ -292,6 +359,7 @@ def _track_stbl(
                 "height": height >> 16,
                 "timescale": timescale,
                 "duration": duration,
+                "track_id": track_id,
             },
             stbl,
         )
@@ -336,13 +404,23 @@ def probe_mp4(payload: bytes) -> dict:
             _, delta = struct.unpack_from(">II", payload, s + 8)
             if delta:
                 fps = round(hdr["timescale"] / delta)
+    duration = hdr["duration"]
+    if n == 0:  # fragmented movie: counts/durations live in the moofs
+        trex = _trex_defaults(payload, hdr["track_id"])
+        if trex is not None:
+            ranges, frag_dur = _fragment_ranges(payload, hdr["track_id"], trex)
+            n = len(ranges)
+            if not fps and frag_dur:
+                fps = round(hdr["timescale"] / frag_dur)
+            if not duration and frag_dur:
+                duration = n * frag_dur
     return {
         "width": hdr["width"],
         "height": hdr["height"],
         "n_frames": n,
         "fps": fps,
         "codec": _stsd_codec(payload, stbl),
-        "duration_s": (hdr["duration"] / hdr["timescale"]) if hdr["timescale"] else 0.0,
+        "duration_s": (duration / hdr["timescale"]) if hdr["timescale"] else 0.0,
     }
 
 
@@ -406,6 +484,129 @@ def _sample_ranges(data: bytes, stbl: dict) -> list[tuple[int, int]]:
     return out
 
 
+def _trex_defaults(data: bytes, track_id: int) -> dict | None:
+    """moov/mvex/trex track defaults, or None if the movie is not
+    fragment-capable (no mvex)."""
+    top = _children(data, 0, len(data))
+    mkids = _children(data, *top[b"moov"])
+    if b"mvex" not in mkids:
+        return None
+    for fourcc, s, _e in _iter_boxes(data, *mkids[b"mvex"]):
+        if fourcc == b"trex":
+            tid, _sdi, dur, size, _flags = struct.unpack_from(">5I", data, s + 4)
+            if tid == track_id:
+                return {"duration": dur, "size": size}
+    return {}
+
+
+def _fragment_ranges(
+    data: bytes, track_id: int, trex: dict
+) -> tuple[list[tuple[int, int]], int]:
+    """Walk top-level moof boxes and expand every traf/trun of
+    ``track_id`` into absolute (offset, size) sample ranges — the
+    fragmented (DASH/CMAF) twin of :func:`_sample_ranges`.  Honors
+    tfhd base-data-offset / default-base-is-moof (the implicit base
+    for a first traf is also the moof start), tfhd/trex default sample
+    sizes and per-sample trun sizes.  Returns (ranges, first seen
+    sample duration) — the duration backs the fps probe, since a
+    fragmented stts is empty by construction."""
+    out: list[tuple[int, int]] = []
+    first_dur = 0
+    for fourcc, ms, me in _iter_boxes(data, 0, len(data)):
+        if fourcc != b"moof":
+            continue
+        moof_start = ms - 8
+        for f2, tstart, tend in _iter_boxes(data, ms, me):
+            if f2 != b"traf":
+                continue
+            kids = _children(data, tstart, tend)
+            if b"tfhd" not in kids:
+                raise ValueError("traf missing tfhd")
+            s, _e = kids[b"tfhd"]
+            flags = int.from_bytes(data[s + 1 : s + 4], "big")
+            p = s + 4
+            (tid,) = struct.unpack_from(">I", data, p)
+            p += 4
+            if tid != track_id:
+                continue
+            base = None
+            if flags & 0x01:  # base-data-offset present
+                (base,) = struct.unpack_from(">Q", data, p)
+                p += 8
+            if flags & 0x02:  # sample-description-index
+                p += 4
+            d_dur = trex.get("duration", 0)
+            if flags & 0x08:
+                (d_dur,) = struct.unpack_from(">I", data, p)
+                p += 4
+            d_size = trex.get("size", 0)
+            if flags & 0x10:
+                (d_size,) = struct.unpack_from(">I", data, p)
+                p += 4
+            if base is None:
+                # default-base-is-moof (0x020000), and the spec's
+                # implicit base for a first traf is also the moof start
+                base = moof_start
+            first_dur = first_dur or d_dur
+            for f3, s3, e3 in _iter_boxes(data, tstart, tend):
+                if f3 != b"trun":
+                    continue
+                tflags = int.from_bytes(data[s3 + 1 : s3 + 4], "big")
+                p3 = s3 + 4
+                (cnt,) = struct.unpack_from(">I", data, p3)
+                p3 += 4
+                off = base
+                if tflags & 0x01:  # data-offset present (signed)
+                    (doff,) = struct.unpack_from(">i", data, p3)
+                    p3 += 4
+                    off = base + doff
+                if tflags & 0x04:  # first-sample-flags
+                    p3 += 4
+                for _ in range(cnt):
+                    if tflags & 0x100:  # per-sample duration
+                        (dur,) = struct.unpack_from(">I", data, p3)
+                        p3 += 4
+                        first_dur = first_dur or dur
+                    if tflags & 0x200:  # per-sample size
+                        (sz,) = struct.unpack_from(">I", data, p3)
+                        p3 += 4
+                    else:
+                        sz = d_size
+                        if not sz:
+                            raise ValueError(
+                                "trun sample without size (no trun/tfhd/trex default)"
+                            )
+                    if tflags & 0x400:
+                        p3 += 4
+                    if tflags & 0x800:
+                        p3 += 4
+                    if p3 > e3:
+                        raise ValueError("trun table truncated")
+                    if off + sz > len(data):
+                        raise ValueError("fragment sample overruns file")
+                    out.append((off, sz))
+                    off += sz
+    return out, first_dur
+
+
+def _all_sample_ranges(
+    data: bytes, hdr: dict, stbl: dict
+) -> list[tuple[int, int]]:
+    """Per-sample byte ranges for BOTH layouts: classic stbl tables
+    when stsz has samples, moof/traf/trun fragments otherwise."""
+    if b"stsz" not in stbl:
+        raise ValueError("stbl missing stsz")
+    s, _e = stbl[b"stsz"]
+    _, n = struct.unpack_from(">II", data, s + 4)
+    if n:
+        return _sample_ranges(data, stbl)
+    trex = _trex_defaults(data, hdr["track_id"])
+    ranges, _dur = _fragment_ranges(data, hdr["track_id"], trex or {})
+    if not ranges:
+        raise ValueError("no samples in stbl tables or movie fragments")
+    return ranges
+
+
 def decode_mp4_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, np.ndarray]]:
@@ -424,7 +625,7 @@ def decode_mp4_frames(
     if codec == "jpeg":
         from marketstore_spark.operators.jpeg import decode_jpeg
     w, h = hdr["width"], hdr["height"]
-    for idx, (off, size) in enumerate(_sample_ranges(payload, stbl)):
+    for idx, (off, size) in enumerate(_all_sample_ranges(payload, hdr, stbl)):
         if idx % every_n:
             continue
         sample = bytes(payload[off : off + size])
@@ -592,7 +793,8 @@ def decode_mp4_audio(payload: bytes) -> tuple[int, np.ndarray]:
     nch = max(nch, 1)
 
     raw = b"".join(
-        payload[off : off + size] for off, size in _sample_ranges(payload, stbl)
+        payload[off : off + size]
+        for off, size in _all_sample_ranges(payload, hdr, stbl)
     )
     if fourcc == b"twos":
         s16 = _pcm_be_to_int16(raw, 2 if bits == 16 else 1, nch)

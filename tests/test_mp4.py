@@ -128,6 +128,123 @@ def test_container_sniffing_dispatch():
         probe_video(b"\x89PNG\r\n\x1a\nnot-a-video")
 
 
+def test_fragmented_roundtrip_exact():
+    """DASH/CMAF layout: empty stbl + mvex, samples addressed through
+    moof/traf/trun with default-base-is-moof — the file shape streaming
+    pipelines emit, unreadable by stbl-only parsers."""
+    frames = _frames(n=7)
+    fmp4 = encode_mp4(frames, fps=30, codec="raw", samples_per_chunk=3,
+                      fragmented=True)
+    plain = encode_mp4(frames, fps=30, codec="raw", samples_per_chunk=3)
+    assert b"moof" in fmp4 and b"moof" not in plain
+    info = probe_mp4(fmp4)
+    assert (info["width"], info["height"], info["n_frames"], info["fps"]) == (
+        14, 10, 7, 30,
+    )
+    assert info["duration_s"] == pytest.approx(7 / 30)
+    got = dict(decode_mp4_frames(fmp4, every_n=1))
+    assert sorted(got) == list(range(7))
+    for i in range(7):
+        assert (got[i] == frames[i]).all()
+
+
+def test_fragmented_jpeg_and_stepping():
+    frames = _smooth_frames(n=9)
+    fmp4 = encode_mp4(frames, fps=12, codec="jpeg", quality=95,
+                      samples_per_chunk=4, fragmented=True)
+    assert probe_mp4(fmp4)["n_frames"] == 9
+    got = dict(decode_mp4_frames(fmp4, every_n=4))
+    assert sorted(got) == [0, 4, 8]
+    for i in got:
+        err = np.abs(got[i].astype(int) - frames[i].astype(int))
+        assert err.mean() < 8
+
+
+def _fmp4_default_size_variant(frames):
+    """Hand-build a fragmented MP4 whose truns carry NO per-sample
+    sizes: tfhd supplies default-sample-size (flags 0x10), trun only
+    the data offset — exercises the d_size fallback path."""
+    from marketstore_spark.operators.mp4 import _box, _full
+
+    n, h, w, _ = frames.shape
+    size = w * h * 3
+    base = encode_mp4(frames[:1], fps=25, codec="raw", fragmented=True)
+    # keep ftyp+moov from the real encoder (1-frame moof discarded)
+    moov_end = base.find(b"moof") - 4
+    head = base[:moov_end]
+    out = bytearray(head)
+    for gi in range(0, n, 2):
+        group = frames[gi : gi + 2]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", gi // 2 + 1))
+        tfhd = _full(
+            b"tfhd", 0, 0x020018, struct.pack(">III", 1, 1, size)
+        )  # default-base-is-moof + default dur + default SIZE
+        trun = _full(b"trun", 0, 0x000001, struct.pack(">Ii", len(group), 0))
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        trun = _full(
+            b"trun", 0, 0x000001,
+            struct.pack(">Ii", len(group), len(moof) + 8),
+        )
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        out += moof + _box(b"mdat", b"".join(f.tobytes() for f in group))
+    return bytes(out)
+
+
+def test_fragmented_default_sample_size_fallback():
+    frames = _frames(n=6, h=4, w=4, seed=8)
+    fmp4 = _fmp4_default_size_variant(frames)
+    got = dict(decode_mp4_frames(fmp4))
+    # the 1-frame moov head is followed by 3 hand-built moofs of 2
+    assert sorted(got) == list(range(6))
+    for i in range(6):
+        assert (got[i] == frames[i]).all()
+
+
+def test_wild_jpeg_remux_conformance():
+    """Mux the machine's REAL wild JPEGs (multiple producers, SOF0 and
+    SOF2, heterogeneous sizes from 2 KB to 500 KB) verbatim into one
+    Photo-JPEG MP4 — classic AND fragmented — and require frame-exact
+    parity with direct decode_jpeg.  This drives the sample-table /
+    trun walk with genuinely irregular real-world sample sizes, not
+    just our own encoder's output."""
+    import glob
+    import os
+
+    from marketstore_spark.operators.jpeg import decode_jpeg
+    from marketstore_spark.operators.mp4 import mux_mp4_samples
+
+    paths = sorted(
+        {
+            p
+            for pat in (
+                "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.jpg",
+                "/root/.rustup/toolchains/*/share/doc/rust/html/"
+                "embedded-book/assets/verify.jpeg",
+                "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+                "/opt/spark-*/data/mllib/images/origin/multi-channel/"
+                "grayscale.jpg",
+            )
+            for p in glob.glob(pat)
+        }
+    )
+    payloads = [open(p, "rb").read() for p in paths if os.path.getsize(p)]
+    if len(payloads) < 2:
+        pytest.skip("not enough wild JPEG fixtures on this machine")
+    direct = [decode_jpeg(p) for p in payloads]
+    # w/h in the sample entry describe the track nominally; decode
+    # uses each JFIF's own geometry, as Photo JPEG players do
+    for fragmented in (False, True):
+        blob = mux_mp4_samples(
+            payloads, direct[0].shape[1], direct[0].shape[0],
+            fps=1, samples_per_chunk=2, fragmented=fragmented,
+        )
+        got = dict(decode_mp4_frames(blob))
+        assert sorted(got) == list(range(len(payloads)))
+        for i, px in enumerate(direct):
+            assert np.array_equal(got[i], px), (fragmented, paths[i])
+
+
 def _clip(n=500, seed=9):
     rng = np.random.default_rng(seed)
     return rng.integers(-32768, 32768, size=n, dtype=np.int16)
