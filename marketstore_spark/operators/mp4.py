@@ -657,9 +657,10 @@ def encode_mp4_audio(
 ) -> bytes:
     """Audio samples → ISO-BMFF bytes with a QuickTime 'soun' track.
 
-    ``samples`` is int16, shaped (n,) mono or (n, nch) interleaved —
-    except G.711 ('ulaw'/'alaw'), which takes the uint8 code stream
-    verbatim (the repo decodes G.711 but does not re-encode it).
+    ``samples`` is int16, shaped (n,) mono or (n, nch) interleaved;
+    G.711 ('ulaw'/'alaw') additionally accepts the uint8 code stream
+    verbatim, and int16 input is companded through the closed-form
+    encoders (multimodal._int16_to_ulaw/_int16_to_alaw, audioop-pinned).
     Uniform stsz (bytes per PCM frame) + multi-frame chunks — the
     layout QuickTime itself writes for uncompressed audio."""
     codec_b = codec.encode("ascii").ljust(4)[:4]
@@ -671,7 +672,13 @@ def encode_mp4_audio(
     n, nch = arr.shape
     if codec_b in (b"ulaw", b"alaw"):
         if arr.dtype != np.uint8:
-            raise ValueError("G.711 essence takes uint8 codes")
+            from marketstore_spark.operators.multimodal import (
+                _int16_to_alaw,
+                _int16_to_ulaw,
+            )
+
+            conv = _int16_to_ulaw if codec_b == b"ulaw" else _int16_to_alaw
+            arr = conv(arr.astype(np.int16))
         body, width, bits = arr.reshape(-1).tobytes(), 1, 16
     elif codec_b == b"twos":
         body, width, bits = arr.astype(">i2").tobytes(), 2, 16

@@ -432,6 +432,30 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def encode_wav_g711(
+    samples: "np.ndarray", rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """int16 mono samples → G.711 WAV bytes (format tag 7 µ-law / 6
+    A-law), companded by the closed-form encoders — the write half of
+    the telephony formats :func:`decode_wav` reads.  The fmt chunk is
+    the 18-byte extended form (cbSize=0) non-PCM WAVs require."""
+    if law == "ulaw":
+        codes, tag = _int16_to_ulaw(np.asarray(samples, np.int16)), 7
+    elif law == "alaw":
+        codes, tag = _int16_to_alaw(np.asarray(samples, np.int16)), 6
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    data = codes.tobytes()
+    fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate, 1, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """WAV bytes → (sample_rate, int16 samples of first channel).
 
@@ -525,6 +549,36 @@ def _alaw_to_int16(b: "np.ndarray") -> "np.ndarray":
         seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0)
     )
     return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _int16_to_ulaw(x: "np.ndarray") -> "np.ndarray":
+    """int16 → G.711 µ-law codes (ITU-T G.711 ENCODE, closed form —
+    the companion of :func:`_ulaw_to_int16`, so the repo can write the
+    telephony formats it reads).  14-bit domain (>>2), clip to 8159,
+    bias 33, segment by magnitude, 4-bit mantissa, complement.
+    Matches CPython's ``audioop.lin2ulaw`` for ALL 65536 int16 inputs
+    (pinned in tests)."""
+    x14 = x.astype(np.int32) >> 2
+    mask = np.where(x14 < 0, 0x7F, 0xFF)
+    v = np.minimum(np.abs(x14), 8159) + 33
+    seg = np.digitize(v, [0x40, 0x80, 0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000])
+    uval = (seg << 4) | ((v >> (seg + 1)) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask, uval ^ mask).astype(np.uint8)
+
+
+def _int16_to_alaw(x: "np.ndarray") -> "np.ndarray":
+    """int16 → G.711 A-law codes (ITU-T G.711 ENCODE, closed form).
+    13-bit domain (>>3), negatives map through −v−1, segment by
+    magnitude, 4-bit mantissa (segments 0/1 shift by 1), even-bit
+    inversion via the sign-dependent XOR mask.  Matches CPython's
+    ``audioop.lin2alaw`` for ALL 65536 int16 inputs (pinned in
+    tests)."""
+    x13 = x.astype(np.int32) >> 3
+    mask = np.where(x13 >= 0, 0xD5, 0x55)
+    v = np.where(x13 >= 0, x13, -x13 - 1)
+    seg = np.digitize(v, [0x20, 0x40, 0x80, 0x100, 0x200, 0x400, 0x800, 0x1000])
+    aval = (seg << 4) | ((v >> np.where(seg < 2, 1, seg)) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask, aval ^ mask).astype(np.uint8)
 
 
 def _float_to_int16(x: "np.ndarray") -> "np.ndarray":

@@ -659,6 +659,84 @@ def test_ulaw_matches_audioop_table():
     assert np.array_equal(mine, ref)
 
 
+def test_g711_encoders_match_audioop_full_domain():
+    """The closed-form G.711 ENCODERS must reproduce CPython's
+    audioop lin2ulaw/lin2alaw for ALL 65536 int16 inputs — the write
+    half of the telephony pair, exhaustively pinned."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from marketstore_spark.operators.multimodal import (
+        _int16_to_alaw,
+        _int16_to_ulaw,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    raw = x.astype("<i2").tobytes()
+    assert np.array_equal(
+        _int16_to_ulaw(x), np.frombuffer(audioop.lin2ulaw(raw, 2), np.uint8)
+    )
+    assert np.array_equal(
+        _int16_to_alaw(x), np.frombuffer(audioop.lin2alaw(raw, 2), np.uint8)
+    )
+
+
+def test_g711_wav_writer_roundtrip():
+    """encode_wav_g711 → decode_wav is code-transparent: decoding the
+    written file equals decoding the codes directly, for both laws,
+    and re-encoding the decoded samples is idempotent (G.711 decode
+    values are exact code representatives)."""
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import (
+        _alaw_to_int16,
+        _int16_to_alaw,
+        _int16_to_ulaw,
+        _ulaw_to_int16,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, size=700, dtype=np.int16)
+    for law, enc, dec in (
+        ("ulaw", _int16_to_ulaw, _ulaw_to_int16),
+        ("alaw", _int16_to_alaw, _alaw_to_int16),
+    ):
+        wav = encode_wav_g711(x, rate=8000, law=law)
+        rate, s = decode_wav(wav)
+        assert rate == 8000 and np.array_equal(s, dec(enc(x))), law
+        # companding idempotence on representatives
+        assert np.array_equal(enc(s), enc(x)), law
+
+
+def test_mp4_g711_int16_input():
+    """encode_mp4_audio compands int16 through the closed-form
+    encoders; decoding the track equals the direct encode→decode
+    chain."""
+    import numpy as np
+
+    from marketstore_spark.operators.mp4 import (
+        decode_mp4_audio,
+        encode_mp4_audio,
+    )
+    from marketstore_spark.operators.multimodal import (
+        _alaw_to_int16,
+        _int16_to_alaw,
+        _int16_to_ulaw,
+        _ulaw_to_int16,
+    )
+
+    rng = np.random.default_rng(12)
+    x = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    for codec, enc, dec in (
+        ("ulaw", _int16_to_ulaw, _ulaw_to_int16),
+        ("alaw", _int16_to_alaw, _alaw_to_int16),
+    ):
+        rate, s = decode_mp4_audio(encode_mp4_audio(x, rate=8000, codec=codec))
+        assert rate == 8000 and np.array_equal(s, dec(enc(x))), codec
+
+
 def test_alaw_matches_audioop_table():
     """The closed-form G.711 A-law decode must reproduce CPython's
     audioop table for all 256 codes."""
