@@ -746,6 +746,73 @@ def simhash_pairs(
     )
 
 
+def hash_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs over an INTEGER perceptual-hash column (e.g.
+    multimodal.image_dhash's 64-bit dHash) — the media twin of
+    :func:`simhash_pairs` with the banding done in pure JVM integer
+    arithmetic (shiftright+mask band keys, no string signature at
+    all).  Pigeonhole: Hamming ≤ ``max_hamming`` < ``bands`` forces a
+    shared band.  Candidates stay inside their band buckets (capped
+    posting lists, one shuffle), the signature rides the posting list,
+    and verification is one ``bit_count(a XOR b)`` per candidate —
+    only surviving pairs reach the final distinct.  Same 100 TB shape
+    as the text family: no all-pairs, no re-attach joins."""
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    width = bits // bands
+    mask = (1 << width) - 1
+    rows = sigs.select(
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
+            "doc"
+        )
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.shiftright(F.col("doc.sig"), bits - (bi + 1) * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = rows.select(
+        "doc", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "doc",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    pairs = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .select(F.posexplode("docs").alias("__i", "a"), "docs")
+        .select(
+            "a",
+            F.explode(F.slice("docs", F.col("__i") + 2, F.size("docs"))).alias("b"),
+        )
+    )
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------

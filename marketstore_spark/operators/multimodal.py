@@ -694,6 +694,80 @@ def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
     return rate, s
 
 
+def decode_image_any(payload: bytes) -> "np.ndarray":
+    """Magic-sniffing image decode to H×W×3 uint8 RGB: BM → BMP,
+    ``\\x89PNG`` → PNG, GIF8 → first composed GIF frame, ``FF D8`` →
+    JPEG.  The image twin of :func:`decode_audio_any`; unrecognized
+    payloads raise ValueError (callers record decoded_ok=0)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:4] in (b"GIF8",):
+        from marketstore_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)[0]
+    if payload[:2] == b"\xff\xd8":
+        from marketstore_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unrecognized image container")
+
+
+def image_dhash_array(px: "np.ndarray") -> int:
+    """64-bit dHash (difference hash) of an H×W×3 uint8 array: integer
+    luma (299/587/114 per mille — exact, no float), 9×8 nearest-
+    neighbor grid with the same index map as :func:`resize_nearest`,
+    then bit (row r, col c) = luma[r, c+1] > luma[r, c], packed
+    row-major from bit 63 down.  Returned as SIGNED int64 (two's
+    complement) so it stores in a Spark LongType column.  Fully
+    deterministic — pinned against a literal reference in tests."""
+    h, w, _ = px.shape
+    luma = (
+        px[..., 0].astype(np.int32) * 299
+        + px[..., 1].astype(np.int32) * 587
+        + px[..., 2].astype(np.int32) * 114
+    ) // 1000
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = luma[ys][:, xs]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+IMAGE_HASH_SCHEMA = "media_id long, dhash long, decoded_ok int"
+
+
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image 64-bit perceptual dHash from REAL decode — the
+    signature stage of multimodal near-dup dedup (the image analogue
+    of SimHash over text).  Arrow-batched mapInPandas, one Python hop;
+    payloads are magic-sniffed (BMP/PNG/GIF/JPEG), so one corpus row
+    set can mix producers.  Undecodable payloads yield decoded_ok=0
+    rows (data, not bugs).  Pair generation happens JVM-side in
+    dedup.hash_near_dup_pairs — banded buckets, never all-pairs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = decode_image_any(bytes(payload))
+                    rows.append((mid, image_dhash_array(px), 1))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, 0, 0))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash", "decoded_ok"])
+
+    return media.mapInPandas(run, schema=IMAGE_HASH_SCHEMA)
+
+
 def decode_audio_any(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Container-sniffing audio decode: RIFF/WAVE → WAV, ``.snd`` →
     Sun AU, FORM/AIFF|AIFC → AIFF, ISO-BMFF top-level box → MP4/
