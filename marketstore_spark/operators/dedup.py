@@ -813,6 +813,45 @@ def hash_near_dup_pairs(
     )
 
 
+def video_near_dup_pairs(
+    frame_sigs: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup video pairs from per-frame fingerprints
+    (multimodal.video_frame_dhash): two videos pair when at least
+    ``min_shared`` sampled-frame hashes coincide — the CBIR
+    shared-fingerprint criterion, robust to trims, re-muxing, and
+    frame-rate changes that preserve content.
+
+    One fingerprint-keyed shuffle: distinct (hash, id) → capped
+    posting list per hash → in-bucket pair expansion → count shared
+    fingerprints per pair.  A video's frames against a corpus of
+    videos never go all-pairs; the pair aggregate carries only
+    bucket-expanded candidates, and hot fingerprints (test cards,
+    black frames) are dropped by the bucket cap exactly like hot
+    grams in the text family."""
+    rows = frame_sigs.select(
+        F.col(sig_col).alias("sig"), F.col(id_col).alias("id")
+    ).distinct()
+    buckets = (
+        rows.groupBy("sig")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(F.posexplode("ids").alias("__i", "a"), "ids").select(
+        "a",
+        F.explode(F.slice("ids", F.col("__i") + 2, F.size("ids"))).alias("b"),
+    )
+    return (
+        pairs.groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------

@@ -768,6 +768,41 @@ def image_dhash(
     return media.mapInPandas(run, schema=IMAGE_HASH_SCHEMA)
 
 
+VIDEO_HASH_SCHEMA = "media_id long, frame_idx int, dhash long"
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-sampled-frame 64-bit dHash over video payloads (AVI and
+    MP4, classic or fragmented, via the container-sniffing
+    decode_video_frames) — the fingerprint stage of video near-dup
+    dedup.  One Arrow mapInPandas hop; undecodable / inter-frame
+    payloads contribute no rows.  Pair generation is
+    dedup.video_near_dup_pairs (shared-fingerprint buckets); for
+    tolerance to re-encoded frames, route the output through
+    dedup.hash_near_dup_pairs at the frame level first."""
+    from marketstore_spark.operators.video import decode_video_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for idx, frame in decode_video_frames(bytes(payload), every_n):
+                        rows.append((mid, idx, image_dhash_array(frame)))
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dhash"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=VIDEO_HASH_SCHEMA
+    )
+
+
 def decode_audio_any(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Container-sniffing audio decode: RIFF/WAVE → WAV, ``.snd`` →
     Sun AU, FORM/AIFF|AIFC → AIFF, ISO-BMFF top-level box → MP4/

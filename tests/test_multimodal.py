@@ -758,6 +758,50 @@ def test_image_near_dup_pairs_through_spark(spark):
     assert all(r["hamming"] <= 3 for r in pairs)
 
 
+def test_video_near_dup_pairs_through_spark(spark):
+    """Video near-dup by shared frame fingerprints: a trimmed/offset
+    cut of the same footage pairs with the original (2 shared sampled
+    frames), inverted footage does not — across MIXED containers (AVI
+    and fragmented MP4)."""
+    import numpy as np
+
+    from marketstore_spark.operators.dedup import video_near_dup_pairs
+    from marketstore_spark.operators.mp4 import encode_mp4
+    from marketstore_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_frame_dhash,
+    )
+    from marketstore_spark.operators.video import encode_avi
+
+    from marketstore_spark.operators.multimodal import image_dhash_array
+
+    # distinct content per frame (a mere brightness shift would NOT
+    # be distinct — dHash is invariant to it by construction)
+    pool = np.stack(
+        [
+            np.random.default_rng(100 + i).integers(
+                0, 256, size=(16, 16, 3), dtype=np.uint8
+            )
+            for i in range(13)
+        ]
+    )
+    assert len({image_dhash_array(f) for f in pool}) == 13
+    v1 = encode_avi(pool[0:9], fps=10)  # frames 0..8
+    v2 = encode_mp4(pool[4:13], fps=10, codec="raw", fragmented=True)
+    v3 = encode_mp4(255 - pool[0:9], fps=10, codec="raw")
+    rows = [
+        (1, "video", "avi", 16, 16, 0, bytearray(v1)),
+        (2, "video", "mp4", 16, 16, 0, bytearray(v2)),
+        (3, "video", "mp4", 16, 16, 0, bytearray(v3)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = video_frame_dhash(media, every_n=4)  # samples frames 0,4,8
+    pairs = video_near_dup_pairs(sigs, min_shared=2).collect()
+    assert {(r["id_a"], r["id_b"], r["shared_frames"]) for r in pairs} == {
+        (1, 2, 2)  # pool[4] and pool[8] sampled by both cuts
+    }
+
+
 def test_g711_encoders_match_audioop_full_domain():
     """The closed-form G.711 ENCODERS must reproduce CPython's
     audioop lin2ulaw/lin2alaw for ALL 65536 int16 inputs — the write

@@ -268,6 +268,32 @@ def test_avi_roundtrip_property(n, h, w, step):
 
 
 @given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=4),
+    st.booleans(),
+)
+@settings(max_examples=20, deadline=None)
+def test_mp4_raw_roundtrip_property(n, h, w, step, spc, fragmented):
+    """ISO-BMFF raw essence is bit-exact for EVERY geometry, sampling
+    step, chunk grouping (stsc run shapes), and both layouts (classic
+    stbl tables vs moof/traf/trun fragments)."""
+    from marketstore_spark.operators.mp4 import decode_mp4_frames, encode_mp4
+
+    frames = np.random.default_rng(n * 999 + h * 13 + w + spc).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    blob = encode_mp4(
+        frames, codec="raw", samples_per_chunk=spc, fragmented=fragmented
+    )
+    got = dict(decode_mp4_frames(blob, every_n=step))
+    assert sorted(got) == list(range(0, n, step))
+    assert all((got[i] == frames[i]).all() for i in got)
+
+
+@given(
     st.integers(min_value=1, max_value=6),
     st.integers(min_value=1, max_value=12),
     st.integers(min_value=1, max_value=12),
