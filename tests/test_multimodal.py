@@ -802,6 +802,70 @@ def test_video_near_dup_pairs_through_spark(spark):
     }
 
 
+def _tone_clip(freqs, n=4000, rate=16000, amp=8000):
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+    return (amp * x / max(len(freqs), 1)).astype(np.int16)
+
+
+def test_audio_fingerprint_invariances():
+    """The Haitsma-Kalker construction is exactly invariant to
+    amplitude scaling (double-differencing cancels the constant log
+    shift, up to int16 requantization) and far for different
+    spectral content."""
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import audio_fingerprint_array
+
+    a = _tone_clip([440, 880, 1760])
+    b = (a.astype(np.float64) * 0.5).astype(np.int16)  # 6 dB quieter
+    c = _tone_clip([330, 700, 2500])
+    fa = audio_fingerprint_array(a, 16000)
+    fb = audio_fingerprint_array(b, 16000)
+    fc = audio_fingerprint_array(c, 16000)
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(fa, fb) <= 4
+    assert ham(fa, fc) >= 16
+    with pytest.raises(ValueError):
+        audio_fingerprint_array(np.zeros(10, np.int16), 16000)
+
+
+def test_audio_fingerprint_cross_container(spark):
+    """The same clip stored as WAV, AU-path G.711 WAV, and MP4 'sowt'
+    fingerprints near-identically through the Spark operator, and the
+    banded pair generation finds exactly the cross-container dup
+    pairs, not the different clip."""
+    import numpy as np
+
+    from marketstore_spark.operators.dedup import hash_near_dup_pairs
+    from marketstore_spark.operators.mp4 import encode_mp4_audio
+    from marketstore_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    x = _tone_clip([440, 1200])
+    y = _tone_clip([600, 2300, 3100])
+    rows = [
+        (1, "audio", "wav", 0, 0, 0, bytearray(encode_wav_pcm16(x, 16000))),
+        (2, "audio", "m4a", 0, 0, 0, bytearray(encode_mp4_audio(x, 16000, "sowt"))),
+        (3, "audio", "wav", 0, 0, 0, bytearray(encode_wav_pcm16(y, 16000))),
+        (4, "audio", "wav", 0, 0, 0, bytearray(b"corrupt")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = audio_fingerprint(media)
+    got = {r["media_id"]: r for r in sigs.collect()}
+    assert got[4]["decoded_ok"] == 0
+    assert got[1]["afp"] == got[2]["afp"]  # identical samples, identical hash
+    pairs = hash_near_dup_pairs(
+        sigs.filter("decoded_ok = 1"), sig_col="afp", max_hamming=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
 def test_g711_encoders_match_audioop_full_domain():
     """The closed-form G.711 ENCODERS must reproduce CPython's
     audioop lin2ulaw/lin2alaw for ALL 65536 int16 inputs — the write
