@@ -160,6 +160,32 @@ def test_fragmented_jpeg_and_stepping():
         assert err.mean() < 8
 
 
+def test_dash_init_plus_segment_concatenation():
+    """DASH delivery ships an init segment (ftyp+moov) and independent
+    media segments (moof+mdat); a player concatenates init + any
+    fetched segment.  default-base-is-moof addressing makes each
+    segment position-independent, so decode of init+segment yields
+    exactly that fragment's frames — the read path a corpus of
+    crawled DASH segments needs."""
+    frames = _frames(n=6, h=6, w=8)
+    blob = encode_mp4(frames, codec="raw", samples_per_chunk=2, fragmented=True)
+    first = blob.find(b"moof") - 4
+    init, segs, pos = blob[:first], [], first
+    while pos < len(blob):
+        (moof_len,) = struct.unpack_from(">I", blob, pos)
+        (mdat_len,) = struct.unpack_from(">I", blob, pos + moof_len)
+        segs.append(blob[pos : pos + moof_len + mdat_len])
+        pos += moof_len + mdat_len
+    assert len(segs) == 3
+    got = dict(decode_mp4_frames(init + segs[1]))
+    assert sorted(got) == [0, 1]
+    assert (got[0] == frames[2]).all() and (got[1] == frames[3]).all()
+    # two segments out of order still decode (per-segment independence)
+    got = dict(decode_mp4_frames(init + segs[2] + segs[0]))
+    assert sorted(got) == [0, 1, 2, 3]
+    assert (got[0] == frames[4]).all() and (got[2] == frames[0]).all()
+
+
 def _fmp4_default_size_variant(frames):
     """Hand-build a fragmented MP4 whose truns carry NO per-sample
     sizes: tfhd supplies default-sample-size (flags 0x10), trun only

@@ -866,6 +866,31 @@ def test_audio_fingerprint_cross_container(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_media_dedup_keep_transitive_chain(spark):
+    """Capstone funnel on crafted signatures: a Hamming chain
+    1~2~3 (1 and 3 never pair directly at max_hamming=1) collapses to
+    one canonical survivor under transitive clustering; the greedy
+    rule keeps the same set here; far ids survive."""
+    from marketstore_spark.operators.dedup import media_dedup_keep
+
+    rows = [
+        (1, 0),            # base
+        (2, 1),            # ham(1,2)=1
+        (3, 3),            # ham(2,3)=1, ham(1,3)=2 > max_hamming
+        (4, 0x0F0F0F0F0F0F0F0F),   # far from everything
+        (5, -0x7000000000000000),  # negative long: sign-bit band path
+    ]
+    sigs = spark.createDataFrame(rows, "media_id long, dhash long")
+    for transitive in (True, False):
+        keep = {
+            r["media_id"]
+            for r in media_dedup_keep(
+                sigs, max_hamming=1, transitive=transitive
+            ).collect()
+        }
+        assert keep == {1, 4, 5}, transitive
+
+
 def test_g711_encoders_match_audioop_full_domain():
     """The closed-form G.711 ENCODERS must reproduce CPython's
     audioop lin2ulaw/lin2alaw for ALL 65536 int16 inputs — the write
