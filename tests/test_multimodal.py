@@ -891,6 +891,35 @@ def test_media_dedup_keep_transitive_chain(spark):
         assert keep == {1, 4, 5}, transitive
 
 
+def test_media_pair_plans_have_no_joins(spark):
+    """Plan-shape pin for the 100 TB claims: hash_near_dup_pairs and
+    video_near_dup_pairs generate candidates inside band/fingerprint
+    buckets with the signature riding the posting list — NO Join node
+    anywhere (no all-pairs, no signature re-attach), and the only
+    exchanges are the bucket aggregate and the result-side
+    distinct/aggregate."""
+    import re
+
+    from marketstore_spark.operators.dedup import (
+        hash_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 7), (2, 9)], "media_id long, dhash long"
+    )
+    plan = hash_near_dup_pairs(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    frames = spark.createDataFrame(
+        [(1, 0, 7), (2, 0, 7)], "media_id long, frame_idx int, dhash long"
+    )
+    plan = (
+        video_near_dup_pairs(frames)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange", plan)) <= 3, plan
+
+
 def test_g711_encoders_match_audioop_full_domain():
     """The closed-form G.711 ENCODERS must reproduce CPython's
     audioop lin2ulaw/lin2alaw for ALL 65536 int16 inputs — the write
