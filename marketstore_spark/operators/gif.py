@@ -26,6 +26,8 @@ import struct
 
 import numpy as np
 
+from marketstore_spark.operators.codecutil import corrupt_guard
+
 
 # ---------------------------------------------------------------------
 # LZW (GIF variant)
@@ -52,6 +54,12 @@ class _BitReader:
 def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     """GIF-variant LZW: little-endian bit packing, growing code width,
     CLEAR resets the dictionary, END terminates."""
+    if not 1 <= min_code_size <= 11:
+        # GIF codes never exceed 12 bits, so min_code_size + 1 <= 12;
+        # a corrupt byte here would otherwise size the fresh dictionary
+        # at 2^min_code_size entries — found by the corrupt-payload
+        # fuzz sweep as an unbounded loop, not an exception
+        raise ValueError(f"LZW minimum code size {min_code_size} out of range")
     clear = 1 << min_code_size
     end = clear + 1
     br = _BitReader(data)
@@ -185,6 +193,7 @@ def encode_gif(
     return bytes(out)
 
 
+@corrupt_guard
 def decode_gif(payload: bytes) -> "np.ndarray":
     """GIF bytes → composed RGB frames (n, canvas_h, canvas_w, 3)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -198,6 +207,11 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
         pos += size * 3
 
+    if cw * ch > 1 << 28:
+        # 268M pixels (16k×16k) is beyond any real GIF; a corrupt
+        # 16-bit dimension field would otherwise allocate/compose a
+        # multi-GB canvas from a tiny payload instead of erroring
+        raise ValueError(f"implausible GIF canvas {cw}x{ch}")
     canvas = np.zeros((ch, cw, 3), np.uint8)
     if gct is not None:
         # Seed with the logical-screen descriptor's background color

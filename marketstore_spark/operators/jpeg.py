@@ -40,6 +40,8 @@ import struct
 
 import numpy as np
 
+from marketstore_spark.operators.codecutil import corrupt_guard
+
 # -- ITU-T T.81 Annex K example tables --------------------------------
 
 ZIGZAG = np.array([
@@ -673,6 +675,7 @@ def _encode_progressive(pixels: np.ndarray, quality: int, subsampling: str) -> b
 # -- decoder ----------------------------------------------------------
 
 
+@corrupt_guard
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JFIF bytes (baseline SOF0/1 or progressive SOF2) → H×W×3 uint8
     RGB (grayscale replicates).
@@ -924,6 +927,17 @@ def _decode_entropy(
     if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
         raise NotImplementedError("only 1x1/2x2 sampling factors")
     ci_by_cid = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    # validate scan references up front: a corrupt SOS can name a
+    # component or entropy table that was never defined, and the bare
+    # dict lookups in decode_block would surface that as KeyError —
+    # outside the decoded_ok=0 (ValueError) contract
+    for _cid, _dc_tid, _ac_tid in scomps:
+        if _cid not in ci_by_cid:
+            raise ValueError(f"SOS references undefined component {_cid}")
+        if ss == 0 and ah == 0 and (0, _dc_tid) not in huff:
+            raise ValueError(f"SOS references undefined DC table {_dc_tid}")
+        if se > 0 and (1, _ac_tid) not in huff:
+            raise ValueError(f"SOS references undefined AC table {_ac_tid}")
     reader = _BitReader(payload[start:])
     prev_dc = {cid: 0 for cid, _dc, _ac in scomps}
     state = {"eobrun": 0}
@@ -995,6 +1009,8 @@ def _reconstruct(frame, coefs, quant, precision=8):
     full = []
     for ci, (cid, ch, cv, qid) in enumerate(comps):
         store = coefs[ci]
+        if qid not in quant:
+            raise ValueError(f"frame references undefined quant table {qid}")
         q = quant[qid]
         bh, bw = store.shape[:2]
         plane = np.zeros((bh * 8, bw * 8), np.float64)

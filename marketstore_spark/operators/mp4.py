@@ -36,6 +36,8 @@ from collections.abc import Iterator
 
 import numpy as np
 
+from marketstore_spark.operators.codecutil import corrupt_guard
+
 # top-level fourccs that identify an ISO-BMFF stream (sniff set)
 TOPLEVEL_BOXES = {
     b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide",
@@ -388,6 +390,7 @@ def _sample_count(data: bytes, stbl: dict) -> int:
     return count
 
 
+@corrupt_guard
 def probe_mp4(payload: bytes) -> dict:
     """Container metadata without decoding frames: {width, height,
     fps, n_frames, codec, duration_s} — same shape as probe_avi plus
@@ -607,6 +610,7 @@ def _all_sample_ranges(
     return ranges
 
 
+@corrupt_guard
 def decode_mp4_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, np.ndarray]]:
@@ -760,6 +764,7 @@ def encode_mp4_audio(
     return ftyp + mdat + moov
 
 
+@corrupt_guard
 def decode_mp4_audio(payload: bytes) -> tuple[int, np.ndarray]:
     """ISO-BMFF audio track → (sample_rate, int16 samples of the first
     channel) with the SAME int16 normalization as the WAV/AU/AIFF

@@ -26,6 +26,8 @@ import wave
 from collections.abc import Callable, Iterator
 
 import numpy as np
+
+from marketstore_spark.operators.codecutil import corrupt_guard
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -107,6 +109,7 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return bytes(header + info + body)
 
 
+@corrupt_guard
 def decode_bmp(payload: bytes) -> "np.ndarray":
     """Uncompressed BMP bytes → H×W×3 uint8 (RGB).
 
@@ -351,6 +354,7 @@ def _png_unfilter(raw: bytes, p: int, w_px: int, h_px: int, ch: int):
     return out, p
 
 
+@corrupt_guard
 def decode_png(payload: bytes) -> "np.ndarray":
     """PNG bytes → H×W×3 uint8 (RGB).  Pure stdlib: chunk walk, zlib
     inflate, then the spec's per-scanline unfilter (None/Sub/Up/
@@ -456,6 +460,7 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@corrupt_guard
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """WAV bytes → (sample_rate, int16 samples of first channel).
 
@@ -612,6 +617,7 @@ def _pcm_be_to_int16(raw: bytes, width: int, nch: int) -> "np.ndarray":
     return frames[::nch].copy()
 
 
+@corrupt_guard
 def decode_au(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Sun/NeXT .au bytes → (sample_rate, int16 samples of the first
     channel).  The header is six big-endian u32s (magic ``.snd``,
@@ -649,6 +655,7 @@ def _f80_to_int(b: bytes) -> int:
     return int(round(mant * 2.0 ** (exp - 16383 - 63)))
 
 
+@corrupt_guard
 def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
     """AIFF / AIFC bytes → (sample_rate, int16 samples of the first
     channel).  IFF chunk walk: COMM carries channels/width/80-bit

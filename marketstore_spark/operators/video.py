@@ -26,6 +26,8 @@ from collections.abc import Iterator
 
 import numpy as np
 
+from marketstore_spark.operators.codecutil import corrupt_guard
+
 
 _FOURCC_MJPG = struct.unpack("<I", b"MJPG")[0]
 
@@ -111,6 +113,7 @@ def _walk_chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, 
         pos += 8 + ln + (ln % 2)
 
 
+@corrupt_guard
 def probe_avi(payload: bytes) -> dict:
     """Container metadata without decoding frames: {width, height,
     fps, n_frames, codec}."""
@@ -169,6 +172,7 @@ def decode_video_frames(
     raise ValueError("unrecognized video container")
 
 
+@corrupt_guard
 def decode_avi_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, np.ndarray]]:
