@@ -390,6 +390,87 @@ def _sample_count(data: bytes, stbl: dict) -> int:
     return count
 
 
+def merge_mp4_tracks(video_mp4: bytes, audio_mp4: bytes) -> bytes:
+    """Remux two single-track ISO-BMFF files (one 'vide', one 'soun' —
+    the encoders above) into ONE two-track movie: the layout every
+    real crawled .mp4 has, and the case the per-handler track walk in
+    :func:`_track_stbl` exists for.
+
+    Pure container surgery, no sample re-encode: the merged file is
+    ``ftyp_v + mdat_v + mdat_a + moov(mvhd_v + trak_v + trak_a')``.
+    The video track's absolute chunk offsets are unchanged by
+    construction (same prefix); the audio track's stco entries are
+    REBASED by the byte delta of its mdat payload, and its tkhd
+    track_ID is rewritten to 2 so the movie has distinct ids."""
+
+    def _top(data, fourcc):
+        out = _children(data, 0, len(data))
+        if fourcc not in out:
+            raise ValueError(f"input lacks a top-level {fourcc.decode()} box")
+        return out[fourcc]
+
+    def _trak_span(data, handler):
+        moov_s, moov_e = _top(data, b"moov")
+        for fourcc, s, e in _iter_boxes(data, moov_s, moov_e):
+            if fourcc != b"trak":
+                continue
+            kids = _children(data, s, e)
+            mkids = _children(data, *kids[b"mdia"])
+            hs, _he = mkids[b"hdlr"]
+            if data[hs + 8 : hs + 12] == handler:
+                return s - 8, e  # include the trak box header
+        raise ValueError(f"no {handler.decode()!r} track to merge")
+
+    v_mdat_s, _v_mdat_e = _top(video_mp4, b"mdat")
+    a_mdat_s, a_mdat_e = _top(audio_mp4, b"mdat")
+    v_moov_s, v_moov_e = _top(video_mp4, b"moov")
+    if not (v_mdat_s < v_moov_s and a_mdat_s < _top(audio_mp4, b"moov")[0]):
+        raise ValueError(
+            "merge_mp4_tracks requires the classic ftyp+mdat+moov layout "
+            "(fragmented inputs keep their samples in moofs — concatenate "
+            "those instead)"
+        )
+    vs, ve = _trak_span(video_mp4, b"vide")
+    as_, ae = _trak_span(audio_mp4, b"soun")
+
+    head = video_mp4[: v_mdat_s - 8]          # video ftyp (+ any prelude)
+    v_mdat = video_mp4[v_mdat_s - 8 : _v_mdat_e]
+    a_mdat = audio_mp4[a_mdat_s - 8 : a_mdat_e]
+    # audio payload moves from a_mdat_s to len(head)+len(v_mdat)+8
+    delta = (len(head) + len(v_mdat) + 8) - a_mdat_s
+
+    a_trak = bytearray(audio_mp4[as_:ae])
+    a_base = as_  # spans below are absolute in audio_mp4; rebase to a_trak
+    kids = _children(audio_mp4, as_ + 8, ae)
+    # tkhd track_ID := 2 (v0 at +8, v1 at +16 past version/flags)
+    ts, _te = kids[b"tkhd"]
+    tver, tp = _fullbox_header(audio_mp4, ts)
+    struct.pack_into(">I", a_trak, tp + (16 if tver else 8) - a_base, 2)
+    # stco entries += delta
+    mkids = _children(audio_mp4, *kids[b"mdia"])
+    minf = _children(audio_mp4, *mkids[b"minf"])
+    stbl = _children(audio_mp4, *minf[b"stbl"])
+    if b"co64" in stbl:
+        s, _e = stbl[b"co64"]
+        (nc,) = struct.unpack_from(">I", audio_mp4, s + 4)
+        for i in range(nc):
+            off = s + 8 + 8 * i - a_base
+            (v,) = struct.unpack_from(">Q", a_trak, off)
+            struct.pack_into(">Q", a_trak, off, v + delta)
+    else:
+        s, _e = stbl[b"stco"]
+        (nc,) = struct.unpack_from(">I", audio_mp4, s + 4)
+        for i in range(nc):
+            off = s + 8 + 4 * i - a_base
+            (v,) = struct.unpack_from(">I", a_trak, off)
+            struct.pack_into(">I", a_trak, off, v + delta)
+
+    mvhd_s, mvhd_e = _children(video_mp4, v_moov_s, v_moov_e)[b"mvhd"]
+    mvhd = video_mp4[mvhd_s - 8 : mvhd_e]
+    moov = _box(b"moov", mvhd + video_mp4[vs:ve] + bytes(a_trak))
+    return head + v_mdat + a_mdat + moov
+
+
 @corrupt_guard
 def probe_mp4(payload: bytes) -> dict:
     """Container metadata without decoding frames: {width, height,

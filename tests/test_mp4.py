@@ -227,6 +227,46 @@ def test_fragmented_default_sample_size_fallback():
         assert (got[i] == frames[i]).all()
 
 
+def test_two_track_movie_merge():
+    """Real crawled .mp4s carry video AND audio in one moov; the
+    per-handler track walk must select the right trak for each path.
+    merge_mp4_tracks remuxes the single-track encoder outputs into a
+    two-track movie (audio stco rebased, track re-id'd): the video
+    probe, frame decode, audio decode, and the Spark-facing sniffing
+    dispatchers must all keep working unchanged."""
+    import numpy as np
+
+    from marketstore_spark.operators.mp4 import (
+        decode_mp4_audio,
+        encode_mp4_audio,
+        merge_mp4_tracks,
+    )
+    from marketstore_spark.operators.multimodal import decode_audio_any
+    from marketstore_spark.operators.video import probe_video
+
+    frames = _frames(n=5, h=8, w=10)
+    clip = np.random.default_rng(6).integers(-2000, 2000, 700).astype(np.int16)
+    movie = merge_mp4_tracks(
+        encode_mp4(frames, fps=20, codec="raw", samples_per_chunk=2),
+        encode_mp4_audio(clip, rate=16000, codec="in24"),
+    )
+    info = probe_mp4(movie)
+    assert (info["width"], info["height"], info["n_frames"], info["fps"]) == (
+        10, 8, 5, 20,
+    )
+    assert info == probe_video(movie)  # sniffing dispatch unchanged
+    got = dict(decode_mp4_frames(movie))
+    assert all((got[i] == frames[i]).all() for i in range(5))
+    rate, s = decode_mp4_audio(movie)
+    assert rate == 16000 and np.array_equal(s, clip)  # in24 is exact
+    rate2, s2 = decode_audio_any(movie)
+    assert rate2 == rate and np.array_equal(s2, s)
+    # fragmented inputs are fenced, not silently mis-merged
+    frag = encode_mp4(frames, codec="raw", fragmented=True)
+    with pytest.raises(ValueError):
+        merge_mp4_tracks(frag, encode_mp4_audio(clip, 16000))
+
+
 def test_wild_jpeg_remux_conformance():
     """Mux the machine's REAL wild JPEGs (multiple producers, SOF0 and
     SOF2, heterogeneous sizes from 2 KB to 500 KB) verbatim into one
