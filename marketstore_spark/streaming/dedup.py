@@ -34,3 +34,56 @@ def dedup_stream(
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def dedup_media_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Perceptual dedup on the MEDIA ingest path: dHash each arriving
+    image payload (Arrow mapInPandas runs identically on streaming
+    DataFrames — same batch shape as the batch operator) and drop
+    signature re-deliveries within the watermark horizon, so a
+    re-crawled byte-identical or pixel-identical image collapses at
+    ingest before it ever lands.  State is keyed on the 64-bit hash —
+    8 bytes/key, bounded by the horizon like dedup_stream.  Batch-side
+    near-dup (Hamming > 0) stays with dedup.hash_near_dup_pairs; the
+    streaming stage is exact-signature by design (state lookups are
+    equality-only).  Undecodable payloads fall back to an exact
+    CONTENT hash (md5 of the bytes) rather than NULL — Spark's
+    dropDuplicates treats NULL keys as equal, which would collapse
+    every distinct corrupt frame into one; byte-identity is the right
+    dedup notion for payloads we cannot decode."""
+    import hashlib
+
+    import pandas as pd
+
+    from marketstore_spark.operators.multimodal import (
+        decode_image_any,
+        image_dhash_array,
+    )
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields
+    )
+
+    def content_key(payload: bytes) -> int:
+        v = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                try:
+                    hashes.append(image_dhash_array(decode_image_any(raw)))
+                except (ValueError, NotImplementedError):
+                    hashes.append(content_key(raw))
+            out = pdf.copy()
+            out["dhash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    hashed = stream.mapInPandas(run, f"{fields}, dhash long")
+    return dedup_stream(hashed, key_cols=("dhash",), ts_col=ts_col, horizon=horizon)

@@ -315,6 +315,53 @@ def test_stream_dedup_drops_redelivery(spark, sf_dir, tmpdir):
     assert got["event_id"].is_unique
 
 
+def test_stream_media_dedup_collapses_recrawl(spark, tmpdir):
+    """Perceptual dedup at media ingest: a re-crawled pixel-identical
+    image (different container bytes — BMP vs PNG of the same pixels)
+    collapses to one row by dHash, distinct images and distinct
+    corrupt payloads all survive (corrupt rows key on content md5, so
+    NULL-key collapse can't eat them)."""
+    import datetime
+
+    import numpy as np
+
+    from marketstore_spark.operators.multimodal import encode_bmp, encode_png
+    from marketstore_spark.streaming.dedup import dedup_media_stream
+
+    rng = np.random.default_rng(21)
+    img_a = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, bytearray(encode_bmp(img_a))),
+        (2, base, bytearray(encode_png(img_a))),   # re-crawl, new container
+        (3, base, bytearray(encode_bmp(img_b))),
+        (4, base, bytearray(b"corrupt-one")),
+        (5, base, bytearray(b"corrupt-two")),      # distinct corrupt bytes
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ts timestamp, payload binary")
+    src = os.path.join(tmpdir, "media_incoming")
+    df.write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, spark.read.parquet(src).schema)
+
+    q = (
+        dedup_media_stream(stream, horizon="365 days")
+        .writeStream.format("memory")
+        .queryName("media_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select media_id, dhash from media_dedup_stream_test"
+    ).toPandas()
+    kept = set(got["media_id"])
+    assert len(kept) == 4 and kept & {1, 2} != {1, 2}  # one of the twins
+    assert {3, 4, 5} <= kept
+    assert got["dhash"].notna().all()
+
+
 def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
     """Live tick stream enriched with a static symbol-metadata dim — a
     stream-static broadcast join, the standard serving-path enrichment
