@@ -415,9 +415,15 @@ def merge_mp4_tracks(video_mp4: bytes, audio_mp4: bytes) -> bytes:
             if fourcc != b"trak":
                 continue
             kids = _children(data, s, e)
+            if b"mdia" not in kids:
+                continue
             mkids = _children(data, *kids[b"mdia"])
+            if b"hdlr" not in mkids:
+                continue
             hs, _he = mkids[b"hdlr"]
             if data[hs + 8 : hs + 12] == handler:
+                if b"tkhd" not in kids or b"minf" not in mkids:
+                    raise ValueError(f"{handler.decode()!r} track is malformed")
                 return s - 8, e  # include the trak box header
         raise ValueError(f"no {handler.decode()!r} track to merge")
 
@@ -449,7 +455,11 @@ def merge_mp4_tracks(video_mp4: bytes, audio_mp4: bytes) -> bytes:
     # stco entries += delta
     mkids = _children(audio_mp4, *kids[b"mdia"])
     minf = _children(audio_mp4, *mkids[b"minf"])
+    if b"stbl" not in minf:
+        raise ValueError("audio track lacks an stbl")
     stbl = _children(audio_mp4, *minf[b"stbl"])
+    if b"stco" not in stbl and b"co64" not in stbl:
+        raise ValueError("audio track lacks chunk-offset tables")
     if b"co64" in stbl:
         s, _e = stbl[b"co64"]
         (nc,) = struct.unpack_from(">I", audio_mp4, s + 4)
@@ -599,7 +609,15 @@ def _fragment_ranges(
     for fourcc, ms, me in _iter_boxes(data, 0, len(data)):
         if fourcc != b"moof":
             continue
-        moof_start = ms - 8
+        # the box START anchors default-base-is-moof addressing; the
+        # fourcc sits at body−4 for a normal 8-byte header but at
+        # body−12 when the box used a 64-bit largesize header — basing
+        # on ms−8 unconditionally would shift every sample offset by 8
+        # and decode silently WRONG raw frames, not raise
+        if data[ms - 4 : ms] == b"moof":  # normal 8-byte header
+            moof_start = ms - 8
+        else:  # largesize: fourcc precedes the 64-bit size field
+            moof_start = ms - 16
         for f2, tstart, tend in _iter_boxes(data, ms, me):
             if f2 != b"traf":
                 continue

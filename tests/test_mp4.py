@@ -160,6 +160,26 @@ def test_fragmented_jpeg_and_stepping():
         assert err.mean() < 8
 
 
+def test_largesize_moof_keeps_base_offset():
+    """default-base-is-moof anchors at the box START; a moof rewritten
+    with a 64-bit largesize header (16-byte header instead of 8) must
+    still decode bit-exact — basing at body−8 unconditionally would
+    shift every sample by 8 bytes and return silently WRONG raw
+    pixels, not an error."""
+    frames = _frames(n=4, h=6, w=6)
+    blob = encode_mp4(frames, codec="raw", samples_per_chunk=2, fragmented=True)
+    i = blob.find(b"moof") - 4
+    (sz,) = struct.unpack_from(">I", blob, i)
+    body = bytearray(struct.pack(">I4sQ", 1, b"moof", sz + 8) + blob[i + 8 : i + sz])
+    j = bytes(body).find(b"trun")
+    (doff,) = struct.unpack_from(">i", body, j + 12)
+    struct.pack_into(">i", body, j + 12, doff + 8)  # mdat moved 8 further
+    patched = blob[:i] + bytes(body) + blob[i + sz :]
+    got = dict(decode_mp4_frames(patched))
+    assert sorted(got) == [0, 1, 2, 3]
+    assert all((got[k] == frames[k]).all() for k in got)
+
+
 def test_dash_init_plus_segment_concatenation():
     """DASH delivery ships an init segment (ftyp+moov) and independent
     media segments (moof+mdat); a player concatenates init + any
