@@ -197,6 +197,14 @@ HEADLINE = [
     "text_zipf_fit",
     "corpus_dedup_funnel",
     "event_rfm",
+    # round-13 additions: the media near-dup family's timed datapoints
+    # — pure-JVM integer banding + bit_count verify (dedup_media_pairs
+    # is the no-join plan shape image/audio fingerprints flow through),
+    # its connected-components capstone, and the real decode→dHash
+    # Arrow hop over synthesized lossless images
+    "dedup_media_pairs",
+    "media_dedup_keep",
+    "multimodal_image_dhash",
     # ann_pq / ann_pq_exhaustive stay correctness-only keys (the
     # corpus_pack exclusion logic, mirrored): at sf0.1 the corpus is
     # 2000 vectors, so the 4-stage PQ plan (train-sample collect,

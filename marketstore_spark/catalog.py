@@ -73,19 +73,38 @@ def _normalize_ns_timestamps(spark: SparkSession, df: DataFrame, path: str) -> D
 #: same static table; at 145+ registry keys that chatter dominated
 #: plan_build_total_secs (25→33 s across rounds, VERDICT r11 item 6).
 #: DataFrames are immutable plan fragments, so sharing the base
-#: relation across queries changes nothing downstream; keying on the
-#: session (weakly) drops entries with their stopped session.  The
-#: one invariant: a cached path's files must not be rewritten
-#: mid-session — true for the read-only testdata tables this loads
-#: (writable buckets go through txn.py, never this path).
-_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+#: relation across queries changes nothing downstream.  Entries are
+#: evicted when their session is STOPPED, checked on every access —
+#: weak keys cannot work here because the cached DataFrames strongly
+#: reference their session, so a WeakKeyDictionary's values would pin
+#: their own key alive forever (unbounded growth across many sessions
+#: in one process, e.g. test suites).  The one invariant: a cached
+#: path's files must not be rewritten mid-session — true for the
+#: read-only testdata tables this loads (writable buckets go through
+#: txn.py, never this path).
+_TABLE_CACHE: dict[int, tuple["weakref.ref", dict]] = {}
+
+
+def _session_stopped(spark) -> bool:
+    # SparkContext.stop() sets _jsc to None; that is the only reliable
+    # Python-side "this session is dead" signal
+    return getattr(getattr(spark, "_sc", None), "_jsc", None) is None
+
+
+def _sweep_table_cache() -> None:
+    for sid, (ref, _tables) in list(_TABLE_CACHE.items()):
+        sess = ref()
+        if sess is None or _session_stopped(sess):
+            _TABLE_CACHE.pop(sid, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per = _TABLE_CACHE.get(spark)
-    if per is None:
-        per = _TABLE_CACHE[spark] = {}
+    _sweep_table_cache()
+    entry = _TABLE_CACHE.get(id(spark))
+    if entry is None:
+        entry = _TABLE_CACHE[id(spark)] = (weakref.ref(spark), {})
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    per = entry[1]
     key = (os.path.abspath(sf_dir), name)
     df = per.get(key)
     if df is None:

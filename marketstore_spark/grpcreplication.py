@@ -23,10 +23,13 @@ durable state rather than new protocol machinery:
 
 * **Resume cursor** — the request carries the replica's per-bucket
   ``next_version`` (read from its own manifest log), so a replica that
-  was offline resumes exactly where it stopped.  The reference's
-  request is empty and a disconnected replica silently loses the gap
-  (the ``replay.go:41`` TODO); proto3 unknown-field rules keep the
-  extension wire-compatible both ways.
+  was offline resumes exactly where it stopped, and records always
+  apply in version order.  The reference's request is empty — a
+  disconnected replica silently loses the gap — and its replayer
+  applies records in arrival order (the ``replay.go:39`` "replay
+  ordered by transactionGroupID" TODO); the cursor solves both.
+  Proto3 unknown-field rules keep the extension wire-compatible both
+  ways.
 * **Exactly-once replay** — versions are published on the replica with
   the same ``os.link`` compare-and-swap txn.py uses, so a re-delivered
   commit is a no-op (``FileExistsError`` → already replayed), never a
@@ -330,6 +333,7 @@ class ReplicationReceiver:
         retry_interval: float = 0.05,
         backoff_coeff: int = 2,
         max_retries: int = 30,
+        max_retry_delay: float = 30.0,
     ):
         self.replica_root = os.path.abspath(replica_root)
         self.host = host
@@ -337,6 +341,7 @@ class ReplicationReceiver:
         self.retry_interval = retry_interval
         self.backoff_coeff = backoff_coeff
         self.max_retries = max_retries
+        self.max_retry_delay = max_retry_delay
         self.replayed = 0  # records that advanced the replica
         self.redelivered = 0  # records skipped by the exactly-once guard
         self._stop = threading.Event()
@@ -449,7 +454,16 @@ class ReplicationReceiver:
                     attempt = 0
                 if attempt >= self.max_retries:
                     raise
-                time.sleep(self.retry_interval * self.backoff_coeff**attempt)
+                # capped so a persistent outage exhausts max_retries in
+                # bounded time (uncapped, 0.05*2**29 s is ~310 days),
+                # and waited on the stop event so stop() wakes the loop
+                # immediately mid-backoff instead of after the sleep
+                delay = min(
+                    self.retry_interval * self.backoff_coeff**attempt,
+                    self.max_retry_delay,
+                )
+                if self._stop.wait(delay):
+                    return
                 attempt += 1
 
     def run_in_background(self) -> threading.Thread:

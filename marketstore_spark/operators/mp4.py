@@ -401,16 +401,43 @@ def merge_mp4_tracks(video_mp4: bytes, audio_mp4: bytes) -> bytes:
     The video track's absolute chunk offsets are unchanged by
     construction (same prefix); the audio track's stco entries are
     REBASED by the byte delta of its mdat payload, and its tkhd
-    track_ID is rewritten to 2 so the movie has distinct ids."""
+    track_ID is rewritten to 2 so the movie has distinct ids.
+
+    Inputs with more than one top-level mdat raise ValueError — the
+    copied stco tables can only be rebased for a single contiguous
+    payload, so accepting a second mdat would emit silently wrong
+    samples instead of an error.  Largesize (16-byte header) mdats
+    are handled; the header span is computed, never assumed 8."""
+
+    def _top_all(data, fourcc):
+        # (header_start, payload_start, payload_end) per box — header
+        # start is the previous top-level box's end (boxes are
+        # contiguous), which stays correct for 16-byte largesize
+        # headers where payload_start−8 would not be
+        out, prev_end = [], 0
+        for fc, s, e in _iter_boxes(data, 0, len(data)):
+            if fc == fourcc:
+                out.append((prev_end, s, e))
+            prev_end = e
+        return out
 
     def _top(data, fourcc):
-        out = _children(data, 0, len(data))
-        if fourcc not in out:
+        boxes = _top_all(data, fourcc)
+        if not boxes:
             raise ValueError(f"input lacks a top-level {fourcc.decode()} box")
-        return out[fourcc]
+        if len(boxes) > 1 and fourcc == b"mdat":
+            # a second mdat would leave the copied stco entries of the
+            # first-mdat track pointing into foreign bytes after the
+            # remux — refuse loudly rather than emit silent wrong
+            # samples
+            raise ValueError(
+                "merge_mp4_tracks supports single-mdat inputs only "
+                f"(found {len(boxes)} top-level mdat boxes)"
+            )
+        return boxes[0]
 
     def _trak_span(data, handler):
-        moov_s, moov_e = _top(data, b"moov")
+        _mh, moov_s, moov_e = _top(data, b"moov")
         for fourcc, s, e in _iter_boxes(data, moov_s, moov_e):
             if fourcc != b"trak":
                 continue
@@ -427,10 +454,10 @@ def merge_mp4_tracks(video_mp4: bytes, audio_mp4: bytes) -> bytes:
                 return s - 8, e  # include the trak box header
         raise ValueError(f"no {handler.decode()!r} track to merge")
 
-    v_mdat_s, _v_mdat_e = _top(video_mp4, b"mdat")
-    a_mdat_s, a_mdat_e = _top(audio_mp4, b"mdat")
-    v_moov_s, v_moov_e = _top(video_mp4, b"moov")
-    if not (v_mdat_s < v_moov_s and a_mdat_s < _top(audio_mp4, b"moov")[0]):
+    v_mdat_h, v_mdat_s, _v_mdat_e = _top(video_mp4, b"mdat")
+    a_mdat_h, a_mdat_s, a_mdat_e = _top(audio_mp4, b"mdat")
+    _vh, v_moov_s, v_moov_e = _top(video_mp4, b"moov")
+    if not (v_mdat_s < v_moov_s and a_mdat_s < _top(audio_mp4, b"moov")[1]):
         raise ValueError(
             "merge_mp4_tracks requires the classic ftyp+mdat+moov layout "
             "(fragmented inputs keep their samples in moofs — concatenate "
@@ -439,11 +466,13 @@ def merge_mp4_tracks(video_mp4: bytes, audio_mp4: bytes) -> bytes:
     vs, ve = _trak_span(video_mp4, b"vide")
     as_, ae = _trak_span(audio_mp4, b"soun")
 
-    head = video_mp4[: v_mdat_s - 8]          # video ftyp (+ any prelude)
-    v_mdat = video_mp4[v_mdat_s - 8 : _v_mdat_e]
-    a_mdat = audio_mp4[a_mdat_s - 8 : a_mdat_e]
-    # audio payload moves from a_mdat_s to len(head)+len(v_mdat)+8
-    delta = (len(head) + len(v_mdat) + 8) - a_mdat_s
+    head = video_mp4[:v_mdat_h]               # video ftyp (+ any prelude)
+    v_mdat = video_mp4[v_mdat_h:_v_mdat_e]    # incl. its (maybe 16-byte) header
+    a_mdat = audio_mp4[a_mdat_h:a_mdat_e]
+    # the audio payload moves from a_mdat_s to just after its copied
+    # header in the merged file; header size is a_mdat_s-a_mdat_h (8
+    # normally, 16 for a largesize mdat) — never a hardcoded 8
+    delta = (len(head) + len(v_mdat) + (a_mdat_s - a_mdat_h)) - a_mdat_s
 
     a_trak = bytearray(audio_mp4[as_:ae])
     a_base = as_  # spans below are absolute in audio_mp4; rebase to a_trak
@@ -599,13 +628,19 @@ def _fragment_ranges(
     """Walk top-level moof boxes and expand every traf/trun of
     ``track_id`` into absolute (offset, size) sample ranges — the
     fragmented (DASH/CMAF) twin of :func:`_sample_ranges`.  Honors
-    tfhd base-data-offset / default-base-is-moof (the implicit base
-    for a first traf is also the moof start), tfhd/trex default sample
-    sizes and per-sample trun sizes.  Returns (ranges, first seen
-    sample duration) — the duration backs the fps probe, since a
-    fragmented stts is empty by construction."""
+    tfhd base-data-offset / default-base-is-moof, tfhd/trex default
+    sample sizes and per-sample trun sizes, plus the ISO/IEC 14496-12
+    §8.8.7/8.8.8 *implicit* bases: a trun without a data-offset
+    continues immediately after the previous run's data, and a
+    non-first traf without base-data-offset/default-base-is-moof
+    bases at the end of the previous traf's data (which is why every
+    traf is walked, not only ``track_id``'s — the running end-offset
+    spans tracks).  Returns (ranges, first seen sample duration) —
+    the duration backs the fps probe, since a fragmented stts is
+    empty by construction."""
     out: list[tuple[int, int]] = []
     first_dur = 0
+    trex_by_tid: dict[int, dict] = {track_id: trex}
     for fourcc, ms, me in _iter_boxes(data, 0, len(data)):
         if fourcc != b"moof":
             continue
@@ -618,6 +653,7 @@ def _fragment_ranges(
             moof_start = ms - 8
         else:  # largesize: fourcc precedes the 64-bit size field
             moof_start = ms - 16
+        traf_data_end = None  # end of the previous traf's data, any track
         for f2, tstart, tend in _iter_boxes(data, ms, me):
             if f2 != b"traf":
                 continue
@@ -629,27 +665,35 @@ def _fragment_ranges(
             p = s + 4
             (tid,) = struct.unpack_from(">I", data, p)
             p += 4
-            if tid != track_id:
-                continue
             base = None
             if flags & 0x01:  # base-data-offset present
                 (base,) = struct.unpack_from(">Q", data, p)
                 p += 8
             if flags & 0x02:  # sample-description-index
                 p += 4
-            d_dur = trex.get("duration", 0)
+            if tid not in trex_by_tid:
+                trex_by_tid[tid] = _trex_defaults(data, tid) or {}
+            t_trex = trex_by_tid[tid]
+            d_dur = t_trex.get("duration", 0)
             if flags & 0x08:
                 (d_dur,) = struct.unpack_from(">I", data, p)
                 p += 4
-            d_size = trex.get("size", 0)
+            d_size = t_trex.get("size", 0)
             if flags & 0x10:
                 (d_size,) = struct.unpack_from(">I", data, p)
                 p += 4
             if base is None:
-                # default-base-is-moof (0x020000), and the spec's
-                # implicit base for a first traf is also the moof start
-                base = moof_start
-            first_dur = first_dur or d_dur
+                if flags & 0x020000 or traf_data_end is None:
+                    # default-base-is-moof, or the first traf of the
+                    # moof (its implicit base is also the moof start)
+                    base = moof_start
+                else:
+                    # §8.8.7: a later traf without an explicit base
+                    # continues after the previous traf's data
+                    base = traf_data_end
+            if tid == track_id:
+                first_dur = first_dur or d_dur
+            run_end = None  # end of the previous trun's data in this traf
             for f3, s3, e3 in _iter_boxes(data, tstart, tend):
                 if f3 != b"trun":
                     continue
@@ -657,18 +701,24 @@ def _fragment_ranges(
                 p3 = s3 + 4
                 (cnt,) = struct.unpack_from(">I", data, p3)
                 p3 += 4
-                off = base
                 if tflags & 0x01:  # data-offset present (signed)
                     (doff,) = struct.unpack_from(">i", data, p3)
                     p3 += 4
                     off = base + doff
+                elif run_end is not None:
+                    # §8.8.8: offset-less run continues after the
+                    # previous run, NOT back at the base
+                    off = run_end
+                else:
+                    off = base
                 if tflags & 0x04:  # first-sample-flags
                     p3 += 4
                 for _ in range(cnt):
                     if tflags & 0x100:  # per-sample duration
                         (dur,) = struct.unpack_from(">I", data, p3)
                         p3 += 4
-                        first_dur = first_dur or dur
+                        if tid == track_id:
+                            first_dur = first_dur or dur
                     if tflags & 0x200:  # per-sample size
                         (sz,) = struct.unpack_from(">I", data, p3)
                         p3 += 4
@@ -686,8 +736,12 @@ def _fragment_ranges(
                         raise ValueError("trun table truncated")
                     if off + sz > len(data):
                         raise ValueError("fragment sample overruns file")
-                    out.append((off, sz))
+                    if tid == track_id:
+                        out.append((off, sz))
                     off += sz
+                run_end = off
+            if run_end is not None:
+                traf_data_end = run_end
     return out, first_dur
 
 

@@ -1118,7 +1118,12 @@ def audio_features(
                         (mid, rate, len(x), int(np.abs(x).max(initial=0)),
                          int((x * x).sum()), zc, int(trail), 1)
                     )
-                except Exception:  # noqa: BLE001 — corrupt/foreign payload
+                except (ValueError, NotImplementedError):
+                    # corrupt/foreign payload or fenced codec: data,
+                    # not a bug (corrupt_guard normalizes low-level
+                    # decode errors to ValueError); anything else —
+                    # TypeError/AttributeError/KeyError — is a code
+                    # bug and must fail loudly (codecutil policy)
                     rows.append((mid, 0, 0, 0, 0, 0, 0, 0))
             yield pd.DataFrame(
                 rows,
@@ -1193,7 +1198,10 @@ def audio_fingerprint(
                 try:
                     rate, s = decode_audio_any(bytes(payload))
                     rows.append((mid, audio_fingerprint_array(s, rate), 1))
-                except Exception:  # noqa: BLE001 — corrupt/foreign payload
+                except (ValueError, NotImplementedError):
+                    # corrupt/foreign payload or fenced codec only —
+                    # TypeError/AttributeError/KeyError are code bugs
+                    # that must fail loudly (codecutil policy)
                     rows.append((mid, 0, 0))
             yield pd.DataFrame(rows, columns=["media_id", "afp", "decoded_ok"])
 
@@ -1217,3 +1225,33 @@ def synth_square_wav(media_id: int) -> bytes:
     x = np.where((i // h) % 2 == 0, amp, -amp).astype(np.int16)
     samples = np.concatenate([x, np.zeros(z, dtype=np.int16)])
     return encode_wav_pcm16(samples, rate=8000 + (media_id % 4) * 4000)
+
+
+def synth_gradient_pixels(pattern: int) -> "np.ndarray":
+    """Deterministic 16×18 grayscale-gradient RGB frame whose 64-bit
+    dHash has a CLOSED FORM: with ``p = pattern & 255``, every pixel
+    column ``x`` carries gray value ``v(x // 2)`` where the brightness
+    walk is ``v(0)=128, v(c+1)=v(c)±8`` — up iff bit ``7-c`` of ``p``
+    is set.  :func:`image_dhash_array` samples exactly the 9 walk
+    values (``xs = arange(9)*18//9`` are the even columns; gray luma
+    is exact, ``v*1000//1000``), each of its 8 rows compares to the
+    byte ``p``, so the hash is ``p`` repeated in all 8 bytes:
+    ``p * 0x0101010101010101`` (two's complement when p ≥ 128).  That
+    closed form is what lets a SQL oracle pin REAL image decode +
+    dHash content, the image analogue of :func:`synth_square_wav`."""
+    p = pattern & 0xFF
+    v = [128]
+    for c in range(8):
+        v.append(v[-1] + (8 if (p >> (7 - c)) & 1 else -8))
+    cols = np.repeat(np.array(v, np.uint8), 2)  # 9 values → 18 columns
+    return np.broadcast_to(cols[None, :, None], (16, 18, 3)).copy()
+
+
+def synth_gradient_image(media_id: int) -> bytes:
+    """Deterministic gradient image for media row ``media_id`` with a
+    closed-form dHash (see :func:`synth_gradient_pixels`, pattern =
+    ``media_id % 256``) — LOSSLESS container alternating by id so one
+    corpus mixes producers and exercises the magic sniffing: BMP for
+    even ids, PNG for odd."""
+    px = synth_gradient_pixels(media_id % 256)
+    return encode_bmp(px) if media_id % 2 == 0 else encode_png(px)

@@ -151,8 +151,9 @@ MESSAGES: dict[str, dict[int, tuple[str, str]]] = {
     "ServerVersionResponse": {1: ("version", "string")},
     # -- replication service (proto/replication.proto:120) --------------
     # GetWALStreamRequest is EMPTY in the reference (replicas bootstrap
-    # by snapshot copy and the offline gap is a known TODO,
-    # replication/replay.go:41 "replay ordered by transactionGroupID");
+    # by snapshot copy, the offline gap is unaddressed, and replay
+    # ordering is a known TODO — replication/replay.go:39 "replay
+    # ordered by transactionGroupID");
     # field 1 here is a forward-compatible extension carrying the
     # replica's durable resume cursors, which is what makes the twin's
     # replay exactly-once across disconnects.  A reference server

@@ -4320,6 +4320,250 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+# ---------------------------------------------------------------------
+# Media near-dup dedup, oracle-backed (SURVEY §2 #41c): deterministic
+# md5-derived 60-bit signatures with planted 1-bit-flip twins stand in
+# for perceptual hashes, so DuckDB can replay the ENTIRE banded
+# pipeline — shiftright/mask band keys, bucket cap, bit_count(xor)
+# Hamming verify — and pin hash parity on the same
+# dedup.hash_near_dup_pairs plan real image dHashes flow through
+# (the simhash_pairs precedent, dedup.py:679).  The decode-to-dHash
+# stage itself is pinned by multimodal_image_dhash /
+# multimodal_video_dhash below via the closed-form gradient images.
+# ---------------------------------------------------------------------
+
+_MEDIA_SIGS_SQL = """
+base AS (
+  SELECT doc_id * 2 AS media_id,
+         CAST('0x' || substr(md5('mediasig|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS sig
+  FROM documents
+),
+twin AS (
+  SELECT doc_id * 2 + 1 AS media_id,
+         xor(CAST('0x' || substr(md5('mediasig|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT),
+             (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))) AS sig
+  FROM documents WHERE doc_id % 5 = 0
+),
+sigs AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+banded AS (
+  SELECT media_id, sig, bi AS band_idx,
+         (sig >> CAST(60 - (bi + 1) * 15 AS INT)) & 32767 AS band_key
+  FROM sigs, range(4) t(bi)
+),
+-- mirror the operator's bucket cap (dedup.py max_bucket)
+ok_buckets AS (
+  SELECT band_idx, band_key FROM banded
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 10000
+),
+cands AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.sig AS sa, b.sig AS sb
+  FROM ok_buckets o
+  JOIN banded a ON a.band_idx = o.band_idx AND a.band_key = o.band_key
+  JOIN banded b ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+   AND a.media_id < b.media_id
+)"""
+
+
+def _media_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 60-bit media signatures: one md5-derived hash per
+    document (even media_id) plus, for every fifth doc, a planted
+    near-dup twin (odd media_id) one bit-flip away — Hamming 1 ≤ 3,
+    so pigeonhole guarantees the banded pipeline finds every twin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sig = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mediasig|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select((F.col("doc_id") * 2).alias("media_id"), sig.alias("dhash"))
+    flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))")
+    twin = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        sig.bitwiseXOR(flip).alias("dhash"),
+    )
+    return base.unionByName(twin)
+
+
+@_register(
+    "dedup_media_pairs",
+    f"""
+WITH {_MEDIA_SIGS_SQL}
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def dedup_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer perceptual-hash near-dup PAIRS (dedup.hash_near_dup_pairs,
+    the pipeline image dHash / audio fingerprints flow through):
+    pure-JVM shiftright/mask banding, capped band buckets, in-bucket
+    expansion, bit_count(a XOR b) Hamming verify — no join in the
+    executed plan (test_multimodal pins that) and no all-pairs.  The
+    oracle replays banding + verify bit-for-bit on the deterministic
+    signature set, pinning hash parity on the banded pipeline itself."""
+    from marketstore_spark.operators.dedup import hash_near_dup_pairs
+
+    out = hash_near_dup_pairs(
+        _media_sigs(spark, sf_dir), bits=60, bands=4, max_hamming=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@_register(
+    "media_dedup_keep",
+    f"""
+WITH RECURSIVE {_MEDIA_SIGS_SQL},
+pairs AS (
+  SELECT id_a, id_b FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT media_id FROM sigs
+WHERE media_id NOT IN (SELECT node FROM comp WHERE component <> node)
+""",
+)
+def media_dedup_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup capstone (dedup.media_dedup_keep): banded pairs →
+    connected components (min-id canonical) → keep-list of survivors,
+    verified against the recursive-CTE reachability oracle exactly
+    like dedup_clusters."""
+    from marketstore_spark.operators.dedup import media_dedup_keep
+
+    return media_dedup_keep(
+        _media_sigs(spark, sf_dir), bands=4, max_hamming=3, transitive=True
+    )
+
+
+@_register(
+    "multimodal_image_dhash",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS p
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+       CAST(p * CAST(72340172838076673 AS HUGEINT)
+            - CASE WHEN p >= 128 THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END
+            AS BIGINT) AS dhash,
+       CAST(1 AS INT) AS decoded_ok
+FROM m
+""",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode → 64-bit perceptual dHash through Spark: per
+    media row a deterministic gradient image with a CLOSED-FORM dHash
+    is synthesized (multimodal.synth_gradient_image — BMP for even
+    ids, PNG for odd, both lossless, exercising the magic sniffing),
+    decoded and hashed by the pure-numpy pipeline inside one Arrow
+    mapInPandas hop (multimodal.image_dhash).  The gradient walk makes
+    the hash exactly ``(doc_id%256) repeated in all 8 bytes``, so the
+    oracle pins decoded dHash CONTENT — the signature stage feeding
+    dedup_media_pairs — not just plumbing."""
+    from pyspark.sql.types import BinaryType
+
+    from marketstore_spark.operators.multimodal import (
+        image_dhash,
+        synth_gradient_image,
+    )
+
+    synth = F.pandas_udf(
+        lambda s: s.map(lambda mid: synth_gradient_image(int(mid))), BinaryType()
+    )
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("media_id"), synth("doc_id").alias("payload"))
+    )
+    return image_dhash(media)
+
+
+@_register(
+    "multimodal_video_dhash",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, doc_id % 4 + 1 AS nf
+  FROM documents WHERE doc_id % 23 = 4
+),
+f AS (
+  SELECT media_id,
+         CAST(unnest(range(0, CAST(nf AS BIGINT))) AS BIGINT) AS frame_idx
+  FROM v
+),
+p AS (
+  SELECT media_id, frame_idx, (media_id * 3 + frame_idx) % 256 AS pat FROM f
+)
+SELECT media_id, frame_idx,
+       CAST(pat * CAST(72340172838076673 AS HUGEINT)
+            - CASE WHEN pat >= 128 THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END
+            AS BIGINT) AS dhash
+FROM p
+""",
+)
+def multimodal_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode → per-frame dHash through Spark: per media
+    row a deterministic uncompressed-DIB AVI whose every frame is a
+    closed-form gradient (pattern ``(media_id*3+frame) % 256``) is
+    synthesized, then container-sniffed, frame-decoded, and hashed by
+    multimodal.video_frame_dhash in one Arrow hop — the fingerprint
+    stage of video near-dup dedup, content-pinned per frame by the
+    same closed form as multimodal_image_dhash."""
+    from pyspark.sql.types import BinaryType
+
+    from marketstore_spark.operators.multimodal import video_frame_dhash
+
+    def synth_avi(s):  # noqa: ANN001 — pandas Series → pandas Series
+        import numpy as np
+
+        from marketstore_spark.operators.multimodal import synth_gradient_pixels
+        from marketstore_spark.operators.video import encode_avi
+
+        def make(mid):
+            mid = int(mid)
+            frames = np.stack(
+                [
+                    synth_gradient_pixels((mid * 3 + f) % 256)
+                    for f in range(mid % 4 + 1)
+                ]
+            )
+            return encode_avi(frames, codec="DIB")
+
+        return s.map(make)
+
+    synth = F.pandas_udf(synth_avi, BinaryType())
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 4)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            synth("doc_id").alias("payload"),
+        )
+    )
+    out = video_frame_dhash(media, every_n=1)
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "dhash"
+    )
+
+
 @_register(
     "gapfill_interp",
     """
@@ -7818,79 +8062,21 @@ def acf_spectrum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round-12 rotation (driver checks the first ~50 keys).  Mechanical
-    # per-round policy (VERDICT r07-r11): every key whose latest driver
-    # row is oldest goes first.  After r11 that is the two r7-evidence
-    # keys the round-11 window squeezed out (corpus_shuffle and
-    # distinct_users_approx — the pair tripping the staleness guard,
-    # VERDICT r11 "What's wrong" #1) plus the full 47-key r8-evidence
-    # block, with the one remaining slot taken by the round's one NEW
-    # key (corpus_dsir_weights_hashed, no driver evidence yet) — 50
+    # Round-13 rotation (driver checks the first ~50 keys).  Mechanical
+    # per-round policy (VERDICT r07-r12): every key whose latest driver
+    # row is oldest goes first.  The four NEW oracle-backed media keys
+    # (no driver evidence yet) lead, then the full 43-key r9-evidence
+    # block (the staleness guard's r13 stale set), then three
+    # r10-evidence keys refreshed proactively to fill the window — 50
     # exactly.
     # ------------------------------------------------------------------
-    # Block A - last driver row r7.
-    "corpus_shuffle",
-    "distinct_users_approx",
-    # Block B - last driver row r8 (all 47).
-    "acf_spectrum",
-    "adx",
-    "amihud",
-    "aroon",
-    "autocorr_returns",
-    "cci",
-    "corpus_dup_size_histogram",
-    "corpus_filter_funnel",
-    "corpus_language_mix",
-    "corpus_length_buckets",
-    "corpus_length_percentiles",
-    "corpus_sample_fixed_n",
-    "corpus_unigram_nll",
-    "corpus_vocab_growth",
-    "corwin_schultz",
-    "cusum_filter",
-    "dedup_rate_by_source",
-    "dollar_bars",
-    "effective_spread",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_update",
-    "gap_percentiles",
-    "heikin_ashi",
-    "ichimoku",
-    "intraday_seasonality",
-    "kaufman_er",
-    "kyle_lambda",
-    "liquidity_panel",
-    "market_concentration",
-    "markout_returns",
-    "mfi",
-    "move_percentiles",
-    "ofi",
-    "price_impact_curve",
-    "q3_shipping_priority",
-    "q4_late_orders",
-    "range_vol",
-    "realized_moments",
-    "roll_spread",
-    "source_token_jaccard",
-    "source_token_stats",
-    "text_lexical_diversity",
-    "trimmed_mean",
-    "variance_ratio",
-    "volume_bars",
-    "volume_profile",
-    "vpin",
-    # Block C - NEW key this round (no driver evidence yet): the
-    # hashed-bucket DSIR estimator — the paper's actual 100 TB form.
-    "corpus_dsir_weights_hashed",
-]
-
-
-# Immediately after the window: the 43-key r9-evidence block — if the
-# driver's budget stretches past 50 they get refreshed too, and they
-# are first in line for the r13 rotation; then the r10 block, then the
-# r11 block (freshest last).
-_BACK = [
-    # last driver row r9 (43 keys) - the r13 rotation fronts these.
+    # Block A - NEW keys this round: the media near-dup family's
+    # first-class evidence (VERDICT r12 item 2).
+    "dedup_media_pairs",
+    "media_dedup_keep",
+    "multimodal_image_dhash",
+    "multimodal_video_dhash",
+    # Block B - last driver row r9 (all 43).
     "active_users_window",
     "ann_ivf",
     "ann_ivf_exhaustive",
@@ -7934,10 +8120,19 @@ _BACK = [
     "top_symbols",
     "uda_max",
     "uda_min",
-    # last driver row r10 (50 keys).
+    # Block C - r10-evidence keys refreshed proactively (window fill).
     "ann_cosine_topk",
     "ann_filtered",
     "ann_lsh_exhaustive",
+]
+
+
+# Immediately after the window: the rest of the r10-evidence block —
+# if the driver's budget stretches past 50 they get refreshed too, and
+# they are first in line for the r14 rotation; then the r11 block,
+# then the r12 window (freshest last).
+_BACK = [
+    # last driver row r10 (the 47 not fronted above).
     "candlecandler",
     "corpus_benchmark_coverage",
     "corpus_decontaminate",
@@ -8036,6 +8231,57 @@ _BACK = [
     "corpus_dsir_weights",
     "corpus_gopher_rules",
     "corpus_c4_clean",
+    # last driver row r12 (the r12 window, freshest - rotate last).
+    "corpus_shuffle",
+    "distinct_users_approx",
+    "acf_spectrum",
+    "adx",
+    "amihud",
+    "aroon",
+    "autocorr_returns",
+    "cci",
+    "corpus_dup_size_histogram",
+    "corpus_filter_funnel",
+    "corpus_language_mix",
+    "corpus_length_buckets",
+    "corpus_length_percentiles",
+    "corpus_sample_fixed_n",
+    "corpus_unigram_nll",
+    "corpus_vocab_growth",
+    "corwin_schultz",
+    "cusum_filter",
+    "dedup_rate_by_source",
+    "dollar_bars",
+    "effective_spread",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_update",
+    "gap_percentiles",
+    "heikin_ashi",
+    "ichimoku",
+    "intraday_seasonality",
+    "kaufman_er",
+    "kyle_lambda",
+    "liquidity_panel",
+    "market_concentration",
+    "markout_returns",
+    "mfi",
+    "move_percentiles",
+    "ofi",
+    "price_impact_curve",
+    "q3_shipping_priority",
+    "q4_late_orders",
+    "range_vol",
+    "realized_moments",
+    "roll_spread",
+    "source_token_jaccard",
+    "source_token_stats",
+    "text_lexical_diversity",
+    "trimmed_mean",
+    "variance_ratio",
+    "volume_bars",
+    "volume_profile",
+    "vpin",
+    "corpus_dsir_weights_hashed",
 ]
 
 

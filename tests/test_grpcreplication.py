@@ -187,3 +187,45 @@ def test_replay_exactly_once_and_gap_guard(spark, tmp_path):
             {"key": "A/B/C", "version": 0, "manifest_json": "{}",
              "files": [{"rel_path": "../../evil", "payload": b"x"}]},
         )
+
+
+def test_receiver_backoff_capped_and_stop_wakes(tmp_path):
+    """Two retry-loop guarantees (neither needs a master): the backoff
+    delay is capped at max_retry_delay so a persistent outage exhausts
+    max_retries in bounded time instead of sleeping for ~310 days on
+    the high attempts, and stop() wakes a receiver blocked mid-backoff
+    immediately (the wait is on the stop event, not time.sleep)."""
+    import socket
+    import threading
+
+    from marketstore_spark.grpcreplication import RetryableReplicationError
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()  # nothing ever listens here
+
+    # 10 retries of interval 0.01 coeff 10 uncapped would be ~11 days;
+    # capped at 0.02 the loop must exhaust in well under a second
+    rx = ReplicationReceiver(
+        str(tmp_path / "replica"), "127.0.0.1", port,
+        retry_interval=0.01, backoff_coeff=10, max_retries=10,
+        max_retry_delay=0.02,
+    )
+    t0 = time.time()
+    with pytest.raises(RetryableReplicationError):
+        rx.run()
+    assert time.time() - t0 < 5.0, "backoff cap not applied"
+
+    # stop() mid-backoff: huge base interval would sleep ~60s; the
+    # event wait must return the moment stop() is called
+    rx2 = ReplicationReceiver(
+        str(tmp_path / "replica2"), "127.0.0.1", port,
+        retry_interval=60.0, max_retries=5,
+    )
+    thread = threading.Thread(target=rx2.run, daemon=True)
+    thread.start()
+    time.sleep(0.3)  # let it fail the first connect and enter backoff
+    rx2.stop()
+    thread.join(3.0)
+    assert not thread.is_alive(), "stop() did not wake the backoff wait"

@@ -287,6 +287,137 @@ def test_two_track_movie_merge():
         merge_mp4_tracks(frag, encode_mp4_audio(clip, 16000))
 
 
+def _insert_second_mdat(blob: bytes) -> bytes:
+    """Append an extra (empty) top-level mdat right after the real one
+    — the multi-mdat layout some muxers emit."""
+    from marketstore_spark.operators.mp4 import _box, _children
+
+    mdat_s, mdat_e = _children(blob, 0, len(blob))[b"mdat"]
+    return blob[:mdat_e] + _box(b"mdat", b"\x00" * 4) + blob[mdat_e:]
+
+
+def _to_largesize_mdat(blob: bytes) -> bytes:
+    """Rewrite the single top-level mdat to a 64-bit largesize header
+    (size=1 + fourcc + 8-byte size), patching every stco entry +8 so
+    the result is a VALID file whose samples still decode — the wild
+    shape huge recordings use even when small."""
+    from marketstore_spark.operators.mp4 import _children
+
+    mdat_s, mdat_e = _children(blob, 0, len(blob))[b"mdat"]
+    hdr_start = mdat_s - 8
+    payload = blob[mdat_s:mdat_e]
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload))
+    out = bytearray(blob[:hdr_start] + big + payload + blob[mdat_e:])
+    # every absolute chunk offset moved +8 (payload now starts at
+    # hdr_start+16, not +8)
+    pos = bytes(out).find(b"stco")
+    while pos != -1:
+        (nc,) = struct.unpack_from(">I", out, pos + 8)
+        for i in range(nc):
+            off = pos + 12 + 4 * i
+            (v,) = struct.unpack_from(">I", out, off)
+            struct.pack_into(">I", out, off, v + 8)
+        pos = bytes(out).find(b"stco", pos + 4)
+    return bytes(out)
+
+
+def test_merge_rejects_multi_mdat():
+    """A second top-level mdat cannot be rebased by the single-delta
+    stco rewrite — accepting it would point the copied chunk offsets
+    into foreign bytes (silent wrong samples), so merge must refuse
+    loudly on EITHER input."""
+    from marketstore_spark.operators.mp4 import encode_mp4_audio, merge_mp4_tracks
+
+    frames = _frames(n=3, h=6, w=6)
+    clip = np.arange(-300, 300, 2, dtype=np.int16)
+    video = encode_mp4(frames, codec="raw")
+    audio = encode_mp4_audio(clip, rate=8000)
+    with pytest.raises(ValueError, match="mdat"):
+        merge_mp4_tracks(_insert_second_mdat(video), audio)
+    with pytest.raises(ValueError, match="mdat"):
+        merge_mp4_tracks(video, _insert_second_mdat(audio))
+
+
+def test_merge_largesize_mdat_inputs():
+    """merge_mp4_tracks computes the mdat header span instead of
+    assuming 8 bytes: inputs whose mdat carries a 64-bit largesize
+    header merge into a movie whose video frames AND audio samples
+    still decode exactly."""
+    from marketstore_spark.operators.mp4 import (
+        decode_mp4_audio,
+        encode_mp4_audio,
+        merge_mp4_tracks,
+    )
+
+    frames = _frames(n=4, h=6, w=8, seed=11)
+    clip = np.random.default_rng(12).integers(-2000, 2000, 500).astype(np.int16)
+    video = _to_largesize_mdat(encode_mp4(frames, codec="raw", samples_per_chunk=2))
+    audio = _to_largesize_mdat(encode_mp4_audio(clip, rate=8000))
+    # the rewritten inputs are themselves valid
+    got = dict(decode_mp4_frames(video))
+    assert all((got[i] == frames[i]).all() for i in range(4))
+    movie = merge_mp4_tracks(video, audio)
+    got = dict(decode_mp4_frames(movie))
+    assert all((got[i] == frames[i]).all() for i in range(4))
+    rate, s = decode_mp4_audio(movie)
+    assert rate == 8000 and np.array_equal(s, clip)
+
+
+def _fmp4_implicit_offsets(frames):
+    """Hand-build a fragmented MP4 exercising the ISO/IEC 14496-12
+    §8.8.7/8.8.8 IMPLICIT bases: one moof whose traf carries TWO truns
+    — the first with a data-offset, the second with NONE (spec: its
+    run continues immediately after the previous run's data, not back
+    at the moof) — then a second moof with TWO trafs of the same
+    track where traf2 has neither base-data-offset nor
+    default-base-is-moof (spec: bases at the end of traf1's data)."""
+    from marketstore_spark.operators.mp4 import _box, _full
+
+    n, h, w, _ = frames.shape
+    size = w * h * 3
+    base = encode_mp4(frames[:1], fps=25, codec="raw", fragmented=True)
+    moov_end = base.find(b"moof") - 4
+    out = bytearray(base[:moov_end])
+
+    # moof 1: frames 0-3, one traf, trun1 (offset) + trun2 (implicit)
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+    tfhd = _full(b"tfhd", 0, 0x020018, struct.pack(">III", 1, 1, size))
+    trun2 = _full(b"trun", 0, 0x000000, struct.pack(">I", 2))  # no offset
+    for _pass in range(2):  # second pass knows the final moof length
+        trun1 = _full(
+            b"trun", 0, 0x000001,
+            struct.pack(">Ii", 2, len(out_moof) + 8 if _pass else 0),
+        )
+        out_moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun1 + trun2))
+    out += out_moof + _box(b"mdat", b"".join(f.tobytes() for f in frames[:4]))
+
+    # moof 2: frames 4-7, traf1 (default-base-is-moof + offset) then
+    # traf2 with NO base flags and an offset-less trun
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 2))
+    tfhd2 = _full(b"tfhd", 0, 0x000018, struct.pack(">III", 1, 1, size))
+    traf2 = _box(b"traf", tfhd2 + _full(b"trun", 0, 0, struct.pack(">I", 2)))
+    for _pass in range(2):
+        trun1 = _full(
+            b"trun", 0, 0x000001,
+            struct.pack(">Ii", 2, len(out_moof) + 8 if _pass else 0),
+        )
+        out_moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun1) + traf2)
+    out += out_moof + _box(b"mdat", b"".join(f.tobytes() for f in frames[4:8]))
+    return bytes(out)
+
+
+def test_fragment_implicit_trun_and_traf_bases():
+    """Spec-valid wild fragmented files with offset-less truns and
+    non-first trafs decode the RIGHT byte ranges (ISO 8.8.7/8.8.8) —
+    previously both shapes silently re-based at the moof start."""
+    frames = _frames(n=8, h=4, w=4, seed=21)
+    fmp4 = _fmp4_implicit_offsets(frames)
+    got = dict(decode_mp4_frames(fmp4))
+    assert sorted(got) == list(range(8))
+    for i in range(8):
+        assert (got[i] == frames[i]).all(), f"frame {i} bytes wrong"
+
+
 def test_wild_jpeg_remux_conformance():
     """Mux the machine's REAL wild JPEGs (multiple producers, SOF0 and
     SOF2, heterogeneous sizes from 2 KB to 500 KB) verbatim into one

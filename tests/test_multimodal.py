@@ -1312,3 +1312,35 @@ def test_bmp_1bit_and_4bit_uncompressed():
     )
     out4 = decode_bmp(hdr4 + info4 + pal4 + body4)
     assert list(out4[0, :, 0]) == [50, 100, 150]
+
+
+def test_synth_gradient_closed_form_dhash():
+    """synth_gradient_image's contract with the multimodal_image_dhash
+    oracle: for ANY id, decoding the (BMP or PNG) payload and hashing
+    it yields (id%256) repeated in all 8 bytes, two's complement — the
+    closed form the SQL oracle computes.  Also pins that the even/odd
+    container split really produces two formats through one sniffing
+    decode path."""
+    from marketstore_spark.operators.multimodal import (
+        decode_image_any,
+        image_dhash_array,
+        synth_gradient_image,
+        synth_gradient_pixels,
+    )
+
+    for mid in [0, 1, 2, 5, 127, 128, 200, 255, 256, 300, 511, 77777]:
+        payload = synth_gradient_image(mid)
+        magic = payload[:2]
+        assert magic == (b"BM" if mid % 2 == 0 else b"\x89P")
+        px = decode_image_any(payload)
+        assert px.shape == (16, 18, 3)
+        got = image_dhash_array(px)
+        p = mid % 256
+        exp = p * 0x0101010101010101
+        if exp >= 1 << 63:
+            exp -= 1 << 64
+        assert got == exp, (mid, got, exp)
+    # the pixel builder's brightness walk never leaves uint8 range
+    for p in range(256):
+        px = synth_gradient_pixels(p)
+        assert px.min() >= 64 - 8 and px.max() <= 192 + 8

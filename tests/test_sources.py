@@ -281,3 +281,40 @@ def test_warc_corrupt_archive_degrades_not_fails(spark, tmp_path):
     assert len(by_file.get("b-corrupt.warc", [])) == 2  # pre-corruption records kept
     assert "c-badlen.warc" not in by_file  # malformed header: no records, no error
     assert "d-truncated.warc.gz" not in by_file  # torn gzip: skipped, no error
+
+
+def test_table_cache_evicts_stopped_and_collected_sessions(spark, sf_dir):
+    """The per-session reader cache must not grow without bound across
+    sessions in one process (ADVICE r12): entries whose session is
+    STOPPED (SparkContext._jsc is None) or garbage-collected are swept
+    on the next access, while the live session keeps its cache hit."""
+    import weakref
+
+    from marketstore_spark import catalog
+
+    class _SC:
+        def __init__(self, jsc):
+            self._jsc = jsc
+
+    class _Fake:
+        def __init__(self, alive=True):
+            self._sc = _SC(object() if alive else None)
+
+    live, dead = _Fake(True), _Fake(False)
+    catalog._TABLE_CACHE[id(live)] = (weakref.ref(live), {"k": "v"})
+    catalog._TABLE_CACHE[id(dead)] = (weakref.ref(dead), {"k": "v"})
+    df = load_table(spark, sf_dir, "region")
+    try:
+        assert id(dead) not in catalog._TABLE_CACHE, "stopped session not swept"
+        assert id(live) in catalog._TABLE_CACHE, "live session wrongly swept"
+        # real-session cache hit: the SAME DataFrame object comes back
+        assert load_table(spark, sf_dir, "region") is df
+        # a collected session's entry is dropped too (dead weakref)
+        gone = _Fake(True)
+        catalog._TABLE_CACHE[id(gone)] = (weakref.ref(gone), {})
+        gid = id(gone)
+        del gone
+        load_table(spark, sf_dir, "region")
+        assert gid not in catalog._TABLE_CACHE, "collected session not swept"
+    finally:
+        catalog._TABLE_CACHE.pop(id(live), None)
