@@ -8,14 +8,19 @@ subtle: the sample-table walk (stts/stsc/stsz/stco|co64 → absolute
 per-sample byte ranges), which is where naive parsers break on
 multi-sample chunks and stsc runs.
 
-Two essence kinds decode end-to-end with no native libs:
+Three essence kinds decode end-to-end with no native libs:
 
 - ``'jpeg'`` — Photo JPEG (each sample a standalone JFIF), via the
   repo's own pure-numpy operators/jpeg.py: genuinely COMPRESSED video;
 - ``'raw '`` — uncompressed packed 24-bit RGB, top-down rows (the
-  QuickTime raw-video entry at depth 24).
+  QuickTime raw-video entry at depth 24);
+- ``'avc1'`` — baseline H.264, all-intra IDR samples, via
+  operators/h264.py (CAVLC + full intra prediction; avcC parsed from
+  the sample entry).  avc1 samples that are P/B slices raise
+  NotImplementedError inside decode — real streams with inter frames
+  still fence honestly.
 
-Inter-frame codecs (avc1/hev1/vp09/av01/mp4v) probe fine — width,
+Other inter-frame codecs (hev1/vp09/av01/mp4v) probe fine — width,
 height, fps, frame count, codec all report — but decode raises
 NotImplementedError: the honest fence is the same one video.py draws
 for AVI ('inter-frame essence', not 'video').  Reference parity:
@@ -44,7 +49,10 @@ TOPLEVEL_BOXES = {
     b"moof", b"mfra", b"meta", b"pdin", b"sidx",
 }
 
-_INTRA_CODECS = ("jpeg", "raw")  # decodable essence (fourcc, space-stripped)
+#: decodable essence (fourcc, space-stripped): Photo-JPEG, raw RGB24,
+#: and all-intra baseline H.264 (IDR slices, operators/h264.py —
+#: avc1 tracks whose samples are P/B slices still raise inside decode)
+_INTRA_CODECS = ("jpeg", "raw", "avc1")
 
 
 # ---------------------------------------------------------------------
@@ -127,17 +135,33 @@ def encode_mp4(
     then one moof(mfhd/tfhd/tfdt/trun)+mdat pair per
     ``samples_per_chunk`` frames — default-base-is-moof addressing,
     per-sample trun sizes, tfhd default duration."""
-    if codec not in ("jpeg", "raw"):
-        raise ValueError("codec must be 'jpeg' or 'raw'")
+    if codec not in ("jpeg", "raw", "h264"):
+        raise ValueError("codec must be 'jpeg', 'raw', or 'h264'")
     if samples_per_chunk < 1:
         raise ValueError("samples_per_chunk must be >= 1")
     n, h, w, _ = frames.shape
 
+    extra = b""
     if codec == "jpeg":
         from marketstore_spark.operators.jpeg import encode_jpeg
 
         samples = [encode_jpeg(f, quality=quality) for f in frames]
         fourcc, compressor = b"jpeg", b"Photo JPEG"
+    elif codec == "h264":
+        # all-intra baseline IDR stream (operators/h264.py), stored the
+        # ISO/IEC 14496-15 way: avcC in the sample entry, one
+        # length-prefixed IDR sample per frame.  quality maps to QP
+        # (quality 85 -> QP ~22): higher quality, lower QP.
+        from marketstore_spark.operators.h264 import (
+            annexb_to_avcc_samples,
+            encode_h264,
+        )
+
+        qp = max(0, min(51, 51 - round(quality * 34 / 100)))
+        annexb = encode_h264(frames, qp=qp)
+        avcc, samples = annexb_to_avcc_samples(annexb)
+        extra = _box(b"avcC", avcc)
+        fourcc, compressor = b"avc1", b"AVC Coding"
     else:
         samples = [f.tobytes() for f in frames]
         fourcc, compressor = b"raw ", b"raw RGB24"
@@ -145,6 +169,7 @@ def encode_mp4(
         samples, w, h, fps=fps, fourcc=fourcc, compressor=compressor,
         uniform=(codec == "raw"), samples_per_chunk=samples_per_chunk,
         use_co64=use_co64, version1=version1, fragmented=fragmented,
+        extra_entry_boxes=extra,
     )
 
 
@@ -160,12 +185,15 @@ def mux_mp4_samples(
     use_co64: bool = False,
     version1: bool = False,
     fragmented: bool = False,
+    extra_entry_boxes: bytes = b"",
 ) -> bytes:
     """Mux already-encoded video samples (one bytes payload per frame)
     into an ISO-BMFF file — the container math separated from the
     essence encode, so conformance tests can feed REAL wild payloads
     (arbitrary producers, heterogeneous sizes) through the exact
-    sample-table/fragment writer the codec path uses."""
+    sample-table/fragment writer the codec path uses.
+    ``extra_entry_boxes`` is appended inside the visual sample entry
+    (the avcC decoder-configuration box for 'avc1' tracks)."""
     n = len(samples)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
@@ -230,7 +258,8 @@ def mux_mp4_samples(
         + b"\x00" * 4
         + struct.pack(">H", 1)                        # frame_count per sample
         + name32 + b"\x00" * (32 - len(name32))
-        + struct.pack(">Hh", 24, -1),                 # depth, pre_defined
+        + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+        + extra_entry_boxes,                          # e.g. avcC
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
@@ -380,6 +409,20 @@ def _stsd_codec(data: bytes, stbl: dict) -> str:
     if count < 1 or s + 8 + 8 > e:
         raise ValueError("empty stsd")
     return data[s + 12 : s + 16].decode("ascii", "replace").strip()
+
+
+def _stsd_avcc(data: bytes, stbl: dict) -> bytes:
+    """The avcC decoder-configuration payload from an 'avc1' sample
+    entry (ISO/IEC 14496-15): the VisualSampleEntry carries 78 fixed
+    bytes after its box header, then child boxes."""
+    s, e = stbl[b"stsd"]
+    entry_s = s + 8  # first sample entry box header
+    (entry_size,) = struct.unpack_from(">I", data, entry_s)
+    entry_end = min(entry_s + entry_size, e)
+    for fourcc, cs, ce in _iter_boxes(data, entry_s + 8 + 78, entry_end):
+        if fourcc == b"avcC":
+            return data[cs:ce]
+    raise ValueError("avc1 sample entry lacks an avcC box")
 
 
 def _sample_count(data: bytes, stbl: dict) -> int:
@@ -768,8 +811,10 @@ def decode_mp4_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (frame_idx, H×W×3 uint8 RGB) for every ``every_n``-th
-    sample.  Photo-JPEG ('jpeg') and uncompressed RGB24 ('raw ')
-    decode; inter-frame essence (avc1/hev1/...) raises
+    sample.  Photo-JPEG ('jpeg'), uncompressed RGB24 ('raw '), and
+    all-intra baseline H.264 ('avc1', IDR samples via
+    operators/h264.py) decode; other inter-frame essence (hev1/vp09/
+    av01/mp4v, and avc1 samples that are P/B slices) raises
     NotImplementedError."""
     if len(payload) < 12 or payload[4:8] not in TOPLEVEL_BOXES:
         raise ValueError("not an ISO-BMFF (MP4) payload")
@@ -781,6 +826,13 @@ def decode_mp4_frames(
         )
     if codec == "jpeg":
         from marketstore_spark.operators.jpeg import decode_jpeg
+    if codec == "avc1":
+        from marketstore_spark.operators.h264 import (
+            decode_avcc_sample,
+            parse_avcc,
+        )
+
+        sps, pps, length_size = parse_avcc(_stsd_avcc(payload, stbl))
     w, h = hdr["width"], hdr["height"]
     for idx, (off, size) in enumerate(_all_sample_ranges(payload, hdr, stbl)):
         if idx % every_n:
@@ -788,6 +840,8 @@ def decode_mp4_frames(
         sample = bytes(payload[off : off + size])
         if codec == "jpeg":
             yield idx, decode_jpeg(sample)
+        elif codec == "avc1":
+            yield idx, decode_avcc_sample(sample, sps, pps, length_size)
         else:
             if size != w * h * 3:
                 raise ValueError("raw sample size does not match w*h*3")

@@ -15,7 +15,7 @@ import struct
 import numpy as np
 import pytest
 
-from marketstore_spark.operators import mp4, video
+from marketstore_spark.operators import h264, mp4, video
 from marketstore_spark.operators.gif import decode_gif, encode_gif
 from marketstore_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from marketstore_spark.operators.multimodal import (
@@ -74,6 +74,9 @@ _CASES = [
     ("png", lambda: encode_png(_FRAMES[0]), decode_png),
     ("gif", lambda: encode_gif((_FRAMES[0] // 64 * 64)[None]), decode_gif),
     ("jpeg", lambda: encode_jpeg(_FRAMES[0]), decode_jpeg),
+    ("h264", lambda: h264.encode_h264(_FRAMES, qp=20), h264.decode_h264),
+    ("mp4avc1", lambda: mp4.encode_mp4(_FRAMES, codec="h264"),
+     lambda b: list(mp4.decode_mp4_frames(b))),
 ]
 
 

@@ -83,13 +83,20 @@ def test_co64_and_version1_boxes():
 
 
 def test_interframe_codec_probes_but_decode_fences():
-    """avc1 metadata probes fine (that's what a corpus pipeline needs
-    for sampling plans); only decode raises."""
+    """hev1 metadata probes fine (that's what a corpus pipeline needs
+    for sampling plans); only decode raises.  avc1 now has a real
+    intra decoder (operators/h264.py), so the fence moved: a sample
+    entry claiming avc1 WITHOUT its mandatory avcC box is corrupt
+    (ValueError), and P/B essence raises inside decode (test_h264)."""
     mp4 = encode_mp4(_frames(n=4, h=8, w=8), codec="jpeg")
-    avc1 = mp4.replace(b"jpeg", b"avc1", 1)  # stsd entry fourcc only
-    info = probe_mp4(avc1)
-    assert info["codec"] == "avc1" and info["n_frames"] == 4
+    hev1 = mp4.replace(b"jpeg", b"hev1", 1)  # stsd entry fourcc only
+    info = probe_mp4(hev1)
+    assert info["codec"] == "hev1" and info["n_frames"] == 4
     with pytest.raises(NotImplementedError):
+        list(decode_mp4_frames(hev1))
+    avc1 = mp4.replace(b"jpeg", b"avc1", 1)
+    assert probe_mp4(avc1)["codec"] == "avc1"
+    with pytest.raises(ValueError):
         list(decode_mp4_frames(avc1))
 
 
@@ -630,3 +637,45 @@ def test_mp4_through_spark_frame_ops(spark):
     for r in out:
         px = decode_bmp(bytes(r["payload"]))
         assert (px == frames[r["frame_idx"]]).all()  # container→BMP exact
+
+
+def test_wild_mp4_files_probe_without_escape():
+    """Enumerate any REAL .mp4/.mov/.m4v on this machine (multi-
+    producer box layouts the self-built fixtures can't represent) and
+    require the full probe → sample-walk → decode pipeline to stay
+    inside the ValueError/NotImplementedError contract — the same
+    sweep r11 ran for JPEG/PNG/GIF/WAV.  Skips when the machine ships
+    no video files (this container has none today); the enumeration
+    is the point, so new fixtures are picked up automatically."""
+    import os
+
+    # bounded os.walk (depth-capped, dir-budgeted) — a full recursive
+    # glob over /usr/lib-sized trees costs minutes; fixture discovery
+    # must stay cheap enough for every suite run
+    roots = ("/usr/share", "/opt", "/usr/local/share", "/root/testdata")
+    exts = (".mp4", ".mov", ".m4v")
+    paths, budget = [], 20_000
+    for root in roots:
+        base_depth = root.count(os.sep)
+        for dirpath, dirnames, filenames in os.walk(root):
+            budget -= 1
+            if budget <= 0:
+                break
+            if dirpath.count(os.sep) - base_depth >= 6:
+                dirnames[:] = []
+            paths.extend(
+                os.path.join(dirpath, f)
+                for f in filenames
+                if f.lower().endswith(exts)
+            )
+    paths = sorted({p for p in paths if os.path.isfile(p)})[:50]
+    if not paths:
+        pytest.skip("no wild .mp4/.mov fixtures on this machine")
+    for p in paths:
+        payload = open(p, "rb").read()
+        try:
+            info = probe_mp4(payload)
+            assert info["width"] >= 0 and info["n_frames"] >= 0
+            list(decode_mp4_frames(payload, every_n=10))
+        except (ValueError, NotImplementedError):
+            pass  # foreign/fenced essence is data, not a bug
