@@ -460,6 +460,40 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_adpcm(
+    samples: "np.ndarray", rate: int = 8000, codec: str = "ima"
+) -> bytes:
+    """int16 samples (mono (n,) or (n, nch)) → 4-bit ADPCM WAV bytes:
+    ``codec='ima'`` writes WAVE_FORMAT_IMA_ADPCM (0x0011), ``'ms'``
+    WAVE_FORMAT_ADPCM (0x0002) — operators/adpcm.py does the actual
+    compression.  Writes the extended fmt (cbSize=2, wSamplesPerBlock)
+    and the fact chunk non-PCM WAVs require; decode_wav uses fact to
+    trim the final block's padding."""
+    from marketstore_spark.operators.adpcm import encode_ima_wav, encode_ms_adpcm
+
+    arr = np.asarray(samples, np.int16)
+    nch = 1 if arr.ndim == 1 else arr.shape[1]
+    n = arr.shape[0]
+    if codec == "ima":
+        data, ba, spb = encode_ima_wav(arr)
+        tag = 0x11
+    elif codec == "ms":
+        data, ba, spb = encode_ms_adpcm(arr)
+        tag = 0x02
+    else:
+        raise ValueError("codec must be 'ima' or 'ms'")
+    avg = rate * ba // max(1, spb)
+    fmt = struct.pack("<HHIIHHHH", tag, nch, rate, avg, ba, 4, 2, spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @corrupt_guard
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """WAV bytes → (sample_rate, int16 samples of first channel).
@@ -473,8 +507,11 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     [−1, 1], then ``floor(x·32767 + 0.5)`` — engine- and
     platform-identical for any input; float64 (tag 3, 64-bit) and the
     G.711 telephony pair (tags 6 A-law / 7 µ-law, round 12) decode the
-    same way.  ADPCM still raises so the caller records
-    decoded_ok=0."""
+    same way.  Round 13 adds the two 4-bit ADPCM families (tag 0x11
+    IMA/DVI4 and tag 0x02 Microsoft, operators/adpcm.py — block
+    headers, nibble interleave, fact-chunk trim), so the classic
+    compressed-WAV forms decode for real; remaining exotic tags raise
+    so the caller records decoded_ok=0."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             width = wf.getsampwidth()
@@ -501,7 +538,7 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         pass  # non-PCM format tag: parse the RIFF chunks ourselves
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_n = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -511,9 +548,11 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            (fact_n,) = struct.unpack_from("<I", body, 0)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    tag, nch, rate, _br, ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag == 3 and bits == 32:  # IEEE float
         return int(rate), _float_to_int16(np.frombuffer(data, "<f4")[::nch])
     if tag == 3 and bits == 64:
@@ -524,6 +563,19 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     if tag == 7 and bits == 8:  # G.711 µ-law (WAVE_FORMAT_MULAW)
         s = _ulaw_to_int16(np.frombuffer(data, np.uint8))[::nch].copy()
         return int(rate), s
+    if tag in (0x11, 0x02) and bits == 4:  # IMA / Microsoft ADPCM
+        from marketstore_spark.operators.adpcm import (
+            decode_ima_wav,
+            decode_ms_adpcm,
+        )
+
+        dec = decode_ima_wav if tag == 0x11 else decode_ms_adpcm
+        s = dec(bytes(data), int(nch), int(ba))
+        # the fact chunk carries the true per-channel frame count —
+        # trim the final block's padding samples
+        if fact_n is not None and 0 < fact_n <= len(s):
+            s = s[:fact_n]
+        return int(rate), s[:, 0].copy()
     raise NotImplementedError(f"WAV format tag {tag} ({bits}-bit)")
 
 

@@ -26,6 +26,7 @@ from marketstore_spark.operators.multimodal import (
     decode_wav,
     encode_bmp,
     encode_png,
+    encode_wav_adpcm,
     encode_wav_g711,
     encode_wav_pcm16,
 )
@@ -68,6 +69,8 @@ _CASES = [
      lambda b: list(video.decode_avi_frames(b))),
     ("wav", lambda: encode_wav_pcm16(_CLIP, 8000), decode_wav),
     ("wav_g711", lambda: encode_wav_g711(_CLIP, 8000, "alaw"), decode_wav),
+    ("wav_ima", lambda: encode_wav_adpcm(_CLIP, 8000, "ima"), decode_wav),
+    ("wav_msadpcm", lambda: encode_wav_adpcm(_CLIP, 8000, "ms"), decode_wav),
     ("au", lambda: _AU, decode_au),
     ("aiff_foreign", lambda: _AU, decode_aiff),  # wrong container entirely
     ("bmp", lambda: encode_bmp(_FRAMES[0]), decode_bmp),
