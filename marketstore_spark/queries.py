@@ -4584,6 +4584,88 @@ def multimodal_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_avc1_dhash",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS nf
+  FROM documents WHERE doc_id % 29 = 5
+),
+f AS (
+  SELECT media_id,
+         CAST(unnest(range(0, CAST(nf AS BIGINT))) AS BIGINT) AS frame_idx
+  FROM v
+),
+p AS (
+  SELECT media_id, frame_idx, (media_id * 7 + frame_idx) % 256 AS pat FROM f
+)
+SELECT media_id, frame_idx,
+       CAST(pat * CAST(72340172838076673 AS HUGEINT)
+            - CASE WHEN pat >= 128 THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END
+            AS BIGINT) AS dhash
+FROM p
+""",
+)
+def multimodal_avc1_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 decode through Spark, content-pinned: per media row
+    a baseline IDR avc1 MP4 (operators/h264.encode_h264 at QP 0 →
+    avcC + length-prefixed samples) whose every frame is a closed-form
+    gradient is synthesized, then container-sniffed, CAVLC-decoded,
+    intra-predicted, inverse-transformed, and dHashed by
+    multimodal.video_frame_dhash in one Arrow hop.  QP 0 is lossless
+    on gray gradients (test_h264 pins it) and the dHash compares ±8
+    brightness steps, so the oracle's closed form pins the ENTIRE
+    H.264 decode stack — entropy tables, prediction, transform,
+    avcC/sample walk — against SQL every driver round, not just in
+    pytest."""
+    from pyspark.sql.types import BinaryType
+
+    from marketstore_spark.operators.multimodal import video_frame_dhash
+
+    def synth_avc1(s):  # noqa: ANN001 — pandas Series → pandas Series
+        import numpy as np
+
+        from marketstore_spark.operators.h264 import (
+            annexb_to_avcc_samples,
+            encode_h264,
+        )
+        from marketstore_spark.operators.mp4 import _box, mux_mp4_samples
+        from marketstore_spark.operators.multimodal import synth_gradient_pixels
+
+        def make(mid):
+            mid = int(mid)
+            frames = np.stack(
+                [
+                    synth_gradient_pixels((mid * 7 + f) % 256)
+                    for f in range(mid % 3 + 1)
+                ]
+            )
+            avcc, samples = annexb_to_avcc_samples(encode_h264(frames, qp=0))
+            return mux_mp4_samples(
+                samples, 18, 16, fps=5, fourcc=b"avc1",
+                compressor=b"AVC Coding",
+                extra_entry_boxes=_box(b"avcC", avcc),
+            )
+
+        return s.map(make)
+
+    synth = F.pandas_udf(synth_avc1, BinaryType())
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 5)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            synth("doc_id").alias("payload"),
+        )
+    )
+    out = video_frame_dhash(media, every_n=1)
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "dhash"
+    )
+
+
+@_register(
     "gapfill_interp",
     """
 WITH b AS (
@@ -8139,10 +8221,11 @@ _FRONT = [
     "top_symbols",
     "uda_max",
     "uda_min",
-    # Block C - r10-evidence keys refreshed proactively (window fill).
+    # Block C - the fifth NEW key (registered later in the round: the
+    # avc1/H.264 decode-stack oracle) + r10-evidence window fills.
+    "multimodal_avc1_dhash",
     "ann_cosine_topk",
     "ann_filtered",
-    "ann_lsh_exhaustive",
 ]
 
 
@@ -8151,7 +8234,8 @@ _FRONT = [
 # they are first in line for the r14 rotation; then the r11 block,
 # then the r12 window (freshest last).
 _BACK = [
-    # last driver row r10 (the 47 not fronted above).
+    # last driver row r10 (the 48 not fronted above).
+    "ann_lsh_exhaustive",
     "candlecandler",
     "corpus_benchmark_coverage",
     "corpus_decontaminate",

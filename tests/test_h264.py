@@ -342,3 +342,51 @@ def test_avc1_through_spark_dhash(spark):
     _, recon = encode_h264(frames, qp=qp, return_recon=True)
     for r in rows:
         assert r["dhash"] == image_dhash_array(recon[r["frame_idx"]])
+
+
+def test_sei_and_aud_nals_are_skipped():
+    """Wild Annex-B streams interleave SEI (6) and AUD (9) NALs with
+    the slices; the decoder must skip them, not choke."""
+    blob = encode_h264(_gradient(2, 16, 16), qp=20)
+    nals = split_annexb(blob)
+    sei = b"\x00\x00\x00\x01" + bytes([0x06]) + b"\x05\x04deadbeef\x80"
+    aud = b"\x00\x00\x00\x01" + bytes([0x09]) + b"\x10\x80"
+    interleaved = (
+        aud
+        + b"\x00\x00\x00\x01" + nals[0]
+        + sei
+        + b"\x00\x00\x00\x01" + nals[1]
+        + sei
+        + b"\x00\x00\x00\x01" + nals[2]
+        + aud
+        + b"\x00\x00\x00\x01" + nals[3]
+    )
+    _, recon = encode_h264(_gradient(2, 16, 16), qp=20, return_recon=True)
+    dec = decode_h264(interleaved)
+    assert np.array_equal(dec, recon)
+
+
+def test_avc1_sample_with_p_slice_fences_in_mp4():
+    """An avc1 track whose sample carries a non-IDR (type 1) NAL must
+    fence with NotImplementedError THROUGH the MP4 walk — the
+    real-stream shape (IDR + P frames) never silently yields wrong
+    pixels."""
+    import struct as _struct
+
+    from marketstore_spark.operators.mp4 import decode_mp4_frames, encode_mp4
+
+    blob = encode_mp4(_gradient(2, 16, 16), codec="h264", quality=85)
+    # rewrite the SECOND sample's first NAL header to non-IDR type 1
+    # (nal_ref_idc preserved): find the mdat payload's NAL lengths
+    from marketstore_spark.operators.mp4 import _children
+
+    mdat_s, _mdat_e = _children(blob, 0, len(blob))[b"mdat"]
+    (ln1,) = _struct.unpack_from(">I", blob, mdat_s)
+    hdr_pos = mdat_s + 4 + ln1 + 4  # second sample's first NAL header
+    patched = bytearray(blob)
+    patched[hdr_pos] = (patched[hdr_pos] & 0x60) | 1
+    it = decode_mp4_frames(bytes(patched))
+    idx0, _f0 = next(it)  # first sample still decodes (it is IDR)
+    assert idx0 == 0
+    with pytest.raises(NotImplementedError):
+        next(it)
