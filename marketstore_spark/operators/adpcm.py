@@ -318,3 +318,79 @@ def encode_ms_adpcm(
         for k in range(0, len(nibs), 2):
             out.append((nibs[k] << 4) | nibs[k + 1])
     return bytes(out), block_align, spb
+
+
+# ---------------------------------------------------------------------
+# QuickTime 'ima4' packets (MP4/MOV 'soun' tracks): 34-byte packets of
+# 2-byte BE state preamble (predictor high 9 bits | step index low 7)
+# + 32 data bytes = 64 samples, LOW nibble first; stereo round-robins
+# whole packets per channel.
+# ---------------------------------------------------------------------
+
+IMA_QT_PACKET = 34
+IMA_QT_SAMPLES = 64
+
+
+def _sign16(v: int) -> int:
+    return v - 65536 if v >= 32768 else v
+
+
+def encode_ima_qt(samples: "np.ndarray") -> tuple[bytes, int]:
+    """(n,) or (n, nch) int16 → (packet stream, packets per channel).
+    The preamble stores the running predictor TRUNCATED to its high 9
+    bits — and the encoder re-anchors its own state to that truncated
+    value (what conformant ima4 encoders do), so the decoder stays in
+    bitwise lockstep from any packet boundary."""
+    arr = np.asarray(samples, np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    if n < 1:
+        raise ValueError("empty clip")
+    if n % IMA_QT_SAMPLES:
+        pad = IMA_QT_SAMPLES - n % IMA_QT_SAMPLES
+        arr = np.vstack([arr, np.repeat(arr[-1:], pad, 0)])
+    preds, idxs = [0] * nch, [0] * nch
+    out = bytearray()
+    for bs in range(0, len(arr), IMA_QT_SAMPLES):
+        for c in range(nch):
+            preamble = (preds[c] & 0xFF80) | (idxs[c] & 0x7F)
+            out += struct.pack(">H", preamble & 0xFFFF)
+            preds[c] = _sign16(preamble & 0xFF80)
+            nibs = []
+            for i in range(IMA_QT_SAMPLES):
+                nib, preds[c], idxs[c] = ima_encode_sample(
+                    int(arr[bs + i, c]), preds[c], idxs[c]
+                )
+                nibs.append(nib)
+            for k in range(0, IMA_QT_SAMPLES, 2):
+                out.append(nibs[k] | (nibs[k + 1] << 4))  # low nibble first
+    return bytes(out), len(arr) // IMA_QT_SAMPLES
+
+
+def decode_ima_qt(data: bytes, nch: int) -> "np.ndarray":
+    """ima4 packet stream → (n, nch) int16."""
+    if nch < 1:
+        raise ValueError("bad channel count")
+    if len(data) < IMA_QT_PACKET or len(data) % (IMA_QT_PACKET * nch):
+        raise ValueError("ima4 stream is not whole channel-packet groups")
+    groups = len(data) // (IMA_QT_PACKET * nch)
+    out = np.zeros((groups * IMA_QT_SAMPLES, nch), np.int16)
+    pos = 0
+    for g in range(groups):
+        for c in range(nch):
+            (preamble,) = struct.unpack_from(">H", data, pos)
+            pos += 2
+            pred = _sign16(preamble & 0xFF80)
+            index = preamble & 0x7F
+            if index > 88:
+                raise ValueError("ima4 step index out of range")
+            row = g * IMA_QT_SAMPLES
+            for k in range(32):
+                byte = data[pos]
+                pos += 1
+                for nib in (byte & 0xF, byte >> 4):
+                    pred, index = ima_decode_nibble(nib, pred, index)
+                    out[row, c] = pred
+                    row += 1
+    return out

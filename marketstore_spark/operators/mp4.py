@@ -857,6 +857,7 @@ def decode_mp4_frames(
 _AUDIO_WIDTHS = {
     b"twos": None, b"sowt": 2, b"raw ": 1, b"in24": 3, b"in32": 4,
     b"ulaw": 1, b"alaw": 1, b"fl32": 4, b"fl64": 8,
+    b"ima4": None,  # QuickTime IMA ADPCM: 34-byte/64-sample packets
 }
 
 
@@ -910,19 +911,37 @@ def encode_mp4_audio(
     elif codec_b == b"fl32":
         body = (arr.astype(np.float64) / 32767.0).astype(">f4").tobytes()
         width, bits = 4, 32
+    elif codec_b == b"ima4":
+        from marketstore_spark.operators.adpcm import (
+            IMA_QT_PACKET,
+            IMA_QT_SAMPLES,
+            encode_ima_qt,
+        )
+
+        body, _npackets = encode_ima_qt(arr.astype(np.int16))
+        width, bits = None, 16
     else:  # fl64
         body = (arr.astype(np.float64) / 32767.0).astype(">f8").tobytes()
         width, bits = 8, 64
 
     ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0x200) + b"qt  ")
-    frame_bytes = width * nch
+    if codec_b == b"ima4":
+        # one MP4 sample = one 34-byte packet per channel = 64 PCM
+        # frames; durations below are in PCM frames (timescale = rate)
+        unit_bytes = IMA_QT_PACKET * nch
+        unit_dur = IMA_QT_SAMPLES
+        n = -(-n // IMA_QT_SAMPLES)  # packets per channel (tail padded)
+    else:
+        unit_bytes = width * nch
+        unit_dur = 1
+    frame_bytes = unit_bytes
     chunk_offsets = []
     base = len(ftyp) + 8
     for i in range(0, n, frames_per_chunk):
         chunk_offsets.append(base + i * frame_bytes)
     mdat = _box(b"mdat", body)
 
-    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, unit_dur))
     runs = [(1, min(frames_per_chunk, n), 1)]
     if n > frames_per_chunk and n % frames_per_chunk:
         runs.append((n // frames_per_chunk + 1, n % frames_per_chunk, 1))
@@ -948,19 +967,20 @@ def encode_mp4_audio(
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
     matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    dur = n * unit_dur  # PCM frames (ima4 units span 64 each)
     mvhd = _full(
         b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, rate, n)
+        struct.pack(">IIII", 0, 0, rate, dur)
         + struct.pack(">iHH8x", 0x10000, 0x100, 0) + matrix
         + b"\x00" * 24 + struct.pack(">I", 2),
     )
     tkhd = _full(
         b"tkhd", 0, 7,
-        struct.pack(">III4xI", 0, 0, 1, n)
+        struct.pack(">III4xI", 0, 0, 1, dur)
         + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x100, 0) + matrix
         + struct.pack(">II", 0, 0),
     )
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, dur, 0x55C4, 0))
     hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"Sound\x00")
     smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
@@ -977,9 +997,10 @@ def decode_mp4_audio(payload: bytes) -> tuple[int, np.ndarray]:
     channel) with the SAME int16 normalization as the WAV/AU/AIFF
     decoders (multimodal.py), so one clip in any container yields
     identical samples.  Uncompressed PCM ('twos'/'sowt'/'raw '/
-    'in24'/'in32'), IEEE float ('fl32'/'fl64') and G.711
-    ('ulaw'/'alaw') decode; compressed essence ('mp4a' AAC, 'lpcm' v2
-    descriptors) raises NotImplementedError."""
+    'in24'/'in32'), IEEE float ('fl32'/'fl64'), G.711 ('ulaw'/'alaw'),
+    and QuickTime IMA ADPCM ('ima4' — genuinely COMPRESSED audio,
+    34-byte/64-sample packets via operators/adpcm.py) decode; 'mp4a'
+    AAC and 'lpcm' v2 descriptors raise NotImplementedError."""
     from marketstore_spark.operators.multimodal import (
         _alaw_to_int16,
         _float_to_int16,
@@ -1015,7 +1036,11 @@ def decode_mp4_audio(payload: bytes) -> tuple[int, np.ndarray]:
         payload[off : off + size]
         for off, size in _all_sample_ranges(payload, hdr, stbl)
     )
-    if fourcc == b"twos":
+    if fourcc == b"ima4":
+        from marketstore_spark.operators.adpcm import decode_ima_qt
+
+        s16 = decode_ima_qt(raw, nch)[:, 0].copy()
+    elif fourcc == b"twos":
         s16 = _pcm_be_to_int16(raw, 2 if bits == 16 else 1, nch)
     elif fourcc == b"sowt":
         s16 = np.frombuffer(raw, "<i2")[::nch].astype(np.int16).copy()

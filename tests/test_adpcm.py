@@ -173,3 +173,36 @@ def test_adpcm_through_feature_pipeline(spark):
         assert out[mid]["n_samples"] == 1500
         assert 6000 < out[mid]["peak"] < 11000
     assert out[3]["decoded_ok"] == 0
+
+
+def test_ima4_mp4_audio_roundtrip():
+    """QuickTime 'ima4' in an MP4 'soun' track — real COMPRESSED audio
+    in the container: the track decodes bitwise-identically to the
+    bare packet-stream twin, mono and stereo, through both
+    decode_mp4_audio and the sniffing dispatcher; the preamble's 9-bit
+    predictor truncation is part of the lockstep (the encoder
+    re-anchors to it)."""
+    from marketstore_spark.operators.adpcm import decode_ima_qt, encode_ima_qt
+    from marketstore_spark.operators.mp4 import (
+        decode_mp4_audio,
+        encode_mp4_audio,
+    )
+
+    sig = _sig(2000, amp=6000)
+    for x in (sig, np.stack([sig, -sig // 4], -1)):
+        nch = 1 if x.ndim == 1 else 2
+        blob = encode_mp4_audio(x, rate=22050, codec="ima4")
+        rate, s = decode_mp4_audio(blob)
+        data, _npk = encode_ima_qt(x.astype(np.int16))
+        ref = decode_ima_qt(data, nch)[:, 0]
+        assert rate == 22050 and np.array_equal(s, ref)
+        err = np.abs(s[:2000].astype(int) - sig.astype(int))
+        assert err.mean() < 120
+        assert len(blob) < x.size * 2 * 0.5  # really compressed
+        r2, s2 = decode_audio_any(blob)
+        assert r2 == rate and np.array_equal(s2, s)
+    # malformed packet stream refuses
+    with pytest.raises(ValueError):
+        decode_ima_qt(b"\x00" * 35, 1)
+    with pytest.raises(ValueError):
+        decode_ima_qt(bytes([0x00, 0x59]) + b"\x00" * 32, 1)  # index 89
