@@ -4506,6 +4506,10 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = F.pandas_udf(
         lambda s: s.map(lambda mid: synth_gradient_image(int(mid))), BinaryType()
     )
+    # no spread_for_narrow_work here (unlike the video/avc1 twins):
+    # the per-image synth+dHash is ~0.3 ms/row — light enough that a
+    # row shuffle buys nothing at sf0.1 (measured ~equal-or-worse) —
+    # the simsearch._bucket_assigner lesson
     media = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
@@ -4567,15 +4571,20 @@ def multimodal_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return s.map(make)
 
+    from marketstore_spark.functions.layout import spread_for_narrow_work
+
     synth = F.pandas_udf(synth_avi, BinaryType())
-    media = (
+    docs = spread_for_narrow_work(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 23 == 4)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("video").alias("kind"),
-            synth("doc_id").alias("payload"),
-        )
+        .select("doc_id"),
+        "doc_id",
+        heavy=True,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        synth("doc_id").alias("payload"),
     )
     out = video_frame_dhash(media, every_n=1)
     return out.select(
@@ -4649,15 +4658,20 @@ def multimodal_avc1_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return s.map(make)
 
+    from marketstore_spark.functions.layout import spread_for_narrow_work
+
     synth = F.pandas_udf(synth_avc1, BinaryType())
-    media = (
+    docs = spread_for_narrow_work(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 29 == 5)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("video").alias("kind"),
-            synth("doc_id").alias("payload"),
-        )
+        .select("doc_id"),
+        "doc_id",
+        heavy=True,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        synth("doc_id").alias("payload"),
     )
     out = video_frame_dhash(media, every_n=1)
     return out.select(
