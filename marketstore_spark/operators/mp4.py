@@ -875,9 +875,14 @@ def encode_mp4_audio(
     encoders (multimodal._int16_to_ulaw/_int16_to_alaw, audioop-pinned).
     Uniform stsz (bytes per PCM frame) + multi-frame chunks — the
     layout QuickTime itself writes for uncompressed audio."""
-    codec_b = codec.encode("ascii").ljust(4)[:4]
-    if codec_b not in _AUDIO_WIDTHS:
-        raise ValueError(f"unsupported audio codec {codec!r}")
+    lpcm_float = None
+    if codec in ("lpcm16", "lpcmf32"):
+        # modern QuickTime v2 'lpcm' descriptor (little-endian packed)
+        codec_b, lpcm_float = b"lpcm", codec == "lpcmf32"
+    else:
+        codec_b = codec.encode("ascii").ljust(4)[:4]
+        if codec_b not in _AUDIO_WIDTHS:
+            raise ValueError(f"unsupported audio codec {codec!r}")
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -911,6 +916,13 @@ def encode_mp4_audio(
     elif codec_b == b"fl32":
         body = (arr.astype(np.float64) / 32767.0).astype(">f4").tobytes()
         width, bits = 4, 32
+    elif codec_b == b"lpcm":
+        if lpcm_float:
+            body = (arr.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+            width, bits = 4, 32
+        else:
+            body = arr.astype("<i2").tobytes()
+            width, bits = 2, 16
     elif codec_b == b"ima4":
         from marketstore_spark.operators.adpcm import (
             IMA_QT_PACKET,
@@ -956,13 +968,30 @@ def encode_mp4_audio(
         struct.pack(">I", len(chunk_offsets))
         + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
     )
-    entry = _box(
-        codec_b,
-        b"\x00" * 6 + struct.pack(">H", 1)                 # data_ref_index
-        + struct.pack(">HH4x", 0, 0)                        # version/revision/vendor
-        + struct.pack(">HHHH", nch, bits, 0, 0)             # chans/size/cid/packet
-        + struct.pack(">I", rate << 16),                    # 16.16 rate
-    )
+    if codec_b == b"lpcm":
+        # v2 sound descriptor (QTFF): constants, float64 rate, 32-bit
+        # channel/bits fields, format flags (float|signed-int, packed;
+        # little-endian = no BigEndian flag)
+        flags = (0x1 if lpcm_float else 0x4) | 0x8
+        entry = _box(
+            b"lpcm",
+            b"\x00" * 6 + struct.pack(">H", 1)            # data_ref_index
+            + struct.pack(">HH4x", 2, 0)                    # version 2
+            + struct.pack(">HHhh", 3, 16, -2, -2)           # spec constants
+            + struct.pack(">II", 65536, 72)                 # const, sizeOfStructOnly
+            + struct.pack(">d", float(rate))
+            + struct.pack(">II", nch, 0x7F000000)
+            + struct.pack(">III", bits, flags, width * nch)
+            + struct.pack(">I", 1),                         # LPCM frames/packet
+        )
+    else:
+        entry = _box(
+            codec_b,
+            b"\x00" * 6 + struct.pack(">H", 1)             # data_ref_index
+            + struct.pack(">HH4x", 0, 0)                    # version/revision/vendor
+            + struct.pack(">HHHH", nch, bits, 0, 0)         # chans/size/cid/packet
+            + struct.pack(">I", rate << 16),                # 16.16 rate
+        )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
@@ -1018,12 +1047,60 @@ def decode_mp4_audio(payload: bytes) -> tuple[int, np.ndarray]:
     if count < 1 or s + 8 + 36 > e:
         raise ValueError("empty/truncated audio stsd")
     fourcc = payload[s + 12 : s + 16]
+    # AudioSampleEntry version lives at s+24 (after the entry-box
+    # header + 6 reserved + data_ref_index).  v0/v1 share the field
+    # layout below; a v2 descriptor (modern QuickTime 'lpcm') moves
+    # EVERYTHING — reading the v0 offsets against a v2 entry would
+    # return the always3/always16 constants as nch/bits and silently
+    # de-interleave the wrong channel.
+    (entry_version,) = struct.unpack_from(">H", payload, s + 24)
+    if entry_version == 2:
+        if fourcc != b"lpcm":
+            raise NotImplementedError(
+                f"v2 sound descriptor with compressed essence "
+                f"{fourcc.decode('ascii', 'replace').strip()!r}"
+            )
+        (rate_f,) = struct.unpack_from(">d", payload, s + 48)
+        (nch,) = struct.unpack_from(">I", payload, s + 56)
+        (bits,) = struct.unpack_from(">I", payload, s + 64)
+        (fmt_flags,) = struct.unpack_from(">I", payload, s + 68)
+        nch = max(int(nch), 1)
+        rate = int(rate_f) or hdr["timescale"]
+        if fmt_flags & 0x20:  # kAudioFormatFlagIsNonInterleaved
+            raise NotImplementedError("planar (non-interleaved) lpcm")
+        is_float = bool(fmt_flags & 0x1)
+        endian = ">" if fmt_flags & 0x2 else "<"
+        raw = b"".join(
+            payload[off : off + size]
+            for off, size in _all_sample_ranges(payload, hdr, stbl)
+        )
+        if is_float and bits == 32:
+            s16 = _float_to_int16(np.frombuffer(raw, f"{endian}f4")[::nch])
+        elif is_float and bits == 64:
+            s16 = _float_to_int16(np.frombuffer(raw, f"{endian}f8")[::nch])
+        elif not is_float and bits == 16:
+            s16 = (
+                np.frombuffer(raw, f"{endian}i2")[::nch].astype(np.int16).copy()
+            )
+        elif not is_float and bits == 32:
+            s16 = (
+                (np.frombuffer(raw, f"{endian}i4")[::nch] >> 16)
+                .astype(np.int16)
+                .copy()
+            )
+        elif not is_float and bits == 24 and endian == ">":
+            s16 = _pcm_be_to_int16(raw, 3, nch)
+        else:
+            raise NotImplementedError(
+                f"lpcm layout bits={bits} float={is_float} endian={endian!r}"
+            )
+        return int(rate), s16
     if fourcc not in _AUDIO_WIDTHS:
         raise NotImplementedError(
             f"compressed MP4 audio essence {fourcc.decode('ascii', 'replace').strip()!r}"
             " (AAC/…) needs a codec library"
         )
-    # AudioSampleEntry v0 after the 8-byte entry-box header (s+8):
+    # AudioSampleEntry v0/v1 after the 8-byte entry-box header (s+8):
     # 6 reserved + dref(2) → s+24, ver/rev/vendor(8) → s+32,
     # channelcount(2) samplesize(2) → s+36, cid(2) packet(2) → s+40,
     # samplerate(4, 16.16) → s+44

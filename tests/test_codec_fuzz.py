@@ -65,6 +65,8 @@ _CASES = [
      mp4.decode_mp4_audio),
     ("mp4ima4", lambda: mp4.encode_mp4_audio(_CLIP, 8000, "ima4"),
      mp4.decode_mp4_audio),
+    ("mp4lpcm2", lambda: mp4.encode_mp4_audio(_CLIP, 8000, "lpcm16"),
+     mp4.decode_mp4_audio),
     ("avi", lambda: video.encode_avi(_FRAMES),
      lambda b: list(video.decode_avi_frames(b))),
     ("mjpg", lambda: video.encode_avi(_FRAMES, codec="MJPG"),
