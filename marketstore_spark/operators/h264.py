@@ -484,9 +484,9 @@ def cavlc_encode_block(w: BitWriter, coeffs: list[int], nc: int) -> int:
             w.u(0, prefix)
             w.u(1, 1)
             w.u(code - base, prefix - 3)
-        level = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
-        if i == 0 and t1s < 3:
-            level = c  # the +2 bias doesn't change |level| adaptation input
+        # suffix-length adaptation mirrors the decoder's, on the TRUE
+        # level magnitude (the first-level +2 bias is a code offset,
+        # not a level change)
         if suffix_len == 0:
             suffix_len = 1
         if abs(c) > (3 << (suffix_len - 1)) and suffix_len < 6:
