@@ -1203,7 +1203,21 @@ def audio_fingerprint_array(samples: "np.ndarray", rate: int) -> int:
     exactly invariant to amplitude scaling and band-flat EQ, and the
     Hz-anchored band edges make it comparable across sample rates.
     Raises ValueError for clips too short to window (callers record
-    decoded_ok=0)."""
+    decoded_ok=0).
+
+    Operating envelope (measured, pinned in test_adpcm): bitwise
+    stable under amplitude scaling, container re-muxing, and
+    sample-rate changes of the same PCM content — the re-crawl /
+    re-container dup classes the banded max_hamming≤3 pipeline
+    catches with pigeonhole guarantees.  LOSSY re-encoding (ADPCM,
+    and by extension any perceptual codec) perturbs band energies
+    enough to flip ~6–18 of the 64 bits: that matches Haitsma &
+    Kalker's own operating point (they match sub-fingerprint blocks
+    at bit-error rates up to 0.35, not 5%), so TRANSCODED duplicates
+    are out of scope for the 64-bit exact-band pipeline — catching
+    them needs the paper's block-voting search over long fingerprint
+    streams, not a tighter hash.  Stated here so nobody mistakes the
+    near-dup keys' guarantee for transcode robustness."""
     x = np.asarray(samples, np.float64)
     n = len(x)
     T = 9

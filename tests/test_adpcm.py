@@ -206,3 +206,46 @@ def test_ima4_mp4_audio_roundtrip():
         decode_ima_qt(b"\x00" * 35, 1)
     with pytest.raises(ValueError):
         decode_ima_qt(bytes([0x00, 0x59]) + b"\x00" * 32, 1)  # index 89
+
+
+def test_audio_fingerprint_operating_envelope():
+    """Pin the audio fingerprint's measured operating envelope against
+    lossy re-encoding: ADPCM transcodes of tonal+noise content move
+    the 64-bit hash by MANY bits (double-digit Hamming) — consistent
+    with Haitsma & Kalker's 0.35-BER matching regime — while the
+    invariances the near-dup pipeline actually relies on (amplitude
+    scaling, PCM re-containering) stay bitwise.  If a future change
+    makes transcodes land within the banded max_hamming=3 window, the
+    docs' scope statement must be revisited (and vice versa: if
+    scaling invariance breaks, dedup silently loses its guarantee)."""
+    from marketstore_spark.operators.multimodal import (
+        audio_fingerprint_array,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(2)
+    t = np.arange(4000, dtype=np.float64)
+    lossy_hams = []
+    for trial in range(4):
+        f1, f2 = 300 + trial * 80, 900 + trial * 130
+        sig = (
+            6000 * np.sin(2 * np.pi * f1 * t / 8000)
+            + 3000 * np.sin(2 * np.pi * f2 * t / 8000)
+            + 800 * rng.standard_normal(len(t))
+        ).clip(-32000, 32000).astype(np.int16)
+        h = audio_fingerprint_array(sig, 8000)
+        # invariances the banded pipeline relies on: bitwise
+        half = (sig.astype(np.int32) // 2).astype(np.int16)
+        assert audio_fingerprint_array(half, 8000) == h
+        r, dec = decode_wav(encode_wav_pcm16(sig, 8000))
+        assert audio_fingerprint_array(dec, r) == h
+        # lossy transcode: hash moves well beyond the banding window
+        for codec in ("ima", "ms"):
+            r, dec = decode_wav(encode_wav_adpcm(sig, 8000, codec))
+            lossy_hams.append(ham(h, audio_fingerprint_array(dec, r)))
+    assert min(lossy_hams) > 3, lossy_hams   # transcodes are OUT of scope
+    assert max(lossy_hams) < 32, lossy_hams  # but still far from random
