@@ -6,15 +6,20 @@ bytes in parquet, metadata queryable without touching bytes).  The
 Spark-side plumbing (schemas, Arrow-batched mapInPandas, partition
 behavior) is real and tested.
 
-Codecs: formats expressible with stdlib + numpy decode for REAL —
-24-bit BMP (struct-parsed header + pixel array), PCM WAV (stdlib
-``wave``), 8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate + per-scanline
-unfilter over all five PNG filter types), and baseline JPEG
-(operators/jpeg.py: Huffman entropy decode, dequant, IDCT, YCbCr,
-4:4:4 and 4:2:0) — including real nearest-neighbor resizes re-encoded
-to the same format.  Only video containers remain stubbed (no ffmpeg
-in this environment); the deterministic fake decoder stays injectable
-for pipeline tests over arbitrary payloads.
+Codecs: everything decodes for REAL with stdlib + numpy — the full
+BMP family, PNG (all 8-bit types + Adam7), baseline/progressive/12-bit
+JPEG (operators/jpeg.py), animated GIF (operators/gif.py), WAV/AU/
+AIFF-AIFC audio across PCM widths, IEEE float, G.711 both laws, and
+the 4-bit ADPCM families (operators/adpcm.py — WAV IMA/MS tags
+0x11/0x02 and QuickTime 'ima4' in AIFC and MP4), AVI (DIB + MJPEG,
+operators/video.py), MP4/ISO-BMFF incl. fragmented DASH/CMAF
+(operators/mp4.py), and baseline all-intra H.264 'avc1'
+(operators/h264.py) — including real nearest-neighbor resizes
+re-encoded to the same format.  What cannot be decoded honestly
+raises NotImplementedError (inter-predicted H.264/HEVC/VP9/AV1
+frames, AAC, CABAC, arithmetic JPEG) and callers record decoded_ok=0;
+the deterministic fake decoder stays injectable for pipeline tests
+over arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -712,8 +717,9 @@ def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
     """AIFF / AIFC bytes → (sample_rate, int16 samples of the first
     channel).  IFF chunk walk: COMM carries channels/width/80-bit
     extended rate (+ a compression fourcc in AIFC — ``NONE``/``sowt``
-    PCM, ``ulaw``/``alaw`` G.711, and ``fl32``/``fl64`` IEEE float
-    handled), SSND carries offset/blocksize + the big-endian frames.
+    PCM, ``ulaw``/``alaw`` G.711, ``fl32``/``fl64`` IEEE float, and
+    ``ima4`` QuickTime IMA ADPCM packets handled), SSND carries
+    offset/blocksize + the big-endian frames.
     Same int16 normalization as decode_wav/decode_au."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
@@ -748,6 +754,10 @@ def decode_aiff(payload: bytes) -> tuple[int, "np.ndarray"]:
         s = _float_to_int16(np.frombuffer(raw, ">f4")[::nch])
     elif ctype in (b"fl64", b"FL64"):  # big-endian IEEE float64
         s = _float_to_int16(np.frombuffer(raw, ">f8")[::nch])
+    elif ctype in (b"ima4", b"IMA4"):  # QuickTime IMA ADPCM packets
+        from marketstore_spark.operators.adpcm import decode_ima_qt
+
+        s = decode_ima_qt(bytes(raw), max(nch, 1))[:, 0].copy()
     else:
         raise NotImplementedError(f"AIFC compression {ctype!r}")
     return rate, s

@@ -249,3 +249,42 @@ def test_audio_fingerprint_operating_envelope():
             lossy_hams.append(ham(h, audio_fingerprint_array(dec, r)))
     assert min(lossy_hams) > 3, lossy_hams   # transcodes are OUT of scope
     assert max(lossy_hams) < 32, lossy_hams  # but still far from random
+
+
+def test_aifc_ima4_cross_container_identity():
+    """The SAME QuickTime ima4 packet stream shipped as an AIFC (AIFF-C
+    compression type 'ima4' — what Apple tools emit) and as an MP4
+    'soun' track must decode to IDENTICAL samples — the compressed-
+    audio extension of the cross-container identity pin that already
+    covers PCM and G.711."""
+    from marketstore_spark.operators.adpcm import decode_ima_qt, encode_ima_qt
+    from marketstore_spark.operators.mp4 import encode_mp4_audio
+    from marketstore_spark.operators.multimodal import decode_aiff
+
+    sig = _sig(1500, amp=7000)
+    data, _npk = encode_ima_qt(sig)
+
+    comm = (
+        struct.pack(">HIH", 1, len(sig), 16)
+        + b"\x40\x0b\xfa\x00\x00\x00\x00\x00\x00\x00"  # 8000.0 as float80
+        + b"ima4" + b"\x00\x00"  # compression fourcc + pstring pad
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFC"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    aifc = b"FORM" + struct.pack(">I", len(body)) + body
+
+    ra, sa = decode_aiff(aifc)
+    assert ra == 8000
+    ref = decode_ima_qt(data, 1)[:, 0]
+    assert np.array_equal(sa, ref)
+    from marketstore_spark.operators.mp4 import decode_mp4_audio
+
+    rm, sm = decode_mp4_audio(encode_mp4_audio(sig, 8000, "ima4"))
+    assert np.array_equal(sa, sm)
+    # the sniffing dispatcher sees the AIFC too
+    r2, s2 = decode_audio_any(aifc)
+    assert r2 == ra and np.array_equal(s2, sa)
