@@ -1,33 +1,52 @@
-"""H.264/AVC baseline IDR intra codec — pure stdlib + numpy.
+"""H.264/AVC baseline codec (IDR intra + P-slice inter) — pure
+stdlib + numpy.
 
 Real crawled .mp4s overwhelmingly carry 'avc1' essence; the repo's
 honest fence (mp4.py) probes them but refuses to decode.  This module
-removes that fence for the INTRA slice of the format: baseline-profile
-IDR frames — CAVLC entropy coding, Intra_4x4 (all 9 prediction modes),
-Intra_16x16 (all 4, with the 4x4 Hadamard DC path), 8x8 chroma
-prediction (all 4, with the 2x2 Hadamard DC path), the 4x4 integer
-transform with the normative dequant/rescale tables, 4:2:0, 8-bit,
-frame_mbs_only, I_PCM, and frame cropping.  Inter prediction (P/B
-slices), CABAC, 8x8 transforms, and field coding raise
-NotImplementedError — the same decode-fence contract as the rest of
-the codec family (callers record decoded_ok=0 or probe-only).
+removes that fence for the CAVLC baseline core of the format:
+
+- INTRA: baseline-profile IDR frames — CAVLC entropy coding,
+  Intra_4x4 (all 9 prediction modes), Intra_16x16 (all 4, with the
+  4x4 Hadamard DC path), 8x8 chroma prediction (all 4, with the 2x2
+  Hadamard DC path), the 4x4 integer transform with the normative
+  dequant/rescale tables, 4:2:0, 8-bit, frame_mbs_only, I_PCM, and
+  frame cropping.
+- INTER: P slices — quarter-pel motion compensation (the 6-tap
+  half-pel filter with the unrounded-intermediate centre position,
+  eighth-pel bilinear chroma), median motion-vector prediction with
+  the 16x8/8x16 directional rules, all partition shapes down to 4x4
+  sub-MBs, P_Skip with its zero-MV conditions, intra MBs inside P
+  slices, te(v) multi-reference indices, and sliding-window reference
+  management with frame_num continuity checks.
+
+B slices, CABAC, 8x8 transforms, weighted prediction, reference-list
+modification, adaptive marking, field coding, and deblocking-enabled
+streams raise NotImplementedError — the same decode-fence contract as
+the rest of the codec family (callers record decoded_ok=0 or
+probe-only): decode is either right or refused, never silently wrong.
 
 Validation follows the repo's encoder-twin strategy (the
 progressive-JPEG / G.711 precedent): :func:`encode_h264` emits
-spec-shaped Annex-B IDR streams and returns (optionally) its own
-reconstruction, and tests pin ``decode(encode(x)) == recon`` BITWISE
-at multiple QPs/sizes/mode mixes, plus near-losslessness at QP 0.  The
-deblocking loop filter is disabled in the slice header
-(disable_deblocking_filter_idc=1) so the reconstruction path is
-closed without implementing the loop filter; that is a spec-legal
-encoder choice, not a shortcut in the decoder.
+spec-shaped Annex-B streams — all-intra by default, IDR+P GOPs with
+``keyint`` (block-matching integer search refined to quarter-pel
+through the decoder's own interpolation) — and returns (optionally)
+its own reconstruction; tests pin ``decode(encode(x)) == recon``
+BITWISE at multiple QPs/sizes/mode mixes and partition shapes, plus
+near-losslessness at QP 0 and two EXTERNAL pins that do not share
+code with the codec: a literal-loop reimplementation of the
+interpolation filters, and exact-prediction checks on integer-pel
+translated scenes.  The deblocking loop filter is disabled in the
+slice header (disable_deblocking_filter_idc=1) so the reconstruction
+path is closed without implementing the loop filter; that is a
+spec-legal encoder choice, not a shortcut in the decoder.
 
 Syntax, prediction, transform, and entropy coding follow ITU-T
 Rec. H.264 (public): 7.3/7.4 (NAL + RBSP syntax), 8.3 (intra
-prediction), 8.5 (transform + scaling), 9.1/9.2 (Exp-Golomb + CAVLC).
-The VLC tables are transcribed from Tables 9-5 / 9-7 / 9-9 / 9-10;
-tests assert each table is prefix-free and bijective, and the encoder
-twin consumes the same tables through the independent decode path.
+prediction), 8.4 (inter prediction), 8.5 (transform + scaling),
+9.1/9.2 (Exp-Golomb + CAVLC).  The VLC tables are transcribed from
+Tables 9-4 / 9-5 / 9-7 / 9-9 / 9-10; tests assert each table is
+prefix-free and bijective, and the encoder twin consumes the same
+tables through the independent decode path.
 
 Reference parity: marketstore has no video path at all; this extends
 the multimodal family (SURVEY §2 rows 41/41c/62-66).  Everything here
@@ -840,6 +859,17 @@ _CBP_INTRA = [
 ]
 _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
 
+# Table 9-4, inter column (P/B macroblocks).  Same transcription-risk
+# caveat as the module's other VLC tables; tests assert it is a
+# bijection over 0..47 and permutes the same value set as the intra
+# column, and the encoder twin consumes it through the decode path.
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
 # z-scan order of the 16 luma 4x4 blocks: (bx, by) in 4x4 units
 _LUMA_BLOCK_ORDER = [
     (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
@@ -886,7 +916,7 @@ def yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------
 
 
-def _write_sps(w: BitWriter, width: int, height: int) -> None:
+def _write_sps(w: BitWriter, width: int, height: int, num_ref: int = 1) -> None:
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     w.u(66, 8)       # profile_idc: baseline
@@ -895,7 +925,7 @@ def _write_sps(w: BitWriter, width: int, height: int) -> None:
     w.ue(0)          # seq_parameter_set_id
     w.ue(0)          # log2_max_frame_num_minus4
     w.ue(2)          # pic_order_cnt_type (2: derived, no extra syntax)
-    w.ue(1)          # max_num_ref_frames
+    w.ue(num_ref)    # max_num_ref_frames
     w.u(0, 1)        # gaps_in_frame_num_value_allowed_flag
     w.ue(mb_w - 1)   # pic_width_in_mbs_minus1
     w.ue(mb_h - 1)   # pic_height_in_map_units_minus1
@@ -944,7 +974,7 @@ def parse_sps(rbsp: bytes) -> dict:
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()   # max_num_ref_frames
+    max_num_ref = r.ue()
     r.u(1)   # gaps_in_frame_num_value_allowed_flag
     mb_w = r.ue() + 1
     mb_h = r.ue() + 1
@@ -962,6 +992,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "max_num_ref": max_num_ref,
         "mb_w": mb_w,
         "mb_h": mb_h,
         "width": mb_w * 16 - 2 * (crop[0] + crop[1]),
@@ -1000,10 +1031,10 @@ def parse_pps(rbsp: bytes) -> dict:
     n_slice_groups = r.ue() + 1
     if n_slice_groups != 1:
         raise NotImplementedError("slice groups (FMO)")
-    r.ue()
-    r.ue()
-    r.u(1)
-    r.u(2)
+    num_ref_l0 = r.ue() + 1
+    num_ref_l1 = r.ue() + 1
+    weighted_pred = r.u(1)
+    weighted_bipred = r.u(2)
     qp = r.se() + 26
     r.se()
     chroma_qp_off = r.se()
@@ -1014,6 +1045,10 @@ def parse_pps(rbsp: bytes) -> dict:
         "pps_id": pps_id,
         "sps_id": sps_id,
         "bottom_field": bottom_field,
+        "num_ref_l0": num_ref_l0,
+        "num_ref_l1": num_ref_l1,
+        "weighted_pred": weighted_pred,
+        "weighted_bipred": weighted_bipred,
         "init_qp": qp,
         "chroma_qp_offset": chroma_qp_off,
         "deblock_ctl": deblock_ctl,
@@ -1045,6 +1080,14 @@ class _FrameCtx:
         self.nzl = np.zeros((mb_h * 4, mb_w * 4), np.int64)   # luma total_coeff
         self.nzc = np.zeros((2, mb_h * 2, mb_w * 2), np.int64)  # chroma tc
         self.i4modes = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
+        # inter (P-slice) motion state, at 4x4 granularity: quarter-pel
+        # L0 motion vectors, reference indices (-1: intra/unset), and
+        # the parse-order availability mask the MVP derivation uses
+        # (spec 6.4.11.7: a neighbour partition is available iff it
+        # precedes the current one in decode order)
+        self.mvs = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
+        self.refidx = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
+        self.mv_done = np.zeros((mb_h * 4, mb_w * 4), bool)
 
     # -- neighbor fetch for a luma 4x4 block at absolute block coords --
     def luma_neighbors(self, bx: int, by: int):
@@ -1162,7 +1205,12 @@ class _MBData:
         "mb_type", "i4_modes", "i16_mode", "chroma_mode", "cbp_luma",
         "cbp_chroma", "luma_dc", "luma_blocks", "chroma_dc",
         "chroma_blocks", "pcm",
+        # inter (P-slice) fields
+        "inter", "sub_types", "refs", "mvds", "nref",
     )
+
+    def __init__(self) -> None:
+        self.inter = False
 
 
 def _encode_mb(ctx: _FrameCtx, src_y, src_cb, src_cr, mbx: int, mby: int,
@@ -1367,9 +1415,12 @@ def _encode_mb(ctx: _FrameCtx, src_y, src_cb, src_cr, mbx: int, mby: int,
     return mb
 
 
-def _write_mb(w: BitWriter, ctx: _FrameCtx, mb: _MBData, mbx: int, mby: int) -> None:
-    """Entropy-code one MB; updates the nC bookkeeping maps."""
-    w.ue(mb.mb_type)
+def _write_mb(w: BitWriter, ctx: _FrameCtx, mb: _MBData, mbx: int, mby: int,
+              mb_type_offset: int = 0) -> None:
+    """Entropy-code one (intra) MB; updates the nC bookkeeping maps.
+    ``mb_type_offset`` is 5 inside P slices (7.4.5: intra mb_types
+    follow the five inter types)."""
+    w.ue(mb.mb_type + mb_type_offset)
     if mb.pcm:
         while len(w._bits) % 8:
             w._bits.append(0)  # pcm_alignment_zero_bit
@@ -1413,6 +1464,11 @@ def _write_mb(w: BitWriter, ctx: _FrameCtx, mb: _MBData, mbx: int, mby: int) -> 
         coeffs = mb.luma_blocks[(bx4, by4)]
         nc = ctx.nc_luma(bx, by)
         ctx.nzl[by, bx] = cavlc_encode_block(w, coeffs, nc)
+    _write_chroma_residual(w, ctx, mb, mbx, mby)
+
+
+def _write_chroma_residual(w: BitWriter, ctx: _FrameCtx, mb: _MBData,
+                           mbx: int, mby: int) -> None:
     if mb.cbp_chroma:
         for pl in range(2):
             cavlc_encode_block(w, mb.chroma_dc[pl], -1)
@@ -1429,8 +1485,9 @@ def _write_mb(w: BitWriter, ctx: _FrameCtx, mb: _MBData, mbx: int, mby: int) -> 
 
 
 def _decode_mb(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
-               qp: int, qpc: int) -> None:
-    mb_type = r.ue()
+               qp: int, qpc: int, mb_type: int | None = None) -> None:
+    if mb_type is None:
+        mb_type = r.ue()
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
     base_bx, base_by = mbx * 4, mby * 4
@@ -1580,6 +1637,692 @@ def _decode_mb(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
 
 
 # ---------------------------------------------------------------------
+# inter prediction (P slices): fractional-sample interpolation
+# (spec 8.4.2.2), motion-vector prediction (8.4.1.3), and the P
+# macroblock layer (7.3.5.2 / 7.4.5.1).  Motion vectors are L0-only
+# quarter-pel (mvx, mvy) pairs; reference samples outside the picture
+# are edge-clamped per 8.4.2.2.1's coordinate Clip3.
+# ---------------------------------------------------------------------
+
+
+def _interp_luma(refy: np.ndarray, px: int, py: int, mvx: int, mvy: int,
+                 w: int, h: int) -> np.ndarray:
+    """Quarter-pel luma prediction block: (h, w) int64 for the
+    partition whose top-left luma sample is (px, py), displaced by the
+    quarter-pel MV.  Half-pel via the 6-tap (1,-5,20,20,-5,1) filter;
+    the centre position j filters the UNROUNDED horizontal
+    intermediates; quarter positions average the clipped values
+    (8.4.2.2.1)."""
+    x0q, y0q = 4 * px + mvx, 4 * py + mvy
+    xi, yi = x0q >> 2, y0q >> 2
+    xf, yf = x0q & 3, y0q & 3
+    H, W = refy.shape
+    ys = np.clip(np.arange(yi - 2, yi + h + 4), 0, H - 1)
+    xs = np.clip(np.arange(xi - 2, xi + w + 4), 0, W - 1)
+    win = refy[np.ix_(ys, xs)].astype(np.int64)  # (h+6, w+6)
+    # integer grid aligned at the partition origin, one extra row/col
+    G = win[2 : 3 + h, 2 : 3 + w]
+    if xf == 0 and yf == 0:
+        return G[:h, :w].copy()
+    tap = (1, -5, 20, 20, -5, 1)
+    bA = hA = jA = None
+    if xf:
+        # horizontal half-pel intermediates b1 for ALL rows (j needs
+        # them even at non-integer rows)
+        b1 = sum(t * win[:, k : k + w + 1] for k, t in enumerate(tap))
+        bA = np.clip((b1[2 : 3 + h] + 16) >> 5, 0, 255)
+    if yf:
+        h1 = sum(t * win[k : k + h + 1, :] for k, t in enumerate(tap))
+        hA = np.clip((h1[:, 2 : 3 + w] + 16) >> 5, 0, 255)
+    if xf and yf:
+        # j: vertical 6-tap over the unrounded b1 columns
+        j1 = sum(t * b1[k : k + h + 1, :] for k, t in enumerate(tap))
+        jA = np.clip((j1 + 512) >> 10, 0, 255)
+    if yf == 0:  # a, b, c
+        if xf == 1:
+            out = (G + bA + 1) >> 1
+        elif xf == 2:
+            out = bA
+        else:
+            out = (win[2 : 3 + h, 3 : 4 + w] + bA + 1) >> 1
+        return out[:h, :w]
+    if xf == 0:  # d, h, n
+        if yf == 1:
+            out = (G + hA + 1) >> 1
+        elif yf == 2:
+            out = hA
+        else:
+            out = (win[3 : 4 + h, 2 : 3 + w] + hA + 1) >> 1
+        return out[:h, :w]
+    if xf == 2 and yf == 2:
+        return jA[:h, :w]
+    if xf == 2:  # f (yf 1), q (yf 3)
+        other = bA if yf == 1 else bA[1:, :]
+        return ((other[:h, :w] + jA[:h, :w] + 1) >> 1)
+    if yf == 2:  # i (xf 1), k (xf 3)
+        other = hA if xf == 1 else hA[:, 1:]
+        return ((other[:h, :w] + jA[:h, :w] + 1) >> 1)
+    # diagonal quarters e/g/p/r: average of the nearest b- and h-type
+    # half samples (8.4.2.2.1 Table 8-12)
+    bsel = bA if yf == 1 else bA[1:, :]          # s = b one row down
+    hsel = hA if xf == 1 else hA[:, 1:]          # m = h one col right
+    return ((bsel[:h, :w] + hsel[:h, :w] + 1) >> 1)
+
+
+def _interp_chroma(refc: np.ndarray, cx: int, cy: int, mvx: int, mvy: int,
+                   w: int, h: int) -> np.ndarray:
+    """Eighth-pel bilinear chroma prediction (8.4.2.2.2): the luma MV
+    applies unscaled because chroma is half-resolution."""
+    x08, y08 = 8 * cx + mvx, 8 * cy + mvy
+    xi, yi = x08 >> 3, y08 >> 3
+    xf, yf = x08 & 7, y08 & 7
+    H, W = refc.shape
+    ys = np.clip(np.arange(yi, yi + h + 1), 0, H - 1)
+    xs = np.clip(np.arange(xi, xi + w + 1), 0, W - 1)
+    win = refc[np.ix_(ys, xs)].astype(np.int64)
+    A = win[:h, :w]
+    B = win[:h, 1 : w + 1]
+    C = win[1 : h + 1, :w]
+    D = win[1 : h + 1, 1 : w + 1]
+    return (
+        (8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
+        + (8 - xf) * yf * C + xf * yf * D + 32
+    ) >> 6
+
+
+def _mv_neighbor(ctx: _FrameCtx, nbx: int, nby: int):
+    """(refIdx, mv) of the 4x4 block, or None when outside the picture
+    or not yet decoded (parse-order availability, 6.4.11.7)."""
+    if not (0 <= nbx < ctx.mb_w * 4 and 0 <= nby < ctx.mb_h * 4):
+        return None
+    if not ctx.mv_done[nby, nbx]:
+        return None
+    return (
+        int(ctx.refidx[nby, nbx]),
+        (int(ctx.mvs[nby, nbx, 0]), int(ctx.mvs[nby, nbx, 1])),
+    )
+
+
+def _mvp(ctx: _FrameCtx, bx: int, by: int, w4: int, h4: int, ref: int,
+         special: str | None = None) -> tuple[int, int]:
+    """Motion-vector predictor (8.4.1.3): median of neighbours A/B/C
+    (C falls back to D above-left), the single-matching-reference
+    shortcut, the A-only top-row rule, and the 16x8/8x16 directional
+    rules.  Intra or unavailable neighbours contribute ref -1 and
+    mv (0,0)."""
+    A = _mv_neighbor(ctx, bx - 1, by)
+    B = _mv_neighbor(ctx, bx, by - 1)
+    C = _mv_neighbor(ctx, bx + w4, by - 1)
+    if C is None:
+        C = _mv_neighbor(ctx, bx - 1, by - 1)  # D substitution
+    if special == "16x8_top" and B is not None and B[0] == ref:
+        return B[1]
+    if special == "16x8_bot" and A is not None and A[0] == ref:
+        return A[1]
+    if special == "8x16_left" and A is not None and A[0] == ref:
+        return A[1]
+    if special == "8x16_right" and C is not None and C[0] == ref:
+        return C[1]
+    if A is not None and B is None and C is None:
+        return A[1]
+    refs = [n[0] if n is not None else -1 for n in (A, B, C)]
+    mvs = [n[1] if n is not None else (0, 0) for n in (A, B, C)]
+    matches = [i for i in range(3) if refs[i] == ref]
+    if len(matches) == 1:
+        return mvs[matches[0]]
+    xs = sorted(m[0] for m in mvs)
+    ys = sorted(m[1] for m in mvs)
+    return (xs[1], ys[1])
+
+
+def _skip_mv(ctx: _FrameCtx, mbx: int, mby: int) -> tuple[int, int]:
+    """P_Skip motion vector (8.4.1.1): zero when a 16x16 A/B neighbour
+    is missing or is a zero-motion ref-0 block, else the 16x16 MVP."""
+    bx, by = mbx * 4, mby * 4
+    A = _mv_neighbor(ctx, bx - 1, by)
+    B = _mv_neighbor(ctx, bx, by - 1)
+    if A is None or B is None:
+        return (0, 0)
+    if A == (0, (0, 0)) or B == (0, (0, 0)):
+        return (0, 0)
+    return _mvp(ctx, bx, by, 4, 4, 0)
+
+
+# partition layouts: mb_type -> list of (bx4, by4, w4, h4, special)
+_P_PARTS = {
+    0: [(0, 0, 4, 4, None)],
+    1: [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+    2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+}
+# sub_mb_type -> list of (dx4, dy4, w4, h4) within the 8x8
+_P_SUB_PARTS = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+
+
+def _read_te_ref(r: BitReader, nref: int) -> int:
+    """te(v)-coded ref_idx_l0 (9.1.1): absent when one reference is
+    active, a single inverted bit for two, ue(v) beyond."""
+    if nref <= 1:
+        return 0
+    if nref == 2:
+        return 1 - r.u(1)
+    return r.ue()
+
+
+def _write_te_ref(w: BitWriter, ref: int, nref: int) -> None:
+    if nref <= 1:
+        return
+    if nref == 2:
+        w.u(1 - ref, 1)
+    else:
+        w.ue(ref)
+
+
+def _mc_partition(ctx: _FrameCtx, dpb: list, mbx: int, mby: int,
+                  bx4: int, by4: int, w4: int, h4: int, ref: int,
+                  mv: tuple[int, int], pred_y: np.ndarray,
+                  pred_cb: np.ndarray, pred_cr: np.ndarray) -> None:
+    """Motion-compensate one partition into the MB prediction arrays."""
+    ry, rcb, rcr = dpb[ref]
+    px, py = mbx * 16 + bx4 * 4, mby * 16 + by4 * 4
+    pred_y[by4 * 4 : by4 * 4 + h4 * 4, bx4 * 4 : bx4 * 4 + w4 * 4] = \
+        _interp_luma(ry, px, py, mv[0], mv[1], w4 * 4, h4 * 4)
+    cx, cy = px // 2, py // 2
+    pred_cb[by4 * 2 : by4 * 2 + h4 * 2, bx4 * 2 : bx4 * 2 + w4 * 2] = \
+        _interp_chroma(rcb, cx, cy, mv[0], mv[1], w4 * 2, h4 * 2)
+    pred_cr[by4 * 2 : by4 * 2 + h4 * 2, bx4 * 2 : bx4 * 2 + w4 * 2] = \
+        _interp_chroma(rcr, cx, cy, mv[0], mv[1], w4 * 2, h4 * 2)
+
+
+def _set_part_mv(ctx: _FrameCtx, bx: int, by: int, w4: int, h4: int,
+                 ref: int, mv: tuple[int, int]) -> None:
+    ctx.mvs[by : by + h4, bx : bx + w4] = mv
+    ctx.refidx[by : by + h4, bx : bx + w4] = ref
+    ctx.mv_done[by : by + h4, bx : bx + w4] = True
+
+
+def _mark_intra_mvs(ctx: _FrameCtx, mbx: int, mby: int) -> None:
+    """Intra (and PCM) MBs in P slices are available MVP neighbours
+    with ref -1 / mv 0."""
+    ctx.mv_done[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+
+
+def _decode_skip_mb(ctx: _FrameCtx, dpb: list, mbx: int, mby: int) -> None:
+    mv = _skip_mv(ctx, mbx, mby)
+    pred_y = np.empty((16, 16), np.int64)
+    pred_cb = np.empty((8, 8), np.int64)
+    pred_cr = np.empty((8, 8), np.int64)
+    _mc_partition(ctx, dpb, mbx, mby, 0, 0, 4, 4, 0, mv,
+                  pred_y, pred_cb, pred_cr)
+    x0, y0 = mbx * 16, mby * 16
+    ctx.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred_y, 0, 255)
+    ctx.cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = np.clip(pred_cb, 0, 255)
+    ctx.cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = np.clip(pred_cr, 0, 255)
+    _set_part_mv(ctx, mbx * 4, mby * 4, 4, 4, 0, mv)
+    ctx.decoded[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+    ctx.mb_done[mby, mbx] = True
+
+
+def _parse_inter_motion(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
+                        mb_type: int, nref: int):
+    """mb_pred / sub_mb_pred syntax → ordered partition list
+    [(bx4, by4, w4, h4, ref, mv)], with ctx motion state updated in
+    partition decode order (later MVPs see earlier partitions)."""
+    base_bx, base_by = mbx * 4, mby * 4
+    if mb_type <= 2:
+        layout = _P_PARTS[mb_type]
+        refs = [_read_te_ref(r, nref) for _ in layout]
+        mvds = [(r.se(), r.se()) for _ in layout]
+        parts = []
+        for (bx4, by4, w4, h4, special), ref, mvd in zip(layout, refs, mvds):
+            if ref >= nref:
+                raise ValueError("ref_idx_l0 out of range")
+            mvp = _mvp(ctx, base_bx + bx4, base_by + by4, w4, h4, ref, special)
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            _set_part_mv(ctx, base_bx + bx4, base_by + by4, w4, h4, ref, mv)
+            parts.append((bx4, by4, w4, h4, ref, mv))
+        return parts
+    # P_8x8 (3) / P_8x8ref0 (4)
+    sub_types = []
+    for _ in range(4):
+        st = r.ue()
+        if st > 3:
+            raise ValueError("invalid P sub_mb_type")
+        sub_types.append(st)
+    if mb_type == 3:
+        refs = [_read_te_ref(r, nref) for _ in range(4)]
+    else:
+        refs = [0, 0, 0, 0]
+    if any(ref >= nref for ref in refs):
+        raise ValueError("ref_idx_l0 out of range")
+    mvds = [[(r.se(), r.se()) for _ in _P_SUB_PARTS[st]] for st in sub_types]
+    parts = []
+    for i8 in range(4):
+        ox, oy = (i8 % 2) * 2, (i8 // 2) * 2
+        for (dx4, dy4, w4, h4), mvd in zip(_P_SUB_PARTS[sub_types[i8]], mvds[i8]):
+            bx4, by4 = ox + dx4, oy + dy4
+            ref = refs[i8]
+            mvp = _mvp(ctx, base_bx + bx4, base_by + by4, w4, h4, ref)
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            _set_part_mv(ctx, base_bx + bx4, base_by + by4, w4, h4, ref, mv)
+            parts.append((bx4, by4, w4, h4, ref, mv))
+    return parts
+
+
+def _decode_mb_inter(r: BitReader, ctx: _FrameCtx, dpb: list, mbx: int,
+                     mby: int, qp: int, qpc: int, mb_type: int,
+                     nref: int) -> None:
+    """One coded P-slice inter MB: motion parse → MC → residual →
+    reconstruction (7.3.5 / 8.4)."""
+    x0, y0 = mbx * 16, mby * 16
+    cx0, cy0 = mbx * 8, mby * 8
+    base_bx, base_by = mbx * 4, mby * 4
+    parts = _parse_inter_motion(r, ctx, mbx, mby, mb_type, nref)
+    pred_y = np.empty((16, 16), np.int64)
+    pred_cb = np.empty((8, 8), np.int64)
+    pred_cr = np.empty((8, 8), np.int64)
+    for bx4, by4, w4, h4, ref, mv in parts:
+        _mc_partition(ctx, dpb, mbx, mby, bx4, by4, w4, h4, ref, mv,
+                      pred_y, pred_cb, pred_cr)
+    cbp_code = r.ue()
+    if cbp_code >= len(_CBP_INTER):
+        raise ValueError("invalid coded_block_pattern code")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise ValueError("invalid chroma CBP")
+    if cbp:
+        qd = r.se()
+        if qd:
+            raise NotImplementedError("per-MB QP changes")
+    ctx.mb_done[mby, mbx] = True  # own later blocks see left/top state
+    # ---- luma residual: 16 plain 4x4 blocks (no Intra16x16 DC) ----
+    for bx4, by4 in _LUMA_BLOCK_ORDER:
+        bx, by = base_bx + bx4, base_by + by4
+        group = (bx4 // 2) + 2 * (by4 // 2)
+        if cbp_luma & (1 << group):
+            nc = ctx.nc_luma(bx, by)
+            coeffs = cavlc_decode_block(r, nc, 16)
+            ctx.nzl[by, bx] = sum(1 for c in coeffs if c)
+        else:
+            coeffs = [0] * 16
+            ctx.nzl[by, bx] = 0
+        d = _dequant4x4(_unzig(coeffs), qp)
+        blk = np.clip(
+            pred_y[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + _inv4x4(d),
+            0, 255,
+        )
+        ctx.y[y0 + by4 * 4 : y0 + by4 * 4 + 4,
+              x0 + bx4 * 4 : x0 + bx4 * 4 + 4] = blk
+        ctx.decoded[by, bx] = True
+    # ---- chroma residual: DC Hadamard + AC, as in intra MBs ----
+    dc_levels = []
+    if cbp_chroma:
+        for _pl in range(2):
+            dc_levels.append(cavlc_decode_block(r, -1, 4))
+    else:
+        dc_levels = [[0] * 4, [0] * 4]
+    ac_levels = [[None] * 4, [None] * 4]
+    if cbp_chroma == 2:
+        for pl in range(2):
+            for bi, (bx4, by4) in enumerate(_CHROMA_BLOCK_ORDER):
+                bx, by = mbx * 2 + bx4, mby * 2 + by4
+                nc = ctx.nc_chroma(pl, bx, by)
+                coeffs = cavlc_decode_block(r, nc, 15)
+                ctx.nzc[pl, by, bx] = sum(1 for c in coeffs if c)
+                ac_levels[pl][bi] = coeffs
+    else:
+        ctx.nzc[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    for pl, (plane, pred) in enumerate(
+        ((ctx.cb, pred_cb), (ctx.cr, pred_cr))
+    ):
+        dcl = dc_levels[pl]
+        dc_deq = _chroma_dc_dequant(
+            np.array([[dcl[0], dcl[1]], [dcl[2], dcl[3]]], np.int64), qpc
+        )
+        for bi, (bx4, by4) in enumerate(_CHROMA_BLOCK_ORDER):
+            coeffs = ac_levels[pl][bi] if ac_levels[pl][bi] is not None else [0] * 15
+            d = _dequant4x4(_unzig([0] + coeffs), qpc)
+            d[0, 0] = dc_deq[by4, bx4] if cbp_chroma >= 1 else 0
+            blk = np.clip(
+                pred[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + _inv4x4(d),
+                0, 255,
+            )
+            plane[cy0 + by4 * 4 : cy0 + by4 * 4 + 4,
+                  cx0 + bx4 * 4 : cx0 + bx4 * 4 + 4] = blk
+
+
+# ---------------------------------------------------------------------
+# P-slice encoder: block-matching motion search (integer → half →
+# quarter refinement through the same interpolation the decoder uses),
+# partition/skip mode selection, and the inter write twin.
+# ---------------------------------------------------------------------
+
+
+def _mv_sad(refy: np.ndarray, src: np.ndarray, px: int, py: int,
+            mv: tuple[int, int]) -> int:
+    pred = _interp_luma(refy, px, py, mv[0], mv[1], src.shape[1], src.shape[0])
+    return int(np.abs(src - pred).sum())
+
+
+def _search_partition(refy: np.ndarray, src: np.ndarray, px: int, py: int,
+                      sr: int, mvp: tuple[int, int],
+                      extra: list | None = None) -> tuple[tuple[int, int], int]:
+    """Best quarter-pel MV for one partition: integer full search in a
+    ±sr box around (0,0) and around the predictor, then half- and
+    quarter-pel refinement; ``extra`` quarter-pel candidates (e.g. the
+    skip MV) are always evaluated."""
+    cands = set()
+    for cx, cy in ((0, 0), (mvp[0] >> 2, mvp[1] >> 2)):
+        for dy in range(-sr, sr + 1):
+            for dx in range(-sr, sr + 1):
+                cands.add((4 * (cx + dx), 4 * (cy + dy)))
+    for mv in extra or ():
+        cands.add(tuple(mv))
+    best_mv, best = None, None
+    for mv in sorted(cands):
+        sad = _mv_sad(refy, src, px, py, mv)
+        if best is None or sad < best:
+            best, best_mv = sad, mv
+    for step in (2, 1):  # half, then quarter
+        improved = True
+        while improved:
+            improved = False
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    if dx == 0 and dy == 0:
+                        continue
+                    mv = (best_mv[0] + dx, best_mv[1] + dy)
+                    sad = _mv_sad(refy, src, px, py, mv)
+                    if sad < best:
+                        best, best_mv = sad, mv
+                        improved = True
+    return best_mv, best
+
+
+def _inter_chroma_encode(ctx: _FrameCtx, mb: _MBData, scb, scr,
+                         pred_cb, pred_cr, qpc: int,
+                         mbx: int, mby: int) -> None:
+    """Chroma residual for an inter MB (2x2 DC Hadamard + AC, 8.5.4),
+    reconstructing into ``ctx`` exactly as the decoder will."""
+    mb.chroma_dc = []
+    mb.chroma_blocks = []
+    any_dc = any_ac = False
+    deq_dcs, acs = [], []
+    for s_pl, pred in ((scb, pred_cb), (scr, pred_cr)):
+        resid = s_pl - pred
+        w_blocks, dcs = {}, np.zeros((2, 2), np.int64)
+        for bx, by in _CHROMA_BLOCK_ORDER:
+            wb = _fwd4x4(resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+            w_blocks[(bx, by)] = wb
+            dcs[by, bx] = wb[0, 0]
+        dc_lev = _chroma_dc_quant(dcs, qpc)
+        deq_dcs.append(_chroma_dc_dequant(dc_lev, qpc))
+        dc_scan = [int(dc_lev[0, 0]), int(dc_lev[0, 1]),
+                   int(dc_lev[1, 0]), int(dc_lev[1, 1])]
+        mb.chroma_dc.append(dc_scan)
+        if any(dc_scan):
+            any_dc = True
+        plane_acs = {}
+        for bx, by in _CHROMA_BLOCK_ORDER:
+            lev = _quant4x4(w_blocks[(bx, by)], qpc, intra_dc_skip=True)
+            ac = _zig(lev)[1:]
+            plane_acs[(bx, by)] = ac
+            if any(ac):
+                any_ac = True
+        acs.append(plane_acs)
+    mb.cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    cx0, cy0 = mbx * 8, mby * 8
+    for pl, (pred, dc_deq, plane_acs) in enumerate(
+        zip((pred_cb, pred_cr), deq_dcs, acs)
+    ):
+        plane = ctx.cb if pl == 0 else ctx.cr
+        mb.chroma_blocks.append(plane_acs)
+        for bx, by in _CHROMA_BLOCK_ORDER:
+            if mb.cbp_chroma == 2:
+                d = _dequant4x4(_unzig([0] + plane_acs[(bx, by)]), qpc)
+            else:
+                d = np.zeros((4, 4), np.int64)
+                plane_acs[(bx, by)] = [0] * 15
+            d[0, 0] = dc_deq[by, bx] if mb.cbp_chroma >= 1 else 0
+            blk = np.clip(
+                pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + _inv4x4(d),
+                0, 255,
+            )
+            plane[cy0 + by * 4 : cy0 + by * 4 + 4,
+                  cx0 + bx * 4 : cx0 + bx * 4 + 4] = blk
+    if mb.cbp_chroma == 0:
+        mb.chroma_dc = [[0] * 4, [0] * 4]
+
+
+def _encode_mb_p(ctx: _FrameCtx, dpb: list, src_y, src_cb, src_cr,
+                 mbx: int, mby: int, qp: int, qpc: int, sr: int,
+                 i16_threshold: int, nref: int, spec) -> _MBData | None:
+    """Mode-decide and reconstruct one P-slice MB; returns None when
+    the MB is skipped (P_Skip), an inter or intra ``_MBData``
+    otherwise.  ``spec`` forces a shape for coverage: "i4"/"i16"/
+    "16x16"/"16x8"/"8x16"/("8x8", [sub_types]) or None (auto:
+    16x16-vs-skip)."""
+    x0, y0 = mbx * 16, mby * 16
+    base_bx, base_by = mbx * 4, mby * 4
+    if spec in ("i4", "i16"):
+        mb = _encode_mb(ctx, src_y, src_cb, src_cr, mbx, mby, qp, qpc,
+                        10**9 if spec == "i16" else -1, False)
+        _mark_intra_mvs(ctx, mbx, mby)
+        return mb
+    s16 = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    scb = src_cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].astype(np.int64)
+    scr = src_cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].astype(np.int64)
+    skip_mv = _skip_mv(ctx, mbx, mby)
+
+    mb = _MBData()
+    mb.inter = True
+    mb.pcm = False
+    mb.nref = nref
+    mb.sub_types = None
+    mb.refs, mb.mvds = [], []
+    pred_y = np.empty((16, 16), np.int64)
+    pred_cb = np.empty((8, 8), np.int64)
+    pred_cr = np.empty((8, 8), np.int64)
+
+    if spec is None or spec in ("skip", "16x16"):
+        mb.mb_type = 0
+        layout = _P_PARTS[0]
+    elif spec == "16x8":
+        mb.mb_type = 1
+        layout = _P_PARTS[1]
+    elif spec == "8x16":
+        mb.mb_type = 2
+        layout = _P_PARTS[2]
+    elif isinstance(spec, tuple) and spec[0] == "8x8":
+        mb.mb_type = 3
+        mb.sub_types = list(spec[1])
+        if len(mb.sub_types) != 4 or any(
+            s not in _P_SUB_PARTS for s in mb.sub_types
+        ):
+            raise ValueError("8x8 spec needs four sub_mb_types in 0..3")
+        layout = None
+    else:
+        raise ValueError(f"unknown P-MB spec {spec!r}")
+
+    parts = []  # (bx4, by4, w4, h4, ref, mv)
+    if layout is not None:
+        for bx4, by4, w4, h4, special in layout:
+            px, py = x0 + bx4 * 4, y0 + by4 * 4
+            sblk = s16[by4 * 4 : by4 * 4 + h4 * 4, bx4 * 4 : bx4 * 4 + w4 * 4]
+            best = None
+            for ref in range(nref):
+                mvp = _mvp(ctx, base_bx + bx4, base_by + by4, w4, h4, ref,
+                           special)
+                extra = [skip_mv] if mb.mb_type == 0 and ref == 0 else None
+                mv, sad = _search_partition(
+                    dpb[ref][0], sblk, px, py, sr, mvp, extra
+                )
+                if best is None or sad < best[0]:
+                    best = (sad, ref, mv, mvp)
+            _sad_val, ref, mv, mvp = best
+            _set_part_mv(ctx, base_bx + bx4, base_by + by4, w4, h4, ref, mv)
+            mb.refs.append(ref)
+            mb.mvds.append((mv[0] - mvp[0], mv[1] - mvp[1]))
+            parts.append((bx4, by4, w4, h4, ref, mv))
+    else:
+        for i8 in range(4):
+            ox, oy = (i8 % 2) * 2, (i8 // 2) * 2
+            # one reference per 8x8 (chosen on the whole 8x8 at sub 0's
+            # search would complicate; use ref 0 beyond-1 search per 8x8)
+            best_ref = 0
+            if nref > 1:
+                s8 = s16[oy * 4 : oy * 4 + 8, ox * 4 : ox * 4 + 8]
+                sads = [
+                    _mv_sad(dpb[ref][0], s8, x0 + ox * 4, y0 + oy * 4, (0, 0))
+                    for ref in range(nref)
+                ]
+                best_ref = int(np.argmin(sads))
+            mb.refs.append(best_ref)
+            sub_mvds = []
+            for dx4, dy4, w4, h4 in _P_SUB_PARTS[mb.sub_types[i8]]:
+                bx4, by4 = ox + dx4, oy + dy4
+                px, py = x0 + bx4 * 4, y0 + by4 * 4
+                sblk = s16[by4 * 4 : by4 * 4 + h4 * 4,
+                           bx4 * 4 : bx4 * 4 + w4 * 4]
+                mvp = _mvp(ctx, base_bx + bx4, base_by + by4, w4, h4, best_ref)
+                mv, _sad_val = _search_partition(
+                    dpb[best_ref][0], sblk, px, py, sr, mvp
+                )
+                _set_part_mv(ctx, base_bx + bx4, base_by + by4, w4, h4,
+                             best_ref, mv)
+                sub_mvds.append((mv[0] - mvp[0], mv[1] - mvp[1]))
+                parts.append((bx4, by4, w4, h4, best_ref, mv))
+            mb.mvds.append(sub_mvds)
+
+    for bx4, by4, w4, h4, ref, mv in parts:
+        _mc_partition(ctx, dpb, mbx, mby, bx4, by4, w4, h4, ref, mv,
+                      pred_y, pred_cb, pred_cr)
+
+    # ---- luma residual ----
+    resid = s16 - pred_y
+    mb.luma_dc = None
+    mb.luma_blocks = {}
+    for bx4, by4 in _LUMA_BLOCK_ORDER:
+        lev = _quant4x4(
+            _fwd4x4(resid[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4]), qp
+        )
+        mb.luma_blocks[(bx4, by4)] = _zig(lev)
+    cbp = 0
+    for g, (gx, gy) in enumerate([(0, 0), (2, 0), (0, 2), (2, 2)]):
+        blocks = [(bx4, by4) for bx4, by4 in _LUMA_BLOCK_ORDER
+                  if gx <= bx4 < gx + 2 and gy <= by4 < gy + 2]
+        if any(any(mb.luma_blocks[b]) for b in blocks):
+            cbp |= 1 << g
+    mb.cbp_luma = cbp
+    for bx4, by4 in _LUMA_BLOCK_ORDER:
+        group = (bx4 // 2) + 2 * (by4 // 2)
+        if cbp & (1 << group):
+            d = _dequant4x4(_unzig(mb.luma_blocks[(bx4, by4)]), qp)
+        else:
+            d = np.zeros((4, 4), np.int64)
+            mb.luma_blocks[(bx4, by4)] = [0] * 16
+        blk = np.clip(
+            pred_y[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + _inv4x4(d),
+            0, 255,
+        )
+        ctx.y[y0 + by4 * 4 : y0 + by4 * 4 + 4,
+              x0 + bx4 * 4 : x0 + bx4 * 4 + 4] = blk
+
+    # ---- chroma residual ----
+    _inter_chroma_encode(ctx, mb, scb, scr, pred_cb, pred_cr, qpc, mbx, mby)
+
+    ctx.decoded[base_by : base_by + 4, base_bx : base_bx + 4] = True
+    ctx.mb_done[mby, mbx] = True
+
+    if (
+        mb.mb_type == 0 and mb.refs == [0] and parts[0][5] == skip_mv
+        and mb.cbp_luma == 0 and mb.cbp_chroma == 0 and spec != "16x16"
+    ):
+        # P_Skip: reconstruction (pure clipped MC prediction) and all
+        # bookkeeping are already exactly what the decoder derives
+        return None
+    return mb
+
+
+def _write_mb_p(w: BitWriter, ctx: _FrameCtx, mb: _MBData,
+                mbx: int, mby: int) -> None:
+    if not mb.inter:
+        _write_mb(w, ctx, mb, mbx, mby, mb_type_offset=5)
+        return
+    w.ue(mb.mb_type)
+    if mb.mb_type in (3, 4):
+        for st in mb.sub_types:
+            w.ue(st)
+    if mb.mb_type != 4:
+        for ref in mb.refs:
+            _write_te_ref(w, ref, mb.nref)
+    if mb.mb_type <= 2:
+        for dx, dy in mb.mvds:
+            w.se(dx)
+            w.se(dy)
+    else:
+        for sub_mvds in mb.mvds:
+            for dx, dy in sub_mvds:
+                w.se(dx)
+                w.se(dy)
+    w.ue(_CBP_INTER_INV[mb.cbp_luma | (mb.cbp_chroma << 4)])
+    if mb.cbp_luma or mb.cbp_chroma:
+        w.se(0)  # mb_qp_delta
+    base_bx, base_by = mbx * 4, mby * 4
+    for bx4, by4 in _LUMA_BLOCK_ORDER:
+        bx, by = base_bx + bx4, base_by + by4
+        group = (bx4 // 2) + 2 * (by4 // 2)
+        if not (mb.cbp_luma & (1 << group)):
+            ctx.nzl[by, bx] = 0
+            continue
+        nc = ctx.nc_luma(bx, by)
+        ctx.nzl[by, bx] = cavlc_encode_block(w, mb.luma_blocks[(bx4, by4)], nc)
+    _write_chroma_residual(w, ctx, mb, mbx, mby)
+
+
+def _encode_p_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
+                    frame_num: int, dpb: list, sr: int, i16_threshold: int,
+                    nref: int, force: dict | None) -> tuple[bytes, _FrameCtx]:
+    qpc = _QPC[min(max(qp, 0), 51)]
+    ctx = _FrameCtx(mb_w, mb_h)
+    w = BitWriter()
+    w.ue(0)                    # first_mb_in_slice
+    w.ue(5)                    # slice_type: P (all slices of picture)
+    w.ue(0)                    # pic_parameter_set_id
+    w.u(frame_num & 15, 4)     # frame_num (log2_max_frame_num == 4)
+    if nref != 1:
+        w.u(1, 1)              # num_ref_idx_active_override_flag
+        w.ue(nref - 1)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
+    w.se(0)                    # slice_qp_delta
+    w.ue(1)                    # disable_deblocking_filter_idc: OFF
+    skip_run = 0
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            spec = force.get((mbx, mby)) if force else None
+            mb = _encode_mb_p(ctx, dpb, src_y, src_cb, src_cr, mbx, mby,
+                              qp, qpc, sr, i16_threshold, nref, spec)
+            if mb is None:
+                skip_run += 1
+                continue
+            w.ue(skip_run)
+            skip_run = 0
+            _write_mb_p(w, ctx, mb, mbx, mby)
+    if skip_run:
+        w.ue(skip_run)
+    w.rbsp_trailing()
+    return w.tobytes(), ctx
+
+
+# ---------------------------------------------------------------------
 # slice + NAL layer and the public codec API
 # ---------------------------------------------------------------------
 
@@ -1628,13 +2371,26 @@ def encode_h264(
     i16_threshold: int = 3,
     pcm_mbs: set | None = None,
     return_recon: bool = False,
+    keyint: int | None = None,
+    search_range: int = 4,
+    num_refs: int = 1,
+    force_mb: dict | None = None,
 ):
-    """(n, H, W, 3) uint8 RGB → Annex-B H.264 bytes: SPS + PPS + one
-    baseline IDR slice per frame (every frame independently decodable,
-    the all-intra form screen recorders and editing intermediates
-    use).  ``i16_threshold`` is the mean-absolute-error gate below
-    which a whole-MB Intra_16x16 predictor is chosen over per-block
-    Intra_4x4; ``pcm_mbs`` forces I_PCM at those (mbx, mby).  With
+    """(n, H, W, 3) uint8 RGB → Annex-B baseline H.264 bytes.
+
+    With the default ``keyint=None`` every frame is an independently
+    decodable IDR slice (the all-intra form screen recorders and
+    editing intermediates use).  With ``keyint=k`` frame i is IDR when
+    ``i % k == 0`` and a P slice otherwise: block-matching motion
+    search (integer ±``search_range`` then half/quarter refinement
+    through the decoder's own interpolation), P_Skip detection, up to
+    ``num_refs`` sliding-window reference frames, and per-MB shape
+    forcing via ``force_mb`` {(frame, mbx, mby): "16x16"/"16x8"/
+    "8x16"/("8x8", [sub_mb_types])/"i4"/"i16"} for coverage tests.
+
+    ``i16_threshold`` is the mean-absolute-error gate below which a
+    whole-MB Intra_16x16 predictor is chosen over per-block Intra_4x4;
+    ``pcm_mbs`` forces I_PCM at those (mbx, mby) in IDR frames.  With
     ``return_recon`` the encoder's own reconstruction (== what any
     conforming decoder must output, since deblocking is disabled) is
     returned alongside the bitstream for bitwise round-trip pinning."""
@@ -1646,23 +2402,55 @@ def encode_h264(
         raise ValueError("H.264 4:2:0 needs even frame dimensions")
     if not 0 <= qp <= 51:
         raise ValueError("qp must be in [0, 51]")
+    if keyint is not None and keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    if not 1 <= num_refs <= 16:
+        raise ValueError("num_refs must be in [1, 16]")
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     sps = BitWriter()
-    _write_sps(sps, width, height)
+    _write_sps(sps, width, height, num_ref=num_refs)
     pps = BitWriter()
     _write_pps(pps, qp)
     out = bytearray(_nal(7, sps.tobytes()) + _nal(8, pps.tobytes()))
     recons = []
+    dpb: list = []
+    frame_num = 0
+    idr_count = 0
     for i in range(n):
         y, cb, cr = rgb_to_yuv420(frames[i])
         y = _pad_to_mb(y, 16)
         cb = _pad_to_mb(cb, 8)
         cr = _pad_to_mb(cr, 8)
-        rbsp, ctx = _encode_idr_slice(
-            y, cb, cr, mb_w, mb_h, qp, i % 2, i16_threshold, pcm_mbs
-        )
-        out += _nal(5, rbsp)
+        idr = keyint is None or i % keyint == 0
+        if idr:
+            rbsp, ctx = _encode_idr_slice(
+                y, cb, cr, mb_w, mb_h, qp, idr_count % 2, i16_threshold,
+                pcm_mbs
+            )
+            out += _nal(5, rbsp)
+            idr_count += 1
+            dpb = []
+            frame_num = 0
+        else:
+            nref = min(num_refs, len(dpb))
+            force = (
+                {
+                    (mbx, mby): spc
+                    for (fi, mbx, mby), spc in force_mb.items()
+                    if fi == i
+                }
+                if force_mb
+                else None
+            )
+            frame_num = (frame_num + 1) % 16
+            rbsp, ctx = _encode_p_slice(
+                y, cb, cr, mb_w, mb_h, qp, frame_num, dpb, search_range,
+                i16_threshold, nref, force
+            )
+            out += _nal(1, rbsp)
+        dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
+        del dpb[num_refs:]
         if return_recon:
             recons.append(
                 yuv420_to_rgb(
@@ -1677,17 +2465,19 @@ def encode_h264(
 
 
 def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
-                        ref_idc: int) -> None:
+                        ref_idc: int) -> dict:
     first_mb = r.ue()
     if first_mb != 0:
         raise NotImplementedError("multi-slice pictures")
-    slice_type = r.ue()
-    if slice_type % 5 != 2:
+    slice_type = r.ue() % 5
+    if slice_type not in (0, 2):
         raise NotImplementedError(
-            "inter-frame (P/B) or SI slice needs reference pictures"
+            "B / SP / SI slice (bi-prediction or switching slices)"
         )
+    if idr and slice_type != 2:
+        raise ValueError("IDR picture with a non-I slice")
     r.ue()  # pic_parameter_set_id
-    r.u(sps["log2_max_frame_num"])  # frame_num
+    frame_num = r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
@@ -1696,6 +2486,14 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
             r.se()
     if pps["redundant"]:
         r.ue()
+    num_ref = pps["num_ref_l0"]
+    if slice_type == 0:  # P
+        if r.u(1):  # num_ref_idx_active_override_flag
+            num_ref = r.ue() + 1
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("reference picture list modification")
+        if pps["weighted_pred"]:
+            raise NotImplementedError("weighted prediction")
     if ref_idc:
         if idr:
             r.u(1)
@@ -1715,20 +2513,14 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
         raise NotImplementedError(
             "deblocking loop filter (decode would be silently unfiltered)"
         )
+    return {
+        "slice_type": slice_type,
+        "frame_num": frame_num,
+        "num_ref": num_ref,
+    }
 
 
-def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
-                      ref_idc: int) -> np.ndarray:
-    r = BitReader(rbsp)
-    _parse_slice_header(r, sps, pps, idr, ref_idc)
-    qp = pps["init_qp"]
-    if not 0 <= qp <= 51:
-        raise ValueError("QP out of range")
-    qpc = _QPC[min(max(qp + pps["chroma_qp_offset"], 0), 51)]
-    ctx = _FrameCtx(sps["mb_w"], sps["mb_h"])
-    for mby in range(sps["mb_h"]):
-        for mbx in range(sps["mb_w"]):
-            _decode_mb(r, ctx, mbx, mby, qp, qpc)
+def _ctx_to_rgb(ctx: _FrameCtx, sps: dict) -> np.ndarray:
     crop = sps["crop"]
     x0, x1 = 2 * crop[0], sps["mb_w"] * 16 - 2 * crop[1]
     y0, y1 = 2 * crop[2], sps["mb_h"] * 16 - 2 * crop[3]
@@ -1737,6 +2529,61 @@ def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
         ctx.cb[y0 // 2 : (y1 + 1) // 2, x0 // 2 : (x1 + 1) // 2].astype(np.uint8),
         ctx.cr[y0 // 2 : (y1 + 1) // 2, x0 // 2 : (x1 + 1) // 2].astype(np.uint8),
     )
+
+
+def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
+                  ref_idc: int, dpb: list) -> tuple[_FrameCtx, dict]:
+    """Decode one whole-picture slice (I or P) against the reference
+    list ``dpb`` (most-recently-decoded first); returns the
+    reconstructed frame context + parsed header."""
+    r = BitReader(rbsp)
+    hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
+    qp = pps["init_qp"]
+    if not 0 <= qp <= 51:
+        raise ValueError("QP out of range")
+    qpc = _QPC[min(max(qp + pps["chroma_qp_offset"], 0), 51)]
+    ctx = _FrameCtx(sps["mb_w"], sps["mb_h"])
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    if hdr["slice_type"] == 2:  # I
+        for mby in range(mb_h):
+            for mbx in range(mb_w):
+                _decode_mb(r, ctx, mbx, mby, qp, qpc)
+        return ctx, hdr
+    # P slice
+    nref = hdr["num_ref"]
+    if nref > len(dpb):
+        raise ValueError(
+            f"P slice needs {nref} reference frame(s), {len(dpb)} decoded"
+        )
+    total = mb_w * mb_h
+    idx = 0
+    while idx < total:
+        run = r.ue()
+        if run > total - idx:
+            raise ValueError("mb_skip_run overruns picture")
+        for _ in range(run):
+            _decode_skip_mb(ctx, dpb, idx % mb_w, idx // mb_w)
+            idx += 1
+        if idx >= total:
+            break
+        mbx, mby = idx % mb_w, idx // mb_w
+        mb_type = r.ue()
+        if mb_type <= 4:
+            _decode_mb_inter(r, ctx, dpb, mbx, mby, qp, qpc, mb_type, nref)
+        elif mb_type <= 30:
+            _decode_mb(r, ctx, mbx, mby, qp, qpc, mb_type - 5)
+            _mark_intra_mvs(ctx, mbx, mby)
+        else:
+            raise ValueError(f"invalid P-slice mb_type {mb_type}")
+        idx += 1
+    return ctx, hdr
+
+
+def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
+                      ref_idc: int) -> np.ndarray:
+    """Stateless single-IDR decode (kept for the all-intra callers)."""
+    ctx, _hdr = _decode_slice(rbsp, sps, pps, idr, ref_idc, [])
+    return _ctx_to_rgb(ctx, sps)
 
 
 def split_annexb(data: bytes) -> list[bytes]:
@@ -1762,35 +2609,56 @@ def split_annexb(data: bytes) -> list[bytes]:
 
 
 def decode_h264_frames(data: bytes, every_n: int = 1):
-    """Yield (frame_idx, H×W×3 uint8 RGB) for every ``every_n``-th IDR
-    frame of an Annex-B all-intra stream.  P/B slices, CABAC, and
-    deblocking-enabled streams raise NotImplementedError (honest
-    fence); corrupt syntax raises ValueError."""
+    """Yield (frame_idx, H×W×3 uint8 RGB) for every ``every_n``-th
+    frame of an Annex-B baseline stream: all-intra IDR and
+    IDR+P-slice (CAVLC inter prediction, sliding-window references)
+    streams decode; B slices, CABAC, and deblocking-enabled streams
+    raise NotImplementedError (honest fence); corrupt syntax raises
+    ValueError.  All-intra streams keep the sampling fast path
+    (non-yielded frames are never decoded); once a P slice is present
+    every frame decodes in order because later frames reference it."""
+    nals = [n for n in split_annexb(data) if n]
+    has_inter = any((n[0] & 0x1F) == 1 for n in nals)
     sps = pps = None
     idx = 0
-    for nal in split_annexb(data):
-        if not nal:
-            continue
+    dpb: list = []
+    prev_fn = None
+    for nal in nals:
         hdr = nal[0]
         if hdr & 0x80:
             raise ValueError("forbidden_zero_bit set")
         nal_type = hdr & 0x1F
         ref_idc = (hdr >> 5) & 3
-        rbsp = ebsp_to_rbsp(nal[1:])
         if nal_type == 7:
-            sps = parse_sps(rbsp)
+            sps = parse_sps(ebsp_to_rbsp(nal[1:]))
         elif nal_type == 8:
-            pps = parse_pps(rbsp)
-        elif nal_type == 5:
+            pps = parse_pps(ebsp_to_rbsp(nal[1:]))
+        elif nal_type in (1, 5):
+            idr = nal_type == 5
             if sps is None or pps is None:
-                raise ValueError("IDR slice before SPS/PPS")
-            if idx % every_n == 0:
-                yield idx, _decode_idr_slice(rbsp, sps, pps, True, ref_idc)
-            idx += 1
-        elif nal_type == 1:
-            raise NotImplementedError(
-                "non-IDR slice (inter prediction) needs reference pictures"
+                raise ValueError("slice before SPS/PPS")
+            want = idx % every_n == 0
+            if not want and not has_inter:
+                idx += 1
+                continue
+            if idr:
+                dpb = []
+            ctx, shdr = _decode_slice(
+                ebsp_to_rbsp(nal[1:]), sps, pps, idr, ref_idc, dpb
             )
+            maxfn = 1 << sps["log2_max_frame_num"]
+            if not idr and (
+                prev_fn is None
+                or shdr["frame_num"] not in (prev_fn, (prev_fn + 1) % maxfn)
+            ):
+                raise ValueError("frame_num gap (lost reference frame)")
+            if ref_idc:
+                dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
+                del dpb[max(sps["max_num_ref"], 1):]
+                prev_fn = shdr["frame_num"]
+            if want:
+                yield idx, _ctx_to_rgb(ctx, sps)
+            idx += 1
         # SEI (6), AUD (9), filler (12)... are skipped
 
 
@@ -1808,8 +2676,10 @@ def decode_h264(data: bytes) -> np.ndarray:
 
 
 def annexb_to_avcc_samples(data: bytes) -> tuple[bytes, list[bytes]]:
-    """Annex-B stream → (avcC box payload, per-IDR length-prefixed
-    samples) — the shape an 'avc1' track stores."""
+    """Annex-B stream → (avcC box payload, per-picture length-prefixed
+    samples) — the shape an 'avc1' track stores.  Each slice NAL (IDR
+    type 5 or P type 1; one slice per picture here) becomes one
+    sample."""
     sps_nal = pps_nal = None
     samples = []
     for nal in split_annexb(data):
@@ -1818,10 +2688,10 @@ def annexb_to_avcc_samples(data: bytes) -> tuple[bytes, list[bytes]]:
             sps_nal = nal
         elif t == 8:
             pps_nal = nal
-        elif t == 5:
+        elif t in (1, 5):
             samples.append(struct.pack(">I", len(nal)) + nal)
     if sps_nal is None or pps_nal is None or not samples:
-        raise ValueError("stream lacks SPS/PPS/IDR NALs")
+        raise ValueError("stream lacks SPS/PPS/slice NALs")
     avcc = bytes([
         1,                   # configurationVersion
         sps_nal[1],          # AVCProfileIndication
@@ -1864,11 +2734,8 @@ def parse_avcc(avcc: bytes) -> tuple[dict, dict, int]:
     return sps, pps, length_size
 
 
-def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
-                       length_size: int) -> np.ndarray:
-    """One length-prefixed 'avc1' sample → RGB frame (IDR only)."""
+def _iter_sample_nals(sample: bytes, length_size: int):
     pos = 0
-    frame = None
     while pos + length_size <= len(sample):
         ln = int.from_bytes(sample[pos : pos + length_size], "big")
         pos += length_size
@@ -1876,8 +2743,65 @@ def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
             raise ValueError("NAL length overruns sample")
         nal = sample[pos : pos + ln]
         pos += ln
-        if not nal:
-            continue
+        if nal:
+            yield nal
+
+
+def sample_has_inter(sample: bytes, length_size: int) -> bool:
+    """True when a length-prefixed 'avc1' sample carries a non-IDR
+    (type 1) slice NAL — a cheap header scan, no decode."""
+    return any(
+        (nal[0] & 0x1F) == 1 for nal in _iter_sample_nals(sample, length_size)
+    )
+
+
+class AvccDecoder:
+    """Stateful 'avc1' track decoder: carries the reference DPB and
+    frame_num continuity across samples so IDR+P tracks decode in
+    sample order (each sample = one picture, ISO/IEC 14496-15)."""
+
+    def __init__(self, avcc: bytes) -> None:
+        self.sps, self.pps, self.length_size = parse_avcc(avcc)
+        self._dpb: list = []
+        self._prev_fn: int | None = None
+
+    def decode_sample(self, sample: bytes) -> np.ndarray:
+        frame = None
+        for nal in _iter_sample_nals(sample, self.length_size):
+            nal_type = nal[0] & 0x1F
+            ref_idc = (nal[0] >> 5) & 3
+            if nal_type not in (1, 5):
+                continue  # in-band SPS/PPS/SEI inside a sample: avcC rules
+            idr = nal_type == 5
+            if idr:
+                self._dpb = []
+            ctx, shdr = _decode_slice(
+                ebsp_to_rbsp(nal[1:]), self.sps, self.pps, idr, ref_idc,
+                self._dpb,
+            )
+            maxfn = 1 << self.sps["log2_max_frame_num"]
+            if not idr and (
+                self._prev_fn is None
+                or shdr["frame_num"]
+                not in (self._prev_fn, (self._prev_fn + 1) % maxfn)
+            ):
+                raise ValueError("frame_num gap (lost reference frame)")
+            if ref_idc:
+                self._dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
+                del self._dpb[max(self.sps["max_num_ref"], 1):]
+                self._prev_fn = shdr["frame_num"]
+            frame = _ctx_to_rgb(ctx, self.sps)
+        if frame is None:
+            raise ValueError("sample contains no slice NAL")
+        return frame
+
+
+def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
+                       length_size: int) -> np.ndarray:
+    """One length-prefixed 'avc1' sample → RGB frame, STATELESS (IDR
+    only; P slices need :class:`AvccDecoder`'s reference state)."""
+    frame = None
+    for nal in _iter_sample_nals(sample, length_size):
         nal_type = nal[0] & 0x1F
         ref_idc = (nal[0] >> 5) & 3
         if nal_type == 5:
@@ -1885,7 +2809,9 @@ def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
                 ebsp_to_rbsp(nal[1:]), sps, pps, True, ref_idc
             )
         elif nal_type == 1:
-            raise NotImplementedError("non-IDR slice (inter prediction)")
+            raise NotImplementedError(
+                "non-IDR sample in stateless decode (use AvccDecoder)"
+            )
         # in-band SPS/PPS/SEI inside a sample are ignored (avcC rules)
     if frame is None:
         raise ValueError("sample contains no IDR slice")

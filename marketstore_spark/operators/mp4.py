@@ -14,11 +14,12 @@ Three essence kinds decode end-to-end with no native libs:
   repo's own pure-numpy operators/jpeg.py: genuinely COMPRESSED video;
 - ``'raw '`` — uncompressed packed 24-bit RGB, top-down rows (the
   QuickTime raw-video entry at depth 24);
-- ``'avc1'`` — baseline H.264, all-intra IDR samples, via
-  operators/h264.py (CAVLC + full intra prediction; avcC parsed from
-  the sample entry).  avc1 samples that are P/B slices raise
-  NotImplementedError inside decode — real streams with inter frames
-  still fence honestly.
+- ``'avc1'`` — baseline H.264 via operators/h264.py (CAVLC, full
+  intra prediction, AND P-slice inter prediction with quarter-pel
+  motion compensation; avcC parsed from the sample entry).  All-intra
+  and IDR+P tracks both decode — a stateful per-track walk carries
+  the reference DPB across samples; B slices, CABAC, and
+  deblocking-enabled streams raise NotImplementedError inside decode.
 
 Other inter-frame codecs (hev1/vp09/av01/mp4v) probe fine — width,
 height, fps, frame count, codec all report — but decode raises
@@ -50,8 +51,8 @@ TOPLEVEL_BOXES = {
 }
 
 #: decodable essence (fourcc, space-stripped): Photo-JPEG, raw RGB24,
-#: and all-intra baseline H.264 (IDR slices, operators/h264.py —
-#: avc1 tracks whose samples are P/B slices still raise inside decode)
+#: and baseline H.264 (IDR + P slices, operators/h264.py — B/CABAC/
+#: deblocking-enabled avc1 samples still raise inside decode)
 _INTRA_CODECS = ("jpeg", "raw", "avc1")
 
 
@@ -120,6 +121,7 @@ def encode_mp4(
     use_co64: bool = False,
     version1: bool = False,
     fragmented: bool = False,
+    keyint: int | None = None,
 ) -> bytes:
     """(n, H, W, 3) uint8 RGB frames → ISO-BMFF bytes.
 
@@ -148,20 +150,32 @@ def encode_mp4(
         samples = [encode_jpeg(f, quality=quality) for f in frames]
         fourcc, compressor = b"jpeg", b"Photo JPEG"
     elif codec == "h264":
-        # all-intra baseline IDR stream (operators/h264.py), stored the
+        # baseline H.264 stream (operators/h264.py), stored the
         # ISO/IEC 14496-15 way: avcC in the sample entry, one
-        # length-prefixed IDR sample per frame.  quality maps to QP
-        # (quality 85 -> QP ~22): higher quality, lower QP.
+        # length-prefixed sample per picture.  quality maps to QP
+        # (quality 85 -> QP ~22): higher quality, lower QP.  With the
+        # default keyint=None every sample is IDR (all-intra); with
+        # keyint=k only every k-th is, the rest are P slices, and the
+        # IDR samples are listed in an stss sync-sample box.
         from marketstore_spark.operators.h264 import (
             annexb_to_avcc_samples,
             encode_h264,
         )
 
         qp = max(0, min(51, 51 - round(quality * 34 / 100)))
-        annexb = encode_h264(frames, qp=qp)
+        annexb = encode_h264(frames, qp=qp, keyint=keyint)
         avcc, samples = annexb_to_avcc_samples(annexb)
         extra = _box(b"avcC", avcc)
         fourcc, compressor = b"avc1", b"AVC Coding"
+        if keyint is not None:
+            sync = [i + 1 for i in range(n) if i % keyint == 0]
+            return mux_mp4_samples(
+                samples, w, h, fps=fps, fourcc=fourcc,
+                compressor=compressor, uniform=False,
+                samples_per_chunk=samples_per_chunk, use_co64=use_co64,
+                version1=version1, fragmented=fragmented,
+                extra_entry_boxes=extra, sync_samples=sync,
+            )
     else:
         samples = [f.tobytes() for f in frames]
         fourcc, compressor = b"raw ", b"raw RGB24"
@@ -186,6 +200,7 @@ def mux_mp4_samples(
     version1: bool = False,
     fragmented: bool = False,
     extra_entry_boxes: bytes = b"",
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """Mux already-encoded video samples (one bytes payload per frame)
     into an ISO-BMFF file — the container math separated from the
@@ -262,7 +277,16 @@ def mux_mp4_samples(
         + extra_entry_boxes,                          # e.g. avcC
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # stss: 1-based sync-sample numbers (8.6.2 — absent means every
+    # sample is a random-access point, so only P-frame tracks write it)
+    stss = b""
+    if sync_samples is not None and not fragmented:
+        stss = _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync_samples))
+            + struct.pack(f">{len(sync_samples)}I", *sync_samples),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
 
     # ---- movie/track headers (timescale = fps, delta = 1) --------------
     matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
@@ -812,10 +836,10 @@ def decode_mp4_frames(
 ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (frame_idx, H×W×3 uint8 RGB) for every ``every_n``-th
     sample.  Photo-JPEG ('jpeg'), uncompressed RGB24 ('raw '), and
-    all-intra baseline H.264 ('avc1', IDR samples via
-    operators/h264.py) decode; other inter-frame essence (hev1/vp09/
-    av01/mp4v, and avc1 samples that are P/B slices) raises
-    NotImplementedError."""
+    baseline H.264 ('avc1' — all-intra AND IDR+P inter tracks, via
+    operators/h264.py) decode; other essence (hev1/vp09/av01/mp4v,
+    and avc1 samples that are B slices or CABAC/deblocking-enabled)
+    raises NotImplementedError."""
     if len(payload) < 12 or payload[4:8] not in TOPLEVEL_BOXES:
         raise ValueError("not an ISO-BMFF (MP4) payload")
     hdr, stbl = _video_stbl(payload)
@@ -824,15 +848,30 @@ def decode_mp4_frames(
         raise NotImplementedError(
             f"inter-frame MP4 essence {codec!r} needs ffmpeg"
         )
-    if codec == "jpeg":
-        from marketstore_spark.operators.jpeg import decode_jpeg
     if codec == "avc1":
+        # stateful track decode: P samples reference earlier samples,
+        # so when any sample carries a non-IDR NAL every sample must
+        # decode in order (the all-IDR track keeps the sampling skip)
         from marketstore_spark.operators.h264 import (
-            decode_avcc_sample,
-            parse_avcc,
+            AvccDecoder,
+            sample_has_inter,
         )
 
-        sps, pps, length_size = parse_avcc(_stsd_avcc(payload, stbl))
+        dec = AvccDecoder(_stsd_avcc(payload, stbl))
+        ranges = list(_all_sample_ranges(payload, hdr, stbl))
+        has_inter = any(
+            sample_has_inter(bytes(payload[o : o + s]), dec.length_size)
+            for o, s in ranges
+        )
+        for idx, (off, size) in enumerate(ranges):
+            if idx % every_n and not has_inter:
+                continue
+            frame = dec.decode_sample(bytes(payload[off : off + size]))
+            if idx % every_n == 0:
+                yield idx, frame
+        return
+    if codec == "jpeg":
+        from marketstore_spark.operators.jpeg import decode_jpeg
     w, h = hdr["width"], hdr["height"]
     for idx, (off, size) in enumerate(_all_sample_ranges(payload, hdr, stbl)):
         if idx % every_n:
@@ -840,8 +879,6 @@ def decode_mp4_frames(
         sample = bytes(payload[off : off + size])
         if codec == "jpeg":
             yield idx, decode_jpeg(sample)
-        elif codec == "avc1":
-            yield idx, decode_avcc_sample(sample, sps, pps, length_size)
         else:
             if size != w * h * 3:
                 raise ValueError("raw sample size does not match w*h*3")

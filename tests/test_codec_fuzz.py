@@ -82,7 +82,11 @@ _CASES = [
     ("gif", lambda: encode_gif((_FRAMES[0] // 64 * 64)[None]), decode_gif),
     ("jpeg", lambda: encode_jpeg(_FRAMES[0]), decode_jpeg),
     ("h264", lambda: h264.encode_h264(_FRAMES, qp=20), h264.decode_h264),
+    ("h264p", lambda: h264.encode_h264(_FRAMES, qp=20, keyint=2),
+     h264.decode_h264),
     ("mp4avc1", lambda: mp4.encode_mp4(_FRAMES, codec="h264"),
+     lambda b: list(mp4.decode_mp4_frames(b))),
+    ("mp4avc1p", lambda: mp4.encode_mp4(_FRAMES, codec="h264", keyint=2),
      lambda b: list(mp4.decode_mp4_frames(b))),
 ]
 

@@ -257,9 +257,10 @@ def test_every_n_frame_stepping():
 def test_fences_and_corruption():
     blob = encode_h264(_gradient(1, 16, 16), qp=20)
     nals = split_annexb(blob)
-    # non-IDR slice NAL (type 1) -> inter prediction fence
+    # a non-IDR NAL whose payload is really an IDR slice header is
+    # corrupt syntax (misaligned header fields), never silent output
     p_slice = b"\x00\x00\x00\x01" + bytes([0x61]) + nals[2][1:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((ValueError, NotImplementedError)):
         list(decode_h264_frames(
             b"\x00\x00\x00\x01" + nals[0]
             + b"\x00\x00\x00\x01" + nals[1] + p_slice
@@ -366,11 +367,12 @@ def test_sei_and_aud_nals_are_skipped():
     assert np.array_equal(dec, recon)
 
 
-def test_avc1_sample_with_p_slice_fences_in_mp4():
-    """An avc1 track whose sample carries a non-IDR (type 1) NAL must
-    fence with NotImplementedError THROUGH the MP4 walk — the
-    real-stream shape (IDR + P frames) never silently yields wrong
-    pixels."""
+def test_avc1_sample_with_fake_p_header_errors_in_mp4():
+    """An avc1 sample whose NAL header claims non-IDR (type 1) while
+    the payload is really an IDR slice header is CORRUPT — the fields
+    after frame_num misalign.  The MP4 walk must raise (ValueError on
+    the garbage syntax, or NotImplementedError if the misread lands on
+    a fenced feature flag), never silently yield wrong pixels."""
     import struct as _struct
 
     from marketstore_spark.operators.mp4 import decode_mp4_frames, encode_mp4
@@ -385,8 +387,377 @@ def test_avc1_sample_with_p_slice_fences_in_mp4():
     hdr_pos = mdat_s + 4 + ln1 + 4  # second sample's first NAL header
     patched = bytearray(blob)
     patched[hdr_pos] = (patched[hdr_pos] & 0x60) | 1
-    it = decode_mp4_frames(bytes(patched))
-    idx0, _f0 = next(it)  # first sample still decodes (it is IDR)
-    assert idx0 == 0
+    with pytest.raises((ValueError, NotImplementedError)):
+        list(decode_mp4_frames(bytes(patched)))
+
+
+# ---------------------------------------------------------------------
+# P slices: inter prediction
+# ---------------------------------------------------------------------
+
+
+def _moving_scene(n, h, w, dx=3, dy=2, color=(200, 30, 90)):
+    """Gradient background with a square translating dx/dy px per
+    frame — exercises MC, skip (static background), and residuals."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        f = np.stack([base, (base + 50) % 256, (base + 100) % 256], -1)
+        y0, x0 = 4 + dy * i, 6 + dx * i
+        f[y0 : y0 + 10, x0 : x0 + 10] = color
+        frames.append(f.astype(np.uint8))
+    return np.stack(frames)
+
+
+def test_cbp_inter_table_structure():
+    from marketstore_spark.operators.h264 import _CBP_INTER, _CBP_INTRA
+
+    assert len(_CBP_INTER) == 48
+    assert sorted(_CBP_INTER) == list(range(48))
+    assert sorted(_CBP_INTER) == sorted(_CBP_INTRA)
+    assert _CBP_INTER[0] == 0  # no-residual MB gets the shortest code
+
+
+def _interp_luma_literal(refy, px, py, mvx, mvy, w, h):
+    """Per-pixel transcription of spec 8.4.2.2.1 — shares NO code with
+    the module's vectorized implementation."""
+    H, W = refy.shape
+
+    def S(y, x):
+        return int(refy[min(max(y, 0), H - 1), min(max(x, 0), W - 1)])
+
+    def b1(y, x):
+        return (S(y, x - 2) - 5 * S(y, x - 1) + 20 * S(y, x)
+                + 20 * S(y, x + 1) - 5 * S(y, x + 2) + S(y, x + 3))
+
+    def h1(y, x):
+        return (S(y - 2, x) - 5 * S(y - 1, x) + 20 * S(y, x)
+                + 20 * S(y + 1, x) - 5 * S(y + 2, x) + S(y + 3, x))
+
+    def clip(v):
+        return min(255, max(0, v))
+
+    def bb(y, x):
+        return clip((b1(y, x) + 16) >> 5)
+
+    def hh(y, x):
+        return clip((h1(y, x) + 16) >> 5)
+
+    def jj(y, x):
+        j1 = (b1(y - 2, x) - 5 * b1(y - 1, x) + 20 * b1(y, x)
+              + 20 * b1(y + 1, x) - 5 * b1(y + 2, x) + b1(y + 3, x))
+        return clip((j1 + 512) >> 10)
+
+    out = np.zeros((h, w), np.int64)
+    for yy in range(h):
+        for xx in range(w):
+            xq, yq = 4 * (px + xx) + mvx, 4 * (py + yy) + mvy
+            xi, yi, xf, yf = xq >> 2, yq >> 2, xq & 3, yq & 3
+            G, Hs, M = S(yi, xi), S(yi, xi + 1), S(yi + 1, xi)
+            b, hv, j = bb(yi, xi), hh(yi, xi), jj(yi, xi)
+            m, s = hh(yi, xi + 1), bb(yi + 1, xi)
+            out[yy, xx] = {
+                (0, 0): G, (1, 0): (G + b + 1) >> 1, (2, 0): b,
+                (3, 0): (Hs + b + 1) >> 1,
+                (0, 1): (G + hv + 1) >> 1, (1, 1): (b + hv + 1) >> 1,
+                (2, 1): (b + j + 1) >> 1, (3, 1): (b + m + 1) >> 1,
+                (0, 2): hv, (1, 2): (hv + j + 1) >> 1, (2, 2): j,
+                (3, 2): (j + m + 1) >> 1,
+                (0, 3): (M + hv + 1) >> 1, (1, 3): (hv + s + 1) >> 1,
+                (2, 3): (j + s + 1) >> 1, (3, 3): (m + s + 1) >> 1,
+            }[(xf, yf)]
+    return out
+
+
+def test_interp_luma_matches_literal_spec_transcription():
+    from marketstore_spark.operators.h264 import _interp_luma
+
+    rng = np.random.default_rng(11)
+    refy = rng.integers(0, 256, (24, 20)).astype(np.int64)
+    for base_mv in [(0, 0), (-9, 6), (30, -17), (-80, -80), (120, 90)]:
+        for xf in range(4):
+            for yf in range(4):
+                mv = (4 * base_mv[0] + xf, 4 * base_mv[1] + yf)
+                got = _interp_luma(refy, 4, 8, mv[0], mv[1], 8, 8)
+                want = _interp_luma_literal(refy, 4, 8, mv[0], mv[1], 8, 8)
+                assert np.array_equal(got, want), (base_mv, xf, yf)
+
+
+def test_interp_chroma_matches_literal_spec_transcription():
+    from marketstore_spark.operators.h264 import _interp_chroma
+
+    rng = np.random.default_rng(12)
+    refc = rng.integers(0, 256, (12, 10)).astype(np.int64)
+    Hc, Wc = refc.shape
+
+    def S(y, x):
+        return int(refc[min(max(y, 0), Hc - 1), min(max(x, 0), Wc - 1)])
+
+    for mvx in (-13, -3, 0, 5, 41):
+        for mvy in (-7, 0, 3, 22):
+            got = _interp_chroma(refc, 2, 3, mvx, mvy, 4, 4)
+            for yy in range(4):
+                for xx in range(4):
+                    x8, y8 = 8 * (2 + xx) + mvx, 8 * (3 + yy) + mvy
+                    xi, yi, xf, yf = x8 >> 3, y8 >> 3, x8 & 7, y8 & 7
+                    want = ((8 - xf) * (8 - yf) * S(yi, xi)
+                            + xf * (8 - yf) * S(yi, xi + 1)
+                            + (8 - xf) * yf * S(yi + 1, xi)
+                            + xf * yf * S(yi + 1, xi + 1) + 32) >> 6
+                    assert got[yy, xx] == want, (mvx, mvy, xx, yy)
+
+
+def test_mvp_median_and_shortcut_rules():
+    from marketstore_spark.operators.h264 import _FrameCtx, _mvp, _set_part_mv
+
+    ctx = _FrameCtx(4, 4)
+    # current MB at (1,1): blocks (4..7, 4..7)
+    _set_part_mv(ctx, 0, 4, 4, 4, 0, (8, -4))    # A: left MB
+    _set_part_mv(ctx, 4, 0, 4, 4, 0, (-12, 16))  # B: above MB
+    _set_part_mv(ctx, 8, 0, 4, 4, 0, (2, 6))     # C: above-right MB
+    # all three share ref 0 -> component median
+    assert _mvp(ctx, 4, 4, 4, 4, 0) == (2, 6)
+    # exactly one neighbour matches ref 1 -> its mv verbatim
+    _set_part_mv(ctx, 0, 4, 4, 4, 1, (8, -4))
+    assert _mvp(ctx, 4, 4, 4, 4, 1) == (8, -4)
+    # 16x8 directional: top partition takes B when refs match
+    assert _mvp(ctx, 4, 4, 4, 2, 0, "16x8_top") == (-12, 16)
+    # bottom partition takes A when refs match (A is ref 1 now)
+    assert _mvp(ctx, 4, 6, 4, 2, 1, "16x8_bot") == (8, -4)
+    # 8x16 right partition takes C
+    assert _mvp(ctx, 6, 4, 2, 4, 0, "8x16_right") == (2, 6)
+    # top-row rule: nothing above -> A verbatim even with ref mismatch
+    ctx2 = _FrameCtx(4, 4)
+    _set_part_mv(ctx2, 0, 0, 4, 4, 1, (20, 12))
+    assert _mvp(ctx2, 4, 0, 4, 4, 0) == (20, 12)
+    # D fallback: C outside picture, D (above-left) fills the slot
+    ctx3 = _FrameCtx(2, 2)
+    _set_part_mv(ctx3, 0, 0, 4, 4, 0, (4, 4))   # covers B and D columns
+    _set_part_mv(ctx3, 0, 4, 4, 4, 0, (0, 8))   # A
+    # current MB (1,1); C=(8,3) outside -> D=(3,3) from MB (0,0); B is
+    # the undecoded MB (1,0) -> (-1, (0,0)); two ref-0 matches -> median
+    assert _mvp(ctx3, 4, 4, 4, 4, 0) == (0, 4)  # median(0,0,4 / 8,0,4)
+
+
+def test_skip_mv_zero_conditions():
+    from marketstore_spark.operators.h264 import _FrameCtx, _set_part_mv, _skip_mv
+
+    ctx = _FrameCtx(4, 4)
+    # top-left MB: A and B missing -> zero
+    assert _skip_mv(ctx, 0, 0) == (0, 0)
+    # zero-MV ref-0 left neighbour -> zero even with a moving B
+    _set_part_mv(ctx, 0, 4, 4, 4, 0, (0, 0))
+    _set_part_mv(ctx, 4, 0, 4, 4, 0, (8, 8))
+    _set_part_mv(ctx, 8, 0, 4, 4, 0, (8, 8))
+    assert _skip_mv(ctx, 1, 1) == (0, 0)
+    # otherwise: the 16x16 MVP (all three neighbours ref 0 -> median)
+    _set_part_mv(ctx, 0, 4, 4, 4, 0, (4, -8))
+    assert _skip_mv(ctx, 1, 1) == (8, 8)  # median(4,8,8 / -8,8,8)
+
+
+def test_p_roundtrip_bitwise_across_qp_sizes_and_gops():
+    for qp, (h, w), keyint in [
+        (0, (32, 48), 4), (18, (48, 32), 3), (32, (34, 50), 2),
+        (44, (16, 16), 8),
+    ]:
+        frames = _moving_scene(6, h, w)
+        data, recon = encode_h264(
+            frames, qp=qp, keyint=keyint, return_recon=True
+        )
+        dec = decode_h264(data)
+        assert dec.shape == recon.shape
+        assert np.array_equal(dec, recon), (qp, h, w, keyint)
+
+
+def test_p_partition_shapes_bitwise():
+    """Force every inter partition shape (16x8, 8x16, all four 8x8
+    sub-MB splits) plus intra-in-P MBs in one stream; the round-trip
+    stays bitwise."""
+    frames = _moving_scene(3, 48, 64)
+    force = {}
+    for fi in (1, 2):
+        force[(fi, 0, 0)] = "16x8"
+        force[(fi, 1, 0)] = "8x16"
+        force[(fi, 2, 0)] = ("8x8", [0, 1, 2, 3])
+        force[(fi, 0, 1)] = ("8x8", [3, 2, 1, 0])
+        force[(fi, 1, 1)] = "i4"
+        force[(fi, 2, 1)] = "i16"
+        force[(fi, 3, 2)] = "16x16"
+    data, recon = encode_h264(
+        frames, qp=26, keyint=3, force_mb=force, return_recon=True
+    )
+    dec = decode_h264(data)
+    assert np.array_equal(dec, recon)
+
+
+def test_p_static_scene_compresses_without_drift():
+    """A static source: P frames cost a fraction of intra (skips plus
+    small refinements toward the source — the reference is the LOSSY
+    IDR reconstruction, so refinement is legitimate), the round-trip
+    is bitwise, and quality never drifts away from the source."""
+    f0 = _moving_scene(1, 32, 48)[0]
+    frames = np.stack([f0] * 4)
+    data, recon = encode_h264(frames, qp=30, keyint=4, return_recon=True)
+    data_intra = encode_h264(frames, qp=30)
+    assert len(data) < len(data_intra) * 0.45  # P frames nearly free
+    dec = decode_h264(data)
+    assert np.array_equal(dec, recon)
+    err = [int(np.abs(dec[i].astype(int) - f0.astype(int)).sum())
+           for i in range(4)]
+    assert max(err[1:]) <= err[0]  # refinement, never drift
+
+
+def test_p_true_static_reference_is_all_skip():
+    """When the P-frame sources equal the IDR RECONSTRUCTION exactly,
+    every MB satisfies the skip conditions: each P slice is a few
+    bytes (one skip run) and decodes identical to the IDR frame.
+    Grayscale keeps the RGB<->YUV hop an exact identity (chroma is a
+    constant 128), so the recon really is the reference."""
+    g = _moving_scene(1, 32, 48)[0][..., 0]
+    f0 = np.stack([g, g, g], -1)
+    _, r0 = encode_h264(f0[None], qp=30, return_recon=True)
+    frames = np.stack([f0, r0[0], r0[0], r0[0]])
+    data = encode_h264(frames, qp=30, keyint=4)
+    nals = split_annexb(data)
+    p_slices = nals[3:]
+    assert len(p_slices) == 3
+    assert all(len(n) <= 8 for n in p_slices)  # header + one skip run
+    dec = decode_h264(data)
+    for i in range(1, 4):
+        assert np.array_equal(dec[i], dec[0])
+
+
+def test_p_integer_translation_predicts_exactly():
+    """EXTERNAL MC pin: frame 1 is frame 0 translated by a whole-pel
+    (dx, dy).  Inside the valid region the motion search must find
+    that vector, prediction is exact, the residual is zero, and the
+    decoded P frame equals the translated decoded IDR bit-for-bit —
+    no encoder-reconstruction circularity."""
+    rng = np.random.default_rng(5)
+    h, w, dx, dy = 32, 48, 3, -2
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    g0 = np.stack([base] * 3, -1)
+    g1 = np.stack([np.roll(np.roll(base, dy, 0), dx, 1)] * 3, -1)
+    data = encode_h264(np.stack([g0, g1]), qp=24, keyint=2, search_range=4)
+    dec = decode_h264(data)
+    shifted = np.roll(np.roll(dec[0], dy, 0), dx, 1)
+    # interior: exclude the wrap margin of np.roll and the MB columns
+    # touching it (MC clamps at edges instead of wrapping)
+    inner = (slice(16, h - 16), slice(16, w - 16))
+    assert np.array_equal(dec[1][inner], shifted[inner])
+
+
+def test_p_multi_reference_roundtrip():
+    """Two sliding-window references with te(v) ref indices: an
+    alternating-flicker scene makes ref 1 the better match for every
+    even P frame; the round-trip stays bitwise and beats single-ref
+    size."""
+    a = _moving_scene(1, 32, 48, color=(250, 250, 250))[0]
+    b = _moving_scene(1, 32, 48, color=(10, 10, 10))[0]
+    frames = np.stack([a, b, a, b, a, b])
+    d2, recon = encode_h264(
+        frames, qp=28, keyint=6, num_refs=2, return_recon=True
+    )
+    assert np.array_equal(decode_h264(d2), recon)
+    d1 = encode_h264(frames, qp=28, keyint=6, num_refs=1)
+    assert len(d2) < len(d1)
+
+
+def test_p_every_n_sampling_still_decodes_references():
+    frames = _moving_scene(6, 32, 32)
+    data, recon = encode_h264(frames, qp=24, keyint=6, return_recon=True)
+    got = dict(decode_h264_frames(data, every_n=3))
+    assert sorted(got) == [0, 3]
+    assert np.array_equal(got[3], recon[3])
+
+
+def test_p_fences_and_stream_errors():
+    from marketstore_spark.operators.h264 import _nal
+
+    frames = _moving_scene(4, 16, 16)
+    data = encode_h264(frames, qp=24, keyint=4)
+    nals = split_annexb(data)
+    sps_nal, pps_nal = nals[0], nals[1]
+
+    def stream(*slice_nals):
+        out = b"\x00\x00\x00\x01" + sps_nal + b"\x00\x00\x00\x01" + pps_nal
+        for nal in slice_nals:
+            out += b"\x00\x00\x00\x01" + nal
+        return out
+
+    # B slice -> NotImplementedError at the header
+    w = BitWriter()
+    w.ue(0)   # first_mb
+    w.ue(6)   # slice_type: B
+    w.ue(0)
+    w.u(1, 4)
+    w.rbsp_trailing()
+    b_nal = bytes([0x41]) + w.tobytes()
     with pytest.raises(NotImplementedError):
-        next(it)
+        list(decode_h264_frames(stream(nals[2], b_nal)))
+    # P slice before any IDR -> ValueError (no reference)
+    with pytest.raises(ValueError):
+        list(decode_h264_frames(stream(nals[3])))
+    # dropping a middle P frame -> frame_num gap ValueError
+    with pytest.raises(ValueError):
+        list(decode_h264_frames(stream(nals[2], nals[4], nals[5])))
+    # ref_pic_list_modification flag set -> fence
+    w = BitWriter()
+    w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+    w.u(0, 1)  # no num_ref override
+    w.u(1, 1)  # ref_pic_list_modification_flag_l0 = 1
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError):
+        list(decode_h264_frames(stream(nals[2], bytes([0x41]) + w.tobytes())))
+    # adaptive ref marking -> fence
+    w = BitWriter()
+    w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+    w.u(0, 1); w.u(0, 1)
+    w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError):
+        list(decode_h264_frames(stream(nals[2], bytes([0x41]) + w.tobytes())))
+    # truncated P slice -> ValueError
+    with pytest.raises(ValueError):
+        list(decode_h264_frames(stream(nals[2], nals[3][: len(nals[3]) - 4])))
+    _ = _nal  # imported for parity with encoder internals
+
+
+def test_p_track_in_mp4_roundtrip_with_stss():
+    from marketstore_spark.operators.mp4 import (
+        _children,
+        decode_mp4_frames,
+        encode_mp4,
+        probe_mp4,
+    )
+
+    frames = _moving_scene(6, 32, 48)
+    blob = encode_mp4(frames, fps=10, codec="h264", quality=80, keyint=3)
+    assert probe_mp4(blob)["n_frames"] == 6
+    # the stss box exists and lists exactly the IDR samples (1-based)
+    import struct as _struct
+
+    def find_stss(data, s, e):
+        for fourcc, (cs, ce) in _children(data, s, e).items():
+            if fourcc == b"stss":
+                return data[cs:ce]
+            if fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                r = find_stss(data, cs, ce)
+                if r is not None:
+                    return r
+        return None
+
+    stss = find_stss(blob, 0, len(blob))
+    assert stss is not None
+    (cnt,) = _struct.unpack_from(">I", stss, 4)
+    entries = _struct.unpack_from(f">{cnt}I", stss, 8)
+    assert list(entries) == [1, 4]
+    qp = max(0, min(51, 51 - round(80 * 34 / 100)))
+    _, recon = encode_h264(frames, qp=qp, keyint=3, return_recon=True)
+    got = dict(decode_mp4_frames(blob))
+    assert all(np.array_equal(got[i], recon[i]) for i in range(6))
+    # sampling a P track still decodes the references internally
+    got2 = dict(decode_mp4_frames(blob, every_n=4))
+    assert sorted(got2) == [0, 4]
+    assert np.array_equal(got2[4], recon[4])
