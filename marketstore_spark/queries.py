@@ -4680,6 +4680,99 @@ def multimodal_avc1_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_avc1_motion",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf
+  FROM documents WHERE doc_id % 59 = 7
+),
+f AS (
+  SELECT media_id,
+         CAST(unnest(range(0, CAST(nf AS BIGINT))) AS BIGINT) AS frame_idx
+  FROM v
+),
+p AS (
+  SELECT media_id, frame_idx,
+         (media_id * 13 + frame_idx * 7) % 256 AS pat FROM f
+)
+SELECT media_id, frame_idx,
+       CAST(pat * CAST(72340172838076673 AS HUGEINT)
+            - CASE WHEN pat >= 128 THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END
+            AS BIGINT) AS dhash
+FROM p
+""",
+)
+def multimodal_avc1_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 INTER decode through Spark, content-pinned: per
+    media row an IDR+P avc1 MP4 GOP (operators/h264.encode_h264 at
+    QP 0, keyint — frame 0 IDR, the rest P slices with motion search,
+    quarter-pel MC, skip runs, and the sliding-window DPB) whose every
+    frame is a closed-form gradient walk is synthesized, then decoded
+    SAMPLE-BY-SAMPLE through the stateful AvccDecoder inside
+    multimodal.video_frame_dhash's Arrow hop.  The gradient's adjacent
+    dHash cells differ by exactly ±8 while QP-0 residual error is
+    bounded at ±2 (test_transform_quant_qp0_near_lossless), so the
+    oracle's closed form pins the ENTIRE P-slice decode stack — inter
+    CBP tables, MV prediction, interpolation, reference management —
+    against SQL every driver round, the motion twin of
+    multimodal_avc1_dhash."""
+    from pyspark.sql.types import BinaryType
+
+    from marketstore_spark.operators.multimodal import video_frame_dhash
+
+    def synth_avc1_gop(s):  # noqa: ANN001 — pandas Series → pandas Series
+        import numpy as np
+
+        from marketstore_spark.operators.h264 import (
+            annexb_to_avcc_samples,
+            encode_h264,
+        )
+        from marketstore_spark.operators.mp4 import _box, mux_mp4_samples
+        from marketstore_spark.operators.multimodal import synth_gradient_pixels
+
+        def make(mid):
+            mid = int(mid)
+            frames = np.stack(
+                [
+                    synth_gradient_pixels((mid * 13 + f * 7) % 256)
+                    for f in range(mid % 3 + 2)
+                ]
+            )
+            avcc, samples = annexb_to_avcc_samples(
+                encode_h264(frames, qp=0, keyint=16, search_range=1)
+            )
+            return mux_mp4_samples(
+                samples, 18, 16, fps=5, fourcc=b"avc1",
+                compressor=b"AVC Coding",
+                extra_entry_boxes=_box(b"avcC", avcc),
+                sync_samples=[1],
+            )
+
+        return s.map(make)
+
+    from marketstore_spark.functions.layout import spread_for_narrow_work
+
+    synth = F.pandas_udf(synth_avc1_gop, BinaryType())
+    docs = spread_for_narrow_work(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 59 == 7)
+        .select("doc_id"),
+        "doc_id",
+        heavy=True,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        synth("doc_id").alias("payload"),
+    )
+    out = video_frame_dhash(media, every_n=1)
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "dhash"
+    )
+
+
+@_register(
     "gapfill_interp",
     """
 WITH b AS (
@@ -8235,11 +8328,12 @@ _FRONT = [
     "top_symbols",
     "uda_max",
     "uda_min",
-    # Block C - the fifth NEW key (registered later in the round: the
-    # avc1/H.264 decode-stack oracle) + r10-evidence window fills.
+    # Block C - the fifth and sixth NEW keys (registered later in the
+    # round: the avc1/H.264 intra decode-stack oracle, then its
+    # P-slice motion twin) + an r10-evidence window fill — 50 exactly.
     "multimodal_avc1_dhash",
+    "multimodal_avc1_motion",
     "ann_cosine_topk",
-    "ann_filtered",
 ]
 
 
@@ -8248,7 +8342,10 @@ _FRONT = [
 # they are first in line for the r14 rotation; then the r11 block,
 # then the r12 window (freshest last).
 _BACK = [
-    # last driver row r10 (the 48 not fronted above).
+    # last driver row r10 (the block not fronted above; ann_filtered
+    # rotated out of the r13 window to make room for the new
+    # multimodal_avc1_motion key — it is first in line for r14).
+    "ann_filtered",
     "ann_lsh_exhaustive",
     "candlecandler",
     "corpus_benchmark_coverage",
