@@ -2859,6 +2859,91 @@ def corpus_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "corpus_pii_scrub",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         'doc ' || doc_id || ' contact user' || doc_id || '@mail'
+         || (doc_id % 7) || '.example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' cc admin' || doc_id || '@ex.org' ELSE '' END
+         || ', call (55' || (doc_id % 10) || ') 01' || (doc_id % 10)
+         || ' 1234 or host 10.' || (doc_id % 200) || '.'
+         || (doc_id % 250) || '.9 done' AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+         )) AS BIGINT) AS n_email,
+         regexp_replace(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '|||EMAIL|||', 'g') AS text
+  FROM t
+),
+p AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(
+           text, '\(\d{3}\) \d{3} \d{4}')) AS BIGINT) AS n_phone,
+         regexp_replace(text, '\(\d{3}\) \d{3} \d{4}',
+                        '|||PHONE|||', 'g') AS text
+  FROM e
+),
+i AS (
+  SELECT doc_id, n_email, n_phone,
+         CAST(len(regexp_extract_all(
+           text, '(\d{1,3}\.){3}\d{1,3}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(text, '(\d{1,3}\.){3}\d{1,3}',
+                        '|||IPV4|||', 'g') AS text
+  FROM p
+)
+SELECT doc_id, text, n_email, n_phone, n_ipv4 FROM i
+""",
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/C4-style PII masking (operators/text.scrub_pii), driver-
+    verified: the synthetic corpus carries no PII by construction, so
+    the key INJECTS deterministic email/phone/IPv4 spans (pure doc_id
+    arithmetic — no accidental-match risk from corpus words) and runs
+    the REAL production patterns over them — progressive per-class
+    masking, counts on the already-masked value.  The production
+    phone/IPv4 patterns use Java-regex lookarounds RE2 lacks, so the
+    DuckDB oracle replays input-equivalent RE2 patterns: on this
+    controlled input both match exactly the injected spans, pinning
+    the operator's masked TEXT and counts byte-for-byte.  One narrow
+    whole-stage-codegen projection, no shuffle — scales as a plain
+    scan at 100 TB (the c4_clean / gopher_rules shape)."""
+    from marketstore_spark.operators.text import scrub_pii
+
+    d = F.col("doc_id")
+
+    def s(x):  # noqa: ANN001 — tiny concat helper
+        return x.cast("string")
+
+    injected = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), s(d), F.lit(" contact user"), s(d),
+            F.lit("@mail"), s(d % 7), F.lit(".example.com"),
+            F.when(d % 3 == 0,
+                   F.concat(F.lit(" cc admin"), s(d), F.lit("@ex.org"))
+                   ).otherwise(F.lit("")),
+            F.lit(", call (55"), s(d % 10), F.lit(") 01"), s(d % 10),
+            F.lit(" 1234 or host 10."), s(d % 200), F.lit("."),
+            s(d % 250), F.lit(".9 done"),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
 @_register("corpus_filter_pipeline", _pipeline_sql())
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: exact-dedup (keep the
@@ -8328,12 +8413,13 @@ _FRONT = [
     "top_symbols",
     "uda_max",
     "uda_min",
-    # Block C - the fifth and sixth NEW keys (registered later in the
-    # round: the avc1/H.264 intra decode-stack oracle, then its
-    # P-slice motion twin) + an r10-evidence window fill — 50 exactly.
+    # Block C - the NEW keys registered later in the round: the
+    # avc1/H.264 intra decode-stack oracle, its P-slice motion twin,
+    # and the PII-scrub key — 50 exactly (no spare slots left; the
+    # r10-evidence fills rotated to the head of _BACK).
     "multimodal_avc1_dhash",
     "multimodal_avc1_motion",
-    "ann_cosine_topk",
+    "corpus_pii_scrub",
 ]
 
 
@@ -8343,9 +8429,11 @@ _FRONT = [
 # then the r12 window (freshest last).
 _BACK = [
     # last driver row r10 (the block not fronted above; ann_filtered
-    # rotated out of the r13 window to make room for the new
-    # multimodal_avc1_motion key — it is first in line for r14).
+    # and ann_cosine_topk rotated out of the r13 window to make room
+    # for the new multimodal_avc1_motion / corpus_pii_scrub keys —
+    # they are first in line for r14).
     "ann_filtered",
+    "ann_cosine_topk",
     "ann_lsh_exhaustive",
     "candlecandler",
     "corpus_benchmark_coverage",

@@ -37,6 +37,7 @@ _PINNED_SCANS = {
     "corpus_dsir_weights_hashed": {"documents": 2},
     "corpus_gopher_rules": {"documents": 1},
     "corpus_c4_clean": {"documents": 1},
+    "corpus_pii_scrub": {"documents": 1},
     "markout_returns": {"events": 1},
     "volume_profile": {"events": 1},
     "rolling_corr_market": {"events": 1},
