@@ -1088,6 +1088,15 @@ class _FrameCtx:
         self.mvs = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         self.refidx = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
         self.mv_done = np.zeros((mb_h * 4, mb_w * 4), bool)
+        # QP state (7.4.5: mb_qp_delta chains off the previous coded
+        # MB's luma QP, starting from the slice QP): cur_qp is the
+        # decoder's running value / the encoder's previous signalled
+        # value; chroma_qp_offset comes from the active PPS
+        self.cur_qp = 26
+        self.chroma_qp_offset = 0
+
+    def qpc(self) -> int:
+        return _QPC[min(max(self.cur_qp + self.chroma_qp_offset, 0), 51)]
 
     # -- neighbor fetch for a luma 4x4 block at absolute block coords --
     def luma_neighbors(self, bx: int, by: int):
@@ -1204,7 +1213,7 @@ class _MBData:
     __slots__ = (
         "mb_type", "i4_modes", "i16_mode", "chroma_mode", "cbp_luma",
         "cbp_chroma", "luma_dc", "luma_blocks", "chroma_dc",
-        "chroma_blocks", "pcm",
+        "chroma_blocks", "pcm", "qp",
         # inter (P-slice) fields
         "inter", "sub_types", "refs", "mvds", "nref",
     )
@@ -1219,6 +1228,7 @@ def _encode_mb(ctx: _FrameCtx, src_y, src_cb, src_cr, mbx: int, mby: int,
     ``ctx`` (the reconstruction is what the decoder will produce, so
     later MBs predict from decoder-identical samples)."""
     mb = _MBData()
+    mb.qp = qp
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
     s16 = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
@@ -1450,7 +1460,7 @@ def _write_mb(w: BitWriter, ctx: _FrameCtx, mb: _MBData, mbx: int, mby: int,
     else:
         w.ue(mb.chroma_mode)
     if mb.mb_type != 0 or mb.cbp_luma or mb.cbp_chroma:
-        w.se(0)  # mb_qp_delta
+        _write_qp_delta(w, ctx, mb.qp)
     # ---- residual ----
     if mb.mb_type != 0:  # Intra16x16DCLevel, nC as for luma block 0
         nc = ctx.nc_luma(base_bx, base_by)
@@ -1465,6 +1475,14 @@ def _write_mb(w: BitWriter, ctx: _FrameCtx, mb: _MBData, mbx: int, mby: int,
         nc = ctx.nc_luma(bx, by)
         ctx.nzl[by, bx] = cavlc_encode_block(w, coeffs, nc)
     _write_chroma_residual(w, ctx, mb, mbx, mby)
+
+
+def _write_qp_delta(w: BitWriter, ctx: _FrameCtx, qp: int) -> None:
+    """mb_qp_delta vs the running QP — the shortest mod-52 residue is
+    always in the legal [-26, 25] range (7.4.5)."""
+    delta = (qp - ctx.cur_qp + 26) % 52 - 26
+    w.se(delta)
+    ctx.cur_qp = (ctx.cur_qp + delta + 52) % 52
 
 
 def _write_chroma_residual(w: BitWriter, ctx: _FrameCtx, mb: _MBData,
@@ -1485,9 +1503,10 @@ def _write_chroma_residual(w: BitWriter, ctx: _FrameCtx, mb: _MBData,
 
 
 def _decode_mb(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
-               qp: int, qpc: int, mb_type: int | None = None) -> None:
+               mb_type: int | None = None) -> None:
     if mb_type is None:
         mb_type = r.ue()
+    qp, qpc = ctx.cur_qp, ctx.qpc()
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
     base_bx, base_by = mbx * 4, mby * 4
@@ -1537,8 +1556,10 @@ def _decode_mb(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
         raise ValueError("invalid chroma CBP")
     if mb_type != 0 or cbp_luma or cbp_chroma:
         qd = r.se()
-        if qd:
-            raise NotImplementedError("per-MB QP changes")
+        if not -26 <= qd <= 25:
+            raise ValueError("mb_qp_delta out of range")
+        ctx.cur_qp = (ctx.cur_qp + qd + 52) % 52
+        qp, qpc = ctx.cur_qp, ctx.qpc()
 
     # ---- luma ----
     if mb_type != 0:
@@ -1914,10 +1935,10 @@ def _parse_inter_motion(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
 
 
 def _decode_mb_inter(r: BitReader, ctx: _FrameCtx, dpb: list, mbx: int,
-                     mby: int, qp: int, qpc: int, mb_type: int,
-                     nref: int) -> None:
+                     mby: int, mb_type: int, nref: int) -> None:
     """One coded P-slice inter MB: motion parse → MC → residual →
     reconstruction (7.3.5 / 8.4)."""
+    qp, qpc = ctx.cur_qp, ctx.qpc()
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
     base_bx, base_by = mbx * 4, mby * 4
@@ -1937,8 +1958,10 @@ def _decode_mb_inter(r: BitReader, ctx: _FrameCtx, dpb: list, mbx: int,
         raise ValueError("invalid chroma CBP")
     if cbp:
         qd = r.se()
-        if qd:
-            raise NotImplementedError("per-MB QP changes")
+        if not -26 <= qd <= 25:
+            raise ValueError("mb_qp_delta out of range")
+        ctx.cur_qp = (ctx.cur_qp + qd + 52) % 52
+        qp, qpc = ctx.cur_qp, ctx.qpc()
     ctx.mb_done[mby, mbx] = True  # own later blocks see left/top state
     # ---- luma residual: 16 plain 4x4 blocks (no Intra16x16 DC) ----
     for bx4, by4 in _LUMA_BLOCK_ORDER:
@@ -2120,6 +2143,7 @@ def _encode_mb_p(ctx: _FrameCtx, dpb: list, src_y, src_cb, src_cr,
     skip_mv = _skip_mv(ctx, mbx, mby)
 
     mb = _MBData()
+    mb.qp = qp
     mb.inter = True
     mb.pcm = False
     mb.nref = nref
@@ -2272,7 +2296,7 @@ def _write_mb_p(w: BitWriter, ctx: _FrameCtx, mb: _MBData,
                 w.se(dy)
     w.ue(_CBP_INTER_INV[mb.cbp_luma | (mb.cbp_chroma << 4)])
     if mb.cbp_luma or mb.cbp_chroma:
-        w.se(0)  # mb_qp_delta
+        _write_qp_delta(w, ctx, mb.qp)
     base_bx, base_by = mbx * 4, mby * 4
     for bx4, by4 in _LUMA_BLOCK_ORDER:
         bx, by = base_bx + bx4, base_by + by4
@@ -2287,9 +2311,11 @@ def _write_mb_p(w: BitWriter, ctx: _FrameCtx, mb: _MBData,
 
 def _encode_p_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
                     frame_num: int, dpb: list, sr: int, i16_threshold: int,
-                    nref: int, force: dict | None) -> tuple[bytes, _FrameCtx]:
-    qpc = _QPC[min(max(qp, 0), 51)]
+                    nref: int, force: dict | None,
+                    pps_qp: int | None = None,
+                    qp_map: dict | None = None) -> tuple[bytes, _FrameCtx]:
     ctx = _FrameCtx(mb_w, mb_h)
+    ctx.cur_qp = qp
     w = BitWriter()
     w.ue(0)                    # first_mb_in_slice
     w.ue(5)                    # slice_type: P (all slices of picture)
@@ -2302,14 +2328,16 @@ def _encode_p_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
         w.u(0, 1)
     w.u(0, 1)                  # ref_pic_list_modification_flag_l0
     w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
-    w.se(0)                    # slice_qp_delta
+    w.se(qp - (pps_qp if pps_qp is not None else qp))  # slice_qp_delta
     w.ue(1)                    # disable_deblocking_filter_idc: OFF
     skip_run = 0
     for mby in range(mb_h):
         for mbx in range(mb_w):
             spec = force.get((mbx, mby)) if force else None
+            mbqp = qp_map.get((mbx, mby), qp) if qp_map else qp
             mb = _encode_mb_p(ctx, dpb, src_y, src_cb, src_cr, mbx, mby,
-                              qp, qpc, sr, i16_threshold, nref, spec)
+                              mbqp, _QPC[min(max(mbqp, 0), 51)], sr,
+                              i16_threshold, nref, spec)
             if mb is None:
                 skip_run += 1
                 continue
@@ -2333,9 +2361,10 @@ def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 
 def _encode_idr_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
                       idr_pic_id: int, i16_threshold: int,
-                      pcm_mbs: set | None) -> tuple[bytes, _FrameCtx]:
-    qpc = _QPC[min(max(qp, 0), 51)]
+                      pcm_mbs: set | None, pps_qp: int | None = None,
+                      qp_map: dict | None = None) -> tuple[bytes, _FrameCtx]:
     ctx = _FrameCtx(mb_w, mb_h)
+    ctx.cur_qp = qp
     w = BitWriter()
     w.ue(0)               # first_mb_in_slice
     w.ue(7)               # slice_type: I (all slices of this picture)
@@ -2344,13 +2373,14 @@ def _encode_idr_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
     w.ue(idr_pic_id)      # idr_pic_id
     w.u(0, 1)             # no_output_of_prior_pics_flag
     w.u(0, 1)             # long_term_reference_flag
-    w.se(0)               # slice_qp_delta
+    w.se(qp - (pps_qp if pps_qp is not None else qp))  # slice_qp_delta
     w.ue(1)               # disable_deblocking_filter_idc: OFF
     for mby in range(mb_h):
         for mbx in range(mb_w):
             pcm = pcm_mbs is not None and (mbx, mby) in pcm_mbs
-            mb = _encode_mb(ctx, src_y, src_cb, src_cr, mbx, mby, qp, qpc,
-                            i16_threshold, pcm)
+            mbqp = qp_map.get((mbx, mby), qp) if qp_map else qp
+            mb = _encode_mb(ctx, src_y, src_cb, src_cr, mbx, mby, mbqp,
+                            _QPC[min(max(mbqp, 0), 51)], i16_threshold, pcm)
             _write_mb(w, ctx, mb, mbx, mby)
     w.rbsp_trailing()
     return w.tobytes(), ctx
@@ -2375,6 +2405,8 @@ def encode_h264(
     search_range: int = 4,
     num_refs: int = 1,
     force_mb: dict | None = None,
+    slice_qps: list | None = None,
+    qp_map: dict | None = None,
 ):
     """(n, H, W, 3) uint8 RGB → Annex-B baseline H.264 bytes.
 
@@ -2390,10 +2422,19 @@ def encode_h264(
 
     ``i16_threshold`` is the mean-absolute-error gate below which a
     whole-MB Intra_16x16 predictor is chosen over per-block Intra_4x4;
-    ``pcm_mbs`` forces I_PCM at those (mbx, mby) in IDR frames.  With
-    ``return_recon`` the encoder's own reconstruction (== what any
-    conforming decoder must output, since deblocking is disabled) is
-    returned alongside the bitstream for bitwise round-trip pinning."""
+    ``pcm_mbs`` forces I_PCM at those (mbx, mby) in IDR frames.
+
+    Rate-control syntax: ``slice_qps`` gives frame i the slice QP
+    ``slice_qps[i]`` (signalled via slice_qp_delta against the PPS
+    ``qp``); ``qp_map`` {(frame, mbx, mby): qp} overrides single MBs
+    (signalled via the chained mb_qp_delta).  An MB whose residual
+    codes empty cannot carry a delta — the spec's own rule — so its
+    override only affects its (all-zero) quantization.
+
+    With ``return_recon`` the encoder's own reconstruction (== what
+    any conforming decoder must output, since deblocking is disabled)
+    is returned alongside the bitstream for bitwise round-trip
+    pinning."""
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
         raise ValueError("frames must be (n, H, W, 3) uint8 RGB")
@@ -2406,6 +2447,13 @@ def encode_h264(
         raise ValueError("keyint must be >= 1")
     if not 1 <= num_refs <= 16:
         raise ValueError("num_refs must be in [1, 16]")
+    if slice_qps is not None:
+        if len(slice_qps) != n or any(not 0 <= q <= 51 for q in slice_qps):
+            raise ValueError("slice_qps needs one QP in [0, 51] per frame")
+    if qp_map is not None and any(
+        not 0 <= q <= 51 for q in qp_map.values()
+    ):
+        raise ValueError("qp_map values must be in [0, 51]")
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     sps = BitWriter()
@@ -2423,10 +2471,20 @@ def encode_h264(
         cb = _pad_to_mb(cb, 8)
         cr = _pad_to_mb(cr, 8)
         idr = keyint is None or i % keyint == 0
+        sqp = slice_qps[i] if slice_qps is not None else qp
+        fmap = (
+            {
+                (mbx, mby): q
+                for (fi, mbx, mby), q in qp_map.items()
+                if fi == i
+            }
+            if qp_map
+            else None
+        )
         if idr:
             rbsp, ctx = _encode_idr_slice(
-                y, cb, cr, mb_w, mb_h, qp, idr_count % 2, i16_threshold,
-                pcm_mbs
+                y, cb, cr, mb_w, mb_h, sqp, idr_count % 2, i16_threshold,
+                pcm_mbs, pps_qp=qp, qp_map=fmap
             )
             out += _nal(5, rbsp)
             idr_count += 1
@@ -2445,8 +2503,8 @@ def encode_h264(
             )
             frame_num = (frame_num + 1) % 16
             rbsp, ctx = _encode_p_slice(
-                y, cb, cr, mb_w, mb_h, qp, frame_num, dpb, search_range,
-                i16_threshold, nref, force
+                y, cb, cr, mb_w, mb_h, sqp, frame_num, dpb, search_range,
+                i16_threshold, nref, force, pps_qp=qp, qp_map=fmap
             )
             out += _nal(1, rbsp)
         dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
@@ -2501,8 +2559,6 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
         elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive reference marking")
     qd = r.se()  # slice_qp_delta
-    if qd:
-        raise NotImplementedError("non-zero slice_qp_delta")
     if pps["deblock_ctl"]:
         idc = r.ue()
         if idc != 1:
@@ -2517,6 +2573,7 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
         "slice_type": slice_type,
         "frame_num": frame_num,
         "num_ref": num_ref,
+        "slice_qp_delta": qd,
     }
 
 
@@ -2538,16 +2595,17 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
     reconstructed frame context + parsed header."""
     r = BitReader(rbsp)
     hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
-    qp = pps["init_qp"]
+    qp = pps["init_qp"] + hdr["slice_qp_delta"]
     if not 0 <= qp <= 51:
-        raise ValueError("QP out of range")
-    qpc = _QPC[min(max(qp + pps["chroma_qp_offset"], 0), 51)]
+        raise ValueError("slice QP out of range")
     ctx = _FrameCtx(sps["mb_w"], sps["mb_h"])
+    ctx.cur_qp = qp
+    ctx.chroma_qp_offset = pps["chroma_qp_offset"]
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
     if hdr["slice_type"] == 2:  # I
         for mby in range(mb_h):
             for mbx in range(mb_w):
-                _decode_mb(r, ctx, mbx, mby, qp, qpc)
+                _decode_mb(r, ctx, mbx, mby)
         return ctx, hdr
     # P slice
     nref = hdr["num_ref"]
@@ -2569,9 +2627,9 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
         mbx, mby = idx % mb_w, idx // mb_w
         mb_type = r.ue()
         if mb_type <= 4:
-            _decode_mb_inter(r, ctx, dpb, mbx, mby, qp, qpc, mb_type, nref)
+            _decode_mb_inter(r, ctx, dpb, mbx, mby, mb_type, nref)
         elif mb_type <= 30:
-            _decode_mb(r, ctx, mbx, mby, qp, qpc, mb_type - 5)
+            _decode_mb(r, ctx, mbx, mby, mb_type - 5)
             _mark_intra_mvs(ctx, mbx, mby)
         else:
             raise ValueError(f"invalid P-slice mb_type {mb_type}")

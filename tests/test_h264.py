@@ -761,3 +761,47 @@ def test_p_track_in_mp4_roundtrip_with_stss():
     got2 = dict(decode_mp4_frames(blob, every_n=4))
     assert sorted(got2) == [0, 4]
     assert np.array_equal(got2[4], recon[4])
+
+
+def test_qp_delta_roundtrip_and_stream_shape():
+    """Rate-control syntax (the shape every real encoder emits):
+    per-frame slice_qp_delta and per-MB chained mb_qp_delta round-trip
+    bitwise through IDR and P frames, including extreme jumps (51->0
+    wraps through the mod-52 residue)."""
+    frames = _moving_scene(4, 48, 64)
+    qp_map = {(0, 1, 1): 40, (0, 2, 0): 8, (1, 0, 0): 35, (1, 3, 2): 12,
+              (2, 1, 1): 51, (3, 2, 1): 0}
+    data, recon = encode_h264(
+        frames, qp=28, keyint=4, slice_qps=[24, 30, 28, 44],
+        qp_map=qp_map, return_recon=True,
+    )
+    assert np.array_equal(decode_h264(data), recon)
+    # all-intra with per-slice QPs: lower slice QP -> larger slice
+    data2, recon2 = encode_h264(
+        frames, qp=30, slice_qps=[6, 44, 6, 44], return_recon=True
+    )
+    assert np.array_equal(decode_h264(data2), recon2)
+    sizes = [len(n) for n in split_annexb(data2)[2:]]
+    assert sizes[0] > sizes[1] and sizes[2] > sizes[3]
+    # quality follows the slice QP: the QP-6 frames are closer to source
+    dec2 = decode_h264(data2)
+    err = [np.abs(dec2[i].astype(int) - frames[i].astype(int)).mean()
+           for i in range(4)]
+    assert err[0] < err[1] and err[2] < err[3]
+    # invalid inputs refused
+    with pytest.raises(ValueError):
+        encode_h264(frames, qp=28, slice_qps=[24])  # wrong length
+    with pytest.raises(ValueError):
+        encode_h264(frames, qp=28, qp_map={(0, 0, 0): 60})
+    # decode-side: slice QP outside [0, 51] is corrupt
+    nals = split_annexb(encode_h264(frames[:1], qp=2))
+    w = BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    w.u(0, 1); w.u(0, 1)
+    w.se(-10)  # slice_qp_delta -> QP 2-10 < 0
+    w.ue(1)
+    w.rbsp_trailing()
+    bad = (b"\x00\x00\x00\x01" + nals[0] + b"\x00\x00\x00\x01" + nals[1]
+           + b"\x00\x00\x00\x01" + bytes([0x65]) + w.tobytes())
+    with pytest.raises(ValueError):
+        decode_h264(bad)
