@@ -18,10 +18,17 @@ removes that fence for the CAVLC baseline core of the format:
   sub-MBs, P_Skip with its zero-MV conditions, intra MBs inside P
   slices, te(v) multi-reference indices, and sliding-window reference
   management with frame_num continuity checks.
+- PICTURE STRUCTURE: multi-slice pictures (first_mb_in_slice > 0,
+  raster slice order) with the spec's slice-boundary availability —
+  intra prediction, nC derivation, and MVP treat cross-slice
+  neighbours as unavailable (6.4.8), and the mb_qp_delta chain and
+  skip runs restart per slice; rate-control syntax (non-zero
+  slice_qp_delta, chained per-MB mb_qp_delta with the mod-52 wrap).
 
 B slices, CABAC, 8x8 transforms, weighted prediction, reference-list
-modification, adaptive marking, field coding, and deblocking-enabled
-streams raise NotImplementedError — the same decode-fence contract as
+modification, adaptive marking, field coding, arbitrary slice order,
+slice groups (FMO), and deblocking-enabled streams raise
+NotImplementedError or ValueError — the same decode-fence contract as
 the rest of the codec family (callers record decoded_ok=0 or
 probe-only): decode is either right or refused, never silently wrong.
 
@@ -140,16 +147,17 @@ class BitReader:
         self._pos = (self._pos + 7) & ~7
 
     def more_rbsp_data(self) -> bool:
-        # True unless only the rbsp_stop_one_bit (+ zero padding) remains
-        total = len(self._data) * 8
-        if self._pos >= total:
-            return False
-        last = total - 1
-        while last > self._pos:
-            if (self._data[last >> 3] >> (7 - (last & 7))) & 1:
-                break
-            last -= 1
-        return last > self._pos
+        # True unless only the rbsp_stop_one_bit (+ zero padding)
+        # remains; the last set bit is a property of the buffer, so
+        # scan for it once (per-MB callers would otherwise be O(n^2))
+        if not hasattr(self, "_last_set_bit"):
+            last = len(self._data) * 8 - 1
+            while last >= 0:
+                if (self._data[last >> 3] >> (7 - (last & 7))) & 1:
+                    break
+                last -= 1
+            self._last_set_bit = last
+        return self._pos < self._last_set_bit
 
 
 def rbsp_to_ebsp(rbsp: bytes) -> bytes:
@@ -1094,30 +1102,51 @@ class _FrameCtx:
         # value; chroma_qp_offset comes from the active PPS
         self.cur_qp = 26
         self.chroma_qp_offset = 0
+        # slice map (6.4.8: a neighbouring MB is available only when
+        # it lies in the SAME slice): -1 = not yet decoded
+        self.slice_ids = np.full((mb_h, mb_w), -1, np.int64)
+        self.cur_slice = 0
 
     def qpc(self) -> int:
         return _QPC[min(max(self.cur_qp + self.chroma_qp_offset, 0), 51)]
 
+    def enter_mb(self, mbx: int, mby: int) -> None:
+        """Claim an MB for the current slice (before any in-MB
+        neighbour fetch; overlap across slices = corrupt stream;
+        idempotent within a slice for nested encode paths)."""
+        existing = self.slice_ids[mby, mbx]
+        if existing == self.cur_slice:
+            return
+        if existing != -1:
+            raise ValueError("slices overlap (MB decoded twice)")
+        self.slice_ids[mby, mbx] = self.cur_slice
+
+    def blk_avail(self, bx: int, by: int) -> bool:
+        return bool(
+            self.decoded[by, bx]
+            and self.slice_ids[by >> 2, bx >> 2] == self.cur_slice
+        )
+
     # -- neighbor fetch for a luma 4x4 block at absolute block coords --
     def luma_neighbors(self, bx: int, by: int):
         x, y = bx * 4, by * 4
-        top = self.y[y - 1, x : x + 4].copy() if by > 0 and self.decoded[by - 1, bx] else None
-        left = self.y[y : y + 4, x - 1].copy() if bx > 0 and self.decoded[by, bx - 1] else None
+        top = self.y[y - 1, x : x + 4].copy() if by > 0 and self.blk_avail(bx, by - 1) else None
+        left = self.y[y : y + 4, x - 1].copy() if bx > 0 and self.blk_avail(bx - 1, by) else None
         topleft = (
             int(self.y[y - 1, x - 1])
-            if by > 0 and bx > 0 and self.decoded[by - 1, bx - 1]
+            if by > 0 and bx > 0 and self.blk_avail(bx - 1, by - 1)
             else None
         )
         topright = None
-        if by > 0 and bx + 1 < self.mb_w * 4 and self.decoded[by - 1, bx + 1]:
+        if by > 0 and bx + 1 < self.mb_w * 4 and self.blk_avail(bx + 1, by - 1):
             topright = self.y[y - 1, x + 4 : x + 8].copy()
         elif top is not None:  # substitution: replicate p[3,-1] (8.3.1.2)
             topright = np.full(4, top[3], np.int64)
         return top, left, topleft, topright
 
     def nc_luma(self, bx: int, by: int) -> int:
-        na = self.nzl[by, bx - 1] if bx > 0 and self.decoded[by, bx - 1] else None
-        nb = self.nzl[by - 1, bx] if by > 0 and self.decoded[by - 1, bx] else None
+        na = self.nzl[by, bx - 1] if bx > 0 and self.blk_avail(bx - 1, by) else None
+        nb = self.nzl[by - 1, bx] if by > 0 and self.blk_avail(bx, by - 1) else None
         if na is not None and nb is not None:
             return int(na + nb + 1) >> 1
         if na is not None:
@@ -1152,11 +1181,12 @@ class _FrameCtx:
         return (
             0 <= mbx < self.mb_w and 0 <= mby < self.mb_h
             and bool(self.mb_done[mby, mbx])
+            and self.slice_ids[mby, mbx] == self.cur_slice
         )
 
     def pred_i4_mode(self, bx: int, by: int) -> int:
-        ma = self.i4modes[by, bx - 1] if bx > 0 and self.decoded[by, bx - 1] else None
-        mb = self.i4modes[by - 1, bx] if by > 0 and self.decoded[by - 1, bx] else None
+        ma = self.i4modes[by, bx - 1] if bx > 0 and self.blk_avail(bx - 1, by) else None
+        mb = self.i4modes[by - 1, bx] if by > 0 and self.blk_avail(bx, by - 1) else None
         if ma is None or mb is None:
             return 2
         # a neighbor that is not Intra_4x4 (I_16x16 / I_PCM) counts DC
@@ -1227,6 +1257,7 @@ def _encode_mb(ctx: _FrameCtx, src_y, src_cb, src_cr, mbx: int, mby: int,
     """Mode-decide, transform, quantize, and RECONSTRUCT one MB into
     ``ctx`` (the reconstruction is what the decoder will produce, so
     later MBs predict from decoder-identical samples)."""
+    ctx.enter_mb(mbx, mby)
     mb = _MBData()
     mb.qp = qp
     x0, y0 = mbx * 16, mby * 16
@@ -1506,6 +1537,7 @@ def _decode_mb(r: BitReader, ctx: _FrameCtx, mbx: int, mby: int,
                mb_type: int | None = None) -> None:
     if mb_type is None:
         mb_type = r.ue()
+    ctx.enter_mb(mbx, mby)
     qp, qpc = ctx.cur_qp, ctx.qpc()
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
@@ -1753,10 +1785,13 @@ def _interp_chroma(refc: np.ndarray, cx: int, cy: int, mvx: int, mvy: int,
 
 def _mv_neighbor(ctx: _FrameCtx, nbx: int, nby: int):
     """(refIdx, mv) of the 4x4 block, or None when outside the picture
-    or not yet decoded (parse-order availability, 6.4.11.7)."""
+    or slice, or not yet decoded (parse-order availability,
+    6.4.11.7)."""
     if not (0 <= nbx < ctx.mb_w * 4 and 0 <= nby < ctx.mb_h * 4):
         return None
     if not ctx.mv_done[nby, nbx]:
+        return None
+    if ctx.slice_ids[nby >> 2, nbx >> 2] != ctx.cur_slice:
         return None
     return (
         int(ctx.refidx[nby, nbx]),
@@ -1873,6 +1908,7 @@ def _mark_intra_mvs(ctx: _FrameCtx, mbx: int, mby: int) -> None:
 
 
 def _decode_skip_mb(ctx: _FrameCtx, dpb: list, mbx: int, mby: int) -> None:
+    ctx.enter_mb(mbx, mby)
     mv = _skip_mv(ctx, mbx, mby)
     pred_y = np.empty((16, 16), np.int64)
     pred_cb = np.empty((8, 8), np.int64)
@@ -1938,6 +1974,7 @@ def _decode_mb_inter(r: BitReader, ctx: _FrameCtx, dpb: list, mbx: int,
                      mby: int, mb_type: int, nref: int) -> None:
     """One coded P-slice inter MB: motion parse → MC → residual →
     reconstruction (7.3.5 / 8.4)."""
+    ctx.enter_mb(mbx, mby)
     qp, qpc = ctx.cur_qp, ctx.qpc()
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
@@ -2130,6 +2167,7 @@ def _encode_mb_p(ctx: _FrameCtx, dpb: list, src_y, src_cb, src_cr,
     otherwise.  ``spec`` forces a shape for coverage: "i4"/"i16"/
     "16x16"/"16x8"/"8x16"/("8x8", [sub_types]) or None (auto:
     16x16-vs-skip)."""
+    ctx.enter_mb(mbx, mby)
     x0, y0 = mbx * 16, mby * 16
     base_bx, base_by = mbx * 4, mby * 4
     if spec in ("i4", "i16"):
@@ -2313,11 +2351,18 @@ def _encode_p_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
                     frame_num: int, dpb: list, sr: int, i16_threshold: int,
                     nref: int, force: dict | None,
                     pps_qp: int | None = None,
-                    qp_map: dict | None = None) -> tuple[bytes, _FrameCtx]:
-    ctx = _FrameCtx(mb_w, mb_h)
-    ctx.cur_qp = qp
+                    qp_map: dict | None = None,
+                    ctx: _FrameCtx | None = None, first_mb: int = 0,
+                    n_mbs: int | None = None,
+                    slice_idx: int = 0) -> tuple[bytes, _FrameCtx]:
+    if ctx is None:
+        ctx = _FrameCtx(mb_w, mb_h)
+    ctx.cur_slice = slice_idx
+    ctx.cur_qp = qp            # the mb_qp_delta chain restarts per slice
+    if n_mbs is None:
+        n_mbs = mb_w * mb_h - first_mb
     w = BitWriter()
-    w.ue(0)                    # first_mb_in_slice
+    w.ue(first_mb)             # first_mb_in_slice
     w.ue(5)                    # slice_type: P (all slices of picture)
     w.ue(0)                    # pic_parameter_set_id
     w.u(frame_num & 15, 4)     # frame_num (log2_max_frame_num == 4)
@@ -2331,19 +2376,19 @@ def _encode_p_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
     w.se(qp - (pps_qp if pps_qp is not None else qp))  # slice_qp_delta
     w.ue(1)                    # disable_deblocking_filter_idc: OFF
     skip_run = 0
-    for mby in range(mb_h):
-        for mbx in range(mb_w):
-            spec = force.get((mbx, mby)) if force else None
-            mbqp = qp_map.get((mbx, mby), qp) if qp_map else qp
-            mb = _encode_mb_p(ctx, dpb, src_y, src_cb, src_cr, mbx, mby,
-                              mbqp, _QPC[min(max(mbqp, 0), 51)], sr,
-                              i16_threshold, nref, spec)
-            if mb is None:
-                skip_run += 1
-                continue
-            w.ue(skip_run)
-            skip_run = 0
-            _write_mb_p(w, ctx, mb, mbx, mby)
+    for idx in range(first_mb, first_mb + n_mbs):
+        mbx, mby = idx % mb_w, idx // mb_w
+        spec = force.get((mbx, mby)) if force else None
+        mbqp = qp_map.get((mbx, mby), qp) if qp_map else qp
+        mb = _encode_mb_p(ctx, dpb, src_y, src_cb, src_cr, mbx, mby,
+                          mbqp, _QPC[min(max(mbqp, 0), 51)], sr,
+                          i16_threshold, nref, spec)
+        if mb is None:
+            skip_run += 1
+            continue
+        w.ue(skip_run)
+        skip_run = 0
+        _write_mb_p(w, ctx, mb, mbx, mby)
     if skip_run:
         w.ue(skip_run)
     w.rbsp_trailing()
@@ -2362,11 +2407,18 @@ def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 def _encode_idr_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
                       idr_pic_id: int, i16_threshold: int,
                       pcm_mbs: set | None, pps_qp: int | None = None,
-                      qp_map: dict | None = None) -> tuple[bytes, _FrameCtx]:
-    ctx = _FrameCtx(mb_w, mb_h)
-    ctx.cur_qp = qp
+                      qp_map: dict | None = None,
+                      ctx: _FrameCtx | None = None, first_mb: int = 0,
+                      n_mbs: int | None = None,
+                      slice_idx: int = 0) -> tuple[bytes, _FrameCtx]:
+    if ctx is None:
+        ctx = _FrameCtx(mb_w, mb_h)
+    ctx.cur_slice = slice_idx
+    ctx.cur_qp = qp       # the mb_qp_delta chain restarts per slice
+    if n_mbs is None:
+        n_mbs = mb_w * mb_h - first_mb
     w = BitWriter()
-    w.ue(0)               # first_mb_in_slice
+    w.ue(first_mb)        # first_mb_in_slice
     w.ue(7)               # slice_type: I (all slices of this picture)
     w.ue(0)               # pic_parameter_set_id
     w.u(0, 4)             # frame_num (log2_max_frame_num == 4)
@@ -2375,13 +2427,13 @@ def _encode_idr_slice(src_y, src_cb, src_cr, mb_w: int, mb_h: int, qp: int,
     w.u(0, 1)             # long_term_reference_flag
     w.se(qp - (pps_qp if pps_qp is not None else qp))  # slice_qp_delta
     w.ue(1)               # disable_deblocking_filter_idc: OFF
-    for mby in range(mb_h):
-        for mbx in range(mb_w):
-            pcm = pcm_mbs is not None and (mbx, mby) in pcm_mbs
-            mbqp = qp_map.get((mbx, mby), qp) if qp_map else qp
-            mb = _encode_mb(ctx, src_y, src_cb, src_cr, mbx, mby, mbqp,
-                            _QPC[min(max(mbqp, 0), 51)], i16_threshold, pcm)
-            _write_mb(w, ctx, mb, mbx, mby)
+    for idx in range(first_mb, first_mb + n_mbs):
+        mbx, mby = idx % mb_w, idx // mb_w
+        pcm = pcm_mbs is not None and (mbx, mby) in pcm_mbs
+        mbqp = qp_map.get((mbx, mby), qp) if qp_map else qp
+        mb = _encode_mb(ctx, src_y, src_cb, src_cr, mbx, mby, mbqp,
+                        _QPC[min(max(mbqp, 0), 51)], i16_threshold, pcm)
+        _write_mb(w, ctx, mb, mbx, mby)
     w.rbsp_trailing()
     return w.tobytes(), ctx
 
@@ -2407,6 +2459,7 @@ def encode_h264(
     force_mb: dict | None = None,
     slice_qps: list | None = None,
     qp_map: dict | None = None,
+    slices: int = 1,
 ):
     """(n, H, W, 3) uint8 RGB → Annex-B baseline H.264 bytes.
 
@@ -2454,6 +2507,9 @@ def encode_h264(
         not 0 <= q <= 51 for q in qp_map.values()
     ):
         raise ValueError("qp_map values must be in [0, 51]")
+    mb_h_check = (height + 15) // 16
+    if not 1 <= slices <= mb_h_check:
+        raise ValueError("slices must be in [1, mb rows]")
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     sps = BitWriter()
@@ -2481,12 +2537,24 @@ def encode_h264(
             if qp_map
             else None
         )
+        # horizontal MB-row bands, one slice each (the common encoder
+        # slicing shape); neighbour availability stops at band edges
+        starts = [round(s * mb_h / slices) for s in range(slices + 1)]
+        bands = [
+            (starts[s], starts[s + 1])
+            for s in range(slices)
+            if starts[s + 1] > starts[s]
+        ]
         if idr:
-            rbsp, ctx = _encode_idr_slice(
-                y, cb, cr, mb_w, mb_h, sqp, idr_count % 2, i16_threshold,
-                pcm_mbs, pps_qp=qp, qp_map=fmap
-            )
-            out += _nal(5, rbsp)
+            ctx = None
+            for si, (r0, r1) in enumerate(bands):
+                rbsp, ctx = _encode_idr_slice(
+                    y, cb, cr, mb_w, mb_h, sqp, idr_count % 2,
+                    i16_threshold, pcm_mbs, pps_qp=qp, qp_map=fmap,
+                    ctx=ctx, first_mb=r0 * mb_w, n_mbs=(r1 - r0) * mb_w,
+                    slice_idx=si,
+                )
+                out += _nal(5, rbsp)
             idr_count += 1
             dpb = []
             frame_num = 0
@@ -2502,11 +2570,16 @@ def encode_h264(
                 else None
             )
             frame_num = (frame_num + 1) % 16
-            rbsp, ctx = _encode_p_slice(
-                y, cb, cr, mb_w, mb_h, sqp, frame_num, dpb, search_range,
-                i16_threshold, nref, force, pps_qp=qp, qp_map=fmap
-            )
-            out += _nal(1, rbsp)
+            ctx = None
+            for si, (r0, r1) in enumerate(bands):
+                rbsp, ctx = _encode_p_slice(
+                    y, cb, cr, mb_w, mb_h, sqp, frame_num, dpb,
+                    search_range, i16_threshold, nref, force,
+                    pps_qp=qp, qp_map=fmap,
+                    ctx=ctx, first_mb=r0 * mb_w, n_mbs=(r1 - r0) * mb_w,
+                    slice_idx=si,
+                )
+                out += _nal(1, rbsp)
         dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
         del dpb[num_refs:]
         if return_recon:
@@ -2525,8 +2598,6 @@ def encode_h264(
 def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
                         ref_idc: int) -> dict:
     first_mb = r.ue()
-    if first_mb != 0:
-        raise NotImplementedError("multi-slice pictures")
     slice_type = r.ue() % 5
     if slice_type not in (0, 2):
         raise NotImplementedError(
@@ -2570,6 +2641,7 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
             "deblocking loop filter (decode would be silently unfiltered)"
         )
     return {
+        "first_mb": first_mb,
         "slice_type": slice_type,
         "frame_num": frame_num,
         "num_ref": num_ref,
@@ -2588,24 +2660,51 @@ def _ctx_to_rgb(ctx: _FrameCtx, sps: dict) -> np.ndarray:
     )
 
 
+def peek_first_mb(rbsp: bytes) -> int:
+    """first_mb_in_slice without consuming the header — 0 starts a new
+    picture, >0 continues the pending one (7.4.1.2.4)."""
+    return BitReader(rbsp).ue()
+
+
 def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
-                  ref_idc: int, dpb: list) -> tuple[_FrameCtx, dict]:
-    """Decode one whole-picture slice (I or P) against the reference
-    list ``dpb`` (most-recently-decoded first); returns the
-    reconstructed frame context + parsed header."""
+                  ref_idc: int, dpb: list,
+                  ctx: _FrameCtx | None = None,
+                  slice_idx: int = 0) -> tuple[_FrameCtx, dict]:
+    """Decode one slice (I or P) against the reference list ``dpb``
+    (most-recently-decoded first).  With ``ctx`` given, the slice is a
+    CONTINUATION of a pending picture (first_mb > 0): MBs decode into
+    the shared canvas, but neighbours across the slice boundary are
+    unavailable to prediction/nC/MVP (6.4.8).  Returns the frame
+    context + parsed header; the caller finalizes the picture when all
+    its slices are in."""
     r = BitReader(rbsp)
     hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
     qp = pps["init_qp"] + hdr["slice_qp_delta"]
     if not 0 <= qp <= 51:
         raise ValueError("slice QP out of range")
-    ctx = _FrameCtx(sps["mb_w"], sps["mb_h"])
-    ctx.cur_qp = qp
-    ctx.chroma_qp_offset = pps["chroma_qp_offset"]
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    total = mb_w * mb_h
+    first_mb = hdr["first_mb"]
+    if first_mb >= total:
+        raise ValueError("first_mb_in_slice beyond picture")
+    if ctx is None:
+        if first_mb != 0 or slice_idx != 0:
+            raise ValueError("slice continuation without a pending picture")
+        ctx = _FrameCtx(mb_w, mb_h)
+    elif first_mb == 0:
+        raise ValueError("new picture while one is pending")
+    ctx.cur_slice = slice_idx
+    ctx.cur_qp = qp  # the mb_qp_delta chain restarts per slice
+    ctx.chroma_qp_offset = pps["chroma_qp_offset"]
     if hdr["slice_type"] == 2:  # I
-        for mby in range(mb_h):
-            for mbx in range(mb_w):
-                _decode_mb(r, ctx, mbx, mby)
+        idx = first_mb
+        while True:
+            if idx >= total:
+                raise ValueError("slice data beyond last macroblock")
+            _decode_mb(r, ctx, idx % mb_w, idx // mb_w)
+            idx += 1
+            if not r.more_rbsp_data():
+                break
         return ctx, hdr
     # P slice
     nref = hdr["num_ref"]
@@ -2613,17 +2712,18 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
         raise ValueError(
             f"P slice needs {nref} reference frame(s), {len(dpb)} decoded"
         )
-    total = mb_w * mb_h
-    idx = 0
-    while idx < total:
+    idx = first_mb
+    while r.more_rbsp_data():
         run = r.ue()
         if run > total - idx:
             raise ValueError("mb_skip_run overruns picture")
         for _ in range(run):
             _decode_skip_mb(ctx, dpb, idx % mb_w, idx // mb_w)
             idx += 1
-        if idx >= total:
+        if not r.more_rbsp_data():
             break
+        if idx >= total:
+            raise ValueError("slice data beyond last macroblock")
         mbx, mby = idx % mb_w, idx // mb_w
         mb_type = r.ue()
         if mb_type <= 4:
@@ -2637,10 +2737,17 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
     return ctx, hdr
 
 
+def _check_picture_complete(ctx: _FrameCtx) -> None:
+    if not ctx.mb_done.all():
+        raise ValueError("picture incomplete (slices do not cover it)")
+
+
 def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
                       ref_idc: int) -> np.ndarray:
-    """Stateless single-IDR decode (kept for the all-intra callers)."""
+    """Stateless single-slice IDR decode (kept for the all-intra
+    single-slice callers)."""
     ctx, _hdr = _decode_slice(rbsp, sps, pps, idr, ref_idc, [])
+    _check_picture_complete(ctx)
     return _ctx_to_rgb(ctx, sps)
 
 
@@ -2681,6 +2788,25 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
     idx = 0
     dpb: list = []
     prev_fn = None
+    pending: dict | None = None   # picture being assembled from slices
+    skipping = False              # all-intra fast path: drop this picture
+
+    def finish(p):
+        nonlocal prev_fn
+        _check_picture_complete(p["ctx"])
+        maxfn = 1 << sps["log2_max_frame_num"]
+        if not p["idr"] and (
+            prev_fn is None
+            or p["frame_num"] not in (prev_fn, (prev_fn + 1) % maxfn)
+        ):
+            raise ValueError("frame_num gap (lost reference frame)")
+        if p["ref_idc"]:
+            ctx = p["ctx"]
+            dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
+            del dpb[max(sps["max_num_ref"], 1):]
+            prev_fn = p["frame_num"]
+        return _ctx_to_rgb(p["ctx"], sps) if p["want"] else None
+
     for nal in nals:
         hdr = nal[0]
         if hdr & 0x80:
@@ -2695,29 +2821,47 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
             idr = nal_type == 5
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
-            want = idx % every_n == 0
-            if not want and not has_inter:
+            rbsp = ebsp_to_rbsp(nal[1:])
+            if peek_first_mb(rbsp) == 0:   # new picture
+                if pending is not None:
+                    out = finish(pending)
+                    if out is not None:
+                        yield pending["idx"], out
+                    pending = None
+                want = idx % every_n == 0
+                cur_idx = idx
                 idx += 1
-                continue
-            if idr:
-                dpb = []
-            ctx, shdr = _decode_slice(
-                ebsp_to_rbsp(nal[1:]), sps, pps, idr, ref_idc, dpb
-            )
-            maxfn = 1 << sps["log2_max_frame_num"]
-            if not idr and (
-                prev_fn is None
-                or shdr["frame_num"] not in (prev_fn, (prev_fn + 1) % maxfn)
-            ):
-                raise ValueError("frame_num gap (lost reference frame)")
-            if ref_idc:
-                dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
-                del dpb[max(sps["max_num_ref"], 1):]
-                prev_fn = shdr["frame_num"]
-            if want:
-                yield idx, _ctx_to_rgb(ctx, sps)
-            idx += 1
+                if not want and not has_inter:
+                    skipping = True  # drop this picture's other slices too
+                    continue
+                skipping = False
+                if idr:
+                    dpb = []
+                ctx, shdr = _decode_slice(rbsp, sps, pps, idr, ref_idc, dpb)
+                pending = {
+                    "ctx": ctx, "idr": idr, "ref_idc": ref_idc,
+                    "frame_num": shdr["frame_num"], "n_slices": 1,
+                    "want": want, "idx": cur_idx,
+                }
+            else:                          # continuation slice
+                if skipping:
+                    continue
+                if pending is None:
+                    raise ValueError("continuation slice without a picture")
+                if idr != pending["idr"]:
+                    raise ValueError("mixed IDR/non-IDR slices in a picture")
+                _ctx, shdr = _decode_slice(
+                    rbsp, sps, pps, idr, ref_idc, dpb,
+                    ctx=pending["ctx"], slice_idx=pending["n_slices"],
+                )
+                if shdr["frame_num"] != pending["frame_num"]:
+                    raise ValueError("frame_num changes mid-picture")
+                pending["n_slices"] += 1
         # SEI (6), AUD (9), filler (12)... are skipped
+    if pending is not None:
+        out = finish(pending)
+        if out is not None:
+            yield pending["idx"], out
 
 
 def decode_h264(data: bytes) -> np.ndarray:
@@ -2735,9 +2879,9 @@ def decode_h264(data: bytes) -> np.ndarray:
 
 def annexb_to_avcc_samples(data: bytes) -> tuple[bytes, list[bytes]]:
     """Annex-B stream → (avcC box payload, per-picture length-prefixed
-    samples) — the shape an 'avc1' track stores.  Each slice NAL (IDR
-    type 5 or P type 1; one slice per picture here) becomes one
-    sample."""
+    samples) — the shape an 'avc1' track stores.  A sample is one
+    ACCESS UNIT: every slice NAL (IDR type 5 or P type 1) of one
+    picture, grouped by the first_mb_in_slice == 0 boundary."""
     sps_nal = pps_nal = None
     samples = []
     for nal in split_annexb(data):
@@ -2747,7 +2891,11 @@ def annexb_to_avcc_samples(data: bytes) -> tuple[bytes, list[bytes]]:
         elif t == 8:
             pps_nal = nal
         elif t in (1, 5):
-            samples.append(struct.pack(">I", len(nal)) + nal)
+            chunk = struct.pack(">I", len(nal)) + nal
+            if peek_first_mb(ebsp_to_rbsp(nal[1:])) == 0 or not samples:
+                samples.append(chunk)
+            else:
+                samples[-1] += chunk
     if sps_nal is None or pps_nal is None or not samples:
         raise ValueError("stream lacks SPS/PPS/slice NALs")
     avcc = bytes([
@@ -2824,53 +2972,85 @@ class AvccDecoder:
         self._prev_fn: int | None = None
 
     def decode_sample(self, sample: bytes) -> np.ndarray:
-        frame = None
+        ctx = None
+        hdr0 = None
+        idr0 = False
+        ref0 = 0
+        n_slices = 0
         for nal in _iter_sample_nals(sample, self.length_size):
             nal_type = nal[0] & 0x1F
             ref_idc = (nal[0] >> 5) & 3
             if nal_type not in (1, 5):
                 continue  # in-band SPS/PPS/SEI inside a sample: avcC rules
             idr = nal_type == 5
-            if idr:
-                self._dpb = []
-            ctx, shdr = _decode_slice(
-                ebsp_to_rbsp(nal[1:]), self.sps, self.pps, idr, ref_idc,
-                self._dpb,
-            )
-            maxfn = 1 << self.sps["log2_max_frame_num"]
-            if not idr and (
-                self._prev_fn is None
-                or shdr["frame_num"]
-                not in (self._prev_fn, (self._prev_fn + 1) % maxfn)
-            ):
-                raise ValueError("frame_num gap (lost reference frame)")
-            if ref_idc:
-                self._dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
-                del self._dpb[max(self.sps["max_num_ref"], 1):]
-                self._prev_fn = shdr["frame_num"]
-            frame = _ctx_to_rgb(ctx, self.sps)
-        if frame is None:
+            rbsp = ebsp_to_rbsp(nal[1:])
+            if ctx is None:
+                if peek_first_mb(rbsp) != 0:
+                    raise ValueError("sample starts mid-picture")
+                if idr:
+                    self._dpb = []
+                ctx, hdr0 = _decode_slice(
+                    rbsp, self.sps, self.pps, idr, ref_idc, self._dpb
+                )
+                idr0, ref0 = idr, ref_idc
+                n_slices = 1
+            else:
+                if peek_first_mb(rbsp) == 0:
+                    raise ValueError("two pictures in one sample")
+                if idr != idr0:
+                    raise ValueError("mixed IDR/non-IDR slices in a sample")
+                _c, shdr = _decode_slice(
+                    rbsp, self.sps, self.pps, idr, ref_idc, self._dpb,
+                    ctx=ctx, slice_idx=n_slices,
+                )
+                if shdr["frame_num"] != hdr0["frame_num"]:
+                    raise ValueError("frame_num changes mid-picture")
+                n_slices += 1
+        if ctx is None:
             raise ValueError("sample contains no slice NAL")
-        return frame
+        _check_picture_complete(ctx)
+        maxfn = 1 << self.sps["log2_max_frame_num"]
+        if not idr0 and (
+            self._prev_fn is None
+            or hdr0["frame_num"]
+            not in (self._prev_fn, (self._prev_fn + 1) % maxfn)
+        ):
+            raise ValueError("frame_num gap (lost reference frame)")
+        if ref0:
+            self._dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
+            del self._dpb[max(self.sps["max_num_ref"], 1):]
+            self._prev_fn = hdr0["frame_num"]
+        return _ctx_to_rgb(ctx, self.sps)
 
 
 def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
                        length_size: int) -> np.ndarray:
     """One length-prefixed 'avc1' sample → RGB frame, STATELESS (IDR
-    only; P slices need :class:`AvccDecoder`'s reference state)."""
-    frame = None
+    only, multi-slice allowed; P slices need :class:`AvccDecoder`'s
+    reference state)."""
+    ctx = None
+    n_slices = 0
     for nal in _iter_sample_nals(sample, length_size):
         nal_type = nal[0] & 0x1F
         ref_idc = (nal[0] >> 5) & 3
         if nal_type == 5:
-            frame = _decode_idr_slice(
-                ebsp_to_rbsp(nal[1:]), sps, pps, True, ref_idc
-            )
+            rbsp = ebsp_to_rbsp(nal[1:])
+            if ctx is None:
+                if peek_first_mb(rbsp) != 0:
+                    raise ValueError("sample starts mid-picture")
+                ctx, _hdr = _decode_slice(rbsp, sps, pps, True, ref_idc, [])
+            else:
+                ctx, _hdr = _decode_slice(
+                    rbsp, sps, pps, True, ref_idc, [],
+                    ctx=ctx, slice_idx=n_slices,
+                )
+            n_slices += 1
         elif nal_type == 1:
             raise NotImplementedError(
                 "non-IDR sample in stateless decode (use AvccDecoder)"
             )
         # in-band SPS/PPS/SEI inside a sample are ignored (avcC rules)
-    if frame is None:
+    if ctx is None:
         raise ValueError("sample contains no IDR slice")
-    return frame
+    _check_picture_complete(ctx)
+    return _ctx_to_rgb(ctx, sps)

@@ -84,6 +84,9 @@ _CASES = [
     ("h264", lambda: h264.encode_h264(_FRAMES, qp=20), h264.decode_h264),
     ("h264p", lambda: h264.encode_h264(_FRAMES, qp=20, keyint=2),
      h264.decode_h264),
+    ("h264ms", lambda: h264.encode_h264(  # 2 MB rows -> 2 slices
+        np.tile(_FRAMES, (1, 6, 6, 1)), qp=20, keyint=2, slices=2),
+     h264.decode_h264),
     ("mp4avc1", lambda: mp4.encode_mp4(_FRAMES, codec="h264"),
      lambda b: list(mp4.decode_mp4_frames(b))),
     ("mp4avc1p", lambda: mp4.encode_mp4(_FRAMES, codec="h264", keyint=2),

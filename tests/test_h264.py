@@ -512,6 +512,7 @@ def test_mvp_median_and_shortcut_rules():
     from marketstore_spark.operators.h264 import _FrameCtx, _mvp, _set_part_mv
 
     ctx = _FrameCtx(4, 4)
+    ctx.slice_ids[:] = ctx.cur_slice  # single-slice picture
     # current MB at (1,1): blocks (4..7, 4..7)
     _set_part_mv(ctx, 0, 4, 4, 4, 0, (8, -4))    # A: left MB
     _set_part_mv(ctx, 4, 0, 4, 4, 0, (-12, 16))  # B: above MB
@@ -529,10 +530,12 @@ def test_mvp_median_and_shortcut_rules():
     assert _mvp(ctx, 6, 4, 2, 4, 0, "8x16_right") == (2, 6)
     # top-row rule: nothing above -> A verbatim even with ref mismatch
     ctx2 = _FrameCtx(4, 4)
+    ctx2.slice_ids[:] = ctx2.cur_slice
     _set_part_mv(ctx2, 0, 0, 4, 4, 1, (20, 12))
     assert _mvp(ctx2, 4, 0, 4, 4, 0) == (20, 12)
     # D fallback: C outside picture, D (above-left) fills the slot
     ctx3 = _FrameCtx(2, 2)
+    ctx3.slice_ids[:] = ctx3.cur_slice
     _set_part_mv(ctx3, 0, 0, 4, 4, 0, (4, 4))   # covers B and D columns
     _set_part_mv(ctx3, 0, 4, 4, 4, 0, (0, 8))   # A
     # current MB (1,1); C=(8,3) outside -> D=(3,3) from MB (0,0); B is
@@ -544,6 +547,7 @@ def test_skip_mv_zero_conditions():
     from marketstore_spark.operators.h264 import _FrameCtx, _set_part_mv, _skip_mv
 
     ctx = _FrameCtx(4, 4)
+    ctx.slice_ids[:] = ctx.cur_slice
     # top-left MB: A and B missing -> zero
     assert _skip_mv(ctx, 0, 0) == (0, 0)
     # zero-MV ref-0 left neighbour -> zero even with a moving B
@@ -805,3 +809,99 @@ def test_qp_delta_roundtrip_and_stream_shape():
            + b"\x00\x00\x00\x01" + bytes([0x65]) + w.tobytes())
     with pytest.raises(ValueError):
         decode_h264(bad)
+
+
+# ---------------------------------------------------------------------
+# multi-slice pictures
+# ---------------------------------------------------------------------
+
+
+def test_multislice_roundtrip_bitwise():
+    """Horizontal-band slicing (the common encoder shape): IDR and P
+    pictures split 2 and 4 ways round-trip bitwise, composable with
+    the QP machinery."""
+    frames = _moving_scene(4, 64, 48)
+    for slices in (2, 4):
+        data, recon = encode_h264(
+            frames, qp=26, keyint=4, slices=slices, return_recon=True
+        )
+        assert np.array_equal(decode_h264(data), recon), slices
+        n_slice_nals = sum(
+            1 for n in split_annexb(data) if (n[0] & 0x1F) in (1, 5)
+        )
+        assert n_slice_nals == 4 * slices
+    data, recon = encode_h264(
+        frames, qp=28, keyint=2, slices=3, slice_qps=[22, 30, 35, 28],
+        qp_map={(1, 1, 1): 44}, return_recon=True,
+    )
+    assert np.array_equal(decode_h264(data), recon)
+
+
+def test_multislice_slice2_independent_of_slice1():
+    """EXTERNAL slice-independence pin: splice slice 2 of picture A
+    after slice 1 of picture B (same geometry) — band 2 must decode
+    EXACTLY as in A, proving no prediction/nC/QP state crosses the
+    slice boundary (6.4.8).  A decoder that leaked ANY cross-slice
+    state would change band 2's pixels."""
+    fa = _moving_scene(1, 64, 48, color=(220, 40, 90))
+    fb = _moving_scene(1, 64, 48, color=(15, 200, 160))
+    da, ra = encode_h264(fa, qp=24, slices=2, return_recon=True)
+    db, rb = encode_h264(fb, qp=24, slices=2, return_recon=True)
+    na, nb = split_annexb(da), split_annexb(db)
+    sc = b"\x00\x00\x00\x01"
+    spliced = sc + na[0] + sc + na[1] + sc + nb[2] + sc + na[3]
+    dec = decode_h264(spliced)
+    assert np.array_equal(dec[0][32:], ra[0][32:])
+    assert np.array_equal(dec[0][:32], rb[0][:32])
+
+
+def test_multislice_mp4_sample_grouping():
+    """An 'avc1' sample is one ACCESS UNIT: multi-slice pictures group
+    all their slice NALs into one sample, and the stateful track walk
+    decodes them bitwise."""
+    from marketstore_spark.operators.h264 import annexb_to_avcc_samples
+    from marketstore_spark.operators.mp4 import (
+        _box,
+        decode_mp4_frames,
+        mux_mp4_samples,
+        probe_mp4,
+    )
+
+    frames = _moving_scene(4, 64, 48)
+    annexb, recon = encode_h264(
+        frames, qp=24, keyint=2, slices=2, return_recon=True
+    )
+    avcc, samples = annexb_to_avcc_samples(annexb)
+    assert len(samples) == 4  # pictures, not slices
+    blob = mux_mp4_samples(
+        samples, 48, 64, fps=5, fourcc=b"avc1", compressor=b"AVC Coding",
+        extra_entry_boxes=_box(b"avcC", avcc), sync_samples=[1, 3],
+    )
+    assert probe_mp4(blob)["n_frames"] == 4
+    got = dict(decode_mp4_frames(blob))
+    assert all(np.array_equal(got[i], recon[i]) for i in range(4))
+
+
+def test_multislice_stream_errors():
+    frames = _moving_scene(2, 64, 48)
+    data = encode_h264(frames, qp=24, keyint=2, slices=2)
+    nals = split_annexb(data)
+    sc = b"\x00\x00\x00\x01"
+    # continuation slice with no picture pending -> refuse
+    with pytest.raises(ValueError):
+        list(decode_h264_frames(sc + nals[0] + sc + nals[1] + sc + nals[3]))
+    # missing continuation -> incomplete picture at finalize
+    with pytest.raises(ValueError):
+        list(decode_h264_frames(
+            sc + nals[0] + sc + nals[1] + sc + nals[2] + sc + nals[4]
+            + sc + nals[5]
+        ))
+    # duplicated slice -> overlap refuse
+    with pytest.raises(ValueError):
+        list(decode_h264_frames(
+            sc + nals[0] + sc + nals[1] + sc + nals[2] + sc + nals[3]
+            + sc + nals[3]
+        ))
+    # encoder bound: more slices than MB rows
+    with pytest.raises(ValueError):
+        encode_h264(frames, qp=24, slices=9)
