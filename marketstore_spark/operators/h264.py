@@ -1009,8 +1009,8 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
-def _write_pps(w: BitWriter, qp: int) -> None:
-    w.ue(0)          # pic_parameter_set_id
+def _write_pps(w: BitWriter, qp: int, pps_id: int = 0) -> None:
+    w.ue(pps_id)     # pic_parameter_set_id
     w.ue(0)          # seq_parameter_set_id
     w.u(0, 1)        # entropy_coding_mode_flag: CAVLC
     w.u(0, 1)        # bottom_field_pic_order_in_frame_present_flag
@@ -1048,7 +1048,22 @@ def parse_pps(rbsp: bytes) -> dict:
     chroma_qp_off = r.se()
     deblock_ctl = r.u(1)
     constrained_intra = r.u(1)
+    if constrained_intra:
+        # with the flag set, intra MBs in P slices must exclude inter
+        # neighbours from sample prediction — refusing beats silently
+        # predicting from samples the encoder excluded
+        raise NotImplementedError("constrained intra prediction")
     redundant = r.u(1)
+    # PPS extension (7.3.2.2, present in High-profile streams):
+    # 8x8 transform and scaling matrices change the residual layer
+    if r.more_rbsp_data():
+        if r.u(1):
+            raise NotImplementedError("8x8 transform (High profile)")
+        if r.u(1):
+            raise NotImplementedError("PPS scaling matrices")
+        second_chroma_off = r.se()
+        if second_chroma_off != chroma_qp_off:
+            raise NotImplementedError("per-plane chroma QP offsets")
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
@@ -2595,8 +2610,8 @@ def encode_h264(
     return bytes(out)
 
 
-def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
-                        ref_idc: int) -> dict:
+def _parse_slice_header(r: BitReader, sps_map: dict, pps_map: dict,
+                        idr: bool, ref_idc: int) -> dict:
     first_mb = r.ue()
     slice_type = r.ue() % 5
     if slice_type not in (0, 2):
@@ -2605,7 +2620,13 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
         )
     if idr and slice_type != 2:
         raise ValueError("IDR picture with a non-I slice")
-    r.ue()  # pic_parameter_set_id
+    pps_id = r.ue()  # pic_parameter_set_id selects the active sets
+    if pps_id not in pps_map:
+        raise ValueError(f"slice references unknown PPS {pps_id}")
+    pps = pps_map[pps_id]
+    if pps["sps_id"] not in sps_map:
+        raise ValueError(f"PPS references unknown SPS {pps['sps_id']}")
+    sps = sps_map[pps["sps_id"]]
     frame_num = r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
@@ -2625,8 +2646,9 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
             raise NotImplementedError("weighted prediction")
     if ref_idc:
         if idr:
-            r.u(1)
-            r.u(1)
+            r.u(1)  # no_output_of_prior_pics_flag
+            if r.u(1):  # long_term_reference_flag
+                raise NotImplementedError("long-term reference pictures")
         elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive reference marking")
     qd = r.se()  # slice_qp_delta
@@ -2646,6 +2668,8 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict, idr: bool,
         "frame_num": frame_num,
         "num_ref": num_ref,
         "slice_qp_delta": qd,
+        "sps": sps,   # the sets this slice actually activates
+        "pps": pps,
     }
 
 
@@ -2666,23 +2690,28 @@ def peek_first_mb(rbsp: bytes) -> int:
     return BitReader(rbsp).ue()
 
 
-def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
+def _decode_slice(rbsp: bytes, sps_map: dict, pps_map: dict, idr: bool,
                   ref_idc: int, dpb: list,
                   ctx: _FrameCtx | None = None,
                   slice_idx: int = 0) -> tuple[_FrameCtx, dict]:
     """Decode one slice (I or P) against the reference list ``dpb``
-    (most-recently-decoded first).  With ``ctx`` given, the slice is a
-    CONTINUATION of a pending picture (first_mb > 0): MBs decode into
-    the shared canvas, but neighbours across the slice boundary are
-    unavailable to prediction/nC/MVP (6.4.8).  Returns the frame
-    context + parsed header; the caller finalizes the picture when all
-    its slices are in."""
+    (most-recently-decoded first).  The slice's pic_parameter_set_id
+    selects the active PPS/SPS from the id-keyed maps (a stream may
+    carry several).  With ``ctx`` given, the slice is a CONTINUATION
+    of a pending picture (first_mb > 0): MBs decode into the shared
+    canvas, but neighbours across the slice boundary are unavailable
+    to prediction/nC/MVP (6.4.8).  Returns the frame context + parsed
+    header (with the resolved sets under hdr['sps']/'pps'); the caller
+    finalizes the picture when all its slices are in."""
     r = BitReader(rbsp)
-    hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
+    hdr = _parse_slice_header(r, sps_map, pps_map, idr, ref_idc)
+    sps, pps = hdr["sps"], hdr["pps"]
     qp = pps["init_qp"] + hdr["slice_qp_delta"]
     if not 0 <= qp <= 51:
         raise ValueError("slice QP out of range")
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    if ctx is not None and (ctx.mb_w, ctx.mb_h) != (mb_w, mb_h):
+        raise ValueError("slice SPS geometry changes mid-picture")
     total = mb_w * mb_h
     first_mb = hdr["first_mb"]
     if first_mb >= total:
@@ -2746,9 +2775,11 @@ def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool,
                       ref_idc: int) -> np.ndarray:
     """Stateless single-slice IDR decode (kept for the all-intra
     single-slice callers)."""
-    ctx, _hdr = _decode_slice(rbsp, sps, pps, idr, ref_idc, [])
+    ctx, hdr = _decode_slice(
+        rbsp, {sps["sps_id"]: sps}, {pps["pps_id"]: pps}, idr, ref_idc, []
+    )
     _check_picture_complete(ctx)
-    return _ctx_to_rgb(ctx, sps)
+    return _ctx_to_rgb(ctx, hdr["sps"])
 
 
 def split_annexb(data: bytes) -> list[bytes]:
@@ -2784,7 +2815,8 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
     every frame decodes in order because later frames reference it."""
     nals = [n for n in split_annexb(data) if n]
     has_inter = any((n[0] & 0x1F) == 1 for n in nals)
-    sps = pps = None
+    sps_map: dict = {}
+    pps_map: dict = {}
     idx = 0
     dpb: list = []
     prev_fn = None
@@ -2794,6 +2826,7 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
     def finish(p):
         nonlocal prev_fn
         _check_picture_complete(p["ctx"])
+        sps = p["sps"]
         maxfn = 1 << sps["log2_max_frame_num"]
         if not p["idr"] and (
             prev_fn is None
@@ -2814,12 +2847,14 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
         nal_type = hdr & 0x1F
         ref_idc = (hdr >> 5) & 3
         if nal_type == 7:
-            sps = parse_sps(ebsp_to_rbsp(nal[1:]))
+            s = parse_sps(ebsp_to_rbsp(nal[1:]))
+            sps_map[s["sps_id"]] = s
         elif nal_type == 8:
-            pps = parse_pps(ebsp_to_rbsp(nal[1:]))
+            p = parse_pps(ebsp_to_rbsp(nal[1:]))
+            pps_map[p["pps_id"]] = p
         elif nal_type in (1, 5):
             idr = nal_type == 5
-            if sps is None or pps is None:
+            if not sps_map or not pps_map:
                 raise ValueError("slice before SPS/PPS")
             rbsp = ebsp_to_rbsp(nal[1:])
             if peek_first_mb(rbsp) == 0:   # new picture
@@ -2837,11 +2872,13 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
                 skipping = False
                 if idr:
                     dpb = []
-                ctx, shdr = _decode_slice(rbsp, sps, pps, idr, ref_idc, dpb)
+                ctx, shdr = _decode_slice(
+                    rbsp, sps_map, pps_map, idr, ref_idc, dpb
+                )
                 pending = {
                     "ctx": ctx, "idr": idr, "ref_idc": ref_idc,
                     "frame_num": shdr["frame_num"], "n_slices": 1,
-                    "want": want, "idx": cur_idx,
+                    "want": want, "idx": cur_idx, "sps": shdr["sps"],
                 }
             else:                          # continuation slice
                 if skipping:
@@ -2851,7 +2888,7 @@ def decode_h264_frames(data: bytes, every_n: int = 1):
                 if idr != pending["idr"]:
                     raise ValueError("mixed IDR/non-IDR slices in a picture")
                 _ctx, shdr = _decode_slice(
-                    rbsp, sps, pps, idr, ref_idc, dpb,
+                    rbsp, sps_map, pps_map, idr, ref_idc, dpb,
                     ctx=pending["ctx"], slice_idx=pending["n_slices"],
                 )
                 if shdr["frame_num"] != pending["frame_num"]:
@@ -2911,33 +2948,54 @@ def annexb_to_avcc_samples(data: bytes) -> tuple[bytes, list[bytes]]:
     return avcc, samples
 
 
-def parse_avcc(avcc: bytes) -> tuple[dict, dict, int]:
-    """avcC payload → (sps, pps, nal_length_size)."""
+def parse_avcc_maps(avcc: bytes) -> tuple[dict, dict, int]:
+    """avcC payload → (sps_map, pps_map, nal_length_size) — ALL
+    parameter sets keyed by id (wild tracks may carry several; the
+    slice header's pic_parameter_set_id selects among them)."""
     if len(avcc) < 7 or avcc[0] != 1:
         raise ValueError("bad avcC configuration record")
     length_size = (avcc[4] & 3) + 1
     n_sps = avcc[5] & 0x1F
     pos = 6
-    sps = pps = None
+    sps_map: dict = {}
+    pps_map: dict = {}
     for _ in range(n_sps):
+        if pos + 2 > len(avcc):
+            raise ValueError("truncated avcC SPS list")
         (ln,) = struct.unpack_from(">H", avcc, pos)
         pos += 2
         nal = avcc[pos : pos + ln]
         pos += ln
-        if sps is None:
-            sps = parse_sps(ebsp_to_rbsp(nal[1:]))
+        if len(nal) < 2:
+            raise ValueError("truncated avcC SPS NAL")
+        s = parse_sps(ebsp_to_rbsp(nal[1:]))
+        sps_map[s["sps_id"]] = s
+    if pos >= len(avcc):
+        raise ValueError("truncated avcC PPS count")
     n_pps = avcc[pos]
     pos += 1
     for _ in range(n_pps):
+        if pos + 2 > len(avcc):
+            raise ValueError("truncated avcC PPS list")
         (ln,) = struct.unpack_from(">H", avcc, pos)
         pos += 2
         nal = avcc[pos : pos + ln]
         pos += ln
-        if pps is None:
-            pps = parse_pps(ebsp_to_rbsp(nal[1:]))
-    if sps is None or pps is None:
+        if len(nal) < 2:
+            raise ValueError("truncated avcC PPS NAL")
+        p = parse_pps(ebsp_to_rbsp(nal[1:]))
+        pps_map[p["pps_id"]] = p
+    if not sps_map or not pps_map:
         raise ValueError("avcC lacks SPS or PPS")
-    return sps, pps, length_size
+    return sps_map, pps_map, length_size
+
+
+def parse_avcc(avcc: bytes) -> tuple[dict, dict, int]:
+    """avcC payload → (first sps, first pps, nal_length_size) — the
+    single-set convenience form; multi-set tracks go through
+    :func:`parse_avcc_maps` / :class:`AvccDecoder`."""
+    sps_map, pps_map, length_size = parse_avcc_maps(avcc)
+    return next(iter(sps_map.values())), next(iter(pps_map.values())), length_size
 
 
 def _iter_sample_nals(sample: bytes, length_size: int):
@@ -2967,7 +3025,8 @@ class AvccDecoder:
     sample order (each sample = one picture, ISO/IEC 14496-15)."""
 
     def __init__(self, avcc: bytes) -> None:
-        self.sps, self.pps, self.length_size = parse_avcc(avcc)
+        self.sps_map, self.pps_map, self.length_size = parse_avcc_maps(avcc)
+        self.sps = next(iter(self.sps_map.values()))  # probe convenience
         self._dpb: list = []
         self._prev_fn: int | None = None
 
@@ -2990,7 +3049,8 @@ class AvccDecoder:
                 if idr:
                     self._dpb = []
                 ctx, hdr0 = _decode_slice(
-                    rbsp, self.sps, self.pps, idr, ref_idc, self._dpb
+                    rbsp, self.sps_map, self.pps_map, idr, ref_idc,
+                    self._dpb
                 )
                 idr0, ref0 = idr, ref_idc
                 n_slices = 1
@@ -3000,8 +3060,8 @@ class AvccDecoder:
                 if idr != idr0:
                     raise ValueError("mixed IDR/non-IDR slices in a sample")
                 _c, shdr = _decode_slice(
-                    rbsp, self.sps, self.pps, idr, ref_idc, self._dpb,
-                    ctx=ctx, slice_idx=n_slices,
+                    rbsp, self.sps_map, self.pps_map, idr, ref_idc,
+                    self._dpb, ctx=ctx, slice_idx=n_slices,
                 )
                 if shdr["frame_num"] != hdr0["frame_num"]:
                     raise ValueError("frame_num changes mid-picture")
@@ -3009,7 +3069,8 @@ class AvccDecoder:
         if ctx is None:
             raise ValueError("sample contains no slice NAL")
         _check_picture_complete(ctx)
-        maxfn = 1 << self.sps["log2_max_frame_num"]
+        sps = hdr0["sps"]
+        maxfn = 1 << sps["log2_max_frame_num"]
         if not idr0 and (
             self._prev_fn is None
             or hdr0["frame_num"]
@@ -3018,9 +3079,9 @@ class AvccDecoder:
             raise ValueError("frame_num gap (lost reference frame)")
         if ref0:
             self._dpb.insert(0, (ctx.y, ctx.cb, ctx.cr))
-            del self._dpb[max(self.sps["max_num_ref"], 1):]
+            del self._dpb[max(sps["max_num_ref"], 1):]
             self._prev_fn = hdr0["frame_num"]
-        return _ctx_to_rgb(ctx, self.sps)
+        return _ctx_to_rgb(ctx, sps)
 
 
 def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
@@ -3030,6 +3091,8 @@ def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
     reference state)."""
     ctx = None
     n_slices = 0
+    sps_map = {sps["sps_id"]: sps}
+    pps_map = {pps["pps_id"]: pps}
     for nal in _iter_sample_nals(sample, length_size):
         nal_type = nal[0] & 0x1F
         ref_idc = (nal[0] >> 5) & 3
@@ -3038,10 +3101,12 @@ def decode_avcc_sample(sample: bytes, sps: dict, pps: dict,
             if ctx is None:
                 if peek_first_mb(rbsp) != 0:
                     raise ValueError("sample starts mid-picture")
-                ctx, _hdr = _decode_slice(rbsp, sps, pps, True, ref_idc, [])
+                ctx, _hdr = _decode_slice(
+                    rbsp, sps_map, pps_map, True, ref_idc, []
+                )
             else:
                 ctx, _hdr = _decode_slice(
-                    rbsp, sps, pps, True, ref_idc, [],
+                    rbsp, sps_map, pps_map, True, ref_idc, [],
                     ctx=ctx, slice_idx=n_slices,
                 )
             n_slices += 1

@@ -905,3 +905,51 @@ def test_multislice_stream_errors():
     # encoder bound: more slices than MB rows
     with pytest.raises(ValueError):
         encode_h264(frames, qp=24, slices=9)
+
+
+def test_multiple_pps_selected_by_slice_header():
+    """Wild streams carry several PPSs; the slice header's
+    pic_parameter_set_id must select the ACTIVE one.  Build a stream
+    with PPS 0 at a wrong QP and PPS 1 at the real QP, repoint the
+    slices at PPS 1, and require a bitwise decode — a decoder that
+    ignores pps_id picks the wrong quantizer and fails this."""
+    from marketstore_spark.operators.h264 import _write_pps
+
+    frames = _gradient(2, 32, 32)
+    qp = 24
+    data, recon = encode_h264(frames, qp=qp, return_recon=True)
+    nals = split_annexb(data)
+
+    def repoint(rbsp, new_id):
+        r, w = BitReader(rbsp), BitWriter()
+        w.ue(r.ue())          # first_mb
+        w.ue(r.ue())          # slice_type
+        r.ue()                # old pps_id
+        w.ue(new_id)
+        total = len(rbsp) * 8
+        while r._pos < total:
+            w._bits.append(r.u(1))
+        while len(w._bits) % 8:
+            w._bits.append(0)
+        return w.tobytes()
+
+    wrong = BitWriter(); _write_pps(wrong, 51, pps_id=0)
+    right = BitWriter(); _write_pps(right, qp, pps_id=1)
+    sc = b"\x00\x00\x00\x01"
+    stream = (
+        sc + nals[0]
+        + sc + bytes([0x68]) + wrong.tobytes()
+        + sc + bytes([0x68]) + right.tobytes()
+    )
+    for nal in nals[2:]:
+        stream += sc + bytes([0x65]) + rbsp_to_ebsp(
+            repoint(ebsp_to_rbsp(nal[1:]), 1)
+        )
+    assert np.array_equal(decode_h264(stream), recon)
+    # a slice naming an unregistered PPS refuses
+    bad = sc + nals[0] + sc + bytes([0x68]) + wrong.tobytes()
+    bad += sc + bytes([0x65]) + rbsp_to_ebsp(
+        repoint(ebsp_to_rbsp(nals[2][1:]), 3)
+    )
+    with pytest.raises(ValueError):
+        decode_h264(bad)

@@ -1344,3 +1344,42 @@ def test_synth_gradient_closed_form_dhash():
     for p in range(256):
         px = synth_gradient_pixels(p)
         assert px.min() >= 64 - 8 and px.max() <= 192 + 8
+
+
+def test_video_near_dup_across_reencodes_spark(spark):
+    """The pipeline case P-slice decode exists for: the SAME footage
+    re-encoded three ways — uncompressed DIB AVI, all-intra avc1, and
+    an IDR+P avc1 GOP (motion compensation, skip runs, DPB) — yields
+    identical per-frame fingerprints, so all three pair as near-dups;
+    different footage in the same IPPP format does not."""
+    import numpy as np
+
+    from marketstore_spark.operators.dedup import video_near_dup_pairs
+    from marketstore_spark.operators.mp4 import encode_mp4
+    from marketstore_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        synth_gradient_pixels,
+        video_frame_dhash,
+    )
+    from marketstore_spark.operators.video import encode_avi
+
+    # gradient-walk frames: dHash closed form tolerates the +/-2 QP-0
+    # residual, so fingerprints are EXACTLY equal across re-encodes
+    clip = np.stack([synth_gradient_pixels(37 + 7 * i) for i in range(4)])
+    other = np.stack([synth_gradient_pixels(200 - 11 * i) for i in range(4)])
+    rows = [
+        (1, "video", "avi", 18, 16, 0, bytearray(encode_avi(clip, fps=10))),
+        (2, "video", "mp4", 18, 16, 0,
+         bytearray(encode_mp4(clip, fps=10, codec="h264", quality=100))),
+        (3, "video", "mp4", 18, 16, 0,
+         bytearray(encode_mp4(clip, fps=10, codec="h264", quality=100,
+                              keyint=4))),
+        (4, "video", "mp4", 18, 16, 0,
+         bytearray(encode_mp4(other, fps=10, codec="h264", quality=100,
+                              keyint=4))),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = video_frame_dhash(media, every_n=1)
+    assert sigs.count() == 16  # 4 media x 4 decoded frames each
+    pairs = video_near_dup_pairs(sigs, min_shared=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
