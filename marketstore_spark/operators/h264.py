@@ -2948,10 +2948,41 @@ def annexb_to_avcc_samples(data: bytes) -> tuple[bytes, list[bytes]]:
     return avcc, samples
 
 
-def parse_avcc_maps(avcc: bytes) -> tuple[dict, dict, int]:
+def annexb_to_avc3_samples(data: bytes) -> tuple[bytes, list[bytes]]:
+    """Annex-B stream → (parameter-set-free avcC payload, per-picture
+    samples with SPS/PPS carried IN-BAND before each IDR) — the
+    'avc3' convention DASH packagers use so streams can switch
+    parameter sets mid-track."""
+    avcc, samples = annexb_to_avcc_samples(data)
+    sps_nal = pps_nal = None
+    for nal in split_annexb(data):
+        t = nal[0] & 0x1F
+        if t == 7:
+            sps_nal = nal
+        elif t == 8:
+            pps_nal = nal
+    out = []
+    for sample in samples:
+        first_nal_type = sample[4] & 0x1F if len(sample) > 4 else 0
+        if first_nal_type == 5:  # prepend in-band sets at each IDR
+            sample = (
+                struct.pack(">I", len(sps_nal)) + sps_nal
+                + struct.pack(">I", len(pps_nal)) + pps_nal
+                + sample
+            )
+        out.append(sample)
+    bare = bytes(avcc[:5]) + b"\xe0\x00"  # lengthSize kept, 0 SPS, 0 PPS
+    return bare, out
+
+
+def parse_avcc_maps(
+    avcc: bytes, require_sets: bool = True
+) -> tuple[dict, dict, int]:
     """avcC payload → (sps_map, pps_map, nal_length_size) — ALL
     parameter sets keyed by id (wild tracks may carry several; the
-    slice header's pic_parameter_set_id selects among them)."""
+    slice header's pic_parameter_set_id selects among them).
+    ``require_sets=False`` accepts an empty record — the 'avc3'
+    convention, where parameter sets arrive IN-BAND inside samples."""
     if len(avcc) < 7 or avcc[0] != 1:
         raise ValueError("bad avcC configuration record")
     length_size = (avcc[4] & 3) + 1
@@ -2985,7 +3016,7 @@ def parse_avcc_maps(avcc: bytes) -> tuple[dict, dict, int]:
             raise ValueError("truncated avcC PPS NAL")
         p = parse_pps(ebsp_to_rbsp(nal[1:]))
         pps_map[p["pps_id"]] = p
-    if not sps_map or not pps_map:
+    if require_sets and (not sps_map or not pps_map):
         raise ValueError("avcC lacks SPS or PPS")
     return sps_map, pps_map, length_size
 
@@ -3025,8 +3056,14 @@ class AvccDecoder:
     sample order (each sample = one picture, ISO/IEC 14496-15)."""
 
     def __init__(self, avcc: bytes) -> None:
-        self.sps_map, self.pps_map, self.length_size = parse_avcc_maps(avcc)
-        self.sps = next(iter(self.sps_map.values()))  # probe convenience
+        # require_sets=False: 'avc3' tracks ship an empty record and
+        # deliver SPS/PPS in-band inside the samples
+        self.sps_map, self.pps_map, self.length_size = parse_avcc_maps(
+            avcc, require_sets=False
+        )
+        self.sps = (
+            next(iter(self.sps_map.values())) if self.sps_map else None
+        )  # probe convenience (None until in-band sets arrive)
         self._dpb: list = []
         self._prev_fn: int | None = None
 
@@ -3039,8 +3076,18 @@ class AvccDecoder:
         for nal in _iter_sample_nals(sample, self.length_size):
             nal_type = nal[0] & 0x1F
             ref_idc = (nal[0] >> 5) & 3
+            if nal_type == 7:   # in-band SPS ('avc3'; harmless for avc1)
+                s = parse_sps(ebsp_to_rbsp(nal[1:]))
+                self.sps_map[s["sps_id"]] = s
+                if self.sps is None:
+                    self.sps = s
+                continue
+            if nal_type == 8:   # in-band PPS
+                p = parse_pps(ebsp_to_rbsp(nal[1:]))
+                self.pps_map[p["pps_id"]] = p
+                continue
             if nal_type not in (1, 5):
-                continue  # in-band SPS/PPS/SEI inside a sample: avcC rules
+                continue  # SEI/AUD/filler inside a sample
             idr = nal_type == 5
             rbsp = ebsp_to_rbsp(nal[1:])
             if ctx is None:

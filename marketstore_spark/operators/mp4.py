@@ -52,8 +52,10 @@ TOPLEVEL_BOXES = {
 
 #: decodable essence (fourcc, space-stripped): Photo-JPEG, raw RGB24,
 #: and baseline H.264 (IDR + P slices, operators/h264.py — B/CABAC/
-#: deblocking-enabled avc1 samples still raise inside decode)
-_INTRA_CODECS = ("jpeg", "raw", "avc1")
+#: deblocking-enabled samples still raise inside decode).  'avc3' is
+#: the in-band-parameter-set variant DASH packagers emit: the avcC
+#: record is empty and SPS/PPS arrive inside the samples.
+_INTRA_CODECS = ("jpeg", "raw", "avc1", "avc3")
 
 
 # ---------------------------------------------------------------------
@@ -604,6 +606,14 @@ def probe_mp4(payload: bytes) -> dict:
                 fps = round(hdr["timescale"] / frag_dur)
             if not duration and frag_dur:
                 duration = n * frag_dur
+    # sync-sample (keyframe) count: stss lists them; absent stss means
+    # every sample is a random-access point (8.6.2) — sampling plans
+    # over IPPP corpora need this to estimate decode cost per frame
+    n_sync = n
+    if b"stss" in stbl:
+        s, e = stbl[b"stss"]
+        if s + 8 <= e:
+            (n_sync,) = struct.unpack_from(">I", payload, s + 4)
     return {
         "width": hdr["width"],
         "height": hdr["height"],
@@ -611,6 +621,7 @@ def probe_mp4(payload: bytes) -> dict:
         "fps": fps,
         "codec": _stsd_codec(payload, stbl),
         "duration_s": (duration / hdr["timescale"]) if hdr["timescale"] else 0.0,
+        "n_sync": n_sync,
     }
 
 
@@ -848,10 +859,11 @@ def decode_mp4_frames(
         raise NotImplementedError(
             f"inter-frame MP4 essence {codec!r} needs ffmpeg"
         )
-    if codec == "avc1":
+    if codec in ("avc1", "avc3"):
         # stateful track decode: P samples reference earlier samples,
         # so when any sample carries a non-IDR NAL every sample must
-        # decode in order (the all-IDR track keeps the sampling skip)
+        # decode in order (the all-IDR track keeps the sampling skip);
+        # avc3's in-band SPS/PPS are picked up during the walk
         from marketstore_spark.operators.h264 import (
             AvccDecoder,
             sample_has_inter,

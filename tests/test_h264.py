@@ -953,3 +953,41 @@ def test_multiple_pps_selected_by_slice_header():
     )
     with pytest.raises(ValueError):
         decode_h264(bad)
+
+
+def test_avc3_inband_parameter_sets_in_mp4():
+    """'avc3' (the DASH packaging variant): the avcC record carries NO
+    parameter sets — SPS/PPS arrive in-band before each IDR sample —
+    and the stateful walk picks them up mid-track.  IDR+P GOPs decode
+    bitwise; probe reports the codec and the stss sync count."""
+    from marketstore_spark.operators.h264 import annexb_to_avc3_samples
+    from marketstore_spark.operators.mp4 import (
+        _box,
+        decode_mp4_frames,
+        mux_mp4_samples,
+        probe_mp4,
+    )
+
+    frames = _moving_scene(4, 32, 48)
+    annexb, recon = encode_h264(frames, qp=24, keyint=2, return_recon=True)
+    avcc, samples = annexb_to_avc3_samples(annexb)
+    assert avcc[5] & 0x1F == 0 and avcc[6] == 0  # no sets in the record
+    blob = mux_mp4_samples(
+        samples, 48, 32, fps=5, fourcc=b"avc3", compressor=b"AVC Coding",
+        extra_entry_boxes=_box(b"avcC", avcc), sync_samples=[1, 3],
+    )
+    info = probe_mp4(blob)
+    assert (info["codec"], info["n_frames"], info["n_sync"]) == ("avc3", 4, 2)
+    got = dict(decode_mp4_frames(blob))
+    assert all(np.array_equal(got[i], recon[i]) for i in range(4))
+
+
+def test_probe_n_sync_reports_keyframe_count():
+    from marketstore_spark.operators.mp4 import encode_mp4, probe_mp4
+
+    frames = _moving_scene(4, 32, 48)
+    # absent stss: every sample is a random-access point
+    assert probe_mp4(encode_mp4(frames, codec="h264", quality=85))["n_sync"] == 4
+    assert probe_mp4(
+        encode_mp4(frames, codec="h264", quality=85, keyint=2)
+    )["n_sync"] == 2
