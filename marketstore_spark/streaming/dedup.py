@@ -50,7 +50,11 @@ def dedup_media_stream(
     8 bytes/key, bounded by the horizon like dedup_stream.  Batch-side
     near-dup (Hamming > 0) stays with dedup.hash_near_dup_pairs; the
     streaming stage is exact-signature by design (state lookups are
-    equality-only).  Undecodable payloads fall back to an exact
+    equality-only).  VIDEO payloads (RIFF/AVI or ISO-BMFF containers,
+    incl. IDR+P avc1/avc3 tracks) collapse by the md5 of their
+    sampled-frame dHash SEQUENCE — container-invariant for lossless
+    essence, so the same footage re-crawled as AVI and as an avc1 MP4
+    keys identically.  Undecodable payloads fall back to an exact
     CONTENT hash (md5 of the bytes) rather than NULL — Spark's
     dropDuplicates treats NULL keys as equal, which would collapse
     every distinct corrupt frame into one; byte-identity is the right
@@ -63,6 +67,7 @@ def dedup_media_stream(
         decode_image_any,
         image_dhash_array,
     )
+    from marketstore_spark.operators.video import decode_video_frames
 
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields
@@ -72,13 +77,27 @@ def dedup_media_stream(
         v = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
         return v - (1 << 64) if v >= 1 << 63 else v
 
+    def video_key(raw: bytes) -> int:
+        h = hashlib.md5()
+        for _idx, frame in decode_video_frames(raw, every_n=4):
+            h.update(image_dhash_array(frame).to_bytes(8, "big", signed=True))
+        v = int.from_bytes(h.digest()[:8], "big")
+        return v - (1 << 64) if v >= 1 << 63 else v
+
     def run(batches):
         for pdf in batches:
             hashes = []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
+                is_video = raw[:4] == b"RIFF" or (
+                    len(raw) > 8 and raw[4:8] in (b"ftyp", b"moov", b"mdat",
+                                                  b"free", b"styp")
+                )
                 try:
-                    hashes.append(image_dhash_array(decode_image_any(raw)))
+                    if is_video:
+                        hashes.append(video_key(raw))
+                    else:
+                        hashes.append(image_dhash_array(decode_image_any(raw)))
                 except (ValueError, NotImplementedError):
                     hashes.append(content_key(raw))
             out = pdf.copy()

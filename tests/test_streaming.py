@@ -1390,3 +1390,54 @@ def test_quality_transforms_are_streamable(spark, tmpdir):
         }
         want = {r["doc_id"]: r.asDict() for r in op(batch_df).collect()}
         assert got == want and len(got) == 3, name
+
+
+def test_stream_media_dedup_collapses_video_reencode(spark, tmpdir):
+    """VIDEO ingest dedup: the same footage re-crawled as a DIB AVI
+    and as an IDR+P avc1 MP4 GOP keys on the identical frame-dHash
+    sequence and collapses to one row; different footage in the same
+    container survives; a WAV payload (also RIFF) falls back to the
+    byte-content key and survives."""
+    import datetime
+
+    import numpy as np
+
+    from marketstore_spark.operators.mp4 import encode_mp4
+    from marketstore_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        synth_gradient_pixels,
+    )
+    from marketstore_spark.operators.video import encode_avi
+    from marketstore_spark.streaming.dedup import dedup_media_stream
+
+    clip = np.stack([synth_gradient_pixels(37 + 7 * i) for i in range(4)])
+    other = np.stack([synth_gradient_pixels(200 - 11 * i) for i in range(4)])
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    wav = encode_wav_pcm16(np.arange(-500, 500, dtype=np.int16), 8000)
+    rows = [
+        (1, base, bytearray(encode_avi(clip, fps=10))),
+        (2, base, bytearray(encode_mp4(clip, fps=10, codec="h264",
+                                       quality=100, keyint=4))),
+        (3, base, bytearray(encode_mp4(other, fps=10, codec="h264",
+                                       quality=100, keyint=4))),
+        (4, base, bytearray(wav)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ts timestamp, payload binary")
+    src = os.path.join(tmpdir, "media_video_incoming")
+    df.write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, spark.read.parquet(src).schema)
+    q = (
+        dedup_media_stream(stream, horizon="365 days")
+        .writeStream.format("memory")
+        .queryName("media_video_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select media_id, dhash from media_video_dedup_test"
+    ).toPandas()
+    kept = set(got["media_id"])
+    assert len(kept) == 3 and kept & {1, 2} != {1, 2}  # one of the twins
+    assert {3, 4} <= kept
