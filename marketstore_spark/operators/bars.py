@@ -37,6 +37,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import ord_key_ts
+
 from marketstore_spark.operators.ewm import _partition_sorted
 from marketstore_spark.operators.quant import _cent_ticks
 
@@ -93,7 +95,7 @@ def event_bars(
     staged = ticks.withColumn("__cum", cum_before).withColumn(
         "bar_id", F.expr(f"__cum DIV {int(threshold)}")
     )
-    okey = F.struct("__ts", "__tb")
+    okey = ord_key_ts(F.col("__ts"), F.col("__tb"))
     vol = F.sum("vol")
     pv_c = F.sum(F.col("px_c") * F.col("vol"))
     return (
@@ -147,7 +149,7 @@ def heikin_ashi(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
-    okey = F.struct("__ts", "__tb")
+    okey = ord_key_ts(F.col("__ts"), F.col("__tb"))
     candles = ticks.groupBy("symbol", "bucket").agg(
         F.min_by("px_c", okey).alias("o"),
         F.max("px_c").alias("h"),

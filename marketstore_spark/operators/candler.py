@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from marketstore_spark.functions.timeutil import ord_key_ts
+
 # marketstore-style timeframe -> Spark window duration
 _TIMEFRAME = {
     "1Sec": "1 second",
@@ -83,6 +85,19 @@ def bucket_epoch(w: Column, tz: str | None = None) -> Column:
 
 
 def _ordkey(ts_col: str, tiebreak: Sequence[str]) -> Column:
+    """Argmin/argmax ordering key over (ts, *tiebreak).
+
+    The single-tiebreak form (every engine call site: tiebreak is the
+    long event-id column) packs into ONE DECIMAL(38,0) via
+    :func:`~marketstore_spark.functions.timeutil.ord_key_ts` so the
+    min_by/max_by buffer stays primitive and the candle aggregate
+    plans as a map-side-combinable HashAggregate — the struct key
+    demoted the whole candler family to SortAggregate (a full sort of
+    every tick per map task).  Multi-tiebreak callers keep the struct
+    (and its sort) — ordering semantics are identical either way.
+    """
+    if len(tiebreak) == 1:
+        return ord_key_ts(F.col(ts_col), F.col(tiebreak[0]))
     return F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
 
 
@@ -224,7 +239,7 @@ def rollup_cascade(
         *bcols,
     )
     bnames = [f"__b_{lv}" for lv in levels]
-    ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    ok = _ordkey(ts_col, tiebreak)
     g = ev.groupingSets(
         [[*keys, b] for b in bnames], *keys, *bnames
     ).agg(

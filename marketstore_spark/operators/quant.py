@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from marketstore_spark.functions.timeutil import epoch_us
+from marketstore_spark.functions.timeutil import epoch_us, ord_key_ts
 
 
 def _dec(c: str, scale: int = 2) -> Column:
@@ -140,7 +140,7 @@ def pairwise_corr(
     # map-side-combinable close pick (the _bucket_closes re-plan): the
     # exchange carries partial candles, not every tick
     closes = base.groupBy("symbol", "bucket").agg(
-        F.max_by("cents", F.struct("__ts", "__tb")).alias("cents")
+        F.max_by("cents", ord_key_ts(F.col("__ts"), F.col("__tb"))).alias("cents")
     )
 
     spark = df.sparkSession
@@ -516,7 +516,7 @@ def _bucket_closes(
         df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
     )
     return ticks.groupBy("symbol", "bucket").agg(
-        F.max_by("px_c", F.struct("__ts", "__tb")).alias("close_c")
+        F.max_by("px_c", ord_key_ts(F.col("__ts"), F.col("__tb"))).alias("close_c")
     )
 
 
@@ -549,7 +549,7 @@ def atr(
     candles = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"),
         F.min("px_c").alias("l"),
-        F.max_by("px_c", F.struct("__ts", "__tb")).alias("c"),
+        F.max_by("px_c", ord_key_ts(F.col("__ts"), F.col("__tb"))).alias("c"),
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
     prev_c = F.lag("c").over(ws)
@@ -786,22 +786,19 @@ def nbbo(
             else px + 1 + F.pmod(F.col("__tb"), F.lit(3))
         ).cast("long").alias("ask_c"),
     )
-    last_q = (
-        quotes.groupBy("symbol", "venue", "bucket")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__ts"), F.col("__tb"), F.col("bid_c"), F.col("ask_c")
-                )
-            ).alias("__last")
-        )
-        .select(
-            "symbol",
-            "venue",
-            "bucket",
-            F.col("__last.bid_c").alias("bid_c"),
-            F.col("__last.ask_c").alias("ask_c"),
-        )
+    # Two max_by picks on the packed (ts, tb) key instead of one
+    # max(struct(ts, tb, bid, ask)): identical under the tiebreak-
+    # uniqueness contract (ts+tb identify the quote row, so bid/ask
+    # never participate in the ordering), and the primitive buffer
+    # keeps this tick-scale aggregate a HashAggregate — the struct
+    # demoted it to SortAggregate (a full sort of every quote per map
+    # task; candler._ordkey rationale).  The venue-collapsed rollup
+    # below keeps its struct min/max: its venue tiebreak is a string
+    # (unpackable) and its input is dims × buckets, not ticks.
+    ok = ord_key_ts(F.col("__ts"), F.col("__tb"))
+    last_q = quotes.groupBy("symbol", "venue", "bucket").agg(
+        F.max_by("bid_c", ok).alias("bid_c"),
+        F.max_by("ask_c", ok).alias("ask_c"),
     )
     # A venue whose last quote has a null side contributes NO candidate
     # on that side: the when() yields a NULL struct, which min/max skip
@@ -940,7 +937,7 @@ def amihud_illiquidity(
         extras=[F.col(volume_col).cast("long").alias("vol")],
     )
     daily = ticks.groupBy("symbol", "bucket").agg(
-        F.max_by("px_c", F.struct("__ts", "__tb")).alias("close_c"),
+        F.max_by("px_c", ord_key_ts(F.col("__ts"), F.col("__tb"))).alias("close_c"),
         F.sum(F.col("px_c") * F.col("vol")).alias("dv_c"),
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -994,7 +991,7 @@ def ichimoku(
     hilo = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"),
         F.min("px_c").alias("l"),
-        F.max_by("px_c", F.struct("__ts", "__tb")).alias("c"),
+        F.max_by("px_c", ord_key_ts(F.col("__ts"), F.col("__tb"))).alias("c"),
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
     rown = F.row_number().over(ws)
@@ -1502,7 +1499,7 @@ def kyle_lambda(
         "__side", F.coalesce(F.last(direction, ignorenulls=True).over(run), F.lit(0))
     )
     buckets = signed.groupBy("symbol", "bucket").agg(
-        F.max_by(F.col("px_c"), F.struct("__ts", "__tb")).alias("close_c"),
+        F.max_by(F.col("px_c"), ord_key_ts(F.col("__ts"), F.col("__tb"))).alias("close_c"),
         F.sum(F.col("__side").cast("long") * F.col("__vol")).alias("sv"),
     )
     wb = Window.partitionBy("symbol").orderBy("bucket")
@@ -1752,7 +1749,7 @@ def _bucket_candles(
     min_by/max_by partials combine per map partition, so the exchange
     carries bars, not ticks)."""
     ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
-    okey = F.struct("__ts", "__tb")
+    okey = ord_key_ts(F.col("__ts"), F.col("__tb"))
     return ticks.groupBy("symbol", "bucket").agg(
         F.min_by("px_c", okey).alias("o"),
         F.max("px_c").alias("h"),
@@ -2111,7 +2108,7 @@ def mfi(
         tiebreak_col,
         extras=(F.col(volume_col).cast("long").alias("__vol"),),
     )
-    okey = F.struct("__ts", "__tb")
+    okey = ord_key_ts(F.col("__ts"), F.col("__tb"))
     candles = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"),
         F.min("px_c").alias("l"),
@@ -2195,7 +2192,7 @@ def cci(
     if n <= 0:
         raise ValueError("n must be positive")
     ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
-    okey = F.struct("__ts", "__tb")
+    okey = ord_key_ts(F.col("__ts"), F.col("__tb"))
     candles = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"),
         F.min("px_c").alias("l"),
@@ -2334,7 +2331,7 @@ def adx(
     if n <= 0:
         raise ValueError("n must be positive")
     ticks = _cent_ticks(df, timeframe, symbol_col, ts_col, value_col, tiebreak_col)
-    okey = F.struct("__ts", "__tb")
+    okey = ord_key_ts(F.col("__ts"), F.col("__tb"))
     candles = ticks.groupBy("symbol", "bucket").agg(
         F.max("px_c").alias("h"),
         F.min("px_c").alias("l"),

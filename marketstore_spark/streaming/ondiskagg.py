@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from marketstore_spark.functions.timeutil import with_instant_ts
+from marketstore_spark.functions.timeutil import ord_key_ts, with_instant_ts
 from marketstore_spark.operators.candler import _CALENDAR, _bucket
 
 
@@ -52,11 +52,17 @@ def stream_candles(
     """Streaming OHLCV candles per key per bucket.
 
     Same aggregate shape as operators.candler.tick_candles (min_by/
-    max_by on a (ts, tiebreak) struct, exact min/max/count/sum) so batch
-    backfill and streaming maintenance produce identical rows.
+    max_by on the packed (ts, tiebreak) ordering key, exact
+    min/max/count/sum) so batch backfill and streaming maintenance
+    produce identical rows — and the streaming state row stays
+    primitive-typed (candler._ordkey's HashAggregate rationale).
     """
     stream = with_instant_ts(stream, ts_col)  # watermark needs instant ts
-    ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    ok = (
+        ord_key_ts(F.col(ts_col), F.col(tiebreak[0]))
+        if len(tiebreak) == 1
+        else F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    )
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*key_cols, _stream_bucket(ts_col, timeframe).alias("__w"))
@@ -146,7 +152,11 @@ def stream_range_vol(
     stream = with_instant_ts(stream, ts_col)
     cents = (F.col(price_col).cast("decimal(8,2)") * 100).cast("long")
     staged = stream.withColumn("__px_c", cents)
-    ok = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    ok = (
+        ord_key_ts(F.col(ts_col), F.col(tiebreak[0]))
+        if len(tiebreak) == 1
+        else F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    )
     agg = (
         staged.withWatermark(ts_col, watermark)
         .groupBy(*key_cols, _stream_bucket(ts_col, timeframe).alias("__w"))
