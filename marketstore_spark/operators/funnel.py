@@ -330,10 +330,12 @@ def session_cooccurrence(
     (``collect_set`` bounded by the event-type cardinality — dozens,
     the nbbo-venue argument, never a posting list), and a single
     combined explode emits session-marker + per-type + i<j pair rows
-    so N, n_x, and n_ab all come from ONE hash aggregate whose three
-    consumers share the shuffle through AQE's ReusedExchange (the
-    ngram_jaccard precedent).  Final stitches are type-cardinality
-    broadcasts.  Lift is one exact int64 product ratio per side.
+    so N, n_x, and n_ab all come from ONE hash aggregate.  The final
+    stitch folds that (type-cardinality-bounded) aggregate into a
+    single array row and reads N / n_x out of it with array/map
+    lookups — no self-derivation branches, so the session pipeline
+    executes exactly once.  Lift is one exact int64 product ratio per
+    side.
     """
     gap_us = int(gap_seconds) * 1_000_000
     base = df.select(
@@ -377,31 +379,52 @@ def session_cooccurrence(
     agg = tagged.groupBy("k", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    ns = agg.filter(F.col("k") == 0).select(F.col("cnt").alias("n_sessions"))
-    ta = agg.filter(F.col("k") == 1).select(
-        F.col("a").alias("et"), F.col("cnt").alias("n")
+    # The final stitch collapses the (≤ |types|² + |types| + 1)-row
+    # aggregate into ONE array row and derives N / n_x / pairs from it
+    # with array functions.  The previous three-way self-derivation
+    # (filter k=0 / k=1 / k=2, then two broadcast joins + a cross
+    # join) looked like it shared one aggregate, but Catalyst pushes
+    # each branch's k-filter below the partial aggregate into the
+    # Generate, so the canonical subtrees diverge and the WHOLE
+    # session pipeline (window, collect_set, explode, partial agg)
+    # executed once per branch — 4× at runtime, with only the first
+    # user-keyed exchange reused (measured, final adaptive plan).
+    # One global collect_list is bounded by event-type cardinality
+    # squared — dozens of types, the nbbo-venue argument — never by
+    # sessions or events, so the single-row fold is scale-safe and
+    # the pipeline runs exactly once (guide §2.4: remove recomputed
+    # subtrees outright).
+    one = agg.agg(
+        F.collect_list(F.struct("k", "a", "b", "cnt")).alias("__rows")
+    ).select(
+        F.filter(F.col("__rows"), lambda r: r["k"] == 2).alias("__pairs"),
+        F.element_at(
+            F.filter(F.col("__rows"), lambda r: r["k"] == 0), 1
+        )["cnt"].alias("n_sessions"),
+        F.map_from_arrays(
+            F.transform(
+                F.filter(F.col("__rows"), lambda r: r["k"] == 1),
+                lambda r: r["a"],
+            ),
+            F.transform(
+                F.filter(F.col("__rows"), lambda r: r["k"] == 1),
+                lambda r: r["cnt"],
+            ),
+        ).alias("__n"),
     )
-    pairs = agg.filter(F.col("k") == 2).select(
-        F.col("a").alias("type_a"), F.col("b").alias("type_b"),
-        F.col("cnt").alias("n_ab"),
-    )
-    na = ta.select(F.col("et").alias("type_a"), F.col("n").alias("n_a"))
-    nb = ta.select(F.col("et").alias("type_b"), F.col("n").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(na), "type_a")
-        .join(F.broadcast(nb), "type_b")
-        .crossJoin(F.broadcast(ns))
-        .select(
-            "type_a",
-            "type_b",
-            "n_ab",
-            "n_a",
-            "n_b",
-            (
-                (F.col("n_sessions") * F.col("n_ab")).cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double")
-            ).alias("lift"),
-        )
+    e = F.col("e")
+    return one.select(
+        F.explode("__pairs").alias("e"), "n_sessions", "__n"
+    ).select(
+        e["a"].alias("type_a"),
+        e["b"].alias("type_b"),
+        e["cnt"].alias("n_ab"),
+        F.col("__n")[e["a"]].alias("n_a"),
+        F.col("__n")[e["b"]].alias("n_b"),
+        (
+            (F.col("n_sessions") * e["cnt"]).cast("double")
+            / (F.col("__n")[e["a"]] * F.col("__n")[e["b"]]).cast("double")
+        ).alias("lift"),
     )
 
 

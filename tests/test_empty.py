@@ -500,3 +500,11 @@ def test_round11_text_operators_empty_input(spark, empty_docs):
     r = gopher_rules(ws).collect()[0]
     assert r["n_words"] == 0 and r["gopher_pass"] == 0
     assert c4_clean(ws).collect()[0]["keep_doc"] == 0
+
+
+def test_session_cooccurrence_empty_input(empty_events):
+    from marketstore_spark.operators.funnel import session_cooccurrence
+
+    out = session_cooccurrence(empty_events)
+    assert out.count() == 0
+    assert {"type_a", "type_b", "n_ab", "n_a", "n_b", "lift"} <= set(out.columns)

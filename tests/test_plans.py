@@ -1317,3 +1317,17 @@ def test_media_pair_key_plan_no_join_and_one_scan(spark, sf_dir):
     plan = explain_str(df)
     assert "Join" not in plan, plan
     assert plan.count("documents.parquet") <= 2  # one per union branch
+
+
+def test_event_cooccurrence_single_pipeline(spark, sf_dir):
+    """session_cooccurrence derives N / per-type counts / pair counts
+    from ONE array-folded aggregate — no self-derivation branches.
+    The old three-branch stitch (filter k, broadcast-join back) pushed
+    each branch's filter below the partial aggregate, so the whole
+    session pipeline (window + collect_set + explode + agg) executed
+    once PER BRANCH — 4 scans' worth of work at runtime.  Pin: one
+    fact scan, no joins, exactly the two session windows."""
+    plan = explain_str(SPARK_QUERIES["event_cooccurrence"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
