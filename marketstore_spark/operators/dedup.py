@@ -283,21 +283,56 @@ def ngram_jaccard_pairs(
     for both sides identically, keeping results deterministic.
 
     The posting lists are consumed in a SINGLE downstream pass: each
-    list emits its member docs (``doc_b`` NULL — the per-doc capped
+    list emits per-doc marker rows in BOTH orientations (the capped
     set-size contributions) and its i<j pairs in one generated array,
     so one explode + one groupBy yields set sizes AND intersection
-    counts together.  The three consumers of that aggregate (sizes ×2,
-    intersections) share its shuffle through AQE's ReusedExchange —
-    no persist: the shuffle files already sit on local disk, so a
-    second materialization only adds memory pressure (measured ~10%
-    slower at sf0.1, and at 100 TB a persisted multi-billion-row agg
-    would spill anyway while the exchange reuse stays free).  The
-    size-lookup joins are left to AQE: at test scale it broadcasts
-    them; at 100 TB (billions of docs) the size side exceeds broadcast
-    reach and the shuffle join on the already-aggregated tables is the
-    right plan anyway.
+    counts together, and two full-partition windows over the
+    aggregated (candidate-scale) rows attach size_a / size_b — see
+    :func:`_pairs_with_sizes` for why joins were abandoned here.
     """
     grouped = _capped_posting_lists(df, n, max_doc_freq, text_col, id_col)
+    jac = (
+        _pairs_with_sizes(grouped)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def _pairs_with_sizes(grouped: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b) candidate pairs from
+    capped posting lists, in ONE pipeline execution.
+
+    The previous stitch derived ``sizes`` and ``inter`` by filtering
+    one shared aggregate (marker rows with a NULL ``doc_b`` vs pair
+    rows) and joining the sizes back on each side.  That LOOKED like
+    one aggregate with three consumers, but Catalyst pushes each
+    branch's null-filter below the partial aggregate, so the canonical
+    subtrees diverge and the expensive post-shingle segment — the
+    doc-frequency window, ``collect_set``, pair explode, and partial
+    count — executed once for the pair branch and AGAIN for the size
+    branch (verified in the final adaptive plan: only the bottom
+    shingle exchange was reused).
+
+    Fix: emit the per-doc marker in BOTH orientations — (d, NULL) and
+    (NULL, d) — alongside the i<j pairs, aggregate once, then attach
+    set sizes with two full-partition windows over the aggregated
+    rows: ``size_a`` = the (doc_a, NULL) marker's count in the
+    ``doc_a`` partition, ``size_b`` = the (NULL, doc_b) marker's count
+    in the ``doc_b`` partition.  Marker rows of the OTHER orientation
+    are spread across hash partitions (the ``isNull`` flag + xxhash64
+    key below) so neither window ever sees a corpus-scale NULL-key
+    partition — each window partition holds one doc's markers and
+    candidates, bounded by the bucket cap.  The whole pipeline runs
+    once; the two extra exchanges carry candidate pairs + 2·docs
+    marker rows, orders of magnitude below the gram stream they
+    replace (guide §2.4 / §3.3: the stitch no longer re-executes the
+    heavy subtree, and no join can sneak a second gram shuffle in).
+    """
     combined = grouped.select(
         F.explode(
             F.expr(
@@ -305,6 +340,8 @@ def ngram_jaccard_pairs(
                 concat(
                   transform(docs, d ->
                     struct(d AS doc_a, CAST(NULL AS BIGINT) AS doc_b)),
+                  transform(docs, d ->
+                    struct(CAST(NULL AS BIGINT) AS doc_a, d AS doc_b)),
                   flatten(transform(docs, (x, i) ->
                     transform(slice(docs, i + 2, size(docs)),
                               y -> struct(x AS doc_a, y AS doc_b))))
@@ -314,25 +351,26 @@ def ngram_jaccard_pairs(
         ).alias("e")
     ).select("e.doc_a", "e.doc_b")
     agg = combined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("cnt"))
-    sizes = agg.filter(F.col("doc_b").isNull()).select(
-        F.col("doc_a").alias("doc_id"), F.col("cnt").alias("set_size")
+    wa = Window.partitionBy(
+        F.col("doc_a").isNull(), F.coalesce(F.col("doc_a"), F.xxhash64("doc_b"))
     )
-    inter = agg.filter(F.col("doc_b").isNotNull()).select(
-        "doc_a", "doc_b", F.col("cnt").alias("inter")
+    wb = Window.partitionBy(
+        F.col("doc_b").isNull(), F.coalesce(F.col("doc_b"), F.xxhash64("doc_a"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+    return (
+        agg.withColumn(
+            "size_a",
+            F.max(F.when(F.col("doc_b").isNull(), F.col("cnt"))).over(wa),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn(
+            "size_b",
+            F.max(F.when(F.col("doc_a").isNull(), F.col("cnt"))).over(wb),
+        )
+        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .select(
+            "doc_a", "doc_b", F.col("cnt").alias("inter"), "size_a", "size_b"
+        )
     )
-    return jac.select("doc_a", "doc_b", "jaccard")
 
 
 def ngram_containment_pairs(
@@ -357,33 +395,8 @@ def ngram_containment_pairs(
     Output: doc_a, doc_b, inter, size_a, size_b, containment.
     """
     grouped = _capped_posting_lists(df, n, max_doc_freq, text_col, id_col)
-    combined = grouped.select(
-        F.explode(
-            F.expr(
-                """
-                concat(
-                  transform(docs, d ->
-                    struct(d AS doc_a, CAST(NULL AS BIGINT) AS doc_b)),
-                  flatten(transform(docs, (x, i) ->
-                    transform(slice(docs, i + 2, size(docs)),
-                              y -> struct(x AS doc_a, y AS doc_b))))
-                )
-                """
-            )
-        ).alias("e")
-    ).select("e.doc_a", "e.doc_b")
-    agg = combined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("cnt"))
-    sizes = agg.filter(F.col("doc_b").isNull()).select(
-        F.col("doc_a").alias("doc_id"), F.col("cnt").alias("set_size")
-    )
-    inter = agg.filter(F.col("doc_b").isNotNull()).select(
-        "doc_a", "doc_b", F.col("cnt").alias("inter")
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pairs_with_sizes(grouped)
         .withColumn(
             "containment",
             F.col("inter").cast("double") / F.least("size_a", "size_b"),

@@ -1331,3 +1331,24 @@ def test_event_cooccurrence_single_pipeline(spark, sf_dir):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_ngram_pairs_single_gram_segment_no_join_stitch(spark, sf_dir):
+    """The jaccard/containment pair pipeline executes its heavy gram
+    segment (cap window + collect_set + pair explode) exactly ONCE:
+    set sizes ride marker rows through the same aggregate and attach
+    via candidate-scale windows, not a join-back whose branch re-runs
+    the segment (the old stitch executed partial_collect_set twice at
+    runtime — branch filters pushed below the aggregate made the
+    subtrees canonically unequal, so only the gram exchange reused)."""
+    for key in ("dedup_ngram_jaccard", "dedup_containment"):
+        df = SPARK_QUERIES[key](spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()  # noqa: SLF001
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("partial_collect_set") == 1, (key, final)
+        assert "Join" not in final, (key, final)
