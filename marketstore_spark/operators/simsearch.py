@@ -567,6 +567,23 @@ def kmeans_assign(
     )
 
 
+
+def _seed_rows(df: DataFrame, k: int, id_col: str) -> DataFrame:
+    """The ``k`` lowest-id rows WITHOUT range-shuffling the payload.
+
+    ``df.orderBy(id).limit(k)`` in a non-terminal position plans a
+    rangepartitioning Exchange of the WHOLE frame — every embedding
+    array crosses the wire so eight seed rows can be picked (verified
+    in the final adaptive plan).  Decide on the narrow id column
+    instead and broadcast-semi-join the winners back: the payload
+    never shuffles, only ids do (guide §8: decide with small rows,
+    move big rows never).  Row ORDER is not preserved — both callers
+    re-establish ordering themselves (array_sort over the collected
+    centroid structs / an order-insensitive broadcast join input).
+    """
+    ids = df.select(F.col(id_col)).orderBy(id_col).limit(int(k))
+    return df.join(F.broadcast(ids), id_col, "left_semi")
+
 def _kmeans_scored(
     df: DataFrame,
     k: int,
@@ -578,7 +595,7 @@ def _kmeans_scored(
     the shared E-step front half of kmeans_assign / kmeans_update.
     The vector rides along unprojected; assign prunes it for free."""
     if centroids is None:
-        centroids = df.orderBy(id_col).limit(k)
+        centroids = _seed_rows(df, k, id_col)
     c = centroids.select(
         F.col(id_col).alias("cluster"), _as_double(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
@@ -645,7 +662,7 @@ def kmeans_update(
     aggregate whose exchange carries k·d rows per map partition.
     """
     if centroids is None:
-        centroids = df.orderBy(id_col).limit(k)
+        centroids = _seed_rows(df, k, id_col)
     c = centroids.select(
         F.col(id_col).alias("cluster"), _as_double(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
