@@ -556,13 +556,17 @@ def kmeans_assign(
     side before the join (the _scored_topk policy).
     """
     scored = _kmeans_scored(df, k, centroids, id_col, vec_col)
+    pick = _kmeans_pick_key()
     return (
         scored.groupBy("vec_id")
-        .agg(_kmeans_pick().alias("__p"))
+        .agg(
+            F.max_by("cluster", pick).alias("cluster"),
+            F.max_by("cos_raw", pick).alias("cos_raw"),
+        )
         .select(
             "vec_id",
-            F.col("__p.cluster").alias("cluster"),
-            F.round("__p.cos_raw", 6).alias("cosine"),
+            "cluster",
+            F.round("cos_raw", 6).alias("cosine"),
         )
     )
 
@@ -614,17 +618,42 @@ def _kmeans_scored(
     )
 
 
-def _kmeans_pick():
-    """argmax cosine, ties -> smallest cluster id (maximize
-    (cos, -id)); the comparison key is the 12-dp-rounded cosine
-    (see kmeans_assign docstring)."""
-    return F.max_by(
-        F.struct(F.col("cluster"), F.col("cos_raw")),
-        F.struct(
-            F.round(F.col("cos_raw"), 12).alias("cos12"),
-            (-F.col("cluster")).alias("nid"),
-        ),
+def _kmeans_pick_key():
+    """Single-DECIMAL(38,0) ordering key realizing the argmax policy
+    "max 12-dp-rounded cosine, ties -> smallest cluster id" (see
+    kmeans_assign docstring) with a PRIMITIVE aggregation buffer.
+
+    The previous struct ordering (cos12, -cluster) demoted the
+    corpus-scale argmax aggregate to SortAggregate (struct buffers are
+    not hash-aggregable — the candler ord_key rationale), sorting
+    every vector x centroid candidate row per map task.  Encoding:
+
+      grid = floor(cos12 * 1e12 + 0.5)   -- exact on the 12-dp grid:
+             cos12 is the nearest double to an m*1e-12 decimal, so
+             cos12*1e12 is within ~1e-4 of integer m and the +0.5
+             floor recovers m exactly; distinct cos12 => distinct m
+      key  = (grid + 2^41) * 2^64 + (2^63 - 1 - cluster)
+
+    max(key) maximizes grid then minimizes cluster — bit-for-bit the
+    struct policy, including the null edge: a NULL cosine contributes
+    only the tiebreak term (below every real key, since real keys
+    carry the 2^41 offset through the 2^64 stride), so null-cosine
+    rows lose to any scored row and an all-null group still picks the
+    smallest cluster — exactly the nulls-first struct comparison.
+    Two max_by picks on this key read cluster and cos_raw off the same
+    winning row (the key embeds the cluster id, so it is unique per
+    candidate row — fully deterministic)."""
+    c12 = F.round(F.col("cos_raw"), 12)
+    grid = F.floor(c12 * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+    off = F.expr("CAST('2199023255552' AS DECIMAL(38,0))")  # 2^41
+    stride = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")  # 2^64
+    tie = (
+        F.expr("CAST('9223372036854775807' AS DECIMAL(38,0))")  # 2^63-1
+        - F.col("cluster").cast("decimal(38,0)")
     )
+    return (
+        F.when(c12.isNotNull(), (grid + off) * stride + tie).otherwise(tie)
+    ).cast("decimal(38,0)")
 
 
 def kmeans_update(
