@@ -834,7 +834,12 @@ def image_dhash(
                     rows.append((mid, 0, 0))
             yield pd.DataFrame(rows, columns=["media_id", "dhash", "decoded_ok"])
 
-    return media.mapInPandas(run, schema=IMAGE_HASH_SCHEMA)
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=IMAGE_HASH_SCHEMA
+    )
 
 
 VIDEO_HASH_SCHEMA = "media_id long, frame_idx int, dhash long"
@@ -867,8 +872,13 @@ def video_frame_dhash(
                     continue
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dhash"])
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
-        run, schema=VIDEO_HASH_SCHEMA
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(id_col, payload_col)
+        .mapInPandas(run, schema=VIDEO_HASH_SCHEMA)
     )
 
 
@@ -976,7 +986,12 @@ def extract_features(
                 feats, columns=["media_id", "kind", "feat_dim", "feat_norm", "decoded_ok"]
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return media.select("media_id", "kind", "format", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def resize_images(
@@ -1084,8 +1099,13 @@ def frame_sample_avi(media: DataFrame, every_n: int = 10) -> DataFrame:
                 rows, columns=["media_id", "frame_idx", "width", "height", "fps"]
             )
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
-        run, schema=FRAME_META_SCHEMA
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FRAME_META_SCHEMA)
     )
 
 
@@ -1130,8 +1150,13 @@ def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 rows, columns=["media_id", "frame_idx", "width", "height", "payload"]
             )
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
-        run, schema=FRAME_SCHEMA
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
     )
 
 
@@ -1195,7 +1220,12 @@ def audio_features(
                 ],
             )
 
-    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 # 10 band edges (Hz) → 9 log-spaced energy bands, telephony-range
@@ -1281,7 +1311,12 @@ def audio_fingerprint(
                     rows.append((mid, 0, 0))
             yield pd.DataFrame(rows, columns=["media_id", "afp", "decoded_ok"])
 
-    return media.mapInPandas(run, schema=AUDIO_HASH_SCHEMA)
+    # Explicit projection before the Arrow hop: Spark cannot see which
+    # columns the Python function touches, so an un-projected
+    # mapInPandas ships (and scans) EVERY input column (guide 4.1/4.2).
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_HASH_SCHEMA
+    )
 
 
 def synth_square_wav(media_id: int) -> bytes:
