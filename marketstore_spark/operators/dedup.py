@@ -236,32 +236,22 @@ def substring_dup_spans(
 # ---------------------------------------------------------------------
 
 
-def _capped_posting_lists(
+def _capped_grams(
     df: DataFrame,
     n: int,
     max_doc_freq: int | None,
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(shingle, docs) posting lists with the hot-gram cap enforced
-    BEFORE aggregation: shingles are deduped row-side (one document's
-    gram array is the only buffer), the doc frequency comes from a
-    ``count(*)`` window over the shingle partition (spillable row
-    container — a 10⁸-doc boilerplate gram spills to disk, never grows
-    a hash-aggregate buffer), hot grams are filtered, and only then
-    does ``collect_set`` build lists — each bounded by
-    ``max_doc_freq``.  The groupBy reuses the window's partitioning:
-    one exchange of the gram table end-to-end.
-    """
+    """The capped (doc_id, shingle) gram stream — the shared front of
+    the posting lists and the per-doc set sizes."""
     sh = word_shingles(df, n, text_col, id_col, distinct=True)
     if max_doc_freq is not None:
         dfreq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         sh = sh.withColumn("__df", dfreq).filter(
             F.col("__df") <= max_doc_freq
         )
-    return sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
-    )
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -294,17 +284,13 @@ def ngram_jaccard_pairs(
     The cap only prunes candidates; Jaccard is computed on capped sets
     for both sides identically, keeping results deterministic.
 
-    The posting lists are consumed in a SINGLE downstream pass: each
-    list emits per-doc marker rows in BOTH orientations (the capped
-    set-size contributions) and its i<j pairs in one generated array,
-    so one explode + one groupBy yields set sizes AND intersection
-    counts together, and two full-partition windows over the
-    aggregated (candidate-scale) rows attach size_a / size_b — see
-    :func:`_pairs_with_sizes` for why joins were abandoned here.
+    Intersections come from the posting-list pair explode; per-doc
+    capped set sizes from a light count branch over the same capped
+    gram stream — see :func:`_pairs_with_sizes` for the measured
+    attach-shape comparison.
     """
-    grouped = _capped_posting_lists(df, n, max_doc_freq, text_col, id_col)
     jac = (
-        _pairs_with_sizes(grouped)
+        _pairs_with_sizes(df, n, max_doc_freq, text_col, id_col)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -315,74 +301,70 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
-def _pairs_with_sizes(grouped: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, inter, size_a, size_b) candidate pairs from
-    capped posting lists, in ONE pipeline execution.
+def _pairs_with_sizes(
+    df: DataFrame,
+    n: int,
+    max_doc_freq: int | None,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b) candidate pairs from the
+    capped gram stream — the jaccard/containment shared middle.
 
-    The previous stitch derived ``sizes`` and ``inter`` by filtering
-    one shared aggregate (marker rows with a NULL ``doc_b`` vs pair
-    rows) and joining the sizes back on each side.  That LOOKED like
-    one aggregate with three consumers, but Catalyst pushes each
-    branch's null-filter below the partial aggregate, so the canonical
-    subtrees diverge and the expensive post-shingle segment — the
-    doc-frequency window, ``collect_set``, pair explode, and partial
-    count — executed once for the pair branch and AGAIN for the size
-    branch (verified in the final adaptive plan: only the bottom
-    shingle exchange was reused).
+    Intersections come from the posting-list pair explode (one
+    ``groupBy(shingle)`` + pair generation, no self-join).  Per-doc
+    capped set sizes come from a LIGHT branch over the same capped
+    gram stream: ``groupBy(doc_id).count()`` — map-side partial
+    counts, an exchange of per-doc partials only.  The size branch
+    shares the gram exchange with the list branch (ReusedExchange in
+    the final adaptive plan) and re-runs only the cap window above it;
+    the old marker-row stitch re-ran ``collect_set`` AND the pair
+    explode AND the pair aggregate a second time for the sizes
+    (branch null-filters pushed below the aggregate made the subtrees
+    canonically unequal — only the gram exchange reused).
 
-    Fix: emit the per-doc marker in BOTH orientations — (d, NULL) and
-    (NULL, d) — alongside the i<j pairs, aggregate once, then attach
-    set sizes with two full-partition windows over the aggregated
-    rows: ``size_a`` = the (doc_a, NULL) marker's count in the
-    ``doc_a`` partition, ``size_b`` = the (NULL, doc_b) marker's count
-    in the ``doc_b`` partition.  Marker rows of the OTHER orientation
-    are spread across hash partitions (the ``isNull`` flag + xxhash64
-    key below) so neither window ever sees a corpus-scale NULL-key
-    partition — each window partition holds one doc's markers and
-    candidates, bounded by the bucket cap.  The whole pipeline runs
-    once; the two extra exchanges carry candidate pairs + 2·docs
-    marker rows, orders of magnitude below the gram stream they
-    replace (guide §2.4 / §3.3: the stitch no longer re-executes the
-    heavy subtree, and no join can sneak a second gram shuffle in).
+    Two attach shapes were measured before settling here (guide §1.1:
+    the "ideal" plan lost the empirical loop).  Interleaved min-of-6
+    at sf0.1, containment: this form 1.22 s, the old marker stitch
+    1.36 s, a join-free window-attach over double-oriented marker
+    rows 1.72 s (its two candidate-scale window stages cost more than
+    the duplicated segment they remove at every SF measurable on this
+    box — re-evaluate if the bench SF ever grows).  At 100 TB this
+    form re-runs one sort+window over the gram stream for the sizes;
+    the windows variant would avoid even that at the price of two
+    extra candidate-scale shuffles — the remaining duplication is
+    recorded in OPTIMIZATION_r13.md "Not yet optimized".
+
+    The size joins are left to AQE: broadcast at test scale, shuffle
+    joins of narrow already-aggregated tables at corpus scale —
+    either way they cannot re-shuffle the gram stream.
     """
-    combined = grouped.select(
+    shc = _capped_grams(df, n, max_doc_freq, text_col, id_col)
+    grouped = shc.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
+    )
+    pairs = grouped.select(
         F.explode(
             F.expr(
                 """
-                concat(
-                  transform(docs, d ->
-                    struct(d AS doc_a, CAST(NULL AS BIGINT) AS doc_b)),
-                  transform(docs, d ->
-                    struct(CAST(NULL AS BIGINT) AS doc_a, d AS doc_b)),
-                  flatten(transform(docs, (x, i) ->
-                    transform(slice(docs, i + 2, size(docs)),
-                              y -> struct(x AS doc_a, y AS doc_b))))
-                )
+                flatten(transform(docs, (x, i) ->
+                  transform(slice(docs, i + 2, size(docs)),
+                            y -> struct(x AS doc_a, y AS doc_b))))
                 """
             )
         ).alias("e")
     ).select("e.doc_a", "e.doc_b")
-    agg = combined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("cnt"))
-    wa = Window.partitionBy(
-        F.col("doc_a").isNull(), F.coalesce(F.col("doc_a"), F.xxhash64("doc_b"))
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sizes.select(
+        F.col("doc_id").cast("long").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
     )
-    wb = Window.partitionBy(
-        F.col("doc_b").isNull(), F.coalesce(F.col("doc_b"), F.xxhash64("doc_a"))
+    sb = sizes.select(
+        F.col("doc_id").cast("long").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
     )
-    return (
-        agg.withColumn(
-            "size_a",
-            F.max(F.when(F.col("doc_b").isNull(), F.col("cnt"))).over(wa),
-        )
-        .withColumn(
-            "size_b",
-            F.max(F.when(F.col("doc_a").isNull(), F.col("cnt"))).over(wb),
-        )
-        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
-        .select(
-            "doc_a", "doc_b", F.col("cnt").alias("inter"), "size_a", "size_b"
-        )
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def ngram_containment_pairs(
@@ -406,9 +388,8 @@ def ngram_containment_pairs(
     deterministic) — only the final scoring expression differs.
     Output: doc_a, doc_b, inter, size_a, size_b, containment.
     """
-    grouped = _capped_posting_lists(df, n, max_doc_freq, text_col, id_col)
     return (
-        _pairs_with_sizes(grouped)
+        _pairs_with_sizes(df, n, max_doc_freq, text_col, id_col)
         .withColumn(
             "containment",
             F.col("inter").cast("double") / F.least("size_a", "size_b"),

@@ -1088,9 +1088,9 @@ def test_ngram_pairs_hot_gram_pruned_before_collect(spark, sf_dir):
         # the pinned minhash precedent.)
         assert re.search(
             r"ObjectHashAggregate \(\d+\)\n"
-            r"\s*:*\s*\+- Project \(\d+\)\n"
-            r"\s*:*\s*\+- Filter \(\d+\)\n"
-            r"\s*:*\s*\+- Window \(\d+\)",
+            r"[\s:]*\+- Project \(\d+\)\n"
+            r"[\s:]*\+- Filter \(\d+\)\n"
+            r"[\s:]*\+- Window \(\d+\)",
             plan,
         ), plan
         # every gram-table exchange is the window's (one per printed
@@ -1333,14 +1333,15 @@ def test_event_cooccurrence_single_pipeline(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
 
 
-def test_ngram_pairs_single_gram_segment_no_join_stitch(spark, sf_dir):
-    """The jaccard/containment pair pipeline executes its heavy gram
-    segment (cap window + collect_set + pair explode) exactly ONCE:
-    set sizes ride marker rows through the same aggregate and attach
-    via candidate-scale windows, not a join-back whose branch re-runs
-    the segment (the old stitch executed partial_collect_set twice at
-    runtime — branch filters pushed below the aggregate made the
-    subtrees canonically unequal, so only the gram exchange reused)."""
+def test_ngram_pairs_single_collect_set_segment(spark, sf_dir):
+    """The jaccard/containment pair pipeline executes its heaviest
+    gram segment (collect_set + pair explode + pair aggregate) exactly
+    ONCE at runtime: set sizes come from a light count branch over the
+    capped gram stream, not from marker rows whose null-filter
+    branches re-ran the whole segment (the old stitch executed
+    partial_collect_set twice — branch filters pushed below the
+    aggregate made the subtrees canonically unequal, so only the gram
+    exchange reused)."""
     for key in ("dedup_ngram_jaccard", "dedup_containment"):
         df = SPARK_QUERIES[key](spark, sf_dir)
         df.collect()
@@ -1351,4 +1352,3 @@ def test_ngram_pairs_single_gram_segment_no_join_stitch(spark, sf_dir):
             .split("== Initial Plan ==")[0]
         )
         assert final.count("partial_collect_set") == 1, (key, final)
-        assert "Join" not in final, (key, final)
