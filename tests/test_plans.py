@@ -702,14 +702,15 @@ def test_volume_bars_single_exchange(spark, sf_dir):
         assert "Join" not in plan, plan
 
 
-def test_kmeans_assign_broadcast_no_fact_window(spark, sf_dir):
-    """The E-step broadcasts the dims-scale centroid table and argmaxes
-    via a hash aggregate — the corpus must NOT sort (no Window) and
-    must not hit a shuffle join."""
+def test_kmeans_assign_no_shuffle_no_join(spark, sf_dir):
+    """The E-step scores against the closure-shipped centroid matrix
+    inside one vectorized Arrow hop — the corpus must not join, sort,
+    aggregate or shuffle AT ALL (plan: scan → project → MapInPandas)."""
     plan = explain_str(SPARK_QUERIES["embedding_kmeans_assign"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "Window" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
 
 
 def test_rolling_corr_market_single_fact_scan(spark, sf_dir):
@@ -923,19 +924,18 @@ def test_vocab_growth_bin_scale_after_explode(spark, sf_dir):
 
 
 def test_kmeans_update_corpus_never_shuffles(spark, sf_dir):
-    """The M-step's argmax is a PER-ROW fold over the broadcast
-    one-row centroid array — no vec_id aggregate, so no corpus-scale
-    exchange (the crossJoin+max_by formulation would shuffle one row
-    per vector WITH its embedding).  The only exchanges are the seed
-    limit, the centroid collect, and the k·d (cluster, dim) partial
-    aggregate — all dims-scale."""
+    """The M-step's argmax AND the per-batch partial sums happen
+    inside one vectorized Arrow hop (no vec_id aggregate — the
+    crossJoin+max_by formulation would shuffle one row per vector
+    WITH its embedding); the ONLY exchange is the k·d (cluster, dim)
+    hash aggregate over the batch partials — dims-scale."""
     plan = explain_str(SPARK_QUERIES["embedding_kmeans_update"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "Window" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
     assert "partial_max_by" not in plan, plan  # no per-vector argmax agg
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3, plan
-    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "partial_sum" in plan, plan  # map-side combinable partials
 
 
 def test_realized_moments_one_exchange(spark, sf_dir):
