@@ -11,8 +11,10 @@
   neighboring buckets by flipping one bit).
 
 Vector math is JVM-side (zip_with/aggregate) — see functions/vector.py —
-except the k-means E-step, which scores batches against the collected
-dims-scale centroid matrix in one vectorized Arrow hop (see _estep_fn).
+except the k-means E-step and the brute-force top-k scorer, which score
+batches against a collected dims-scale matrix (centroids / the query
+slice) in one vectorized Arrow hop each (see _estep_fn /
+_brute_score_fn); both reproduce the JVM fold's arithmetic bit-exactly.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from marketstore_spark.functions.vector import cosine_sim, dot, l2_norm
+from marketstore_spark.functions.vector import cosine_sim
 
 
 def _as_double(vec_col: str) -> Column:
@@ -43,45 +45,197 @@ def _scored_topk(
     c_extra: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shared exact-cosine top-k core (brute_force_topk and
-    knn_label_eval): per-side norms folded ONCE before the broadcast
-    crossJoin (the interpreted aggregate lambda is the cost center —
-    one fold per row, not three per pair; numerically identical, same
-    element-order fold), zero-norm guarded, per-query rank pruned to
-    ``k``.  ``q_extra``/``c_extra`` map source→output column names
-    that ride through the scoring projection (e.g. labels) so callers
-    never re-join the corpus to recover them.  Self-matches are always
-    excluded.  Output: query_id, neighbor_id, extras, cos_raw, rank.
+    knn_label_eval).
+
+    The query slice is dims-scale by contract (a handful of probe
+    vectors), so it is COLLECTED once at plan build — the
+    _centroid_groups / IVF-centroid precedent, computed fresh from the
+    inputs on every invocation — and closure-shipped into ONE
+    vectorized Arrow hop (guide §4.2) that scores every query against
+    each corpus batch.  This replaces the broadcast crossJoin whose
+    per-pair interpreted ``zip_with`` dot fold was the measured cost
+    center (one CodegenFallback lambda dispatch plus an intermediate
+    array allocation per element per pair).  Cosines stay BIT-EXACT:
+    the kernel accumulates dim-by-dim in float64 (``acc += x_d * y_d``,
+    one IEEE multiply + one IEEE add per element in index order —
+    numpy does not fuse), which is the exact operation sequence of the
+    JVM ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` fold it
+    replaces, so ranks and the 6-dp output cannot move.
+
+    The rank prune stays in the JVM: the per-query top-k window runs
+    over the hop's output, where WindowGroupLimit prunes each task to
+    its local top-k before the single exchange (only k rows per query
+    per task cross the wire — unchanged from the crossJoin plan).
+    Null semantics reproduce the fold: null/ragged/zero-norm/
+    null-element pairs score NULL (nulls sort last under the
+    descending order); NaN-poisoned input vectors — which the old
+    fold's Spark-NaN total ordering would have ranked FIRST — are
+    treated as unscorable NULL like _estep_fn does (NaN is not a
+    cosine; the contract excludes it).
+
+    ``q_extra``/``c_extra`` map source→output column names that ride
+    through the scoring hop (e.g. labels) so callers never re-join the
+    corpus to recover them.  Self-matches are always excluded.
+    Output: query_id, neighbor_id, extras, cos_raw, rank.
     """
     q_extra = q_extra or {}
     c_extra = c_extra or {}
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        *[F.col(s).alias(d) for s, d in q_extra.items()],
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    c = corpus.select(
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+            *[F.col(s).alias(d) for s, d in q_extra.items()],
+        )
+        .collect()
+    )
+    qmeta = []
+    for r in qrows:
+        qv = r["qv"]
+        if qv is not None:
+            # null elements -> NaN cells: the pair scores NULL either
+            # way (the fold's null-product outcome)
+            qv = np.array(
+                [np.nan if x is None else float(x) for x in qv],
+                dtype=np.float64,
+            )
+        qmeta.append(
+            (r["query_id"], tuple(r[d] for d in q_extra.values()), qv)
+        )
+    qx_fields = [
+        T.StructField(d, queries.schema[s].dataType)
+        for s, d in q_extra.items()
+    ]
+    cx_fields = [
+        T.StructField(d, corpus.schema[s].dataType)
+        for s, d in c_extra.items()
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            *qx_fields,
+            *cx_fields,
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+    fn = _brute_score_fn(
+        qmeta, [f.name for f in qx_fields], [f.name for f in cx_fields]
+    )
+    scored = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
         *[F.col(s).alias(d) for s, d in c_extra.items()],
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    den = F.col("qn") * F.col("cn")
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        *q_extra.values(),
-        *c_extra.values(),
-        (dot(F.col("qv"), F.col("cv"))
-         / F.when(den == 0, F.lit(None)).otherwise(den)).alias("cos_raw"),
-    )
+    ).mapInPandas(fn, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _brute_score_fn(qmeta, qx_names, cx_names):
+    """Arrow-batch brute-force scorer for _scored_topk.
+
+    ``qmeta``: list of (query_id, q_extra values, float64 vector or
+    None).  Scorable queries are grouped by vector length (a cosine
+    against a different-length vector is NULL under zip_with padding
+    semantics, exactly like _centroid_groups); each corpus batch is
+    scored against every same-length query with a sequential dim-loop
+    (bit-exact vs the JVM fold — see _scored_topk).  Every
+    (corpus row, query) pair except self-matches is emitted, with
+    non-finite cosines emitted as NULL (NaN→null on the Arrow
+    boundary), preserving the crossJoin's candidate set."""
+    by_len: dict[int, list[int]] = {}
+    for i, (_qid, _qx, qv) in enumerate(qmeta):
+        if qv is not None:
+            by_len.setdefault(len(qv), []).append(i)
+    groups = {}
+    for length, idxs in by_len.items():
+        Q = np.stack([qmeta[i][2] for i in idxs])  # (nq_group, length)
+        qn = np.zeros(len(idxs))
+        for d in range(length):
+            qn = qn + Q[:, d] * Q[:, d]
+        groups[length] = (np.asarray(idxs), Q, np.sqrt(qn))
+
+    nq = len(qmeta)
+    qids = [m[0] for m in qmeta]
+    try:
+        qid_arr = np.asarray(qids)
+        if qid_arr.dtype == object:
+            qid_arr = None
+    except (TypeError, ValueError):  # mixed/unhashable id types
+        qid_arr = None
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            vecs = pdf["cv"].values
+            ids = pdf["neighbor_id"].values
+            lens = np.fromiter(
+                ((-1 if v is None else len(v)) for v in vecs),
+                dtype=np.int64,
+                count=n,
+            )
+            cosm = np.full((n, nq), np.nan)
+            for length, (qsel, Q, qn) in groups.items():
+                rsel = np.flatnonzero(lens == length)
+                if rsel.size == 0:
+                    continue
+                try:
+                    V = np.stack(
+                        [np.asarray(vecs[i], dtype=np.float64) for i in rsel]
+                    )
+                except (TypeError, ValueError):  # null elements inside
+                    V = np.array(
+                        [
+                            [np.nan if x is None else float(x) for x in vecs[i]]
+                            for i in rsel
+                        ],
+                        dtype=np.float64,
+                    )
+                acc = np.zeros((rsel.size, qsel.size))
+                cn = np.zeros(rsel.size)
+                for d in range(length):
+                    col = V[:, d]
+                    cn = cn + col * col
+                    acc = acc + col[:, None] * Q[None, :, d]
+                cn = np.sqrt(cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosm[np.ix_(rsel, qsel)] = acc / (cn[:, None] * qn[None, :])
+            # flatten query-major; drop self-matches
+            colq = np.repeat(np.arange(nq), n)
+            rown = np.tile(np.arange(n), nq)
+            if qid_arr is not None and qid_arr.dtype.kind in "iuf":
+                keep = ids[rown] != qid_arr[colq]
+            else:
+                keep = np.ones(n * nq, dtype=bool)
+                for j, qid in enumerate(qids):
+                    keep[j * n : (j + 1) * n] = ids != qid
+            colq = colq[keep]
+            rown = rown[keep]
+            cflat = cosm[rown, colq]
+            cser = pd.Series(cflat)
+            cser[~np.isfinite(cflat)] = None
+            data = {
+                "query_id": pd.Series(
+                    qid_arr[colq] if qid_arr is not None
+                    else [qids[j] for j in colq]
+                ),
+                "neighbor_id": pd.Series(ids[rown]),
+            }
+            for kx, name in enumerate(qx_names):
+                data[name] = pd.Series([qmeta[j][1][kx] for j in colq])
+            for name in cx_names:
+                data[name] = pd.Series(pdf[name].values[rown])
+            data["cos_raw"] = cser
+            yield pd.DataFrame(data)
+
+    return fn
 
 
 def brute_force_topk(

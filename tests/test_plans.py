@@ -638,16 +638,18 @@ def test_bm25_corpus_never_shuffled(spark, sf_dir):
 
 
 def test_knn_label_eval_one_shuffle_mapside_topk(spark, sf_dir):
-    """The query slice broadcasts; WindowGroupLimit prunes each task to
-    its local top-k BEFORE the one exchange (only k rows per query
-    cross the wire); the vote aggregates reuse the window's
-    query_id partitioning — exactly ONE shuffle end to end, and no
-    sort-merge join anywhere."""
+    """The query slice is collected at plan build and scored in ONE
+    vectorized Arrow hop (no join of any kind); WindowGroupLimit
+    prunes each task to its local top-k BEFORE the one exchange (only
+    k rows per query cross the wire); the vote aggregates reuse the
+    window's query_id partitioning — exactly ONE shuffle end to end,
+    ONE corpus scan, and no join anywhere."""
     plan = explain_str(SPARK_QUERIES["knn_label_eval"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
-    assert re.search(r"\(\d+\) BroadcastNestedLoopJoin", plan), plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("embeddings.parquet") == 1, plan
 
 
 def test_rollup_cascade_one_scan_one_shuffle(spark, sf_dir):
