@@ -194,17 +194,25 @@ def rollup_cascade(
     maintains all destinations from one write stream instead of
     re-reading ticks per timeframe.
 
-    Plan: GROUPING SETS.  One fact scan projects all five bucket
-    columns (fixed-width buckets by integer-µs floor arithmetic —
+    Plan: CANDLE-FIRST cascade in one linear chain.  The tick stream
+    runs through the map-side partial aggregate ONCE, into 5Min
+    candles (fixed-width buckets by integer-µs floor arithmetic —
     identical phase to ``F.window``'s 1970 origin and DuckDB
     time_bucket's 2000 origin, both midnight/Monday-aligned; calendar
-    months via date_trunc), Expand replicates each row once per level
-    into the partial aggregate, and ONE exchange carries partial
-    candles for all five levels.  A union of five aggregates would
-    rescan the fact five times (exchange reuse does not fire across
-    union branches — measured); grouping sets is the plan that scans
-    once.  The 5x Expand feeds map-side partials, so the shuffle
-    carries candles, not ticks.
+    months via date_trunc), carrying ``min(ok)``/``max(ok)`` so the
+    open/close picks COMPOSE exactly.  GROUPING SETS then expands the
+    CANDLE rows — not the ticks — once per level (every coarser bucket
+    boundary is 5-minute-aligned, so flooring the 5Min bucket equals
+    flooring the tick) and re-aggregates: ``min_by(open, okmin)`` /
+    ``max_by(close, okmax)`` / min/max/sum/sum-of-counts, all exact
+    integer/decimal arithmetic, so cascade == direct bit-for-bit.
+    The previous shape ran the GROUPING-SETS Expand over the raw
+    ticks: one scan, but every tick crossed the partial aggregate
+    five times — 5x the map-side hash/pack work of the whole tick
+    stream, which is exactly the per-task cost §1.2 says to remove.
+    A union of five per-level aggregates was rejected long ago
+    (exchange reuse does not fire across union branches — measured;
+    the fact would rescan five times).
 
     Output: key_cols, level, epoch, open/high/low/close, value_sum,
     value_avg, n.  The registered oracle computes every level DIRECTLY
@@ -214,41 +222,57 @@ def rollup_cascade(
     from marketstore_spark.functions.timeutil import epoch_us
 
     keys = list(key_cols)
-    us = epoch_us(F.col(ts_col))
 
-    def fixed(width_s: int, origin_shift_s: int = 0) -> Column:
+    def fixed(us: Column, width_s: int, origin_shift_s: int = 0) -> Column:
         w = F.lit(width_s * 1_000_000).cast("long")
         off = F.lit(origin_shift_s * 1_000_000).cast("long")
         return F.timestamp_micros(F.floor((us - off) / w).cast("long") * w + off)
 
-    levels = {
-        "5Min": fixed(300),
-        "1H": fixed(3600),
-        "1D": fixed(86400),
-        # Monday alignment: 1970-01-01 is a Thursday; +4 days origin
-        "1W": fixed(7 * 86400, 4 * 86400),
-        "1Mo": F.timestamp_micros(epoch_us(F.date_trunc("month", F.col(ts_col)))),
-    }
-    bcols = [c.alias(f"__b_{lv}") for lv, c in levels.items()]
-    ev = df.select(
-        *keys,
-        F.col(ts_col),
-        *[F.col(t) for t in tiebreak],
-        F.col(price_col),
-        F.col(price_col).cast("decimal(18,2)").alias("__pv"),
-        *bcols,
-    )
-    bnames = [f"__b_{lv}" for lv in levels]
     ok = _ordkey(ts_col, tiebreak)
+    c5 = (
+        df.groupBy(*keys, fixed(epoch_us(F.col(ts_col)), 300).alias("__b5"))
+        .agg(
+            F.min_by(price_col, ok).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, ok).alias("close"),
+            F.sum(F.col(price_col).cast("decimal(18,2)")).alias("__pv5"),
+            F.count(F.lit(1)).alias("__n5"),
+            F.min(ok).alias("__okmin"),
+            F.max(ok).alias("__okmax"),
+        )
+    )
+    b5us = epoch_us(F.col("__b5"))
+    levels = {
+        "5Min": F.col("__b5"),
+        "1H": fixed(b5us, 3600),
+        "1D": fixed(b5us, 86400),
+        # Monday alignment: 1970-01-01 is a Thursday; +4 days origin
+        "1W": fixed(b5us, 7 * 86400, 4 * 86400),
+        "1Mo": F.timestamp_micros(epoch_us(F.date_trunc("month", F.col("__b5")))),
+    }
+    bnames = [f"__b_{lv}" for lv in levels]
+    ev = c5.select(
+        *keys,
+        "open",
+        "high",
+        "low",
+        "close",
+        "__pv5",
+        "__n5",
+        "__okmin",
+        "__okmax",
+        *[c.alias(f"__b_{lv}") for lv, c in levels.items()],
+    )
     g = ev.groupingSets(
         [[*keys, b] for b in bnames], *keys, *bnames
     ).agg(
-        F.min_by(price_col, ok).alias("open"),
-        F.max(price_col).alias("high"),
-        F.min(price_col).alias("low"),
-        F.max_by(price_col, ok).alias("close"),
-        F.sum("__pv").alias("__pv_sum"),
-        F.count(F.lit(1)).alias("n"),
+        F.min_by("open", F.col("__okmin")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("__okmax")).alias("close"),
+        F.sum("__pv5").alias("__pv_sum"),
+        F.sum("__n5").alias("n"),
     )
     # Exactly one bucket column is non-null per grouping set (ts is
     # non-null under epoch_us); it identifies both level and epoch.

@@ -126,12 +126,22 @@ def span_dedup_groups(
     any text.
 
     Shape: one narrow projection (split → slice spans via a step-``w``
-    index sequence → posexplode) followed by ONE hash aggregate on the
-    32-byte span hash — the exact_dedup_groups plan at span grain.
-    The span count per doc is len/w (bounded, linear in input), the
-    groupBy key is fixed-width, and min/count/count-distinct are all
-    combiner-friendly, so the operator scales like a plain wordcount;
-    no posting lists, no pair generation.
+    index sequence → posexplode), ONE exchange on the 32-byte span
+    hash, and two exchange-free stacked hash aggregates above it —
+    (hash, doc) then hash.  Spark's native single-distinct rewrite of
+    ``count_distinct(doc_id)`` shuffles the span stream TWICE (first
+    on (hash, doc), then on hash); the explicit repartition makes both
+    groupings co-partitioned so the second exchange disappears, and
+    the map-side partial it forgoes combined nothing anyway — a
+    (hash, doc) partial only merges the same span repeated in the SAME
+    document on the SAME task, while cross-document repeats (the
+    common case for boilerplate) never combine before the hash-keyed
+    exchange in either shape.  Distinct-doc counts become plain
+    ``count(1)`` over the (hash, doc) grain; per the dedup-family
+    contract ids are non-null (posting lists cast them to long).
+    The span count per doc is len/w (bounded, linear in input) and
+    the keys are fixed-width, so the operator scales like a plain
+    wordcount; no posting lists, no pair generation.
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
     n_spans = (F.size(words) / span_words).cast("int")
@@ -146,12 +156,17 @@ def span_dedup_groups(
         df.filter(F.size(words) >= span_words)
         .select(F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("span_idx", "span"))
     )
+    per_doc = (
+        exploded.select("doc_id", F.md5(F.col("span")).alias("span_hash"))
+        .repartition("span_hash")
+        .groupBy("span_hash", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
     return (
-        exploded.select("doc_id", "span_idx", F.md5(F.col("span")).alias("span_hash"))
-        .groupBy("span_hash")
+        per_doc.groupBy("span_hash")
         .agg(
-            F.count_distinct(F.col("doc_id")).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__occ").alias("n_occurrences"),
             F.min("doc_id").alias("first_doc_id"),
         )
         .filter(F.col("n_docs") >= min_docs)

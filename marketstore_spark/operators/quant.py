@@ -2094,8 +2094,17 @@ def mfi(
     moved.
 
     Shape: one candle shuffle (map-side partials incl. the volume
-    sum), ONE per-symbol sort shared by the direction lag, both
-    rolling sums, and the row counter.
+    sum), ONE per-symbol sort shared by the direction lag, the running
+    sums, their lags, and the row counter.  The trailing-``n`` flow
+    sums are PREFIX-SUM differences (``run_i − run_{i−n}``), not
+    sliding frames: Spark has no retractable window aggregates, so a
+    ``rowsBetween(-(n-1), 0)`` frame re-adds all n Int128 decimals per
+    output row, while the running frame is incremental O(1)/row — the
+    rolling_corr_market policy; exact integer decimal arithmetic makes
+    the difference value-identical.  DECIMAL(38,0) running totals
+    accumulate over the whole per-symbol history (not the n-row
+    window) and stay far inside 38 digits; ANSI mode would fail loudly
+    at the boundary.
     """
     if n <= 0:
         raise ValueError("n must be positive")
@@ -2137,15 +2146,25 @@ def mfi(
         neg.alias("__neg"),
         F.row_number().over(w).alias("__rn"),
     )
-    frame = w.rowsBetween(-(int(n) - 1), Window.currentRow)
-    sp = F.sum("__pos").over(frame)
-    sn = F.sum("__neg").over(frame)
-    out = flows.select(
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = flows.select(
+        "symbol",
+        "bucket",
+        "__rn",
+        F.sum("__pos").over(run).alias("__rp"),
+        F.sum("__neg").over(run).alias("__rq"),
+    )
+
+    def _slide(c: str) -> Column:
+        prev = F.lag(F.col(c), int(n)).over(w)
+        return F.col(c) - F.coalesce(prev, F.lit(0).cast("decimal(38,0)"))
+
+    out = pref.select(
         "symbol",
         F.col("bucket").alias("epoch"),
         F.col("__rn").alias("__rn"),
-        sp.alias("__sp"),
-        sn.alias("__sn"),
+        _slide("__rp").alias("__sp"),
+        _slide("__rq").alias("__sn"),
     )
     tot = F.col("__sp") + F.col("__sn")
     val = F.when(

@@ -652,18 +652,27 @@ def test_knn_label_eval_one_shuffle_mapside_topk(spark, sf_dir):
     assert plan.count("embeddings.parquet") == 1, plan
 
 
-def test_rollup_cascade_one_scan_one_shuffle(spark, sf_dir):
-    """All five rollup levels in one pass: the fact is scanned ONCE,
-    Expand replicates rows into per-level partial aggregates, and a
-    single exchange carries partial candles for every level (a union
-    of five aggregates would rescan the fact five times — exchange
-    reuse does not fire across union branches)."""
+def test_rollup_cascade_one_scan_candle_first(spark, sf_dir):
+    """All five rollup levels in one linear chain: the fact is scanned
+    ONCE and crosses the partial aggregate ONCE (into 5Min candles);
+    Expand replicates only the CANDLE rows into per-level
+    re-aggregation (one more candle-scale exchange).  The Expand must
+    sit ABOVE the first exchange — an Expand below it would mean the
+    tick stream is being replicated per level again (a union of five
+    aggregates would rescan the fact five times — exchange reuse does
+    not fire across union branches)."""
     df = SPARK_QUERIES["rollup_cascade"](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     ex = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert ex.count("FileScan") == 1, ex
     assert ex.count("Expand") == 1, ex
-    assert ex.count("Exchange hashpartitioning") == 1, ex
+    assert ex.count("Exchange hashpartitioning") == 2, ex
+    # Expand above the tick exchange: the plan string lists operators
+    # top-down, so the Expand must appear BEFORE (shallower than) the
+    # bottom tick-partial exchange and AFTER the candle exchange
+    first_expand = ex.index("Expand")
+    tick_exchange = ex.rindex("Exchange hashpartitioning")
+    assert first_expand < tick_exchange, ex
 
 
 def test_corpus_shuffle_one_shuffle_one_sort(spark, sf_dir):
