@@ -33,6 +33,31 @@ _PAIR_BLOCK_ROWS = 2048
 # ---------------------------------------------------------------------
 
 
+def _sliding_grams(words: Column, n: int, k: Column, post=None) -> Column:
+    """All overlapping ``n``-word grams of ``words`` as one array —
+    ``arrays_zip`` of ``n`` shifted length-``k`` slices, then a single
+    per-element concat (``k`` = size-(n-1), precomputed by the caller so
+    filters can share it).  This replaces the per-index form
+    ``transform(sequence(1, k), i -> concat_ws(" ", slice(words, i, n)))``,
+    which pays a slice allocation plus interpreted-HOF dispatch PER GRAM:
+    the zip form measured 0.28 s vs 0.73 s for the sf0.1 gram stream
+    (guide §1.2 — per-task work on the dedup family's hottest
+    projection).  ``post`` wraps each gram inside the same lambda (e.g.
+    ``F.md5``) so no second per-element pass is paid.  Identical output
+    strings/order to the per-index form (asserted on fixtures and by
+    full oracle parity).  NOT used for stepped non-overlapping spans
+    (span_dedup_groups): with stride w only n/w lambdas fire there, and
+    zipping would copy w full-length slices for grams it then drops.
+    """
+    parts = [F.slice(words, j + 1, k).alias(f"w{j}") for j in range(n)]
+
+    def elem(s):
+        g = F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])
+        return post(g) if post is not None else g
+
+    return F.transform(F.arrays_zip(*parts), elem)
+
+
 def word_shingles(
     df: DataFrame,
     n: int = 3,
@@ -54,19 +79,8 @@ def word_shingles(
     words = F.split(F.trim(F.col(text_col)), _WS)
     k = F.size(words) - (n - 1)
     # Gram construction via arrays_zip of n shifted views instead of a
-    # per-index lambda: `transform(sequence(1, k), i -> concat_ws(" ",
-    # slice(words, i, n)))` pays an O(n) array copy PLUS the
-    # interpreted-HOF dispatch per gram, and measured 0.73 s for the
-    # sf0.1 gram stream where the zip form takes 0.28 s (min-of-5,
-    # identical output strings).  Zipping n length-k slices costs n
-    # array copies per DOCUMENT, and the per-element lambda touches n
-    # scalars — guide §1.2 "per-task work" on the hottest projection
-    # in the dedup family (every shingle consumer shares this code).
-    parts = [F.slice(words, j + 1, k).alias(f"w{j}") for j in range(n)]
-    grams = F.transform(
-        F.arrays_zip(*parts),
-        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
-    )
+    # per-index lambda — see _sliding_grams for the measured rationale.
+    grams = _sliding_grams(words, n, k)
     if distinct:
         grams = F.array_distinct(grams)
     # Spread the heavy explode/hash projection across the cluster when
@@ -210,10 +224,10 @@ def substring_dup_spans(
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
     n_pos = F.size(words) - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_pos),  # slice() is 1-indexed
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
-    )
+    # One hash per overlapping position — zip form with md5 fused into
+    # the per-element lambda (see _sliding_grams; one pass, no second
+    # per-element transform).
+    grams = _sliding_grams(words, k, n_pos, post=F.md5)
     df = spread_for_narrow_work(df, id_col, heavy=True)
     sites = (
         df.filter(F.trim(F.col(text_col)) != "")
@@ -1464,10 +1478,7 @@ def ngram_novelty_by_source(
     # projection with source attached so no join-back rescans the fact
     words = F.split(F.trim(F.col(text_col)), _WS)
     k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(1), k)
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    )
+    grams = F.array_distinct(_sliding_grams(words, n, k))
     base = spread_for_narrow_work(df, id_col, heavy=True)
     sh = (
         base.filter(F.trim(F.col(text_col)) != "")

@@ -9,7 +9,7 @@ groupBy is the point).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from marketstore_spark.functions.layout import spread_for_narrow_work
@@ -213,12 +213,19 @@ def repetition_stats(
     fractions are rounded to 6dp.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
-    # sequence(1, 0) DESCENDS in Spark — guard the one-word doc.
+    # Bigrams via arrays_zip of two shifted slices instead of a
+    # per-index lambda (one slice allocation + interpreted dispatch per
+    # gram — the word_shingles zip form, operators/dedup._sliding_grams).
+    # slice() needs a non-negative length, so the one-word guard stays.
+    k2 = F.size(words) - 1
     grams = F.when(
         F.size(words) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+            F.arrays_zip(
+                F.slice(words, 1, k2).alias("w0"),
+                F.slice(words, 2, k2).alias("w1"),
+            ),
+            lambda s: F.concat_ws(" ", s["w0"], s["w1"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -918,7 +925,16 @@ def unigram_nll(
         + F.lit(0.5)
     ).cast("long")
     qtab = counts.crossJoin(F.broadcast(total)).select("tok", q.alias("q"))
-    per = toks.join(qtab, "tok").groupBy("doc_id").agg(
+    # Explicit SHUFFLE_HASH on the q-table side: Catalyst's post-
+    # Generate size estimate undershoots the exploded token stream and
+    # the planner otherwise builds the BROADCAST from the corpus-scale
+    # stream (BuildLeft — a driver-OOM shape at scale, and 2× slower
+    # locally).  The hinted shape is the docstring's intended one: the
+    # stream pays ONE token-keyed exchange, the q-table side is already
+    # partitioned on tok by its own aggregate (no extra exchange), and
+    # the per-partition build is vocab/num_partitions rows (§3.2: hash
+    # build on the provably smaller side, no sort of the stream).
+    per = toks.join(qtab.hint("shuffle_hash"), "tok").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("q").alias("__sq"),
     )
@@ -1154,7 +1170,13 @@ def dsir_weights(
             - _q(F.col("c_r") + 1, F.col("n_r") + F.col("v"))
         ).alias("qd"),
     )
-    per = toks.join(qtab, "tok").groupBy("doc_id").agg(
+    # SHUFFLE_HASH for the same reason as unigram_nll: the planner's
+    # post-Generate size estimate otherwise broadcasts the CORPUS-scale
+    # token stream (BuildLeft).  The vocab-scale q-table cannot be the
+    # broadcast side at 100 TB either (open vocabulary) — the hashed
+    # variant is the bounded-table scale path and broadcasts its
+    # ≤ num_buckets q-table instead.
+    per = toks.join(qtab.hint("shuffle_hash"), "tok").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("qd").alias("__s"),
     )
@@ -1234,9 +1256,6 @@ def dsir_weights_hashed(
         F.count(F.lit(1)).alias("c_r"),
         F.count(F.when(F.col("__tgt"), F.lit(1))).alias("c_t"),
     )
-    scalars = counts.agg(
-        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
-    )
 
     def _q(c, n):
         return F.floor(
@@ -1244,15 +1263,37 @@ def dsir_weights_hashed(
             + F.lit(0.5)
         ).cast("long")
 
+    # Corpus totals via an unpartitioned window over the ≤ B-row counts
+    # table (NOT the plain variant's crossJoin of a separate one-row
+    # aggregate): the counts subtree appears once, so the totals need
+    # no second aggregate pipeline, no SinglePartition exchange, and no
+    # BroadcastNestedLoopJoin — the window sees all B rows in one task,
+    # which is scale-safe ONLY because B is a fixed constant (the plain
+    # vocab-scale variant keeps the crossJoin; its counts table is
+    # unbounded and must never pass through one task).
+    wall = Window.partitionBy()
     v = F.lit(num_buckets).cast("long")
-    qtab = counts.crossJoin(F.broadcast(scalars)).select(
+    qtab = counts.select(
+        "bk",
+        F.sum("c_r").over(wall).alias("n_r"),
+        F.sum("c_t").over(wall).alias("n_t"),
+        "c_t",
+        "c_r",
+    ).select(
         "bk",
         (
             _q(F.col("c_t") + 1, F.col("n_t") + v)
             - _q(F.col("c_r") + 1, F.col("n_r") + v)
         ).alias("qd"),
     )
-    per = toks.join(qtab, "bk").groupBy("doc_id").agg(
+    # Explicit build side: after Generate+Project, Catalyst's size
+    # estimate for the exploded token stream shrinks below the
+    # broadcast threshold and the planner builds the broadcast from
+    # the CORPUS-scale stream (BuildLeft) — a driver-OOM shape at
+    # scale.  The q-table is ≤ num_buckets rows by construction, so
+    # it is always the correct build side (§3.1: pick the join
+    # strategy deliberately).
+    per = toks.join(F.broadcast(qtab), "bk").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("qd").alias("__s"),
     )
