@@ -1790,9 +1790,18 @@ def range_vol(
     candles = _bucket_candles(
         df, timeframe, symbol_col, ts_col, value_col, tiebreak_col
     )
-    return candles.select(
+    staged = candles.select(
         "symbol",
         F.col("bucket").alias("epoch"),
+        "o",
+        "h",
+        "l",
+        "c",
+        *range_vol_log_cols(),
+    )
+    return staged.select(
+        "symbol",
+        "epoch",
         "o",
         "h",
         "l",
@@ -1801,26 +1810,45 @@ def range_vol(
     )
 
 
-def range_vol_estimators(
+def range_vol_log_cols(
     o: str = "o", h: str = "h", l: str = "l", c: str = "c"  # noqa: E741
 ) -> list[Column]:
-    """The shared Parkinson/GK/RS per-row estimator chain over
-    integer-cent OHLC columns — used by the batch operator AND the
-    streaming twin (streaming/ondiskagg.stream_range_vol) so a closed
-    streaming bucket emits the bitwise-identical batch row."""
+    """The four guarded log-ratio intermediates the estimator chain
+    reads — MATERIALIZE these in their own select before
+    :func:`range_vol_estimators`: inlined, the three CASE-guarded
+    estimators plant 11 ``ln`` calls per row (codegen subexpression
+    elimination refuses to share work across CASE branches — the
+    corwin_schultz lesson), where these 4 suffice.  The ``when(pos,·)``
+    guard stays INSIDE each intermediate so non-positive bars never
+    reach ``ln`` (CASE is lazy; the chain then NULL-propagates to the
+    same NULL row the inline form produced).  CollapseProject keeps the
+    split because each alias is referenced more than once upstream."""
     od, hd, ld, cd = (F.col(x).cast("double") for x in (o, h, l, c))
     pos = (F.col(l) > 0) & (F.col(o) > 0) & (F.col(c) > 0)
-    hl = F.log(hd / ld)
-    co = F.log(cd / od)
-    ho = F.log(hd / od)
-    lo = F.log(ld / od)
+    return [
+        F.when(pos, F.log(hd / ld)).alias("__hl"),
+        F.when(pos, F.log(cd / od)).alias("__co"),
+        F.when(pos, F.log(hd / od)).alias("__ho"),
+        F.when(pos, F.log(ld / od)).alias("__lo"),
+    ]
+
+
+def range_vol_estimators() -> list[Column]:
+    """The shared Parkinson/GK/RS per-row estimator chain over the
+    :func:`range_vol_log_cols` intermediates — used by the batch
+    operator AND the streaming twin (streaming/ondiskagg.
+    stream_range_vol) so a closed streaming bucket emits the bitwise-
+    identical batch row (same double association order as the original
+    inline chain; NULL intermediates propagate to NULL estimators,
+    matching the inline CASE guard)."""
+    hl, co, ho, lo = (F.col(x) for x in ("__hl", "__co", "__ho", "__lo"))
     park = hl * hl / F.lit(_4LN2)
     gk = F.lit(0.5) * hl * hl - F.lit(_2LN2M1) * (co * co)
     rs = ho * (ho - co) + lo * (lo - co)
     return [
-        F.round(F.when(pos, park), 6).alias("park_var"),
-        F.round(F.when(pos, gk), 6).alias("gk_var"),
-        F.round(F.when(pos, rs), 6).alias("rs_var"),
+        F.round(park, 6).alias("park_var"),
+        F.round(gk, 6).alias("gk_var"),
+        F.round(rs, 6).alias("rs_var"),
     ]
 
 
@@ -1884,15 +1912,31 @@ def corwin_schultz(
     ea = F.exp(alpha)
     spread = F.lit(2.0) * (ea - F.lit(1.0)) / (F.lit(1.0) + ea)
     s6 = F.round(F.when(ok, spread), 6)
-    return staged.select(
+    # cs_spread must MATERIALIZE in its own Project before cs_spread_pos
+    # references it: inlining `s6` twice in one select plants the whole
+    # ln/sqrt/exp/round chain in both output columns, and codegen's
+    # subexpression elimination refuses to share work across CASE
+    # branches — the duplicated chain measured 0.84 s vs 0.28 s for the
+    # split form on identical output (sf0.1, min-of-5).  CollapseProject
+    # keeps the split because the alias is referenced three times above.
+    base = staged.select(
         "symbol",
         F.col("bucket").alias("epoch"),
         "h",
         "l",
         s6.alias("cs_spread"),
+    )
+    return base.select(
+        "symbol",
+        "epoch",
+        "h",
+        "l",
+        "cs_spread",
         # greatest() skips NULLs in Spark (NULL → 0.0); undefined bars
         # must stay NULL, so gate explicitly
-        F.when(s6.isNotNull(), F.greatest(s6, F.lit(0.0))).alias("cs_spread_pos"),
+        F.when(
+            F.col("cs_spread").isNotNull(), F.greatest(F.col("cs_spread"), F.lit(0.0))
+        ).alias("cs_spread_pos"),
     )
 
 

@@ -147,7 +147,10 @@ def stream_range_vol(
     evicted — the stream_candles bound; the estimator itself is a
     stateless projection on top, so it adds NO state.
     """
-    from marketstore_spark.operators.quant import range_vol_estimators
+    from marketstore_spark.operators.quant import (
+        range_vol_estimators,
+        range_vol_log_cols,
+    )
 
     stream = with_instant_ts(stream, ts_col)
     cents = (F.col(price_col).cast("decimal(8,2)") * 100).cast("long")
@@ -167,9 +170,18 @@ def stream_range_vol(
             F.max_by("__px_c", ok).alias("c"),
         )
     )
-    return agg.select(
+    staged_cols = agg.select(
         *key_cols,
         F.col("__w.start").alias("epoch"),
+        "o",
+        "h",
+        "l",
+        "c",
+        *range_vol_log_cols(),
+    )
+    return staged_cols.select(
+        *key_cols,
+        "epoch",
         "o",
         "h",
         "l",
