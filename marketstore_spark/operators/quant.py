@@ -187,11 +187,31 @@ def pairwise_corr(
     nblk_par = math.ceil(math.sqrt(8 * par))
     nblk = max(1, min(n_sym, max(nblk_mem, nblk_par)))
 
-    ex = (
+    # Pack each symbol's close series into ONE (didxs, centss) array row
+    # BEFORE the block replication (§2.3 shuffle fewer bytes / §8 move
+    # heavy rows once): the block-pair exchange and the Arrow hop then
+    # carry n_sym·nblk packed rows instead of n_closes·nblk scalar rows
+    # (sf0.1: 24k vs 8.8M — the per-row shuffle/Arrow overhead was the
+    # dominant cost).  The symbol-keyed pack aggregate is candle-scale
+    # and combines map-side.  collect_list order is nondeterministic,
+    # but the task scatters by didx into the same dense matrix, so the
+    # grams — and every downstream value — are bit-identical.
+    packed = (
         closes.join(F.broadcast(day_idx), "bucket")
-        .withColumn("blk", F.pmod(F.xxhash64("symbol"), F.lit(nblk)).cast("int"))
+        .groupBy("symbol")
+        .agg(F.collect_list(F.struct("didx", "cents")).alias("__dc"))
         .select(
-            "symbol", "didx", "cents", "blk",
+            "symbol",
+            F.col("__dc.didx").alias("didxs"),
+            F.col("__dc.cents").alias("centss"),
+        )
+    )
+    ex = (
+        packed.withColumn(
+            "blk", F.pmod(F.xxhash64("symbol"), F.lit(nblk)).cast("int")
+        )
+        .select(
+            "symbol", "didxs", "centss", "blk",
             F.explode(F.sequence(F.lit(0), F.lit(nblk - 1))).alias("other"),
         )
         .withColumn("ga", F.least("blk", "other"))
@@ -199,14 +219,16 @@ def pairwise_corr(
     )
 
     def _grams(sub):
-        syms = np.sort(sub["symbol"].unique())
-        pos = {s: i for i, s in enumerate(syms)}
+        order = np.argsort(sub["symbol"].to_numpy(), kind="stable")
+        syms = sub["symbol"].to_numpy()[order]
         X = np.zeros((len(syms), n_days))
         I = np.zeros((len(syms), n_days))
-        rows = sub["symbol"].map(pos).to_numpy()
-        cols = sub["didx"].to_numpy()
-        X[rows, cols] = sub["cents"].to_numpy().astype(np.float64)
-        I[rows, cols] = 1.0
+        didxs = sub["didxs"].to_numpy()
+        centss = sub["centss"].to_numpy()
+        for i, j in enumerate(order):
+            cols = np.asarray(didxs[j], dtype=np.int64)
+            X[i, cols] = np.asarray(centss[j], dtype=np.float64)
+            I[i, cols] = 1.0
         return syms, X, I
 
     def _pairs(key, pdf):
