@@ -358,17 +358,28 @@ def _pairs_with_sizes(
     1.36 s, a join-free window-attach over double-oriented marker
     rows 1.72 s (its two candidate-scale window stages cost more than
     the duplicated segment they remove at every SF measurable on this
-    box — re-evaluate if the bench SF ever grows).  At 100 TB this
-    form re-runs one sort+window over the gram stream for the sizes;
-    the windows variant would avoid even that at the price of two
-    extra candidate-scale shuffles — the remaining duplication is
-    recorded in OPTIMIZATION_r13.md "Not yet optimized".
+    box — re-evaluate if the bench SF ever grows).
+
+    The explicit ``repartition("shingle")`` below the two consumers is
+    a MATERIALIZATION BARRIER: without it each branch re-ran the cap
+    sort+window above the (reused) gram exchange, because AQE's
+    ReusedExchange dedups exchanges, not the operators above them.
+    The barrier's own exchange is the canonical subtree both branches
+    consume, so the capped stream is sorted/windowed ONCE and replayed
+    from shuffle files — one extra shuffle write of the capped grams
+    buys back a full O(n log n) sort re-run (4-round interleaved A/B
+    at sf0.1: median-of-mins 1.074 → 0.978 s on containment, every
+    round faster; at 100 TB the removed sort dominates the added
+    sequential read).  It is hash-partitioned on the same key the
+    posting-list aggregate needs, so the aggregate adds no exchange.
 
     The size joins are left to AQE: broadcast at test scale, shuffle
     joins of narrow already-aggregated tables at corpus scale —
     either way they cannot re-shuffle the gram stream.
     """
-    shc = _capped_grams(df, n, max_doc_freq, text_col, id_col)
+    shc = _capped_grams(df, n, max_doc_freq, text_col, id_col).repartition(
+        F.col("shingle")
+    )
     grouped = shc.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
     )
