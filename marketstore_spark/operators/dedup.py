@@ -37,7 +37,10 @@ def _sliding_grams(words: Column, n: int, k: Column, post=None) -> Column:
     """All overlapping ``n``-word grams of ``words`` as one array —
     ``arrays_zip`` of ``n`` shifted length-``k`` slices, then a single
     per-element concat (``k`` = size-(n-1), precomputed by the caller so
-    filters can share it).  This replaces the per-index form
+    filters can share it).  CALLER CONTRACT: rows must satisfy ``k >= 1``
+    — ``F.slice`` raises at runtime on a negative length, and the guard
+    lives in each caller's filter (docs shorter than ``n`` words must be
+    dropped before this projection evaluates).  This replaces the per-index form
     ``transform(sequence(1, k), i -> concat_ws(" ", slice(words, i, n)))``,
     which pays a slice allocation plus interpreted-HOF dispatch PER GRAM:
     the zip form measured 0.28 s vs 0.73 s for the sf0.1 gram stream
@@ -503,37 +506,89 @@ def minhash_lsh_pairs(
     max_bucket = 10_000
 
     sh = word_shingles(df, n, text_col, id_col, distinct=False)
-    # No persist: per_doc feeds three subtrees (banding + both verify
-    # sides), but they share the SAME groupBy exchange — Catalyst
-    # plans one shuffle and ReusedExchange for the other two, so only
-    # the post-shuffle final agg re-runs per consumer.  Measured
-    # faster than MEMORY_AND_DISK at sf0.1 (1.15s vs 1.41s min-of-3),
-    # and at 100 TB a persisted multi-billion-row shingle-set table
-    # would pin executor storage for the query's whole lifetime (and
-    # leak past it: a returned lazy DataFrame can never unpersist).
+    # ONE combined aggregate (shingle set + all 32 minima) behind an
+    # explicit repartition("doc_id") MATERIALIZATION BARRIER (r14; the
+    # _pairs_with_sizes pattern).  per_doc feeds three subtrees
+    # (banding + both verify sides); without the barrier, per-branch
+    # column pruning split the aggregate — banding kept the mh minima
+    # (min(string) buffers demote to SortAggregate), the verify sides
+    # kept shset — so the gram stream was CONSTRUCTED AND AGGREGATED
+    # once per branch (r10 runtime census; the r13 "anchor trick"
+    # probe that merely referenced all columns in every branch made
+    # each branch do the union of the work without unifying the
+    # exchanges — anchors only pay off COMBINED with a barrier).  The
+    # barrier's exchange is the canonical subtree all three consumers
+    # share: the gram projection runs ONCE, the combined aggregate
+    # runs ONCE (ObjectHashAggregate — collect_set is
+    # typed-imperative, so no standalone SortAggregate branch
+    # remains), and consumers replay doc-scale rows from shuffle
+    # files.  At 100 TB this turns 3 corpus-gram passes + 2 set-sized
+    # exchanges + 1 map-side gram sort into 1 gram pass + 1 set-sized
+    # exchange + 1 doc-row barrier shuffle.  No persist: a persisted
+    # multi-billion-row shingle-set table would pin executor storage
+    # for the query's whole lifetime (and leak past it: a returned
+    # lazy DataFrame can never unpersist); the barrier gives the same
+    # run-once property from disk-backed shuffle files instead.
+    #
+    # Canonical-subtree discipline (probed live on 4.1.2: Filter AND
+    # Project both push BELOW RepartitionByExpression, so anything a
+    # consumer does differently forks the below-exchange subtree and
+    # ReusedExchange never fires):
+    #   * the doc_id isnotnull the verify joins INFER is pre-seeded in
+    #     the shared gram stream (output-neutral: collect_set skips
+    #     null doc ids, so a null group never reaches a posting list,
+    #     and the verify joins drop it — the bigram_lift idiom);
+    #   * the barrier key is pmod(doc_id, 2³¹), NOT doc_id itself — a
+    #     repartition whose key equals the aggregate's grouping key is
+    #     physically ELIMINATED as redundant (probed: the exchange
+    #     never materializes and consumers re-run the final aggregate);
+    #     the pmod is a distribution-identical but expression-distinct
+    #     key, so the barrier survives planning;
+    #   * the ``bands`` band keys are md5-compressed BELOW the barrier
+    #     (one shared projection), so the barrier ships ``bands`` hex
+    #     strings per doc instead of all ``num_hashes`` raw minima —
+    #     4× fewer signature bytes at the default 32/8 config (§2.3
+    #     shuffle fewer bytes) and the banding md5 runs once;
+    #   * set_size is computed ABOVE the barrier (each consumer's
+    #     trivial per-row projection) as greatest(size(shset),
+    #     0 − length(concat_ws(bk*))) — provably equal to size(shset)
+    #     (size ≥ 0 ≥ −length always) but the optimizer cannot fold it
+    #     (a 0·length(…) form WAS folded away when probed), so the
+    #     verify branches' pruning still demands every band-key column
+    #     below the exchange;
+    #   * the banding side reciprocally anchors shset via
+    #     concat_ws("", bk_i, F.get(shset, -1)) — get(·, -1) is ALWAYS
+    #     NULL (0-based get, invalid index) and concat_ws skips NULLs,
+    #     so every band key is byte-identical.
+    band_key_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh{bi * rows + r}") for r in range(rows)])
+        ).alias(f"bk{bi}")
+        for bi in range(bands)
+    ]
     per_doc = (
-        sh.groupBy("doc_id")
+        sh.filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shset"), *_minhash_cols(num_hashes))
-        .withColumn("set_size", F.size("shset"))
+        .select("doc_id", "shset", *band_key_cols)
+        .repartition(F.pmod(F.col("doc_id"), F.lit(1 << 31)))
+        .withColumn(
+            "set_size",
+            F.greatest(
+                F.size("shset"),
+                F.lit(0)
+                - F.length(
+                    F.concat_ws("", *[F.col(f"bk{i}") for i in range(bands)])
+                ),
+            ),
+        )
     )
-    # Runtime census note (r10, tools/audit_scans.py): per-branch
-    # column pruning splits this aggregate — banding keeps the mh
-    # minima, the verify sides keep shset — so the subtrees are not
-    # canonically equal and the gram stream aggregates once per
-    # branch, each computing only its own columns.  The bigram_lift
-    # anchor trick was tried and REJECTED here: referencing all
-    # columns in every branch made each branch do the union of the
-    # work without unifying the exchanges.  The cost is bounded by
-    # design instead: the query layer persists the finished pair
-    # table per (session, corpus) (queries._minhash_pairs_cached, the
-    # IVF-centroid pattern), so the two-branch build runs once per
-    # corpus, not per query.
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),
-            F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows + r}") for r in range(rows)])).alias(
-                "band_key"
-            ),
+            F.concat_ws(
+                "", F.col(f"bk{bi}"), F.get(F.col("shset"), F.lit(-1))
+            ).alias("band_key"),
         )
         for bi in range(bands)
     ]
@@ -689,10 +744,22 @@ def simhash(
     # Parallelize the token fan-out when the split count can't
     # (size-gated — see word_shingles note).
     df = spread_for_narrow_work(df, id_col, heavy=True)
+    # Token dedup is ROW-SIDE (array_distinct on the per-doc words
+    # array, r14) — equal to a global distinct because ``id_col`` is
+    # the document key (one row per document; the word_shingles
+    # distinct=True contract).  The old ``.distinct()`` cost two
+    # full-stream HashAggregate passes per task (hash-map probe per
+    # (doc, token) row) here, and at 100 TB — where the size-gated
+    # spread exchange is SKIPPED and no doc-keyed partitioning exists —
+    # it would demand its own corpus-scale (doc, token) exchange before
+    # the votes aggregate.  Row-side dedup needs neither; the only
+    # exchange carries the docs×60 partial vote counters.
     toks = (
         df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
-        .distinct()
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(words)).alias("tok"),
+        )
     )
     # One 60-bit integer per token (conv is exact: 15 hex chars < 2^63);
     # vote j tests bit (59-j) with shift+mask — pure JVM integer

@@ -539,6 +539,18 @@ def bigram_lift(
     uni = counts.filter((F.col("c_uni") > 0) & (F.col("c_bi") >= 0)).select(
         F.col("a").alias("w"), F.col("c_uni").alias("c_w")
     )
+    # NOTE (r14, examined-left): a kept-level materialization barrier
+    # (repartition(pmod(xxhash64(w1,w2)))) was built and measured — it
+    # removes one of the four final-aggregate replays (the kept-word
+    # branch and the join big side then share one collocation-scale
+    # shuffle) but costs a consistent +6-8% locally (min-of-4 x 3
+    # interleaved rounds: 0.729/0.775/0.794 -> 0.803/0.815/0.847) —
+    # the added AQE stage floor exceeds the saved vocab-partial
+    # re-merge at any SF measurable here, and the saved term is
+    # secondary at scale (the corpus-side explode+partial agg already
+    # runs ONCE).  Reverted per the measure-first rule; a uni/totals
+    # barrier is impossible because their filters differ and Filter
+    # pushes below RepartitionByExpression (forking the subtree).
     kept = counts.filter(
         (F.col("c_bi") >= min_count) & (F.col("c_uni") >= 0)
     ).select(
@@ -1222,10 +1234,13 @@ def dsir_weights_hashed(
     the oracle pins hash parity, not just shape.  Quantization and the
     exact-integer doc sums mirror :func:`dsir_weights`.
 
-    Plan shape (pinned in test_scan_census): identical to the plain
-    variant — one explode feeding one map-side-combined aggregate
-    (now B-row), a one-row broadcast of the two totals, one token-
-    bucket join, one per-doc aggregate.  2 scans of ``documents``.
+    Plan shape (pinned in test_scan_census): one explode feeding one
+    map-side-combined aggregate (B-row); the corpus totals come from an
+    unpartitioned WINDOW over the bounded counts table (scale-safe only
+    because B is a constant — see the inline comment), NOT the plain
+    variant's crossJoin of a one-row broadcast; then one token-bucket
+    BroadcastHashJoin with the ≤ B-row q-table as the explicit
+    ``F.broadcast`` build side, and one per-doc aggregate.
     """
     t = F.col(text_col)
     toks = (
@@ -1246,15 +1261,48 @@ def dsir_weights_hashed(
             ).alias("bk"),
         )
         # bk is never null, but the per-doc join below INFERS
-        # isnotnull(bk) into only its own counts branch; carrying the
-        # filter here keeps both counts subtrees byte-identical so the
-        # bucket exchange is reused (2 scans, not 3 — pinned in
-        # test_scan_census).
+        # isnotnull(bk) into only its own branch; carrying the filter
+        # here keeps both consumer subtrees byte-identical (reuse
+        # prerequisite for the barrier exchange below).
         .filter(F.col("bk").isNotNull())
+        # MATERIALIZATION BARRIER (r14, VERDICT r13 #2): tokenize +
+        # md5-bucket runs ONCE and both consumers (the B-row counts
+        # aggregate and the per-doc probe side) replay the barrier's
+        # shuffle files — without it each branch re-ran the corpus
+        # scan, split, explode and per-token md5 (2 scans / 2 hash
+        # passes; r10 census).  Keyed on bk so the counts groupBy
+        # reuses the partitioning (no second exchange).  Scale
+        # accounting at 100 TB: the probe side of the broadcast join
+        # previously shipped nothing (narrow scan→join), so the
+        # barrier ADDS one token-stream shuffle write+read — but
+        # REMOVES a full corpus scan plus a per-token md5+conv pass,
+        # which dominates (the token rows here are three narrow
+        # columns; the md5 is ~100 ns/token and the scan is the 100 TB
+        # text itself).
+        .repartition("bk")
     )
+    # PRUNING ANCHORS (r14): both consumers of the barrier must demand
+    # the SAME (doc_id, __tgt, bk) column set below it, or per-branch
+    # column pruning rewrites each copy's tokenize projection and the
+    # barrier exchange forks (ReusedExchange only dedups canonically
+    # equal subtrees).  The references must survive the optimizer
+    # (probed live: count(<non-null expr>) folds to count(1),
+    # 0·length(·) folds away, and a guard FILTER sinks below the
+    # projection with its aliases inlined) — hence the fold-resistant
+    # but provably value-neutral forms here:
+    #   * c_t counts when(__tgt, greatest(1, pmod(coalesce(doc_id,0),1)))
+    #     — pmod(x,1)=0 for every x, so the branch value is exactly 1;
+    #   * n_tokens (below) counts when(length(concat_ws('', __tgt)) >= 0, 1)
+    #     — concat_ws never returns null and length is never negative,
+    #     so the predicate is TRUE for every row including null __tgt.
     counts = toks.groupBy("bk").agg(
         F.count(F.lit(1)).alias("c_r"),
-        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("c_t"),
+        F.count(
+            F.when(
+                F.col("__tgt"),
+                F.greatest(F.lit(1), F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(1))),
+            )
+        ).alias("c_t"),
     )
 
     def _q(c, n):
@@ -1293,8 +1341,15 @@ def dsir_weights_hashed(
     # scale.  The q-table is ≤ num_buckets rows by construction, so
     # it is always the correct build side (§3.1: pick the join
     # strategy deliberately).
+    # n_tokens ≡ count(1) — the __tgt half of the anchor pair (see the
+    # counts comment above).
     per = toks.join(F.broadcast(qtab), "bk").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(
+            F.when(
+                F.length(F.concat_ws("", F.col("__tgt").cast("string"))) >= 0,
+                F.lit(1),
+            )
+        ).alias("n_tokens"),
         F.sum("qd").alias("__s"),
     )
     lw = F.col("__s").cast("double") / F.lit(1000000.0)

@@ -34,7 +34,17 @@ _PINNED_SCANS = {
     "dedup_substring": {"documents": 1},
     "corpus_unigram_nll": {"documents": 2},
     "corpus_dsir_weights": {"documents": 2},
-    "corpus_dsir_weights_hashed": {"documents": 2},
+    # r14: one shared tokenize barrier feeds both the counts and the
+    # per-doc branches (repartition("bk") + fold-resistant pruning
+    # anchors — see text.dsir_weights_hashed)
+    "corpus_dsir_weights_hashed": {"documents": 1},
+    # r14: combined set+minima aggregate behind a pmod(doc_id) barrier
+    # (see dedup.minhash_lsh_pairs) — banding and both verify sides
+    # replay ONE gram pass
+    "dedup_minhash_lsh": {"documents": 1},
+    # r14: row-side array_distinct replaced the global (doc, token)
+    # distinct exchange in simhash
+    "dedup_simhash_pairs": {"documents": 1},
     "corpus_gopher_rules": {"documents": 1},
     "corpus_c4_clean": {"documents": 1},
     "corpus_pii_scrub": {"documents": 1},
@@ -67,3 +77,21 @@ def test_runtime_scan_census_ceiling(spark, sf_dir, key):
         f"ceiling {ceiling} — a re-plan forked a scan (see "
         f"tools/audit_scans.py)"
     )
+
+
+def test_minhash_no_sort_aggregate(spark, sf_dir):
+    """r14 (VERDICT r13 #1): the min(md5-hex)×32 signature aggregate
+    must not plan a SortAggregate — the combined set+minima aggregate
+    rides ObjectHashAggregate behind the doc barrier.  A future edit
+    that re-splits the aggregate (e.g. an anchor expression the
+    optimizer learns to fold) brings the per-task O(n log n) gram sort
+    back; this pin catches it at the final adaptive plan."""
+    df = SPARK_QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortAggregate" not in final

@@ -1,9 +1,11 @@
 """Ad-hoc oracle-parity check for a subset of keys at one or more SFs.
 
-Usage: python tools/parity_subset.py sf0.001,sf0.01 key1 key2 ...
+Usage: python tools/parity_subset.py [--root DIR] sf0.001,sf0.01 key1 ...
 
-Reuses the exact comparison logic of tests/test_oracle_parity.py so a
-pass here means the same thing as the suite's parity gate.
+The testdata root defaults to the parent of $SPARK_GRAFT_SF_DIR when
+set (mirroring tools/time_keys.py), else /root/testdata.  Reuses the
+exact comparison logic of tests/test_oracle_parity.py so a pass here
+means the same thing as the suite's parity gate.
 """
 
 from __future__ import annotations
@@ -23,12 +25,19 @@ from test_oracle_parity import _compare, _duck  # noqa: E402
 
 
 def main() -> None:
-    sfs = sys.argv[1].split(",")
-    keys = sys.argv[2:]
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--root":
+        root = argv[1]
+        argv = argv[2:]
+    else:
+        env_sf = os.environ.get("SPARK_GRAFT_SF_DIR")
+        root = os.path.dirname(env_sf.rstrip("/")) if env_sf else "/root/testdata"
+    sfs = argv[0].split(",")
+    keys = argv[1:]
     spark = get_session()
     bad = []
     for sf in sfs:
-        sf_dir = f"/root/testdata/{sf}"
+        sf_dir = os.path.join(root, sf)
         con = _duck(sf_dir)
         for k in keys:
             if k not in ORACLE_SQL or ORACLE_SQL[k] is None:

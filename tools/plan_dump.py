@@ -3,7 +3,7 @@
 Usage:
     python tools/plan_dump.py SUFFIX [name ...]
 
-Writes plans/r13/<query>_<SUFFIX>.txt for each named query (default: every
+Writes plans/$PLAN_ROUND (default r14)/<query>_<SUFFIX>.txt for each named query (default: every
 bench.HEADLINE key).  Also prints a one-line plan-shape summary per query
 (Exchange / Join strategy / Python-eval node counts) so regressions in plan
 shape are greppable without opening each file.
@@ -45,7 +45,7 @@ def main() -> None:
 
         names = list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLAN_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("plan-dump", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -36,8 +36,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # one warm-up of the first key so JIT/codegen caches are hot
     SPARK_QUERIES[args.keys[0]](spark, args.sf).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     for key in args.keys:
         fn = SPARK_QUERIES[key]
+        # per-key untimed warm-up: later keys' min-of-N must not absorb
+        # one-time codegen/broadcast warm-up the first key didn't touch
+        # (ADVICE r13) — without this, cross-key comparisons in one
+        # session are biased against whichever key runs first.
+        fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         reps = []
         for _ in range(args.n):
             df = fn(spark, args.sf)
@@ -45,6 +52,9 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
+            # bench methodology (bench.py:324): every timed run
+            # re-materializes any query-layer persist in-region
+            spark.catalog.clearCache()
         print(
             f"{args.tag} {key:32s} min={min(reps):.3f} med={statistics.median(reps):.3f} "
             f"all={[round(r, 3) for r in reps]}",
