@@ -343,13 +343,15 @@ def main() -> None:
         n: round(times[n] / oracle_secs[n], 2) if oracle_secs[n] else None
         for n in paired
     }
-    # Compact absolute-seconds pairs [spark_s, oracle_s] per query —
-    # placed LAST of the per-query dicts so the surviving tail always
-    # carries absolute times too (r11's tail kept only ratios, which
-    # made cross-round per-query regression diffs in seconds
-    # impossible — VERDICT r11 "What's wrong" #3); ratios are
-    # rederivable from this map if the ratio map itself truncates.
-    pairs = {n: [times[n], oracle_secs[n]] for n in paired}
+    # r14 (VERDICT r13 #7): `query_secs_pairs` is DROPPED from the
+    # line — it duplicated what `oracle_secs` + `queries` already
+    # carry ([times[n], oracle_secs[n]] per key, rederivable), and at
+    # 111 keys it pushed the one-line JSON to ~8 KB while the driver
+    # keeps only a 2000-char tail, which erased round 12's whole
+    # round-over-round comparison (BENCH_r12 `parsed: null`).  With it
+    # gone the line is ~4.5 KB and the tail always reaches back past
+    # the ratio map.  No timing logic changed; all remaining fields
+    # keep their names and meanings.
     # Key order matters: the driver records the TAIL of this (long)
     # line, so the per-query dicts go FIRST and the suite summary
     # fields (metric/value/ratio) go LAST — BENCH_r07.json was
@@ -364,7 +366,6 @@ def main() -> None:
                 "oracle_secs": oracle_secs,
                 "queries": times,
                 "query_ratios": ratios,
-                "query_secs_pairs": pairs,
                 "sf": sf,
                 "unit": "sec",
                 "shuffle_partitions": sp,

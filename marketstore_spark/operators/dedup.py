@@ -386,6 +386,22 @@ def _pairs_with_sizes(
     grouped = shc.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.col("doc_id").cast("long"))).alias("docs")
     )
+    # NOTE (r14, examined-left): blocked pair generation (the
+    # _PAIR_BLOCK_ROWS pattern — cut each list into <=64-doc blocks,
+    # spread block-pair rows through an exchange, explode post-shuffle)
+    # was implemented twice here after tools/stress_parallel.py showed
+    # dedup_ngram_jaccard FLAT from 8->32 cores on a 32-file 50k-doc
+    # stress corpus (31.6M candidate pairs) while every sibling key
+    # scaled 1.8-2.7x.  Both variants measurably regressed sf0.1
+    # (uniform blocked: ~2x; small/big hybrid union: +25% from the
+    # doubled posting aggregate — the size(docs) branch filters cannot
+    # split the gram stream below the aggregate without forking the
+    # shingle barrier).  Root cause of the flat probe is NOT task
+    # skew: max_doc_freq already caps any one list at ~500k pair
+    # emissions (~tens of ms), and 31.6M pairs hash-aggregated inside
+    # ONE local JVM is heap/GC-bound — a shared-heap artifact that
+    # distributed executors do not reproduce.  The one-shot explode
+    # stays; see OPTIMIZATION_r14.md for the full A/B numbers.
     pairs = grouped.select(
         F.explode(
             F.expr(

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from marketstore_spark.functions.layout import spread_for_narrow_work
 from marketstore_spark.functions.vector import cosine_sim
 
 
@@ -455,9 +456,18 @@ def ivf_topk(
         centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
     assign1 = _ivf_prober(centroids, 1)
     assignp = _ivf_prober(centroids, nprobe)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # Size-gated spread instead of an unconditional repartition (r14):
+    # at 100 TB the scan's own splits already cover the cluster, so the
+    # unconditional ``repartition(defaultParallelism)`` shuffled the
+    # ENTIRE embedding table for nothing — the gate no-ops there.
+    # heavy=True because the stage this parallelizes is NOT just the
+    # BLAS assignment batch: the same narrow chain carries the
+    # broadcast-join fan-out and the per-candidate interpreted-HOF
+    # cosine (~nprobe/nlist × corpus × dim lambda ops), which
+    # serializes on a single small-file split otherwise (measured:
+    # gating the spread off at sf0.1 costs ~10% on ann_ivf).
     c = (
-        corpus.repartition(par)
+        spread_for_narrow_work(corpus, heavy=True)
         .select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(vec_col).alias("cv"),
