@@ -1234,8 +1234,11 @@ def dsir_weights_hashed(
     the oracle pins hash parity, not just shape.  Quantization and the
     exact-integer doc sums mirror :func:`dsir_weights`.
 
-    Plan shape (pinned in test_scan_census): one explode feeding one
-    map-side-combined aggregate (B-row); the corpus totals come from an
+    Plan shape (pinned in test_scan_census): ONE tokenize+md5 pass
+    behind a ``repartition("bk")`` materialization barrier (r14) whose
+    shuffle files feed both consumers — the counts ``groupBy("bk")``
+    reuses the barrier's partitioning and the per-doc probe side
+    replays it as a ReusedExchange; the corpus totals come from an
     unpartitioned WINDOW over the bounded counts table (scale-safe only
     because B is a constant — see the inline comment), NOT the plain
     variant's crossJoin of a one-row broadcast; then one token-bucket

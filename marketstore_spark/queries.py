@@ -3629,6 +3629,10 @@ def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_PAIRS:
+        # sweep entries from dead applications (VERDICT r13 minor #5;
+        # same rationale as _media_pairs_cached)
+        for k in [k for k in _MINHASH_PAIRS if k[0] != key[0]]:
+            del _MINHASH_PAIRS[k]
         _MINHASH_PAIRS[key] = minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"),
             n=3,
@@ -4464,6 +4468,12 @@ def _media_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MEDIA_PAIRS:
+        # sweep entries from dead applications: a DataFrame outlives its
+        # stopped session only as an unusable husk, and keeping one per
+        # (app, corpus) grows without bound in long-lived test processes
+        # (VERDICT r13 minor #5)
+        for k in [k for k in _MEDIA_PAIRS if k[0] != key[0]]:
+            del _MEDIA_PAIRS[k]
         _MEDIA_PAIRS[key] = hash_near_dup_pairs(
             _media_sigs(spark, sf_dir), bits=60, bands=4, max_hamming=3
         ).persist()
